@@ -1,0 +1,3 @@
+from .zarr_lite import open_zarr_tree, read_group, write_group, write_tree
+
+__all__ = ["write_group", "read_group", "write_tree", "open_zarr_tree"]

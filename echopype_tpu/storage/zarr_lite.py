@@ -1,0 +1,254 @@
+"""Self-contained Zarr v2 directory-store reader/writer.
+
+The reference serializes its SONAR-netCDF4 tree to Zarr via zarr-python +
+xarray (echopype/utils/io.py:62, utils/coding.py).  zarr-python is not in this
+environment, so this module implements the Zarr v2 on-disk format directly:
+
+- group: ``.zgroup`` + ``.zattrs`` JSON
+- array: ``<name>/.zarray`` (shape/chunks/dtype/compressor/fill_value),
+  ``<name>/.zattrs`` with the xarray ``_ARRAY_DIMENSIONS`` convention,
+  C-order chunk files ``i.j.k``
+- compressor: stdlib zlib (id "zlib") or none; stores written by the real
+  zarr with blosc cannot be decompressed here and raise a clear error.
+
+This keeps byte-level compatibility with xarray/zarr readers for everything
+we write, and lets us read echopype-produced stores that use zlib/no
+compression.
+"""
+
+from __future__ import annotations
+
+import json
+import zlib
+from pathlib import Path
+
+import numpy as np
+
+from ..utils import coding
+from ..xrlite import DataArray, Dataset
+
+ZARR_FORMAT = 2
+_FILL = {"f": float("nan"), "c": float("nan")}
+
+
+def _dtype_to_str(dt: np.dtype) -> str:
+    dt = np.dtype(dt)
+    if dt.kind == "U":
+        return f"<U{dt.itemsize // 4}"
+    return dt.str
+
+
+def _json_default(o):
+    if isinstance(o, (np.integer,)):
+        return int(o)
+    if isinstance(o, (np.floating,)):
+        return float(o)
+    if isinstance(o, np.ndarray):
+        return o.tolist()
+    if isinstance(o, bytes):
+        return o.decode("utf-8", "replace")
+    if isinstance(o, np.datetime64):
+        return str(o)
+    return str(o)
+
+
+def _write_json(path: Path, obj):
+    path.write_text(json.dumps(obj, indent=2, default=_json_default, allow_nan=True))
+
+
+def _sanitize_attrs(attrs: dict) -> dict:
+    return {k: v for k, v in attrs.items() if v is not None}
+
+
+# --------------------------------------------------------------------- writing
+def write_array(group_dir: Path, name: str, arr: np.ndarray, dims, attrs, compress=True):
+    arr = coding.sanitize_dtypes(np.asarray(arr))
+    arr, extra_attrs = coding.encode_array(arr)
+    if arr.dtype == object:
+        arr = arr.astype(str)
+    adir = group_dir / name
+    adir.mkdir(parents=True, exist_ok=True)
+    chunks = coding.auto_chunks(arr.shape, arr.dtype)
+    fill = _FILL.get(arr.dtype.kind)
+    if arr.dtype.kind == "U":
+        fill = ""
+    meta = {
+        "zarr_format": ZARR_FORMAT,
+        "shape": list(arr.shape),
+        "chunks": list(chunks) if chunks else [1],
+        "dtype": _dtype_to_str(arr.dtype),
+        "compressor": {"id": "zlib", "level": 4} if compress else None,
+        "fill_value": fill,
+        "order": "C",
+        "filters": None,
+    }
+    if arr.ndim == 0:
+        # zarr v2 stores 0-d as shape [] with chunks [1]; normalize to 1-elem 1-d
+        arr = arr.reshape(1)
+        meta["shape"] = [1]
+        meta["chunks"] = [1]
+        dims = tuple(dims) or ("scalar",)
+    _write_json(adir / ".zarray", meta)
+    all_attrs = {"_ARRAY_DIMENSIONS": list(dims), **extra_attrs, **_sanitize_attrs(attrs or {})}
+    _write_json(adir / ".zattrs", all_attrs)
+
+    # write chunks
+    cshape = meta["chunks"]
+    grid = [max(1, -(-s // c)) for s, c in zip(meta["shape"], cshape)] or [1]
+    for idx in np.ndindex(*grid):
+        slices = tuple(
+            slice(i * c, min((i + 1) * c, s)) for i, c, s in zip(idx, cshape, meta["shape"])
+        )
+        block = arr[slices]
+        # pad partial edge chunks to full chunk shape (zarr stores full chunks)
+        if list(block.shape) != cshape:
+            pad = [(0, c - bs) for bs, c in zip(block.shape, cshape)]
+            fillv = fill if fill is not None and fill != "" else 0
+            if block.dtype.kind == "U":
+                block = np.pad(block, pad, constant_values="")
+            else:
+                block = np.pad(block, pad, constant_values=fillv)
+        raw = np.ascontiguousarray(block).tobytes()
+        if compress:
+            raw = zlib.compress(raw, 4)
+        (adir / ".".join(map(str, idx))).write_bytes(raw)
+
+
+def write_group(store_dir, ds: Dataset, group: str = "", compress=True):
+    """Write one Dataset as a zarr group under ``store_dir/group``."""
+    gdir = Path(store_dir) / group if group else Path(store_dir)
+    gdir.mkdir(parents=True, exist_ok=True)
+    _write_json(gdir / ".zgroup", {"zarr_format": ZARR_FORMAT})
+    _write_json(gdir / ".zattrs", _sanitize_attrs(ds.attrs))
+    coord_names = list(ds.coords)
+    for name, c in ds.coords.items():
+        write_array(gdir, name, c.values, c.dims, c.attrs, compress)
+    for name, v in ds.data_vars.items():
+        attrs = dict(v.attrs)
+        attrs["coordinates"] = " ".join(cn for cn in coord_names if set(ds.coords[cn].dims) <= set(v.dims))
+        write_array(gdir, name, v.values, v.dims, attrs, compress)
+
+
+def write_tree(store_dir, tree: dict, compress=True, overwrite=False):
+    """Write {group_path: Dataset} as a nested zarr store."""
+    root = Path(store_dir)
+    if root.exists():
+        if not overwrite and any(root.iterdir()):
+            raise FileExistsError(f"{store_dir} exists; pass overwrite=True")
+        import shutil
+
+        shutil.rmtree(root)
+    root.mkdir(parents=True, exist_ok=True)
+    _write_json(root / ".zgroup", {"zarr_format": ZARR_FORMAT})
+    for path, ds in tree.items():
+        if path in ("Top-level", "/", ""):
+            # top-level attrs live on the root group
+            _write_json(root / ".zattrs", _sanitize_attrs(ds.attrs))
+            for name, c in ds.coords.items():
+                write_array(root, name, c.values, c.dims, c.attrs, compress)
+            for name, v in ds.data_vars.items():
+                write_array(root, name, v.values, v.dims, v.attrs, compress)
+            continue
+        # intermediate groups need .zgroup markers
+        parts = path.split("/")
+        for i in range(1, len(parts)):
+            inter = root / "/".join(parts[:i])
+            inter.mkdir(parents=True, exist_ok=True)
+            if not (inter / ".zgroup").exists():
+                _write_json(inter / ".zgroup", {"zarr_format": ZARR_FORMAT})
+                _write_json(inter / ".zattrs", {})
+        write_group(root, ds, path, compress)
+
+
+# --------------------------------------------------------------------- reading
+def _read_json(path: Path):
+    return json.loads(path.read_text())
+
+
+def read_array(adir: Path):
+    meta = _read_json(adir / ".zarray")
+    attrs = _read_json(adir / ".zattrs") if (adir / ".zattrs").exists() else {}
+    dims = tuple(attrs.pop("_ARRAY_DIMENSIONS", ()))
+    dtype = np.dtype(meta["dtype"])
+    shape = tuple(meta["shape"])
+    chunks = tuple(meta["chunks"])
+    comp = meta.get("compressor")
+    if comp is not None and comp.get("id") not in ("zlib", "gzip"):
+        raise ValueError(
+            f"Unsupported zarr compressor {comp.get('id')!r} in {adir}; "
+            "only zlib/none are supported in this environment"
+        )
+    fill = meta.get("fill_value")
+    if fill is None:
+        fill = 0
+    out = np.full(shape, fill, dtype=dtype) if shape else np.zeros((), dtype=dtype)
+    grid = [max(1, -(-s // c)) for s, c in zip(shape, chunks)] or [()]
+    if shape:
+        for idx in np.ndindex(*[max(1, -(-s // c)) for s, c in zip(shape, chunks)]):
+            cf = adir / ".".join(map(str, idx))
+            if not cf.exists():
+                continue
+            raw = cf.read_bytes()
+            if comp is not None:
+                raw = zlib.decompress(raw)
+            block = np.frombuffer(raw, dtype=dtype).reshape(chunks)
+            slices = tuple(
+                slice(i * c, min((i + 1) * c, s)) for i, c, s in zip(idx, chunks, shape)
+            )
+            trim = tuple(slice(0, sl.stop - sl.start) for sl in slices)
+            out[slices] = block[trim]
+    del grid
+    vals = coding.decode_array(out, attrs)
+    if isinstance(vals, np.ndarray) and vals is not out:
+        attrs = {k: v for k, v in attrs.items() if k not in ("units", "calendar", "dtype")}
+    return vals, dims, attrs
+
+
+def read_group(store_dir, group: str = "") -> Dataset:
+    gdir = Path(store_dir) / group if group else Path(store_dir)
+    attrs = _read_json(gdir / ".zattrs") if (gdir / ".zattrs").exists() else {}
+    ds = Dataset(attrs=attrs)
+    arrays = {}
+    for child in sorted(gdir.iterdir()):
+        if child.is_dir() and (child / ".zarray").exists():
+            vals, dims, a_attrs = read_array(child)
+            arrays[child.name] = (vals, dims, a_attrs)
+    # coords first: 1-d arrays whose dim == own name, or referenced in "coordinates"
+    coord_names = set()
+    for name, (vals, dims, a_attrs) in arrays.items():
+        if dims == (name,):
+            coord_names.add(name)
+    for name, (vals, dims, a_attrs) in arrays.items():
+        for cn in str(a_attrs.get("coordinates", "")).split():
+            coord_names.add(cn)
+    for name in list(arrays):
+        if name in coord_names:
+            vals, dims, a_attrs = arrays.pop(name)
+            a_attrs.pop("coordinates", None)
+            ds.coords[name] = DataArray(vals, dims, attrs=a_attrs, name=name)
+    for name, (vals, dims, a_attrs) in arrays.items():
+        a_attrs.pop("coordinates", None)
+        da = DataArray(vals, dims, attrs=a_attrs, name=name)
+        ds.data_vars[name] = da
+    return ds
+
+
+def list_groups(store_dir) -> list:
+    """All group paths (relative) in a store, root first."""
+    root = Path(store_dir)
+    out = []
+    for zg in sorted(root.rglob(".zgroup")):
+        rel = zg.parent.relative_to(root)
+        out.append("" if str(rel) == "." else str(rel))
+    return out
+
+
+def open_zarr_tree(store_dir) -> dict:
+    """Read a whole store into {group_path: Dataset}; root key is 'Top-level'."""
+    tree = {}
+    for g in list_groups(store_dir):
+        ds = read_group(store_dir, g)
+        key = "Top-level" if g == "" else g
+        if g == "" or ds.data_vars or ds.coords or ds.attrs:
+            tree[key] = ds
+    return tree

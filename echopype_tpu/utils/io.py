@@ -1,0 +1,68 @@
+"""File I/O helpers: path validation, swap-store lifecycle.
+
+Capability parity: echopype/utils/io.py — output path validation, existence
+and permission checks, temp swap store lifecycle.  Local filesystem paths are
+first-class; cloud paths go through fsspec when available.
+"""
+
+import os
+import shutil
+import tempfile
+from pathlib import Path
+
+SUPPORTED_ENGINES = {
+    ".nc": "netcdf4",
+    ".zarr": "zarr",
+}
+
+
+def get_file_format(path) -> str:
+    p = str(path)
+    if p.endswith(".zarr") or p.endswith(".zarr/"):
+        return "zarr"
+    if p.endswith(".nc"):
+        return "netcdf4"
+    raise ValueError(f"Unsupported file format for {p!r} (use .zarr or .nc)")
+
+
+def validate_output_path(source_file: str, engine: str, output_storage_options=None, save_path=None):
+    """Resolve the output path for a converted/combined store."""
+    if save_path is None:
+        base = Path(source_file).stem
+        ext = ".zarr" if engine == "zarr" else ".nc"
+        out_dir = Path("~/.echopype_tpu/temp_output").expanduser()
+        out_dir.mkdir(parents=True, exist_ok=True)
+        return str(out_dir / (base + ext))
+    save_path = Path(save_path)
+    if save_path.suffix == "":
+        base = Path(source_file).stem
+        ext = ".zarr" if engine == "zarr" else ".nc"
+        save_path.mkdir(parents=True, exist_ok=True)
+        return str(save_path / (base + ext))
+    save_path.parent.mkdir(parents=True, exist_ok=True)
+    return str(save_path)
+
+
+def check_file_existence(path) -> bool:
+    return Path(path).exists()
+
+
+def check_file_permissions(out_dir):
+    out_dir = Path(out_dir)
+    if not os.access(out_dir if out_dir.exists() else out_dir.parent, os.W_OK):
+        raise PermissionError(f"Writing to {out_dir} is not permitted.")
+
+
+def create_temp_zarr_store(prefix="ep_tpu_swap_"):
+    """Create a temp directory to hold a swap zarr store; caller owns cleanup."""
+    return tempfile.mkdtemp(prefix=prefix)
+
+
+def delete_zarr_store(store_path):
+    shutil.rmtree(store_path, ignore_errors=True)
+
+
+def env_dir() -> Path:
+    d = Path("~/.echopype_tpu").expanduser()
+    d.mkdir(parents=True, exist_ok=True)
+    return d

@@ -1,0 +1,665 @@
+"""DataArray: ndarray + named dims + coordinates + attributes.
+
+Host-side values are numpy arrays; device compute paths unwrap ``.values`` and
+run jit kernels, then re-wrap.  Binary ops broadcast by dimension name.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["DataArray"]
+
+
+def _as_array(values):
+    if isinstance(values, DataArray):
+        return values.values
+    arr = np.asarray(values)
+    return arr
+
+
+def _nanfunc(name, skipna):
+    plain = getattr(np, name)
+    nanver = getattr(np, "nan" + name, plain)
+    return nanver if skipna else plain
+
+
+class DataArray:
+    """A labeled N-D array.
+
+    Parameters
+    ----------
+    values : array-like
+    dims : sequence of str
+    coords : dict of {name: DataArray | (dims, values) | array}
+        1-D arrays keyed by their own dim name, or DataArrays with dims that
+        are a subset of ``dims``.
+    attrs : dict
+    name : str, optional
+    """
+
+    __slots__ = ("values", "dims", "coords", "attrs", "name")
+
+    def __init__(self, values, dims=None, coords=None, attrs=None, name=None):
+        if isinstance(values, DataArray):
+            dims = dims if dims is not None else values.dims
+            coords = coords if coords is not None else values.coords
+            attrs = attrs if attrs is not None else values.attrs
+            name = name if name is not None else values.name
+            values = values.values
+        values = np.asarray(values)
+        if dims is None:
+            dims = tuple(f"dim_{i}" for i in range(values.ndim))
+        if isinstance(dims, str):
+            dims = (dims,)
+        dims = tuple(dims)
+        if len(dims) != values.ndim:
+            raise ValueError(f"dims {dims} do not match array of ndim {values.ndim}")
+        self.values = values
+        self.dims = dims
+        self.attrs = dict(attrs) if attrs else {}
+        self.name = name
+        self.coords = {}
+        if coords:
+            for cname, cval in coords.items():
+                self._set_coord(cname, cval)
+
+    # ------------------------------------------------------------------ basics
+    def _set_coord(self, cname, cval):
+        if isinstance(cval, DataArray):
+            c = DataArray(cval.values, cval.dims, attrs=cval.attrs, name=cname)
+        elif isinstance(cval, tuple) and len(cval) == 2 and not np.isscalar(cval[0]):
+            cdims, cdata = cval
+            c = DataArray(np.asarray(cdata), cdims, name=cname)
+        else:
+            arr = np.asarray(cval)
+            if arr.ndim == 0:
+                c = DataArray(arr, (), name=cname)
+            elif arr.ndim == 1:
+                c = DataArray(arr, (cname,), name=cname)
+            else:
+                raise ValueError(f"coord {cname!r}: pass (dims, values) for multi-d coords")
+        for d, n in zip(c.dims, c.shape):
+            if d in self.dims and self.sizes[d] != n:
+                raise ValueError(
+                    f"coord {cname!r} dim {d!r} has size {n} != array size {self.sizes[d]}"
+                )
+        self.coords[cname] = c
+
+    @property
+    def shape(self):
+        return self.values.shape
+
+    @property
+    def ndim(self):
+        return self.values.ndim
+
+    @property
+    def size(self):
+        return self.values.size
+
+    @property
+    def dtype(self):
+        return self.values.dtype
+
+    @property
+    def sizes(self):
+        return dict(zip(self.dims, self.values.shape))
+
+    @property
+    def nbytes(self):
+        return self.values.nbytes
+
+    def item(self):
+        return self.values.item()
+
+    def __array__(self, dtype=None, copy=None):
+        return np.asarray(self.values, dtype=dtype)
+
+    def __array_ufunc__(self, ufunc, method, *inputs, **kwargs):
+        """Numpy ufuncs (np.log10, np.exp, ...) map over values, keep labels."""
+        if method != "__call__" or kwargs.get("out") is not None:
+            return NotImplemented
+        from .ops import broadcast_arrays
+
+        das = [x for x in inputs if isinstance(x, DataArray)]
+        base = das[0]
+        for o in das[1:]:
+            base, _ = broadcast_arrays(base, o)
+        vals = []
+        for x in inputs:
+            if isinstance(x, DataArray):
+                xb = broadcast_arrays(base, x)[1] if x is not base else base
+                vals.append(xb.values)
+            else:
+                vals.append(x)
+        out = DataArray(ufunc(*vals, **kwargs), base.dims, name=self.name)
+        out.coords = dict(base.coords)
+        return out
+
+    def __len__(self):
+        return len(self.values)
+
+    def __repr__(self):
+        coord_str = ", ".join(
+            f"{k}({','.join(v.dims)})" for k, v in self.coords.items()
+        )
+        return (
+            f"<xrlite.DataArray {self.name or ''}{self.dims} shape={self.shape} "
+            f"dtype={self.dtype} coords=[{coord_str}]>"
+        )
+
+    def copy(self, deep=False):
+        vals = self.values.copy() if deep else self.values
+        out = DataArray(vals, self.dims, attrs=dict(self.attrs), name=self.name)
+        out.coords = {
+            k: DataArray(v.values.copy() if deep else v.values, v.dims, attrs=dict(v.attrs), name=k)
+            for k, v in self.coords.items()
+        }
+        return out
+
+    # --------------------------------------------------------------- reshaping
+    def rename(self, new_name_or_map=None, **dim_map):
+        if isinstance(new_name_or_map, str):
+            out = self.copy()
+            out.name = new_name_or_map
+            return out
+        if isinstance(new_name_or_map, dict):
+            dim_map = {**new_name_or_map, **dim_map}
+        new_dims = tuple(dim_map.get(d, d) for d in self.dims)
+        out = DataArray(self.values, new_dims, attrs=self.attrs, name=self.name)
+        for k, v in self.coords.items():
+            nk = dim_map.get(k, k)
+            out.coords[nk] = DataArray(
+                v.values, tuple(dim_map.get(d, d) for d in v.dims), attrs=v.attrs, name=nk
+            )
+        return out
+
+    def transpose(self, *dims):
+        if not dims:
+            dims = self.dims[::-1]
+        missing = [d for d in dims if d not in self.dims]
+        if missing:
+            raise ValueError(f"transpose dims {missing} not in {self.dims}")
+        rest = [d for d in self.dims if d not in dims]
+        if ... in dims:
+            i = dims.index(...)
+            dims = tuple(dims[:i]) + tuple(rest) + tuple(dims[i + 1 :])
+        order = [self.dims.index(d) for d in dims]
+        out = DataArray(np.transpose(self.values, order), dims, attrs=self.attrs, name=self.name)
+        out.coords = dict(self.coords)
+        return out
+
+    def expand_dims(self, dim, axis=0):
+        """Insert a new dim of size 1 (or the size of a provided coord)."""
+        if isinstance(dim, dict):
+            out = self
+            for d, v in dim.items():
+                n = v if isinstance(v, int) else len(np.asarray(v))
+                vals = np.broadcast_to(
+                    np.expand_dims(out.values, 0), (n,) + out.shape
+                ).copy()
+                new = DataArray(vals, (d,) + out.dims, attrs=out.attrs, name=out.name)
+                new.coords = dict(out.coords)
+                if not isinstance(v, int):
+                    new.coords[d] = DataArray(np.asarray(v), (d,), name=d)
+                out = new
+            return out
+        vals = np.expand_dims(self.values, axis)
+        dims = list(self.dims)
+        dims.insert(axis if axis >= 0 else len(dims) + axis + 1, dim)
+        out = DataArray(vals, tuple(dims), attrs=self.attrs, name=self.name)
+        out.coords = dict(self.coords)
+        return out
+
+    def squeeze(self, dim=None, drop=False):
+        if dim is None:
+            sq = [d for d, n in self.sizes.items() if n == 1]
+        else:
+            sq = [dim] if isinstance(dim, str) else list(dim)
+            for d in sq:
+                if self.sizes[d] != 1:
+                    raise ValueError(f"cannot squeeze dim {d!r} of size {self.sizes[d]}")
+        idx = tuple(0 if d in sq else slice(None) for d in self.dims)
+        new_dims = tuple(d for d in self.dims if d not in sq)
+        out = DataArray(self.values[idx], new_dims, attrs=self.attrs, name=self.name)
+        for k, v in self.coords.items():
+            if any(d in sq for d in v.dims):
+                if not drop:
+                    cidx = tuple(0 if d in sq else slice(None) for d in v.dims)
+                    cdims = tuple(d for d in v.dims if d not in sq)
+                    out.coords[k] = DataArray(v.values[cidx], cdims, attrs=v.attrs, name=k)
+            else:
+                out.coords[k] = v
+        return out
+
+    def broadcast_like(self, other):
+        from .ops import broadcast_arrays
+
+        a, _ = broadcast_arrays(self, other)
+        return a
+
+    def astype(self, dtype):
+        out = DataArray(self.values.astype(dtype), self.dims, attrs=self.attrs, name=self.name)
+        out.coords = dict(self.coords)
+        return out
+
+    # --------------------------------------------------------------- selection
+    def _dim_index(self, dim):
+        try:
+            return self.dims.index(dim)
+        except ValueError:
+            raise KeyError(f"dim {dim!r} not in {self.dims}") from None
+
+    def isel(self, indexers=None, drop=False, **kw):
+        indexers = {**(indexers or {}), **kw}
+        out_vals = self.values
+        # apply one dim at a time (supports int/slice/array indexers)
+        dims = list(self.dims)
+        for d, idx in indexers.items():
+            if d not in dims:
+                continue
+            ax = dims.index(d)
+            if isinstance(idx, DataArray):
+                idx = idx.values
+            sl = [slice(None)] * out_vals.ndim
+            sl[ax] = idx
+            out_vals = out_vals[tuple(sl)]
+            if np.ndim(idx) == 0 and not isinstance(idx, slice):
+                dims.pop(ax)
+        out = DataArray(out_vals, tuple(dims), attrs=self.attrs, name=self.name)
+        for k, v in self.coords.items():
+            rel = {d: i for d, i in indexers.items() if d in v.dims}
+            cv = v.isel(rel) if rel else v
+            if cv.ndim == 0 and drop:
+                continue
+            out.coords[k] = cv
+        return out
+
+    def _label_to_index(self, dim, label, method=None):
+        coord = self.coords.get(dim)
+        if coord is None:
+            raise KeyError(f"no coordinate for dim {dim!r}")
+        cv = coord.values
+        if isinstance(label, slice):
+            lo, hi = label.start, label.stop
+            mask = np.ones(len(cv), dtype=bool)
+            if lo is not None:
+                mask &= cv >= np.asarray(lo).astype(cv.dtype)
+            if hi is not None:
+                mask &= cv <= np.asarray(hi).astype(cv.dtype)
+            idx = np.nonzero(mask)[0]
+            if len(idx) and np.all(np.diff(idx) == 1):
+                return slice(idx[0], idx[-1] + 1)
+            return idx
+        labels = np.asarray(label)
+        scalar = labels.ndim == 0
+        labels = np.atleast_1d(labels)
+        if method == "nearest":
+            if np.issubdtype(cv.dtype, np.datetime64):
+                dist = np.abs(cv[None, :].astype("i8") - labels[:, None].astype(cv.dtype).astype("i8"))
+            else:
+                dist = np.abs(cv[None, :] - labels[:, None])
+            idx = np.argmin(dist, axis=1)
+        else:
+            sorter = np.argsort(cv) if cv.ndim == 1 else None
+            idx = []
+            for lab in labels:
+                matches = np.nonzero(cv == np.asarray(lab).astype(cv.dtype))[0]
+                if len(matches) == 0:
+                    raise KeyError(f"label {lab!r} not found in coord {dim!r}")
+                idx.append(matches[0])
+            idx = np.asarray(idx)
+            del sorter
+        return int(idx[0]) if scalar else idx
+
+    def sel(self, indexers=None, method=None, drop=False, **kw):
+        indexers = {**(indexers or {}), **kw}
+        iidx = {d: self._label_to_index(d, lab, method) for d, lab in indexers.items()}
+        return self.isel(iidx, drop=drop)
+
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            return self.coords[key]
+        if isinstance(key, dict):
+            return self.isel(key)
+        vals = self.values[key]
+        # plain positional indexing: keep dims where possible
+        if isinstance(key, tuple):
+            dims = tuple(
+                d
+                for d, k in zip(self.dims, key + (slice(None),) * (self.ndim - len(key)))
+                if not np.ndim(k) == 0 or isinstance(k, slice)
+            )
+        elif isinstance(key, slice) or np.ndim(key) >= 1:
+            dims = self.dims
+        else:
+            dims = self.dims[1:]
+        if len(dims) != vals.ndim:
+            dims = tuple(f"dim_{i}" for i in range(vals.ndim))
+        out = DataArray(vals, dims, attrs=self.attrs, name=self.name)
+        return out
+
+    def __setitem__(self, key, value):
+        if isinstance(key, dict):
+            idx = tuple(key.get(d, slice(None)) for d in self.dims)
+            self.values[idx] = _as_array(value)
+            return
+        if isinstance(key, DataArray):
+            key = key.values
+        self.values[key] = _as_array(value)
+
+    # ------------------------------------------------------------- arithmetic
+    def _binary_op(self, other, op, reflexive=False):
+        from .ops import broadcast_arrays
+
+        if isinstance(other, DataArray):
+            a, b = broadcast_arrays(self, other)
+            va, vb = (b.values, a.values) if reflexive else (a.values, b.values)
+            out = DataArray(op(va, vb), a.dims, name=self.name)
+            out.coords = a.coords
+            return out
+        vb = np.asarray(other)
+        va = self.values
+        if reflexive:
+            va, vb = vb, va
+        out = DataArray(op(va, vb), self.dims, name=self.name)
+        out.coords = dict(self.coords)
+        return out
+
+    def __add__(self, o):
+        return self._binary_op(o, np.add)
+
+    def __radd__(self, o):
+        return self._binary_op(o, np.add, True)
+
+    def __sub__(self, o):
+        return self._binary_op(o, np.subtract)
+
+    def __rsub__(self, o):
+        return self._binary_op(o, np.subtract, True)
+
+    def __mul__(self, o):
+        return self._binary_op(o, np.multiply)
+
+    def __rmul__(self, o):
+        return self._binary_op(o, np.multiply, True)
+
+    def __truediv__(self, o):
+        return self._binary_op(o, np.divide)
+
+    def __rtruediv__(self, o):
+        return self._binary_op(o, np.divide, True)
+
+    def __pow__(self, o):
+        return self._binary_op(o, np.power)
+
+    def __rpow__(self, o):
+        return self._binary_op(o, np.power, True)
+
+    def __mod__(self, o):
+        return self._binary_op(o, np.mod)
+
+    def __neg__(self):
+        out = DataArray(-self.values, self.dims, attrs=self.attrs, name=self.name)
+        out.coords = dict(self.coords)
+        return out
+
+    def __abs__(self):
+        out = DataArray(np.abs(self.values), self.dims, attrs=self.attrs, name=self.name)
+        out.coords = dict(self.coords)
+        return out
+
+    def __lt__(self, o):
+        return self._binary_op(o, np.less)
+
+    def __le__(self, o):
+        return self._binary_op(o, np.less_equal)
+
+    def __gt__(self, o):
+        return self._binary_op(o, np.greater)
+
+    def __ge__(self, o):
+        return self._binary_op(o, np.greater_equal)
+
+    def __eq__(self, o):  # noqa: D105 - elementwise, xarray-style
+        return self._binary_op(o, np.equal)
+
+    def __ne__(self, o):
+        return self._binary_op(o, np.not_equal)
+
+    def __and__(self, o):
+        return self._binary_op(o, np.logical_and)
+
+    def __or__(self, o):
+        return self._binary_op(o, np.logical_or)
+
+    def __invert__(self):
+        out = DataArray(np.logical_not(self.values), self.dims, name=self.name)
+        out.coords = dict(self.coords)
+        return out
+
+    __hash__ = None
+
+    # -------------------------------------------------------------- reductions
+    def _reduce(self, fname, dim=None, skipna=True, keepdims=False):
+        func = _nanfunc(fname, skipna and np.issubdtype(self.dtype, np.floating))
+        if dim is None:
+            return DataArray(np.asarray(func(self.values)), (), name=self.name)
+        dims = (dim,) if isinstance(dim, str) else tuple(dim)
+        axes = tuple(self._dim_index(d) for d in dims)
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", category=RuntimeWarning)
+            vals = func(self.values, axis=axes, keepdims=keepdims)
+        new_dims = self.dims if keepdims else tuple(d for d in self.dims if d not in dims)
+        out = DataArray(vals, new_dims, attrs=self.attrs, name=self.name)
+        out.coords = {
+            k: v for k, v in self.coords.items() if keepdims or not (set(v.dims) & set(dims))
+        }
+        return out
+
+    def mean(self, dim=None, skipna=True, **kw):
+        return self._reduce("mean", dim, skipna)
+
+    def sum(self, dim=None, skipna=True, **kw):
+        return self._reduce("sum", dim, skipna)
+
+    def min(self, dim=None, skipna=True, **kw):
+        return self._reduce("min", dim, skipna)
+
+    def max(self, dim=None, skipna=True, **kw):
+        return self._reduce("max", dim, skipna)
+
+    def std(self, dim=None, skipna=True, **kw):
+        return self._reduce("std", dim, skipna)
+
+    def median(self, dim=None, skipna=True, **kw):
+        return self._reduce("median", dim, skipna)
+
+    def prod(self, dim=None, skipna=True, **kw):
+        return self._reduce("prod", dim, skipna)
+
+    def count(self, dim=None):
+        notnull = ~np.isnan(self.values) if np.issubdtype(self.dtype, np.floating) else np.ones(
+            self.shape, bool
+        )
+        tmp = DataArray(notnull.astype(np.int64), self.dims)
+        return tmp._reduce("sum", dim, skipna=False)
+
+    def argmin(self, dim):
+        ax = self._dim_index(dim)
+        vals = np.nanargmin(self.values, axis=ax)
+        new_dims = tuple(d for d in self.dims if d != dim)
+        out = DataArray(vals, new_dims, name=self.name)
+        out.coords = {k: v for k, v in self.coords.items() if dim not in v.dims}
+        return out
+
+    def idxmin(self, dim):
+        coord = self.coords[dim]
+        return DataArray(
+            coord.values[self.argmin(dim).values],
+            tuple(d for d in self.dims if d != dim),
+            name=self.name,
+        )
+
+    def cumsum(self, dim, skipna=True):
+        ax = self._dim_index(dim)
+        func = np.nancumsum if skipna else np.cumsum
+        out = DataArray(func(self.values, axis=ax), self.dims, attrs=self.attrs, name=self.name)
+        out.coords = dict(self.coords)
+        return out
+
+    def diff(self, dim, n=1):
+        ax = self._dim_index(dim)
+        vals = np.diff(self.values, n=n, axis=ax)
+        out = DataArray(vals, self.dims, name=self.name)
+        for k, v in self.coords.items():
+            if dim not in v.dims:
+                out.coords[k] = v
+            elif k == dim:
+                out.coords[k] = DataArray(v.values[n:], v.dims, attrs=v.attrs, name=k)
+        return out
+
+    # ------------------------------------------------------------- nan / where
+    def isnull(self):
+        if np.issubdtype(self.dtype, np.floating) or np.issubdtype(self.dtype, np.complexfloating):
+            vals = np.isnan(self.values)
+        elif np.issubdtype(self.dtype, np.datetime64):
+            vals = np.isnat(self.values)
+        else:
+            vals = np.zeros(self.shape, dtype=bool)
+        out = DataArray(vals, self.dims, name=self.name)
+        out.coords = dict(self.coords)
+        return out
+
+    def notnull(self):
+        return ~self.isnull()
+
+    def fillna(self, value):
+        mask = self.isnull().values
+        vals = np.where(mask, value, self.values)
+        out = DataArray(vals, self.dims, attrs=self.attrs, name=self.name)
+        out.coords = dict(self.coords)
+        return out
+
+    def where(self, cond, other=np.nan):
+        from .ops import broadcast_arrays
+
+        if not isinstance(cond, DataArray):
+            cond = DataArray(np.asarray(cond), self.dims if np.ndim(cond) else ())
+        a, c = broadcast_arrays(self, cond)
+        o = other
+        if isinstance(other, DataArray):
+            a2, o_b = broadcast_arrays(a, other)
+            o = np.broadcast_to(o_b.values, a2.shape)
+            a = a2
+            _, c = broadcast_arrays(a, cond)
+        vals = np.where(c.values, a.values, o)
+        out = DataArray(vals, a.dims, attrs=self.attrs, name=self.name)
+        out.coords = a.coords
+        return out
+
+    def clip(self, min=None, max=None):
+        out = DataArray(np.clip(self.values, min, max), self.dims, attrs=self.attrs, name=self.name)
+        out.coords = dict(self.coords)
+        return out
+
+    def dropna(self, dim, how="any"):
+        ax = self._dim_index(dim)
+        other_axes = tuple(i for i in range(self.ndim) if i != ax)
+        nulls = self.isnull().values
+        bad = nulls.all(axis=other_axes) if how == "all" else nulls.any(axis=other_axes)
+        return self.isel({dim: np.nonzero(~bad)[0]})
+
+    # ----------------------------------------------------------------- interp
+    def interp(self, coords=None, method="linear", kwargs=None, **kw):
+        """Linear interpolation along one dim onto new coordinate labels."""
+        coords = {**(coords or {}), **kw}
+        if len(coords) != 1:
+            raise NotImplementedError("xrlite interp supports one dim at a time")
+        (dim, new_labels), = coords.items()
+        fill = (kwargs or {}).get("fill_value", None)
+        old = self.coords[dim].values
+        newc = new_labels.values if isinstance(new_labels, DataArray) else np.asarray(new_labels)
+        time_like = np.issubdtype(old.dtype, np.datetime64)
+        x_old = old.astype("datetime64[ns]").astype("f8") if time_like else old.astype("f8")
+        x_new = newc.astype("datetime64[ns]").astype("f8") if time_like else np.asarray(
+            newc, dtype="f8"
+        )
+        ax = self._dim_index(dim)
+        moved = np.moveaxis(self.values.astype("f8"), ax, -1)
+        flat = moved.reshape(-1, moved.shape[-1])
+        out_flat = np.empty((flat.shape[0], x_new.size), dtype="f8")
+        order = np.argsort(x_old)
+        xo = x_old[order]
+        for i in range(flat.shape[0]):
+            yo = flat[i][order]
+            good = ~np.isnan(yo)
+            if good.sum() == 0:
+                out_flat[i] = np.nan
+                continue
+            out_flat[i] = np.interp(x_new, xo[good], yo[good])
+            if fill != "extrapolate":
+                out_flat[i][x_new < xo[good][0]] = np.nan
+                out_flat[i][x_new > xo[good][-1]] = np.nan
+            else:
+                # linear extrapolation at both ends
+                xg, yg = xo[good], yo[good]
+                if len(xg) >= 2:
+                    lo = x_new < xg[0]
+                    hi = x_new > xg[-1]
+                    slope0 = (yg[1] - yg[0]) / (xg[1] - xg[0])
+                    slope1 = (yg[-1] - yg[-2]) / (xg[-1] - xg[-2])
+                    out_flat[i][lo] = yg[0] + slope0 * (x_new[lo] - xg[0])
+                    out_flat[i][hi] = yg[-1] + slope1 * (x_new[hi] - xg[-1])
+        new_shape = moved.shape[:-1] + (x_new.size,)
+        vals = np.moveaxis(out_flat.reshape(new_shape), -1, ax)
+        out = DataArray(vals, self.dims, attrs=self.attrs, name=self.name)
+        out.coords = {k: v for k, v in self.coords.items() if dim not in v.dims}
+        out.coords[dim] = DataArray(newc, (dim,), name=dim)
+        return out
+
+    # ------------------------------------------------------------- metadata
+    def assign_coords(self, coords=None, **kw):
+        out = self.copy()
+        for k, v in {**(coords or {}), **kw}.items():
+            out._set_coord(k, v)
+        return out
+
+    def assign_attrs(self, *args, **kw):
+        out = self.copy()
+        for a in args:
+            out.attrs.update(a)
+        out.attrs.update(kw)
+        return out
+
+    def drop_vars(self, names, errors="raise"):
+        names = [names] if isinstance(names, str) else list(names)
+        out = self.copy()
+        for n in names:
+            if n in out.coords:
+                del out.coords[n]
+            elif errors == "raise":
+                raise KeyError(n)
+        return out
+
+    def to_dataset(self, name=None):
+        from .dataset import Dataset
+
+        nm = name or self.name
+        if nm is None:
+            raise ValueError("cannot convert unnamed DataArray to Dataset")
+        return Dataset({nm: self})
+
+    def to_numpy(self):
+        return self.values
+
+    def pad(self, pad_width: dict, constant_values=np.nan):
+        widths = [pad_width.get(d, (0, 0)) for d in self.dims]
+        widths = [(w, w) if isinstance(w, int) else w for w in widths]
+        vals = np.pad(self.values, widths, constant_values=constant_values)
+        out = DataArray(vals, self.dims, attrs=self.attrs, name=self.name)
+        out.coords = {k: v for k, v in self.coords.items() if not set(v.dims) & set(pad_width)}
+        return out

@@ -1,0 +1,334 @@
+"""Dataset: a mapping of DataArrays sharing named dimensions."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .dataarray import DataArray
+
+__all__ = ["Dataset"]
+
+
+class Dataset:
+    """A dict of named DataArrays + shared coords + attrs.
+
+    Mirrors the subset of xr.Dataset used at the reference's API boundaries
+    (see SURVEY.md Appendix B for the group contents this carries).
+    """
+
+    __slots__ = ("data_vars", "coords", "attrs")
+
+    def __init__(self, data_vars=None, coords=None, attrs=None):
+        self.data_vars = {}
+        self.coords = {}
+        self.attrs = dict(attrs) if attrs else {}
+        if coords:
+            for k, v in coords.items():
+                self._set_coord(k, v)
+        if data_vars:
+            for k, v in data_vars.items():
+                self[k] = v
+
+    # ------------------------------------------------------------------ dunder
+    def _set_coord(self, name, val):
+        if isinstance(val, DataArray):
+            self.coords[name] = DataArray(val.values, val.dims, attrs=val.attrs, name=name)
+        elif isinstance(val, tuple) and len(val) in (2, 3):
+            dims, data = val[0], val[1]
+            attrs = val[2] if len(val) == 3 else None
+            dims = (dims,) if isinstance(dims, str) else tuple(dims)
+            self.coords[name] = DataArray(np.asarray(data), dims, attrs=attrs, name=name)
+        else:
+            arr = np.asarray(val)
+            dims = (name,) if arr.ndim == 1 else ()
+            self.coords[name] = DataArray(arr, dims, name=name)
+
+    def __setitem__(self, name, val):
+        if isinstance(val, DataArray):
+            da = DataArray(val.values, val.dims, attrs=val.attrs, name=name)
+            da.coords = dict(val.coords)
+        elif isinstance(val, tuple) and len(val) in (2, 3):
+            dims, data = val[0], val[1]
+            attrs = val[2] if len(val) == 3 else None
+            dims = (dims,) if isinstance(dims, str) else tuple(dims)
+            da = DataArray(np.asarray(data), dims, attrs=attrs, name=name)
+        else:
+            arr = np.asarray(val)
+            if arr.ndim != 0:
+                raise ValueError(f"cannot infer dims for {name!r}; pass (dims, values)")
+            da = DataArray(arr, (), name=name)
+        # check dim-size consistency
+        for d, n in da.sizes.items():
+            cur = self.sizes.get(d)
+            if cur is not None and cur != n:
+                raise ValueError(f"variable {name!r}: dim {d!r} size {n} != existing {cur}")
+        # absorb the variable's own coords into dataset coords
+        for ck, cv in da.coords.items():
+            if ck not in self.coords:
+                self._set_coord(ck, cv)
+        da.coords = {}
+        self.data_vars[name] = da
+
+    def __getitem__(self, name):
+        if isinstance(name, list):
+            out = Dataset(attrs=dict(self.attrs))
+            for n in name:
+                out[n] = self[n]
+            for k, v in self.coords.items():
+                used = set().union(*(self[n].dims for n in name)) if name else set()
+                if set(v.dims) <= used:
+                    out.coords.setdefault(k, v)
+            return out
+        if name in self.data_vars:
+            da = self.data_vars[name]
+            out = DataArray(da.values, da.dims, attrs=da.attrs, name=name)
+            out.coords = {
+                k: v for k, v in self.coords.items() if set(v.dims) <= set(da.dims)
+            }
+            return out
+        if name in self.coords:
+            c = self.coords[name]
+            out = DataArray(c.values, c.dims, attrs=c.attrs, name=name)
+            out.coords = {
+                k: v for k, v in self.coords.items() if set(v.dims) <= set(c.dims)
+            }
+            return out
+        raise KeyError(name)
+
+    def __contains__(self, name):
+        return name in self.data_vars or name in self.coords
+
+    def __iter__(self):
+        return iter(self.data_vars)
+
+    def __len__(self):
+        return len(self.data_vars)
+
+    def __delitem__(self, name):
+        if name in self.data_vars:
+            del self.data_vars[name]
+        elif name in self.coords:
+            del self.coords[name]
+        else:
+            raise KeyError(name)
+
+    def __repr__(self):
+        lines = [f"<xrlite.Dataset dims={self.sizes}>"]
+        for k, v in self.coords.items():
+            lines.append(f"  * {k:30s} {v.dims} {v.dtype}")
+        for k, v in self.data_vars.items():
+            lines.append(f"    {k:30s} {v.dims} {v.dtype}")
+        return "\n".join(lines)
+
+    # -------------------------------------------------------------- properties
+    @property
+    def sizes(self):
+        out = {}
+        for da in list(self.data_vars.values()) + list(self.coords.values()):
+            for d, n in da.sizes.items():
+                out.setdefault(d, n)
+        return out
+
+    @property
+    def dims(self):
+        return self.sizes
+
+    @property
+    def nbytes(self):
+        return sum(v.nbytes for v in self.data_vars.values()) + sum(
+            v.nbytes for v in self.coords.values()
+        )
+
+    def keys(self):
+        return self.data_vars.keys()
+
+    def values(self):
+        return self.data_vars.values()
+
+    def items(self):
+        return self.data_vars.items()
+
+    def get(self, name, default=None):
+        try:
+            return self[name]
+        except KeyError:
+            return default
+
+    # -------------------------------------------------------------- selection
+    def isel(self, indexers=None, drop=False, **kw):
+        indexers = {**(indexers or {}), **kw}
+        out = Dataset(attrs=dict(self.attrs))
+        for k, v in self.coords.items():
+            rel = {d: i for d, i in indexers.items() if d in v.dims}
+            nv = v.isel(rel) if rel else v
+            if nv.ndim == 0 and drop:
+                continue
+            out.coords[k] = nv
+        for k, v in self.data_vars.items():
+            rel = {d: i for d, i in indexers.items() if d in v.dims}
+            out.data_vars[k] = v.isel(rel) if rel else v
+        return out
+
+    def sel(self, indexers=None, method=None, drop=False, **kw):
+        indexers = {**(indexers or {}), **kw}
+        iidx = {}
+        for d, lab in indexers.items():
+            ref = DataArray(
+                np.zeros(self.sizes[d]), (d,), coords={d: self.coords[d]}
+            )
+            iidx[d] = ref._label_to_index(d, lab, method)
+        return self.isel(iidx, drop=drop)
+
+    def where(self, cond, other=np.nan):
+        out = Dataset(attrs=dict(self.attrs))
+        out.coords = dict(self.coords)
+        for k, v in self.data_vars.items():
+            da = self[k]
+            out.data_vars[k] = da.where(cond, other) if set(cond.dims) & set(da.dims) else da
+        return out
+
+    def dropna(self, dim, how="any", subset=None):
+        names = subset or list(self.data_vars)
+        mask = None
+        for n in names:
+            v = self[n]
+            if dim not in v.dims:
+                continue
+            axes = tuple(i for i, d in enumerate(v.dims) if d != dim)
+            nulls = v.isnull().values
+            bad = nulls.all(axis=axes) if how == "all" else nulls.any(axis=axes)
+            mask = bad if mask is None else (mask | bad)
+        if mask is None:
+            return self
+        return self.isel({dim: np.nonzero(~mask)[0]})
+
+    # -------------------------------------------------------------- mutation
+    def assign(self, variables=None, **kw):
+        out = self.copy()
+        for k, v in {**(variables or {}), **kw}.items():
+            out[k] = v
+        return out
+
+    def assign_coords(self, coords=None, **kw):
+        out = self.copy()
+        for k, v in {**(coords or {}), **kw}.items():
+            out._set_coord(k, v)
+        return out
+
+    def assign_attrs(self, *args, **kw):
+        out = self.copy()
+        for a in args:
+            out.attrs.update(a)
+        out.attrs.update(kw)
+        return out
+
+    def drop_vars(self, names, errors="raise"):
+        names = [names] if isinstance(names, str) else list(names)
+        out = self.copy()
+        for n in names:
+            if n in out.data_vars:
+                del out.data_vars[n]
+            elif n in out.coords:
+                del out.coords[n]
+            elif errors == "raise":
+                raise KeyError(n)
+        return out
+
+    def rename(self, name_map=None, **kw):
+        name_map = {**(name_map or {}), **kw}
+        out = Dataset(attrs=dict(self.attrs))
+        for k, v in self.coords.items():
+            nk = name_map.get(k, k)
+            out.coords[nk] = DataArray(
+                v.values,
+                tuple(name_map.get(d, d) for d in v.dims),
+                attrs=v.attrs,
+                name=nk,
+            )
+        for k, v in self.data_vars.items():
+            nk = name_map.get(k, k)
+            out.data_vars[nk] = DataArray(
+                v.values,
+                tuple(name_map.get(d, d) for d in v.dims),
+                attrs=v.attrs,
+                name=nk,
+            )
+        return out
+
+    def swap_dims(self, dim_map):
+        """Swap a dim for a same-length 1-D coordinate (e.g. channel→frequency)."""
+        out = Dataset(attrs=dict(self.attrs))
+        for k, v in self.coords.items():
+            out.coords[k] = DataArray(
+                v.values, tuple(dim_map.get(d, d) for d in v.dims), attrs=v.attrs, name=k
+            )
+        for k, v in self.data_vars.items():
+            out.data_vars[k] = DataArray(
+                v.values, tuple(dim_map.get(d, d) for d in v.dims), attrs=v.attrs, name=k
+            )
+        return out
+
+    def expand_dims(self, dim, axis=0):
+        out = Dataset(attrs=dict(self.attrs))
+        out.coords = dict(self.coords)
+        for k, v in self.data_vars.items():
+            out.data_vars[k] = v.expand_dims(dim, axis)
+        return out
+
+    def transpose(self, *dims):
+        out = Dataset(attrs=dict(self.attrs))
+        out.coords = dict(self.coords)
+        for k, v in self.data_vars.items():
+            pres = [d for d in dims if d in v.dims]
+            rest = [d for d in v.dims if d not in pres]
+            out.data_vars[k] = v.transpose(*(pres + rest)) if pres else v
+        return out
+
+    def merge(self, other, compat="no_conflicts", join="outer"):
+        from .ops import merge as _merge
+
+        return _merge([self, other])
+
+    def update(self, other):
+        src = other.data_vars.items() if isinstance(other, Dataset) else other.items()
+        for k, v in src:
+            self[k] = v
+        if isinstance(other, Dataset):
+            for k, v in other.coords.items():
+                self.coords.setdefault(k, v)
+        return self
+
+    def copy(self, deep=False):
+        out = Dataset(attrs=dict(self.attrs))
+        out.coords = {
+            k: DataArray(v.values.copy() if deep else v.values, v.dims, attrs=dict(v.attrs), name=k)
+            for k, v in self.coords.items()
+        }
+        out.data_vars = {
+            k: DataArray(v.values.copy() if deep else v.values, v.dims, attrs=dict(v.attrs), name=k)
+            for k, v in self.data_vars.items()
+        }
+        return out
+
+    def interp(self, coords=None, method="linear", kwargs=None, **kw):
+        coords = {**(coords or {}), **kw}
+        (dim, _), = coords.items()
+        out = Dataset(attrs=dict(self.attrs))
+        for k, v in self.data_vars.items():
+            da = self[k]
+            if dim in da.dims:
+                out[k] = da.interp(coords, method=method, kwargs=kwargs)
+            else:
+                out[k] = da
+        for k, v in self.coords.items():
+            if dim not in v.dims and k not in out.coords:
+                out.coords[k] = v
+        return out
+
+    def mean(self, dim=None, skipna=True):
+        out = Dataset(attrs=dict(self.attrs))
+        for k in self.data_vars:
+            da = self[k]
+            red = [d for d in ((dim,) if isinstance(dim, str) else dim or da.dims) if d in da.dims]
+            out[k] = da.mean(red, skipna=skipna) if red else da
+        return out

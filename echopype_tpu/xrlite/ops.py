@@ -1,0 +1,183 @@
+"""Module-level operations for xrlite: broadcast, concat, merge, where."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .dataarray import DataArray
+
+__all__ = [
+    "align_dims",
+    "broadcast_arrays",
+    "concat",
+    "merge",
+    "where",
+    "zeros_like",
+    "full_like",
+]
+
+
+def align_dims(a_dims, b_dims):
+    """Union of dims: a's dims in order, then b-only dims appended in b's order."""
+    return tuple(a_dims) + tuple(d for d in b_dims if d not in a_dims)
+
+
+def _expand_to(da: DataArray, out_dims, out_sizes):
+    """Return ndarray of ``da`` transposed/reshaped to broadcast against out_dims."""
+    # move existing axes into out order, then insert singleton axes
+    present = [d for d in out_dims if d in da.dims]
+    order = [da.dims.index(d) for d in present]
+    vals = np.transpose(da.values, order)
+    shape = tuple(da.sizes[d] if d in da.dims else 1 for d in out_dims)
+    vals = vals.reshape(shape)
+    return np.broadcast_to(vals, tuple(out_sizes[d] for d in out_dims))
+
+
+def broadcast_arrays(a: DataArray, b: DataArray):
+    """Broadcast two DataArrays against each other by dim name."""
+    out_dims = align_dims(a.dims, b.dims)
+    sizes = {}
+    for d in out_dims:
+        na, nb = a.sizes.get(d), b.sizes.get(d)
+        if na is not None and nb is not None and na != nb:
+            if na == 1:
+                na = nb
+            elif nb == 1:
+                nb = na
+            else:
+                raise ValueError(f"conflicting sizes for dim {d!r}: {na} vs {nb}")
+        sizes[d] = na if na is not None else nb
+    av = _expand_to(a, out_dims, sizes)
+    bv = _expand_to(b, out_dims, sizes)
+    coords = {}
+    for src in (a, b):
+        for k, v in src.coords.items():
+            if k not in coords and all(d in sizes and sizes[d] == v.sizes[d] for d in v.dims):
+                coords[k] = v
+    oa = DataArray(av, out_dims, name=a.name)
+    ob = DataArray(bv, out_dims, name=b.name)
+    oa.coords = dict(coords)
+    ob.coords = dict(coords)
+    return oa, ob
+
+
+def where(cond, x, y):
+    """Element-wise where over DataArrays/scalars (xr.where equivalent)."""
+    operands = [v for v in (cond, x, y) if isinstance(v, DataArray)]
+    if not operands:
+        return np.where(cond, x, y)
+    base = operands[0]
+    for other in operands[1:]:
+        base, _ = broadcast_arrays(base, other)
+
+    def as_vals(v):
+        if isinstance(v, DataArray):
+            _, vb = broadcast_arrays(base, v)
+            return vb.values
+        return v
+
+    out = DataArray(np.where(as_vals(cond), as_vals(x), as_vals(y)), base.dims)
+    out.coords = base.coords
+    if isinstance(x, DataArray):
+        out.name = x.name
+        out.attrs = dict(x.attrs)
+    return out
+
+
+def zeros_like(da: DataArray, dtype=None):
+    out = DataArray(np.zeros(da.shape, dtype=dtype or da.dtype), da.dims, name=da.name)
+    out.coords = dict(da.coords)
+    return out
+
+
+def full_like(da: DataArray, fill_value, dtype=None):
+    out = DataArray(np.full(da.shape, fill_value, dtype=dtype or da.dtype), da.dims, name=da.name)
+    out.coords = dict(da.coords)
+    return out
+
+
+def concat(objs, dim, coords="minimal", data_vars="minimal"):
+    """Concatenate DataArrays or Datasets along ``dim``.
+
+    Mirrors the subset of xr.concat behavior used by the reference's
+    combine_echodata (echopype/echodata/combine.py:804-817): objects are
+    concatenated along an existing or new dimension; variables without that
+    dim are taken from the first object.
+    """
+    from .dataset import Dataset
+
+    objs = list(objs)
+    if not objs:
+        raise ValueError("need at least one object")
+    if isinstance(objs[0], Dataset):
+        return _concat_datasets(objs, dim)
+    return _concat_dataarrays(objs, dim)
+
+
+def _concat_dataarrays(objs, dim):
+    first = objs[0]
+    if dim in first.dims:
+        ax = first.dims.index(dim)
+        vals = np.concatenate([o.values for o in objs], axis=ax)
+        dims = first.dims
+    else:
+        vals = np.stack([o.values for o in objs], axis=0)
+        dims = (dim,) + first.dims
+    out = DataArray(vals, dims, attrs=dict(first.attrs), name=first.name)
+    for k, v in first.coords.items():
+        if dim in v.dims:
+            cax = v.dims.index(dim)
+            out.coords[k] = DataArray(
+                np.concatenate([o.coords[k].values for o in objs], axis=cax),
+                v.dims,
+                attrs=v.attrs,
+                name=k,
+            )
+        else:
+            out.coords[k] = v
+    return out
+
+
+def _concat_datasets(objs, dim):
+    from .dataset import Dataset
+
+    first = objs[0]
+    out = Dataset(attrs=dict(first.attrs))
+    for name, var in first.data_vars.items():
+        if dim in var.dims and all(name in o.data_vars for o in objs):
+            out[name] = _concat_dataarrays([o[name] for o in objs], dim)
+        else:
+            out[name] = var
+    for k, v in first.coords.items():
+        if dim in v.dims:
+            cax = v.dims.index(dim)
+            out.coords[k] = DataArray(
+                np.concatenate([o.coords[k].values for o in objs], axis=cax),
+                v.dims,
+                attrs=v.attrs,
+                name=k,
+            )
+        else:
+            out.coords[k] = v
+    return out
+
+
+def merge(objs, compat="no_conflicts", join="outer"):
+    """Merge Datasets/DataArrays into one Dataset (first occurrence wins)."""
+    from .dataset import Dataset
+
+    out = Dataset()
+    for obj in objs:
+        if isinstance(obj, DataArray):
+            if obj.name is None:
+                raise ValueError("cannot merge unnamed DataArray")
+            obj = obj.to_dataset()
+        for name, var in obj.data_vars.items():
+            if name not in out.data_vars:
+                out[name] = var
+        for k, v in obj.coords.items():
+            if k not in out.coords:
+                out.coords[k] = v
+        for k, v in obj.attrs.items():
+            out.attrs.setdefault(k, v)
+    return out

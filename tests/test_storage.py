@@ -1,0 +1,104 @@
+"""Tests for the zarr-lite storage layer."""
+
+import json
+
+import numpy as np
+import pytest
+
+from echopype_tpu import storage
+from echopype_tpu.xrlite import DataArray, Dataset
+
+
+def make_tree():
+    ping_time = np.datetime64("2021-03-01T10:00:00", "ns") + np.arange(7) * np.timedelta64(2, "s")
+    beam = Dataset(
+        {
+            "backscatter_r": (
+                ("channel", "ping_time", "range_sample"),
+                np.random.default_rng(0).normal(-60, 10, (2, 7, 11)).astype("f4"),
+            ),
+            "frequency_nominal": ("channel", np.array([18000.0, 38000.0])),
+            "sample_interval": (
+                ("channel", "ping_time"),
+                np.full((2, 7), 2.56e-4),
+            ),
+        },
+        coords={
+            "channel": np.array(["GPT 18", "GPT 38"]),
+            "ping_time": (("ping_time",), ping_time, {"long_name": "Ping time"}),
+            "range_sample": np.arange(11),
+        },
+        attrs={"beam_mode": "vertical"},
+    )
+    top = Dataset(attrs={"keywords": "EK60", "conventions": "CF-1.7"})
+    env = Dataset(
+        {"sound_speed_indicative": ("channel", np.array([1480.0, 1480.0]))},
+        coords={"channel": np.array(["GPT 18", "GPT 38"])},
+    )
+    return {"Top-level": top, "Environment": env, "Sonar/Beam_group1": beam}
+
+
+class TestZarrLite:
+    def test_roundtrip(self, tmp_path):
+        tree = make_tree()
+        store = tmp_path / "test.zarr"
+        storage.write_tree(store, tree)
+        back = storage.open_zarr_tree(store)
+        assert set(back) == set(tree)
+        b0 = tree["Sonar/Beam_group1"]
+        b1 = back["Sonar/Beam_group1"]
+        np.testing.assert_allclose(b1["backscatter_r"].values, b0["backscatter_r"].values)
+        assert b1["backscatter_r"].dims == ("channel", "ping_time", "range_sample")
+        np.testing.assert_array_equal(
+            b1.coords["ping_time"].values, b0.coords["ping_time"].values
+        )
+        assert b1.coords["ping_time"].dtype.kind == "M"
+        assert b1.attrs["beam_mode"] == "vertical"
+        assert back["Top-level"].attrs["keywords"] == "EK60"
+        # strings roundtrip
+        np.testing.assert_array_equal(b1.coords["channel"].values, b0.coords["channel"].values)
+
+    def test_zarr_v2_metadata_format(self, tmp_path):
+        """The on-disk layout must be valid zarr v2 (xarray-readable)."""
+        store = tmp_path / "t.zarr"
+        storage.write_tree(store, make_tree())
+        zarray = json.loads((store / "Sonar/Beam_group1/backscatter_r/.zarray").read_text())
+        assert zarray["zarr_format"] == 2
+        assert zarray["shape"] == [2, 7, 11]
+        assert zarray["compressor"]["id"] == "zlib"
+        zattrs = json.loads((store / "Sonar/Beam_group1/backscatter_r/.zattrs").read_text())
+        assert zattrs["_ARRAY_DIMENSIONS"] == ["channel", "ping_time", "range_sample"]
+        # times encoded as int64 ns since epoch
+        tattrs = json.loads((store / "Sonar/Beam_group1/ping_time/.zattrs").read_text())
+        assert "since" in tattrs["units"]
+
+    def test_overwrite_guard(self, tmp_path):
+        store = tmp_path / "t.zarr"
+        storage.write_tree(store, make_tree())
+        with pytest.raises(FileExistsError):
+            storage.write_tree(store, make_tree())
+        storage.write_tree(store, make_tree(), overwrite=True)
+
+    def test_uncompressed(self, tmp_path):
+        store = tmp_path / "u.zarr"
+        storage.write_tree(store, make_tree(), compress=False)
+        back = storage.open_zarr_tree(store)
+        assert "Sonar/Beam_group1" in back
+
+    def test_chunked_array_roundtrip(self, tmp_path):
+        """Array bigger than one chunk splits and reassembles exactly."""
+        from echopype_tpu.storage.zarr_lite import read_array, write_array
+        from echopype_tpu.utils import coding
+
+        big = np.arange(3 * 1000 * 7, dtype="f8").reshape(3, 1000, 7)
+        orig_target = coding.DEFAULT_CHUNK_BYTES
+        coding.DEFAULT_CHUNK_BYTES = 8 * 1000  # force chunking along dim0
+        try:
+            gdir = tmp_path
+            write_array(gdir, "big", big, ("a", "b", "c"), {})
+            vals, dims, _ = read_array(gdir / "big")
+            np.testing.assert_array_equal(vals, big)
+            zarray = json.loads((gdir / "big/.zarray").read_text())
+            assert zarray["chunks"][0] < 3 or zarray["chunks"] == [1, 1000, 7]
+        finally:
+            coding.DEFAULT_CHUNK_BYTES = orig_target

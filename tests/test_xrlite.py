@@ -1,0 +1,267 @@
+"""Unit tests for the xrlite labeled-array core."""
+
+import numpy as np
+import pytest
+
+from echopype_tpu import xrlite as xrl
+from echopype_tpu.xrlite import DataArray, Dataset
+
+
+def make_da():
+    return DataArray(
+        np.arange(24, dtype="f8").reshape(2, 3, 4),
+        ("channel", "ping_time", "range_sample"),
+        coords={
+            "channel": ["ch1", "ch2"],
+            "ping_time": np.array(
+                ["2020-01-01T00:00:00", "2020-01-01T00:00:01", "2020-01-01T00:00:02"],
+                dtype="datetime64[ns]",
+            ),
+            "range_sample": np.arange(4),
+        },
+        name="Sv",
+    )
+
+
+class TestDataArray:
+    def test_construction(self):
+        da = make_da()
+        assert da.dims == ("channel", "ping_time", "range_sample")
+        assert da.sizes == {"channel": 2, "ping_time": 3, "range_sample": 4}
+        assert da.coords["channel"].values.tolist() == ["ch1", "ch2"]
+
+    def test_dim_mismatch_raises(self):
+        with pytest.raises(ValueError):
+            DataArray(np.zeros((2, 3)), ("a",))
+
+    def test_coord_size_mismatch_raises(self):
+        with pytest.raises(ValueError):
+            DataArray(np.zeros(3), ("x",), coords={"x": [1, 2]})
+
+    def test_isel_int_drops_dim(self):
+        da = make_da()
+        out = da.isel(channel=0)
+        assert out.dims == ("ping_time", "range_sample")
+        np.testing.assert_array_equal(out.values, da.values[0])
+        assert out.coords["channel"].ndim == 0
+
+    def test_isel_slice_and_array(self):
+        da = make_da()
+        out = da.isel(ping_time=slice(1, 3), range_sample=np.array([0, 2]))
+        assert out.shape == (2, 2, 2)
+        np.testing.assert_array_equal(out.values, da.values[:, 1:3][:, :, [0, 2]])
+
+    def test_sel_by_label(self):
+        da = make_da()
+        out = da.sel(channel="ch2")
+        np.testing.assert_array_equal(out.values, da.values[1])
+
+    def test_sel_nearest_datetime(self):
+        da = make_da()
+        out = da.sel(
+            ping_time=np.datetime64("2020-01-01T00:00:00.4", "ns"), method="nearest"
+        )
+        np.testing.assert_array_equal(out.values, da.values[:, 0])
+
+    def test_sel_time_slice(self):
+        da = make_da()
+        out = da.sel(
+            ping_time=slice(
+                np.datetime64("2020-01-01T00:00:01"), np.datetime64("2020-01-01T00:00:02")
+            )
+        )
+        assert out.sizes["ping_time"] == 2
+
+    def test_broadcast_binary_op(self):
+        da = make_da()
+        per_chan = DataArray([10.0, 20.0], ("channel",), coords={"channel": ["ch1", "ch2"]})
+        out = da + per_chan
+        assert out.dims == ("channel", "ping_time", "range_sample")
+        np.testing.assert_allclose(out.values[0], da.values[0] + 10)
+        np.testing.assert_allclose(out.values[1], da.values[1] + 20)
+
+    def test_broadcast_new_dims(self):
+        a = DataArray(np.ones((2, 3)), ("x", "y"))
+        b = DataArray(np.arange(4, dtype="f8"), ("z",))
+        out = a * b
+        assert out.dims == ("x", "y", "z")
+        assert out.shape == (2, 3, 4)
+
+    def test_scalar_ops(self):
+        da = make_da()
+        np.testing.assert_allclose((10 * np.log10(10 ** (da / 10))).values, da.values)
+        np.testing.assert_allclose((2 - da).values, 2 - da.values)
+
+    def test_reductions_skipna(self):
+        da = make_da()
+        da.values[0, 0, 0] = np.nan
+        m = da.mean("ping_time")
+        assert m.dims == ("channel", "range_sample")
+        expected = np.nanmean(da.values, axis=1)
+        np.testing.assert_allclose(m.values, expected)
+
+    def test_reduction_multi_dim(self):
+        da = make_da()
+        out = da.mean(["ping_time", "range_sample"])
+        assert out.dims == ("channel",)
+
+    def test_where_and_fillna(self):
+        da = make_da()
+        masked = da.where(da > 5)
+        assert np.isnan(masked.values[0, 0, 0])
+        filled = masked.fillna(-1.0)
+        assert filled.values[0, 0, 0] == -1.0
+
+    def test_where_with_other_dataarray(self):
+        da = make_da()
+        out = da.where(da > 5, da * 0)
+        assert out.values[0, 0, 0] == 0.0
+
+    def test_interp_linear(self):
+        x = np.array([0.0, 1.0, 2.0])
+        da = DataArray(np.array([[0.0, 10.0, 20.0]]), ("c", "x"), coords={"x": x})
+        out = da.interp(x=np.array([0.5, 1.5]))
+        np.testing.assert_allclose(out.values, [[5.0, 15.0]])
+
+    def test_interp_extrapolate(self):
+        x = np.array([0.0, 1.0])
+        da = DataArray(np.array([0.0, 10.0]), ("x",), coords={"x": x})
+        out = da.interp(x=np.array([-1.0, 2.0]), kwargs={"fill_value": "extrapolate"})
+        np.testing.assert_allclose(out.values, [-10.0, 20.0])
+
+    def test_interp_outside_nan(self):
+        x = np.array([0.0, 1.0])
+        da = DataArray(np.array([0.0, 10.0]), ("x",), coords={"x": x})
+        out = da.interp(x=np.array([-1.0, 0.5]))
+        assert np.isnan(out.values[0]) and out.values[1] == 5.0
+
+    def test_idxmin(self):
+        da = DataArray(
+            np.array([[3.0, 1.0, 2.0], [0.5, 2.0, 9.0]]),
+            ("channel", "plb"),
+            coords={"plb": np.array([10, 20, 30])},
+        )
+        out = da.idxmin("plb")
+        np.testing.assert_array_equal(out.values, [20, 10])
+
+    def test_transpose(self):
+        da = make_da()
+        out = da.transpose("range_sample", "channel", "ping_time")
+        assert out.shape == (4, 2, 3)
+
+    def test_expand_squeeze(self):
+        da = make_da().isel(channel=0)
+        out = da.expand_dims("channel")
+        assert out.dims[0] == "channel" and out.shape[0] == 1
+        back = out.squeeze("channel")
+        assert back.dims == da.dims
+
+    def test_cumsum_diff(self):
+        da = DataArray(np.array([1.0, 2.0, 4.0]), ("x",), coords={"x": [0, 1, 2]})
+        np.testing.assert_allclose(da.cumsum("x").values, [1, 3, 7])
+        d = da.diff("x")
+        np.testing.assert_allclose(d.values, [1, 2])
+        np.testing.assert_array_equal(d.coords["x"].values, [1, 2])
+
+    def test_dropna(self):
+        da = DataArray(np.array([1.0, np.nan, 3.0]), ("x",), coords={"x": [0, 1, 2]})
+        out = da.dropna("x")
+        np.testing.assert_allclose(out.values, [1, 3])
+
+    def test_rename_dims(self):
+        da = make_da().rename({"ping_time": "t"})
+        assert "t" in da.dims and "t" in da.coords
+
+    def test_pad(self):
+        da = DataArray(np.ones((2, 3)), ("a", "b"))
+        out = da.pad({"b": (0, 2)})
+        assert out.shape == (2, 5)
+        assert np.isnan(out.values[:, 3:]).all()
+
+
+class TestOps:
+    def test_concat_existing_dim(self):
+        da = make_da()
+        out = xrl.concat([da, da], "ping_time")
+        assert out.sizes["ping_time"] == 6
+        assert out.coords["ping_time"].size == 6
+
+    def test_concat_new_dim(self):
+        da = make_da().isel(channel=0, drop=True)
+        out = xrl.concat([da, da, da], "filenames")
+        assert out.dims[0] == "filenames" and out.shape[0] == 3
+
+    def test_where_module(self):
+        a = DataArray(np.array([1.0, 2.0]), ("x",))
+        out = xrl.where(a > 1.5, a, -1.0)
+        np.testing.assert_allclose(out.values, [-1.0, 2.0])
+
+    def test_merge(self):
+        ds = xrl.merge([make_da().to_dataset(), make_da().rename("Sv2").to_dataset()])
+        assert set(ds.data_vars) == {"Sv", "Sv2"}
+
+
+class TestDataset:
+    def make_ds(self):
+        ds = Dataset(
+            {
+                "Sv": make_da(),
+                "frequency_nominal": (
+                    "channel",
+                    np.array([18000.0, 38000.0]),
+                ),
+            },
+            attrs={"note": "hi"},
+        )
+        return ds
+
+    def test_basic(self):
+        ds = self.make_ds()
+        assert set(ds.data_vars) == {"Sv", "frequency_nominal"}
+        assert ds.sizes["channel"] == 2
+        sv = ds["Sv"]
+        assert "ping_time" in sv.coords
+
+    def test_isel_sel(self):
+        ds = self.make_ds()
+        out = ds.isel(ping_time=0)
+        assert "ping_time" not in out["Sv"].dims
+        out2 = ds.sel(channel="ch1")
+        np.testing.assert_allclose(out2["frequency_nominal"].values, 18000.0)
+
+    def test_swap_dims(self):
+        ds = self.make_ds()
+        ds2 = ds.assign_coords(frequency_nominal=("channel", [18000.0, 38000.0]))
+        out = ds2.swap_dims({"channel": "frequency_nominal"})
+        assert "frequency_nominal" in out["Sv"].dims
+
+    def test_setitem_checks_sizes(self):
+        ds = self.make_ds()
+        with pytest.raises(ValueError):
+            ds["bad"] = ("channel", np.zeros(5))
+
+    def test_where(self):
+        ds = self.make_ds()
+        cond = ds["Sv"] > 5
+        out = ds.where(cond)
+        assert np.isnan(out["Sv"].values[0, 0, 0])
+
+    def test_interp_ds(self):
+        ds = Dataset(
+            {"v": (("x",), np.array([0.0, 10.0]))},
+            coords={"x": np.array([0.0, 1.0])},
+        )
+        out = ds.interp(x=np.array([0.5]))
+        np.testing.assert_allclose(out["v"].values, [5.0])
+
+    def test_concat_datasets(self):
+        ds = self.make_ds()
+        out = xrl.concat([ds, ds], "ping_time")
+        assert out.sizes["ping_time"] == 6
+        # var without ping_time untouched
+        assert out["frequency_nominal"].sizes["channel"] == 2
+
+    def test_drop_rename_assign(self):
+        ds = self.make_ds()
+        out = ds.drop_vars("frequency_nominal").rename({"Sv": "TS"}).assign_attrs(a=1)
+        assert "TS" in out.data_vars and out.attrs["a"] == 1
