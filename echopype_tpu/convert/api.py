@@ -1,0 +1,118 @@
+"""open_raw: raw instrument file -> standardized EchoData.
+
+Capability parity: echopype/convert/api.py:346-546 — file/sidecar validation,
+parser dispatch via the SONAR_MODELS registry, group assembly in convention
+order, per-group serialization in to_file.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from ..core import SONAR_MODELS, validate_ext
+from ..echodata.echodata import EchoData
+from ..utils.log import _init_logger
+from ..utils.prov import add_processing_level
+
+logger = _init_logger(__name__)
+
+__all__ = ["open_raw", "to_file"]
+
+# Explicit group save order (convert/api.py:102 in the reference)
+GROUP_ORDER = [
+    "Top-level",
+    "Environment",
+    "Platform",
+    "Platform/NMEA",
+    "Provenance",
+    "Sonar",
+    "Vendor_specific",
+]
+
+
+def _check_file(raw_file, sonar_model, xml_path=None, include_bot=False, include_idx=False):
+    raw_file = Path(raw_file)
+    if not raw_file.exists():
+        raise FileNotFoundError(str(raw_file))
+    validate_ext(raw_file, sonar_model)
+    if SONAR_MODELS[sonar_model]["xml"]:
+        if not xml_path:
+            raise ValueError(f"sonar_model={sonar_model} requires xml_path")
+        if not Path(xml_path).exists():
+            raise FileNotFoundError(str(xml_path))
+    bot_file = idx_file = ""
+    if include_bot:
+        cand = raw_file.with_suffix(".bot")
+        if not cand.exists():
+            raise FileNotFoundError(f"include_bot=True but {cand} does not exist")
+        bot_file = str(cand)
+    if include_idx:
+        cand = raw_file.with_suffix(".idx")
+        if not cand.exists():
+            raise FileNotFoundError(f"include_idx=True but {cand} does not exist")
+        idx_file = str(cand)
+    return str(raw_file), bot_file, idx_file
+
+
+@add_processing_level("L1A", is_echodata=True)
+def open_raw(
+    raw_file,
+    sonar_model: str,
+    xml_path=None,
+    include_bot: bool = False,
+    include_idx: bool = False,
+    convert_params: dict | None = None,
+    storage_options: dict | None = None,
+    use_swap="auto",
+    max_chunk_size: str = "100MB",
+    **kwargs,
+) -> EchoData:
+    """Convert a raw instrument file into a standardized EchoData object."""
+    if sonar_model not in SONAR_MODELS:
+        raise ValueError(
+            f"Unsupported sonar_model {sonar_model!r}; must be one of {sorted(SONAR_MODELS)}"
+        )
+    raw_file, bot_file, idx_file = _check_file(
+        raw_file, sonar_model, xml_path, include_bot, include_idx
+    )
+
+    parser_cls = SONAR_MODELS[sonar_model]["parser"]()
+    parser = parser_cls(
+        raw_file,
+        bot_file=bot_file,
+        idx_file=idx_file,
+        storage_options=storage_options,
+        sonar_model=sonar_model,
+        xml_path=xml_path,
+    )
+    parser.parse_raw()
+    parser.rectangularize_data()
+
+    setgrouper_cls = SONAR_MODELS[sonar_model]["set_groups"]()
+    sg = setgrouper_cls(parser, input_file=raw_file, sonar_model=sonar_model, params=convert_params)
+
+    tree = {
+        "Top-level": sg.set_toplevel(),
+        "Environment": sg.set_env(),
+        "Platform": sg.set_platform(),
+        "Platform/NMEA": sg.set_nmea(),
+        "Provenance": sg.set_provenance(),
+        "Sonar": sg.set_sonar(),
+        "Vendor_specific": sg.set_vendor(),
+    }
+    beam_groups = sg.set_beam()
+    for i, bg in enumerate(beam_groups, start=1):
+        tree[f"Sonar/Beam_group{i}"] = bg
+
+    ed = EchoData(tree=tree, source_file=raw_file, sonar_model=sonar_model)
+    return ed
+
+
+def to_file(echodata: EchoData, engine: str, save_path=None, compress=True, overwrite=False, **kw):
+    """Serialize an EchoData object (zarr only in this environment)."""
+    if engine not in ("zarr",):
+        raise NotImplementedError("Only zarr output is supported in this environment")
+    from ..utils.io import validate_output_path
+
+    out = validate_output_path(echodata.source_file or "converted", engine, save_path=save_path)
+    return echodata.to_zarr(out, overwrite=overwrite, compress=compress)

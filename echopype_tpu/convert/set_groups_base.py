@@ -1,0 +1,125 @@
+"""Common group-assembly helpers shared by all sonar models.
+
+Capability parity: echopype/convert/set_groups_base.py:16-522 — Top-level,
+Provenance, Platform/NMEA groups, NMEA lat/lon extraction, NaN-timestamp
+handling.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import numpy as np
+
+from ..echodata.convention import TOP_LEVEL_ATTRS, VARATTRS
+from ..utils.prov import echopype_prov_attrs, source_files_vars
+from ..xrlite import DataArray, Dataset
+from .simrad.decode import parse_nmea_latlon
+
+NMEA_SENTENCE_DEFAULT = ("GGA", "GLL", "RMC")
+
+
+class SetGroupsBase:
+    """Base class for assembling the SONAR-netCDF4 group tree."""
+
+    def __init__(self, parser_obj, input_file, sonar_model, params=None):
+        self.parser_obj = parser_obj
+        self.input_file = str(input_file)
+        self.sonar_model = sonar_model
+        self.ui_param = params or {}
+        self._varattrs = VARATTRS
+
+    # ------------------------------------------------------------- top level
+    def set_toplevel(self) -> Dataset:
+        date_created = None
+        for ch, times in getattr(self.parser_obj, "ping_time", {}).items():
+            if len(times):
+                t0 = times[0]
+                date_created = t0 if date_created is None else min(date_created, t0)
+        attrs = dict(TOP_LEVEL_ATTRS)
+        attrs["keywords"] = self.sonar_model
+        attrs["date_created"] = (
+            np.datetime_as_string(date_created, unit="s") + "Z" if date_created is not None else ""
+        )
+        attrs["survey_name"] = self.ui_param.get("survey_name", "")
+        return Dataset(attrs=attrs)
+
+    def set_provenance(self) -> Dataset:
+        ds = Dataset(attrs=echopype_prov_attrs("conversion"))
+        for name, da in source_files_vars(self.input_file).items():
+            ds[name] = da
+        ds.attrs["source_file"] = self.input_file
+        ds.attrs["duplicate_ping_times"] = 0
+        return ds
+
+    # ------------------------------------------------------------------ NMEA
+    def set_nmea(self) -> Dataset:
+        strings = self.parser_obj.nmea["string"]
+        times = self.parser_obj.nmea["timestamp"]
+        times, strings = self._nan_timestamp_handler_pair(times, strings)
+        return Dataset(
+            {
+                "NMEA_datagram": (
+                    ("nmea_time",),
+                    np.asarray(strings, dtype=object),
+                    {"long_name": "NMEA datagram contents"},
+                )
+            },
+            coords={
+                "nmea_time": (
+                    ("nmea_time",),
+                    np.asarray(times, dtype="datetime64[ns]"),
+                    {
+                        "axis": "T",
+                        "long_name": "Timestamps for NMEA datagrams",
+                        "standard_name": "time",
+                    },
+                )
+            },
+            attrs={"description": "All NMEA sensor datagrams"},
+        )
+
+    def _extract_NMEA_latlon(self, nmea_sentence=None):
+        allowed = tuple(nmea_sentence) if nmea_sentence else NMEA_SENTENCE_DEFAULT
+        return parse_nmea_latlon(
+            self.parser_obj.nmea["string"], self.parser_obj.nmea["timestamp"], allowed
+        )
+
+    # ------------------------------------------------------------- utilities
+    @staticmethod
+    def _nan_timestamp_handler(time_data):
+        """Empty time vector -> single NaT stamp (reference :set_groups_base)."""
+        if len(time_data) == 0:
+            return np.array(["NaT"], dtype="datetime64[ns]")
+        return time_data
+
+    @staticmethod
+    def _nan_timestamp_handler_pair(times, values):
+        if len(times) == 0:
+            return (
+                np.array(["NaT"], dtype="datetime64[ns]"),
+                np.array([""], dtype=object),
+            )
+        return times, values
+
+    @staticmethod
+    def union_times(per_channel_times: dict):
+        """Sorted union of per-channel ping times + per-channel row mappings."""
+        all_times = np.unique(np.concatenate([t for t in per_channel_times.values()]))
+        mapping = {}
+        for ch, t in per_channel_times.items():
+            mapping[ch] = np.searchsorted(all_times, t)
+        return all_times, mapping
+
+    @staticmethod
+    def scatter_to_union(values: np.ndarray, rows: np.ndarray, n_union: int, fill=np.nan):
+        """Place per-channel ping rows into the union ping grid."""
+        shape = (n_union,) + values.shape[1:]
+        dtype = values.dtype if values.dtype.kind in "fc" else np.float64
+        out = np.full(shape, fill, dtype=dtype)
+        out[rows] = values
+        return out
+
+    @staticmethod
+    def utcnow_str():
+        return datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")

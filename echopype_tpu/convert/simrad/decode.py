@@ -1,0 +1,250 @@
+"""Columnar (vectorized) decoders for Simrad datagram payloads.
+
+Behavioral contract from echopype/convert/utils/ek_raw_parsers.py:
+- RAW0 (":1628-1674" header layout): sample-data datagram, int16 power and
+  int8 angle pairs; mode bit0 = power present, bit1 = angle present.
+- CON0 (":1311-1353"): file configuration with per-transceiver blocks
+  (ER60/ES60/ES70 layout incl. 5-entry pulse_length/gain/sa_correction tables).
+- NME0 (":406-411"): raw NMEA sentence text.
+
+All RAW0 headers in a file are decoded in ONE structured-dtype gather; sample
+payloads are decoded with ONE masked gather per channel straight into the
+NaN-padded ``[ping, range_sample]`` arrays the compute core consumes.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .framing import DatagramIndex, nt_to_datetime64
+
+# Manufacturer power scaling: raw int16 -> dB (parse_base.py:24)
+INDEX2POWER = 10.0 * np.log10(2.0) / 256.0
+
+RAW0_HEADER = np.dtype(
+    [
+        ("type", "S4"),
+        ("low_date", "<u4"),
+        ("high_date", "<u4"),
+        ("channel", "<i2"),
+        ("mode", "<i2"),
+        ("transducer_depth", "<f4"),
+        ("frequency", "<f4"),
+        ("transmit_power", "<f4"),
+        ("pulse_length", "<f4"),
+        ("bandwidth", "<f4"),
+        ("sample_interval", "<f4"),
+        ("sound_velocity", "<f4"),
+        ("absorption_coefficient", "<f4"),
+        ("heave", "<f4"),
+        ("roll", "<f4"),
+        ("pitch", "<f4"),
+        ("temperature", "<f4"),
+        ("heading", "<f4"),
+        ("transmit_mode", "<i2"),
+        ("spare0", "S6"),
+        ("offset", "<i4"),
+        ("count", "<i4"),
+    ]
+)
+assert RAW0_HEADER.itemsize == 84
+
+_CON0_HEADER_FMT = "<4sLL128s128s128s30s98sl"
+_CON0_HEADER_SIZE = struct.calcsize(_CON0_HEADER_FMT)
+
+# ER60/ES60/ES70 per-transceiver block (CON0 COMMON_KEYS layout)
+_TXCVR_FMT = "<128sl" + "f" * 15 + "5f8s5f8s5f8s16s28s"
+_TXCVR_SIZE = struct.calcsize(_TXCVR_FMT)
+
+
+def decode_raw0_headers(index: DatagramIndex, rows: np.ndarray):
+    """Decode all RAW0 headers at once into a structured array + timestamps."""
+    u8 = np.frombuffer(index.buf, dtype="u1")
+    offs = index.body_offset[rows]
+    hdr_bytes = u8[offs[:, None] + np.arange(RAW0_HEADER.itemsize)]
+    hdr = np.ascontiguousarray(hdr_bytes).view(RAW0_HEADER).ravel()
+    ts = nt_to_datetime64(hdr["low_date"], hdr["high_date"])
+    return hdr, ts
+
+
+def _gather_i16(u8: np.ndarray, starts: np.ndarray, counts: np.ndarray, max_count: int):
+    """Gather little-endian int16 runs of varying length into a padded matrix.
+
+    Alignment-free: bytes are gathered as u8 pairs and recombined, so datagram
+    offsets need no 2-byte alignment.  Returns (int16 matrix, valid mask).
+    """
+    if max_count == 0 or len(starts) == 0:
+        return (
+            np.zeros((len(starts), 0), dtype="i2"),
+            np.zeros((len(starts), 0), dtype=bool),
+        )
+    lane = np.arange(max_count, dtype="i8")
+    valid = lane[None, :] < counts[:, None].astype("i8")
+    idx = starts[:, None] + 2 * lane[None, :]
+    idx = np.where(valid, idx, 0)  # clamp padded lanes to a safe offset
+    lo = u8[idx].astype("u2")
+    hi = u8[idx + 1].astype("u2")
+    vals = (lo | (hi << np.uint16(8))).astype("u2").view("i2").reshape(lo.shape)
+    return vals, valid
+
+
+def decode_raw0_samples(index: DatagramIndex, rows: np.ndarray, hdr: np.ndarray):
+    """Vectorized decode of RAW0 power/angle payloads into padded arrays.
+
+    Returns dict with:
+      power      f4 [n_ping, max_count]  (raw int16 * INDEX2POWER, NaN-padded)
+      angle      f4 [n_ping, max_count, 2]  (athwartship, alongship; NaN-padded)
+    Missing data (mode bit unset) yields None for that key.
+    """
+    u8 = np.frombuffer(index.buf, dtype="u1")
+    offs = index.body_offset[rows]
+    counts = hdr["count"].astype("i8")
+    mode = hdr["mode"].astype("i8")
+    max_count = int(counts.max()) if len(counts) else 0
+    sample_start = offs + RAW0_HEADER.itemsize
+
+    out = {"power": None, "angle": None}
+    has_power = (mode & 1).astype(bool)
+    has_angle = (mode & 2).astype(bool)
+
+    if has_power.any():
+        pw_counts = np.where(has_power, counts, 0)
+        vals, valid = _gather_i16(u8, sample_start, pw_counts, max_count)
+        power = np.where(valid, vals.astype("f4") * np.float32(INDEX2POWER), np.nan).astype("f4")
+        out["power"] = power
+
+    if has_angle.any():
+        ang_start = sample_start + np.where(has_power, 2 * counts, 0)
+        ang_counts = np.where(has_angle, counts, 0)
+        vals, valid = _gather_i16(u8, ang_start, ang_counts, max_count)
+        # each int16 is an (athwartship lowbyte, alongship highbyte) int8 pair
+        u16 = vals.view("u2").reshape(vals.shape)
+        athwart = (u16 & np.uint16(0xFF)).astype("u1").view("i1").reshape(u16.shape)
+        along = (u16 >> np.uint16(8)).astype("u1").view("i1").reshape(u16.shape)
+        angle = np.stack([athwart, along], axis=-1).astype("f4")
+        angle[~valid] = np.nan
+        out["angle"] = angle
+    return out
+
+
+def decode_con0(index: DatagramIndex, row: int) -> dict:
+    """Decode the CON0 configuration datagram (one per EK60 file)."""
+    start = int(index.body_offset[row])
+    body = index.buf[start : start + int(index.size[row])]
+    vals = struct.unpack_from(_CON0_HEADER_FMT, body, 0)
+    (_type, low, high, survey, transect, sounder, version, _spare, txcvr_count) = vals
+
+    def s(b):
+        return b.decode("latin_1").strip("\x00")
+
+    cfg = {
+        "timestamp": nt_to_datetime64(np.array([low]), np.array([high]))[0],
+        "survey_name": s(survey),
+        "transect_name": s(transect),
+        "sounder_name": s(sounder),
+        "version": s(version),
+        "transceiver_count": txcvr_count,
+        "transceivers": {},
+    }
+    pos = _CON0_HEADER_SIZE
+    for i in range(1, txcvr_count + 1):
+        f = struct.unpack_from(_TXCVR_FMT, body, pos)
+        pos += _TXCVR_SIZE
+        names = [
+            "channel_id",
+            "beam_type",
+            "frequency",
+            "gain",
+            "equivalent_beam_angle",
+            "beamwidth_alongship",
+            "beamwidth_athwartship",
+            "angle_sensitivity_alongship",
+            "angle_sensitivity_athwartship",
+            "angle_offset_alongship",
+            "angle_offset_athwartship",
+            "pos_x",
+            "pos_y",
+            "pos_z",
+            "dir_x",
+            "dir_y",
+            "dir_z",
+        ]
+        tx = dict(zip(names, f[:17]))
+        tx["channel_id"] = s(tx["channel_id"])
+        r6 = lambda x: round(float(x), 6)  # noqa: E731 - table entries rounded like ref
+        tx["pulse_length_table"] = np.array([r6(x) for x in f[17:22]])
+        tx["gain_table"] = np.array([r6(x) for x in f[23:28]])
+        tx["sa_correction_table"] = np.array([r6(x) for x in f[29:34]])
+        tx["gpt_software_version"] = s(f[35])
+        cfg["transceivers"][i] = tx
+    return cfg
+
+
+def decode_nmea(index: DatagramIndex, rows: np.ndarray):
+    """Extract raw NMEA sentence strings + timestamps."""
+    out = []
+    for r in rows:
+        start = int(index.body_offset[r]) + 12
+        end = int(index.body_offset[r]) + int(index.size[r])
+        raw = index.buf[start:end].split(b"\x00", 1)[0]
+        out.append(raw.decode("latin_1", "replace").strip("\r\n"))
+    return np.asarray(out, dtype=object), index.timestamp[rows]
+
+
+# ---------------------------------------------------------------- NMEA lat/lon
+def _dm_to_deg(dm: str, hemi: str) -> float:
+    """ddmm.mmmm -> decimal degrees."""
+    if not dm:
+        return np.nan
+    try:
+        v = float(dm)
+    except ValueError:
+        return np.nan
+    deg = int(v // 100)
+    minutes = v - deg * 100
+    out = deg + minutes / 60.0
+    if hemi in ("S", "W"):
+        out = -out
+    return out
+
+
+def parse_nmea_latlon(sentences, timestamps, allowed=("GGA", "GLL", "RMC")):
+    """Extract lat/lon from GGA/GLL/RMC sentences.
+
+    Capability parity with the reference's pynmea2-based extraction
+    (set_groups_base.py:180-220) without the dependency.
+    Returns (time, msg_type, lat, lon) arrays for matching sentences.
+    """
+    times, types, lats, lons = [], [], [], []
+    for sent, ts in zip(sentences, timestamps):
+        if not sent.startswith("$") or len(sent) < 10:
+            continue
+        body = sent[1:].split("*")[0]
+        fields = body.split(",")
+        stype = fields[0][-3:]
+        if stype not in allowed:
+            continue
+        try:
+            if stype == "GGA":
+                lat = _dm_to_deg(fields[2], fields[3])
+                lon = _dm_to_deg(fields[4], fields[5])
+            elif stype == "GLL":
+                lat = _dm_to_deg(fields[1], fields[2])
+                lon = _dm_to_deg(fields[3], fields[4])
+            else:  # RMC
+                lat = _dm_to_deg(fields[3], fields[4])
+                lon = _dm_to_deg(fields[5], fields[6])
+        except IndexError:
+            continue
+        times.append(ts)
+        types.append(stype)
+        lats.append(lat)
+        lons.append(lon)
+    return (
+        np.asarray(times, dtype="datetime64[ns]"),
+        np.asarray(types, dtype=object),
+        np.asarray(lats, dtype="f8"),
+        np.asarray(lons, dtype="f8"),
+    )

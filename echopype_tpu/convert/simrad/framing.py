@@ -1,0 +1,139 @@
+"""Simrad .raw datagram framing: one scan pass -> columnar index.
+
+Format (behavioral contract from echopype/convert/utils/ek_raw_io.py:133-234):
+every datagram is framed as::
+
+    int32 size | char[4] type | uint32 low_date | uint32 high_date | payload | int32 size
+
+Timestamps are 64-bit counts of 100ns ticks since the NT epoch (1601-01-01),
+split little-end-first (ek_date_conversion.py:26-55).
+
+TPU-native redesign: instead of a per-datagram Python object loop, the file is
+read (or mmapped) once and a single cheap scan builds a **columnar index**
+(numpy arrays of offsets/sizes/types/timestamps).  All subsequent decoding is
+vectorized gathers over that index — the decode cost scales with numpy
+bandwidth, not Python interpreter throughput, and the output lands directly in
+padded device-ready arrays.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+# seconds between 1601-01-01 and 1970-01-01
+_NT_UNIX_DELTA_S = 11644473600
+
+__all__ = ["scan_datagrams", "DatagramIndex", "nt_to_datetime64", "CorruptDatagramError"]
+
+
+class CorruptDatagramError(ValueError):
+    pass
+
+
+def nt_to_datetime64(low: np.ndarray, high: np.ndarray) -> np.ndarray:
+    """Vectorized NT (100ns since 1601) -> numpy datetime64[ns]."""
+    ticks = (np.asarray(high, dtype="u8") << np.uint64(32)) + np.asarray(low, dtype="u8")
+    # subtract the 1601->1970 epoch delta in ticks first so nothing overflows
+    delta_ticks = np.int64(_NT_UNIX_DELTA_S) * np.int64(10_000_000)
+    ns = (ticks.astype("i8") - delta_ticks) * np.int64(100)
+    return ns.astype("datetime64[ns]")
+
+
+@dataclass
+class DatagramIndex:
+    """Columnar index over all datagrams in a buffer.
+
+    ``body_offset`` points at the 4-char type (start of the datagram body, the
+    region covered by ``size``); payload-specific fields live at
+    ``body_offset + 12``.
+    """
+
+    buf: bytes
+    body_offset: np.ndarray  # int64 [n]
+    size: np.ndarray  # int32 [n] (body size incl. 12-byte type+date header)
+    dgram_type: np.ndarray  # 'U4' [n], e.g. "RAW0"
+    timestamp: np.ndarray  # datetime64[ns] [n]
+
+    def __len__(self):
+        return len(self.body_offset)
+
+    def select(self, dgram_type: str):
+        """Row indices of a given datagram type, in file order."""
+        return np.nonzero(self.dgram_type == dgram_type)[0]
+
+    def type_starts_with(self, prefix: str):
+        return np.nonzero(np.char.startswith(self.dgram_type, prefix))[0]
+
+
+def scan_datagrams(buf: bytes, resync: bool = True) -> DatagramIndex:
+    """One pass over ``buf``, returning the columnar datagram index.
+
+    On a framing mismatch (leading size != trailing size) the scanner resyncs
+    by searching for the next plausible datagram header, mirroring the
+    reference's bad-byte recovery (ek_raw_io.py:473-486).
+    """
+    n = len(buf)
+    offsets, sizes = [], []
+    pos = 0
+    unpack_i4 = struct.Struct("<l").unpack_from
+    while pos + 4 <= n:
+        (size,) = unpack_i4(buf, pos)
+        body = pos + 4
+        end = body + size
+        ok = 12 <= size <= n and end + 4 <= n + 4
+        if ok and end + 4 <= n:
+            (trailer,) = unpack_i4(buf, end)
+            ok = trailer == size
+        elif ok:
+            ok = end == n  # final datagram may lack trailer in truncated files
+        if not ok:
+            if not resync:
+                raise CorruptDatagramError(f"bad framing at byte {pos}")
+            nxt = _find_next_datagram(buf, pos + 1)
+            if nxt is None:
+                break
+            pos = nxt
+            continue
+        offsets.append(body)
+        sizes.append(size)
+        pos = end + 4
+    offsets = np.asarray(offsets, dtype="i8")
+    sizes = np.asarray(sizes, dtype="i4")
+    # vectorized type + timestamp decode across all datagrams
+    u8 = np.frombuffer(buf, dtype="u1")
+    if len(offsets):
+        hdr = u8[offsets[:, None] + np.arange(12)]
+        dgram_type = hdr[:, :4].copy().view("S4").ravel().astype("U4")
+        low = hdr[:, 4:8].copy().view("<u4").ravel()
+        high = hdr[:, 8:12].copy().view("<u4").ravel()
+        ts = nt_to_datetime64(low, high)
+    else:
+        dgram_type = np.empty(0, dtype="U4")
+        ts = np.empty(0, dtype="datetime64[ns]")
+    return DatagramIndex(buf=buf, body_offset=offsets, size=sizes, dgram_type=dgram_type, timestamp=ts)
+
+
+_KNOWN_TYPES = [b"RAW", b"CON", b"NME", b"XML", b"TAG", b"BOT", b"DEP", b"MRU", b"FIL", b"IDX"]
+
+
+def _find_next_datagram(buf: bytes, start: int):
+    """Search for the next plausible datagram header from ``start``."""
+    n = len(buf)
+    best = None
+    for t in _KNOWN_TYPES:
+        i = buf.find(t, start)
+        while i != -1:
+            if i >= 4:
+                (size,) = struct.unpack_from("<l", buf, i - 4)
+                end = i + size
+                if 12 <= size and end + 4 <= n:
+                    (trailer,) = struct.unpack_from("<l", buf, end)
+                    if trailer == size:
+                        if best is None or i - 4 < best:
+                            best = i - 4
+                        break
+            i = buf.find(t, i + 1)
+    return best
