@@ -1,1 +1,3 @@
-"""Placeholder; populated in this build round."""
+from .api import compute_Sv, compute_TS
+
+__all__ = ["compute_Sv", "compute_TS"]

@@ -1,1 +1,3 @@
-"""Placeholder; populated in this build round."""
+from .api import compute_MVBS, compute_MVBS_index_binning, compute_NASC
+
+__all__ = ["compute_MVBS", "compute_MVBS_index_binning", "compute_NASC"]

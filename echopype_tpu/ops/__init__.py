@@ -1,1 +1,1 @@
-"""Placeholder; populated in this build round."""
+"""Device compute kernels (jit/Pallas) for the processing pipeline."""
