@@ -1,0 +1,120 @@
+"""Benchmark: EK60 Sv calibration + MVBS echo-integration throughput per chip.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+The workload mirrors the reference's headline pipeline (SURVEY.md §6 /
+BASELINE.md): raw power [channels, pings, range] -> Sv (sonar equation) ->
+MVBS (20m x 20s linear-domain bin means).  vs_baseline is the measured
+speedup over a single-threaded numpy implementation of the identical math on
+this host (the reference's execution substrate is numpy/dask on CPU).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _inputs(C, Pn, R, n_x, n_r, seed=0):
+    rng = np.random.default_rng(seed)
+    power = rng.normal(-80.0, 10.0, (C, Pn, R)).astype("f4")
+    dr = np.full((C, Pn), 0.19, dtype="f4")
+    tvg = 2 * dr
+    ab = np.full((C, Pn), 0.01, dtype="f4")
+    off = rng.normal(-30.0, 2.0, (C, Pn)).astype("f4")
+    x_idx = np.minimum(np.arange(Pn) // max(1, Pn // n_x), n_x - 1).astype("i4")
+    r_edges = np.linspace(0.0, 0.19 * R, n_r + 1).astype("f4")
+    return power, dr, tvg, ab, off, x_idx, r_edges
+
+
+def numpy_pipeline(power, dr, tvg, ab, off, x_idx, r_edges, n_x, n_r):
+    """Single-threaded numpy reference implementation (identical math)."""
+    C, Pn, R = power.shape
+    r = np.arange(R, dtype="f4")[None, None, :] * dr[:, :, None]
+    r_tvg = r - tvg[:, :, None]
+    pos = r_tvg > 0
+    with np.errstate(invalid="ignore", divide="ignore"):
+        sv = np.where(
+            pos,
+            power + 20 * np.log10(np.where(pos, r_tvg, 1)) + 2 * ab[:, :, None] * r_tvg + off[:, :, None],
+            np.nan,
+        )
+        er = np.where(np.isnan(power), np.nan, r)
+        r_idx = np.digitize(er, r_edges) - 1
+        ok = (r_idx >= 0) & (r_idx < n_r) & ~np.isnan(sv)
+        seg = np.where(ok, x_idx[None, :, None] * n_r + r_idx, n_x * n_r)
+        lin = np.where(ok, 10 ** (sv / 10), 0)
+        mvbs = np.zeros((C, n_x * n_r))
+        for c in range(C):
+            sums = np.bincount(seg[c].ravel(), weights=lin[c].ravel(), minlength=n_x * n_r + 1)
+            counts = np.bincount(seg[c].ravel(), weights=ok[c].ravel().astype("f8"), minlength=n_x * n_r + 1)
+            mvbs[c] = np.where(counts[:-1] > 0, sums[:-1] / np.maximum(counts[:-1], 1), np.nan)
+    return sv, 10 * np.log10(mvbs.reshape(C, n_x, n_r))
+
+
+def main():
+    import jax
+
+    from echopype_tpu.parallel.pipeline import sv_mvbs_core
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform != "cpu"
+
+    # Device workload: 5 channels (EK60 survey), long range vector
+    C, R = 5, 4000
+    Pn = 20_000 if on_tpu else 2_000
+    n_x, n_r = max(1, Pn // 80), 50  # ~20s bins at 4Hz pings, 20m bins
+
+    power, dr, tvg, ab, off, x_idx, r_edges = _inputs(C, Pn, R, n_x, n_r)
+
+    # Chain n_iter full pipeline steps inside ONE dispatch (fori_loop with a
+    # data-dependent salt) so remote-tunnel sync latency doesn't pollute the
+    # measurement; read back a checksum to force execution.
+    n_iter = 10 if on_tpu else 3
+
+    def one_step(power, dr, tvg, ab, off, x_idx, r_edges, salt):
+        sv, sums, counts = sv_mvbs_core(
+            power + salt, dr, tvg, ab, off, x_idx, r_edges, n_x, n_r
+        )
+        mean = sums / jnp.where(counts > 0, counts, 1.0)
+        mvbs = jnp.where(counts > 0, 10.0 * jnp.log10(mean), jnp.nan)
+        return jnp.nansum(mvbs) + sv[0, 0, -1]
+
+    @jax.jit
+    def chained(power, dr, tvg, ab, off, x_idx, r_edges):
+        def body(i, acc):
+            salt = 1e-7 * (i.astype(jnp.float32) + acc * 1e-20)
+            return acc + one_step(power, dr, tvg, ab, off, x_idx, r_edges, salt)
+
+        return jax.lax.fori_loop(0, n_iter, body, jnp.float32(0.0))
+
+    args_dev = [jax.device_put(a, dev) for a in (power, dr, tvg, ab, off, x_idx, r_edges)]
+    float(chained(*args_dev))  # compile + warm up
+
+    t0 = time.perf_counter()
+    checksum = float(chained(*args_dev))
+    dt = (time.perf_counter() - t0) / n_iter
+    assert checksum == checksum or True  # keep the readback live
+    pings_per_sec = Pn / dt
+
+    # Baseline: single-threaded numpy on a scaled-down block, extrapolated
+    Pb = 500
+    bargs = _inputs(C, Pb, R, max(1, Pb // 80), n_r)
+    t0 = time.perf_counter()
+    numpy_pipeline(*bargs, max(1, Pb // 80), n_r)
+    dtb = time.perf_counter() - t0
+    baseline_pings_per_sec = Pb / dtb
+
+    result = {
+        "metric": "EK60 Sv+MVBS throughput (5ch x 4000 samples)",
+        "value": round(pings_per_sec, 1),
+        "unit": "pings/sec/chip",
+        "vs_baseline": round(pings_per_sec / baseline_pings_per_sec, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

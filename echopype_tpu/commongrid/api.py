@@ -73,14 +73,28 @@ def compute_MVBS(
     n_x = len(ping_edges) - 1
     n_r = len(range_edges) - 1
 
-    x_idx = binning.bin_index_np(ping_time.astype("i8"), ping_edges.astype("i8"), closed)
-    # range bins: er may be [C,P,R] or [C,R] or [R]
     sv = np.asarray(ds_Sv["Sv"].values, dtype="f4")
     er_b = np.broadcast_to(_conform_range(er, ds_Sv, range_var, sv.shape), sv.shape)
-    r_idx = binning.bin_index_np(er_b.astype("f8"), range_edges, closed)
+
+    # sorted-contiguous reduction: ping axis must be sorted (argsort if not),
+    # range axis monotone increasing (flip if instrument looks upward)
+    sv, er_b, order = _sort_ping_axis(sv, er_b, ping_time)
+    sv, er_b = _orient_range_axis(sv, er_b)
+
+    pt_sorted = ping_time[order] if order is not None else ping_time
+    x_bounds = binning.x_bounds_np(pt_sorted.astype("i8"), ping_edges.astype("i8"), closed)
+    # bin membership in ORIGINAL ping order (for the lat/lon reduction below)
+    x_idx = binning.bin_index_np(ping_time.astype("i8"), ping_edges.astype("i8"), closed)
 
     mvbs = np.asarray(
-        binning.binned_mean_linear(sv, x_idx, np.asarray(r_idx), n_x, n_r, skipna=bool(skipna))
+        binning.binned_mean_linear(
+            sv,
+            er_b.astype("f4"),
+            np.asarray(range_edges, dtype="f4"),
+            x_bounds,
+            skipna=bool(skipna),
+            closed=closed,
+        )
     )
     if not np.isnan(fill_value):
         mvbs = np.where(np.isnan(mvbs), fill_value, mvbs)
@@ -123,6 +137,23 @@ def compute_MVBS(
         ds_MVBS["frequency_nominal"] = ds_Sv["frequency_nominal"]
     ds_MVBS = insert_input_processing_level(ds_MVBS, input_ds=ds_Sv)
     return ds_MVBS
+
+
+def _sort_ping_axis(sv, er_b, ping_time):
+    """Sort along ping axis if needed; returns (sv, er, order-or-None)."""
+    pt = ping_time.astype("i8")
+    if np.all(np.diff(pt) >= 0):
+        return sv, er_b, None
+    order = np.argsort(pt, kind="stable")
+    return sv[:, order], er_b[:, order], order
+
+
+def _orient_range_axis(sv, er_b):
+    """Flip along range axis if the range variable decreases (upward-looking)."""
+    d = np.diff(er_b, axis=2)
+    if np.nanmean(d) < 0:
+        return sv[:, :, ::-1].copy(), er_b[:, :, ::-1].copy()
+    return sv, er_b
 
 
 def _conform_range(er, ds_Sv, range_var, sv_shape):
@@ -248,23 +279,28 @@ def compute_NASC(
     depth_edges = np.arange(0, depth_max + range_bin_m, range_bin_m)
     n_x, n_r = len(dist_edges) - 1, len(depth_edges) - 1
 
+    # cumulative distance is nondecreasing -> sorted-contiguous reduction
+    sv, depth_b = _orient_range_axis(sv, depth_b)
+    x_bounds = binning.x_bounds_np(dist_nmi, dist_edges, closed)
     x_idx = binning.bin_index_np(dist_nmi, dist_edges, closed)
-    r_idx = binning.bin_index_np(depth_b, depth_edges, closed)
 
-    sums, counts = binning.binned_sum_partials(
-        sv, x_idx, np.asarray(r_idx), n_x, n_r, skipna=bool(skipna)
+    depth_f4 = depth_b.astype("f4")
+    edges_f4 = np.asarray(depth_edges, dtype="f4")
+    sums, counts, nan_counts = binning.binned_sum_partials(
+        sv, depth_f4, edges_f4, x_bounds, skipna=bool(skipna), closed=closed
     )
     sums, counts = np.asarray(sums, dtype="f8"), np.asarray(counts, dtype="f8")
+    nan_counts = np.asarray(nan_counts, dtype="f8")
     with np.errstate(invalid="ignore", divide="ignore"):
-        sv_mean = np.where(counts > 0, sums / np.where(counts > 0, counts, 1), np.nan)
+        good = (counts > 0) & (nan_counts == 0)
+        sv_mean = np.where(good, sums / np.where(counts > 0, counts, 1), np.nan)
 
     # mean height per (channel, dist, depth) bin: sum of depth first-differences
     # over the 2D bin / number of pings in the dist bin (utils.py:160-201)
-    ddepth = np.diff(depth_b, axis=2)  # label=lower -> use leading depth bins
-    depth_lower = depth_b[:, :, :-1]
-    r_idx_low = binning.bin_index_np(depth_lower, depth_edges, closed)
+    ddepth = np.diff(depth_b, axis=2).astype("f4")  # label=lower -> leading bins
+    depth_lower = depth_f4[:, :, :-1]
     h_num = np.asarray(
-        binning.binned_sum_raw(ddepth.astype("f4"), x_idx, np.asarray(r_idx_low), n_x, n_r),
+        binning.binned_sum_raw(ddepth, depth_lower, edges_f4, x_bounds, closed=closed),
         dtype="f8",
     )
     denom = np.bincount(x_idx[x_idx >= 0], minlength=n_x).astype("f8")

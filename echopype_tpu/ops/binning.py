@@ -1,13 +1,20 @@
 """Device kernels for binned echo-integration (MVBS/NASC).
 
 Replaces the reference's flox map-reduce groupby
-(echopype/commongrid/utils.py:504-628) with an XLA segment-reduction: Sv is
-converted to the linear domain, scattered into (x_bin, range_bin) segments
-per channel with one fused pass, and normalized.  Per-shard partial sums +
-``psum`` over the mesh give the multi-chip path (see parallel/).
+(echopype/commongrid/utils.py:504-628).  TPU-native design: **no scatter**.
+XLA lowers scatter-add with colliding indices to a sequential loop on TPU
+(miserably slow); but both grouping axes here are monotone — ping_time is
+sorted and echo_range/depth is monotone along range_sample — so every bin is
+a *contiguous* run.  Contiguous-segment sums are exact prefix sums:
 
-Bin-index computation matches pandas IntervalIndex semantics exactly
-(left-closed [lo, hi) or right-closed (lo, hi]).
+    cumsum along the axis  ->  gather at bin-boundary positions  ->  diff
+
+Range-bin boundaries come from a vmapped binary search per (channel, ping)
+row; ping-bin boundaries are positions into the sorted ping axis.  Bin
+membership matches pandas IntervalIndex semantics (closed left/right).
+
+The partial sums+counts factor across shards: summing them over a mesh
+(psum) then normalizing reproduces the global mean exactly.
 """
 
 from __future__ import annotations
@@ -18,14 +25,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["bin_index", "binned_mean_linear", "binned_sum_partials", "bin_index_np"]
+__all__ = [
+    "bin_index_np",
+    "x_bounds_np",
+    "row_bin_bounds",
+    "binned_sum_partials",
+    "binned_mean_linear",
+    "binned_sum_raw",
+    "binned_mean_1d",
+]
 
 
+# ------------------------------------------------------------------ host side
 def bin_index_np(values: np.ndarray, edges: np.ndarray, closed: str = "left") -> np.ndarray:
-    """Bin index per element, -1 where outside all bins (host, numpy).
-
-    Matches pd.IntervalIndex.from_breaks(edges, closed=closed) membership.
-    """
+    """Bin index per element, -1 outside all bins (host; pandas-Interval exact)."""
     right = closed == "right"
     idx = np.digitize(values, edges, right=right) - 1
     n_bins = len(edges) - 1
@@ -35,80 +48,102 @@ def bin_index_np(values: np.ndarray, edges: np.ndarray, closed: str = "left") ->
     return np.where(invalid, -1, idx).astype("i4")
 
 
-def bin_index(values, edges, closed: str = "left"):
-    """Device-side bin index (same semantics as :func:`bin_index_np`)."""
-    right = closed == "right"
-    # jnp.digitize(x, bins, right) uses same convention as numpy
-    idx = jnp.digitize(values, edges, right=right) - 1
-    n_bins = edges.shape[0] - 1
-    invalid = (idx < 0) | (idx >= n_bins) | jnp.isnan(values)
-    return jnp.where(invalid, -1, idx).astype(jnp.int32)
+def x_bounds_np(sorted_values: np.ndarray, edges: np.ndarray, closed: str = "left") -> np.ndarray:
+    """Boundary positions [n_bins+1] of each bin in a sorted 1-D value array.
+
+    Elements of bin b live at positions [bounds[b], bounds[b+1]).
+    closed='left':  [lo, hi)  -> side='left' search of each edge.
+    closed='right': (lo, hi]  -> side='right' search of each edge.
+    """
+    side = "left" if closed == "left" else "right"
+    return np.searchsorted(sorted_values, edges, side=side).astype("i4")
 
 
-@partial(jax.jit, static_argnames=("n_x", "n_r", "skipna"))
-def binned_sum_partials(sv_db, x_idx, r_idx, n_x: int, n_r: int, skipna: bool = True):
-    """Partial linear-domain sums+counts per (channel, x_bin, range_bin).
+# ---------------------------------------------------------------- device side
+def row_bin_bounds(er, edges, closed: str = "left"):
+    """Per-row bin-boundary positions via vmapped binary search.
 
-    Parameters
-    ----------
-    sv_db : f32 [C, P, R]
-    x_idx : i32 [P]      x-axis bin per ping (-1 = no bin)
-    r_idx : i32 [C, P, R] range bin per sample (-1 = no bin)
+    er: [C, P, R] monotone-increasing along R (NaNs allowed anywhere — they
+    are pushed past the last edge).  Returns int32 [C, P, n_edges].
+    """
+    side = "left" if closed == "left" else "right"
+    er_clean = jnp.where(jnp.isnan(er), jnp.inf, er)
 
-    Returns (sums, counts), each f32 [C, n_x, n_r].  Summing these across
-    shards (psum) then normalizing reproduces the global mean exactly —
-    this is the map-reduce contract flox provides in the reference.
+    def one_row(row):
+        return jnp.searchsorted(row, edges, side=side)
+
+    return jax.vmap(jax.vmap(one_row))(er_clean).astype(jnp.int32)
+
+
+def _prefix_gather_diff(values, bounds, axis):
+    """Sum of contiguous runs: cumsum with zero prepend, gather, diff.
+
+    values: [..., N, ...]; bounds positions in [0, N]."""
+    cs = jnp.cumsum(values, axis=axis)
+    pad = [(0, 0)] * values.ndim
+    pad[axis] = (1, 0)
+    cs = jnp.pad(cs, pad)
+    g = jnp.take_along_axis(cs, bounds, axis=axis)
+    return jnp.diff(g, axis=axis)
+
+
+@partial(jax.jit, static_argnames=("skipna", "closed"))
+def binned_sum_partials(sv_db, er, r_edges, x_bounds, skipna: bool = True, closed: str = "left"):
+    """Linear-domain partial sums per (channel, x_bin, range_bin) — scatter-free.
+
+    sv_db    : f32 [C, P, R]
+    er       : f32 [C, P, R] monotone along R (range variable values)
+    r_edges  : f32 [n_r + 1] range-bin edges
+    x_bounds : i32 [n_x + 1] ping positions of x-bin boundaries (sorted axis)
+
+    Returns (sums, counts, nan_counts) each f32 [C, n_x, n_r].  With
+    skipna=False a bin containing any NaN Sv (at a valid range coord) must be
+    NaN — nan_counts carries that across shards.
     """
     C, P, R = sv_db.shape
-    sv_lin = jnp.power(10.0, sv_db / 10.0)
-    in_bin = (x_idx[None, :, None] >= 0) & (r_idx >= 0)
+    lin = jnp.power(10.0, sv_db / 10.0)
+    isnan_sv = jnp.isnan(sv_db)
+    ok = ~isnan_sv
+
+    rb = row_bin_bounds(er, r_edges, closed)  # [C, P, n_r+1]
+
+    s1 = _prefix_gather_diff(jnp.where(ok, lin, 0.0), rb, axis=2)  # [C,P,n_r]
+    n1 = _prefix_gather_diff(ok.astype(jnp.float32), rb, axis=2)
     if skipna:
-        ok = in_bin & ~jnp.isnan(sv_db)
-        vals = jnp.where(ok, sv_lin, 0.0)
-        cnt = ok
+        nan1 = jnp.zeros_like(n1)
     else:
-        # NaNs inside a bin poison it (plain mean semantics)
-        vals = jnp.where(in_bin, sv_lin, 0.0)
-        cnt = in_bin
-    seg = jnp.where(in_bin, x_idx[None, :, None] * n_r + r_idx, n_x * n_r)
+        nan1 = _prefix_gather_diff(isnan_sv.astype(jnp.float32), rb, axis=2)
 
-    def per_channel(v, c, s):
-        sums = jax.ops.segment_sum(v.ravel(), s.ravel(), num_segments=n_x * n_r + 1)
-        counts = jax.ops.segment_sum(
-            c.ravel().astype(jnp.float32), s.ravel(), num_segments=n_x * n_r + 1
-        )
-        return sums[:-1], counts[:-1]
-
-    sums, counts = jax.vmap(per_channel)(vals, cnt, seg)
-    return sums.reshape(C, n_x, n_r), counts.reshape(C, n_x, n_r)
+    xb = jnp.broadcast_to(x_bounds[None, :, None], (C, x_bounds.shape[0], s1.shape[2]))
+    sums = _prefix_gather_diff(s1, xb, axis=1)  # [C, n_x, n_r]
+    counts = _prefix_gather_diff(n1, xb, axis=1)
+    nan_counts = _prefix_gather_diff(nan1, xb, axis=1)
+    return sums, counts, nan_counts
 
 
-@partial(jax.jit, static_argnames=("n_x", "n_r"))
-def binned_sum_raw(values, x_idx, r_idx, n_x: int, n_r: int):
-    """NaN-skipping raw sum per (channel, x_bin, range_bin): f32 [C, n_x, n_r]."""
-    C, P, R = values.shape
-    in_bin = (x_idx[None, :, None] >= 0) & (r_idx >= 0) & ~jnp.isnan(values)
-    vals = jnp.where(in_bin, values, 0.0)
-    seg = jnp.where(in_bin, x_idx[None, :, None] * n_r + r_idx, n_x * n_r)
-
-    def per_channel(v, s):
-        return jax.ops.segment_sum(v.ravel(), s.ravel(), num_segments=n_x * n_r + 1)[:-1]
-
-    return jax.vmap(per_channel)(vals, seg).reshape(C, n_x, n_r)
-
-
-@partial(jax.jit, static_argnames=("n_x", "n_r", "skipna"))
-def binned_mean_linear(sv_db, x_idx, r_idx, n_x: int, n_r: int, skipna: bool = True):
+@partial(jax.jit, static_argnames=("skipna", "closed"))
+def binned_mean_linear(sv_db, er, r_edges, x_bounds, skipna: bool = True, closed: str = "left"):
     """Mean of linear Sv per bin, back in dB: f32 [C, n_x, n_r] (NaN = empty)."""
-    sums, counts = binned_sum_partials(sv_db, x_idx, r_idx, n_x, n_r, skipna)
+    sums, counts, nan_counts = binned_sum_partials(sv_db, er, r_edges, x_bounds, skipna, closed)
     mean = sums / jnp.where(counts > 0, counts, 1.0)
-    mean = jnp.where(counts > 0, mean, jnp.nan)
-    return 10.0 * jnp.log10(mean)
+    good = (counts > 0) & (nan_counts == 0)
+    return jnp.where(good, 10.0 * jnp.log10(mean), jnp.nan)
+
+
+@partial(jax.jit, static_argnames=("closed",))
+def binned_sum_raw(values, er, r_edges, x_bounds, closed: str = "left"):
+    """NaN-skipping raw sum per (channel, x_bin, range_bin) — scatter-free."""
+    ok = ~jnp.isnan(values)
+    rb = row_bin_bounds(er, r_edges, closed)
+    s1 = _prefix_gather_diff(jnp.where(ok, values, 0.0), rb, axis=2)
+    C = values.shape[0]
+    xb = jnp.broadcast_to(x_bounds[None, :, None], (C, x_bounds.shape[0], s1.shape[2]))
+    return _prefix_gather_diff(s1, xb, axis=1)
 
 
 @partial(jax.jit, static_argnames=("n_x",))
 def binned_mean_1d(values, x_idx, n_x: int):
-    """NaN-mean of a [P] or [P,...] array per x bin (for lat/lon reduction)."""
+    """NaN-mean of a [P] array per x bin (lat/lon reduction; tiny, scatter ok)."""
     ok = (x_idx >= 0) & ~jnp.isnan(values)
     seg = jnp.where(x_idx >= 0, x_idx, n_x)
     sums = jax.ops.segment_sum(jnp.where(ok, values, 0.0), seg, num_segments=n_x + 1)

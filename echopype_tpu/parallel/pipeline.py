@@ -1,0 +1,111 @@
+"""Sharded survey pipeline: calibration + binned echo-integration over a mesh.
+
+This is the multi-chip "training step" of the domain (SURVEY.md §2.6): the
+[C, P, R] power block shards over a (ping, channel) mesh; calibration is
+embarrassingly parallel; MVBS bin aggregation produces per-shard partial
+sums+counts and a single ``psum`` over the mesh — the one collective this
+workload needs (the reference gets the same structure from flox map-reduce +
+dask, commongrid/utils.py:614-627).
+
+Scatter-free: both grouping axes are monotone, so bins are contiguous runs
+reduced by cumsum + boundary gather (see ops/binning.py).  Inside the fused
+kernel echo_range is r*dr, so range-bin boundaries are CLOSED FORM
+(ceil(edge/dr)) — no search at all.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+__all__ = ["sv_mvbs_core", "sharded_sv_mvbs_step", "survey_pipeline_step"]
+
+
+def _prefix_gather_diff(values, bounds, axis):
+    cs = jnp.cumsum(values, axis=axis)
+    pad = [(0, 0)] * values.ndim
+    pad[axis] = (1, 0)
+    cs = jnp.pad(cs, pad)
+    g = jnp.take_along_axis(cs, bounds, axis=axis)
+    return jnp.diff(g, axis=axis)
+
+
+def sv_mvbs_core(power, dr, tvg_shift, absorption, offset, x_idx, r_edges, n_x, n_r):
+    """Single-shard fused pipeline: power -> Sv -> linear bin partials.
+
+    x_idx: sorted int32 [P] ping-bin index per local ping (-1 = outside).
+    r_edges: f32 [n_r + 1] range-bin edges (left-closed).
+    Returns (Sv [C,P,R], partial sums [C,n_x,n_r], partial counts).
+    """
+    C, Pn, R = power.shape
+    rs = jax.lax.broadcasted_iota(jnp.float32, (1, 1, R), 2)
+    r = rs * dr[:, :, None]
+    r_tvg = r - tvg_shift[:, :, None]
+    pos = r_tvg > 0
+    sv = jnp.where(
+        pos,
+        power
+        + 20.0 * jnp.log10(jnp.where(pos, r_tvg, 1.0))
+        + 2.0 * absorption[:, :, None] * r_tvg
+        + offset[:, :, None],
+        jnp.nan,
+    )
+
+    # linear-domain sums over contiguous range bins: closed-form boundaries
+    # {r : r*dr < edge} has ceil(edge/dr) elements (left-closed bins)
+    bounds_f = jnp.ceil(r_edges[None, None, :] / dr[:, :, None])
+    rb = jnp.clip(bounds_f, 0, R).astype(jnp.int32)  # [C, P, n_r+1]
+
+    ok = ~jnp.isnan(sv)
+    lin = jnp.where(ok, jnp.power(10.0, sv / 10.0), 0.0)
+    s1 = _prefix_gather_diff(lin, rb, axis=2)  # [C, P, n_r]
+    n1 = _prefix_gather_diff(ok.astype(jnp.float32), rb, axis=2)
+
+    # ping-bin boundaries from the sorted local x_idx (binary search, tiny)
+    xb = jnp.searchsorted(x_idx, jnp.arange(n_x + 1, dtype=x_idx.dtype), side="left")
+    xb = jnp.broadcast_to(xb.astype(jnp.int32)[None, :, None], (C, n_x + 1, n_r))
+    sums = _prefix_gather_diff(s1, xb, axis=1)  # [C, n_x, n_r]
+    counts = _prefix_gather_diff(n1, xb, axis=1)
+    return sv, sums, counts
+
+
+def sharded_sv_mvbs_step(mesh: Mesh, n_x: int, n_r: int):
+    """Build the jitted multi-chip step for the given mesh and bin counts.
+
+    Returns fn(power, dr, tvg_shift, absorption, offset, x_idx, r_edges)
+    -> (Sv sharded [C,P,R], MVBS [C,n_x,n_r] channel-sharded).
+    """
+
+    def step(power, dr, tvg_shift, absorption, offset, x_idx, r_edges):
+        sv, sums, counts = sv_mvbs_core(
+            power, dr, tvg_shift, absorption, offset, x_idx, r_edges, n_x, n_r
+        )
+        # the one collective: global bin sums over the ping axis ride ICI;
+        # channels stay sharded (each chip owns its channel block's bins)
+        sums = jax.lax.psum(sums, axis_name="ping")
+        counts = jax.lax.psum(counts, axis_name="ping")
+        mean = sums / jnp.where(counts > 0, counts, 1.0)
+        mvbs = jnp.where(counts > 0, 10.0 * jnp.log10(mean), jnp.nan)
+        return sv, mvbs
+
+    spec_cpr = P("channel", "ping", None)
+    spec_cp = P("channel", "ping")
+    spec_p = P("ping")
+    mapped = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(spec_cpr, spec_cp, spec_cp, spec_cp, spec_cp, spec_p, P(None)),
+        out_specs=(spec_cpr, P("channel", None, None)),
+    )
+    return jax.jit(mapped)
+
+
+def survey_pipeline_step(mesh: Mesh, n_x: int, n_r: int):
+    """Alias carrying the domain name: one full survey-processing step."""
+    return sharded_sv_mvbs_step(mesh, n_x, n_r)

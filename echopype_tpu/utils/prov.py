@@ -88,7 +88,16 @@ def add_processing_level(processing_level_code: str, is_echodata: bool = False):
                     target = None
             if target is not None:
                 if code.endswith("*"):
+                    # e.g. L3* -> A if valid lat/lon on the output, else B
                     code = code[:-1] + ("A" if _valid_latlon(target) else "B")
+                elif "*" in code:
+                    # e.g. L*B -> keep the input's numeric level, force sublevel
+                    existing = target.attrs.get("processing_level", "")
+                    digits = "".join(ch for ch in existing if ch.isdigit())
+                    if digits:
+                        code = "L" + digits + code.split("*")[1]
+                    else:
+                        code = ""
                 if code in PROCESSING_LEVELS:
                     target.attrs["processing_level"] = PROCESSING_LEVELS[code]
                     target.attrs["processing_level_url"] = (

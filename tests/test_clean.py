@@ -1,0 +1,230 @@
+"""clean package tests: noise masks vs brute-force oracles."""
+
+import numpy as np
+import pytest
+
+import echopype_tpu as ep
+from echopype_tpu.utils.compute import _lin2log, _log2lin
+from echopype_tpu.xrlite import DataArray, Dataset
+
+
+def make_sv(n_ch=1, n_ping=40, n_r=60, seed=0, dr=1.0, base=-80.0):
+    rng = np.random.default_rng(seed)
+    sv = rng.normal(base, 3, (n_ch, n_ping, n_r)).astype("f8")
+    depth = np.broadcast_to(np.arange(n_r) * dr, (n_ch, n_ping, n_r)).copy()
+    ds = Dataset(
+        {
+            "Sv": (("channel", "ping_time", "range_sample"), sv),
+            "echo_range": (("channel", "ping_time", "range_sample"), depth.copy()),
+            "depth": (("channel", "ping_time", "range_sample"), depth),
+            "sound_absorption": (("channel",), np.full(n_ch, 0.001)),
+            "frequency_nominal": (("channel",), 38000.0 * (1 + np.arange(n_ch))),
+        },
+        coords={
+            "channel": np.array([f"ch{i}" for i in range(n_ch)], dtype=object),
+            "ping_time": np.datetime64("2020-01-01", "ns")
+            + np.arange(n_ping) * np.timedelta64(1, "s"),
+            "range_sample": np.arange(n_r),
+        },
+    )
+    return ds
+
+
+def brute_force_pool(sv, depth, depth_bin, W, exclude_above):
+    """Direct re-statement of the reference pool_Sv loop (utils.py:29-106)."""
+    C, P, R = sv.shape
+    out = np.full((C, P, R), np.nan)
+    for c in range(C):
+        d_min, d_max = np.nanmin(depth[c]), np.nanmax(depth[c])
+        for r in range(R):
+            for p in range(P):
+                d = depth[c, p, r]
+                if (
+                    (d - depth_bin >= d_min)
+                    and (d + depth_bin <= d_max)
+                    and (d - depth_bin >= exclude_above)
+                    and (p - W >= 0)
+                    and (p + W <= P)
+                ):
+                    wm = (
+                        (depth[c] >= d - depth_bin)
+                        & (depth[c] <= d + depth_bin)
+                        & (np.abs(np.arange(P))[:, None] >= 0)
+                    )
+                    pw = (np.abs(np.arange(P) - p) <= W)[:, None]
+                    vals = np.where(wm & pw, _log2lin(sv[c]), np.nan)
+                    out[c, p, r] = _lin2log(np.nanmean(vals))
+    return out
+
+
+class TestTransient:
+    def test_pool_matches_bruteforce(self):
+        ds = make_sv(n_ping=15, n_r=20)
+        from echopype_tpu.clean.utils import pool_Sv_nanmean
+
+        sv = ds["Sv"].values
+        depth = ds["depth"].values
+        pooled = pool_Sv_nanmean(sv, depth, depth_bin=3.0, num_side_pings=4, exclude_above=0.0)
+        expected = brute_force_pool(sv, depth, 3.0, 4, 0.0)
+        np.testing.assert_allclose(pooled, expected, atol=1e-8)
+
+    def test_mask_detects_spike(self):
+        ds = make_sv(n_ping=40, n_r=60)
+        # inject a transient noise spike on ping 20 over all depths
+        ds.data_vars["Sv"].values[0, 20, :] += 30.0
+        mask = ep.clean.mask_transient_noise(
+            ds,
+            depth_bin="5m",
+            num_side_pings=5,
+            exclude_above="0.0m",
+            transient_noise_threshold="12.0dB",
+        )
+        inner = mask.values[0, :, 10:50]
+        assert inner[20].any()
+        assert not inner[[5, 10, 30]].any()
+
+    def test_median_path(self):
+        ds = make_sv(n_ping=30, n_r=40)
+        ds.data_vars["Sv"].values[0, 15, :] += 30.0
+        mask = ep.clean.mask_transient_noise(
+            ds, func="nanmedian", depth_bin="5m", num_side_pings=5, exclude_above="0.0m"
+        )
+        assert mask.values[0, 15, 10:30].any()
+
+    def test_bad_func(self):
+        ds = make_sv()
+        with pytest.raises(ValueError):
+            ep.clean.mask_transient_noise(ds, func="nanmax")
+
+
+class TestImpulse:
+    def test_detects_single_ping_spike(self):
+        ds = make_sv(n_ping=30, n_r=40)
+        ds.data_vars["Sv"].values[0, 12, :] += 25.0
+        mask = ep.clean.mask_impulse_noise(
+            ds, depth_bin="2m", num_side_pings=2, impulse_noise_threshold="10.0dB"
+        )
+        assert mask.values[0, 12].any()
+        assert not mask.values[0, 20].any()
+
+    def test_echopy_kernel_exact(self):
+        from echopype_tpu.clean.utils import echopy_impulse_noise_mask
+
+        sv = np.full((7, 4), -80.0)
+        sv[3] = -50.0  # spike ping
+        mask = echopy_impulse_noise_mask(sv, num_side_pings=1, threshold=10.0)
+        assert mask[3].all()
+        assert not mask[[0, 1, 5]].any()
+        # edges have inf comparisons -> only flagged if the one-sided diff passes
+        assert not mask[6].any()
+
+
+class TestAttenuated:
+    def test_detects_attenuated_ping(self):
+        ds = make_sv(n_ping=40, n_r=60, base=-70.0)
+        # scattering layer at 20-40 m; ping 20 strongly attenuated there
+        ds.data_vars["Sv"].values[:, :, 20:40] = -55.0
+        ds.data_vars["Sv"].values[0, 20, 20:40] = -75.0
+        # NOTE: the criterion is (ping_median - block_median) < threshold
+        # (echopy convention), so a *negative* threshold isolates attenuation.
+        mask = ep.clean.mask_attenuated_signal(
+            ds,
+            upper_limit_sl="20.0m",
+            lower_limit_sl="40.0m",
+            num_side_pings=5,
+            attenuation_signal_threshold="-8.0dB",
+        )
+        assert mask.values[0, 20].all()
+        assert not mask.values[0, 10].any()
+
+    def test_outside_range_empty(self):
+        ds = make_sv(n_r=30)
+        mask = ep.clean.mask_attenuated_signal(
+            ds, upper_limit_sl="400.0m", lower_limit_sl="500.0m"
+        )
+        assert not mask.values.any()
+
+    def test_invalid_limits(self):
+        ds = make_sv()
+        with pytest.raises(ValueError):
+            ep.clean.mask_attenuated_signal(ds, upper_limit_sl="50.0m", lower_limit_sl="40.0m")
+
+
+class TestBackgroundNoise:
+    def test_noise_floor_recovered(self):
+        """Uniform noise-only data: corrected Sv all NaN, noise ~= input."""
+        n_ping, n_r = 40, 100
+        ds = make_sv(n_ping=n_ping, n_r=n_r)
+        # synthetic: pure TVG-shaped noise floor
+        er = ds["echo_range"].values
+        noise_db = -125.0
+        sv_noise = noise_db + 20 * np.log10(np.maximum(er, 1)) + 2 * 0.001 * er
+        ds.data_vars["Sv"].values[:] = sv_noise
+        out = ep.clean.remove_background_noise(ds, ping_num=10, range_sample_num=10)
+        assert "Sv_noise" in out and "Sv_corrected" in out
+        # noise estimate should track the synthetic noise floor closely
+        np.testing.assert_allclose(
+            out["Sv_noise"].values[0, 5], sv_noise[0, 5], atol=1.0
+        )
+        # noise-only data -> everything below SNR threshold
+        assert np.isnan(out["Sv_corrected"].values).mean() > 0.95
+
+    def test_signal_preserved(self):
+        n_ping, n_r = 40, 100
+        ds = make_sv(n_ping=n_ping, n_r=n_r, base=-90.0)
+        # strong scatterer at 30-40 m on all pings
+        ds.data_vars["Sv"].values[:, :, 30:40] = -50.0
+        out = ep.clean.remove_background_noise(ds, ping_num=10, range_sample_num=10)
+        corrected = out["Sv_corrected"].values
+        assert np.isfinite(corrected[0, :, 32:38]).all()
+        np.testing.assert_allclose(corrected[0, :, 32:38], -50.0, atol=0.5)
+
+    def test_noise_max_cap(self):
+        ds = make_sv(n_ping=20, n_r=50, base=-60.0)
+        est_capped = ep.clean.estimate_background_noise(
+            ds, ping_num=5, range_sample_num=5, background_noise_max="-125.0dB"
+        )
+        er = ds["echo_range"].values
+        tvg = 20 * np.log10(np.maximum(er, 1)) + 2 * 0.001 * er
+        assert np.all(est_capped.values - tvg <= -125.0 + 1e-9)
+
+    def test_processing_level(self):
+        ds = make_sv()
+        ds.attrs["processing_level"] = "Level 2A"
+        out = ep.clean.remove_background_noise(ds, ping_num=10, range_sample_num=10)
+        assert out.attrs["processing_level"] == "Level 2B"  # no lat/lon
+
+
+class TestDetectTransient:
+    def _deep_ds(self):
+        # 1200 m deep echogram with quiet deep water
+        ds = make_sv(n_ping=80, n_r=120, dr=10.0, base=-85.0)
+        return ds
+
+    def test_fielding_flags_transient(self):
+        ds = self._deep_ds()
+        ds.data_vars["Sv"].values[0, 40, :] += 20.0  # loud transient ping
+        mask = ep.clean.detect_transient(
+            ds, method="fielding", params={"r0": 900, "r1": 1000, "n": 10, "roff": 20}
+        )
+        assert mask.name == "fielding_mask_valid"
+        # True = VALID; the transient ping should have False somewhere
+        assert (~mask.values[0, 40]).any()
+        assert mask.values[0, 10].all()
+
+    def test_matecho_flags_transient(self):
+        ds = self._deep_ds()
+        ds.data_vars["Sv"].values[0, 40, :] += 25.0
+        mask = ep.clean.detect_transient(
+            ds,
+            method="matecho",
+            params={"start_depth": 220, "window_meter": 450, "window_ping": 20, "delta_db": 12},
+        )
+        assert mask.name == "matecho_mask_valid"
+        assert (~mask.values[0, :, 0])[40]
+        assert mask.values[0, 10].all()
+
+    def test_unknown_method(self):
+        ds = self._deep_ds()
+        with pytest.raises(ValueError):
+            ep.clean.detect_transient(ds, method="ryan")

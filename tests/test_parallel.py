@@ -1,0 +1,71 @@
+"""Multi-chip shard-equivalence tests on the virtual 8-device CPU mesh.
+
+The reference's contract analog: 1-chip and N-chip runs must produce the
+same bins (SURVEY.md §4 tier 4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from echopype_tpu.ops import binning
+from echopype_tpu.parallel import make_mesh, sharded_sv_mvbs_step
+
+
+def make_inputs(C=2, Pn=64, R=128, seed=0):
+    rng = np.random.default_rng(seed)
+    power = rng.normal(-80, 10, (C, Pn, R)).astype("f4")
+    dr = np.full((C, Pn), 0.19, dtype="f4")
+    tvg_shift = 2 * dr
+    absorption = np.full((C, Pn), 0.01, dtype="f4")
+    offset = rng.normal(-30, 2, (C, Pn)).astype("f4")
+    n_x, n_r = 8, 5
+    x_idx = (np.arange(Pn) // (Pn // n_x)).astype("i4")
+    r_edges = np.arange(0, 30.0, 5.0, dtype="f4")  # 5 bins
+    return power, dr, tvg_shift, absorption, offset, x_idx, r_edges, n_x, n_r
+
+
+class TestShardedPipeline:
+    def test_8dev_matches_single_device(self):
+        assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+        power, dr, tvg, ab, off, x_idx, r_edges, n_x, n_r = make_inputs()
+
+        mesh1 = make_mesh(n_devices=1, channel_axis=1)
+        mesh8 = make_mesh(n_devices=8, channel_axis=2)
+
+        fn1 = sharded_sv_mvbs_step(mesh1, n_x, n_r)
+        fn8 = sharded_sv_mvbs_step(mesh8, n_x, n_r)
+
+        sv1, mvbs1 = fn1(power, dr, tvg, ab, off, x_idx, r_edges)
+        sv8, mvbs8 = fn8(power, dr, tvg, ab, off, x_idx, r_edges)
+
+        np.testing.assert_allclose(np.asarray(sv8), np.asarray(sv1), rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(mvbs8), np.asarray(mvbs1), rtol=1e-5, atol=1e-5)
+
+    def test_sharded_matches_ops_binning(self):
+        """The fused sharded step equals the standalone kernels."""
+        power, dr, tvg, ab, off, x_idx, r_edges, n_x, n_r = make_inputs()
+        mesh = make_mesh(n_devices=4, channel_axis=1)
+        fn = sharded_sv_mvbs_step(mesh, n_x, n_r)
+        sv, mvbs = fn(power, dr, tvg, ab, off, x_idx, r_edges)
+
+        # reference path: standalone calibration + binning kernels
+        from echopype_tpu.ops.calibration import ek_power_cal
+
+        sv_ref, er_ref = ek_power_cal(power, dr, tvg, ab, off, "Sv")
+        x_bounds = binning.x_bounds_np(x_idx, np.arange(n_x + 1))
+        mvbs_ref = np.asarray(
+            binning.binned_mean_linear(
+                sv_ref.astype("f4"), er_ref.astype("f4"), np.asarray(r_edges, "f4"), x_bounds
+            )
+        )
+        np.testing.assert_allclose(np.asarray(sv), sv_ref, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(mvbs), mvbs_ref, rtol=1e-4, atol=1e-4)
+
+    def test_mesh_shapes(self):
+        mesh = make_mesh(n_devices=8, channel_axis=2)
+        assert mesh.devices.shape == (4, 2)
+        assert mesh.axis_names == ("ping", "channel")
+        with pytest.raises(ValueError):
+            make_mesh(n_devices=8, channel_axis=3)
