@@ -1,1 +1,3 @@
-"""Placeholder; populated in this build round."""
+from .summary_statistics import abundance, aggregation, center_of_mass, dispersion, evenness
+
+__all__ = ["abundance", "center_of_mass", "dispersion", "evenness", "aggregation"]

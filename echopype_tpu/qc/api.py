@@ -1,0 +1,51 @@
+"""Time-coordinate QC: detect and repair reversed timestamps.
+
+Capability parity: echopype/qc/api.py:12-110 — reversed ping times are
+replaced using the median pinging interval of a local window, preserving
+subsequent intervals while enforcing monotonicity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..xrlite import DataArray, Dataset
+
+__all__ = ["coerce_increasing_time", "exist_reversed_time", "_clean_reversed"]
+
+
+def _clean_reversed(time_old: np.ndarray, win_len: int) -> np.ndarray:
+    time_old = np.asarray(time_old, dtype="datetime64[ns]")
+    diffs = np.diff(time_old)
+    neg_idx = np.argwhere(diffs < np.timedelta64(0, "ns")).flatten()
+    if len(neg_idx) == 0:
+        return time_old
+    new_diff = []
+    for ni in neg_idx:
+        local = ni + np.arange(-win_len, 0)
+        if local[0] < 0:
+            first_valid = np.argwhere(local == 0).flatten()[0]
+            local = local[first_valid:]
+        new_diff.append(np.median(diffs[local].astype("i8")).astype("timedelta64[ns]"))
+    diffs[neg_idx] = new_diff
+    c_diff = np.cumsum(diffs[neg_idx[0] :])
+    new_time = time_old.copy()
+    new_time[neg_idx[0] + 1 :] = new_time[neg_idx[0]] + c_diff
+    return new_time
+
+
+def coerce_increasing_time(ds: Dataset, time_name: str = "ping_time", win_len: int = 100):
+    """Coerce a time coordinate to flow forward (modifies ``ds`` in place)."""
+    da = ds.coords[time_name] if time_name in ds.coords else ds[time_name]
+    fixed = _clean_reversed(da.values, win_len)
+    if time_name in ds.coords:
+        ds.coords[time_name] = DataArray(fixed, da.dims, attrs=da.attrs, name=time_name)
+    else:
+        ds[time_name] = (da.dims, fixed, da.attrs)
+    return ds
+
+
+def exist_reversed_time(ds, time_name: str) -> bool:
+    """True if the named time coordinate goes backward anywhere."""
+    da = ds.coords[time_name] if time_name in getattr(ds, "coords", {}) else ds[time_name]
+    return bool((np.diff(np.asarray(da.values, dtype="datetime64[ns]")) < np.timedelta64(0, "ns")).any())

@@ -1,0 +1,109 @@
+"""metrics and qc tests with analytic oracles."""
+
+import numpy as np
+import pytest
+
+import echopype_tpu as ep
+from echopype_tpu.xrlite import DataArray, Dataset
+
+
+def make_sv(sv_db, dr=0.5):
+    """sv_db: [n_ping, n_r]."""
+    sv_db = np.asarray(sv_db, dtype="f8")[None, ...]
+    n_ch, n_ping, n_r = sv_db.shape
+    er = np.broadcast_to(np.arange(n_r) * dr, sv_db.shape).copy()
+    return Dataset(
+        {
+            "Sv": (("channel", "ping_time", "range_sample"), sv_db),
+            "echo_range": (("channel", "ping_time", "range_sample"), er),
+        },
+        coords={
+            "channel": np.array(["ch0"], dtype=object),
+            "ping_time": np.datetime64("2020-01-01", "ns")
+            + np.arange(n_ping) * np.timedelta64(1, "s"),
+            "range_sample": np.arange(n_r),
+        },
+    )
+
+
+class TestMetrics:
+    def test_abundance_uniform(self):
+        """Constant sv over H meters: Sa = Sv + 10log10(H)."""
+        n_r, dr = 101, 0.5
+        ds = make_sv(np.full((3, n_r), -60.0), dr=dr)
+        sa = ep.metrics.abundance(ds)
+        H = (n_r - 1) * dr
+        np.testing.assert_allclose(sa.values, -60.0 + 10 * np.log10(H), atol=1e-9)
+
+    def test_center_of_mass_uniform(self):
+        """Uniform distribution: CM at the midpoint of the insonified range."""
+        n_r, dr = 101, 0.5
+        ds = make_sv(np.full((2, n_r), -60.0), dr=dr)
+        cm = ep.metrics.center_of_mass(ds)
+        # samples 1..100 at depth 0.5..50 -> mean 25.25
+        np.testing.assert_allclose(cm.values, np.mean(np.arange(1, n_r) * dr), atol=1e-9)
+
+    def test_dispersion_uniform(self):
+        n_r, dr = 101, 0.5
+        ds = make_sv(np.full((1, n_r), -60.0), dr=dr)
+        disp = ep.metrics.dispersion(ds)
+        z = np.arange(1, n_r) * dr
+        np.testing.assert_allclose(disp.values, np.var(z), atol=1e-9)
+
+    def test_evenness_aggregation(self):
+        """Uniform sv: EA = total height; IA = 1/EA."""
+        n_r, dr = 101, 0.5
+        ds = make_sv(np.full((1, n_r), -60.0), dr=dr)
+        ev = ep.metrics.evenness(ds)
+        H = (n_r - 1) * dr
+        np.testing.assert_allclose(ev.values, H, atol=1e-9)
+        np.testing.assert_allclose(ep.metrics.aggregation(ds).values, 1 / H, atol=1e-12)
+
+    def test_peaked_distribution(self):
+        """A single hot sample pulls CM toward it and shrinks evenness."""
+        n_r = 50
+        sv = np.full((1, n_r), -90.0)
+        sv[0, 30] = -30.0
+        ds = make_sv(sv)
+        cm = ep.metrics.center_of_mass(ds)
+        np.testing.assert_allclose(cm.values, 30 * 0.5, atol=0.2)
+        assert ep.metrics.evenness(ds).values < 2.0
+
+    def test_missing_range_label(self):
+        ds = make_sv(np.full((1, 10), -60.0))
+        with pytest.raises(ValueError):
+            ep.metrics.abundance(ds, range_label="depth")
+
+
+class TestQC:
+    def _times_with_reversal(self):
+        t = np.datetime64("2020-01-01", "ns") + np.arange(50) * np.timedelta64(1, "s")
+        t[20] = t[19] - np.timedelta64(5, "s")  # one reversed ping
+        return t
+
+    def test_exist_reversed(self):
+        t = self._times_with_reversal()
+        ds = Dataset(coords={"ping_time": t})
+        assert ep.qc.exist_reversed_time(ds, "ping_time")
+        ds2 = Dataset(coords={"ping_time": np.sort(t)})
+        assert not ep.qc.exist_reversed_time(ds2, "ping_time")
+
+    def test_coerce_fixes_forward_flow(self):
+        t = self._times_with_reversal()
+        ds = Dataset(coords={"ping_time": t})
+        ep.qc.coerce_increasing_time(ds, win_len=10)
+        fixed = ds.coords["ping_time"].values
+        assert not (np.diff(fixed) < np.timedelta64(0, "ns")).any()
+        # pre-reversal times untouched
+        np.testing.assert_array_equal(fixed[:20], t[:20])
+        # the repaired interval equals the local median interval (1 s)
+        assert fixed[20] - fixed[19] == np.timedelta64(1, "s")
+
+    def test_intervals_preserved_after_repair(self):
+        t = self._times_with_reversal()
+        ds = Dataset(coords={"ping_time": t})
+        ep.qc.coerce_increasing_time(ds, win_len=10)
+        fixed = ds.coords["ping_time"].values
+        # deltas after the repair point keep their original values
+        orig_deltas = np.diff(t)[21:]
+        np.testing.assert_array_equal(np.diff(fixed)[21:], orig_deltas)
