@@ -91,6 +91,8 @@ def open_raw(
     setgrouper_cls = SONAR_MODELS[sonar_model]["set_groups"]()
     sg = setgrouper_cls(parser, input_file=raw_file, sonar_model=sonar_model, params=convert_params)
 
+    # beam groups first: EK80's Sonar group records the resulting group split
+    beam_groups = sg.set_beam()
     tree = {
         "Top-level": sg.set_toplevel(),
         "Environment": sg.set_env(),
@@ -100,7 +102,6 @@ def open_raw(
         "Sonar": sg.set_sonar(),
         "Vendor_specific": sg.set_vendor(),
     }
-    beam_groups = sg.set_beam()
     for i, bg in enumerate(beam_groups, start=1):
         tree[f"Sonar/Beam_group{i}"] = bg
 

@@ -1,0 +1,619 @@
+"""EK80 group assembly: up to 3 beam groups split by waveform/encode mode.
+
+Capability parity: echopype/convert/set_groups_ek80.py:21-1520 — complex
+channels' pings split into FM (LFM) and CW groups; power channels form their
+own group; Sonar group carries ``waveform_encode_descr``; Vendor_specific
+holds narrowband tables, impedance/fs/transceiver type, broadband cal curves
+on ``cal_frequency``, and WBT/PC filter coefficients + decimation on
+``filter_time``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..xrlite import DataArray, Dataset
+from .set_groups_base import SetGroupsBase
+
+WIDE_BAND_TRANS = "WBT"
+PULSE_COMPRESS = "PC"
+FILTER_IMAG = "coeffs_imag"
+FILTER_REAL = "coeffs_real"
+DECIMATION = "deci_fac"
+
+PULSE_FORM_MAP = np.array(["CW", "LFM", "", "", "", "FMD"])
+
+
+class SetGroupsEK80(SetGroupsBase):
+    beamgroups_possible = [
+        {"name": "Beam_group1", "descr": "first beam group"},
+        {"name": "Beam_group2", "descr": "second beam group"},
+        {"name": "Beam_group3", "descr": "third beam group"},
+    ]
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        p = self.parser_obj
+        self.config = {
+            k: v for k, v in p.config_datagram["configuration"].items() if not k.startswith("_")
+        }
+        self.sorted_channel = {
+            "power": sorted(p.ch_ids["power"]),
+            "complex": sorted(p.ch_ids["complex"]),
+        }
+        self.sorted_channel["all"] = sorted(p.ch_ids["power"] + p.ch_ids["complex"])
+        self.beam_group_map = {}
+
+    # ------------------------------------------------------------------- env
+    def set_env(self) -> Dataset:
+        env = self.parser_obj.environment
+        ds = Dataset()
+        name_map = {
+            "depth": "depth",
+            "acidity": "acidity",
+            "salinity": "salinity",
+            "temperature": "temperature",
+            "sound_speed": "sound_speed_indicative",
+        }
+        for src, dst in name_map.items():
+            if src in env:
+                ds[dst] = ((), np.float64(env[src]))
+        if "sound_velocity_profile" in env:
+            svp = np.asarray(env["sound_velocity_profile"], dtype="f8")
+            ds["sound_velocity_profile"] = (
+                ("sound_velocity_profile_depth",),
+                svp[1::2] if svp.size % 2 == 0 else svp,
+                {"long_name": "sound velocity profile"},
+            )
+        for extra in ("drop_keel_offset", "water_level_draft", "transducer_sound_speed"):
+            if extra in env:
+                ds[extra] = ((), np.float64(env[extra]))
+        if "timestamp" in env:
+            ds.attrs["environment_time"] = str(env["timestamp"])
+        return ds
+
+    # ----------------------------------------------------------------- sonar
+    def set_sonar(self, beam_group_type=None) -> Dataset:
+        names = [f"Beam_group{i}" for i in sorted(self.beam_group_map)]
+        descr_map = {
+            "complex_FM": (
+                "contains complex backscatter data and other beam or channel-specific data"
+            ),
+            "complex_CW": (
+                "contains CW-only complex backscatter data and other beam or channel-specific data"
+            ),
+            "power": (
+                "contains backscatter power (uncalibrated) and other beam or channel-specific data"
+            ),
+        }
+        modes = [self.beam_group_map[i] for i in sorted(self.beam_group_map)]
+        ds = Dataset(
+            {
+                "beam_group_descr": (
+                    ("beam_group",),
+                    np.asarray([descr_map[m] for m in modes], dtype=object),
+                ),
+                "waveform_encode_descr": (
+                    ("beam_group",),
+                    np.asarray(modes, dtype=object),
+                    {"long_name": "Waveform and encode mode of a beam group"},
+                ),
+            },
+            coords={"beam_group": np.asarray(names, dtype=object)},
+            attrs={
+                "sonar_manufacturer": "Simrad",
+                "sonar_model": self.sonar_model,
+                "sonar_serial_number": "",
+                "sonar_software_name": "EK80",
+                "sonar_software_version": self.config.get("_header", {}).get(
+                    "application_version", ""
+                ),
+                "sonar_type": "echosounder",
+            },
+        )
+        return ds
+
+    # -------------------------------------------------------------- platform
+    def set_platform(self) -> Dataset:
+        time1, msg_type, lat, lon = self._extract_NMEA_latlon()
+        time1 = self._nan_timestamp_handler(time1)
+        if len(lat) == 0:
+            lat, lon = np.array([np.nan]), np.array([np.nan])
+            msg_type = np.array([""], dtype=object)
+
+        pv = self._varattrs["platform_var_default"]
+        chans = self.sorted_channel["all"]
+        freq = np.asarray(
+            [self.config[ch].get("transducer_frequency", np.nan) for ch in chans], dtype="f8"
+        )
+        ds = Dataset(
+            {
+                "latitude": (("time1",), lat, pv["latitude"]),
+                "longitude": (("time1",), lon, pv["longitude"]),
+                "sentence_type": (("time1",), msg_type, pv["sentence_type"]),
+                "frequency_nominal": (("channel",), freq, pv["frequency_nominal"]),
+                "water_level": (
+                    (),
+                    np.float64(self.parser_obj.environment.get("water_level_draft", 0.0)),
+                    pv["water_level"],
+                ),
+                **{
+                    f"transducer_offset_{x}": (
+                        ("channel",),
+                        np.asarray(
+                            [self.config[ch].get(f"transducer_offset_{x}", np.nan) for ch in chans],
+                            dtype="f8",
+                        ),
+                        pv[f"transducer_offset_{x}"],
+                    )
+                    for x in ("x", "y", "z")
+                },
+            },
+            coords={
+                "channel": (
+                    ("channel",),
+                    np.asarray(chans, dtype=object),
+                    self._varattrs["beam_coord_default"]["channel"],
+                ),
+                "time1": (
+                    ("time1",),
+                    time1,
+                    self._varattrs["platform_coord_default"]["time1"],
+                ),
+            },
+            attrs={"platform_name": "", "platform_type": "", "platform_code_ICES": ""},
+        )
+        mru0 = self.parser_obj.mru0
+        if mru0 and len(mru0.get("timestamp", [])):
+            ds.coords["time2"] = DataArray(
+                np.asarray(mru0["timestamp"], dtype="datetime64[ns]"),
+                ("time2",),
+                attrs=self._varattrs["platform_coord_default"]["time2"],
+                name="time2",
+            )
+            ds["pitch"] = (("time2",), mru0["pitch"].astype("f8"), pv["pitch"])
+            ds["roll"] = (("time2",), mru0["roll"].astype("f8"), pv["roll"])
+            ds["vertical_offset"] = (("time2",), mru0["heave"].astype("f8"), pv["vertical_offset"])
+            ds["heading"] = (
+                ("time2",),
+                mru0["heading"].astype("f8"),
+                {"long_name": "Platform heading", "units": "arc_degree"},
+            )
+        mru1 = self.parser_obj.mru1
+        if mru1 and len(mru1.get("timestamp", [])):
+            ds.coords["time3"] = DataArray(
+                np.asarray(mru1["timestamp"], dtype="datetime64[ns]"),
+                ("time3",),
+                attrs={"axis": "T", "long_name": "Timestamps from MRU1 datagrams"},
+                name="time3",
+            )
+            ds["latitude_mru1"] = (
+                ("time3",),
+                mru1["latitude"].astype("f8"),
+                {"long_name": "Platform latitude from MRU1"},
+            )
+            ds["longitude_mru1"] = (
+                ("time3",),
+                mru1["longitude"].astype("f8"),
+                {"long_name": "Platform longitude from MRU1"},
+            )
+        return ds
+
+    # ------------------------------------------------------------------ beam
+    def _ping_invariant(self, chans):
+        """Channel-invariant beam metadata from the XML config."""
+        def cfgval(ch, *names, default=np.nan):
+            for n in names:
+                if n in self.config[ch]:
+                    return self.config[ch][n]
+            return default
+
+        bv = self._varattrs["beam_var_default"]
+        pv = self._varattrs["platform_var_default"]
+        data = {
+            "frequency_nominal": (
+                ("channel",),
+                np.asarray([cfgval(ch, "transducer_frequency") for ch in chans], dtype="f8"),
+                pv["frequency_nominal"],
+            ),
+            "beam_type": (
+                ("channel",),
+                np.asarray(
+                    [cfgval(ch, "transducer_beam_type", default=0) for ch in chans], dtype="i8"
+                ),
+            ),
+            "beamwidth_twoway_alongship": (
+                ("channel",),
+                np.asarray([cfgval(ch, "beam_width_alongship") for ch in chans], dtype="f8"),
+                {"long_name": "Half power two-way beam width along alongship axis of beam",
+                 "units": "arc_degree"},
+            ),
+            "beamwidth_twoway_athwartship": (
+                ("channel",),
+                np.asarray([cfgval(ch, "beam_width_athwartship") for ch in chans], dtype="f8"),
+                {"long_name": "Half power two-way beam width along athwartship axis of beam",
+                 "units": "arc_degree"},
+            ),
+            "angle_offset_alongship": (
+                ("channel",),
+                np.asarray([cfgval(ch, "angle_offset_alongship") for ch in chans], dtype="f8"),
+            ),
+            "angle_offset_athwartship": (
+                ("channel",),
+                np.asarray([cfgval(ch, "angle_offset_athwartship") for ch in chans], dtype="f8"),
+            ),
+            "angle_sensitivity_alongship": (
+                ("channel",),
+                np.asarray([cfgval(ch, "angle_sensitivity_alongship") for ch in chans], dtype="f8"),
+            ),
+            "angle_sensitivity_athwartship": (
+                ("channel",),
+                np.asarray(
+                    [cfgval(ch, "angle_sensitivity_athwartship") for ch in chans], dtype="f8"
+                ),
+            ),
+            "equivalent_beam_angle": (
+                ("channel",),
+                np.asarray([cfgval(ch, "equivalent_beam_angle") for ch in chans], dtype="f8"),
+                bv["equivalent_beam_angle"],
+            ),
+            "transducer_offset_x": (
+                ("channel",),
+                np.asarray([cfgval(ch, "transducer_offset_x") for ch in chans], dtype="f8"),
+            ),
+            "transducer_offset_y": (
+                ("channel",),
+                np.asarray([cfgval(ch, "transducer_offset_y") for ch in chans], dtype="f8"),
+            ),
+            "transducer_offset_z": (
+                ("channel",),
+                np.asarray([cfgval(ch, "transducer_offset_z") for ch in chans], dtype="f8"),
+            ),
+        }
+        return data
+
+    def set_beam(self) -> list:
+        p = self.parser_obj
+        groups = []  # (mode_name, dataset)
+
+        # ---- complex channels split by FM / CW
+        complex_ch = self.sorted_channel["complex"]
+        if complex_ch:
+            for mode, want in (("complex_FM", "LFM"), ("complex_CW", "CW")):
+                ds = self._assemble_complex_group(complex_ch, want)
+                if ds is not None:
+                    groups.append((mode, ds))
+        power_ch = self.sorted_channel["power"]
+        if power_ch:
+            ds = self._assemble_power_group(power_ch)
+            if ds is not None:
+                groups.append(("power", ds))
+
+        self.beam_group_map = {i + 1: mode for i, (mode, _) in enumerate(groups)}
+        return [ds for _, ds in groups]
+
+    def _transmit_types(self, ch):
+        pf = np.asarray(self.parser_obj.ping_data_dict["pulse_form"][ch])
+        pf = np.nan_to_num(pf.astype("f8"), nan=0.0).astype("i8")
+        return PULSE_FORM_MAP[np.clip(pf, 0, len(PULSE_FORM_MAP) - 1)]
+
+    def _assemble_complex_group(self, chans, want_type):
+        p = self.parser_obj
+        sel_times = {}
+        sel_rows = {}
+        for ch in chans:
+            tt = self._transmit_types(ch)
+            rows = np.nonzero(tt == want_type)[0]
+            if len(rows):
+                sel_times[ch] = p.ping_time[ch][rows]
+                sel_rows[ch] = rows
+        if not sel_times:
+            return None
+        union_time, time_map = self.union_times(sel_times)
+        n_t = len(union_time)
+        chans_used = list(sel_times)
+        self._group_chans = chans_used
+
+        max_r = max(p.ping_data_dict["complex"][ch]["real"].shape[1] for ch in chans_used)
+        n_beam = max(p.ping_data_dict["complex"][ch]["real"].shape[2] for ch in chans_used)
+        shape = (len(chans_used), n_t, max_r, n_beam)
+        bs_r = np.full(shape, np.nan)
+        bs_i = np.full(shape, np.nan)
+        arrays = {}
+        tx_type = np.full((len(chans_used), n_t), "", dtype=object)
+        f_start = np.full((len(chans_used), n_t), np.nan)
+        f_stop = np.full((len(chans_used), n_t), np.nan)
+        for ci, ch in enumerate(chans_used):
+            self._ci = ci
+            rows_src = sel_rows[ch]
+            rows_dst = time_map[ch]
+            comp = p.ping_data_dict["complex"][ch]
+            r, b = comp["real"].shape[1], comp["real"].shape[2]
+            bs_r[ci, rows_dst, :r, :b] = comp["real"][rows_src]
+            bs_i[ci, rows_dst, :r, :b] = comp["imag"][rows_src]
+            self._per_ping_vars_subset(ch, rows_src, rows_dst, n_t, arrays, len(chans_used))
+            tx_type[ci, rows_dst] = want_type
+            if want_type == "LFM":
+                fs = np.asarray(p.ping_data_dict["frequency_start"][ch], dtype="f8")[rows_src]
+                fe = np.asarray(p.ping_data_dict["frequency_end"][ch], dtype="f8")[rows_src]
+                f_start[ci, rows_dst] = fs
+                f_stop[ci, rows_dst] = fe
+            else:
+                freq = np.asarray(p.ping_data_dict["frequency"][ch], dtype="f8")[rows_src]
+                if np.all(np.isnan(freq)):
+                    freq = np.full(len(rows_src), self.config[ch].get("transducer_frequency", np.nan))
+                f_start[ci, rows_dst] = freq
+                f_stop[ci, rows_dst] = freq
+
+        ds = self._build_group_ds(
+            chans_used, union_time, arrays, tx_type, f_start, f_stop, max_r
+        )
+        ds["backscatter_r"] = (
+            ("channel", "ping_time", "range_sample", "beam"),
+            bs_r,
+            self._varattrs["beam_var_default"]["backscatter_r"],
+        )
+        ds["backscatter_i"] = (
+            ("channel", "ping_time", "range_sample", "beam"),
+            bs_i,
+            self._varattrs["beam_var_default"]["backscatter_i"],
+        )
+        ds.coords["beam"] = DataArray(
+            np.arange(1, n_beam + 1).astype(str).astype(object), ("beam",),
+            attrs=self._varattrs["beam_coord_default"]["beam"], name="beam",
+        )
+        return ds
+
+    def _assemble_power_group(self, chans):
+        p = self.parser_obj
+        sel_times = {ch: p.ping_time[ch] for ch in chans if p.ping_data_dict["power"].get(ch) is not None}
+        if not sel_times:
+            return None
+        union_time, time_map = self.union_times(sel_times)
+        n_t = len(union_time)
+        chans_used = list(sel_times)
+        self._group_chans = chans_used
+        max_r = max(p.ping_data_dict["power"][ch].shape[1] for ch in chans_used)
+        bs = np.full((len(chans_used), n_t, max_r), np.nan, dtype="f4")
+        has_angle = any(p.ping_data_dict["angle"].get(ch) is not None for ch in chans_used)
+        ang_at = np.full((len(chans_used), n_t, max_r), np.nan, dtype="f4") if has_angle else None
+        ang_al = np.full((len(chans_used), n_t, max_r), np.nan, dtype="f4") if has_angle else None
+        arrays = {}
+        tx_type = np.full((len(chans_used), n_t), "", dtype=object)
+        f_start = np.full((len(chans_used), n_t), np.nan)
+        f_stop = np.full((len(chans_used), n_t), np.nan)
+        for ci, ch in enumerate(chans_used):
+            rows_src = np.arange(len(p.ping_time[ch]))
+            rows_dst = time_map[ch]
+            pw = p.ping_data_dict["power"][ch]
+            bs[ci, rows_dst, : pw.shape[1]] = pw
+            ang = p.ping_data_dict["angle"].get(ch)
+            if ang is not None:
+                ang_at[ci, rows_dst, : ang.shape[1]] = ang[:, :, 0]
+                ang_al[ci, rows_dst, : ang.shape[1]] = ang[:, :, 1]
+            self._per_ping_vars_subset(ch, rows_src, rows_dst, n_t, arrays, len(chans_used))
+            tx_type[ci, rows_dst] = self._transmit_types(ch)[rows_src]
+            freq = np.asarray(p.ping_data_dict["frequency"][ch], dtype="f8")[rows_src]
+            if np.all(np.isnan(freq)):
+                freq = np.full(len(rows_src), self.config[ch].get("transducer_frequency", np.nan))
+            f_start[ci, rows_dst] = freq
+            f_stop[ci, rows_dst] = freq
+
+        ds = self._build_group_ds(chans_used, union_time, arrays, tx_type, f_start, f_stop, max_r)
+        ds["backscatter_r"] = (
+            ("channel", "ping_time", "range_sample"),
+            bs,
+            {**self._varattrs["beam_var_default"]["backscatter_r"], "units": "dB"},
+        )
+        if has_angle:
+            ds["angle_athwartship"] = (
+                ("channel", "ping_time", "range_sample"),
+                ang_at,
+                {"long_name": "electrical athwartship angle"},
+            )
+            ds["angle_alongship"] = (
+                ("channel", "ping_time", "range_sample"),
+                ang_al,
+                {"long_name": "electrical alongship angle"},
+            )
+        return ds
+
+    def _per_ping_vars_subset(self, ch, rows_src, rows_dst, n_t, arrays, n_ch):
+        pd = self.parser_obj.ping_data_dict
+        field_map = {
+            "sample_interval": "sample_interval",
+            "transmit_duration_nominal": "pulse_duration",
+            "transmit_power": "transmit_power",
+            "slope": "slope",
+        }
+        for out_name, src in field_map.items():
+            vals = pd[src].get(ch)
+            if vals is None:
+                continue
+            arr = arrays.setdefault(out_name, np.full((n_ch, n_t), np.nan))
+            arr[self._group_chans.index(ch), rows_dst] = np.asarray(vals, dtype="f8")[rows_src]
+
+    def _build_group_ds(self, chans, union_time, arrays, tx_type, f_start, f_stop, max_r):
+        bv = self._varattrs["beam_var_default"]
+        ds = Dataset(
+            coords={
+                "channel": (
+                    ("channel",),
+                    np.asarray(chans, dtype=object),
+                    self._varattrs["beam_coord_default"]["channel"],
+                ),
+                "ping_time": (
+                    ("ping_time",),
+                    union_time,
+                    self._varattrs["beam_coord_default"]["ping_time"],
+                ),
+                "range_sample": (
+                    ("range_sample",),
+                    np.arange(max_r),
+                    self._varattrs["beam_coord_default"]["range_sample"],
+                ),
+            },
+            attrs={"beam_mode": "vertical", "conversion_equation_t": "type_3"},
+        )
+        for name, arr in self._ping_invariant(chans).items():
+            ds[name] = arr
+        for name, arr in arrays.items():
+            attrs = bv.get(name, {})
+            ds[name] = (("channel", "ping_time"), arr, attrs)
+        ds["transmit_type"] = (
+            ("channel", "ping_time"),
+            tx_type,
+            {"long_name": "Type of transmitted pulse", "flag_values": ["CW", "LFM", "FMD"]},
+        )
+        ds["transmit_frequency_start"] = (
+            ("channel", "ping_time"),
+            f_start,
+            bv["transmit_frequency_start"],
+        )
+        ds["transmit_frequency_stop"] = (
+            ("channel", "ping_time"),
+            f_stop,
+            bv["transmit_frequency_stop"],
+        )
+        return ds
+
+    # ---------------------------------------------------------------- vendor
+    def set_vendor(self) -> Dataset:
+        chans = self.sorted_channel["all"]
+        cfg = self.config
+
+        def table(name):
+            rows = [np.atleast_1d(np.asarray(cfg[ch].get(name, [np.nan]), dtype="f8")) for ch in chans]
+            width = max(len(r) for r in rows)
+            out = np.full((len(chans), width), np.nan)
+            for i, r in enumerate(rows):
+                out[i, : len(r)] = r
+            return out
+
+        pulse_length = table("pulse_duration")
+        gain = table("gain")
+        sa = table("sa_correction")
+
+        ds = Dataset(
+            {
+                "frequency_nominal": (
+                    ("channel",),
+                    np.asarray(
+                        [cfg[ch].get("transducer_frequency", np.nan) for ch in chans], dtype="f8"
+                    ),
+                    self._varattrs["platform_var_default"]["frequency_nominal"],
+                ),
+                "sa_correction": (("channel", "pulse_length_bin"), sa),
+                "gain_correction": (("channel", "pulse_length_bin"), gain),
+                "pulse_length": (("channel", "pulse_length_bin"), pulse_length),
+            },
+            coords={
+                "channel": (
+                    ("channel",),
+                    np.asarray(chans, dtype=object),
+                    self._varattrs["beam_coord_default"]["channel"],
+                ),
+                "pulse_length_bin": np.arange(pulse_length.shape[1]),
+            },
+        )
+        if any("impedance" in cfg[ch] for ch in chans):
+            ds["impedance_transceiver"] = (
+                ("channel",),
+                np.asarray([cfg[ch].get("impedance", np.nan) for ch in chans], dtype="f8"),
+                {"units": "ohm", "long_name": "Transceiver impedance"},
+            )
+        if any("rx_sample_frequency" in cfg[ch] for ch in chans):
+            ds["receiver_sampling_frequency"] = (
+                ("channel",),
+                np.asarray(
+                    [float(cfg[ch].get("rx_sample_frequency", np.nan)) for ch in chans], dtype="f8"
+                ),
+                {"units": "Hz", "long_name": "Receiver sampling frequency"},
+            )
+        if any("transceiver_type" in cfg[ch] for ch in chans):
+            ds["transceiver_type"] = (
+                ("channel",),
+                np.asarray([cfg[ch].get("transceiver_type", "") for ch in chans], dtype=object),
+                {"long_name": "Transceiver type"},
+            )
+
+        # broadband calibration curves
+        cal_chans = [ch for ch in chans if "calibration" in cfg[ch]]
+        if cal_chans:
+            freqs = sorted(
+                set(np.concatenate([cfg[ch]["calibration"]["frequency"] for ch in cal_chans]))
+            )
+            freqs = np.asarray(freqs, dtype="f8")
+            ds.coords["cal_frequency"] = DataArray(
+                freqs,
+                ("cal_frequency",),
+                attrs={"long_name": "Frequency of calibration parameter", "units": "Hz"},
+                name="cal_frequency",
+            )
+            ds.coords["cal_channel_id"] = DataArray(
+                np.asarray(cal_chans, dtype=object),
+                ("cal_channel_id",),
+                attrs={"long_name": "ID of channels containing broadband calibration information"},
+                name="cal_channel_id",
+            )
+            for p_name in (
+                "gain",
+                "impedance",
+                "phase",
+                "beamwidth_alongship",
+                "beamwidth_athwartship",
+                "angle_offset_alongship",
+                "angle_offset_athwartship",
+            ):
+                vals = np.full((len(cal_chans), len(freqs)), np.nan)
+                found = False
+                for i, ch in enumerate(cal_chans):
+                    cal = cfg[ch]["calibration"]
+                    if p_name in cal:
+                        found = True
+                        idx = np.searchsorted(freqs, np.asarray(cal["frequency"], dtype="f8"))
+                        vals[i, idx] = cal[p_name]
+                if found:
+                    out_name = "impedance_transducer" if p_name == "impedance" else p_name
+                    ds[out_name] = (("cal_channel_id", "cal_frequency"), vals)
+
+        ds = self._add_filter_params(ds)
+        ds.attrs["config_xml"] = self.parser_obj.config_datagram.get("xml", "")
+        return ds
+
+    def _add_filter_params(self, ds: Dataset) -> Dataset:
+        fil = self.parser_obj.fil
+        stage_type = {1: WIDE_BAND_TRANS, 2: PULSE_COMPRESS}
+        times = np.unique(np.asarray(fil["timestamp"], dtype="datetime64[ns]"))
+        if len(times) == 0:
+            return ds
+        ds.coords["filter_time"] = DataArray(
+            times, ("filter_time",), attrs={"axis": "T"}, name="filter_time"
+        )
+        chans = list(ds.coords["channel"].values)
+        max_len = {}
+        for stage in stage_type:
+            lens = [
+                len(fil.get((ch, stage, "coeffs", t), []))
+                for t in times
+                for ch in chans
+            ]
+            max_len[stage] = max(lens, default=0)
+        for stage, name in stage_type.items():
+            nf = max(max_len[stage], 1)
+            re = np.full((len(chans), len(times), nf), np.nan)
+            im = np.full((len(chans), len(times), nf), np.nan)
+            deci = np.full((len(chans), len(times)), np.nan)
+            for ti, t in enumerate(times):
+                for ci, ch in enumerate(chans):
+                    coeffs = fil.get((ch, stage, "coeffs", t))
+                    if coeffs is not None:
+                        re[ci, ti, : len(coeffs)] = np.real(coeffs)
+                        im[ci, ti, : len(coeffs)] = np.imag(coeffs)
+                    d = fil.get((ch, stage, "deci_fac", t))
+                    if d is not None:
+                        deci[ci, ti] = d
+            ds[f"{name}_{FILTER_REAL}"] = (("channel", "filter_time", f"{name}_filter_n"), re)
+            ds[f"{name}_{FILTER_IMAG}"] = (("channel", "filter_time", f"{name}_filter_n"), im)
+            ds[f"{name}_{DECIMATION}"] = (("channel", "filter_time"), deci)
+        return ds

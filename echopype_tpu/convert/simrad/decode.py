@@ -193,6 +193,161 @@ def decode_nmea(index: DatagramIndex, rows: np.ndarray):
     return np.asarray(out, dtype=object), index.timestamp[rows]
 
 
+# ----------------------------------------------------------------- EK80: RAW3
+RAW3_HEADER = np.dtype(
+    [
+        ("type", "S4"),
+        ("low_date", "<u4"),
+        ("high_date", "<u4"),
+        ("channel_id", "S128"),
+        ("data_type", "<i2"),
+        ("spare", "S2"),
+        ("offset", "<i4"),
+        ("count", "<i4"),
+    ]
+)
+assert RAW3_HEADER.itemsize == 152
+
+
+def decode_raw3_headers(index: DatagramIndex, rows: np.ndarray):
+    """Decode all RAW3/RAW4 headers in one structured gather.
+
+    Returns (structured header array, timestamps, channel_id strings).
+    """
+    u8 = np.frombuffer(index.buf, dtype="u1")
+    offs = index.body_offset[rows]
+    if len(offs) == 0:
+        return (
+            np.empty(0, dtype=RAW3_HEADER),
+            np.empty(0, "datetime64[ns]"),
+            np.empty(0, dtype=object),
+        )
+    hdr_bytes = u8[offs[:, None] + np.arange(RAW3_HEADER.itemsize)]
+    hdr = np.ascontiguousarray(hdr_bytes).view(RAW3_HEADER).ravel()
+    ts = nt_to_datetime64(hdr["low_date"], hdr["high_date"])
+    ch_ids = np.array(
+        [c.split(b"\x00", 1)[0].decode("latin_1").replace("\x00t", "") for c in hdr["channel_id"]],
+        dtype=object,
+    )
+    return hdr, ts, ch_ids
+
+
+def _gather_f32(u8: np.ndarray, starts: np.ndarray, n_vals: np.ndarray, max_vals: int):
+    """Gather little-endian float32 runs into a padded [rows, max_vals] matrix."""
+    if max_vals == 0 or len(starts) == 0:
+        return np.zeros((len(starts), 0), "f4"), np.zeros((len(starts), 0), bool)
+    lane = np.arange(max_vals, dtype="i8")
+    valid = lane[None, :] < n_vals[:, None].astype("i8")
+    idx = np.where(valid, starts[:, None] + 4 * lane[None, :], 0)
+    b = np.stack([u8[idx], u8[idx + 1], u8[idx + 2], u8[idx + 3]], axis=-1)
+    vals = np.ascontiguousarray(b).view("<f4").reshape(b.shape[:-1])
+    return vals, valid
+
+
+def decode_raw3_samples(index: DatagramIndex, rows: np.ndarray, hdr: np.ndarray):
+    """Vectorized RAW3/RAW4 payload decode for one channel's rows.
+
+    data_type bits (ek_raw_parsers.py:1676-1760): bit0 power, bit1 angle,
+    bit3 complex-f32; n_complex = data_type >> 8 (number of sectors).
+
+    Returns dict with keys power [N,R], angle [N,R,2], complex_r/complex_i
+    [N,R,n_complex] (None where absent).
+    """
+    u8 = np.frombuffer(index.buf, dtype="u1")
+    offs = index.body_offset[rows]
+    counts = hdr["count"].astype("i8")
+    dt = hdr["data_type"].astype("i8")
+    n_complex = int((dt >> 8).max()) if len(dt) else 0
+    max_count = int(counts.max()) if len(counts) else 0
+    pos = offs + RAW3_HEADER.itemsize
+
+    out = {"power": None, "angle": None, "complex_r": None, "complex_i": None,
+           "n_complex": n_complex}
+
+    has_power = (dt & 1).astype(bool)
+    has_angle = (dt & 2).astype(bool)
+    if has_power.any():
+        vals, valid = _gather_i16(u8, pos, np.where(has_power, counts, 0), max_count)
+        out["power"] = np.where(valid, vals.astype("f4") * np.float32(INDEX2POWER), np.nan).astype(
+            "f4"
+        )
+        pos = pos + np.where(has_power, 2 * counts, 0)
+    if has_angle.any():
+        vals, valid = _gather_i16(u8, pos, np.where(has_angle, counts, 0), max_count)
+        u16 = vals.view("u2").reshape(vals.shape)
+        athwart = (u16 & np.uint16(0xFF)).astype("u1").view("i1").reshape(u16.shape)
+        along = (u16 >> np.uint16(8)).astype("u1").view("i1").reshape(u16.shape)
+        angle = np.stack([athwart, along], axis=-1).astype("f4")
+        angle[~valid] = np.nan
+        out["angle"] = angle
+        pos = pos + np.where(has_angle, 2 * counts, 0)
+    if n_complex > 0:
+        if not bool((dt & 0b1000).any()):
+            raise NotImplementedError("float16 complex samples are not supported")
+        n_f32 = np.where(dt >> 8 > 0, counts * n_complex * 2, 0)
+        vals, valid = _gather_f32(u8, pos, n_f32, max_count * n_complex * 2)
+        vals = np.where(valid, vals, np.nan)
+        vals = vals.reshape(len(rows), max_count, n_complex, 2)
+        # reference upcasts complex parts to f64 with imag-of-padding NaN
+        out["complex_r"] = vals[..., 0].astype("f8")
+        out["complex_i"] = vals[..., 1].astype("f8")
+    return out
+
+
+def decode_fil1(index: DatagramIndex, row: int) -> dict:
+    """FIL1 filter datagram (ek_raw_parsers.py:1161-1205)."""
+    import struct as _s
+
+    start = int(index.body_offset[row])
+    body = index.buf[start : start + int(index.size[row])]
+    (_t, low, high, stage, _sp, ch, n_coeff, deci) = _s.unpack_from("<4sLLh2s128shh", body, 0)
+    coeffs = np.frombuffer(body, dtype="<c8", count=n_coeff, offset=_s.calcsize("<4sLLh2s128shh"))
+    return {
+        "timestamp": index.timestamp[row],
+        "stage": stage,
+        "channel_id": ch.split(b"\x00", 1)[0].decode("latin_1"),
+        "n_coefficients": n_coeff,
+        "decimation_factor": deci,
+        "coefficients": coeffs,
+    }
+
+
+MRU0_STRUCT = "<4sLLffff"  # heave, roll, pitch, heading
+
+
+def decode_mru0(index: DatagramIndex, rows: np.ndarray):
+    import struct as _s
+
+    out = {"heave": [], "roll": [], "pitch": [], "heading": [], "timestamp": []}
+    for r in rows:
+        start = int(index.body_offset[r])
+        (_t, low, high, heave, roll, pitch, heading) = _s.unpack_from(
+            MRU0_STRUCT, index.buf, start
+        )
+        out["heave"].append(heave)
+        out["roll"].append(roll)
+        out["pitch"].append(pitch)
+        out["heading"].append(heading)
+        out["timestamp"].append(index.timestamp[r])
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
+MRU1_PREFIX = "<4sLL4sL12sdd"  # ..., latitude d, longitude d
+
+
+def decode_mru1(index: DatagramIndex, rows: np.ndarray):
+    import struct as _s
+
+    out = {"latitude": [], "longitude": [], "timestamp": []}
+    for r in rows:
+        start = int(index.body_offset[r])
+        vals = _s.unpack_from(MRU1_PREFIX, index.buf, start)
+        out["latitude"].append(vals[6])
+        out["longitude"].append(vals[7])
+        out["timestamp"].append(index.timestamp[r])
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
 # ---------------------------------------------------------------- NMEA lat/lon
 def _dm_to_deg(dm: str, hemi: str) -> float:
     """ddmm.mmmm -> decimal degrees."""

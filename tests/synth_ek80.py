@@ -1,0 +1,254 @@
+"""Synthetic EK80 .raw file writer for tests.
+
+Produces byte-exact XML0 (configuration/environment/parameter), FIL1, RAW3
+datagrams, with a broadband (LFM) complex channel, a CW complex channel, and
+a CW power channel.
+"""
+
+import struct
+
+import numpy as np
+
+from synth_ek60 import dt64_to_nt, frame, make_nme0
+
+CH_BB = "WBT 400140-15 ES70-7C"
+CH_CW = "WBT 400141-15 ES120-7C"
+CH_PW = "GPT 400142-15 ES38B"
+
+
+def make_xml0(timestamp, xml_string: str) -> bytes:
+    low, high = dt64_to_nt(timestamp)
+    body = struct.pack("<4sLL", b"XML0", low, high) + xml_string.encode() + b"\x00"
+    return frame(body)
+
+
+def config_xml(channels):
+    tcvrs = []
+    for i, ch in enumerate(channels):
+        cal_block = ""
+        if ch.get("cal_freqs") is not None:
+            pars = "".join(
+                f'<FrequencyPar Frequency="{int(f)}" Gain="{g}" Impedance="75" Phase="0" '
+                f'BeamWidthAlongship="7.0" BeamWidthAthwartship="7.0" '
+                f'AngleOffsetAlongship="0.1" AngleOffsetAthwartship="0.1"/>'
+                for f, g in zip(ch["cal_freqs"], ch["cal_gains"])
+            )
+            cal_block = pars
+        tcvrs.append(
+            f"""<Transceiver TransceiverNumber="{i + 1}" TransceiverType="{ch['tcvr_type']}"
+              Version="1.2" IPAddress="10.0.0.{i+1}" Impedance="{ch.get('impedance', 5400)}"
+              RxSampleFrequency="{ch.get('fs', 1500000)}">
+            <Channels>
+            <Channel ChannelID="{ch['id']}" MaxTxPowerTransceiver="2000"
+               PulseDuration="{';'.join(str(x) for x in ch['pulse_durations'])}"
+               SampleInterval="{';'.join(str(x) for x in ch['sample_intervals'])}"
+               HWChannelConfiguration="1">
+              <Transducer TransducerName="{ch['id'].split()[-1]}" SerialNumber="123"
+                 Frequency="{ch['frequency']}" FrequencyMinimum="{ch.get('fmin', ch['frequency'])}"
+                 FrequencyMaximum="{ch.get('fmax', ch['frequency'])}"
+                 BeamType="{ch.get('beam_type', 1)}"
+                 Gain="{';'.join(str(g) for g in ch['gains'])}"
+                 SaCorrection="{';'.join(str(s) for s in ch['sas'])}"
+                 EquivalentBeamAngle="-20.7" BeamWidthAlongship="7.0" BeamWidthAthwartship="7.0"
+                 AngleSensitivityAlongship="23.0" AngleSensitivityAthwartship="23.0"
+                 AngleOffsetAlongship="0.0" AngleOffsetAthwartship="0.0"
+                 TransducerOffsetX="0.0" TransducerOffsetY="0.0" TransducerOffsetZ="0.0">
+                 {cal_block}
+              </Transducer>
+            </Channel>
+            </Channels>
+            </Transceiver>"""
+        )
+    return (
+        '<Configuration><Header Copyright="c" ApplicationName="EK80" Version="21.15.0"/>'
+        + "<Transceivers>"
+        + "".join(tcvrs)
+        + "</Transceivers></Configuration>"
+    )
+
+
+def environment_xml(
+    depth=100.0, acidity=8.06, salinity=33.5, sound_speed=1480.0, temperature=9.0
+):
+    return (
+        f'<Environment Depth="{depth}" Acidity="{acidity}" Salinity="{salinity}" '
+        f'SoundSpeed="{sound_speed}" Temperature="{temperature}" Latitude="44.5" '
+        f'DropKeelOffset="0.0" DropKeelOffsetIsManual="0" WaterLevelDraft="1.5" '
+        f'WaterLevelDraftIsManual="0" SoundVelocityProfile="1.0;1480.0;100.0;1480.0" '
+        f'SoundVelocitySource="Manual"/>'
+    )
+
+
+def parameter_xml(channel_id, pulse_form, frequency=None, freq_start=None, freq_end=None,
+                  pulse_duration=1.024e-3, sample_interval=1 / 93750, transmit_power=150.0,
+                  slope=0.0078125):
+    freq_attrs = (
+        f'Frequency="{frequency}"' if frequency is not None
+        else f'FrequencyStart="{freq_start}" FrequencyEnd="{freq_end}"'
+    )
+    return (
+        f'<Parameter><Channel ChannelID="{channel_id}" ChannelMode="0" '
+        f'PulseForm="{pulse_form}" {freq_attrs} PulseDuration="{pulse_duration}" '
+        f'SampleInterval="{sample_interval}" TransmitPower="{transmit_power}" '
+        f'Slope="{slope}"/></Parameter>'
+    )
+
+
+def make_fil1(timestamp, channel_id, stage, coefficients, decimation):
+    low, high = dt64_to_nt(timestamp)
+    coeffs = np.asarray(coefficients, dtype="<c8")
+    body = struct.pack(
+        "<4sLLh2s128shh",
+        b"FIL1",
+        low,
+        high,
+        stage,
+        b"",
+        channel_id.encode(),
+        len(coeffs),
+        decimation,
+    ) + coeffs.tobytes()
+    return frame(body)
+
+
+def make_raw3(timestamp, channel_id, complex_samples=None, power_idx=None, angle=None):
+    """complex_samples: complex64 [count, n_sectors]."""
+    low, high = dt64_to_nt(timestamp)
+    data_type = 0
+    count = 0
+    payload = b""
+    if power_idx is not None:
+        data_type |= 0b1
+        count = len(power_idx)
+        payload += np.asarray(power_idx, dtype="<i2").tobytes()
+    if angle is not None:
+        data_type |= 0b10
+        count = len(angle)
+        payload += np.asarray(angle, dtype="i1").tobytes()
+    if complex_samples is not None:
+        cs = np.asarray(complex_samples, dtype="<c8")
+        count, n_sec = cs.shape
+        data_type |= 0b1000 | (n_sec << 8)
+        payload += cs.tobytes()
+    body = (
+        struct.pack(
+            "<4sLL128sh2sll", b"RAW3", low, high, channel_id.encode(), data_type, b"", 0, count
+        )
+        + payload
+    )
+    return frame(body)
+
+
+def default_channels():
+    return [
+        {
+            "id": CH_BB,
+            "tcvr_type": "WBT",
+            "frequency": 70000.0,
+            "fmin": 45000.0,
+            "fmax": 90000.0,
+            "pulse_durations": [256e-6, 512e-6, 1024e-6, 2048e-6, 4096e-6],
+            "sample_intervals": [4e-6, 8e-6, 16e-6, 32e-6, 64e-6],
+            "gains": [26.0, 26.5, 27.0, 27.5, 28.0],
+            "sas": [0.0, -0.05, -0.1, -0.15, -0.2],
+            "impedance": 5400,
+            "fs": 1500000,
+            "cal_freqs": np.linspace(45000, 90000, 10),
+            "cal_gains": np.linspace(26.0, 28.0, 10),
+        },
+        {
+            "id": CH_CW,
+            "tcvr_type": "WBT",
+            "frequency": 120000.0,
+            "pulse_durations": [256e-6, 512e-6, 1024e-6],
+            "sample_intervals": [8e-6, 16e-6, 32e-6],
+            "gains": [24.0, 25.0, 26.0],
+            "sas": [0.0, -0.1, -0.2],
+            "impedance": 5400,
+            "fs": 1500000,
+            "cal_freqs": None,
+        },
+        {
+            "id": CH_PW,
+            "tcvr_type": "GPT",
+            "frequency": 38000.0,
+            "pulse_durations": [256e-6, 512e-6, 1024e-6],
+            "sample_intervals": [64e-6, 128e-6, 256e-6],
+            "gains": [22.0, 23.0, 24.0],
+            "sas": [0.0, -0.1, -0.2],
+            "impedance": 5400,
+            "fs": 500000,
+            "cal_freqs": None,
+        },
+    ]
+
+
+def write_ek80_raw(
+    path,
+    n_pings=6,
+    n_samples=64,
+    n_sectors=4,
+    t0=np.datetime64("2021-02-01T00:00:00", "ns"),
+    seed=0,
+    with_power_channel=True,
+    with_cw_complex=True,
+):
+    rng = np.random.default_rng(seed)
+    channels = default_channels()
+    if not with_cw_complex:
+        channels = [channels[0], channels[2]]
+    if not with_power_channel:
+        channels = [c for c in channels if c["tcvr_type"] != "GPT"]
+
+    chunks = [make_xml0(t0, config_xml(channels)), make_xml0(t0, environment_xml())]
+    # filter datagrams: simple averaging filters
+    wbt_coeff = np.full(4, 0.25, dtype="c8")
+    pc_coeff = np.full(2, 0.5, dtype="c8")
+    for ch in channels:
+        chunks.append(make_fil1(t0, ch["id"], 1, wbt_coeff, 6))
+        chunks.append(make_fil1(t0, ch["id"], 2, pc_coeff, 1))
+
+    truth = {"complex": {}, "power": {}, "ping_time": {}, "channels": [c["id"] for c in channels]}
+    for p in range(n_pings):
+        ts = t0 + np.timedelta64(p + 1, "s")
+        for ch in channels:
+            cid = ch["id"]
+            if ch["tcvr_type"] == "GPT":
+                chunks.append(
+                    make_xml0(
+                        ts,
+                        parameter_xml(
+                            cid, 0, frequency=ch["frequency"], sample_interval=256e-6,
+                            transmit_power=1000.0,
+                        ),
+                    )
+                )
+                pw = rng.integers(-20000, 0, n_samples).astype("<i2")
+                ang = rng.integers(-50, 50, (n_samples, 2)).astype("i1")
+                chunks.append(make_raw3(ts, cid, power_idx=pw, angle=ang))
+                truth["power"].setdefault(cid, []).append(pw)
+            else:
+                is_bb = ch["cal_freqs"] is not None
+                if is_bb:
+                    xml = parameter_xml(
+                        cid, 1, freq_start=50000.0, freq_end=90000.0,
+                        sample_interval=16e-6, transmit_power=150.0,
+                    )
+                else:
+                    xml = parameter_xml(
+                        cid, 0, frequency=ch["frequency"], sample_interval=32e-6,
+                        transmit_power=150.0,
+                    )
+                chunks.append(make_xml0(ts, xml))
+                cs = (
+                    rng.normal(0, 1e-3, (n_samples, n_sectors))
+                    + 1j * rng.normal(0, 1e-3, (n_samples, n_sectors))
+                ).astype("c8")
+                chunks.append(make_raw3(ts, cid, complex_samples=cs))
+                truth["complex"].setdefault(cid, []).append(cs)
+            truth["ping_time"].setdefault(cid, []).append(ts)
+        if p % 2 == 0:
+            chunks.append(make_nme0(ts, f"$GPGGA,120000,{44:02d}{p:02d}.5000,N,{125:03d}{p:02d}.2500,W,1,08,0.9,5.0,M,,M,,"))
+    with open(path, "wb") as f:
+        f.write(b"".join(chunks))
+    return truth

@@ -1,0 +1,115 @@
+"""EK80 conversion tests: synthetic .raw -> EchoData tree with 3 beam groups."""
+
+import numpy as np
+import pytest
+
+import echopype_tpu as ep
+
+from synth_ek80 import CH_BB, CH_CW, CH_PW, write_ek80_raw
+
+
+@pytest.fixture(scope="module")
+def ek80_ed(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("ek80")
+    path = tmp / "E80-D20210201-T000000.raw"
+    truth = write_ek80_raw(path, n_pings=6, n_samples=64)
+    ed = ep.open_raw(path, sonar_model="EK80")
+    return ed, truth
+
+
+class TestEK80Convert:
+    def test_beam_groups_split(self, ek80_ed):
+        ed, truth = ek80_ed
+        sonar = ed["Sonar"]
+        descr = [str(x) for x in sonar["waveform_encode_descr"].values]
+        assert descr == ["complex_FM", "complex_CW", "power"]
+        assert "Sonar/Beam_group1" in ed.group_paths
+        assert "Sonar/Beam_group2" in ed.group_paths
+        assert "Sonar/Beam_group3" in ed.group_paths
+
+    def test_complex_fm_values(self, ek80_ed):
+        ed, truth = ek80_ed
+        bg1 = ed["Sonar/Beam_group1"]
+        assert bg1["backscatter_r"].dims == ("channel", "ping_time", "range_sample", "beam")
+        assert bg1.sizes["beam"] == 4
+        expected = np.stack(truth["complex"][CH_BB])  # [ping, range, sector]
+        np.testing.assert_allclose(
+            bg1["backscatter_r"].values[0], expected.real, rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            bg1["backscatter_i"].values[0], expected.imag, rtol=1e-6
+        )
+        # FM transmit params
+        np.testing.assert_allclose(bg1["transmit_frequency_start"].values, 50000.0)
+        np.testing.assert_allclose(bg1["transmit_frequency_stop"].values, 90000.0)
+        assert str(bg1["transmit_type"].values[0, 0]) == "LFM"
+
+    def test_complex_cw_group(self, ek80_ed):
+        ed, truth = ek80_ed
+        bg2 = ed["Sonar/Beam_group2"]
+        assert list(bg2.coords["channel"].values) == [CH_CW]
+        np.testing.assert_allclose(bg2["transmit_frequency_start"].values, 120000.0)
+        assert str(bg2["transmit_type"].values[0, 0]) == "CW"
+
+    def test_power_group(self, ek80_ed):
+        ed, truth = ek80_ed
+        bg3 = ed["Sonar/Beam_group3"]
+        assert list(bg3.coords["channel"].values) == [CH_PW]
+        from echopype_tpu.convert.simrad.decode import INDEX2POWER
+
+        expected = np.stack(truth["power"][CH_PW]).astype("f4") * np.float32(INDEX2POWER)
+        np.testing.assert_allclose(bg3["backscatter_r"].values[0], expected, rtol=1e-6)
+        assert "angle_athwartship" in bg3
+
+    def test_vendor_tables_and_filters(self, ek80_ed):
+        ed, truth = ek80_ed
+        vend = ed["Vendor_specific"]
+        assert list(vend.coords["channel"].values) == sorted([CH_BB, CH_CW, CH_PW])
+        # transceiver types recorded
+        ttypes = {str(c): str(t) for c, t in zip(vend.coords["channel"].values,
+                                                 vend["transceiver_type"].values)}
+        assert ttypes[CH_PW] == "GPT" and ttypes[CH_BB] == "WBT"
+        # pulse tables: BB channel row
+        bb_i = list(vend.coords["channel"].values).index(CH_BB)
+        np.testing.assert_allclose(
+            vend["pulse_length"].values[bb_i], [256e-6, 512e-6, 1024e-6, 2048e-6, 4096e-6]
+        )
+        # filters present with decimation
+        assert "WBT_coeffs_real" in vend and "PC_coeffs_real" in vend
+        wbt_deci = vend["WBT_deci_fac"].values
+        assert np.nanmax(wbt_deci) == 6.0
+        wbt_re = vend["WBT_coeffs_real"].values
+        np.testing.assert_allclose(wbt_re[bb_i, 0, :4], 0.25)
+        # broadband cal curve interpolable at center freq
+        assert "cal_frequency" in vend.coords
+        assert "gain" in vend
+        gain_bb = vend["gain"].values[list(vend.coords["cal_channel_id"].values).index(CH_BB)]
+        assert np.nanmin(gain_bb) >= 26.0 and np.nanmax(gain_bb) <= 28.0
+
+    def test_environment(self, ek80_ed):
+        ed, truth = ek80_ed
+        env = ed["Environment"]
+        np.testing.assert_allclose(float(env["temperature"].values), 9.0)
+        np.testing.assert_allclose(float(env["salinity"].values), 33.5)
+        np.testing.assert_allclose(float(env["depth"].values), 100.0)
+        np.testing.assert_allclose(float(env["acidity"].values), 8.06)
+        np.testing.assert_allclose(float(env["sound_speed_indicative"].values), 1480.0)
+
+    def test_zarr_roundtrip(self, ek80_ed, tmp_path):
+        ed, truth = ek80_ed
+        store = tmp_path / "ek80.zarr"
+        ed.to_zarr(store)
+        ed2 = ep.open_converted(store)
+        assert set(ed2.group_paths) == set(ed.group_paths)
+        np.testing.assert_allclose(
+            ed2["Sonar/Beam_group1"]["backscatter_r"].values,
+            ed["Sonar/Beam_group1"]["backscatter_r"].values,
+        )
+
+    def test_beam_group_retrieval(self, ek80_ed):
+        ed, truth = ek80_ed
+        from echopype_tpu.echodata.simrad import retrieve_correct_beam_group
+
+        assert retrieve_correct_beam_group(ed, "BB", "complex") == "Sonar/Beam_group1"
+        assert retrieve_correct_beam_group(ed, "CW", "complex") == "Sonar/Beam_group2"
+        assert retrieve_correct_beam_group(ed, "CW", "power") == "Sonar/Beam_group3"
