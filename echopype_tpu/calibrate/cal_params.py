@@ -134,7 +134,9 @@ def get_vend_cal_params_power(beam, vend, param: str) -> DataArray:
     tdn2 = np.atleast_2d(tdn)
     isnull = np.isnan(tdn2)
     safe = np.where(isnull, 0.0, tdn2)
-    idx = np.abs(safe[:, :, None] - plen[:, None, :]).argmin(axis=2)  # [C, P]
+    # NaN-padded table entries must never win the match (xarray idxmin skips NaN)
+    plen_safe = np.where(np.isnan(plen), np.inf, plen)
+    idx = np.abs(safe[:, :, None] - plen_safe[:, None, :]).argmin(axis=2)  # [C, P]
     out = np.take_along_axis(table, idx, axis=1).astype("f8")
     out[isnull] = np.nan
     return DataArray(
@@ -145,17 +147,63 @@ def get_vend_cal_params_power(beam, vend, param: str) -> DataArray:
     )
 
 
+def _get_interp_da(da_param, freq_center, alternative, BB_factor=1):
+    """Frequency-interpolated parameter per channel (cal_params.py:165-258).
+
+    da_param: vendor cal-curve DataArray (cal_channel_id, cal_frequency) or None.
+    freq_center: DataArray [channel] or [channel, ping_time].
+    alternative: scalar or DataArray on channel, scaled by BB_factor when used.
+    """
+    ch_vals = freq_center.coords["channel"].values
+    has_ping = "ping_time" in freq_center.dims
+    n_ping = freq_center.sizes.get("ping_time", 1)
+    out = np.full((len(ch_vals), n_ping), np.nan)
+    cal_ids = (
+        [str(c) for c in da_param.coords["cal_channel_id"].values]
+        if da_param is not None and "cal_channel_id" in da_param.coords
+        else []
+    )
+    for i, ch in enumerate(ch_vals):
+        fc = np.atleast_1d(np.asarray(freq_center.sel(channel=ch).values, dtype="f8"))
+        if str(ch) in cal_ids:
+            row = da_param.sel(cal_channel_id=str(ch))
+            xs = np.asarray(row.coords["cal_frequency"].values, dtype="f8")
+            ys = np.asarray(row.values, dtype="f8")
+            good = ~np.isnan(ys)
+            if good.sum() >= 2:
+                out[i] = np.interp(fc, xs[good], ys[good])
+                continue
+        bb = (
+            float(BB_factor.sel(channel=ch).values)
+            if isinstance(BB_factor, DataArray)
+            else BB_factor
+        )
+        if isinstance(alternative, DataArray):
+            alt = np.asarray(alternative.sel(channel=ch).values, dtype="f8").squeeze() * bb
+        else:
+            alt = float(alternative) * bb
+        out[i] = alt if np.ndim(alt) == 0 else np.broadcast_to(np.atleast_1d(alt), (n_ping,))
+    if has_ping:
+        return DataArray(
+            out,
+            ("channel", "ping_time"),
+            coords={"channel": ch_vals, "ping_time": freq_center.coords["ping_time"]},
+        )
+    return DataArray(out[:, 0], ("channel",), coords={"channel": ch_vals})
+
+
 def get_cal_params_EK(waveform_mode, freq_center, beam, vend, user_dict=None, sonar_type="EK60"):
     """Assemble the full EK cal-param dict (cal_params.py:365-522).
 
-    Priority: user dict > vendor tables (sa/gain) > beam-group defaults.
+    Priority: user dict > vendor cal curves (BB interp at center frequency) /
+    vendor narrowband tables > beam-group defaults.
     """
     out = sanitize_user_cal_dict(sonar_type, user_dict or {}, beam["channel"])
 
     for p in list(out.keys()):
         if out[p] is not None:
             continue
-        if p in ("sa_correction", "gain_correction") and waveform_mode == "CW":
+        if p == "sa_correction":
             out[p] = get_vend_cal_params_power(beam, vend, p)
         elif p == "impedance_transceiver":
             out[p] = (
@@ -163,19 +211,70 @@ def get_cal_params_EK(waveform_mode, freq_center, beam, vend, user_dict=None, so
                 if "impedance_transceiver" in vend
                 else param2da(EK80_DEFAULT_PARAMS["impedance_transceiver"], beam["channel"])
             )
-        elif p == "impedance_transducer":
-            out[p] = param2da(EK80_DEFAULT_PARAMS["impedance_transducer"], beam["channel"])
         elif p == "receiver_sampling_frequency":
             out[p] = _default_receiver_fs(beam, vend)
-        else:
-            beam_name = PARAM_BEAM_NAME_MAP.get(p, p)
-            if beam_name in beam:
-                out[p] = beam[beam_name]
-            elif p == "gain_correction" and "gain_correction" in beam:
-                out[p] = beam["gain_correction"]
+        elif waveform_mode == "CW" or waveform_mode is None:
+            if p == "gain_correction":
+                if "gain_correction" in vend:
+                    out[p] = get_vend_cal_params_power(beam, vend, p)
+                elif "gain_correction" in beam:
+                    out[p] = beam["gain_correction"]
+                else:
+                    out[p] = param2da(0.0, beam["channel"])
+            elif p == "impedance_transducer":
+                out[p] = _get_interp_da(
+                    vend.get("impedance_transducer"),
+                    _as_channel_da(freq_center, beam),
+                    EK80_DEFAULT_PARAMS["impedance_transducer"],
+                )
             else:
-                out[p] = param2da(0.0, beam["channel"])
+                beam_name = PARAM_BEAM_NAME_MAP.get(p, p)
+                out[p] = beam[beam_name] if beam_name in beam else param2da(0.0, beam["channel"])
+        else:  # BB mode: interpolate cal curves at the center frequency
+            if p in PARAM_BEAM_NAME_MAP or p in (
+                "angle_offset_alongship",
+                "angle_offset_athwartship",
+                "angle_sensitivity_alongship",
+                "angle_sensitivity_athwartship",
+            ):
+                if p in ("angle_sensitivity_alongship", "angle_sensitivity_athwartship"):
+                    BB_factor = freq_center / beam["frequency_nominal"]
+                elif p in ("beamwidth_alongship", "beamwidth_athwartship"):
+                    BB_factor = beam["frequency_nominal"] / freq_center
+                else:
+                    BB_factor = 1
+                if isinstance(BB_factor, DataArray) and "ping_time" in BB_factor.dims:
+                    BB_factor = BB_factor.isel(ping_time=0)
+                beam_name = PARAM_BEAM_NAME_MAP.get(p, p)
+                out[p] = _get_interp_da(
+                    vend.get(p),
+                    freq_center,
+                    beam[beam_name] if beam_name in beam else 0.0,
+                    BB_factor=BB_factor,
+                )
+            elif p == "equivalent_beam_angle":
+                out[p] = beam[p] + 20 * np.log10(beam["frequency_nominal"] / freq_center)
+            elif p == "gain_correction":
+                out[p] = _get_interp_da(
+                    vend.get("gain"),
+                    freq_center,
+                    get_vend_cal_params_power(beam, vend, p),
+                )
+            elif p == "impedance_transducer":
+                out[p] = _get_interp_da(
+                    vend.get("impedance_transducer"),
+                    freq_center,
+                    EK80_DEFAULT_PARAMS["impedance_transducer"],
+                )
+            else:
+                raise ValueError(f"{p} not in the defined set of calibration parameters.")
     return out
+
+
+def _as_channel_da(freq_center, beam):
+    if isinstance(freq_center, DataArray):
+        return freq_center
+    return beam["frequency_nominal"]
 
 
 def _default_receiver_fs(beam, vend):

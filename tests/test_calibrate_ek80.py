@@ -1,0 +1,177 @@
+"""EK80 calibration tests: matched filter vs scipy oracle, CW/BB Sv formulas."""
+
+import numpy as np
+import pytest
+from scipy import signal
+
+import echopype_tpu as ep
+from echopype_tpu.calibrate import ek80_complex as ekc
+
+from synth_ek80 import CH_BB, CH_CW, CH_PW, write_ek80_raw
+
+
+@pytest.fixture(scope="module")
+def ek80_ed(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("ek80cal")
+    path = tmp / "E80-D20210201-T000000.raw"
+    truth = write_ek80_raw(path, n_pings=5, n_samples=128)
+    ed = ep.open_raw(path, sonar_model="EK80")
+    return ed, truth
+
+
+class TestChirp:
+    def test_tapered_chirp_properties(self):
+        y, t = ekc.tapered_chirp(
+            fs=1500000, transmit_duration_nominal=1.024e-3, slope=0.0078125,
+            transmit_frequency_start=50000.0, transmit_frequency_stop=90000.0,
+        )
+        assert len(y) == int(np.floor(1.024e-3 * np.float32(1500000)))
+        assert np.max(np.abs(y)) == 1.0  # normalized
+        # taper: endpoints small, middle untapered
+        assert abs(y[0]) < 0.05
+        assert np.max(np.abs(y[len(y) // 2 - 50 : len(y) // 2 + 50])) > 0.9
+
+    def test_filter_decimate(self):
+        y, _ = ekc.tapered_chirp(1500000, 1.024e-3, 0.0078125, 50000.0, 90000.0)
+        coeff = {
+            "wbt_fil": np.full(4, 0.25, dtype="c8"),
+            "pc_fil": np.full(2, 0.5, dtype="c8"),
+            "wbt_decifac": 6,
+            "pc_decifac": 1,
+        }
+        y2, t2 = ekc.filter_decimate_chirp(coeff, y, 1500000.0)
+        # length: conv(len 1536+3) decimated by 6 -> ~257, then conv +1
+        assert 250 < len(y2) < 262
+        np.testing.assert_allclose(t2[1] - t2[0], 6 / 1500000.0)
+
+
+class TestMatchedFilter:
+    def test_fft_conv_matches_scipy(self):
+        """Device FFT matched filter == time-domain convolve + truncation."""
+        rng = np.random.default_rng(0)
+        P, R, B, L = 3, 200, 4, 37
+        bs = rng.normal(size=(P, R, B)) + 1j * rng.normal(size=(P, R, B))
+        bs[0, 190:, :] = np.nan  # NaN tail
+        replica = rng.normal(size=L) + 1j * rng.normal(size=L)
+
+        from echopype_tpu.ops.matched_filter import pulse_compress_channel
+
+        out = pulse_compress_channel(bs.astype("complex128"), replica)
+
+        rep_flip = np.flipud(np.conj(replica))
+        for p in range(P):
+            for b in range(B):
+                x = np.nan_to_num(bs[p, :, b])
+                expected = signal.convolve(x, rep_flip, mode="full")[L - 1 :][:R]
+                got = out[p, :, b]
+                mask = ~np.isnan(got.real)
+                np.testing.assert_allclose(got[mask], expected[mask], rtol=1e-4, atol=1e-6)
+        # NaN positions restored
+        assert np.isnan(out[0, 195, 0].real)
+
+    def test_delay_peak(self):
+        """A delayed replica in the data produces the matched-filter peak at the delay."""
+        y, _ = ekc.tapered_chirp(1500000, 256e-6, 0.0078125, 50000.0, 90000.0)
+        coeff = {
+            "wbt_fil": np.full(4, 0.25, dtype="c8"),
+            "pc_fil": np.full(2, 0.5, dtype="c8"),
+            "wbt_decifac": 6,
+            "pc_decifac": 1,
+        }
+        rep, _ = ekc.filter_decimate_chirp(coeff, y, 1500000.0)
+        R = 400
+        delay = 150
+        bs = np.zeros((1, R, 1), dtype="complex128")
+        bs[0, delay : delay + len(rep), 0] = rep
+        from echopype_tpu.ops.matched_filter import pulse_compress_channel
+
+        out = np.abs(pulse_compress_channel(bs, rep))[0, :, 0]
+        # the reference truncation [L-1:] places the correlation peak exactly
+        # at the sample where the echo starts
+        assert abs(int(np.argmax(out)) - delay) <= 1
+
+
+class TestTauEffective:
+    def test_cw_tau(self):
+        """CW: square-ish pulse -> tau_eff ~ energy / (peak * fs)."""
+        ytx = {"ch1": np.ones(100, dtype="c8")}
+        fs = {"ch1": 10000.0}
+        from echopype_tpu.xrlite import DataArray
+
+        tau = ekc.get_tau_effective(
+            ytx, fs, "CW", DataArray(np.array(["ch1"], dtype=object), ("channel",)), None
+        )
+        np.testing.assert_allclose(tau.values, [100 / 10000.0])
+
+
+class TestComputeSvEK80:
+    def test_bb_complex_runs(self, ek80_ed):
+        ed, truth = ek80_ed
+        ds = ep.calibrate.compute_Sv(ed, waveform_mode="BB", encode_mode="complex")
+        assert "Sv" in ds
+        sv = ds["Sv"].values
+        assert sv.shape[0] == 1  # one BB channel
+        assert np.isfinite(sv).any()
+        assert "tau_effective" in ds
+        # BB gain interpolated at fc=70 kHz from cal curve [26..28] at 45..90kHz
+        gain = ds["gain_correction"].values
+        expected_gain = np.interp(70000.0, np.linspace(45000, 90000, 10),
+                                  np.linspace(26.0, 28.0, 10))
+        np.testing.assert_allclose(gain, expected_gain, atol=1e-6)
+
+    def test_cw_complex_oracle(self, ek80_ed):
+        """CW complex Sv matches a direct float64 oracle."""
+        ed, truth = ek80_ed
+        ds = ep.calibrate.compute_Sv(ed, waveform_mode="CW", encode_mode="complex")
+        sv = ds["Sv"].values  # [1, P, R]
+
+        bs = np.stack(truth["complex"][CH_CW])  # [P, R, 4]
+        c = 1480.0
+        z_er, z_et = 5400.0, 75.0
+        n_beam = 4
+        mean_sig = bs.mean(axis=-1)
+        prx = (
+            n_beam * np.abs(mean_sig) ** 2 / (2 * np.sqrt(2)) ** 2
+            * (np.abs(z_er + z_et) / z_er) ** 2 / z_et
+        )
+        dr = 32e-6 * c / 2
+        r = np.arange(bs.shape[1]) * dr
+        # Ex80 TVG shift: c * tau / 4
+        r_tvg = r - c * 1.024e-3 / 4
+        r_tvg = np.where(r_tvg > 0, r_tvg, np.nan)
+        freq = 120000.0
+        wavelength = c / freq
+        alpha = float(ds["sound_absorption"].values[0])
+        gain = 26.0  # pulse_duration=1024us -> idx2 of [24,25,26]
+        tau_eff = float(ds["tau_effective"].values[0, 0])
+        sa = -0.2
+        expected = (
+            10 * np.log10(prx)
+            + 20 * np.log10(r_tvg)[None, :]
+            + 2 * alpha * r_tvg[None, :]
+            - 10 * np.log10(wavelength**2 * 150.0 * c / (32 * np.pi**2))
+            - 2 * gain
+            - 10 * np.log10(tau_eff)
+            - (-20.7)
+            - 2 * sa
+        )
+        np.testing.assert_allclose(sv[0], expected, atol=1e-4, rtol=0)
+
+    def test_cw_power_path(self, ek80_ed):
+        """EK80 CW power channels calibrate through the power path."""
+        ed, truth = ek80_ed
+        ds = ep.calibrate.compute_Sv(ed, waveform_mode="CW", encode_mode="power")
+        assert ds["Sv"].values.shape[0] == 1  # the GPT power channel
+        assert np.isfinite(ds["Sv"].values[:, :, 5:]).all()
+
+    def test_ts_bb(self, ek80_ed):
+        ed, truth = ek80_ed
+        ds = ep.calibrate.compute_TS(ed, waveform_mode="BB", encode_mode="complex")
+        assert "TS" in ds
+
+    def test_invalid_combo(self, ek80_ed):
+        ed, truth = ek80_ed
+        with pytest.raises(ValueError):
+            ep.calibrate.compute_Sv(ed, waveform_mode="BB", encode_mode="power")
+        with pytest.raises(ValueError):
+            ep.calibrate.compute_Sv(ed)  # modes required for EK80
