@@ -1,0 +1,101 @@
+"""combine_echodata tests with synthetic multi-file EK60 surveys."""
+
+import numpy as np
+import pytest
+
+import echopype_tpu as ep
+
+from synth_ek60 import write_ek60_raw
+
+
+def make_eds(tmp_path, n_files=3, n_pings=5, n_samples=40, ragged_widths=None):
+    eds = []
+    for i in range(n_files):
+        path = tmp_path / f"F{i}-D2020010{i+1}-T000000.raw"
+        ns = ragged_widths[i] if ragged_widths else n_samples
+        write_ek60_raw(
+            path,
+            n_pings=n_pings,
+            n_samples=ns,
+            t0=np.datetime64("2020-01-01T00:00:00", "ns") + np.timedelta64(i * 3600, "s"),
+            seed=i,
+        )
+        eds.append(ep.open_raw(path, sonar_model="EK60"))
+    return eds
+
+
+class TestCombine:
+    def test_basic_combine(self, tmp_path):
+        eds = make_eds(tmp_path)
+        combined = ep.combine_echodata(eds)
+        beam = combined["Sonar/Beam_group1"]
+        assert beam.sizes["ping_time"] == 15
+        assert beam.sizes["channel"] == 2
+        # data preserved in order
+        np.testing.assert_allclose(
+            beam["backscatter_r"].values[:, :5],
+            eds[0]["Sonar/Beam_group1"]["backscatter_r"].values,
+        )
+        np.testing.assert_allclose(
+            beam["backscatter_r"].values[:, 10:],
+            eds[2]["Sonar/Beam_group1"]["backscatter_r"].values,
+        )
+        # times strictly ordered
+        pt = beam.coords["ping_time"].values
+        assert (np.diff(pt) > np.timedelta64(0, "ns")).all()
+
+    def test_provenance_table(self, tmp_path):
+        eds = make_eds(tmp_path)
+        combined = ep.combine_echodata(eds)
+        prov = combined["Provenance"]
+        assert prov.sizes["echodata_filename"] == 3
+        assert prov.attrs["is_combined"]
+        assert len(prov["source_filenames"].values) == 3
+
+    def test_ragged_range_padding(self, tmp_path):
+        eds = make_eds(tmp_path, ragged_widths=[30, 40, 35])
+        combined = ep.combine_echodata(eds)
+        beam = combined["Sonar/Beam_group1"]
+        assert beam.sizes["range_sample"] == 40
+        # shorter file padded with NaN
+        assert np.isnan(beam["backscatter_r"].values[0, 0, 35:]).all()
+
+    def test_calibration_of_combined(self, tmp_path):
+        eds = make_eds(tmp_path)
+        combined = ep.combine_echodata(eds)
+        ds_Sv = ep.calibrate.compute_Sv(combined)
+        assert ds_Sv["Sv"].values.shape[1] == 15
+        # per-file Sv equals combined Sv slices
+        sv0 = ep.calibrate.compute_Sv(eds[0])["Sv"].values
+        np.testing.assert_allclose(ds_Sv["Sv"].values[:, :5], sv0, atol=1e-5)
+
+    def test_same_file_rejected(self, tmp_path):
+        eds = make_eds(tmp_path, n_files=1)
+        with pytest.raises(ValueError):
+            ep.combine_echodata([eds[0], eds[0]])
+
+    def test_wrong_type_rejected(self):
+        with pytest.raises(TypeError):
+            ep.combine_echodata(["not an echodata"])
+
+    def test_non_ascending_rejected(self, tmp_path):
+        eds = make_eds(tmp_path, n_files=2)
+        with pytest.raises(RuntimeError):
+            ep.combine_echodata([eds[1], eds[0]])
+
+    def test_channel_selection(self, tmp_path):
+        eds = make_eds(tmp_path, n_files=2)
+        ch = str(eds[0]["Sonar/Beam_group1"].coords["channel"].values[0])
+        combined = ep.combine_echodata(eds, channel_selection=[ch])
+        assert combined["Sonar/Beam_group1"].sizes["channel"] == 1
+
+    def test_zarr_roundtrip_combined(self, tmp_path):
+        eds = make_eds(tmp_path, n_files=2)
+        combined = ep.combine_echodata(eds)
+        store = tmp_path / "combined.zarr"
+        combined.to_zarr(store)
+        back = ep.open_converted(store)
+        np.testing.assert_allclose(
+            back["Sonar/Beam_group1"]["backscatter_r"].values,
+            combined["Sonar/Beam_group1"]["backscatter_r"].values,
+        )
