@@ -11,7 +11,47 @@ from ..xrlite import DataArray
 
 DIMENSION_ORDER = ("channel", "ping_time", "range_sample")
 
-__all__ = ["compute_range_EK", "range_mod_TVG_EK", "tvg_shift_meters"]
+__all__ = ["compute_range_EK", "compute_range_AZFP", "range_mod_TVG_EK", "tvg_shift_meters"]
+
+
+def compute_range_AZFP(echodata, env_params, cal_type):
+    """AZFP range per the operator's manual p.86 (reference range.py:11-95).
+
+    range = cL/(2f) + (c/4) * (((2(k+1)-1) N - 1)/f + tau) - offset
+    with offset = 0 for Sv and c*tau/4 for TS.
+    """
+    from .env_params import harmonize_env_param_time
+
+    if "sound_speed" not in env_params:
+        raise RuntimeError("sound_speed not included in env_params")
+    sound_speed = env_params["sound_speed"]
+    if cal_type is None:
+        raise ValueError('cal_type must be "Sv" or "TS"')
+
+    vend = echodata["Vendor_specific"]
+    beam = echodata["Sonar/Beam_group1"]
+    N = vend["number_of_samples_per_average_bin"]
+    f = vend["digitization_rate"]
+    L = vend["lock_out_index"]
+    bins_to_avg = 1
+
+    sound_speed = harmonize_env_param_time(sound_speed, ping_time=beam.coords["ping_time"])
+
+    if cal_type == "Sv":
+        range_offset = 0
+    else:
+        range_offset = sound_speed * beam["transmit_duration_nominal"] / 4
+    range_meter = (
+        sound_speed * L / (2 * f)
+        + (sound_speed / 4)
+        * (
+            ((2 * (beam["range_sample"] + 1) - 1) * N * bins_to_avg - 1) / f
+            + beam["transmit_duration_nominal"]
+        )
+        - range_offset
+    )
+    range_meter.name = "echo_range"
+    return range_meter.transpose(*[d for d in DIMENSION_ORDER if d in range_meter.dims])
 
 
 def compute_range_EK(sonar_model, beam, env_params):

@@ -32,7 +32,9 @@ class SetGroupsBase:
     # ------------------------------------------------------------- top level
     def set_toplevel(self) -> Dataset:
         date_created = None
-        for ch, times in getattr(self.parser_obj, "ping_time", {}).items():
+        ping_time = getattr(self.parser_obj, "ping_time", {})
+        time_lists = ping_time.values() if isinstance(ping_time, dict) else [ping_time]
+        for times in time_lists:
             if len(times):
                 t0 = times[0]
                 date_created = t0 if date_created is None else min(date_created, t0)
