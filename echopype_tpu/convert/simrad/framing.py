@@ -68,13 +68,35 @@ class DatagramIndex:
         return np.nonzero(np.char.startswith(self.dgram_type, prefix))[0]
 
 
-def scan_datagrams(buf: bytes, resync: bool = True) -> DatagramIndex:
+def scan_datagrams(buf: bytes, resync: bool = True, use_native: bool = True) -> DatagramIndex:
     """One pass over ``buf``, returning the columnar datagram index.
 
     On a framing mismatch (leading size != trailing size) the scanner resyncs
     by searching for the next plausible datagram header, mirroring the
     reference's bad-byte recovery (ek_raw_io.py:473-486).
+
+    Uses the C++ scanner (native/ingest.cpp) when available; the pure-Python
+    walk below is the fallback and the behavioral reference.
     """
+    if use_native:
+        try:
+            from ...native import scan_datagrams_native
+
+            result = scan_datagrams_native(buf, resync=resync)
+        except ValueError:
+            raise CorruptDatagramError("bad framing (native scanner)") from None
+        except Exception:  # noqa: BLE001 - any native issue falls back to Python
+            result = None
+        if result is not None:
+            offsets, sizes, type_codes, ts_ns = result
+            dgram_type = type_codes.view("S4").astype("U4")
+            return DatagramIndex(
+                buf=buf,
+                body_offset=offsets,
+                size=sizes,
+                dgram_type=dgram_type,
+                timestamp=ts_ns.astype("datetime64[ns]"),
+            )
     n = len(buf)
     offsets, sizes = [], []
     pos = 0

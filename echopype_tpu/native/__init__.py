@@ -1,0 +1,114 @@
+"""Native (C++) ingest runtime, loaded via ctypes.
+
+The framing scan is the host-side hot loop of conversion (SURVEY.md marks
+echopype's per-datagram Python loop, ek_raw_io.py:67, as the #1 hot spot and
+a native-code candidate).  The C++ scanner here walks the length-prefixed
+datagram stream in one pass; the Python fallback (convert/simrad/framing.py)
+is used when no compiler is available.
+
+The shared library is compiled on demand with g++ into the package directory
+and cached; ``load_native()`` returns None when unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_HERE = Path(__file__).parent
+_SRC = _HERE / "src" / "ingest.cpp"
+_LIB = _HERE / "_ingest.so"
+
+_lib = None
+_load_attempted = False
+
+
+def _compile() -> bool:
+    try:
+        subprocess.run(
+            [
+                "g++",
+                "-O3",
+                "-shared",
+                "-fPIC",
+                "-std=c++17",
+                str(_SRC),
+                "-o",
+                str(_LIB),
+            ],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def load_native():
+    """Return the ctypes lib handle, compiling if needed; None if unavailable."""
+    global _lib, _load_attempted
+    if _lib is not None:
+        return _lib
+    if _load_attempted:
+        return None
+    _load_attempted = True
+    if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+        if not _compile():
+            return None
+    try:
+        lib = ctypes.CDLL(str(_LIB))
+    except OSError:
+        return None
+    lib.ep_scan_datagrams.restype = ctypes.c_int64
+    lib.ep_scan_datagrams.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.c_int,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    _lib = lib
+    return _lib
+
+
+def scan_datagrams_native(buf: bytes, resync: bool = True):
+    """Native framing scan -> (offsets i64, sizes i32, type_codes u32, ts_ns i64).
+
+    Returns None if the native library is unavailable.
+    Raises ValueError on bad framing when resync is False.
+    """
+    lib = load_native()
+    if lib is None:
+        return None
+    n = len(buf)
+    # worst case one datagram per 20 bytes (12-byte body + two size words)
+    capacity = max(16, n // 20 + 2)
+    offsets = np.empty(capacity, dtype=np.int64)
+    sizes = np.empty(capacity, dtype=np.int32)
+    type_codes = np.empty(capacity, dtype=np.uint32)
+    ts = np.empty(capacity, dtype=np.int64)
+    count = lib.ep_scan_datagrams(
+        buf,
+        n,
+        1 if resync else 0,
+        capacity,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        type_codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if count < 0:
+        raise ValueError(f"bad framing at byte {-count - 1}")
+    return (
+        offsets[:count].copy(),
+        sizes[:count].copy(),
+        type_codes[:count].copy(),
+        ts[:count].copy(),
+    )

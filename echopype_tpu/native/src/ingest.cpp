@@ -1,0 +1,123 @@
+// Native datagram-framing scanner for Simrad .raw files.
+//
+// The datagram stream is length-prefixed: int32 size | body | int32 size
+// (behavioral contract: echopype/convert/utils/ek_raw_io.py:133-234).
+// This C++ scanner walks the framing in one pass and writes a columnar index
+// (body offsets, sizes, 4-char type codes, NT timestamps) into caller-provided
+// arrays, with bad-byte resync equivalent to the reference's recovery
+// (ek_raw_io.py:473-486).  Exposed with C linkage for ctypes.
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+const char* KNOWN_TYPES[] = {"RAW", "CON", "NME", "XML", "TAG",
+                             "BOT", "DEP", "MRU", "FIL", "IDX"};
+const int N_KNOWN = 10;
+
+inline bool plausible_type(const uint8_t* p) {
+    for (int i = 0; i < N_KNOWN; ++i) {
+        if (std::memcmp(p, KNOWN_TYPES[i], 3) == 0) return true;
+    }
+    return false;
+}
+
+inline int32_t read_i32(const uint8_t* buf, int64_t pos) {
+    int32_t v;
+    std::memcpy(&v, buf + pos, 4);  // little-endian hosts only (x86/ARM/TPU VM)
+    return v;
+}
+
+inline uint32_t read_u32(const uint8_t* buf, int64_t pos) {
+    uint32_t v;
+    std::memcpy(&v, buf + pos, 4);
+    return v;
+}
+
+// find next plausible datagram start from `start`; -1 if none
+int64_t find_next_datagram(const uint8_t* buf, int64_t n, int64_t start) {
+    for (int64_t i = start; i + 8 <= n; ++i) {
+        if (!plausible_type(buf + i)) continue;
+        if (i < 4) continue;
+        int32_t size = read_i32(buf, i - 4);
+        int64_t end = i + size;
+        if (size >= 12 && end + 4 <= n && read_i32(buf, end) == size) {
+            return i - 4;
+        }
+    }
+    return -1;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Scan the framing.  Returns the number of datagrams found (<= capacity).
+// offsets/sizes/type_codes/timestamps_ns must hold `capacity` elements.
+// type_codes are the 4 type bytes packed little-endian into a uint32.
+// timestamps_ns are nanoseconds since the unix epoch.
+int64_t ep_scan_datagrams(const uint8_t* buf, int64_t n, int resync,
+                          int64_t capacity, int64_t* offsets, int32_t* sizes,
+                          uint32_t* type_codes, int64_t* timestamps_ns) {
+    const int64_t NT_UNIX_DELTA_TICKS = 11644473600LL * 10000000LL;
+    int64_t count = 0;
+    int64_t pos = 0;
+    while (pos + 4 <= n && count < capacity) {
+        int32_t size = read_i32(buf, pos);
+        int64_t body = pos + 4;
+        int64_t end = body + size;
+        bool ok = (size >= 12) && (end <= n);
+        if (ok && end + 4 <= n) {
+            ok = (read_i32(buf, end) == size);
+        } else if (ok) {
+            ok = (end == n);  // truncated final datagram without trailer
+        }
+        if (!ok) {
+            if (!resync) return -(pos + 1);  // negative => error position+1
+            int64_t nxt = find_next_datagram(buf, n, pos + 1);
+            if (nxt < 0) break;
+            pos = nxt;
+            continue;
+        }
+        offsets[count] = body;
+        sizes[count] = size;
+        std::memcpy(&type_codes[count], buf + body, 4);
+        uint32_t low = read_u32(buf, body + 4);
+        uint32_t high = read_u32(buf, body + 8);
+        int64_t ticks = ((int64_t)high << 32) | (int64_t)low;
+        timestamps_ns[count] = (ticks - NT_UNIX_DELTA_TICKS) * 100;
+        ++count;
+        pos = end + 4;
+    }
+    return count;
+}
+
+// Count datagrams without writing (for exact allocation if desired).
+int64_t ep_count_datagrams(const uint8_t* buf, int64_t n, int resync) {
+    int64_t count = 0;
+    int64_t pos = 0;
+    while (pos + 4 <= n) {
+        int32_t size = read_i32(buf, pos);
+        int64_t body = pos + 4;
+        int64_t end = body + size;
+        bool ok = (size >= 12) && (end <= n);
+        if (ok && end + 4 <= n) {
+            ok = (read_i32(buf, end) == size);
+        } else if (ok) {
+            ok = (end == n);
+        }
+        if (!ok) {
+            if (!resync) return -(pos + 1);
+            int64_t nxt = find_next_datagram(buf, n, pos + 1);
+            if (nxt < 0) break;
+            pos = nxt;
+            continue;
+        }
+        ++count;
+        pos = end + 4;
+    }
+    return count;
+}
+
+}  // extern "C"
