@@ -297,6 +297,38 @@ class SetGroupsEK80(SetGroupsBase):
         pf = np.nan_to_num(pf.astype("f8"), nan=0.0).astype("i8")
         return PULSE_FORM_MAP[np.clip(pf, 0, len(PULSE_FORM_MAP) - 1)]
 
+    @staticmethod
+    def _dedup_rows(times, rows, ch, data_check=None):
+        """Drop duplicate ping_time rows keeping the first occurrence.
+
+        Mirrors utils/ek_duplicates.py:6 + set_groups_ek80.py:1157-1162:
+        warn when the duplicate slices carry differing data before dedup.
+        """
+        _, first_idx = np.unique(times, return_index=True)
+        if len(first_idx) == len(times):
+            return times, rows
+        keep = np.sort(first_idx)
+        if data_check is not None:
+            import warnings as _w
+
+            dup_mask = np.ones(len(times), dtype=bool)
+            dup_mask[keep] = False
+            for d in np.nonzero(dup_mask)[0]:
+                k = np.nonzero(times == times[d])[0][0]
+                if not np.array_equal(
+                    data_check[rows[d]], data_check[rows[k]], equal_nan=True
+                ):
+                    from ..utils.log import _init_logger
+
+                    _init_logger(__name__).warning(
+                        "Duplicate ping_time %s in channel %s carries differing data; "
+                        "keeping the first occurrence.",
+                        times[d],
+                        ch,
+                    )
+                    break
+        return times[keep], rows[keep]
+
     def _assemble_complex_group(self, chans, want_type):
         p = self.parser_obj
         sel_times = {}
@@ -305,7 +337,11 @@ class SetGroupsEK80(SetGroupsBase):
             tt = self._transmit_types(ch)
             rows = np.nonzero(tt == want_type)[0]
             if len(rows):
-                sel_times[ch] = p.ping_time[ch][rows]
+                times, rows = self._dedup_rows(
+                    p.ping_time[ch][rows], rows, ch,
+                    data_check=p.ping_data_dict["complex"][ch]["real"],
+                )
+                sel_times[ch] = times
                 sel_rows[ch] = rows
         if not sel_times:
             return None
@@ -366,7 +402,16 @@ class SetGroupsEK80(SetGroupsBase):
 
     def _assemble_power_group(self, chans):
         p = self.parser_obj
-        sel_times = {ch: p.ping_time[ch] for ch in chans if p.ping_data_dict["power"].get(ch) is not None}
+        sel_times, sel_rows = {}, {}
+        for ch in chans:
+            if p.ping_data_dict["power"].get(ch) is None:
+                continue
+            rows = np.arange(len(p.ping_time[ch]))
+            times, rows = self._dedup_rows(
+                p.ping_time[ch], rows, ch, data_check=p.ping_data_dict["power"][ch]
+            )
+            sel_times[ch] = times
+            sel_rows[ch] = rows
         if not sel_times:
             return None
         union_time, time_map = self.union_times(sel_times)
@@ -383,7 +428,7 @@ class SetGroupsEK80(SetGroupsBase):
         f_start = np.full((len(chans_used), n_t), np.nan)
         f_stop = np.full((len(chans_used), n_t), np.nan)
         for ci, ch in enumerate(chans_used):
-            rows_src = np.arange(len(p.ping_time[ch]))
+            rows_src = sel_rows[ch]
             rows_dst = time_map[ch]
             pw = p.ping_data_dict["power"][ch]
             bs[ci, rows_dst, : pw.shape[1]] = pw

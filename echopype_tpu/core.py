@@ -76,6 +76,14 @@ SONAR_MODELS = {
         "accepts_bot": False,
         "accepts_idx": False,
     },
+    "AD2CP": {
+        "ext": ".ad2cp",
+        "xml": False,
+        "parser": _lazy(".convert.parse_ad2cp", "ParseAd2cp"),
+        "set_groups": _lazy(".convert.set_groups_ad2cp", "SetGroupsAd2cp"),
+        "accepts_bot": False,
+        "accepts_idx": False,
+    },
 }
 
 

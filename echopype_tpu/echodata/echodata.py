@@ -78,6 +78,24 @@ class EchoData:
             lines.append(f"  {path}: {dict(ds.sizes)}")
         return "\n".join(lines)
 
+    def _repr_html_(self):
+        """Jupyter tree repr (capability parity: echodata/widgets/utils.py:65)."""
+        rows = [
+            "<div><strong>EchoData: standardized raw data from "
+            f"{self.source_file or self.converted_raw_path or '(in memory)'}</strong><ul>"
+        ]
+        for path, ds in self._tree.items():
+            dims = ", ".join(f"{k}: {v}" for k, v in ds.sizes.items())
+            n_vars = len(ds.data_vars)
+            descr = ds.attrs.get("description", "")
+            rows.append(
+                f"<li><b>{path}</b> ({dims}) — {n_vars} variables"
+                + (f" <i>{descr}</i>" if descr else "")
+                + "</li>"
+            )
+        rows.append("</ul></div>")
+        return "".join(rows)
+
     # ----------------------------------------------------------------- io
     def to_zarr(self, save_path, overwrite=False, compress=True, **kw):
         """Serialize the group tree to a zarr store."""

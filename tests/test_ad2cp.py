@@ -1,0 +1,179 @@
+"""AD2CP conversion tests with a synthetic packet writer."""
+
+import struct
+
+import numpy as np
+import pytest
+
+import echopype_tpu as ep
+from echopype_tpu.convert.parse_ad2cp import checksum
+
+
+def _v3_record(
+    pkt_id,
+    year=2022,
+    month=5,
+    day=10,
+    hour=8,
+    minute=0,
+    second=0,
+    num_beams=4,
+    num_cells=20,
+    echosounder=False,
+    n_echo_cells=25,
+    seed=0,
+):
+    rng = np.random.default_rng(seed)
+    out = bytearray()
+    out += struct.pack("<BB", 3, 76)  # version, offset_of_data
+    cfg = 0b0000000011101111  # sensors valid + vel/amp/corr included
+    if echosounder:
+        cfg = (cfg | (1 << 11)) & ~(0b111 << 5)  # echosounder data, no vel/amp/corr
+    out += struct.pack("<H", cfg)
+    out += struct.pack("<I", 900123)  # serial
+    out += struct.pack(
+        "<BBBBBB", year - 1900, month - 1, day, hour, minute, second
+    )
+    out += struct.pack("<H", 0)  # microsec100
+    out += struct.pack("<H", 14800)  # speed_of_sound (0.1 m/s)
+    out += struct.pack("<h", 1012)  # temperature (0.01 C)
+    out += struct.pack("<I", 10125)  # pressure (0.001 dbar)
+    out += struct.pack("<H", 18050)  # heading
+    out += struct.pack("<h", 123)  # pitch
+    out += struct.pack("<h", -48)  # roll
+    if echosounder:
+        bcc = n_echo_cells
+    else:
+        bcc = (num_cells & 0x3FF) | (1 << 10) | ((num_beams & 0xF) << 12)
+    out += struct.pack("<H", bcc)
+    out += struct.pack("<H", 750)  # cell size mm
+    out += struct.pack("<H", 2000)  # blanking mm
+    out += struct.pack("<B", 60)  # nominal correlation
+    out += struct.pack("<B", 4)  # temp from pressure sensor
+    out += struct.pack("<H", 152)  # battery 0.1V
+    out += struct.pack("<hhh", 10, -20, 30)  # magnetometer
+    out += struct.pack("<hhh", 100, 200, 16384)  # accelerometer xyz
+    out += struct.pack("<H", 500)  # ambiguity vel / echosounder freq
+    out += struct.pack("<H", 0o4321)  # dataset_description (beams)
+    out += struct.pack("<H", 80)  # transmit energy
+    out += struct.pack("<b", -3)  # velocity scaling
+    out += struct.pack("<b", -10)  # power level
+    out += struct.pack("<h", 20)  # magnetometer temp
+    out += struct.pack("<h", 2500)  # rtc temp
+    out += struct.pack("<H", 0)  # error
+    out += struct.pack("<H", 0)  # status0
+    out += struct.pack("<I", 0)  # status
+    out += struct.pack("<I", 1)  # ensemble counter
+    truth = {}
+    if echosounder:
+        echo = rng.integers(0, 50000, n_echo_cells).astype("<u2")
+        out += echo.tobytes()
+        truth["echo"] = echo.astype("f8") * 0.01
+    else:
+        vel = rng.integers(-30000, 30000, num_beams * num_cells).astype("<i2")
+        amp = rng.integers(0, 200, num_beams * num_cells).astype("<u1")
+        corr = rng.integers(0, 100, num_beams * num_cells).astype("<u1")
+        out += vel.tobytes() + amp.tobytes() + corr.tobytes()
+        truth["vel"] = vel.reshape(num_beams, num_cells).astype("f8") * 1e-3
+        truth["amp"] = amp.reshape(num_beams, num_cells).astype("f8") / 2
+        truth["corr"] = corr.reshape(num_beams, num_cells).astype("f8")
+    return bytes(out), truth
+
+
+def _packet(pkt_id, record):
+    header = struct.pack("<BBBBH", 0xA5, 10, pkt_id, 0x10, len(record))
+    header += struct.pack("<H", checksum(record))
+    header += struct.pack("<H", checksum(header))
+    return header + record
+
+
+def _string_packet(text):
+    record = bytes([0x10]) + text.encode()
+    return _packet(0xA0, record)
+
+
+def write_ad2cp(path, n_pings=4):
+    chunks = [
+        _string_packet(
+            "GETCLOCKSTR,TIME=\"2022-05-10 08:00:00\"\n"
+            "GETECHO,PULSECOMP1=1,PULSECOMP2=0,PULSECOMP3=0\n"
+            "GETHW,FW=2.1.3\n"
+        )
+    ]
+    truths = {"average": [], "echosounder": []}
+    for p in range(n_pings):
+        rec, truth = _v3_record(0x16, second=p, seed=p)
+        chunks.append(_packet(0x16, rec))
+        truths["average"].append(truth)
+        rec, truth = _v3_record(0x1C, second=p, echosounder=True, seed=100 + p)
+        chunks.append(_packet(0x1C, rec))
+        truths["echosounder"].append(truth)
+    with open(path, "wb") as f:
+        f.write(b"".join(chunks))
+    return truths
+
+
+@pytest.fixture(scope="module")
+def ad2cp_ed(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("ad2cp")
+    raw = tmp / "mooring.ad2cp"
+    truth = write_ad2cp(raw)
+    ed = ep.open_raw(raw, sonar_model="AD2CP")
+    return ed, truth
+
+
+class TestAd2cp:
+    def test_beam_groups(self, ad2cp_ed):
+        ed, truth = ad2cp_ed
+        sonar = ed["Sonar"]
+        names = list(sonar.coords["beam_group"].values)
+        assert names == ["Beam_group1", "Beam_group2"]
+        assert "Average" in str(sonar["beam_group_descr"].values[0])
+        assert "Echosounder" in str(sonar["beam_group_descr"].values[1])
+
+    def test_average_data(self, ad2cp_ed):
+        ed, truth = ad2cp_ed
+        bg = ed["Sonar/Beam_group1"]
+        vel = bg["velocity"].values
+        assert vel.shape == (4, 4, 20)
+        np.testing.assert_allclose(vel[0], truth["average"][0]["vel"], atol=1e-9)
+        np.testing.assert_allclose(
+            bg["amplitude"].values[1], truth["average"][1]["amp"]
+        )
+        np.testing.assert_allclose(
+            bg["correlation"].values[2], truth["average"][2]["corr"]
+        )
+        np.testing.assert_allclose(bg["cell_size"].values, 0.75)
+        np.testing.assert_allclose(bg["blanking"].values, 2.0)
+
+    def test_echosounder_data(self, ad2cp_ed):
+        ed, truth = ad2cp_ed
+        bg = ed["Sonar/Beam_group2"]
+        amp = bg["amplitude"].values
+        assert amp.shape == (4, 25)
+        np.testing.assert_allclose(amp[0], truth["echosounder"][0]["echo"])
+        np.testing.assert_allclose(bg["echosounder_frequency"].values, 500.0)
+        # pulse compression flag from config string
+        np.testing.assert_allclose(bg["pulse_compressed"].values, [1, 0, 0])
+
+    def test_env_platform(self, ad2cp_ed):
+        ed, truth = ad2cp_ed
+        env = ed["Environment"]
+        np.testing.assert_allclose(env["sound_speed_indicative"].values, 1480.0)
+        np.testing.assert_allclose(env["temperature"].values, 10.12)
+        plat = ed["Platform"]
+        np.testing.assert_allclose(plat["heading"].values, 180.5)
+        np.testing.assert_allclose(plat["pitch"].values, 1.23)
+        np.testing.assert_allclose(plat["roll"].values, -0.48)
+
+    def test_vendor_config(self, ad2cp_ed):
+        ed, truth = ad2cp_ed
+        vend = ed["Vendor_specific"]
+        np.testing.assert_allclose(vend["battery_voltage"].values, 15.2)
+        assert vend.attrs["GETHW_FW"] == "2.1.3"
+
+    def test_timestamps(self, ad2cp_ed):
+        ed, truth = ad2cp_ed
+        pt = ed["Sonar/Beam_group1"].coords["ping_time"].values
+        assert pt[0] == np.datetime64("2022-05-10T08:00:00", "ns")
+        assert (np.diff(pt) == np.timedelta64(1, "s")).all()
