@@ -92,7 +92,17 @@ class ParseEK60:
 
         if self.bot_file:
             self._parse_bot()
+        if self.idx_file:
+            self._parse_idx()
         return self
+
+    def _parse_idx(self):
+        try:
+            buf = Path(self.idx_file).read_bytes()
+            index = framing.scan_datagrams(buf)
+            self.idx = dec.decode_idx(index, index.select("IDX0"))
+        except Exception as e:  # noqa: BLE001 - sidecar is best-effort, like reference
+            logger.warning("Failed to parse IDX file %s: %r", self.idx_file, e)
 
     def _parse_bot(self):
         try:

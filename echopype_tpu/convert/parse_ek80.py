@@ -74,6 +74,11 @@ class ParseEK80:
         self.mru0 = dec.decode_mru0(index, index.select("MRU0"))
         self.mru1 = dec.decode_mru1(index, index.select("MRU1"))
 
+        if self.bot_file:
+            self._parse_sidecar("bot")
+        if self.idx_file:
+            self._parse_sidecar("idx")
+
         for r in index.select("FIL1"):
             f = dec.decode_fil1(index, int(r))
             if "EC150" in f["channel_id"]:
@@ -83,6 +88,28 @@ class ParseEK80:
             self.fil[key + ("coeffs", f["timestamp"])] = f["coefficients"]
             self.fil[key + ("deci_fac", f["timestamp"])] = f["decimation_factor"]
         return self
+
+    def _parse_sidecar(self, kind):
+        try:
+            path = self.bot_file if kind == "bot" else self.idx_file
+            buf = Path(path).read_bytes()
+            index = framing.scan_datagrams(buf)
+            if kind == "idx":
+                self.idx = dec.decode_idx(index, index.select("IDX0"))
+            else:
+                import struct as _s
+
+                depths, times = [], []
+                for r in index.select("BOT0"):
+                    start = int(index.body_offset[r])
+                    (_t, low, high, _dt, cnt) = _s.unpack_from("<4sLLlL", buf, start)
+                    depths.append(np.frombuffer(buf, dtype="<f8", count=cnt, offset=start + 20))
+                    times.append(index.timestamp[r])
+                if depths:
+                    self.bot["depth"] = np.stack(depths)
+                    self.bot["timestamp"] = np.asarray(times, dtype="datetime64[ns]")
+        except Exception as e:  # noqa: BLE001 - sidecars are best-effort
+            logger.warning("Failed to parse %s sidecar: %r", kind, e)
 
     def _parse_xml_stream(self, index):
         """Parse XML0 datagrams; cache by payload bytes (parameters repeat)."""

@@ -87,6 +87,43 @@ class SetGroupsBase:
             self.parser_obj.nmea["string"], self.parser_obj.nmea["timestamp"], allowed
         )
 
+    # --------------------------------------------------------- IDX sidecar
+    def _add_index_data_to_platform_ds(self, platform_ds: Dataset) -> Dataset:
+        """Append IDX-file index data on a new time4 dim
+        (set_groups_base.py:371-467)."""
+        idx = getattr(self.parser_obj, "idx", None)
+        if not idx or not len(np.atleast_1d(idx.get("ping_number", []))):
+            return platform_ds
+        t4 = np.asarray(idx["timestamp"], dtype="datetime64[ns]")
+        platform_ds.coords["time4"] = DataArray(
+            t4,
+            ("time4",),
+            attrs={"axis": "T", "long_name": "Timestamps from the IDX datagrams"},
+            name="time4",
+        )
+        platform_ds["ping_number_idx"] = (("time4",), np.asarray(idx["ping_number"], dtype="i8"))
+        platform_ds["file_offset_idx"] = (("time4",), np.asarray(idx["file_offset"], dtype="i8"))
+        platform_ds["vessel_distance_idx"] = (
+            ("time4",),
+            np.asarray(idx["vessel_distance"], dtype="f8"),
+            {
+                "long_name": "Vessel distance in nautical miles (nmi) from start of recording.",
+                "comment": "Data from the IDX datagrams. Aligns time-wise with this "
+                "dataset's `time4` dimension.",
+            },
+        )
+        platform_ds["latitude_idx"] = (
+            ("time4",),
+            np.asarray(idx["latitude"], dtype="f8"),
+            {"long_name": "Platform latitude from the IDX datagrams"},
+        )
+        platform_ds["longitude_idx"] = (
+            ("time4",),
+            np.asarray(idx["longitude"], dtype="f8"),
+            {"long_name": "Platform longitude from the IDX datagrams"},
+        )
+        return platform_ds
+
     # ------------------------------------------------------------- utilities
     @staticmethod
     def _nan_timestamp_handler(time_data):

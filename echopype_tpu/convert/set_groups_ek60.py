@@ -231,6 +231,7 @@ class SetGroupsEK60(SetGroupsBase):
             },
             attrs={"platform_name": "", "platform_type": "", "platform_code_ICES": ""},
         )
+        ds = self._add_index_data_to_platform_ds(ds)
         return ds
 
     # ----------------------------------------------------------- group: beam

@@ -197,6 +197,7 @@ class SetGroupsEK80(SetGroupsBase):
                 mru1["longitude"].astype("f8"),
                 {"long_name": "Platform longitude from MRU1"},
             )
+        ds = self._add_index_data_to_platform_ds(ds)
         return ds
 
     # ------------------------------------------------------------------ beam

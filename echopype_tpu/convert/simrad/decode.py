@@ -312,6 +312,35 @@ def decode_fil1(index: DatagramIndex, row: int) -> dict:
     }
 
 
+IDX0_STRUCT = "<4sLLLdddL"  # ping_number, distance, latitude, longitude, file_offset
+
+
+def decode_idx(index: DatagramIndex, rows: np.ndarray):
+    """IDX0 index datagrams (ek_raw_parsers.py:639-705)."""
+    import struct as _s
+
+    out = {
+        "ping_number": [],
+        "vessel_distance": [],
+        "latitude": [],
+        "longitude": [],
+        "file_offset": [],
+        "timestamp": [],
+    }
+    for r in rows:
+        start = int(index.body_offset[r])
+        (_t, _lo, _hi, ping_no, dist, lat, lon, foff) = _s.unpack_from(
+            IDX0_STRUCT, index.buf, start
+        )
+        out["ping_number"].append(ping_no)
+        out["vessel_distance"].append(dist)
+        out["latitude"].append(lat)
+        out["longitude"].append(lon)
+        out["file_offset"].append(foff)
+        out["timestamp"].append(index.timestamp[r])
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
 MRU0_STRUCT = "<4sLLffff"  # heave, roll, pitch, heading
 
 

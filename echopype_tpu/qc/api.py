@@ -49,3 +49,33 @@ def exist_reversed_time(ds, time_name: str) -> bool:
     """True if the named time coordinate goes backward anywhere."""
     da = ds.coords[time_name] if time_name in getattr(ds, "coords", {}) else ds[time_name]
     return bool((np.diff(np.asarray(da.values, dtype="datetime64[ns]")) < np.timedelta64(0, "ns")).any())
+
+
+def orchestrate_reverse_time_check(echodata, win_len: int = 100):
+    """Check every group's time coordinates; repair reversals and store the
+    originals in the Provenance group (reference qc/api.py:174-267).
+
+    Modifies the input EchoData in place and returns it.
+    """
+    from ..xrlite import DataArray, Dataset
+
+    prov = echodata.get("Provenance")
+    if prov is None:
+        prov = Dataset()
+        echodata["Provenance"] = prov
+    for group in list(echodata.group_paths):
+        ds = echodata[group]
+        for time_name, coord in list(ds.coords.items()):
+            if coord.dtype.kind != "M" or coord.ndim != 1 or len(coord.values) < 2:
+                continue
+            if exist_reversed_time(ds, time_name):
+                old = coord.values.copy()
+                coerce_increasing_time(ds, time_name=time_name, win_len=win_len)
+                store_name = f"old_{time_name}_{group.replace('/', '_').replace('-', '_')}"
+                prov[store_name] = (
+                    (store_name + "_dim",),
+                    old,
+                    {"comment": f"Original (reversed) {time_name} of group {group}"},
+                )
+                prov.attrs[f"reversed_{time_name}_corrected_{group}"] = True
+    return echodata

@@ -107,3 +107,27 @@ class TestQC:
         # deltas after the repair point keep their original values
         orig_deltas = np.diff(t)[21:]
         np.testing.assert_array_equal(np.diff(fixed)[21:], orig_deltas)
+
+
+class TestQCOrchestrate:
+    def test_orchestrate_repairs_and_stores(self, tmp_path):
+        import sys
+        sys.path.insert(0, "tests")
+        from synth_ek60 import write_ek60_raw
+        import echopype_tpu as ep
+
+        path = tmp_path / "Q-D20200101-T000000.raw"
+        write_ek60_raw(path, n_pings=8, n_samples=20)
+        ed = ep.open_raw(path, sonar_model="EK60")
+        # corrupt one ping_time backwards
+        beam = ed["Sonar/Beam_group1"]
+        pt = beam.coords["ping_time"].values.copy()
+        pt[4] = pt[3] - np.timedelta64(3, "s")
+        from echopype_tpu.xrlite import DataArray
+
+        beam.coords["ping_time"] = DataArray(pt, ("ping_time",), name="ping_time")
+        assert ep.qc.exist_reversed_time(beam, "ping_time")
+        ep.qc.orchestrate_reverse_time_check(ed)
+        assert not ep.qc.exist_reversed_time(ed["Sonar/Beam_group1"], "ping_time")
+        prov = ed["Provenance"]
+        assert any(k.startswith("old_ping_time") for k in prov.data_vars)
