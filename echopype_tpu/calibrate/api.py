@@ -39,8 +39,11 @@ def _compute_cal(
     ecs_file=None,
     waveform_mode=None,
     encode_mode=None,
+    assume_single_filter_time=None,
     **kwargs,
 ) -> Dataset:
+    import numpy as np
+
     model = echodata.sonar_model
     cal_map = _calibrator_map()
     if model not in cal_map:
@@ -56,17 +59,69 @@ def _compute_cal(
             raise ValueError("EK60-style data can only be calibrated with waveform_mode='CW'")
         if encode_mode is not None and encode_mode != "power":
             raise ValueError("EK60-style data can only be calibrated with encode_mode='power'")
+    if (model not in ("EK80", "ES80", "EA640") or encode_mode != "complex") and (
+        assume_single_filter_time is not None
+    ):
+        raise ValueError("assume_single_filter_time can only be used on complex EK80 data.")
 
-    cal_obj = cal_map[model](
-        echodata,
-        env_params=env_params,
-        cal_params=cal_params,
-        ecs_file=ecs_file,
-        waveform_mode=waveform_mode,
-        encode_mode=encode_mode,
-        **kwargs,
+    def _one(slice_dict):
+        cal_obj = cal_map[model](
+            echodata,
+            env_params=env_params,
+            cal_params=cal_params,
+            ecs_file=ecs_file,
+            waveform_mode=waveform_mode,
+            encode_mode=encode_mode,
+            slice_dict=slice_dict,
+            **kwargs,
+        )
+        return getattr(cal_obj, f"compute_{cal_type}")()
+
+    # multi-filter_time EK80 epochs (reference calibrate/api.py:96-197)
+    vend = echodata.get("Vendor_specific")
+    n_filter_times = (
+        vend.sizes.get("filter_time", 1) if vend is not None else 1
     )
-    cal_ds = getattr(cal_obj, f"compute_{cal_type}")()
+    if model in ("EK80", "ES80", "EA640") and n_filter_times > 1:
+        from ..echodata.simrad import retrieve_correct_beam_group
+
+        ed_beam_group = retrieve_correct_beam_group(echodata, waveform_mode, encode_mode)
+        beam = echodata[ed_beam_group]
+        tdn = beam["transmit_duration_nominal"]
+        if assume_single_filter_time:
+            first_valid = {}
+            for ci, ch in enumerate(beam.coords["channel"].values):
+                vals = np.asarray(tdn.values)[ci]
+                good = np.nonzero(~np.isnan(vals))[0]
+                pt = np.asarray(beam.coords["ping_time"].values)
+                first_valid[str(ch)] = pt[good[0]] if len(good) else pt[0]
+            cal_ds = _one({"first_valid_filter_time_per_channel": first_valid})
+        else:
+            ftimes_all = np.sort(np.asarray(vend.coords["filter_time"].values))
+            pieces = []
+            pt = np.asarray(beam.coords["ping_time"].values)
+            for ci, ch in enumerate(beam.coords["channel"].values):
+                vals = np.asarray(tdn.values)[ci]
+                valid_pt = pt[~np.isnan(vals)]
+                f_times = np.intersect1d(valid_pt, ftimes_all)
+                if len(f_times) == 0:
+                    f_times = ftimes_all[:1]
+                nexts = np.append(f_times[1:], np.datetime64("NaT")).astype("datetime64[ns]")
+                for start, nxt in zip(f_times, nexts):
+                    end = None if np.isnat(nxt) else nxt - np.timedelta64(1, "ns")
+                    pieces.append(
+                        _one(
+                            {
+                                "filter_time": start,
+                                "channel": str(ch),
+                                "beam_group_start_time": start,
+                                "beam_group_end_time": end,
+                            }
+                        )
+                    )
+            cal_ds = _merge_epoch_outputs(pieces, cal_type)
+    else:
+        cal_ds = _one({})
 
     # attrs
     cal_ds.coords["range_sample"].attrs = {"long_name": "Along-range sample number, base 0"}
@@ -99,6 +154,65 @@ def _compute_cal(
         cal_ds["water_level"] = plat["water_level"]
 
     return cal_ds
+
+
+def _merge_epoch_outputs(pieces, cal_type) -> Dataset:
+    """Outer-merge per-(channel, epoch) calibration outputs
+    (the xr.merge at reference calibrate/api.py:190-196)."""
+    import numpy as np
+
+    from ..xrlite import DataArray
+
+    chans = []
+    for p in pieces:
+        for c in p.coords["channel"].values:
+            if c not in chans:
+                chans.append(c)
+    all_pt = np.unique(np.concatenate([p.coords["ping_time"].values for p in pieces]))
+    max_r = max(p.sizes["range_sample"] for p in pieces)
+    out = Dataset(
+        coords={
+            "channel": np.asarray(chans, dtype=object),
+            "ping_time": all_pt,
+            "range_sample": np.arange(max_r),
+        }
+    )
+    names_3d = [cal_type, "echo_range"]
+    for name in names_3d:
+        buf = np.full((len(chans), len(all_pt), max_r), np.nan)
+        for p in pieces:
+            rows = np.searchsorted(all_pt, p.coords["ping_time"].values)
+            for ci_local, ch in enumerate(p.coords["channel"].values):
+                ci = chans.index(ch)
+                vals = np.asarray(p[name].values)[ci_local]
+                buf[ci, rows, : vals.shape[1]] = vals
+        out[name] = (("channel", "ping_time", "range_sample"), buf)
+    # per-(channel, ping) params: take from pieces where present
+    first = pieces[0]
+    for name, var in first.data_vars.items():
+        if name in names_3d or name in out:
+            continue
+        if var.dims == ("channel", "ping_time"):
+            buf = np.full((len(chans), len(all_pt)), np.nan)
+            for p in pieces:
+                if name not in p:
+                    continue
+                rows = np.searchsorted(all_pt, p.coords["ping_time"].values)
+                for ci_local, ch in enumerate(p.coords["channel"].values):
+                    buf[chans.index(ch), rows] = np.asarray(p[name].values)[ci_local]
+            out[name] = (("channel", "ping_time"), buf)
+        elif var.dims == ("channel",):
+            buf = np.full(len(chans), np.nan)
+            for p in pieces:
+                if name not in p:
+                    continue
+                for ci_local, ch in enumerate(p.coords["channel"].values):
+                    buf[chans.index(ch)] = np.asarray(p[name].values)[ci_local]
+            out[name] = (("channel",), buf)
+        else:
+            out[name] = var
+    out.attrs.update(first.attrs)
+    return out
 
 
 @add_processing_level("L2A")

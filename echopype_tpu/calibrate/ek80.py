@@ -34,6 +34,46 @@ logger = _init_logger(__name__)
 __all__ = ["CalibrateEK80"]
 
 
+def _collapse_vend_filters(vend, first_valid_filter_time_per_channel):
+    """Collapse the filter_time dim using each channel's first valid filter
+    set (the reference's assume_single_filter_time path, calibrate_ek.py:37)."""
+    if "filter_time" not in vend.sizes:
+        return vend
+    ftimes = np.asarray(vend.coords["filter_time"].values)
+    out = vend.copy()
+    filter_vars = [v for v in vend.data_vars if "filter_time" in vend.data_vars[v].dims]
+    ch_list = list(vend.coords["channel"].values)
+    for name in filter_vars:
+        var = vend[name]
+        ft_ax = var.dims.index("filter_time")
+        ch_ax = var.dims.index("channel") if "channel" in var.dims else None
+        vals = np.asarray(var.values)
+        # pick each channel's chosen filter_time slice
+        picks = []
+        for ci, ch in enumerate(ch_list):
+            want = first_valid_filter_time_per_channel.get(ch)
+            fi = 0
+            if want is not None:
+                le = np.nonzero(ftimes <= np.datetime64(want, "ns"))[0]
+                fi = int(le[-1]) if len(le) else 0
+            sl = [slice(None)] * vals.ndim
+            sl[ft_ax] = fi
+            if ch_ax is not None:
+                sl[ch_ax] = ci
+            picks.append(vals[tuple(sl)])
+        new_dims = tuple(d for d in var.dims if d != "filter_time")
+        if ch_ax is not None:
+            stacked = np.stack(picks, axis=0)
+            ch_pos = new_dims.index("channel")
+            stacked = np.moveaxis(stacked, 0, ch_pos)
+        else:
+            stacked = picks[0]
+        out.data_vars[name] = type(var)(stacked, new_dims, attrs=var.attrs, name=name)
+    if "filter_time" in out.coords:
+        del out.coords["filter_time"]
+    return out
+
+
 class CalibrateEK80(CalibrateEK):
     def __init__(
         self,
@@ -44,6 +84,7 @@ class CalibrateEK80(CalibrateEK):
         waveform_mode=None,
         encode_mode=None,
         drop_last_hanning_zero=False,
+        slice_dict=None,
         **kw,
     ):
         super().__init__(echodata, env_params, cal_params, ecs_file)
@@ -51,12 +92,33 @@ class CalibrateEK80(CalibrateEK):
         self.waveform_mode = waveform_mode
         self.encode_mode = encode_mode
         self.drop_last_hanning_zero = drop_last_hanning_zero
+        self.slice_dict = slice_dict or {}
 
         self.ed_beam_group = retrieve_correct_beam_group(
             echodata=echodata, waveform_mode=waveform_mode, encode_mode=encode_mode
         )
         self.beam = echodata[self.ed_beam_group]
         vend = echodata["Vendor_specific"]
+
+        # multi-filter_time epoch handling (reference calibrate/api.py:96-197)
+        if "channel" in self.slice_dict:
+            # one (channel, filter epoch): slice beam pings and select filter
+            ch = self.slice_dict["channel"]
+            start = self.slice_dict["beam_group_start_time"]
+            end = self.slice_dict["beam_group_end_time"]
+            pt = np.asarray(self.beam.coords["ping_time"].values)
+            keep = pt >= np.datetime64(start, "ns")
+            if end is not None:
+                keep &= pt <= np.datetime64(end, "ns")
+            self.beam = self.beam.sel(channel=[ch]).isel(ping_time=np.nonzero(keep)[0])
+            vend = vend.sel(filter_time=self.slice_dict["filter_time"])
+            if "filter_time" in vend.coords and vend.coords["filter_time"].ndim == 0:
+                del vend.coords["filter_time"]
+        elif "first_valid_filter_time_per_channel" in self.slice_dict:
+            vend = _collapse_vend_filters(
+                vend, self.slice_dict["first_valid_filter_time_per_channel"]
+            )
+
         # select only the channels in this beam group
         beam_chs = list(self.beam.coords["channel"].values)
         self.vend = vend.sel(channel=beam_chs)

@@ -75,6 +75,50 @@ def sv_mvbs_core(power, dr, tvg_shift, absorption, offset, x_idx, r_edges, n_x, 
     return sv, sums, counts
 
 
+def sv_mvbs_core_mxu(power, dr, tvg_shift, absorption, offset, x_idx, r_edges, n_x, n_r):
+    """MXU variant of the fused pipeline for per-channel-constant dr.
+
+    The range-bin reduction is a batched matmul with a per-channel banded 0/1
+    matrix: sums[c,p,b] = lin[c,p,:] @ M[c,:,b].  That puts the reduction
+    FLOPs on the systolic array and removes the [C,P,R] cumsum intermediate —
+    the op becomes HBM-bandwidth-bound on reading power and writing Sv.
+    dr is taken from ping 0 of each channel.
+    """
+    C, Pn, R = power.shape
+    rs = jax.lax.broadcasted_iota(jnp.float32, (1, 1, R), 2)
+    r = rs * dr[:, :, None]
+    r_tvg = r - tvg_shift[:, :, None]
+    pos = r_tvg > 0
+    sv = jnp.where(
+        pos,
+        power
+        + 20.0 * jnp.log10(jnp.where(pos, r_tvg, 1.0))
+        + 2.0 * absorption[:, :, None] * r_tvg
+        + offset[:, :, None],
+        jnp.nan,
+    )
+
+    # banded range-bin matrix per channel from closed-form boundaries
+    dr0 = dr[:, 0]  # [C]
+    bounds = jnp.clip(jnp.ceil(r_edges[None, :] / dr0[:, None]), 0, R)  # [C, n_r+1]
+    r_ids = jax.lax.broadcasted_iota(jnp.float32, (1, R, 1), 1)
+    M = (
+        (r_ids >= bounds[:, None, :-1]) & (r_ids < bounds[:, None, 1:])
+    ).astype(jnp.float32)  # [C, R, n_r]
+
+    ok = ~jnp.isnan(sv)
+    lin = jnp.where(ok, jnp.power(10.0, sv / 10.0), 0.0)
+    dn = (((2,), (1,)), ((0,), (0,)))  # contract R, batch C
+    s1 = jax.lax.dot_general(lin, M, dn, preferred_element_type=jnp.float32)
+    n1 = jax.lax.dot_general(ok.astype(jnp.float32), M, dn, preferred_element_type=jnp.float32)
+
+    xb = jnp.searchsorted(x_idx, jnp.arange(n_x + 1, dtype=x_idx.dtype), side="left")
+    xb = jnp.broadcast_to(xb.astype(jnp.int32)[None, :, None], (C, n_x + 1, n_r))
+    sums = _prefix_gather_diff(s1, xb, axis=1)
+    counts = _prefix_gather_diff(n1, xb, axis=1)
+    return sv, sums, counts
+
+
 def sharded_sv_mvbs_step(mesh: Mesh, n_x: int, n_r: int):
     """Build the jitted multi-chip step for the given mesh and bin counts.
 
