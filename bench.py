@@ -56,7 +56,7 @@ def numpy_pipeline(power, dr, tvg, ab, off, x_idx, r_edges, n_x, n_r):
 def main():
     import jax
 
-    from echopype_tpu.parallel.pipeline import sv_mvbs_core
+    from echopype_tpu.parallel.pipeline import sv_mvbs_core_mxu as sv_mvbs_core
     import jax.numpy as jnp
 
     dev = jax.devices()[0]

@@ -119,15 +119,20 @@ def sv_mvbs_core_mxu(power, dr, tvg_shift, absorption, offset, x_idx, r_edges, n
     return sv, sums, counts
 
 
-def sharded_sv_mvbs_step(mesh: Mesh, n_x: int, n_r: int):
+def sharded_sv_mvbs_step(mesh: Mesh, n_x: int, n_r: int, uniform_dr: bool = True):
     """Build the jitted multi-chip step for the given mesh and bin counts.
 
     Returns fn(power, dr, tvg_shift, absorption, offset, x_idx, r_edges)
     -> (Sv sharded [C,P,R], MVBS [C,n_x,n_r] channel-sharded).
+
+    uniform_dr=True selects the MXU binning path (16x faster, measured on
+    v5e); it requires each channel's sample interval to be ping-invariant
+    (the instrument norm).  Pass False for ping-varying sample intervals.
     """
+    core = sv_mvbs_core_mxu if uniform_dr else sv_mvbs_core
 
     def step(power, dr, tvg_shift, absorption, offset, x_idx, r_edges):
-        sv, sums, counts = sv_mvbs_core(
+        sv, sums, counts = core(
             power, dr, tvg_shift, absorption, offset, x_idx, r_edges, n_x, n_r
         )
         # the one collective: global bin sums over the ping axis ride ICI;

@@ -63,6 +63,26 @@ class TestShardedPipeline:
         np.testing.assert_allclose(np.asarray(sv), sv_ref, rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(mvbs), mvbs_ref, rtol=1e-4, atol=1e-4)
 
+    def test_mxu_core_matches_cumsum_core(self):
+        """The MXU banded-matmul binning equals the cumsum+gather binning."""
+        from echopype_tpu.parallel.pipeline import sv_mvbs_core, sv_mvbs_core_mxu
+
+        power, dr, tvg, ab, off, x_idx, r_edges, n_x, n_r = make_inputs(C=3, Pn=48, R=96)
+        sv1, s1, c1 = sv_mvbs_core(power, dr, tvg, ab, off, x_idx, r_edges, n_x, n_r)
+        sv2, s2, c2 = sv_mvbs_core_mxu(power, dr, tvg, ab, off, x_idx, r_edges, n_x, n_r)
+        np.testing.assert_allclose(np.asarray(sv2), np.asarray(sv1), rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(c2), np.asarray(c1), rtol=0, atol=0.5)
+
+    def test_sharded_mxu_matches_cumsum(self):
+        power, dr, tvg, ab, off, x_idx, r_edges, n_x, n_r = make_inputs()
+        mesh = make_mesh(n_devices=4, channel_axis=1)
+        f_mxu = sharded_sv_mvbs_step(mesh, n_x, n_r, uniform_dr=True)
+        f_cum = sharded_sv_mvbs_step(mesh, n_x, n_r, uniform_dr=False)
+        _, m1 = f_mxu(power, dr, tvg, ab, off, x_idx, r_edges)
+        _, m2 = f_cum(power, dr, tvg, ab, off, x_idx, r_edges)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-5, atol=1e-5)
+
     def test_mesh_shapes(self):
         mesh = make_mesh(n_devices=8, channel_axis=2)
         assert mesh.devices.shape == (4, 2)
