@@ -71,6 +71,11 @@ def add_depth(
 ) -> Dataset:
     """depth = transducer_depth + (+-1) * echo_range * scaling
     (consolidate/api.py:67-241)."""
+    from ..utils.io import open_source
+
+    ds = open_source(ds, "dataset")
+    if echodata is not None and not hasattr(echodata, "group_paths"):
+        echodata = open_source(echodata, "echodata")
     if (not echodata) and (use_platform_vertical_offsets or use_platform_angles or use_beam_angles):
         raise ValueError(
             "If any of `use_platform_vertical_offsets`, `use_platform_angles` "
@@ -163,6 +168,11 @@ def add_depth(
 @add_processing_level("L2A")
 def add_location(ds: Dataset, echodata, datagram_type=None, nmea_sentence=None) -> Dataset:
     """Interpolate Platform lat/lon onto ping_time (consolidate/api.py:244-342)."""
+    from ..utils.io import open_source
+
+    ds = open_source(ds, "dataset")
+    if not hasattr(echodata, "group_paths"):
+        echodata = open_source(echodata, "echodata")
     if echodata.sonar_model and echodata.sonar_model.startswith("EK") and datagram_type in (
         "MRU1",
         "IDX",

@@ -62,6 +62,9 @@ def apply_mask(
     A list of masks is AND-combined; masks without a channel dim broadcast
     across channels; NaNs in the mask are treated as False.
     """
+    from ..utils.io import open_source
+
+    source_ds = open_source(source_ds, "dataset")
     mask = _validate_and_collect_mask_input(mask)
     if var_name not in source_ds.data_vars:
         raise ValueError(f"{var_name} is not a variable in source_ds")
@@ -142,6 +145,9 @@ def frequency_differencing(
     """dB-differencing mask: Sv(chanA) - Sv(chanB) <op> diff (mask/api.py:467-675)."""
     freqAB, chanAB, operator, diff = _parse_freq_diff_eq(freqABEq, chanABEq)
 
+    from ..utils.io import open_source
+
+    source_Sv = open_source(source_Sv, "dataset")
     if "channel" not in source_Sv.coords or "frequency_nominal" not in source_Sv:
         raise ValueError(
             "source_Sv must have the channel coordinate and frequency_nominal variable"

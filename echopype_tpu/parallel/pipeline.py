@@ -119,6 +119,50 @@ def sv_mvbs_core_mxu(power, dr, tvg_shift, absorption, offset, x_idx, r_edges, n
     return sv, sums, counts
 
 
+def sv_mvbs_core_ex60(power, dr, absorption, offset, x_idx, r_edges, n_x, n_r,
+                      shift_samples: int = 2):
+    """Fastest path for Ex60-style hardware: integer-sample TVG shift.
+
+    With r_tvg = (k - n) * dr the spreading term factors as
+    20log10(k - n) [precomputed R row] + 20log10(dr) [C,P scalars], so Sv
+    needs NO per-element transcendental and the linear domain needs exactly
+    one exp per element — about half the transcendental work of the general
+    core (this op is VPU-transcendental-bound, not HBM-bound).
+    """
+    C, Pn, R = power.shape
+    k = jax.lax.broadcasted_iota(jnp.float32, (1, 1, R), 2)
+    k_shift = k - jnp.float32(shift_samples)
+    valid_k = k_shift > 0
+    spread_row = 20.0 * jnp.log10(jnp.where(valid_k, k_shift, 1.0))  # [1,1,R]
+    spread_cp = 20.0 * jnp.log10(dr)  # [C,P]
+    sv = jnp.where(
+        valid_k,
+        power
+        + spread_row
+        + (spread_cp + offset)[:, :, None]
+        + (2.0 * absorption * dr)[:, :, None] * k_shift,
+        jnp.nan,
+    )
+
+    dr0 = dr[:, 0]
+    bounds = jnp.clip(jnp.ceil(r_edges[None, :] / dr0[:, None]), 0, R)
+    r_ids = jax.lax.broadcasted_iota(jnp.float32, (1, R, 1), 1)
+    M = ((r_ids >= bounds[:, None, :-1]) & (r_ids < bounds[:, None, 1:])).astype(jnp.float32)
+
+    ok = ~jnp.isnan(sv)
+    # 10^(x/10) = exp(x * ln(10)/10): the single transcendental per element
+    lin = jnp.where(ok, jnp.exp(sv * jnp.float32(0.23025850929940458)), 0.0)
+    dn = (((2,), (1,)), ((0,), (0,)))
+    s1 = jax.lax.dot_general(lin, M, dn, preferred_element_type=jnp.float32)
+    n1 = jax.lax.dot_general(ok.astype(jnp.float32), M, dn, preferred_element_type=jnp.float32)
+
+    xb = jnp.searchsorted(x_idx, jnp.arange(n_x + 1, dtype=x_idx.dtype), side="left")
+    xb = jnp.broadcast_to(xb.astype(jnp.int32)[None, :, None], (C, n_x + 1, n_r))
+    sums = _prefix_gather_diff(s1, xb, axis=1)
+    counts = _prefix_gather_diff(n1, xb, axis=1)
+    return sv, sums, counts
+
+
 def sharded_sv_mvbs_step(mesh: Mesh, n_x: int, n_r: int, uniform_dr: bool = True):
     """Build the jitted multi-chip step for the given mesh and bin counts.
 

@@ -233,6 +233,25 @@ def read_group(store_dir, group: str = "") -> Dataset:
     return ds
 
 
+def write_dataset(store_dir, ds: Dataset, compress=True, overwrite=False):
+    """Write a single Dataset as a one-group zarr store (e.g. an Sv store)."""
+    root = Path(store_dir)
+    if root.exists():
+        if not overwrite and any(root.iterdir()):
+            raise FileExistsError(f"{store_dir} exists; pass overwrite=True")
+        import shutil
+
+        shutil.rmtree(root)
+    root.mkdir(parents=True, exist_ok=True)
+    write_group(root, ds, "", compress)
+    return str(root)
+
+
+def open_dataset(store_dir) -> Dataset:
+    """Read a single-group zarr store written by :func:`write_dataset`."""
+    return read_group(store_dir, "")
+
+
 def list_groups(store_dir) -> list:
     """All group paths (relative) in a store, root first."""
     root = Path(store_dir)

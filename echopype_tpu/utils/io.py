@@ -66,3 +66,22 @@ def env_dir() -> Path:
     d = Path("~/.echopype_tpu").expanduser()
     d.mkdir(parents=True, exist_ok=True)
     return d
+
+
+def open_source(obj, kind: str = "dataset", storage_options=None):
+    """Accept an in-memory object or a store path (reference utils/io.py:387-458).
+
+    kind="dataset" opens a one-group zarr store as a Dataset;
+    kind="echodata" opens a converted store as EchoData.
+    """
+    from pathlib import Path as _P
+
+    if isinstance(obj, (str, _P)):
+        if kind == "echodata":
+            from ..echodata.echodata import EchoData
+
+            return EchoData.from_file(obj)
+        from .. import storage
+
+        return storage.open_dataset(obj)
+    return obj

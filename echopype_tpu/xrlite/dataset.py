@@ -325,6 +325,14 @@ class Dataset:
                 out.coords[k] = v
         return out
 
+    def to_zarr(self, store_path, compress=True, overwrite=False, mode=None):
+        """Persist this Dataset as a one-group zarr store (an Sv/MVBS store)."""
+        from .. import storage
+
+        return storage.write_dataset(
+            store_path, self, compress=compress, overwrite=overwrite or mode in ("w", "a")
+        )
+
     def mean(self, dim=None, skipna=True):
         out = Dataset(attrs=dict(self.attrs))
         for k in self.data_vars:

@@ -83,6 +83,30 @@ class TestShardedPipeline:
         _, m2 = f_cum(power, dr, tvg, ab, off, x_idx, r_edges)
         np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-5, atol=1e-5)
 
+    def test_ex60_core_matches_mxu(self):
+        """Integer-shift fast path equals the general core for tvg = 2*dr."""
+        from echopype_tpu.parallel.pipeline import sv_mvbs_core_ex60, sv_mvbs_core_mxu
+
+        power, dr, tvg, ab, off, x_idx, r_edges, n_x, n_r = make_inputs(C=2, Pn=40, R=96)
+        sv1, s1, c1 = sv_mvbs_core_mxu(power, dr, tvg, ab, off, x_idx, r_edges, n_x, n_r)
+        sv2, s2, c2 = sv_mvbs_core_ex60(power, dr, ab, off, x_idx, r_edges, n_x, n_r)
+        np.testing.assert_allclose(np.asarray(sv2), np.asarray(sv1), rtol=1e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-3, atol=1e-6)
+
+    def test_pallas_core_matches_mxu_interpret(self):
+        """Single-pass Pallas kernel parity (interpret mode on CPU)."""
+        from echopype_tpu.ops.pallas_pipeline import sv_mvbs_core_pallas
+        from echopype_tpu.parallel.pipeline import sv_mvbs_core_mxu
+
+        power, dr, tvg, ab, off, x_idx, r_edges, n_x, n_r = make_inputs(C=2, Pn=40, R=256)
+        power[0, 3, 200:] = np.nan
+        sv1, s1, c1 = sv_mvbs_core_mxu(power, dr, tvg, ab, off, x_idx, r_edges, n_x, n_r)
+        sv2, s2, c2 = sv_mvbs_core_pallas(
+            power, dr, tvg, ab, off, x_idx, r_edges, n_x, n_r, tile_p=8, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(sv2), np.asarray(sv1), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-4, atol=1e-6)
+
     def test_mesh_shapes(self):
         mesh = make_mesh(n_devices=8, channel_axis=2)
         assert mesh.devices.shape == (4, 2)
