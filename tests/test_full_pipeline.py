@@ -56,7 +56,7 @@ class TestFullPipeline:
         assert imp_mask.values.dtype == bool
 
         # --- L3*: frequency differencing + apply_mask
-        fd = ep.mask.frequency_differencing(ds_Sv, freqABEq="18kHz - 38kHz > -100.0dB")
+        fd = ep.mask.frequency_differencing(ds_Sv, freqABEq="18kHz - 38kHz < 100.0dB")
         masked = ep.mask.apply_mask(ds_Sv, fd)
         assert np.isfinite(masked["Sv"].values).any()
 
