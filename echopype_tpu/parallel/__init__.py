@@ -1,4 +1,12 @@
 from .mesh import make_mesh
-from .pipeline import sharded_sv_mvbs_step, survey_pipeline_step
+from .pipeline import sharded_sv_mvbs_step, survey_pipeline_step, sv_mvbs_core, sv_mvbs_core_mxu
+from .survey import run_survey_mvbs
 
-__all__ = ["make_mesh", "sharded_sv_mvbs_step", "survey_pipeline_step"]
+__all__ = [
+    "make_mesh",
+    "sharded_sv_mvbs_step",
+    "survey_pipeline_step",
+    "sv_mvbs_core",
+    "sv_mvbs_core_mxu",
+    "run_survey_mvbs",
+]
