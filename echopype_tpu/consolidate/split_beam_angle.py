@@ -79,9 +79,23 @@ def get_angle_complex_samples(ds_beam, angle_params, pc_params=None):
         + 1j * np.asarray(ds_beam["backscatter_i"].values, dtype="f8")
     )  # [channel, ping, range, beam]
     if pc_params is not None:
-        from ..calibrate.ek80_complex import compress_pulse_np, get_transmit_signal_np
+        from ..calibrate.ek80_complex import get_transmit_signal
+        from ..ops.matched_filter import pulse_compress_channel
 
-        bs = compress_pulse_np(bs, ds_beam, pc_params)
+        coeff = {
+            k: v
+            for k, v in pc_params.items()
+            if k not in ("receiver_sampling_frequency", "drop_last_hanning_zero")
+        }
+        chirp, _ = get_transmit_signal(
+            ds_beam,
+            coeff,
+            "BB",
+            pc_params["receiver_sampling_frequency"],
+            pc_params.get("drop_last_hanning_zero", False),
+        )
+        for ci, ch in enumerate(ds_beam.coords["channel"].values):
+            bs[ci] = pulse_compress_channel(bs[ci], chirp[str(ch)])
 
     beam_types = np.asarray(ds_beam["beam_type"].values, dtype="i8")
     n_ch = bs.shape[0]

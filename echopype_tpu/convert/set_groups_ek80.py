@@ -310,7 +310,6 @@ class SetGroupsEK80(SetGroupsBase):
             return times, rows
         keep = np.sort(first_idx)
         if data_check is not None:
-            import warnings as _w
 
             dup_mask = np.ones(len(times), dtype=bool)
             dup_mask[keep] = False

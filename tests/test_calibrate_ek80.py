@@ -175,3 +175,29 @@ class TestComputeSvEK80:
             ep.calibrate.compute_Sv(ed, waveform_mode="BB", encode_mode="power")
         with pytest.raises(ValueError):
             ep.calibrate.compute_Sv(ed)  # modes required for EK80
+
+
+class TestSplitbeamBB:
+    def test_pulse_compressed_splitbeam(self, ek80_ed):
+        ed, truth = ek80_ed
+        ds = ep.calibrate.compute_Sv(ed, waveform_mode="BB", encode_mode="complex")
+        import echopype_tpu as _ep
+
+        out = _ep.consolidate.add_splitbeam_angle(
+            ds, ed, waveform_mode="BB", encode_mode="complex",
+            pulse_compression=True, to_disk=False,
+        )
+        assert "angle_alongship" in out and "angle_athwartship" in out
+        th = out["angle_alongship"].values
+        assert th.shape == ds["Sv"].values.shape
+        assert np.isfinite(th).any()
+
+    def test_splitbeam_no_pc(self, ek80_ed):
+        ed, truth = ek80_ed
+        ds = ep.calibrate.compute_Sv(ed, waveform_mode="BB", encode_mode="complex")
+        import echopype_tpu as _ep
+
+        out = _ep.consolidate.add_splitbeam_angle(
+            ds, ed, waveform_mode="BB", encode_mode="complex", to_disk=False
+        )
+        assert np.isfinite(out["angle_athwartship"].values).any()
