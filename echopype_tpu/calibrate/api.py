@@ -75,6 +75,8 @@ def _compute_cal(
             slice_dict=slice_dict,
             **kwargs,
         )
+        if hasattr(cal_obj, "_check_echodata_backscatter_size"):
+            cal_obj._check_echodata_backscatter_size()
         return getattr(cal_obj, f"compute_{cal_type}")()
 
     # multi-filter_time EK80 epochs (reference calibrate/api.py:96-197)

@@ -36,6 +36,24 @@ class CalibrateBase:
             )
         self.range_meter = None
 
+    def _check_echodata_backscatter_size(self, threshold_gib: float = 2.0):
+        """Warn when backscatter exceeds the memory-pressure threshold
+        (calibrate_base.py:95-128) and recommend the chunked store workflow."""
+        beam = getattr(self, "beam", None)
+        if beam is None or "backscatter_r" not in beam:
+            return
+        nbytes = beam["backscatter_r"].nbytes
+        if "backscatter_i" in beam:
+            nbytes *= 2
+        if nbytes > threshold_gib * 2**30:
+            logger.warning(
+                "The Echodata backscatter data is %.2f GiB, which exceeds %.1f GiB. "
+                "Consider using the survey runner (parallel.run_survey_mvbs) or "
+                "calibrating per converted store and persisting Sv to zarr.",
+                nbytes / 2**30,
+                threshold_gib,
+            )
+
     def _to_cp(self, val, n_ch, n_ping, beam=None):
         """Broadcast a resolved parameter to a dense [C, P] float64 array."""
         if isinstance(val, DataArray):

@@ -177,6 +177,6 @@ class EchoData:
                 keep[min(hi, len(tvals) - 1)] = True
                 tvals = tvals[keep]
                 vals = vals[keep]
-            platform.coords[new_dim] = (new_dim, tvals)
+            platform._set_coord(new_dim, (new_dim, tvals))
             platform[plat_name] = ((new_dim,), vals)
         return self

@@ -199,6 +199,79 @@ def sharded_sv_mvbs_step(mesh: Mesh, n_x: int, n_r: int, uniform_dr: bool = True
     return jax.jit(mapped)
 
 
+def sharded_sv_mvbs_step_3d(mesh: Mesh, n_x: int, n_r: int):
+    """Fully sharded step over a (ping, channel, range) mesh.
+
+    Range sharding (the sequence-parallel analog): each chip holds a
+    contiguous range segment; the global sample index is reconstructed from
+    the range-axis position, the per-segment bin partials are computed with
+    the local slice of the banded bin matrix, and bin sums ride ICI with
+    psum over BOTH the ping and range axes.
+    """
+
+    def step(power, dr, tvg_shift, absorption, offset, x_idx, r_edges):
+        C, Pn, R_local = power.shape
+        r_pos = jax.lax.axis_index("range")
+        r0_global = r_pos * R_local
+
+        rs = (
+            jax.lax.broadcasted_iota(jnp.float32, (1, 1, R_local), 2)
+            + r0_global.astype(jnp.float32)
+        )
+        r = rs * dr[:, :, None]
+        r_tvg = r - tvg_shift[:, :, None]
+        pos = r_tvg > 0
+        sv = jnp.where(
+            pos,
+            power
+            + 20.0 * jnp.log10(jnp.where(pos, r_tvg, 1.0))
+            + 2.0 * absorption[:, :, None] * r_tvg
+            + offset[:, :, None],
+            jnp.nan,
+        )
+
+        dr0 = dr[:, 0]
+        R_total = R_local * jax.lax.axis_size("range")
+        bounds = jnp.clip(jnp.ceil(r_edges[None, :] / dr0[:, None]), 0, R_total)
+        r_ids = (
+            jax.lax.broadcasted_iota(jnp.float32, (1, R_local, 1), 1)
+            + r0_global.astype(jnp.float32)
+        )
+        M = ((r_ids >= bounds[:, None, :-1]) & (r_ids < bounds[:, None, 1:])).astype(
+            jnp.float32
+        )
+
+        ok = ~jnp.isnan(sv)
+        lin = jnp.where(ok, jnp.power(10.0, sv / 10.0), 0.0)
+        dn = (((2,), (1,)), ((0,), (0,)))
+        s1 = jax.lax.dot_general(lin, M, dn, preferred_element_type=jnp.float32)
+        n1 = jax.lax.dot_general(ok.astype(jnp.float32), M, dn, preferred_element_type=jnp.float32)
+
+        xb = jnp.searchsorted(x_idx, jnp.arange(n_x + 1, dtype=x_idx.dtype), side="left")
+        xb = jnp.broadcast_to(xb.astype(jnp.int32)[None, :, None], (C, n_x + 1, n_r))
+        sums = _prefix_gather_diff(s1, xb, axis=1)
+        counts = _prefix_gather_diff(n1, xb, axis=1)
+
+        sums = jax.lax.psum(jax.lax.psum(sums, "ping"), "range")
+        counts = jax.lax.psum(jax.lax.psum(counts, "ping"), "range")
+        mean = sums / jnp.where(counts > 0, counts, 1.0)
+        mvbs = jnp.where(counts > 0, 10.0 * jnp.log10(mean), jnp.nan)
+        return sv, mvbs
+
+    spec_cpr = P("channel", "ping", "range")
+    spec_cp = P("channel", "ping")
+    spec_p = P("ping")
+    mapped = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(spec_cpr, spec_cp, spec_cp, spec_cp, spec_cp, spec_p, P(None)),
+        out_specs=(spec_cpr, P("channel", None, None)),
+    )
+    return jax.jit(mapped)
+
+
 def survey_pipeline_step(mesh: Mesh, n_x: int, n_r: int):
-    """Alias carrying the domain name: one full survey-processing step."""
+    """One full survey-processing step on the given mesh (2- or 3-axis)."""
+    if "range" in mesh.axis_names:
+        return sharded_sv_mvbs_step_3d(mesh, n_x, n_r)
     return sharded_sv_mvbs_step(mesh, n_x, n_r)

@@ -99,3 +99,30 @@ class TestCombine:
             back["Sonar/Beam_group1"]["backscatter_r"].values,
             combined["Sonar/Beam_group1"]["backscatter_r"].values,
         )
+
+
+class TestUpdatePlatform:
+    def test_external_platform_merge(self, tmp_path):
+        from echopype_tpu.xrlite import DataArray, Dataset
+
+        eds = make_eds(tmp_path, n_files=1)
+        ed = eds[0]
+        pt = ed["Sonar/Beam_group1"].coords["ping_time"].values
+        ext_time = pt[0] - np.timedelta64(5, "s") + np.arange(10) * np.timedelta64(2, "s")
+        ext = Dataset(
+            {
+                "gps_lat": (("gps_time",), 45.0 + np.arange(10) * 0.001),
+                "gps_lon": (("gps_time",), -125.0 + np.arange(10) * 0.001),
+            },
+            coords={"gps_time": ext_time},
+        )
+        ed.update_platform(
+            ext,
+            variable_mappings={"latitude": "gps_lat", "longitude": "gps_lon"},
+        )
+        plat = ed["Platform"]
+        # new timeN dim created, values clipped near the data time range
+        tdims = [d for d in plat.sizes if d.startswith("time")]
+        assert any(plat["latitude"].dims[0] == d for d in tdims)
+        assert np.all(plat["latitude"].values >= 45.0)
+        assert plat["latitude"].values.shape == plat.coords[plat["latitude"].dims[0]].values.shape

@@ -107,6 +107,21 @@ class TestShardedPipeline:
         np.testing.assert_allclose(np.asarray(sv2), np.asarray(sv1), rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-4, atol=1e-6)
 
+    def test_3d_mesh_matches_single_device(self):
+        """(ping, channel, range) sharding produces identical MVBS bins."""
+        from echopype_tpu.parallel.pipeline import sharded_sv_mvbs_step_3d
+
+        power, dr, tvg, ab, off, x_idx, r_edges, n_x, n_r = make_inputs()
+        mesh1 = make_mesh(n_devices=1, channel_axis=1)
+        mesh8 = make_mesh(n_devices=8, channel_axis=2, range_axis=2)
+        assert mesh8.axis_names == ("ping", "channel", "range")
+        fn1 = sharded_sv_mvbs_step(mesh1, n_x, n_r)
+        fn8 = sharded_sv_mvbs_step_3d(mesh8, n_x, n_r)
+        sv1, m1 = fn1(power, dr, tvg, ab, off, x_idx, r_edges)
+        sv8, m8 = fn8(power, dr, tvg, ab, off, x_idx, r_edges)
+        np.testing.assert_allclose(np.asarray(sv8), np.asarray(sv1), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(m8), np.asarray(m1), rtol=1e-4, atol=1e-4)
+
     def test_mesh_shapes(self):
         mesh = make_mesh(n_devices=8, channel_axis=2)
         assert mesh.devices.shape == (4, 2)
