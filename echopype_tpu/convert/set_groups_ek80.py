@@ -398,6 +398,51 @@ class SetGroupsEK80(SetGroupsBase):
             np.arange(1, n_beam + 1).astype(str).astype(object), ("beam",),
             attrs=self._varattrs["beam_coord_default"]["beam"], name="beam",
         )
+        ds = self._add_transmit_pulse_complex(ds, chans_used, sel_rows, time_map, n_t)
+        return ds
+
+    def _add_transmit_pulse_complex(self, ds, chans_used, sel_rows, time_map, n_t):
+        """RAW4 transmit pulse -> transmit_pulse_r/i on transmit_sample
+        (set_groups_ek80.py:842-905)."""
+        tx = self.parser_obj.ping_data_dict_tx.get("complex", {})
+        present = [ch for ch in chans_used if ch in tx]
+        if not present:
+            return ds
+        max_s = max(tx[ch]["real"].shape[1] for ch in present)
+        shape = (len(chans_used), n_t, max_s)
+        tr = np.full(shape, np.nan)
+        ti = np.full(shape, np.nan)
+        for ci, ch in enumerate(chans_used):
+            if ch not in tx:
+                continue
+            real = tx[ch]["real"]
+            imag = tx[ch]["imag"]
+            if real.ndim == 3:  # sector dim present: use the first sector
+                real, imag = real[..., 0], imag[..., 0]
+            rows_src = sel_rows[ch]
+            rows_src = rows_src[rows_src < real.shape[0]]
+            rows_dst = time_map[ch][: len(rows_src)]
+            tr[ci, rows_dst, : real.shape[1]] = real[rows_src]
+            ti[ci, rows_dst, : imag.shape[1]] = imag[rows_src]
+        ds.coords["transmit_sample"] = DataArray(
+            np.arange(max_s),
+            ("transmit_sample",),
+            attrs={
+                "long_name": "Transmit pulse sample number, base 0",
+                "comment": "Only exist for Simrad EK80 file with RAW4 datagrams",
+            },
+            name="transmit_sample",
+        )
+        ds["transmit_pulse_r"] = (
+            ("channel", "ping_time", "transmit_sample"),
+            tr,
+            {"long_name": "Real part of the transmit pulse", "units": "V"},
+        )
+        ds["transmit_pulse_i"] = (
+            ("channel", "ping_time", "transmit_sample"),
+            ti,
+            {"long_name": "Imaginary part of the transmit pulse", "units": "V"},
+        )
         return ds
 
     def _assemble_power_group(self, chans):

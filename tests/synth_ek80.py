@@ -139,6 +139,21 @@ def make_raw3(timestamp, channel_id, complex_samples=None, power_idx=None, angle
     return frame(body)
 
 
+def make_raw4(timestamp, channel_id, complex_samples):
+    """RAW4 transmit-pulse datagram (same layout as RAW3)."""
+    from synth_ek60 import dt64_to_nt, frame
+    low, high = dt64_to_nt(timestamp)
+    cs = np.asarray(complex_samples, dtype="<c8")
+    count, n_sec = cs.shape
+    data_type = 0b1000 | (n_sec << 8)
+    body = (
+        struct.pack("<4sLL128sh2sll", b"RAW4", low, high, channel_id.encode(),
+                    data_type, b"", 0, count)
+        + cs.tobytes()
+    )
+    return frame(body)
+
+
 def default_channels():
     return [
         {

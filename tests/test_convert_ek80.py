@@ -113,3 +113,38 @@ class TestEK80Convert:
         assert retrieve_correct_beam_group(ed, "BB", "complex") == "Sonar/Beam_group1"
         assert retrieve_correct_beam_group(ed, "CW", "complex") == "Sonar/Beam_group2"
         assert retrieve_correct_beam_group(ed, "CW", "power") == "Sonar/Beam_group3"
+
+
+class TestRaw4TransmitPulse:
+    def test_transmit_pulse_in_beam_group(self, tmp_path):
+        import numpy as _np
+        from synth_ek60 import make_nme0
+        from synth_ek80 import (
+            default_channels, config_xml, environment_xml, make_fil1,
+            make_raw3, make_raw4, make_xml0, parameter_xml, CH_BB,
+        )
+
+        rng = _np.random.default_rng(3)
+        channels = [c for c in default_channels() if c["id"] == CH_BB]
+        t0 = _np.datetime64("2021-02-01T00:00:00", "ns")
+        chunks = [make_xml0(t0, config_xml(channels)), make_xml0(t0, environment_xml())]
+        chunks.append(make_fil1(t0, CH_BB, 1, _np.full(4, 0.25, dtype="c8"), 6))
+        chunks.append(make_fil1(t0, CH_BB, 2, _np.full(2, 0.5, dtype="c8"), 1))
+        tx_truth = []
+        for p in range(3):
+            ts = t0 + _np.timedelta64(p + 1, "s")
+            chunks.append(make_xml0(ts, parameter_xml(
+                CH_BB, 1, freq_start=50000.0, freq_end=90000.0, sample_interval=16e-6)))
+            txp = (rng.normal(0, 1, (20, 1)) + 1j * rng.normal(0, 1, (20, 1))).astype("c8")
+            chunks.append(make_raw4(ts, CH_BB, txp))
+            cs = (rng.normal(0, 1e-3, (64, 4)) + 1j * rng.normal(0, 1e-3, (64, 4))).astype("c8")
+            chunks.append(make_raw3(ts, CH_BB, complex_samples=cs))
+            tx_truth.append(txp[:, 0])
+        path = tmp_path / "R4-D20210201-T000000.raw"
+        path.write_bytes(b"".join(chunks))
+        ed = ep.open_raw(path, sonar_model="EK80")
+        bg = ed["Sonar/Beam_group1"]
+        assert "transmit_pulse_r" in bg and "transmit_pulse_i" in bg
+        tp = bg["transmit_pulse_r"].values
+        assert tp.shape == (1, 3, 20)
+        _np.testing.assert_allclose(tp[0, 0], tx_truth[0].real, rtol=1e-6)
