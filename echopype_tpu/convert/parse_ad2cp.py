@@ -248,6 +248,76 @@ def _parse_burst_average_v3(buf: bytes, pkt: Packet):
     return pkt
 
 
+CONFIG_BITS_V2 = [
+    ("pressure_sensor_valid", 0, 0),
+    ("temperature_sensor_valid", 1, 1),
+    ("compass_sensor_valid", 2, 2),
+    ("tilt_sensor_valid", 3, 3),
+    ("velocity_data_included", 5, 5),
+    ("amplitude_data_included", 6, 6),
+    ("correlation_data_included", 7, 7),
+]
+
+
+def _parse_burst_average_v2(buf: bytes, pkt: Packet):
+    """BURST_AVERAGE_VERSION2 record (parse_ad2cp.py:898-1100)."""
+    d = pkt.data
+    pos = 0
+    d["version"], pos = _read_scaled(buf, pos, 1, False)
+    d["offset_of_data"], pos = _read_scaled(buf, pos, 1, False)
+    d["serial_number"], pos = _read_scaled(buf, pos, 4, False)
+    cfg, pos = _read_scaled(buf, pos, 2, False)
+    d["configuration"] = cfg
+    _bitfield(cfg, CONFIG_BITS_V2, d)
+    for k in ("altimeter_data_included", "altimeter_raw_data_included", "ast_data_included",
+              "echosounder_data_included", "ahrs_data_included",
+              "percentage_good_data_included", "std_dev_data_included"):
+        d[k] = 0
+    for f in ("year", "month", "day", "hour", "minute", "seconds"):
+        d[f], pos = _read_scaled(buf, pos, 1, False)
+    d["microsec100"], pos = _read_scaled(buf, pos, 2, False)
+    d["speed_of_sound"], pos = _read_scaled(buf, pos, 2, False, 1 / 10)
+    d["temperature"], pos = _read_scaled(buf, pos, 2, True, 1 / 100)
+    d["pressure"], pos = _read_scaled(buf, pos, 4, False, 1 / 1000)
+    d["heading"], pos = _read_scaled(buf, pos, 2, False, 1 / 100)
+    d["pitch"], pos = _read_scaled(buf, pos, 2, True, 1 / 100)
+    d["roll"], pos = _read_scaled(buf, pos, 2, True, 1 / 100)
+    d["error"], pos = _read_scaled(buf, pos, 2, False)
+    d["status"], pos = _read_scaled(buf, pos, 2, False)
+    bcc, pos = _read_scaled(buf, pos, 2, False)
+    _bitfield(bcc, [("num_cells", 9, 0), ("coordinate_system", 11, 10), ("num_beams", 15, 12)], d)
+    d["cell_size"], pos = _read_scaled(buf, pos, 2, False, 1 / 1000)
+    d["blanking"], pos = _read_scaled(buf, pos, 2, False, 1 / 1000)
+    d["velocity_range"], pos = _read_scaled(buf, pos, 2, False, 1 / 1000)
+    d["battery_voltage"], pos = _read_scaled(buf, pos, 2, False, 1 / 10)
+    d["magnetometer_raw"], pos = _read_array(buf, pos, 2, True, 3)
+    for ax in ("x", "y", "z"):
+        d[f"accelerometer_raw_{ax}_axis"], pos = _read_scaled(buf, pos, 2, True, 9.819 / 16384)
+    amb, pos = _read_scaled(buf, pos, 2, False, 1 / 10000)
+    d["ambiguity_velocity"] = amb
+    d["dataset_description"], pos = _read_scaled(buf, pos, 2, False)
+    d["transmit_energy"], pos = _read_scaled(buf, pos, 2, False)
+    d["velocity_scaling"], pos = _read_scaled(buf, pos, 1, True)
+    d["power_level"], pos = _read_scaled(buf, pos, 1, True)
+    pos += 4  # spare
+    beams = [(int(d["dataset_description"]) >> lo) & 0x7 for lo in (0, 3, 6, 9, 12)]
+    d["beams"] = np.array([b for b in beams if b > 0])
+
+    nb, nc = int(d["num_beams"]), int(d["num_cells"])
+    vel_scale = 10.0 ** d["velocity_scaling"]
+    mode = "burst" if pkt.is_burst() else "average"
+    if d["velocity_data_included"]:
+        v, pos = _read_array(buf, pos, 2, True, nb * nc, vel_scale)
+        d[f"velocity_data_{mode}"] = v.reshape(nb, nc)
+    if d["amplitude_data_included"]:
+        v, pos = _read_array(buf, pos, 1, False, nb * nc, 0.5)
+        d[f"amplitude_data_{mode}"] = v.reshape(nb, nc)
+    if d["correlation_data_included"]:
+        v, pos = _read_array(buf, pos, 1, False, nb * nc)
+        d[f"correlation_data_{mode}"] = v.reshape(nb, nc)
+    return pkt
+
+
 def _parse_echosounder_raw(buf: bytes, pkt: Packet, transmit=False):
     """ECHOSOUNDER_RAW(_TRANSMIT) records: complex f4 sample pairs."""
     d = pkt.data
@@ -347,6 +417,8 @@ class ParseAd2cp:
                     version = record[0]
                     if version == 3:
                         _parse_burst_average_v3(record, pkt)
+                    elif version == 2:
+                        _parse_burst_average_v2(record, pkt)
                     else:
                         logger.warning("AD2CP record version %d not supported; skipped", version)
                         pkt = None

@@ -127,6 +127,7 @@ class SetGroupsAd2cp(SetGroupsBase):
             ("blanking", "blanking"),
             ("cell_size", "cell_size"),
             ("echosounder_frequency", "echosounder_frequency"),
+            ("velocity_range", "velocity_range"),
             ("ambiguity_velocity", "ambiguity_velocity"),
             ("dataset_description", "data_set_description"),
             ("transmit_energy", "transmit_energy"),

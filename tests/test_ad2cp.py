@@ -177,3 +177,51 @@ class TestAd2cp:
         pt = ed["Sonar/Beam_group1"].coords["ping_time"].values
         assert pt[0] == np.datetime64("2022-05-10T08:00:00", "ns")
         assert (np.diff(pt) == np.timedelta64(1, "s")).all()
+
+
+class TestAd2cpV2:
+    def test_v2_average_record(self, tmp_path):
+        """Version-2 burst/average records parse through the v2 layout."""
+        rng = np.random.default_rng(5)
+        nb, nc = 4, 12
+        out = bytearray()
+        out += struct.pack("<BB", 2, 68)
+        out += struct.pack("<I", 800500)  # serial (v2: serial before config)
+        out += struct.pack("<H", 0b11101111)  # config
+        out += struct.pack("<BBBBBB", 2021 - 1900, 4, 2, 6, 30, 0)
+        out += struct.pack("<H", 0)
+        out += struct.pack("<H", 15000)  # sound speed
+        out += struct.pack("<h", 850)  # temperature
+        out += struct.pack("<I", 20500)  # pressure
+        out += struct.pack("<H", 9000)  # heading
+        out += struct.pack("<h", -250)  # pitch
+        out += struct.pack("<h", 100)  # roll
+        out += struct.pack("<HH", 0, 0)  # error, status
+        bcc = (nc & 0x3FF) | (1 << 10) | ((nb & 0xF) << 12)
+        out += struct.pack("<H", bcc)
+        out += struct.pack("<HH", 500, 1000)  # cell size, blanking
+        out += struct.pack("<H", 5000)  # velocity range
+        out += struct.pack("<H", 148)  # battery
+        out += struct.pack("<hhh", 1, 2, 3)
+        out += struct.pack("<hhh", 0, 0, 16384)
+        out += struct.pack("<H", 1000)  # ambiguity velocity
+        out += struct.pack("<H", 0o4321)  # dataset description
+        out += struct.pack("<H", 60)  # transmit energy
+        out += struct.pack("<bb", -3, -6)  # vel scaling, power
+        out += struct.pack("<I", 0)  # spare
+        vel = rng.integers(-20000, 20000, nb * nc).astype("<i2")
+        amp = rng.integers(0, 200, nb * nc).astype("<u1")
+        corr = rng.integers(0, 100, nb * nc).astype("<u1")
+        out += vel.tobytes() + amp.tobytes() + corr.tobytes()
+        record = bytes(out)
+        raw = tmp_path / "v2.ad2cp"
+        raw.write_bytes(_packet(0x16, record))
+        ed = ep.open_raw(raw, sonar_model="AD2CP")
+        bg = ed["Sonar/Beam_group1"]
+        v = bg["velocity"].values
+        assert v.shape == (1, nb, nc)
+        np.testing.assert_allclose(v[0], vel.reshape(nb, nc) * 1e-3, atol=1e-9)
+        np.testing.assert_allclose(
+            ed["Environment"]["temperature"].values, 8.5
+        )
+        np.testing.assert_allclose(bg["velocity_range"].values, 5.0)
