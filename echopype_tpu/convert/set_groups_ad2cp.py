@@ -194,6 +194,39 @@ class SetGroupsAd2cp(SetGroupsBase):
                 )
                 ds[dst] = (("ping_time", "range_sample_echosounder_raw"), out)
             scalar_var("num_complex_samples", "num_complex_samples")
+            # transmit-pulse records (id 0x24) ride their own time axis
+            # (echopype set_groups_ad2cp: echosounder_raw_transmit_samples_i/q
+            #  -> transmit_pulse_r/i)
+            tx_pkts = self._packets(lambda p: p.is_echosounder_raw_transmit())
+            if tx_pkts:
+                ds.coords["ping_time_echosounder_raw_transmit"] = DataArray(
+                    self._times(tx_pkts),
+                    ("ping_time_echosounder_raw_transmit",),
+                    self._varattrs["beam_coord_default"]["ping_time"],
+                )
+                for src, dst in (
+                    ("echosounder_raw_transmit_samples_i", "transmit_pulse_r"),
+                    ("echosounder_raw_transmit_samples_q", "transmit_pulse_i"),
+                ):
+                    arrays = [p.data.get(src) for p in tx_pkts]
+                    if all(a is None for a in arrays):
+                        continue
+                    nc = max(len(a) for a in arrays if a is not None)
+                    out = np.full((len(tx_pkts), nc), np.nan)
+                    for i, a in enumerate(arrays):
+                        if a is not None:
+                            out[i, : len(a)] = a
+                    ds.coords.setdefault(
+                        "range_sample_echosounder_raw_transmit",
+                        DataArray(np.arange(nc), ("range_sample_echosounder_raw_transmit",)),
+                    )
+                    ds[dst] = (
+                        (
+                            "ping_time_echosounder_raw_transmit",
+                            "range_sample_echosounder_raw_transmit",
+                        ),
+                        out,
+                    )
         return ds
 
     def set_beam(self) -> list:

@@ -69,6 +69,8 @@ def write_array(group_dir: Path, name: str, arr: np.ndarray, dims, attrs, compre
     adir = group_dir / name
     adir.mkdir(parents=True, exist_ok=True)
     chunks = coding.auto_chunks(arr.shape, arr.dtype)
+    # zarr v2 requires chunk extents >= 1 even for zero-length dims
+    chunks = tuple(max(1, c) for c in chunks) if chunks else chunks
     fill = _FILL.get(arr.dtype.kind)
     if arr.dtype.kind == "U":
         fill = ""
@@ -94,6 +96,8 @@ def write_array(group_dir: Path, name: str, arr: np.ndarray, dims, attrs, compre
 
     # write chunks
     cshape = meta["chunks"]
+    if 0 in meta["shape"]:
+        return  # empty array: metadata only, no chunk files
     grid = [max(1, -(-s // c)) for s, c in zip(meta["shape"], cshape)] or [1]
     for idx in np.ndindex(*grid):
         slices = tuple(

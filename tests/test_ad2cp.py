@@ -225,3 +225,42 @@ class TestAd2cpV2:
             ed["Environment"]["temperature"].values, 8.5
         )
         np.testing.assert_allclose(bg["velocity_range"].values, 5.0)
+
+
+def _raw_packet(pkt_id, record):
+    """0x23/0x24 packets carry a u4 record size (12-byte header)."""
+    header = struct.pack("<BBBBI", 0xA5, 12, pkt_id, 0x10, len(record))
+    header += struct.pack("<H", checksum(record))
+    header += struct.pack("<H", checksum(header))
+    return header + record
+
+
+class TestAd2cpEchosounderRawTransmit:
+    def test_transmit_pulse_variables(self, tmp_path):
+        rng = np.random.default_rng(9)
+        chunks = []
+        truth_rx, truth_tx = [], []
+        for p in range(3):
+            hdr, _ = _v3_record(0x23, second=p, echosounder=True, n_echo_cells=0)
+            rx = rng.normal(0, 1, (30, 2)).astype("<f4")
+            chunks.append(_raw_packet(0x23, hdr + rx.tobytes()))
+            truth_rx.append(rx.astype("f8"))
+            if p < 2:  # fewer transmit records than receive
+                tx = rng.normal(0, 1, (8, 2)).astype("<f4")
+                chunks.append(_raw_packet(0x24, hdr + tx.tobytes()))
+                truth_tx.append(tx.astype("f8"))
+        raw = tmp_path / "esraw.ad2cp"
+        raw.write_bytes(b"".join(chunks))
+        ed = ep.open_raw(raw, sonar_model="AD2CP")
+        bg = ed["Sonar/Beam_group1"]
+        assert bg["backscatter_r"].dims == ("ping_time", "range_sample_echosounder_raw")
+        np.testing.assert_allclose(bg["backscatter_r"].values[0], truth_rx[0][:, 0], rtol=1e-7)
+        np.testing.assert_allclose(bg["backscatter_i"].values[2], truth_rx[2][:, 1], rtol=1e-7)
+        # transmit pulse rides its own (shorter) time axis
+        assert bg["transmit_pulse_r"].dims == (
+            "ping_time_echosounder_raw_transmit",
+            "range_sample_echosounder_raw_transmit",
+        )
+        assert bg["transmit_pulse_r"].shape == (2, 8)
+        np.testing.assert_allclose(bg["transmit_pulse_r"].values[1], truth_tx[1][:, 0], rtol=1e-7)
+        np.testing.assert_allclose(bg["transmit_pulse_i"].values[0], truth_tx[0][:, 1], rtol=1e-7)
