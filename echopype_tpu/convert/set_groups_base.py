@@ -124,6 +124,42 @@ class SetGroupsBase:
         )
         return platform_ds
 
+    def _add_seafloor_detection_data_to_vendor_ds(
+        self, vendor_ds: Dataset, channels, config_order=None
+    ) -> Dataset:
+        """Append BOT-file seafloor depths on a time3 dim
+        (set_groups_base.py:469-520).
+
+        BOT columns follow transceiver (config) order; when the vendor group's
+        channel coord uses a different order, pass ``config_order`` to remap.
+        """
+        bot = getattr(self.parser_obj, "bot", {})
+        depth = bot.get("depth")
+        if not isinstance(depth, np.ndarray) or not len(depth):
+            return vendor_ds
+        rows = depth.T  # [transceiver, time]
+        if config_order is not None:
+            out = np.full((len(channels), rows.shape[1]), np.nan)
+            order = list(config_order)
+            for i, ch in enumerate(channels):
+                if ch in order and order.index(ch) < rows.shape[0]:
+                    out[i] = rows[order.index(ch)]
+            rows = out
+        else:
+            rows = rows[: len(channels)]
+        vendor_ds.coords["time3"] = DataArray(
+            np.asarray(bot["timestamp"], dtype="datetime64[ns]"),
+            ("time3",),
+            attrs={"axis": "T", "long_name": "Timestamps from the BOT datagrams"},
+            name="time3",
+        )
+        vendor_ds["detected_seafloor_depth"] = (
+            ("channel", "time3"),
+            rows,
+            {"long_name": "Echosounder detected seafloor depth", "units": "m"},
+        )
+        return vendor_ds
+
     # ------------------------------------------------------------- utilities
     @staticmethod
     def _nan_timestamp_handler(time_data):

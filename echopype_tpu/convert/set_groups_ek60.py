@@ -503,17 +503,5 @@ class SetGroupsEK60(SetGroupsBase):
                 "pulse_length_bin": np.arange(pulse_length.shape[1]),
             },
         )
-        bot = getattr(self.parser_obj, "bot", {})
-        if isinstance(bot.get("depth"), np.ndarray) and len(bot["depth"]):
-            ds["detected_seafloor_depth"] = (
-                ("channel", "time3"),
-                bot["depth"].T[: len(self.sorted_channel)],
-                {"long_name": "Echosounder detected seafloor depth", "units": "m"},
-            )
-            ds.coords["time3"] = DataArray(
-                bot["timestamp"],
-                ("time3",),
-                attrs={"axis": "T", "long_name": "Timestamps from the BOT datagrams"},
-                name="time3",
-            )
+        ds = self._add_seafloor_detection_data_to_vendor_ds(ds, self.sorted_channel)
         return ds

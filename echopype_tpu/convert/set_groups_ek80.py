@@ -668,6 +668,9 @@ class SetGroupsEK80(SetGroupsBase):
                     ds[out_name] = (("cal_channel_id", "cal_frequency"), vals)
 
         ds = self._add_filter_params(ds)
+        ds = self._add_seafloor_detection_data_to_vendor_ds(
+            ds, chans, config_order=list(self.config.keys())
+        )
         ds.attrs["config_xml"] = self.parser_obj.config_datagram.get("xml", "")
         return ds
 
