@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from pathlib import Path
 
+import numpy as np
+
 from ..core import SONAR_MODELS, validate_ext
 from ..echodata.echodata import EchoData
 from ..utils.log import _init_logger
@@ -106,7 +108,59 @@ def open_raw(
         tree[f"Sonar/Beam_group{i}"] = bg
 
     ed = EchoData(tree=tree, source_file=raw_file, sonar_model=sonar_model)
+    if _should_swap(use_swap, ed):
+        _spill_to_swap(ed)
     return ed
+
+
+def _should_swap(use_swap, ed) -> bool:
+    """Resolve the ``use_swap`` tri-state (convert/api.py:354, parse_base.py:129).
+
+    ``auto`` spills when the in-memory tree exceeds 40% of available RAM,
+    mirroring the reference's psutil threshold.
+    """
+    if use_swap is True:
+        return True
+    if use_swap in (False, None):
+        return False
+    if use_swap != "auto":
+        raise ValueError(f"use_swap must be True, False or 'auto'; got {use_swap!r}")
+    try:
+        import psutil
+
+        avail = psutil.virtual_memory().available
+    except Exception:  # noqa: BLE001 - psutil optional
+        import os
+
+        avail = os.sysconf("SC_AVPHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+    return ed.nbytes > 0.4 * avail
+
+
+def _spill_to_swap(ed, min_bytes: int = 16_384):
+    """Back large sample arrays with disk memmaps to bound host RAM.
+
+    TPU-native out-of-core tier (parse_base.py:202 equivalent): instead of
+    temp-zarr + dask handles, large variables become ``np.memmap`` views so
+    downstream group access streams from disk; EchoData owns the files and
+    deletes them via cleanup_swap_files()/__del__.
+    """
+    import tempfile
+
+    swap_dir = Path(tempfile.mkdtemp(prefix="echopype_tpu_swap_"))
+    files = []
+    for path, ds in ed._tree.items():
+        for name, da in ds.data_vars.items():
+            v = da.values
+            if v.nbytes < min_bytes or v.dtype.kind in ("O", "U"):
+                continue
+            f = swap_dir / f"{path.replace('/', '_')}__{name}.npy"
+            mm = np.lib.format.open_memmap(f, mode="w+", dtype=v.dtype, shape=v.shape)
+            mm[...] = v
+            mm.flush()
+            da.values = mm
+            files.append(f)
+    ed.swap_files = files
+    ed.swap_dir = swap_dir
 
 
 def to_file(echodata: EchoData, engine: str, save_path=None, compress=True, overwrite=False, **kw):

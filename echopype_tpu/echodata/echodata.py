@@ -126,7 +126,30 @@ class EchoData:
         return self
 
     def cleanup_swap_files(self):
-        """No-op: the columnar ingest does not spill to swap stores."""
+        """Delete memmap swap files created by open_raw(use_swap=...)
+        (echodata.py:77-104)."""
+        swap_dir = getattr(self, "swap_dir", None)
+        if swap_dir is None:
+            return
+        import shutil
+
+        # drop memmap references so the files can be unlinked on all platforms
+        for ds in self._tree.values():
+            for da in ds.data_vars.values():
+                if isinstance(da.values, np.memmap):
+                    da.values = np.asarray(da.values).copy()
+        shutil.rmtree(swap_dir, ignore_errors=True)
+        self.swap_dir = None
+        self.swap_files = []
+
+    def __del__(self):
+        try:
+            if getattr(self, "swap_dir", None) is not None:
+                import shutil
+
+                shutil.rmtree(self.swap_dir, ignore_errors=True)
+        except Exception:  # noqa: BLE001 - interpreter teardown
+            pass
 
     # ------------------------------------------------------------- platform
     def update_platform(

@@ -162,3 +162,50 @@ class TestOpenRaw:
     def test_missing_file(self):
         with pytest.raises(FileNotFoundError):
             ep.open_raw("/nonexistent.raw", sonar_model="EK60")
+
+
+class TestUseSwap:
+    def test_swap_spills_and_cleans(self, tmp_path):
+        from synth_ek60 import write_ek60_raw
+
+        raw = tmp_path / "L0042-D20200101-T000000-EK60.raw"
+        truth = write_ek60_raw(raw, n_pings=8, n_samples=400)
+        ed_mem = ep.open_raw(raw, sonar_model="EK60", use_swap=False)
+        ed = ep.open_raw(raw, sonar_model="EK60", use_swap=True)
+        import numpy as _np
+
+        bs = ed["Sonar/Beam_group1"].data_vars["backscatter_r"]
+        assert isinstance(bs.values, _np.memmap)
+        assert ed.swap_files and all(f.exists() for f in ed.swap_files)
+        _np.testing.assert_array_equal(
+            bs.values, ed_mem["Sonar/Beam_group1"]["backscatter_r"].values
+        )
+        # zarr write reads through the memmap
+        ed.to_zarr(tmp_path / "swap.zarr")
+        ed2 = ep.open_converted(tmp_path / "swap.zarr")
+        _np.testing.assert_array_equal(
+            ed2["Sonar/Beam_group1"]["backscatter_r"].values, _np.asarray(bs.values)
+        )
+        swap_dir = ed.swap_dir
+        ed.cleanup_swap_files()
+        assert not swap_dir.exists()
+        # data still usable after cleanup (copied back to RAM)
+        assert _np.isfinite(ed["Sonar/Beam_group1"]["backscatter_r"].values).any()
+
+    def test_swap_auto_small_file_stays_in_memory(self, tmp_path):
+        from synth_ek60 import write_ek60_raw
+
+        raw = tmp_path / "L0043-D20200101-T000000-EK60.raw"
+        write_ek60_raw(raw, n_pings=2, n_samples=10)
+        ed = ep.open_raw(raw, sonar_model="EK60", use_swap="auto")
+        assert getattr(ed, "swap_dir", None) is None
+
+    def test_swap_invalid_value_raises(self, tmp_path):
+        from synth_ek60 import write_ek60_raw
+
+        raw = tmp_path / "L0044-D20200101-T000000-EK60.raw"
+        write_ek60_raw(raw, n_pings=2, n_samples=10)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="use_swap"):
+            ep.open_raw(raw, sonar_model="EK60", use_swap="always")
