@@ -18,6 +18,7 @@ from .utils.prov import ECHOPYPE_TPU_VERSION as __version__  # noqa: F401
 from . import (  # noqa: F401, E402
     calibrate,
     clean,
+    colormap,
     commongrid,
     consolidate,
     mask,
@@ -35,6 +36,7 @@ __all__ = [
     "verbose",
     "calibrate",
     "clean",
+    "colormap",
     "commongrid",
     "consolidate",
     "mask",

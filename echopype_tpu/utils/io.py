@@ -16,6 +16,15 @@ SUPPORTED_ENGINES = {
 }
 
 
+ECHOPYPE_DIR = Path(os.path.expanduser("~")) / ".echopype_tpu"
+
+
+def init_ep_dir():
+    """Create the per-user working directory (reference utils/io.py:47-53)."""
+    ECHOPYPE_DIR.mkdir(exist_ok=True)
+    return ECHOPYPE_DIR
+
+
 def get_file_format(path) -> str:
     p = str(path)
     if p.endswith(".zarr") or p.endswith(".zarr/"):
