@@ -6,7 +6,7 @@ sonar model, output attrs + provenance + water_level attachment.
 
 from __future__ import annotations
 
-from ..utils.prov import add_processing_level, echopype_prov_attrs, source_files_vars
+from ..utils.prov import echopype_prov_attrs, source_files_vars
 from ..xrlite import Dataset
 
 __all__ = ["compute_Sv", "compute_TS", "CALIBRATOR"]
@@ -217,7 +217,6 @@ def _merge_epoch_outputs(pieces, cal_type) -> Dataset:
     return out
 
 
-@add_processing_level("L2A")
 def compute_Sv(echodata, **kwargs) -> Dataset:
     """Compute volume backscattering strength Sv from raw data.
 
@@ -228,7 +227,6 @@ def compute_Sv(echodata, **kwargs) -> Dataset:
     return _compute_cal("Sv", echodata, **kwargs)
 
 
-@add_processing_level("L2A")
 def compute_TS(echodata, **kwargs) -> Dataset:
     """Compute target strength TS from raw data (calibrate/api.py:348)."""
     return _compute_cal("TS", echodata, **kwargs)

@@ -202,4 +202,14 @@ class EchoData:
                 vals = vals[keep]
             platform._set_coord(new_dim, (new_dim, tvals))
             platform[plat_name] = ((new_dim,), vals)
+        # re-stamp L1A once valid location data exists (echodata.py:348)
+        from ..utils.prov import PROCESSING_LEVELS, _valid_latlon
+
+        if _valid_latlon(platform):
+            top = self._tree.get("Top-level")
+            if top is not None:
+                top.attrs["processing_level"] = PROCESSING_LEVELS["L1A"]
+                top.attrs["processing_level_url"] = (
+                    "https://echopype.readthedocs.io/en/stable/processing-levels.html"
+                )
         return self

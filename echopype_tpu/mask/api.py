@@ -12,7 +12,7 @@ import numpy as np
 
 from ..commongrid.utils import _parse_x_bin, parse_time_bin_to_value_unit, ping_time_bin_edges
 from ..ops import binning
-from ..utils.prov import echopype_prov_attrs, insert_input_processing_level
+from ..utils.prov import add_processing_level, echopype_prov_attrs, insert_input_processing_level
 from ..xrlite import DataArray, Dataset, broadcast_arrays
 from .freq_diff import _parse_freq_diff_eq
 
@@ -49,6 +49,7 @@ def _validate_and_collect_mask_input(mask):
     return out if isinstance(mask, list) else out[0]
 
 
+@add_processing_level("L3*")
 def apply_mask(
     source_ds: Dataset,
     mask,

@@ -73,36 +73,49 @@ def add_processing_level(processing_level_code: str, is_echodata: bool = False):
     lat/lon exists on the output, else B (reference: utils/prov.py:181-308).
     """
 
+    def _stamp(target, code):
+        target.attrs["processing_level"] = PROCESSING_LEVELS[code]
+        target.attrs["processing_level_url"] = (
+            "https://echopype.readthedocs.io/en/stable/processing-levels.html"
+        )
+
     def wrapper(func):
         @functools.wraps(func)
         def inner(*args, **kwargs):
             out = func(*args, **kwargs)
             code = processing_level_code
-            target = None
             if isinstance(out, Dataset):
-                target = out
-            elif hasattr(out, "__getitem__") and hasattr(out, "group_paths"):
-                try:
-                    target = out["Top-level"]
-                except Exception:
-                    target = None
-            if target is not None:
-                if code.endswith("*"):
-                    # e.g. L3* -> A if valid lat/lon on the output, else B
-                    code = code[:-1] + ("A" if _valid_latlon(target) else "B")
-                elif "*" in code:
-                    # e.g. L*B -> keep the input's numeric level, force sublevel
-                    existing = target.attrs.get("processing_level", "")
-                    digits = "".join(ch for ch in existing if ch.isdigit())
-                    if digits:
-                        code = "L" + digits + code.split("*")[1]
-                    else:
-                        code = ""
+                ds = out
+                # every stamp is gated on valid location data (prov.py:260-296)
+                if not _valid_latlon(ds):
+                    ds.attrs.pop("input_processing_level", None)
+                    return out
                 if code in PROCESSING_LEVELS:
-                    target.attrs["processing_level"] = PROCESSING_LEVELS[code]
-                    target.attrs["processing_level_url"] = (
-                        "https://echopype.readthedocs.io/en/stable/processing-levels.html"
-                    )
+                    _stamp(ds, code)
+                elif "*" in code:
+                    lvl_in = ds.attrs.pop("input_processing_level", None)
+                    if lvl_in is None:
+                        raise RuntimeError(
+                            f"Processing level {code!r} cannot be resolved: the "
+                            f"producing function must call insert_input_processing_level"
+                        )
+                    if code.endswith("*"):
+                        # L3* -> level from code, sublevel propagated from input
+                        resolved = f"L{code[1]}{lvl_in[-1]}"
+                    else:
+                        # L*B -> sublevel from code, level propagated from input
+                        resolved = f"L{lvl_in[-2]}{code[-1]}"
+                    if resolved in PROCESSING_LEVELS:
+                        _stamp(ds, resolved)
+            elif hasattr(out, "__getitem__") and hasattr(out, "group_paths"):
+                # EchoData: location lives in Platform, attrs on Top-level
+                try:
+                    platform = out["Platform"]
+                    top = out["Top-level"]
+                except Exception:
+                    return out
+                if _valid_latlon(platform) and code in PROCESSING_LEVELS:
+                    _stamp(top, code)
             return out
 
         return inner

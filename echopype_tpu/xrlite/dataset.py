@@ -298,6 +298,19 @@ class Dataset:
                 self.coords.setdefault(k, v)
         return self
 
+    def rename_vars(self, name_dict=None, **names):
+        """Return a copy with data variables renamed (xarray API parity)."""
+        mapping = {**(name_dict or {}), **names}
+        missing = [k for k in mapping if k not in self.data_vars]
+        if missing:
+            raise ValueError(f"cannot rename {missing}: not data variables in this Dataset")
+        out = self.copy()
+        out.data_vars = {
+            mapping.get(k, k): DataArray(v.values, v.dims, attrs=dict(v.attrs), name=mapping.get(k, k))
+            for k, v in out.data_vars.items()
+        }
+        return out
+
     def copy(self, deep=False):
         out = Dataset(attrs=dict(self.attrs))
         out.coords = {

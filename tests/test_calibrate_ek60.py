@@ -91,7 +91,8 @@ class TestComputeSv:
         ds = ep.calibrate.compute_Sv(ed)
         assert ds["Sv"].attrs["units"] == "dB"
         assert ds.attrs["processing_function"] == "calibrate.compute_Sv"
-        assert ds.attrs["processing_level"] == "Level 2A"
+        # reference parity: no processing level until location data is added
+        assert "processing_level" not in ds.attrs
         for v in ["echo_range", "frequency_nominal", "tau_effective", "water_level",
                   "sound_speed", "sound_absorption", "sa_correction", "gain_correction",
                   "equivalent_beam_angle", "source_filenames"]:

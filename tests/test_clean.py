@@ -192,7 +192,14 @@ class TestBackgroundNoise:
         ds = make_sv()
         ds.attrs["processing_level"] = "Level 2A"
         out = ep.clean.remove_background_noise(ds, ping_num=10, range_sample_num=10)
-        assert out.attrs["processing_level"] == "Level 2B"  # no lat/lon
+        # no lat/lon on the output -> stamp withheld; the inherited input
+        # attr rides along unchanged (reference gating leaves it stale too)
+        assert out.attrs["processing_level"] == "Level 2A"
+        n_ping = ds.sizes["ping_time"]
+        ds["latitude"] = (("ping_time",), 45.0 + np.arange(n_ping) * 1e-4)
+        ds["longitude"] = (("ping_time",), -125.0 + np.arange(n_ping) * 1e-4)
+        out = ep.clean.remove_background_noise(ds, ping_num=10, range_sample_num=10)
+        assert out.attrs["processing_level"] == "Level 2B"
 
 
 class TestDetectTransient:

@@ -109,12 +109,19 @@ class TestMVBS:
         assert mvbs.attrs["processing_function"] == "commongrid.compute_MVBS"
         assert mvbs.attrs["processing_level"] == "Level 3A"  # has lat/lon
         assert "cell_methods" in mvbs.data_vars["Sv"].attrs
-        assert mvbs.attrs["input_processing_level"] == "Level 2A"
+        # input level is consumed when the wildcard resolves (reference parity)
+        assert "input_processing_level" not in mvbs.attrs
 
     def test_no_latlon_level_b(self):
         ds = make_sv_dataset(with_latlon=False)
         mvbs = ep.commongrid.compute_MVBS(ds)
-        assert mvbs.attrs["processing_level"] == "Level 3B"
+        # without location data no level is stamped at all (reference gating)
+        assert "processing_level" not in mvbs.attrs
+        # sublevel B comes from a denoised (L2B) input WITH location data
+        ds_b = make_sv_dataset()
+        ds_b.attrs["processing_level"] = "Level 2B"
+        mvbs_b = ep.commongrid.compute_MVBS(ds_b)
+        assert mvbs_b.attrs["processing_level"] == "Level 3B"
 
     def test_range_var_max(self):
         ds = make_sv_dataset(n_r=40, dr=0.5)

@@ -45,7 +45,11 @@ class TestAddDepth:
         np.testing.assert_allclose(
             out["depth"].values, 5.0 + er * np.cos(np.deg2rad(60.0)), rtol=1e-6
         )
-        assert out.attrs["processing_level"] == "Level 2A"
+        # no location data on the Sv dataset -> no stamp (reference gating)
+        assert "processing_level" not in out.attrs
+        ds_loc = ep.consolidate.add_location(ds_Sv, ed)
+        out2 = ep.consolidate.add_depth(ds_loc, depth_offset=5.0, tilt=60.0)
+        assert out2.attrs["processing_level"] == "Level 2A"
 
     def test_upward(self, pipeline):
         ed, ds_Sv = pipeline

@@ -32,10 +32,11 @@ class TestFullPipeline:
         combined = ep.combine_echodata(eds)
         assert combined["Top-level"].attrs["processing_level"] == "Level 1A"
 
-        # --- L2A: calibrate + enrich
+        # --- L2A: calibrate + enrich (level appears only once location exists)
         ds_Sv = ep.calibrate.compute_Sv(combined)
-        assert ds_Sv.attrs["processing_level"] == "Level 2A"
+        assert "processing_level" not in ds_Sv.attrs
         ds_Sv = ep.consolidate.add_location(ds_Sv, combined)
+        assert ds_Sv.attrs["processing_level"] == "Level 2A"
         ds_Sv = ep.consolidate.add_depth(ds_Sv, depth_offset=2.0)
         assert "depth" in ds_Sv and "latitude" in ds_Sv
 

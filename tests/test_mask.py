@@ -84,7 +84,15 @@ class TestApplyMask:
         m = DataArray(np.ones((20, 30), dtype=bool), ("ping_time", "range_sample"))
         out = ep.mask.apply_mask(ds, m)
         assert out.attrs["mask_function"] == "mask.apply_mask"
-        assert out.attrs["input_processing_level"] == "Level 2A"
+        # no lat/lon -> wildcard stamp withheld (inherited attr stays) and
+        # the input_processing_level marker is consumed
+        assert out.attrs["processing_level"] == "Level 2A"
+        assert "input_processing_level" not in out.attrs
+        n_ping = ds.sizes["ping_time"]
+        ds["latitude"] = (("ping_time",), 45.0 + np.arange(n_ping) * 1e-4)
+        ds["longitude"] = (("ping_time",), -125.0 + np.arange(n_ping) * 1e-4)
+        out = ep.mask.apply_mask(ds, m)
+        assert out.attrs["processing_level"] == "Level 3A"
 
 
 class TestFrequencyDifferencing:

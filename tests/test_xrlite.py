@@ -265,3 +265,19 @@ class TestDataset:
         ds = self.make_ds()
         out = ds.drop_vars("frequency_nominal").rename({"Sv": "TS"}).assign_attrs(a=1)
         assert "TS" in out.data_vars and out.attrs["a"] == 1
+
+
+class TestRenameVars:
+    def test_rename_vars(self):
+        import numpy as np
+        from echopype_tpu.xrlite import Dataset
+
+        ds = Dataset({"a": (("x",), np.arange(3.0)), "b": (("x",), np.ones(3))},
+                     coords={"x": np.arange(3)}, attrs={"k": "v"})
+        out = ds.rename_vars({"a": "a2"}, b="b2")
+        assert set(out.data_vars) == {"a2", "b2"}
+        assert set(ds.data_vars) == {"a", "b"}  # original untouched
+        assert out.attrs["k"] == "v"
+        import pytest
+        with pytest.raises(ValueError, match="nope"):
+            ds.rename_vars({"nope": "x2"})
