@@ -504,6 +504,56 @@ class DataArray:
             name=self.name,
         )
 
+    def argmax(self, dim):
+        ax = self._dim_index(dim)
+        vals = np.nanargmax(self.values, axis=ax)
+        new_dims = tuple(d for d in self.dims if d != dim)
+        out = DataArray(vals, new_dims, name=self.name)
+        out.coords = {k: v for k, v in self.coords.items() if dim not in v.dims}
+        return out
+
+    def idxmax(self, dim):
+        coord = self.coords[dim]
+        return DataArray(
+            coord.values[self.argmax(dim).values],
+            tuple(d for d in self.dims if d != dim),
+            name=self.name,
+        )
+
+    def pipe(self, func, *args, **kwargs):
+        return func(self, *args, **kwargs)
+
+    def round(self, decimals=0):
+        out = DataArray(np.round(self.values, decimals), self.dims, attrs=self.attrs, name=self.name)
+        out.coords = dict(self.coords)
+        return out
+
+    def plot(self, ax=None, **kwargs):
+        """Quick echogram/line plot (2-d -> pcolormesh, 1-d -> line)."""
+        import matplotlib.pyplot as plt
+
+        if ax is None:
+            _, ax = plt.subplots()
+        if self.ndim == 2:
+            y, x = self.dims
+            xs = self.coords[x].values if x in self.coords else np.arange(self.shape[1])
+            ys = self.coords[y].values if y in self.coords else np.arange(self.shape[0])
+            m = ax.pcolormesh(xs, ys, self.values, **kwargs)
+            ax.set_xlabel(x)
+            ax.set_ylabel(y)
+            plt.colorbar(m, ax=ax, label=self.name or "")
+            return m
+        xs = (
+            self.coords[self.dims[0]].values
+            if self.dims and self.dims[0] in self.coords
+            else np.arange(self.size)
+        )
+        (line,) = ax.plot(xs, self.values, **kwargs)
+        if self.dims:
+            ax.set_xlabel(self.dims[0])
+        ax.set_ylabel(self.name or "")
+        return line
+
     def cumsum(self, dim, skipna=True):
         ax = self._dim_index(dim)
         func = np.nancumsum if skipna else np.cumsum

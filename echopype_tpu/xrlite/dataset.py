@@ -346,10 +346,80 @@ class Dataset:
             store_path, self, compress=compress, overwrite=overwrite or mode in ("w", "a")
         )
 
-    def mean(self, dim=None, skipna=True):
+    def _reduce_all(self, method, dim=None, skipna=True):
         out = Dataset(attrs=dict(self.attrs))
         for k in self.data_vars:
             da = self[k]
+            if not np.issubdtype(da.values.dtype, np.number):
+                continue  # xarray drops non-numeric vars on reduction
             red = [d for d in ((dim,) if isinstance(dim, str) else dim or da.dims) if d in da.dims]
-            out[k] = da.mean(red, skipna=skipna) if red else da
+            out[k] = getattr(da, method)(red, skipna=skipna) if red else da
         return out
+
+    def mean(self, dim=None, skipna=True):
+        return self._reduce_all("mean", dim, skipna)
+
+    def sum(self, dim=None, skipna=True):
+        return self._reduce_all("sum", dim, skipna)
+
+    def min(self, dim=None, skipna=True):
+        return self._reduce_all("min", dim, skipna)
+
+    def max(self, dim=None, skipna=True):
+        return self._reduce_all("max", dim, skipna)
+
+    def std(self, dim=None, skipna=True):
+        return self._reduce_all("std", dim, skipna)
+
+    def median(self, dim=None, skipna=True):
+        return self._reduce_all("median", dim, skipna)
+
+    def count(self, dim=None):
+        out = Dataset(attrs=dict(self.attrs))
+        for k in self.data_vars:
+            da = self[k]
+            if not np.issubdtype(da.values.dtype, np.number):
+                continue
+            red = [d for d in ((dim,) if isinstance(dim, str) else dim or da.dims) if d in da.dims]
+            out[k] = da.count(red) if red else da
+        return out
+
+    def pipe(self, func, *args, **kwargs):
+        return func(self, *args, **kwargs)
+
+    def fillna(self, value):
+        out = self.copy()
+        for k, da in out.data_vars.items():
+            if np.issubdtype(da.values.dtype, np.floating):
+                da.values = np.where(np.isnan(da.values), value, da.values)
+        return out
+
+    def clip(self, min=None, max=None):
+        out = self.copy()
+        for da in out.data_vars.values():
+            if np.issubdtype(da.values.dtype, np.number):
+                da.values = np.clip(da.values, min, max)
+        return out
+
+    def squeeze(self, dim=None):
+        out = Dataset(attrs=dict(self.attrs))
+        drop = (
+            [dim] if isinstance(dim, str) else [d for d, s in self.sizes.items() if s == 1]
+        )
+        for k, da in {**self.coords, **self.data_vars}.items():
+            keep_axes = tuple(i for i, d in enumerate(da.dims) if d not in drop or da.values.shape[i] != 1)
+            vals = da.values.reshape([da.values.shape[i] for i in keep_axes])
+            new_dims = tuple(da.dims[i] for i in keep_axes)
+            if k in self.data_vars:
+                out[k] = (new_dims, vals, dict(da.attrs))
+            elif new_dims:
+                out.coords[k] = DataArray(vals, new_dims, attrs=dict(da.attrs), name=k)
+        return out
+
+    def sortby(self, name, ascending=True):
+        key = self.coords[name] if name in self.coords else self[name]
+        (dim,) = key.dims
+        order = np.argsort(key.values, kind="stable")
+        if not ascending:
+            order = order[::-1]
+        return self.isel({dim: order})

@@ -281,3 +281,79 @@ class TestRenameVars:
         import pytest
         with pytest.raises(ValueError, match="nope"):
             ds.rename_vars({"nope": "x2"})
+
+
+class TestXarrayApiParity:
+    def _ds(self):
+        import numpy as np
+        from echopype_tpu.xrlite import Dataset
+
+        rng = np.random.default_rng(0)
+        v = rng.normal(0, 1, (3, 4))
+        v[0, 0] = np.nan
+        return Dataset(
+            {"a": (("x", "y"), v), "b": (("x",), np.array([3.0, 1.0, 2.0]))},
+            coords={"x": np.array([30, 10, 20]), "y": np.arange(4)},
+        ), v
+
+    def test_dataset_reductions(self):
+        import numpy as np
+
+        ds, v = self._ds()
+        np.testing.assert_allclose(ds.sum("y")["a"].values, np.nansum(v, axis=1))
+        np.testing.assert_allclose(ds.max("y")["a"].values, np.nanmax(v, axis=1))
+        np.testing.assert_allclose(ds.std("y")["a"].values, np.nanstd(v, axis=1))
+        np.testing.assert_allclose(ds.median("y")["a"].values, np.nanmedian(v, axis=1))
+        np.testing.assert_allclose(ds.count("y")["a"].values, [3, 4, 4])
+
+    def test_dataset_fillna_clip_pipe(self):
+        import numpy as np
+
+        ds, v = self._ds()
+        filled = ds.fillna(0.0)
+        assert not np.isnan(filled["a"].values).any()
+        assert np.isnan(ds["a"].values[0, 0])  # original untouched
+        clipped = ds.clip(min=0.0)
+        assert np.nanmin(clipped["a"].values) >= 0.0
+        assert ds.pipe(lambda d, k: d[k].dims, "a") == ("x", "y")
+
+    def test_dataset_sortby_squeeze(self):
+        import numpy as np
+        from echopype_tpu.xrlite import Dataset
+
+        ds, v = self._ds()
+        s = ds.sortby("x")
+        np.testing.assert_array_equal(s.coords["x"].values, [10, 20, 30])
+        np.testing.assert_allclose(s["b"].values, [1.0, 2.0, 3.0])
+        ds2 = Dataset({"c": (("x", "y"), np.ones((1, 4)))}, coords={"y": np.arange(4)})
+        sq = ds2.squeeze()
+        assert sq["c"].dims == ("y",)
+
+    def test_dataarray_idxmax_round(self):
+        import numpy as np
+        from echopype_tpu.xrlite import DataArray
+
+        da = DataArray(
+            np.array([[1.0, 5.0, 2.0], [7.0, np.nan, 3.0]]),
+            ("p", "r"),
+            coords={"r": np.array([10.0, 20.0, 30.0])},
+        )
+        np.testing.assert_allclose(da.idxmax("r").values, [20.0, 10.0])
+        np.testing.assert_allclose(da.round().values[0], [1.0, 5.0, 2.0])
+        assert da.pipe(lambda x: x.dims) == ("p", "r")
+
+    def test_dataarray_plot(self, tmp_path):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        import numpy as np
+        from echopype_tpu.xrlite import DataArray
+
+        da = DataArray(np.random.default_rng(0).normal(-70, 5, (10, 20)),
+                       ("range_sample", "ping_time"), name="Sv")
+        m = da.plot(cmap="ep.ek500")
+        plt.gcf().savefig(tmp_path / "echogram.png")
+        assert (tmp_path / "echogram.png").stat().st_size > 0
+        da1 = DataArray(np.arange(5.0), ("ping_time",), name="nasc")
+        da1.plot()
