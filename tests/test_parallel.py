@@ -128,3 +128,17 @@ class TestShardedPipeline:
         assert mesh.axis_names == ("ping", "channel")
         with pytest.raises(ValueError):
             make_mesh(n_devices=8, channel_axis=3)
+
+
+class TestMvbsOnlyStep:
+    def test_with_sv_false_matches(self):
+        """MVBS-only step (no Sv materialization) matches the full step."""
+        power, dr, tvg, ab, off, x_idx, r_edges, n_x, n_r = make_inputs()
+        mesh = make_mesh(n_devices=8, channel_axis=2)
+        full = sharded_sv_mvbs_step(mesh, n_x, n_r)
+        lean = sharded_sv_mvbs_step(mesh, n_x, n_r, with_sv=False)
+        _, mvbs_full = full(power, dr, tvg, ab, off, x_idx, r_edges)
+        mvbs_lean = lean(power, dr, tvg, ab, off, x_idx, r_edges)
+        np.testing.assert_allclose(
+            np.asarray(mvbs_lean), np.asarray(mvbs_full), rtol=1e-6, atol=1e-6
+        )
