@@ -131,3 +131,123 @@ def sv_mvbs_core_pallas(power, dr, tvg_shift, absorption, offset, x_idx, r_edges
     sums = _pgd(s1, xb, 1)
     counts = _pgd(n1, xb, 1)
     return sv, sums, counts
+
+
+# --------------------------------------------------------------------------
+# MVBS-only single-pass kernel: no Sv materialization, one transcendental.
+# HBM traffic = one read of power + tiny [C,P,n_r] partials.  lin is formed
+# directly: 10^(Sv/10) = 10^((power + 2*a*r_tvg + off)/10) * r_tvg^2, so the
+# dB Sv value (and its log10) is never computed.
+#
+# Measured (v5e, bench workload 5ch x 20k pings x 4000 samples): 14.0 ms/iter
+# (tile_p=200) vs 10.2 ms for the XLA path (sv_mvbs_core_mxu with the Sv
+# output dead-code-eliminated) -- per-grid-step pipeline overhead dominates at
+# VMEM-feasible tile sizes, so the XLA path remains the default; this kernel
+# is kept as the explicit single-pass formulation with parity tests.
+_LN10_10 = 0.23025850929940458
+
+
+def _mvbs_kernel_body(power_ref, dr_ref, tvg_ref, ab_ref, off_ref, m_ref, s1_ref, n1_ref):
+    TP, R = power_ref.shape[1], power_ref.shape[2]
+    power = power_ref[0]
+    dr = dr_ref[0]  # [TP, 1]
+    r = jax.lax.broadcasted_iota(jnp.int32, (TP, R), 1).astype(jnp.float32) * dr
+    r_tvg = r - tvg_ref[0]
+    ok = (r_tvg > 0) & ~jnp.isnan(power)
+    expo = jnp.float32(_LN10_10) * (power + 2.0 * ab_ref[0] * r_tvg + off_ref[0])
+    lin = jnp.where(ok, jnp.exp(expo) * (r_tvg * r_tvg), 0.0)
+    m = m_ref[0]
+    s1_ref[0] = jnp.dot(lin, m, preferred_element_type=jnp.float32)
+    n1_ref[0] = jnp.dot(ok.astype(jnp.float32), m, preferred_element_type=jnp.float32)
+
+
+def _pick_tile_p(P: int, target: int = 512) -> int:
+    """Largest multiple-of-8 divisor of P at most target (avoids pad copies)."""
+    best = 0
+    t = 8
+    while t <= min(P, target):
+        if P % t == 0:
+            best = t
+        t += 8
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("tile_p", "interpret"))
+def mvbs_partials_pallas(power, dr, tvg_shift, absorption, offset, bin_matrix,
+                         tile_p: int = 0, interpret: bool = False):
+    """Per-ping bin partials WITHOUT materializing Sv.
+
+    power [C,P,R] f32; dr/tvg/absorption/offset [C,P] f32;
+    bin_matrix [C,R,n_r] f32.  Returns (s1 [C,P,n_r], n1 [C,P,n_r]).
+    tile_p=0 auto-picks a divisor of P (multiple of 8) so no pad copy of
+    the power block is ever made; falls back to padding when P < 8 or P
+    has no such divisor.
+    """
+    C, P, R = power.shape
+    n_r = bin_matrix.shape[2]
+    tp = tile_p or _pick_tile_p(P)
+    if tp == 0 or P % tp:
+        pad = (-P) % max(tp, 8)
+        tp = tp or 8
+        power = jnp.pad(power, ((0, 0), (0, pad), (0, 0)), constant_values=jnp.nan)
+        dr = jnp.pad(dr, ((0, 0), (0, pad)), constant_values=1.0)
+        tvg_shift = jnp.pad(tvg_shift, ((0, 0), (0, pad)))
+        absorption = jnp.pad(absorption, ((0, 0), (0, pad)))
+        offset = jnp.pad(offset, ((0, 0), (0, pad)))
+        P = P + pad
+    grid = (C, P // tp)
+
+    def pp(i, j):
+        return (i, j, 0)
+
+    cp_spec = pl.BlockSpec((1, tp, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    s1, n1 = pl.pallas_call(
+        _mvbs_kernel_body,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tp, R), pp, memory_space=pltpu.VMEM),
+            cp_spec,
+            cp_spec,
+            cp_spec,
+            cp_spec,
+            pl.BlockSpec((1, R, n_r), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tp, n_r), pp, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tp, n_r), pp, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((C, P, n_r), jnp.float32),
+            jax.ShapeDtypeStruct((C, P, n_r), jnp.float32),
+        ],
+        interpret=interpret,
+    )(power, dr[:, :, None], tvg_shift[:, :, None], absorption[:, :, None],
+      offset[:, :, None], bin_matrix)
+    return s1, n1
+
+
+def mvbs_core_pallas(power, dr, tvg_shift, absorption, offset, x_idx, r_edges, n_x, n_r,
+                     tile_p: int = 0, interpret: bool = False):
+    """MVBS-only drop-in for sv_mvbs_core_mxu(with_sv=False semantics)."""
+    C, P, R = power.shape
+    dr0 = dr[:, 0]
+    bounds = jnp.clip(jnp.ceil(jnp.asarray(r_edges)[None, :] / dr0[:, None]), 0, R)
+    r_ids = jax.lax.broadcasted_iota(jnp.float32, (1, R, 1), 1)
+    M = ((r_ids >= bounds[:, None, :-1]) & (r_ids < bounds[:, None, 1:])).astype(jnp.float32)
+    s1, n1 = mvbs_partials_pallas(
+        power, dr, tvg_shift, absorption, offset, M, tile_p=tile_p, interpret=interpret
+    )
+    s1, n1 = s1[:, :P], n1[:, :P]
+
+    xb = jnp.searchsorted(x_idx, jnp.arange(n_x + 1, dtype=x_idx.dtype), side="left")
+    xb = jnp.broadcast_to(xb.astype(jnp.int32)[None, :, None], (C, n_x + 1, n_r))
+
+    def _pgd(values, bounds_, axis):
+        cs = jnp.cumsum(values, axis=axis)
+        padspec = [(0, 0)] * values.ndim
+        padspec[axis] = (1, 0)
+        cs = jnp.pad(cs, padspec)
+        g = jnp.take_along_axis(cs, bounds_, axis=axis)
+        return jnp.diff(g, axis=axis)
+
+    return _pgd(s1, xb, 1), _pgd(n1, xb, 1)

@@ -142,3 +142,30 @@ class TestMvbsOnlyStep:
         np.testing.assert_allclose(
             np.asarray(mvbs_lean), np.asarray(mvbs_full), rtol=1e-6, atol=1e-6
         )
+
+
+class TestMvbsPallasKernel:
+    def test_interpret_parity_with_mxu_core(self):
+        """MVBS-only Pallas kernel (interpret mode) matches the XLA core."""
+        from echopype_tpu.ops.pallas_pipeline import mvbs_core_pallas
+        from echopype_tpu.parallel.pipeline import sv_mvbs_core_mxu
+
+        power, dr, tvg, ab, off, x_idx, r_edges, n_x, n_r = make_inputs()
+        power = np.ascontiguousarray(power[:, :96])  # multiple of 8
+        dr, tvg, ab, off = (a[:, :96] for a in (dr, tvg, ab, off))
+        x_idx = x_idx[:96]
+        power[0, 3, 20:] = np.nan  # ragged ping
+        _, s_ref, c_ref = sv_mvbs_core_mxu(power, dr, tvg, ab, off, x_idx, r_edges, n_x, n_r)
+        s, c = mvbs_core_pallas(power, dr, tvg, ab, off, x_idx, r_edges, n_x, n_r,
+                                interpret=True)
+        np.testing.assert_allclose(np.asarray(c), np.asarray(c_ref), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), rtol=5e-4)
+
+    def test_pad_fallback_odd_ping_count(self):
+        from echopype_tpu.ops.pallas_pipeline import mvbs_core_pallas
+
+        power, dr, tvg, ab, off, x_idx, r_edges, n_x, n_r = make_inputs()
+        s, c = mvbs_core_pallas(power[:, :91], dr[:, :91], tvg[:, :91], ab[:, :91],
+                                off[:, :91], x_idx[:91], r_edges, n_x, n_r, interpret=True)
+        assert np.asarray(s).shape == (power.shape[0], n_x, n_r)
+        assert np.isfinite(np.asarray(s)).any()
