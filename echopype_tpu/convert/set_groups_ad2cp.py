@@ -65,7 +65,7 @@ class SetGroupsAd2cp(SetGroupsBase):
         t = self._times(pkts)
         ds = Dataset(
             coords={"time2": (("time2",), t, self._varattrs["platform_coord_default"]["time2"])},
-            attrs={"platform_name": "", "platform_type": "", "platform_code_ICES": ""},
+            attrs=self._platform_attrs(),
         )
         pv = self._varattrs["platform_var_default"]
         for name in ("heading", "pitch", "roll"):

@@ -137,8 +137,7 @@ class SetGroupsAZFP(SetGroupsBase):
                     self._varattrs["platform_coord_default"]["time2"],
                 ),
             },
-            attrs={"platform_name": "", "platform_type": "subsurface mooring",
-                   "platform_code_ICES": ""},
+            attrs=self._platform_attrs(default_type="subsurface mooring"),
         )
         return ds
 

@@ -29,6 +29,14 @@ class SetGroupsBase:
         self.ui_param = params or {}
         self._varattrs = VARATTRS
 
+    def _platform_attrs(self, default_type: str = "") -> dict:
+        """Platform identity attrs, honoring convert_params (convert/api.py:239-241)."""
+        return {
+            "platform_name": str(self.ui_param.get("platform_name", "")),
+            "platform_type": str(self.ui_param.get("platform_type", default_type)),
+            "platform_code_ICES": str(self.ui_param.get("platform_code_ICES", "")),
+        }
+
     # ------------------------------------------------------------- top level
     def set_toplevel(self) -> Dataset:
         date_created = None

@@ -229,7 +229,7 @@ class SetGroupsEK60(SetGroupsBase):
                     self._varattrs["platform_coord_default"]["time2"],
                 ),
             },
-            attrs={"platform_name": "", "platform_type": "", "platform_code_ICES": ""},
+            attrs=self._platform_attrs(),
         )
         ds = self._add_index_data_to_platform_ds(ds)
         return ds

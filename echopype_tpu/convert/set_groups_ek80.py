@@ -161,7 +161,7 @@ class SetGroupsEK80(SetGroupsBase):
                     self._varattrs["platform_coord_default"]["time1"],
                 ),
             },
-            attrs={"platform_name": "", "platform_type": "", "platform_code_ICES": ""},
+            attrs=self._platform_attrs(),
         )
         mru0 = self.parser_obj.mru0
         if mru0 and len(mru0.get("timestamp", [])):

@@ -182,6 +182,10 @@ def mvbs_partials_pallas(power, dr, tvg_shift, absorption, offset, bin_matrix,
     tile_p=0 auto-picks a divisor of P (multiple of 8) so no pad copy of
     the power block is ever made; falls back to padding when P < 8 or P
     has no such divisor.
+
+    VMEM bound: roughly 2*tile_p*R*4B + R*n_r*4B must stay well under the
+    ~16 MB per-core budget (tile_p <= ~256 for R=4000); oversizing fails at
+    Mosaic compile time with an unhelpful remote-compile INTERNAL error.
     """
     C, P, R = power.shape
     n_r = bin_matrix.shape[2]

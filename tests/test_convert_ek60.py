@@ -209,3 +209,22 @@ class TestUseSwap:
 
         with _pytest.raises(ValueError, match="use_swap"):
             ep.open_raw(raw, sonar_model="EK60", use_swap="always")
+
+
+class TestConvertParams:
+    def test_platform_identity_attrs(self, tmp_path):
+        from synth_ek60 import write_ek60_raw
+
+        raw = tmp_path / "P1-D20200101-T000000-EK60.raw"
+        write_ek60_raw(raw, n_pings=2, n_samples=10)
+        ed = ep.open_raw(raw, sonar_model="EK60",
+                         convert_params={"platform_name": "RV Oscar Dyson",
+                                         "platform_type": "research vessel",
+                                         "platform_code_ICES": "315"})
+        plat = ed["Platform"]
+        assert plat.attrs["platform_name"] == "RV Oscar Dyson"
+        assert plat.attrs["platform_type"] == "research vessel"
+        assert plat.attrs["platform_code_ICES"] == "315"
+        # defaults when not supplied
+        ed2 = ep.open_raw(raw, sonar_model="EK60")
+        assert ed2["Platform"].attrs["platform_name"] == ""
