@@ -52,6 +52,12 @@ class SetGroupsBase:
             np.datetime_as_string(date_created, unit="s") + "Z" if date_created is not None else ""
         )
         attrs["survey_name"] = self.ui_param.get("survey_name", "")
+        # extra convert_params keys land on the top level (convert/api.py:246-248)
+        known = {"platform_name", "platform_type", "platform_code_ICES",
+                 "water_level", "survey_name"}
+        for k, v in self.ui_param.items():
+            if k not in known:
+                attrs[k] = v
         return Dataset(attrs=attrs)
 
     def set_provenance(self) -> Dataset:

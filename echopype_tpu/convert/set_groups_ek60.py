@@ -162,7 +162,11 @@ class SetGroupsEK60(SetGroupsBase):
                 "vertical_offset": (("time2",), on_time2("heave"), pv["vertical_offset"]),
                 "water_level": (
                     (),
-                    np.float64(self.parser_obj.ping_data_dict["transducer_depth"][ch0][0]),
+                    np.float64(
+                        self.ui_param["water_level"]
+                        if self.ui_param.get("water_level") is not None
+                        else self.parser_obj.ping_data_dict["transducer_depth"][ch0][0]
+                    ),
                     pv["water_level"],
                 ),
                 **{

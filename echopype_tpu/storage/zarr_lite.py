@@ -85,11 +85,9 @@ def write_array(group_dir: Path, name: str, arr: np.ndarray, dims, attrs, compre
         "filters": None,
     }
     if arr.ndim == 0:
-        # zarr v2 stores 0-d as shape [] with chunks [1]; normalize to 1-elem 1-d
-        arr = arr.reshape(1)
-        meta["shape"] = [1]
-        meta["chunks"] = [1]
-        dims = tuple(dims) or ("scalar",)
+        # zarr v2 0-d: shape [], chunks [], single chunk keyed "0"
+        meta["shape"] = []
+        meta["chunks"] = []
     _write_json(adir / ".zarray", meta)
     all_attrs = {"_ARRAY_DIMENSIONS": list(dims), **extra_attrs, **_sanitize_attrs(attrs or {})}
     _write_json(adir / ".zattrs", all_attrs)
@@ -98,6 +96,12 @@ def write_array(group_dir: Path, name: str, arr: np.ndarray, dims, attrs, compre
     cshape = meta["chunks"]
     if 0 in meta["shape"]:
         return  # empty array: metadata only, no chunk files
+    if arr.ndim == 0:
+        raw = np.ascontiguousarray(arr).tobytes()
+        if compress:
+            raw = zlib.compress(raw, 4)
+        (adir / "0").write_bytes(raw)
+        return
     grid = [max(1, -(-s // c)) for s, c in zip(meta["shape"], cshape)] or [1]
     for idx in np.ndindex(*grid):
         slices = tuple(
@@ -185,6 +189,19 @@ def read_array(adir: Path):
     fill = meta.get("fill_value")
     if fill is None:
         fill = 0
+    if shape == ():
+        # 0-d array: single chunk keyed "0"
+        out = np.zeros((), dtype=dtype)
+        cf = adir / "0"
+        if cf.exists():
+            raw = cf.read_bytes()
+            if comp is not None:
+                raw = zlib.decompress(raw)
+            out = np.frombuffer(raw, dtype=dtype)[0].reshape(())
+        vals = coding.decode_array(out, attrs)
+        if isinstance(vals, np.ndarray) and vals is not out:
+            attrs = {k: v for k, v in attrs.items() if k not in ("units", "calendar", "dtype")}
+        return vals, dims, attrs
     out = np.full(shape, fill, dtype=dtype) if shape else np.zeros((), dtype=dtype)
     grid = [max(1, -(-s // c)) for s, c in zip(shape, chunks)] or [()]
     if shape:

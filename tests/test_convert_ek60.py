@@ -228,3 +228,16 @@ class TestConvertParams:
         # defaults when not supplied
         ed2 = ep.open_raw(raw, sonar_model="EK60")
         assert ed2["Platform"].attrs["platform_name"] == ""
+
+    def test_water_level_and_extra_keys(self, tmp_path):
+        from synth_ek60 import write_ek60_raw
+
+        raw = tmp_path / "P2-D20200101-T000000-EK60.raw"
+        write_ek60_raw(raw, n_pings=2, n_samples=10)
+        ed = ep.open_raw(raw, sonar_model="EK60",
+                         convert_params={"water_level": 3.25, "cruise_id": "DY2004"})
+        assert float(ed["Platform"]["water_level"].values) == 3.25
+        assert ed["Top-level"].attrs["cruise_id"] == "DY2004"
+        # without override, transducer depth from the raw file is used
+        ed2 = ep.open_raw(raw, sonar_model="EK60")
+        assert float(ed2["Platform"]["water_level"].values) != 3.25
