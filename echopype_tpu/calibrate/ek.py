@@ -95,8 +95,10 @@ class CalibrateEK(CalibrateBase):
             env_params=self.env_params,
         )
 
-    def _cal_power_samples(self, cal_type: str) -> Dataset:
-        """EK60/EK80 power-mode calibration via the fused device kernel."""
+    def _power_cal_inputs(self, cal_type: str):
+        """Assemble the fused-kernel inputs (power, dr, tvg_shift, alpha,
+        offset) from resolved env/cal params.  Shared by the compute_Sv path
+        and the raw->MVBS survey streamer (parallel/survey.py)."""
         beam, vend = self.beam, self.vend
         n_ch = beam.sizes["channel"]
         n_ping = beam.sizes["ping_time"]
@@ -140,6 +142,12 @@ class CalibrateEK(CalibrateBase):
         power = np.asarray(beam["backscatter_r"].values, dtype="f4")
         if power.ndim == 4:  # has beam dim; power data has no real beam axis
             power = power[..., 0]
+        return power, dr, shift_cp, alpha_cp, offset, tau_eff
+
+    def _cal_power_samples(self, cal_type: str) -> Dataset:
+        """EK60/EK80 power-mode calibration via the fused device kernel."""
+        beam = self.beam
+        power, dr, shift_cp, alpha_cp, offset, tau_eff = self._power_cal_inputs(cal_type)
         out_vals, echo_range = ek_power_cal(power, dr, shift_cp, alpha_cp, offset, cal_type)
 
         coords = {

