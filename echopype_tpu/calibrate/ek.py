@@ -175,7 +175,8 @@ class CalibrateEK(CalibrateBase):
         return ds
 
     def _ek80_power_tau_effective(self, tau_eff, tdn):
-        """EK80 non-GPT channels get tau from the transmit replica (later round)."""
+        """Base hook; CalibrateEK80 overrides with replica-derived tau for
+        non-GPT channels (calibrate_ek.py:112-151)."""
         return tau_eff
 
 

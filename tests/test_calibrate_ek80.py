@@ -201,3 +201,57 @@ class TestSplitbeamBB:
             ds, ed, waveform_mode="BB", encode_mode="complex", to_disk=False
         )
         assert np.isfinite(out["angle_athwartship"].values).any()
+
+
+class TestPowerModeWbtTau:
+    def test_wbt_power_channel_uses_replica_tau(self, tmp_path):
+        """EK80 power mode: WBT channels get tau_effective from the transmit
+        replica (GPT channels keep nominal) - calibrate_ek.py:112-151."""
+        import numpy as _np
+        from synth_ek80 import (
+            config_xml, environment_xml, make_fil1, make_raw3, make_xml0,
+            parameter_xml,
+        )
+
+        rng = _np.random.default_rng(11)
+        t0 = _np.datetime64("2021-02-01T00:00:00", "ns")
+        ch_wbt = "WBT 500100-15 ES120-7C"
+        ch_gpt = "GPT 500101-15 ES38B"
+        channels = [
+            {"id": ch_wbt, "tcvr_type": "WBT", "frequency": 120000.0,
+             "pulse_durations": [256e-6, 512e-6, 1024e-6],
+             "sample_intervals": [8e-6, 16e-6, 32e-6],
+             "gains": [24.0, 25.0, 26.0], "sas": [0.0, -0.1, -0.2],
+             "impedance": 5400, "fs": 1500000, "cal_freqs": None},
+            {"id": ch_gpt, "tcvr_type": "GPT", "frequency": 38000.0,
+             "pulse_durations": [256e-6, 512e-6, 1024e-6],
+             "sample_intervals": [64e-6, 128e-6, 256e-6],
+             "gains": [22.0, 23.0, 24.0], "sas": [0.0, -0.1, -0.2],
+             "impedance": 5400, "fs": 500000, "cal_freqs": None},
+        ]
+        chunks = [make_xml0(t0, config_xml(channels)), make_xml0(t0, environment_xml())]
+        for ch in channels:
+            chunks.append(make_fil1(t0, ch["id"], 1, _np.full(4, 0.25, dtype="c8"), 6))
+            chunks.append(make_fil1(t0, ch["id"], 2, _np.full(2, 0.5, dtype="c8"), 1))
+        for p in range(3):
+            ts = t0 + _np.timedelta64(p + 1, "s")
+            for ch in channels:
+                chunks.append(make_xml0(ts, parameter_xml(
+                    ch["id"], 0, frequency=ch["frequency"],
+                    pulse_duration=1.024e-3, sample_interval=64e-6,
+                    transmit_power=500.0)))
+                pw = rng.integers(-20000, 0, 48).astype("<i2")
+                chunks.append(make_raw3(ts, ch["id"], power_idx=pw))
+        path = tmp_path / "PW-D20210201-T000000.raw"
+        path.write_bytes(b"".join(chunks))
+
+        ed = ep.open_raw(path, sonar_model="EK80")
+        sv = ep.calibrate.compute_Sv(ed, waveform_mode="CW", encode_mode="power")
+        tau = sv["tau_effective"].values
+        chans = list(sv.coords["channel"].values)
+        nominal = 1.024e-3
+        tau_gpt = tau[chans.index(ch_gpt), 0]
+        tau_wbt = tau[chans.index(ch_wbt), 0]
+        np.testing.assert_allclose(tau_gpt, nominal, rtol=1e-9)
+        # replica tau differs from nominal (Hann taper + filters shorten it)
+        assert tau_wbt != nominal and 0 < tau_wbt < nominal
