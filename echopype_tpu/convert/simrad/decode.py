@@ -80,6 +80,11 @@ def _gather_i16(u8: np.ndarray, starts: np.ndarray, counts: np.ndarray, max_coun
             np.zeros((len(starts), 0), dtype="i2"),
             np.zeros((len(starts), 0), dtype=bool),
         )
+    from ... import native
+
+    res = native.gather_i16(u8, np.asarray(starts), np.asarray(counts), max_count)
+    if res is not None:
+        return res
     lane = np.arange(max_count, dtype="i8")
     valid = lane[None, :] < counts[:, None].astype("i8")
     idx = starts[:, None] + 2 * lane[None, :]

@@ -74,8 +74,43 @@ def load_native():
         ctypes.POINTER(ctypes.c_uint32),
         ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.ep_gather_i16.restype = None
+    lib.ep_gather_i16.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int16),
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
     _lib = lib
     return _lib
+
+
+def gather_i16(buf, starts: np.ndarray, counts: np.ndarray, max_count: int):
+    """Native padded int16 gather; returns (vals i2 [n,max], valid bool) or
+    None when the native library is unavailable.  ``buf`` may be bytes or a
+    uint8 ndarray view -- no copy is made either way."""
+    lib = load_native()
+    if lib is None:
+        return None
+    u8 = np.frombuffer(buf, dtype="u1") if not isinstance(buf, np.ndarray) else buf
+    n = len(starts)
+    starts = np.ascontiguousarray(starts, dtype="i8")
+    counts = np.ascontiguousarray(counts, dtype="i8")
+    vals = np.empty((n, max_count), dtype="<i2")
+    valid = np.empty((n, max_count), dtype="u1")
+    lib.ep_gather_i16(
+        u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n,
+        max_count,
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return vals, valid.astype(bool)
 
 
 def scan_datagrams_native(buf: bytes, resync: bool = True):

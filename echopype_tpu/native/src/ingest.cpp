@@ -121,3 +121,30 @@ int64_t ep_count_datagrams(const uint8_t* buf, int64_t n, int resync) {
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Gather little-endian int16 runs of varying length into a padded matrix.
+// Drop-in for the numpy fancy-gather (convert/simrad/decode.py:_gather_i16):
+// row i copies counts[i] int16s from buf+starts[i] into vals[i*max_count..],
+// zero-pads the rest, and writes a 0/1 validity mask.  memcpy handles the
+// (common) unaligned datagram offsets.
+void ep_gather_i16(const uint8_t* buf, const int64_t* starts,
+                   const int64_t* counts, int64_t n_rows, int64_t max_count,
+                   int16_t* vals, uint8_t* valid) {
+    for (int64_t i = 0; i < n_rows; ++i) {
+        int64_t c = counts[i];
+        if (c < 0) c = 0;
+        if (c > max_count) c = max_count;
+        int16_t* row = vals + i * max_count;
+        uint8_t* vrow = valid + i * max_count;
+        if (c > 0) std::memcpy(row, buf + starts[i], (size_t)(c * 2));
+        if (c < max_count) {
+            std::memset(row + c, 0, (size_t)((max_count - c) * 2));
+        }
+        std::memset(vrow, 1, (size_t)c);
+        if (c < max_count) std::memset(vrow + c, 0, (size_t)(max_count - c));
+    }
+}
+
+}  // extern "C"

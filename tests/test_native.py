@@ -43,3 +43,32 @@ class TestNativeScan:
     def test_empty(self):
         out = scan_datagrams_native(b"")
         assert out is not None and len(out[0]) == 0
+
+
+class TestNativeGather:
+    def test_gather_i16_matches_numpy(self):
+        """Native padded gather equals the numpy fallback, incl. unaligned."""
+        import numpy as np
+
+        from echopype_tpu import native
+        from echopype_tpu.convert.simrad import decode
+
+        if native.load_native() is None:
+            import pytest
+
+            pytest.skip("no native toolchain")
+        rng = np.random.default_rng(3)
+        payload = rng.integers(-32768, 32767, 5000, dtype="<i2").tobytes()
+        buf = b"\x01" + payload  # odd leading byte -> unaligned starts
+        u8 = np.frombuffer(buf, dtype="u1")
+        starts = np.array([1, 201, 1001, 4001], dtype="i8")
+        counts = np.array([100, 0, 1500, 400], dtype="i8")
+        v_nat, ok_nat = native.gather_i16(u8, starts, counts, 1500)
+        # force the numpy path by importing the module-level lanes directly
+        lane = np.arange(1500, dtype="i8")
+        valid = lane[None, :] < counts[:, None]
+        idx = np.where(valid, starts[:, None] + 2 * lane[None, :], 0)
+        lo = u8[idx].astype("u2"); hi = u8[idx + 1].astype("u2")
+        v_np = (lo | (hi << np.uint16(8))).astype("u2").view("i2").reshape(lo.shape)
+        np.testing.assert_array_equal(ok_nat, valid)
+        np.testing.assert_array_equal(np.where(valid, v_nat, 0), np.where(valid, v_np, 0))
