@@ -160,9 +160,21 @@ def combine_echodata(echodata_list=None, channel_selection=None) -> EchoData:
                     )
         combined_tree[group] = combined
 
-    # Provenance: source files + per-file attribute table
+    # Provenance: source files + per-file attribute table.  When re-combining
+    # already-combined stores (combine.py:731-750), each input's Provenance
+    # lists multiple originals -- flatten those instead of the store paths.
     prov = combined_tree.get("Provenance", Dataset())
-    files = np.array([str(p) for p in paths], dtype=object)
+    all_sources = []
+    for ed, path in zip(echodata_list, paths):
+        in_prov = ed.get("Provenance")
+        if in_prov is not None and "source_filenames" in in_prov:
+            all_sources.extend(str(f) for f in np.atleast_1d(in_prov["source_filenames"].values))
+        else:
+            all_sources.append(str(path))
+    files = np.array(list(dict.fromkeys(all_sources)), dtype=object)
+    # the concatenated Provenance may carry a stale filenames dim; rebuild it
+    prov.data_vars.pop("source_filenames", None)
+    prov.coords.pop("filenames", None)
     prov["source_filenames"] = (
         ("filenames",),
         files,

@@ -126,3 +126,37 @@ class TestUpdatePlatform:
         assert any(plat["latitude"].dims[0] == d for d in tdims)
         assert np.all(plat["latitude"].values >= 45.0)
         assert plat["latitude"].values.shape == plat.coords[plat["latitude"].dims[0]].values.shape
+
+
+class TestRecombine:
+    def test_combine_already_combined_stores(self, tmp_path):
+        """Re-combining combined stores flattens original source files
+        (reference combine.py:731-750)."""
+        import numpy as np
+
+        from synth_ek60 import write_ek60_raw
+
+        t0 = np.datetime64("2020-01-01T00:00:00", "ns")
+        stores = []
+        for g in range(2):
+            eds = []
+            for i in range(2):
+                raw = tmp_path / f"G{g}F{i}-D20200101-T000000-EK60.raw"
+                write_ek60_raw(raw, n_pings=5, n_samples=20,
+                               t0=t0 + np.timedelta64((g * 2 + i) * 5, "s"),
+                               seed=g * 2 + i)
+                eds.append(ep.open_raw(raw, sonar_model="EK60"))
+            comb = ep.combine_echodata(eds)
+            store = tmp_path / f"combined_{g}.zarr"
+            comb.to_zarr(store)
+            stores.append(ep.open_converted(store))
+        final = ep.combine_echodata(stores)
+        bg = final["Sonar/Beam_group1"]
+        assert bg.sizes["ping_time"] == 20
+        pt = bg.coords["ping_time"].values
+        assert (np.diff(pt).astype("i8") > 0).all()
+        prov = final["Provenance"]
+        srcs = [str(s) for s in np.atleast_1d(prov["source_filenames"].values)]
+        assert len(srcs) == 4 and all(s.endswith(".raw") for s in srcs)
+        assert len(np.atleast_1d(prov["echodata_filename"].values)) == 2
+        assert prov.attrs["is_combined"]
