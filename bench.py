@@ -56,7 +56,7 @@ def numpy_pipeline(power, dr, tvg, ab, off, x_idx, r_edges, n_x, n_r):
 def main():
     import jax
 
-    from echopype_tpu.parallel.pipeline import sv_mvbs_core_mxu as sv_mvbs_core
+    from echopype_tpu.parallel.pipeline import sv_mvbs_core_mxu_closed
     import jax.numpy as jnp
 
     dev = jax.devices()[0]
@@ -74,26 +74,28 @@ def main():
     # measurement; read back a checksum to force execution.
     n_iter = 10 if on_tpu else 3
 
-    def one_step(power, dr, tvg, ab, off, x_idx, r_edges, salt):
-        # MVBS-survey path: Sv is never materialized (the op is Sv-HBM-write
-        # bound; skipping the write is a measured 1.45x -- parallel/pipeline.py
-        # sharded_sv_mvbs_step(with_sv=False) is the user-facing switch)
-        sv, sums, counts = sv_mvbs_core(
-            power + salt, dr, tvg, ab, off, x_idx, r_edges, n_x, n_r
+    valid_len = np.full((C, Pn), R, dtype="i4")
+
+    def one_step(power, dr, tvg, ab, off, vl, x_idx, r_edges, salt):
+        # MVBS-survey path: Sv never materialized + closed-form counts
+        # (one matmul total) -- parallel/pipeline.sv_mvbs_core_mxu_closed,
+        # the kernel behind run_survey_mvbs_from_raw
+        sums, counts = sv_mvbs_core_mxu_closed(
+            power + salt, dr, tvg, ab, off, vl, x_idx, r_edges, n_x, n_r
         )
         mean = sums / jnp.where(counts > 0, counts, 1.0)
         mvbs = jnp.where(counts > 0, 10.0 * jnp.log10(mean), jnp.nan)
         return jnp.nansum(mvbs)
 
     @jax.jit
-    def chained(power, dr, tvg, ab, off, x_idx, r_edges):
+    def chained(power, dr, tvg, ab, off, vl, x_idx, r_edges):
         def body(i, acc):
             salt = 1e-7 * (i.astype(jnp.float32) + acc * 1e-20)
-            return acc + one_step(power, dr, tvg, ab, off, x_idx, r_edges, salt)
+            return acc + one_step(power, dr, tvg, ab, off, vl, x_idx, r_edges, salt)
 
         return jax.lax.fori_loop(0, n_iter, body, jnp.float32(0.0))
 
-    args_dev = [jax.device_put(a, dev) for a in (power, dr, tvg, ab, off, x_idx, r_edges)]
+    args_dev = [jax.device_put(a, dev) for a in (power, dr, tvg, ab, off, valid_len, x_idx, r_edges)]
     float(chained(*args_dev))  # compile + warm up
 
     t0 = time.perf_counter()

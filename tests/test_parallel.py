@@ -169,3 +169,25 @@ class TestMvbsPallasKernel:
                                 off[:, :91], x_idx[:91], r_edges, n_x, n_r, interpret=True)
         assert np.asarray(s).shape == (power.shape[0], n_x, n_r)
         assert np.isfinite(np.asarray(s)).any()
+
+
+class TestClosedCountsCore:
+    def test_matches_general_core_with_ragged_pings(self):
+        """Closed-form counts == matmul counts for suffix-NaN ragged pings."""
+        from echopype_tpu.parallel.pipeline import (
+            sv_mvbs_core_mxu,
+            sv_mvbs_core_mxu_closed,
+        )
+
+        power, dr, tvg, ab, off, x_idx, r_edges, n_x, n_r = make_inputs()
+        rng = np.random.default_rng(7)
+        C, Pn, R = power.shape
+        valid_len = rng.integers(R // 3, R + 1, (C, Pn)).astype("i4")
+        for c in range(C):
+            for p in range(Pn):
+                power[c, p, valid_len[c, p]:] = np.nan
+        _, s_ref, c_ref = sv_mvbs_core_mxu(power, dr, tvg, ab, off, x_idx, r_edges, n_x, n_r)
+        s, c = sv_mvbs_core_mxu_closed(power, dr, tvg, ab, off, valid_len,
+                                       x_idx, r_edges, n_x, n_r)
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(c_ref))
+        np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), rtol=1e-6)
