@@ -191,3 +191,23 @@ class TestClosedCountsCore:
                                        x_idx, r_edges, n_x, n_r)
         np.testing.assert_array_equal(np.asarray(c), np.asarray(c_ref))
         np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), rtol=1e-6)
+
+
+class TestShardedClosedStep:
+    def test_8dev_matches_single_device(self):
+        from echopype_tpu.parallel import make_mesh, sharded_mvbs_step_closed
+
+        power, dr, tvg, ab, off, x_idx, r_edges, n_x, n_r = make_inputs()
+        C, Pn, R = power.shape
+        valid_len = np.full((C, Pn), R, dtype="i4")
+        mesh1 = make_mesh(n_devices=1, channel_axis=1)
+        mesh8 = make_mesh(n_devices=8, channel_axis=2)
+        m1 = sharded_mvbs_step_closed(mesh1, n_x, n_r)(
+            power, dr, tvg, ab, off, valid_len, x_idx, r_edges)
+        m8 = sharded_mvbs_step_closed(mesh8, n_x, n_r)(
+            power, dr, tvg, ab, off, valid_len, x_idx, r_edges)
+        np.testing.assert_allclose(np.asarray(m8), np.asarray(m1), rtol=1e-6, atol=1e-6)
+        # and equals the full sharded step's MVBS
+        full = sharded_sv_mvbs_step(mesh8, n_x, n_r)
+        _, mvbs_full = full(power, dr, tvg, ab, off, x_idx, r_edges)
+        np.testing.assert_allclose(np.asarray(m8), np.asarray(mvbs_full), rtol=1e-5, atol=1e-5)
