@@ -134,3 +134,28 @@ class TestComputeSv:
         # ping 1 shorter by 5 samples: padded tail must stay NaN
         assert np.isnan(sv[0, 1, 35:]).all()
         assert np.isnan(ds["echo_range"].values[0, 1, 35:]).all()
+
+
+class TestEnvParamTimeHarmonization:
+    def test_time1_interp_onto_ping_time(self):
+        """env_params.py:24-71 parity: time1 params interpolate to ping_time."""
+        import numpy as np
+
+        from echopype_tpu.calibrate.env_params import harmonize_env_param_time
+        from echopype_tpu.xrlite import DataArray
+
+        t1 = np.datetime64("2020-01-01T00:00:00", "ns") + np.arange(0, 40, 10) * np.timedelta64(1, "s")
+        pt = np.datetime64("2020-01-01T00:00:00", "ns") + np.arange(0, 31, 5) * np.timedelta64(1, "s")
+        p = DataArray(np.array([1480.0, 1490.0, 1500.0, 1510.0]), ("time1",),
+                      coords={"time1": t1})
+        out = harmonize_env_param_time(p, ping_time=DataArray(pt, ("ping_time",)))
+        np.testing.assert_allclose(out.values, [1480, 1485, 1490, 1495, 1500, 1505, 1510])
+        # single-value collapses to scalar
+        p1 = DataArray(np.array([1482.0]), ("time1",), coords={"time1": t1[:1]})
+        assert harmonize_env_param_time(p1).ndim == 0
+        # all-NaN-except-one collapses too
+        pn = DataArray(np.array([np.nan, 1490.0, np.nan, np.nan]), ("time1",),
+                       coords={"time1": t1})
+        assert float(harmonize_env_param_time(pn).values) == 1490.0
+        # scalar passthrough
+        assert harmonize_env_param_time(3.5) == 3.5
