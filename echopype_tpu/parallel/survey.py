@@ -124,9 +124,9 @@ def run_survey_mvbs_from_raw(
 
     The TPU-native fast path: per file, calibration parameters resolve on
     host (user dict > vendor tables > defaults, as in compute_Sv) and each
-    ping-chunk runs the fused calibrate+bin kernel with the full-resolution
-    Sv never materialized (the op is Sv-HBM-write-bound; see
-    pipeline.sharded_sv_mvbs_step with_sv=False). EK60/ES70 power mode only.
+    ping-chunk runs the fused closed-counts kernel with the full-resolution
+    Sv never materialized (pipeline.sv_mvbs_core_mxu_closed; 2.51M
+    pings/s/chip measured). EK60/ES70 and EK80/ES80/EA640 power mode.
 
     Returns an MVBS Dataset on the global (ping_time-bin, range-bin) grid.
     """
@@ -134,14 +134,22 @@ def run_survey_mvbs_from_raw(
     import jax.numpy as jnp
 
     from ..calibrate.ek import CalibrateEK60
+    from ..calibrate.ek80 import CalibrateEK80
     from ..commongrid.utils import ping_time_bin_edges
     from ..convert.api import open_raw
     from .pipeline import sv_mvbs_core_mxu_closed
 
-    if sonar_model not in ("EK60", "ES70"):
+    if sonar_model in ("EK60", "ES70"):
+        def _make_cal(ed):
+            return CalibrateEK60(ed, env_params, cal_params)
+    elif sonar_model in ("EK80", "ES80", "EA640"):
+        def _make_cal(ed):
+            return CalibrateEK80(ed, env_params, cal_params,
+                                 waveform_mode="CW", encode_mode="power")
+    else:
         raise ValueError(
-            "run_survey_mvbs_from_raw supports EK60/ES70 power mode; calibrate "
-            "other models to Sv stores and use run_survey_mvbs"
+            "run_survey_mvbs_from_raw supports EK60/ES70/EK80/ES80/EA640 power "
+            "mode; calibrate other data to Sv stores and use run_survey_mvbs"
         )
     timer = timer or StageTimer()
 
@@ -150,10 +158,10 @@ def run_survey_mvbs_from_raw(
     with timer.stage("ingest"):
         for f in raw_files:
             ed = open_raw(f, sonar_model=sonar_model, use_swap=use_swap)
-            cals.append(CalibrateEK60(ed, env_params, cal_params))
+            cal = _make_cal(ed)
+            cals.append(cal)
             ping_times.append(
-                np.asarray(ed["Sonar/Beam_group1"].coords["ping_time"].values,
-                           dtype="datetime64[ns]")
+                np.asarray(cal.beam.coords["ping_time"].values, dtype="datetime64[ns]")
             )
     if not cals:
         raise ValueError("no raw files provided")

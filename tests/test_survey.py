@@ -120,5 +120,33 @@ class TestRawSurveyStreamer:
 
         from echopype_tpu.parallel import run_survey_mvbs_from_raw
 
-        with pytest.raises(ValueError, match="EK60/ES70"):
-            run_survey_mvbs_from_raw([], sonar_model="EK80")
+        with pytest.raises(ValueError, match="power"):
+            run_survey_mvbs_from_raw([], sonar_model="AZFP")
+
+    def test_ek80_power_mode(self, tmp_path):
+        """EK80 power channels stream raw->MVBS and match compute_Sv+binning."""
+        import numpy as np
+
+        import echopype_tpu as ep
+        from echopype_tpu.parallel import run_survey_mvbs_from_raw
+        from synth_ek80 import write_ek80_raw
+
+        raw = tmp_path / "E85-D20210201-T000000.raw"
+        write_ek80_raw(raw, n_pings=12, n_samples=96,
+                       with_cw_complex=False)  # BB complex + GPT power
+        # keep only the power channel by dropping complex ones? the streamer
+        # uses the power beam group, which holds just the GPT channel
+        mvbs = run_survey_mvbs_from_raw([raw], sonar_model="EK80",
+                                        range_bin_m=5.0, ping_time_bin="5s",
+                                        chunk_pings=5)
+        assert np.isfinite(mvbs["Sv"].values).any()
+
+        ed = ep.open_raw(raw, sonar_model="EK80")
+        sv = ep.calibrate.compute_Sv(ed, waveform_mode="CW", encode_mode="power")
+        ref = ep.commongrid.compute_MVBS(sv, range_bin="5m", ping_time_bin="5s")
+        got = np.asarray(mvbs["Sv"].values)
+        want = np.asarray(ref["Sv"].values)
+        nr = min(got.shape[2], want.shape[2])
+        nx = min(got.shape[1], want.shape[1])
+        np.testing.assert_allclose(got[:, :nx, :nr], want[:, :nx, :nr],
+                                   rtol=2e-3, atol=5e-2)
