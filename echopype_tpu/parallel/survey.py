@@ -158,7 +158,14 @@ def run_survey_mvbs_from_raw(
     with timer.stage("ingest"):
         for f in raw_files:
             ed = open_raw(f, sonar_model=sonar_model, use_swap=use_swap)
-            cal = _make_cal(ed)
+            try:
+                cal = _make_cal(ed)
+            except Exception as e:  # noqa: BLE001 - surface actionable guidance
+                raise ValueError(
+                    f"{f}: could not set up power-mode calibration "
+                    f"({e!r}). Complex/broadband-only files need the "
+                    "store-based path: compute_Sv(...) then run_survey_mvbs."
+                ) from e
             cals.append(cal)
             ping_times.append(
                 np.asarray(cal.beam.coords["ping_time"].values, dtype="datetime64[ns]")
