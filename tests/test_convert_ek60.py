@@ -241,3 +241,35 @@ class TestConvertParams:
         # without override, transducer depth from the raw file is used
         ed2 = ep.open_raw(raw, sonar_model="EK60")
         assert float(ed2["Platform"]["water_level"].values) != 3.25
+
+
+class TestCorruptionFuzz:
+    def test_random_corruption_never_crashes(self, tmp_path):
+        """Deterministic fuzz: byte flips / truncations / insertions anywhere
+        in the stream must at worst drop pings, never raise."""
+        from synth_ek60 import write_ek60_raw
+
+        base = tmp_path / "F-D20200101-T000000-EK60.raw"
+        write_ek60_raw(base, n_pings=6, n_samples=30)
+        clean = base.read_bytes()
+        rng = np.random.default_rng(123)
+        for trial in range(12):
+            buf = bytearray(clean)
+            mode = trial % 3
+            if mode == 0:  # flip a run of bytes
+                pos = int(rng.integers(0, len(buf) - 16))
+                for i in range(int(rng.integers(1, 12))):
+                    buf[pos + i] ^= 0xFF
+            elif mode == 1:  # truncate
+                buf = buf[: int(rng.integers(len(buf) // 2, len(buf)))]
+            else:  # insert garbage mid-stream
+                pos = int(rng.integers(0, len(buf)))
+                buf[pos:pos] = bytes(rng.integers(0, 256, int(rng.integers(3, 64)), dtype="u1"))
+            fpath = tmp_path / f"fuzz{trial}-D20200101-T000000-EK60.raw"
+            fpath.write_bytes(bytes(buf))
+            try:
+                ed = ep.open_raw(fpath, sonar_model="EK60")
+                # whatever survived must still be a coherent tree
+                assert "Sonar" in ed.group_paths
+            except ValueError:
+                pass  # acceptable: unrecoverable stream (e.g. CON0 destroyed)
