@@ -50,6 +50,62 @@ def _fft_conv(bs, replica, n_fft: int, out_start: int, out_len: int):
     return jax.lax.dynamic_slice_in_dim(y, out_start, out_len, axis=-1)
 
 
+@partial(jax.jit, static_argnames=("out_start", "out_len"))
+def _mxu_conv_real(xr, xi, hr, hi, out_start: int, out_len: int):
+    """Linear complex convolution as 3 real convolutions (Karatsuba) on the
+    TPU convolution unit — the fallback when the runtime lacks FFT/complex
+    support entirely (the axon backend returns UNIMPLEMENTED even for
+    device_put of complex64, so inputs/outputs here are split real/imag f32).
+
+    Uses the plain 4-multiplication form (real = xr*hr - xi*hi,
+    imag = xr*hi + xi*hr) rather than 3-mult Karatsuba: the m-a-b
+    cancellation loses ~3 digits near the noise floor, and the convs are
+    batched into the channel dim of ONE conv call anyway.
+    """
+    L = hr.shape[0]
+    # one grouped conv: inputs [N, 2, W] (xr, xi), kernels [2, 2, L]
+    x4 = jnp.stack([xr, xi], axis=1)
+    hr_f, hi_f = hr[::-1], hi[::-1]
+    zeros = jnp.zeros_like(hr_f)
+    # out channel 0 (real):  xr*hr + xi*(-hi);  out channel 1 (imag): xr*hi + xi*hr
+    k = jnp.stack(
+        [jnp.stack([hr_f, -hi_f], axis=0), jnp.stack([hi_f, hr_f], axis=0)], axis=0
+    )  # [O=2, I=2, L]
+    del zeros
+    y = jax.lax.conv_general_dilated(
+        x4, k, window_strides=(1,), padding=[(L - 1, L - 1)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        # TPU convs default to bf16 multiplies; matched filtering needs the
+        # full f32 significand (bf16 showed ~0.4 dB error near the noise floor)
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    re = jax.lax.dynamic_slice_in_dim(y[:, 0, :], out_start, out_len, axis=-1)
+    im = jax.lax.dynamic_slice_in_dim(y[:, 1, :], out_start, out_len, axis=-1)
+    return re, im
+
+
+_FFT_OK = None
+
+
+def _fft_supported() -> bool:
+    """Does the default backend support complex64 + jnp.fft?
+
+    The axon TPU runtime supports neither — and probing by execution poisons
+    the runtime stream (a failed complex transfer makes every later readback
+    raise UNIMPLEMENTED), so detection is by platform identity: any backend
+    whose platform_version names axon takes the real-split conv path.  CPU,
+    GPU, and standard Cloud TPU runtimes all execute jnp.fft.
+    """
+    global _FFT_OK
+    if _FFT_OK is None:
+        try:
+            version = getattr(jax.devices()[0].client, "platform_version", "")
+        except Exception:  # noqa: BLE001 - no backend at all
+            version = ""
+        _FFT_OK = "axon" not in version
+    return _FFT_OK
+
+
 def pulse_compress_channel(bs: np.ndarray, replica: np.ndarray) -> np.ndarray:
     """Pulse-compress one channel's complex samples.
 
@@ -64,14 +120,25 @@ def pulse_compress_channel(bs: np.ndarray, replica: np.ndarray) -> np.ndarray:
     clean = np.where(nan_mask, 0.0 + 0.0j, bs)
     # batch (ping, beam) lanes; convolve along range
     lanes = clean.transpose(0, 2, 1).reshape(P * B, R)
-    n_fft = _next_fast_len(R + L - 1)
-    out = _fft_conv(
-        jnp.asarray(lanes.astype("complex64")),
-        jnp.asarray(rep.astype("complex64")),
-        n_fft,
-        L - 1,
-        R,
-    )
+    if _fft_supported():
+        n_fft = _next_fast_len(R + L - 1)
+        out = _fft_conv(
+            jnp.asarray(lanes.astype("complex64")),
+            jnp.asarray(rep.astype("complex64")),
+            n_fft,
+            L - 1,
+            R,
+        )
+    else:
+        re, im = _mxu_conv_real(
+            jnp.asarray(np.ascontiguousarray(lanes.real, dtype="f4")),
+            jnp.asarray(np.ascontiguousarray(lanes.imag, dtype="f4")),
+            jnp.asarray(np.ascontiguousarray(rep.real, dtype="f4")),
+            jnp.asarray(np.ascontiguousarray(rep.imag, dtype="f4")),
+            L - 1,
+            R,
+        )
+        out = np.asarray(re).astype("f8") + 1j * np.asarray(im).astype("f8")
     out = np.asarray(out).reshape(P, B, R).transpose(0, 2, 1)
     return np.where(nan_mask, np.nan + 1j * np.nan, out)
 

@@ -255,3 +255,24 @@ class TestPowerModeWbtTau:
         np.testing.assert_allclose(tau_gpt, nominal, rtol=1e-9)
         # replica tau differs from nominal (Hann taper + filters shorten it)
         assert tau_wbt != nominal and 0 < tau_wbt < nominal
+
+
+class TestMxuConvFallback:
+    def test_mxu_conv_matches_fft_path(self, monkeypatch):
+        """Backends without FFT/complex support (TPU axon) use the real-split
+        conv fallback; results match the FFT path."""
+        import numpy as _np
+
+        import echopype_tpu.ops.matched_filter as mf
+
+        rng = _np.random.default_rng(2)
+        P, R, B, L = 4, 120, 2, 25
+        bs = (rng.normal(0, 1e-3, (P, R, B)) + 1j * rng.normal(0, 1e-3, (P, R, B))).astype("c8")
+        bs[1, 100:, :] = _np.nan  # ragged
+        rep = (rng.normal(size=L) + 1j * rng.normal(size=L)).astype("c8")
+        out_fft = mf.pulse_compress_channel(bs, rep)
+        monkeypatch.setattr(mf, "_FFT_OK", False)
+        out_mxu = mf.pulse_compress_channel(bs, rep)
+        _np.testing.assert_allclose(out_mxu.real, out_fft.real, rtol=1e-4, atol=1e-9)
+        _np.testing.assert_allclose(out_mxu.imag, out_fft.imag, rtol=1e-4, atol=1e-9)
+        assert _np.isnan(out_mxu.real[1, 100:]).all()
