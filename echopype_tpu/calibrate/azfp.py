@@ -21,6 +21,8 @@ class CalibrateAZFP(CalibrateBase):
     def __init__(self, echodata, env_params=None, cal_params=None, ecs_file=None, **kw):
         super().__init__(echodata, env_params, cal_params, ecs_file)
         self.sonar_type = "AZFP"
+        self.beam = echodata["Sonar/Beam_group1"]
+        self.vend = echodata["Vendor_specific"]
         if self.ecs_file is not None:
             raise ValueError("Using ECS file for calibration is not currently supported for AZFP!")
         self.env_params = get_env_params_AZFP(echodata=echodata, user_dict=self.env_params)
@@ -88,6 +90,60 @@ class CalibrateAZFP(CalibrateBase):
         ds["echo_range"] = (("channel", "ping_time", "range_sample"), er3.values)
         ds["frequency_nominal"] = beam["frequency_nominal"]
         return self._add_params_to_output(ds)
+
+    def _power_cal_inputs(self, cal_type: str):
+        """Fused-kernel inputs for the raw->MVBS streamer.
+
+        AZFP echo_range is affine in the sample index, r = A + k*B with
+        B = c*N/(2f) and A = cL/(2f) + (c/4f)(N-1) + c*tau/4 (Sv), and
+        Sv = power/(26214*DS) + K + 20log10(r) + 2*alpha*r where K folds
+        EL0 - 2.5/DS - SL - 10log10(0.5*c*tau*psi) + Sv_offset — the same
+        shape the closed-counts core computes (r0=A, dr=B, tvg_shift=0).
+        """
+        if cal_type != "Sv":
+            raise ValueError("streamer inputs are Sv-only")
+        from .env_params import harmonize_env_param_time
+
+        beam = self.echodata["Sonar/Beam_group1"]
+        vend = self.echodata["Vendor_specific"]
+        n_ch = beam.sizes["channel"]
+        n_ping = beam.sizes["ping_time"]
+        to_cp = self._to_cp
+
+        c = to_cp(
+            harmonize_env_param_time(
+                self.env_params["sound_speed"], ping_time=beam.coords.get("ping_time")
+            ),
+            n_ch,
+            n_ping,
+        )
+        alpha = to_cp(
+            harmonize_env_param_time(
+                self.env_params["sound_absorption"], ping_time=beam.coords.get("ping_time")
+            ),
+            n_ch,
+            n_ping,
+        )
+        N = to_cp(vend["number_of_samples_per_average_bin"], n_ch, n_ping)
+        f = to_cp(vend["digitization_rate"], n_ch, n_ping)
+        lock = to_cp(vend["lock_out_index"], n_ch, n_ping)
+        tau = to_cp(beam["transmit_duration_nominal"], n_ch, n_ping)
+
+        B = c * N / (2.0 * f)
+        A = c * lock / (2.0 * f) + (c / (4.0 * f)) * (N - 1.0) + c * tau / 4.0
+
+        ds_par = to_cp(self.cal_params["DS"], n_ch, n_ping)
+        el = to_cp(self.cal_params["EL"], n_ch, n_ping)
+        sl = to_cp(self.cal_params["TVR"], n_ch, n_ping) + 20.0 * np.log10(
+            to_cp(self.cal_params["VTX0"], n_ch, n_ping)
+        )
+        psi = to_cp(self.cal_params["equivalent_beam_angle"], n_ch, n_ping)
+        sv_off = to_cp(self.cal_params["Sv_offset"], n_ch, n_ping)
+        K = el - 2.5 / ds_par - sl - 10.0 * np.log10(0.5 * c * tau * psi) + sv_off
+
+        counts = np.asarray(beam["backscatter_r"].values, dtype="f8")
+        power = (counts / (26214.0 * ds_par[:, :, None])).astype("f4")
+        return power, B, np.zeros_like(B), alpha, K, A
 
     def compute_Sv(self, **kw):
         return self._cal_power_samples("Sv")

@@ -164,12 +164,15 @@ def sv_mvbs_core_ex60(power, dr, absorption, offset, x_idx, r_edges, n_x, n_r,
 
 
 def sv_mvbs_core_mxu_closed(
-    power, dr, tvg_shift, absorption, offset, valid_len, x_idx, r_edges, n_x, n_r
+    power, dr, tvg_shift, absorption, offset, valid_len, x_idx, r_edges, n_x, n_r,
+    r0=None,
 ):
     """MVBS-only core with closed-form counts: ONE matmul total.
 
-    Valid samples per ping form a contiguous run [k0, valid_len) where
-    k0 = floor(tvg_shift/dr) + 1 is the first sample with r_tvg > 0, so the
+    echo_range is affine in the sample index, r = r0 + k*dr (r0 defaults to 0,
+    the EK case; AZFP has r0 = cL/2f + ... from the lockout index), and the
+    TVG range is r - tvg_shift.  Valid samples per ping form a contiguous run
+    [k0, valid_len) where k0 is the first sample with r_tvg > 0, so the
     per-bin count is the overlap of that run with each bin's sample bounds —
     no counts matmul and no ok-mask materialization.  Requires NaNs to appear
     only as suffix padding beyond ``valid_len`` (the ragged-ping norm); data
@@ -179,8 +182,10 @@ def sv_mvbs_core_mxu_closed(
     two-matmul MVBS-only path — 2.51M pings/s/chip, bit-identical bins.
     """
     C, Pn, R = power.shape
+    if r0 is None:
+        r0 = jnp.zeros_like(dr)
     rs = jax.lax.broadcasted_iota(jnp.float32, (1, 1, R), 2)
-    r_tvg = rs * dr[:, :, None] - tvg_shift[:, :, None]
+    r_tvg = r0[:, :, None] + rs * dr[:, :, None] - tvg_shift[:, :, None]
     pos = r_tvg > 0
     sv = jnp.where(
         pos,
@@ -192,13 +197,16 @@ def sv_mvbs_core_mxu_closed(
     )
     lin = jnp.where(jnp.isnan(sv), 0.0, jnp.power(10.0, sv / 10.0))
     dr0 = dr[:, 0]
-    bounds = jnp.clip(jnp.ceil(r_edges[None, :] / dr0[:, None]), 0, R)  # [C, n_r+1]
+    r00 = r0[:, 0]
+    # bin bounds on echo_range: count of k with r0 + k*dr < edge
+    bounds = jnp.clip(jnp.ceil((r_edges[None, :] - r00[:, None]) / dr0[:, None]), 0, R)
     r_ids = jax.lax.broadcasted_iota(jnp.float32, (1, R, 1), 1)
     M = ((r_ids >= bounds[:, None, :-1]) & (r_ids < bounds[:, None, 1:])).astype(jnp.float32)
     dn = (((2,), (1,)), ((0,), (0,)))
     s1 = jax.lax.dot_general(lin, M, dn, preferred_element_type=jnp.float32)
 
-    k0 = jnp.floor(tvg_shift / dr) + 1.0  # [C,P] first sample with r_tvg > 0
+    # first sample with r_tvg > 0: k > (tvg_shift - r0)/dr
+    k0 = jnp.maximum(jnp.floor((tvg_shift - r0) / dr) + 1.0, 0.0)  # [C,P]
     L = valid_len.astype(jnp.float32)
     clipped = jnp.clip(bounds[:, None, :], k0[:, :, None], L[:, :, None])
     n1 = jnp.diff(clipped, axis=2)  # [C,P,n_r] exact per-bin counts

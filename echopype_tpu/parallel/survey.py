@@ -118,6 +118,7 @@ def run_survey_mvbs_from_raw(
     env_params=None,
     cal_params=None,
     use_swap="auto",
+    xml_path=None,
     timer: StageTimer = None,
 ):
     """Stream RAW instrument files straight into survey-global MVBS bins.
@@ -133,6 +134,7 @@ def run_survey_mvbs_from_raw(
     import jax
     import jax.numpy as jnp
 
+    from ..calibrate.azfp import CalibrateAZFP
     from ..calibrate.ek import CalibrateEK60
     from ..calibrate.ek80 import CalibrateEK80
     from ..commongrid.utils import ping_time_bin_edges
@@ -146,10 +148,13 @@ def run_survey_mvbs_from_raw(
         def _make_cal(ed):
             return CalibrateEK80(ed, env_params, cal_params,
                                  waveform_mode="CW", encode_mode="power")
+    elif sonar_model == "AZFP":
+        def _make_cal(ed):
+            return CalibrateAZFP(ed, env_params, cal_params)
     else:
         raise ValueError(
-            "run_survey_mvbs_from_raw supports EK60/ES70/EK80/ES80/EA640 power "
-            "mode; calibrate other data to Sv stores and use run_survey_mvbs"
+            "run_survey_mvbs_from_raw supports EK60/ES70/EK80/ES80/EA640/AZFP "
+            "power mode; calibrate other data to Sv stores and use run_survey_mvbs"
         )
     timer = timer or StageTimer()
 
@@ -157,7 +162,8 @@ def run_survey_mvbs_from_raw(
     cals, ping_times = [], []
     with timer.stage("ingest"):
         for f in raw_files:
-            ed = open_raw(f, sonar_model=sonar_model, use_swap=use_swap)
+            ed = open_raw(f, sonar_model=sonar_model, use_swap=use_swap,
+                          xml_path=xml_path)
             try:
                 cal = _make_cal(ed)
             except Exception as e:  # noqa: BLE001 - surface actionable guidance
@@ -187,24 +193,31 @@ def run_survey_mvbs_from_raw(
     r_max = 0.0
     inputs = []
     for cal in cals:
-        power, dr, shift, alpha, offset, _ = cal._power_cal_inputs("Sv")
-        inputs.append((power, dr, shift, alpha, offset))
-        r_max = max(r_max, float(np.nanmax(dr)) * power.shape[2])
+        vals = cal._power_cal_inputs("Sv")
+        if sonar_model == "AZFP":
+            power, dr, shift, alpha, offset, r0 = vals
+        else:
+            power, dr, shift, alpha, offset, _ = vals
+            r0 = np.zeros_like(dr)
+        inputs.append((power, dr, shift, alpha, offset, r0))
+        r_max = max(
+            r_max, float(np.nanmax(r0)) + float(np.nanmax(dr)) * power.shape[2]
+        )
     range_edges = np.arange(0, r_max + range_bin_m, range_bin_m)
     n_x, n_r = len(ping_edges) - 1, len(range_edges) - 1
 
     @jax.jit
-    def _chunk_partials(power, dr, shift, alpha, offset, valid_len, x_idx, r_edges):
+    def _chunk_partials(power, dr, shift, alpha, offset, valid_len, x_idx, r_edges, r0):
         # closed-form-counts core: one matmul, no Sv, no ok-mask (2.51M pings/s)
         return sv_mvbs_core_mxu_closed(
-            power, dr, shift, alpha, offset, valid_len, x_idx, r_edges, n_x, n_r
+            power, dr, shift, alpha, offset, valid_len, x_idx, r_edges, n_x, n_r, r0=r0
         )
 
     sums = np.zeros((len(chans), n_x, n_r), dtype="f8")
     counts = np.zeros_like(sums)
     r_edges_f4 = range_edges.astype("f4")
     ping_edges_i8 = ping_edges.astype("datetime64[ns]").astype("i8")
-    for (power, dr, shift, alpha, offset), pt in zip(inputs, ping_times):
+    for (power, dr, shift, alpha, offset, r0), pt in zip(inputs, ping_times):
         n_ping = power.shape[1]
         # ragged pings pad with a NaN suffix, so finite-count == valid length
         valid_len = (~np.isnan(power)).sum(axis=2).astype("i4")
@@ -234,6 +247,7 @@ def run_survey_mvbs_from_raw(
                 s, c = _chunk_partials(
                     p_chunk, _pad2(dr, 1.0), _pad2(shift), _pad2(alpha), _pad2(offset),
                     jnp.asarray(vl_chunk), jnp.asarray(x_chunk), jnp.asarray(r_edges_f4),
+                    _pad2(r0),
                 )
                 hold.extend([s, c])
             with timer.stage("accumulate"):

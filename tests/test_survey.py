@@ -121,7 +121,47 @@ class TestRawSurveyStreamer:
         from echopype_tpu.parallel import run_survey_mvbs_from_raw
 
         with pytest.raises(ValueError, match="power"):
-            run_survey_mvbs_from_raw([], sonar_model="AZFP")
+            run_survey_mvbs_from_raw([], sonar_model="AD2CP")
+
+    def test_azfp_matches_compute_sv_path(self, tmp_path):
+        """AZFP raw->MVBS streamer (affine echo_range, r0 intercept) matches
+        the compute_Sv + linear binning path."""
+        import numpy as np
+
+        import echopype_tpu as ep
+        from echopype_tpu.parallel import run_survey_mvbs_from_raw
+        from synth_azfp import write_azfp_raw, write_azfp_xml
+
+        xml = tmp_path / "instrument.XML"
+        write_azfp_xml(xml)
+        raw = tmp_path / "20AZ.01A"
+        write_azfp_raw(raw, n_pings=6)
+        env = {"salinity": 32.0, "pressure": 60.0}
+        mvbs = run_survey_mvbs_from_raw([raw], sonar_model="AZFP", xml_path=str(xml),
+                                        range_bin_m=2.0, ping_time_bin="5s",
+                                        env_params=env, chunk_pings=4)
+        ed = ep.open_raw(raw, sonar_model="AZFP", xml_path=str(xml))
+        sv = ep.calibrate.compute_Sv(ed, env_params=env)
+        from echopype_tpu.commongrid.utils import ping_time_bin_edges
+        from echopype_tpu.ops import binning
+
+        pt = np.asarray(sv.coords["ping_time"].values)
+        edges = ping_time_bin_edges(np.array([pt.min(), pt.max()]), "5s")
+        r_edges = np.asarray(mvbs.coords["echo_range"].values)
+        r_edges = np.append(r_edges, r_edges[-1] + 2.0).astype("f4")
+        xb = binning.x_bounds_np(pt.astype("i8"), edges.astype("i8"))
+        er = np.asarray(sv["echo_range"].values, "f4")
+        svv = np.asarray(sv["Sv"].values, "f4")
+        if er.shape != svv.shape:
+            er = np.broadcast_to(er, svv.shape)
+        s_, c_, _ = binning.binned_sum_partials(svv, er, r_edges, xb)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            want = np.where(np.asarray(c_) > 0,
+                            10 * np.log10(np.asarray(s_) / np.maximum(np.asarray(c_), 1)),
+                            np.nan)
+        got = np.asarray(mvbs["Sv"].values)
+        nx = min(got.shape[1], want.shape[1])
+        np.testing.assert_allclose(got[:, :nx], want[:, :nx], rtol=2e-3, atol=5e-2)
 
     def test_ek80_power_mode(self, tmp_path):
         """EK80 power channels stream raw->MVBS and match compute_Sv+binning."""
