@@ -182,10 +182,12 @@ def sv_mvbs_core_mxu_closed(
     two-matmul MVBS-only path — 2.51M pings/s/chip, bit-identical bins.
     """
     C, Pn, R = power.shape
-    if r0 is None:
-        r0 = jnp.zeros_like(dr)
     rs = jax.lax.broadcasted_iota(jnp.float32, (1, 1, R), 2)
-    r_tvg = r0[:, :, None] + rs * dr[:, :, None] - tvg_shift[:, :, None]
+    if r0 is None:
+        # EK case: fold the absent intercept at trace time (no extra add)
+        r_tvg = rs * dr[:, :, None] - tvg_shift[:, :, None]
+    else:
+        r_tvg = rs * dr[:, :, None] + (r0 - tvg_shift)[:, :, None]
     pos = r_tvg > 0
     sv = jnp.where(
         pos,
@@ -197,16 +199,17 @@ def sv_mvbs_core_mxu_closed(
     )
     lin = jnp.where(jnp.isnan(sv), 0.0, jnp.power(10.0, sv / 10.0))
     dr0 = dr[:, 0]
-    r00 = r0[:, 0]
     # bin bounds on echo_range: count of k with r0 + k*dr < edge
-    bounds = jnp.clip(jnp.ceil((r_edges[None, :] - r00[:, None]) / dr0[:, None]), 0, R)
+    edge_off = r_edges[None, :] if r0 is None else r_edges[None, :] - r0[:, 0][:, None]
+    bounds = jnp.clip(jnp.ceil(edge_off / dr0[:, None]), 0, R)
     r_ids = jax.lax.broadcasted_iota(jnp.float32, (1, R, 1), 1)
     M = ((r_ids >= bounds[:, None, :-1]) & (r_ids < bounds[:, None, 1:])).astype(jnp.float32)
     dn = (((2,), (1,)), ((0,), (0,)))
     s1 = jax.lax.dot_general(lin, M, dn, preferred_element_type=jnp.float32)
 
     # first sample with r_tvg > 0: k > (tvg_shift - r0)/dr
-    k0 = jnp.maximum(jnp.floor((tvg_shift - r0) / dr) + 1.0, 0.0)  # [C,P]
+    shift_eff = tvg_shift if r0 is None else tvg_shift - r0
+    k0 = jnp.maximum(jnp.floor(shift_eff / dr) + 1.0, 0.0)  # [C,P]
     L = valid_len.astype(jnp.float32)
     clipped = jnp.clip(bounds[:, None, :], k0[:, :, None], L[:, :, None])
     n1 = jnp.diff(clipped, axis=2)  # [C,P,n_r] exact per-bin counts
