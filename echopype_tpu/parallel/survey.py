@@ -127,7 +127,8 @@ def run_survey_mvbs_from_raw(
     host (user dict > vendor tables > defaults, as in compute_Sv) and each
     ping-chunk runs the fused closed-counts kernel with the full-resolution
     Sv never materialized (pipeline.sv_mvbs_core_mxu_closed; 2.51M
-    pings/s/chip measured). EK60/ES70 and EK80/ES80/EA640 power mode.
+    pings/s/chip measured). EK60/ES70, EK80/ES80/EA640 power mode, and AZFP
+    (affine echo_range via the r0 intercept).
 
     Returns an MVBS Dataset on the global (ping_time-bin, range-bin) grid.
     """
