@@ -276,3 +276,46 @@ class TestMxuConvFallback:
         _np.testing.assert_allclose(out_mxu.real, out_fft.real, rtol=1e-4, atol=1e-9)
         _np.testing.assert_allclose(out_mxu.imag, out_fft.imag, rtol=1e-4, atol=1e-9)
         assert _np.isnan(out_mxu.real[1, 100:]).all()
+
+
+class TestThreeSectorComplex:
+    def test_cw_complex_three_sectors(self, tmp_path):
+        """3-sector transducers (beam_type 17/49/65) calibrate through the
+        same complex path; prx averages over however many sectors exist."""
+        import numpy as _np
+        from synth_ek80 import (
+            config_xml, environment_xml, make_fil1, make_raw3, make_xml0,
+            parameter_xml,
+        )
+
+        ch = "WBT 600100-15 ES333-3S"
+        channels = [{"id": ch, "tcvr_type": "WBT", "frequency": 333000.0,
+                     "pulse_durations": [256e-6, 512e-6, 1024e-6],
+                     "sample_intervals": [8e-6, 16e-6, 32e-6],
+                     "gains": [24.0, 25.0, 26.0], "sas": [0.0, -0.1, -0.2],
+                     "impedance": 5400, "fs": 1500000, "cal_freqs": None,
+                     "beam_type": 17}]
+        t0 = _np.datetime64("2021-02-01T00:00:00", "ns")
+        chunks = [make_xml0(t0, config_xml(channels)), make_xml0(t0, environment_xml())]
+        chunks.append(make_fil1(t0, ch, 1, _np.full(4, 0.25, dtype="c8"), 6))
+        chunks.append(make_fil1(t0, ch, 2, _np.full(2, 0.5, dtype="c8"), 1))
+        rng = _np.random.default_rng(21)
+        for p in range(4):
+            ts = t0 + _np.timedelta64(p + 1, "s")
+            chunks.append(make_xml0(ts, parameter_xml(
+                ch, 0, frequency=333000.0, sample_interval=32e-6)))
+            cs = (rng.normal(0, 1e-3, (48, 3)) + 1j * rng.normal(0, 1e-3, (48, 3))).astype("c8")
+            chunks.append(make_raw3(ts, ch, complex_samples=cs))
+        path = tmp_path / "S3-D20210201-T000000.raw"
+        path.write_bytes(b"".join(chunks))
+
+        ed = ep.open_raw(path, sonar_model="EK80")
+        bg = ed["Sonar/Beam_group1"]
+        assert bg.sizes["beam"] == 3
+        sv = ep.calibrate.compute_Sv(ed, waveform_mode="CW", encode_mode="complex")
+        assert np.isfinite(sv["Sv"].values).any()
+        assert sv["Sv"].values.shape == (1, 4, 48)
+        # split-beam angles from the 3-sector layout
+        ang = ep.consolidate.add_splitbeam_angle(sv, ed, waveform_mode="CW",
+                                                 encode_mode="complex")
+        assert np.isfinite(ang["angle_alongship"].values).any()
