@@ -120,13 +120,7 @@ def sv_mvbs_core_pallas(power, dr, tvg_shift, absorption, offset, x_idx, r_edges
     xb = jnp.searchsorted(x_idx, jnp.arange(n_x + 1, dtype=x_idx.dtype), side="left")
     xb = jnp.broadcast_to(xb.astype(jnp.int32)[None, :, None], (C, n_x + 1, n_r))
 
-    def _pgd(values, bounds_, axis):
-        cs = jnp.cumsum(values, axis=axis)
-        padspec = [(0, 0)] * values.ndim
-        padspec[axis] = (1, 0)
-        cs = jnp.pad(cs, padspec)
-        g = jnp.take_along_axis(cs, bounds_, axis=axis)
-        return jnp.diff(g, axis=axis)
+    from ..parallel.pipeline import _prefix_gather_diff as _pgd
 
     sums = _pgd(s1, xb, 1)
     counts = _pgd(n1, xb, 1)
@@ -246,12 +240,6 @@ def mvbs_core_pallas(power, dr, tvg_shift, absorption, offset, x_idx, r_edges, n
     xb = jnp.searchsorted(x_idx, jnp.arange(n_x + 1, dtype=x_idx.dtype), side="left")
     xb = jnp.broadcast_to(xb.astype(jnp.int32)[None, :, None], (C, n_x + 1, n_r))
 
-    def _pgd(values, bounds_, axis):
-        cs = jnp.cumsum(values, axis=axis)
-        padspec = [(0, 0)] * values.ndim
-        padspec[axis] = (1, 0)
-        cs = jnp.pad(cs, padspec)
-        g = jnp.take_along_axis(cs, bounds_, axis=axis)
-        return jnp.diff(g, axis=axis)
+    from ..parallel.pipeline import _prefix_gather_diff as _pgd
 
     return _pgd(s1, xb, 1), _pgd(n1, xb, 1)
