@@ -190,3 +190,28 @@ class TestRawSurveyStreamer:
         nx = min(got.shape[1], want.shape[1])
         np.testing.assert_allclose(got[:, :nx, :nr], want[:, :nx, :nr],
                                    rtol=2e-3, atol=5e-2)
+
+
+class TestStreamerWithSwap:
+    def test_swap_backed_files_stream(self, tmp_path):
+        """use_swap=True conversion inside the streamer: memmap-backed power
+        blocks stream to the device without copies breaking anything."""
+        import numpy as np
+
+        from echopype_tpu.parallel import run_survey_mvbs_from_raw
+        from synth_ek60 import write_ek60_raw
+
+        t0 = np.datetime64("2020-01-01T00:00:00", "ns")
+        files = []
+        for i in range(2):
+            f = tmp_path / f"SW{i}-D20200101-T000000-EK60.raw"
+            write_ek60_raw(f, n_pings=30, n_samples=200,
+                           t0=t0 + np.timedelta64(i * 30, "s"), seed=i)
+            files.append(f)
+        m_swap = run_survey_mvbs_from_raw(files, range_bin_m=10.0,
+                                          ping_time_bin="10s", use_swap=True)
+        m_mem = run_survey_mvbs_from_raw(files, range_bin_m=10.0,
+                                         ping_time_bin="10s", use_swap=False)
+        np.testing.assert_array_equal(
+            np.asarray(m_swap["Sv"].values), np.asarray(m_mem["Sv"].values)
+        )
