@@ -149,13 +149,14 @@ def run_survey_mvbs_from_raw(
         def _make_cal(ed):
             return CalibrateEK80(ed, env_params, cal_params,
                                  waveform_mode="CW", encode_mode="power")
-    elif sonar_model == "AZFP":
+    elif sonar_model in ("AZFP", "AZFP6"):
         def _make_cal(ed):
             return CalibrateAZFP(ed, env_params, cal_params)
     else:
         raise ValueError(
-            "run_survey_mvbs_from_raw supports EK60/ES70/EK80/ES80/EA640/AZFP "
-            "power mode; calibrate other data to Sv stores and use run_survey_mvbs"
+            "run_survey_mvbs_from_raw supports EK60/ES70/EK80/ES80/EA640/"
+            "AZFP/AZFP6 power mode; calibrate other data to Sv stores and "
+            "use run_survey_mvbs"
         )
     timer = timer or StageTimer()
 
@@ -195,7 +196,7 @@ def run_survey_mvbs_from_raw(
     inputs = []
     for cal in cals:
         vals = cal._power_cal_inputs("Sv")
-        if sonar_model == "AZFP":
+        if sonar_model in ("AZFP", "AZFP6"):
             power, dr, shift, alpha, offset, r0 = vals
         else:
             power, dr, shift, alpha, offset, _ = vals

@@ -215,3 +215,18 @@ class TestStreamerWithSwap:
         np.testing.assert_array_equal(
             np.asarray(m_swap["Sv"].values), np.asarray(m_mem["Sv"].values)
         )
+
+
+class TestAzfp6Streamer:
+    def test_azfp6_streams(self, tmp_path):
+        import numpy as np
+
+        from echopype_tpu.parallel import run_survey_mvbs_from_raw
+        from test_azfp6 import write_azfp6_raw
+
+        raw = tmp_path / "23090100.azfp"
+        write_azfp6_raw(raw, n_pings=6)
+        mvbs = run_survey_mvbs_from_raw(
+            [raw], sonar_model="AZFP6", range_bin_m=2.0, ping_time_bin="5s",
+            env_params={"salinity": 32.0, "pressure": 60.0})
+        assert np.isfinite(mvbs["Sv"].values).any()
