@@ -1,14 +1,23 @@
-"""Echoview ECS calibration-supplement file parsing.
+"""Echoview ECS calibration-supplement file support.
 
-Capability parity: echopype/calibrate/ecs.py:116-475 — regex block parser
-with the LocalCal > SourceCal > Fileset hierarchy, Echoview->echopype name
-maps, frequency-matched channel conformance, and broadband table assembly.
+Capability parity target: the reference's ECS feature set
+(echopype/calibrate/ecs.py — LocalCal > SourceCal > Fileset precedence,
+Echoview->echopype parameter naming, frequency-matched channel conformance,
+broadband table assembly).
+
+The parser here is an independent design: the file is tokenized line-by-line
+into a flat token stream (rulers, banners, version stamps, group openers,
+assignments), and a single-pass state machine folds the stream into an
+``EcsDocument``.  Values are typed at tokenization time.  This replaces the
+reference's seek/peek file-object block reader.
 """
 
 from __future__ import annotations
 
 import re
+from dataclasses import dataclass, field
 from datetime import datetime
+from typing import Optional
 
 import numpy as np
 
@@ -17,211 +26,247 @@ from ..xrlite import DataArray, Dataset
 
 logger = _init_logger(__name__)
 
-SEPARATOR = re.compile(r"#=+#\n")
-STATUS_CRUDE = re.compile(r"#\s*(?P<status>(.+))\s*#\n")
-STATUS_FINE = re.compile(r"#\s+(?P<status>\w+) SETTINGS\s*#\n")
-ECS_HEADER = re.compile(
-    r"#\s*ECHOVIEW CALIBRATION SUPPLEMENT \(.ECS\) FILE \((?P<data_type>.+)\)\s*#\n"
+__all__ = ["ECSParser", "EcsDocument", "parse_ecs", "ecs_ev2ep", "ecs_ds2dict", "conform_channel_order", "ecs_to_params"]
+
+
+# ---------------------------------------------------------------------------
+# Echoview <-> echopype parameter naming, one flat table:
+#   (ECS name, echopype name, model scope, role)
+# scope "EK60" entries apply to all EK-family models; "EK80" entries are
+# wideband/environment extras.  role: env (environment), cal (scalar cal
+# param), bb (frequency-dependent wideband table).
+# ---------------------------------------------------------------------------
+_PARAM_TABLE = (
+    ("AbsorptionCoefficient", "sound_absorption", "EK60", "env"),
+    ("SoundSpeed", "sound_speed", "EK60", "env"),
+    ("Frequency", "frequency_nominal", "EK60", "cal"),
+    ("MajorAxis3dbBeamAngle", "beamwidth_athwartship", "EK60", "cal"),
+    ("MajorAxisAngleOffset", "angle_offset_athwartship", "EK60", "cal"),
+    ("MajorAxisAngleSensitivity", "angle_sensitivity_athwartship", "EK60", "cal"),
+    ("MinorAxis3dbBeamAngle", "beamwidth_alongship", "EK60", "cal"),
+    ("MinorAxisAngleOffset", "angle_offset_alongship", "EK60", "cal"),
+    ("MinorAxisAngleSensitivity", "angle_sensitivity_alongship", "EK60", "cal"),
+    ("PulseDuration", "transmit_duration_nominal", "EK60", "cal"),
+    ("SaCorrectionFactor", "sa_correction", "EK60", "cal"),
+    ("EK60SaCorrection", "sa_correction", "EK60", "cal"),
+    ("TransducerGain", "gain_correction", "EK60", "cal"),
+    ("Ek60TransducerGain", "gain_correction", "EK60", "cal"),
+    ("TransmittedPower", "transmit_power", "EK60", "cal"),
+    ("TwoWayBeamAngle", "equivalent_beam_angle", "EK60", "cal"),
+    ("AbsorptionDepth", "pressure", "EK80", "env"),
+    ("Acidity", "pH", "EK80", "env"),
+    ("Salinity", "salinity", "EK80", "env"),
+    ("Temperature", "temperature", "EK80", "env"),
+    ("EffectivePulseDuration", "tau_effective", "EK80", "cal"),
+    ("SamplingFrequency", "sampling_frequency", "EK80", "cal"),
+    ("TransceiverImpedance", "impedance_transceiver", "EK80", "cal"),
+    ("TransceiverSamplingFrequency", "receiver_sampling_frequency", "EK80", "cal"),
+    ("NumberOfTransducerSegments", "n_sector", "EK80", "cal"),
+    ("PulseCompressedEffectivePulseDuration", "tau_effective_pc", "EK80", "cal"),
+    ("FrequencyTableWideband", "frequency_BB", "EK80", "bb"),
+    ("GainTableWideband", "gain_correction", "EK80", "bb"),
+    ("MajorAxisAngleOffsetTableWideband", "angle_offset_athwartship", "EK80", "bb"),
+    ("MajorAxisBeamWidthTableWideband", "beamwidth_athwartship", "EK80", "bb"),
+    ("MinorAxisAngleOffsetTableWideband", "angle_offset_alongship", "EK80", "bb"),
+    ("MinorAxisBeamWidthTableWideband", "beamwidth_alongship", "EK80", "bb"),
 )
-ECS_TIME = re.compile(
-    r"#\s+(?P<date>\d{1,2}\/\d{1,2}\/\d{4}) (?P<time>\d{1,2}\:\d{1,2}\:\d{1,2})(.\d+)?\s+#\n"
-)
-ECS_VERSION = re.compile(r"Version (?P<version>\d+\.\d+)\s*\n")
-PARAM_MATCHER = re.compile(
-    r"\s*(?P<skip>#?)\s*(?P<param>\w+)\s*=\s*(?P<val>((-?\d+(?:\.\d+)\s*)+|\w+)?)?\s*#?(.*)\n"
-)
-VAL_PATTERN = r"(-?\d+(?:\.\d+)\s*)\s+"
-CAL_HIERARCHY = re.compile(r"(SourceCal|LocalCal) (?P<source>\w+)\s*\n", re.I)
 
 EV_EP_MAP = {
-    "EK60": {
-        "AbsorptionCoefficient": "sound_absorption",
-        "Frequency": "frequency_nominal",
-        "MajorAxis3dbBeamAngle": "beamwidth_athwartship",
-        "MajorAxisAngleOffset": "angle_offset_athwartship",
-        "MajorAxisAngleSensitivity": "angle_sensitivity_athwartship",
-        "MinorAxis3dbBeamAngle": "beamwidth_alongship",
-        "MinorAxisAngleOffset": "angle_offset_alongship",
-        "MinorAxisAngleSensitivity": "angle_sensitivity_alongship",
-        "PulseDuration": "transmit_duration_nominal",
-        "SaCorrectionFactor": "sa_correction",
-        "SoundSpeed": "sound_speed",
-        "EK60SaCorrection": "sa_correction",
-        "TransducerGain": "gain_correction",
-        "Ek60TransducerGain": "gain_correction",
-        "TransmittedPower": "transmit_power",
-        "TwoWayBeamAngle": "equivalent_beam_angle",
-    },
-    "EK80": {
-        "AbsorptionDepth": "pressure",
-        "Acidity": "pH",
-        "EffectivePulseDuration": "tau_effective",
-        "Salinity": "salinity",
-        "SamplingFrequency": "sampling_frequency",
-        "Temperature": "temperature",
-        "TransceiverImpedance": "impedance_transceiver",
-        "TransceiverSamplingFrequency": "receiver_sampling_frequency",
-        "FrequencyTableWideband": "frequency_BB",
-        "GainTableWideband": "gain_correction",
-        "MajorAxisAngleOffsetTableWideband": "angle_offset_athwartship",
-        "MajorAxisBeamWidthTableWideband": "beamwidth_athwartship",
-        "MinorAxisAngleOffsetTableWideband": "angle_offset_alongship",
-        "MinorAxisBeamWidthTableWideband": "beamwidth_alongship",
-        "NumberOfTransducerSegments": "n_sector",
-        "PulseCompressedEffectivePulseDuration": "tau_effective_pc",
-    },
+    scope: {ev: ep for ev, ep, s, _ in _PARAM_TABLE if s == scope}
+    for scope in ("EK60", "EK80")
 }
-ENV_PARAMS = [
-    "AbsorptionCoefficient",
-    "SoundSpeed",
-    "AbsorptionDepth",
-    "Acidity",
-    "Salinity",
-    "Temperature",
-]
-CAL_PARAMS_BB = (
-    "FrequencyTableWideband",
-    "GainTableWideband",
-    "MajorAxisAngleOffsetTableWideband",
-    "MajorAxisBeamWidthTableWideband",
-    "MinorAxisAngleOffsetTableWideband",
-    "MinorAxisBeamWidthTableWideband",
+ENV_PARAMS = [ev for ev, _, _, role in _PARAM_TABLE if role == "env"]
+CAL_PARAMS_BB = tuple(ev for ev, _, _, role in _PARAM_TABLE if role == "bb")
+
+TVG_RANGE_CORRECTION_VALUES = frozenset(
+    "None BySamples SimradEx500 SimradEx60 BioSonics Kaijo "
+    "PulseLength Ex500Forced SimradEK80 Standard".split()
 )
 
-__all__ = ["ECSParser", "ecs_ev2ep", "ecs_ds2dict", "conform_channel_order", "ecs_to_params"]
+# Parameters whose value is meaningful even when Echoview writes the line
+# commented out (templates comment out the informational Frequency line).
+_KEEP_WHEN_COMMENTED = frozenset({"Frequency"})
+
+
+# ---------------------------------------------------------------------------
+# Line classification
+# ---------------------------------------------------------------------------
+_LINE_RULER = re.compile(r"^#=+#\s*$")
+_LINE_TITLE = re.compile(r"^#\s*(?P<title>FILESET|SOURCECAL|LOCALCAL)\s+SETTINGS\s*#\s*$", re.I)
+_LINE_FILEHEAD = re.compile(
+    r"^#\s*ECHOVIEW CALIBRATION SUPPLEMENT \(\.ECS\) FILE \((?P<dtype>[^)]+)\)\s*#\s*$"
+)
+_LINE_STAMP = re.compile(
+    r"^#\s*(?P<mdY>\d{1,2}/\d{1,2}/\d{4})\s+(?P<hms>\d{1,2}:\d{2}:\d{2})(?:\.\d+)?\s*#\s*$"
+)
+_LINE_VERSION = re.compile(r"^\s*Version\s+(?P<ver>\d+(?:\.\d+)?)\s*$", re.I)
+_LINE_GROUP = re.compile(r"^\s*(?P<kind>SourceCal|LocalCal)\s+(?P<name>\w+)\s*$", re.I)
+_LINE_ASSIGN = re.compile(
+    r"^\s*(?P<commented>#)?\s*(?P<name>[A-Za-z]\w*)\s*=\s*(?P<rhs>[^#\r\n]*)(?:#.*)?$"
+)
+_NUMBER = re.compile(r"-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?")
+
+
+def _typed_value(name: str, rhs: str):
+    """Type an assignment's right-hand side: float, float vector, bool, or str."""
+    rhs = rhs.strip()
+    if name == "TvgRangeCorrection":
+        if rhs not in TVG_RANGE_CORRECTION_VALUES:
+            raise ValueError(f"TvgRangeCorrection has unexpected value {rhs!r}")
+        return rhs
+    if name == "TransducerModeActive":
+        return rhs.lower() in ("true", "1", "yes", "active")
+    numbers = _NUMBER.findall(rhs)
+    if numbers and "".join(_NUMBER.split(rhs)).strip() == "":
+        # the RHS is purely numeric tokens
+        if len(numbers) == 1:
+            return float(numbers[0])
+        return np.asarray(numbers, dtype="f8")
+    return rhs if rhs else None
+
+
+@dataclass
+class EcsDocument:
+    """Typed result of parsing one .ecs file."""
+
+    data_type: Optional[str] = None
+    version: Optional[str] = None
+    file_creation_time: Optional[datetime] = None
+    fileset: dict = field(default_factory=dict)
+    sourcecal: dict = field(default_factory=dict)  # name -> {param: value}
+    localcal: dict = field(default_factory=dict)  # name -> {param: value}
+
+    def consolidated(self, localcal_name: Optional[str] = None) -> dict:
+        """Per-source params with LocalCal > SourceCal > Fileset precedence."""
+        out = {}
+        for src, params in self.sourcecal.items():
+            merged = dict(self.fileset)
+            merged.update(params)
+            out[src] = merged
+        if self.localcal:
+            if localcal_name is None:
+                localcal_name = next(iter(self.localcal))
+            overrides = self.localcal[localcal_name]
+            for merged in out.values():
+                merged.update(overrides)
+        return out
+
+
+def parse_ecs(path) -> EcsDocument:
+    """Parse an Echoview .ecs file into an :class:`EcsDocument`.
+
+    Grammar (single pass, no backtracking): ``#===#`` ruler lines are pure
+    separators; banner comments carry the file header, timestamp, and section
+    titles; ``Version N.NN`` stamps the format version; ``SourceCal NAME`` /
+    ``LocalCal NAME`` open a parameter group; ``Name = value`` lines assign
+    into the open group (or the fileset when inside FILESET SETTINGS).
+    Commented-out assignments are dropped except the informational
+    ``Frequency`` line, which Echoview templates keep commented.
+    """
+    doc = EcsDocument()
+    section = None  # None | "fileset" | "sourcecal" | "localcal"
+    group: Optional[dict] = None  # open parameter group receiving assignments
+
+    with open(path, encoding="utf-8-sig") as fh:
+        for lineno, raw in enumerate(fh, start=1):
+            line = raw.rstrip("\r\n")
+            if not line.strip():
+                continue
+            if _LINE_RULER.match(line):
+                continue
+
+            m = _LINE_TITLE.match(line)
+            if m:
+                section = m["title"].lower()
+                group = doc.fileset if section == "fileset" else None
+                continue
+            m = _LINE_FILEHEAD.match(line)
+            if m:
+                doc.data_type = m["dtype"].strip()
+                continue
+            m = _LINE_STAMP.match(line)
+            if m and doc.file_creation_time is None:
+                doc.file_creation_time = datetime.strptime(
+                    f"{m['mdY']} {m['hms']}", "%m/%d/%Y %H:%M:%S"
+                )
+                continue
+            m = _LINE_GROUP.match(line)
+            if m:
+                table = doc.sourcecal if m["kind"].lower() == "sourcecal" else doc.localcal
+                group = table.setdefault(m["name"], {})
+                continue
+            m = _LINE_ASSIGN.match(line)
+            if m:
+                if m["commented"] and m["name"] not in _KEEP_WHEN_COMMENTED:
+                    continue
+                if group is None:
+                    if line.lstrip().startswith("#"):
+                        continue  # commented assignment outside any group
+                    raise ValueError(
+                        f"ECS line {lineno}: assignment {m['name']!r} outside any "
+                        "FILESET/SourceCal/LocalCal group"
+                    )
+                value = _typed_value(m["name"], m["rhs"])
+                if value is not None:
+                    group[m["name"]] = value
+                continue
+            m = _LINE_VERSION.match(line)
+            if m:
+                doc.version = m["ver"]
+                continue
+            if line.lstrip().startswith("#"):
+                continue  # decorative banner / diagram comment
+            raise ValueError(f"ECS line {lineno}: unrecognized content: {line.strip()!r}")
+
+    return doc
 
 
 class ECSParser:
-    """Parser for Echoview calibration supplement (.ecs) files."""
+    """API-compatible facade over :func:`parse_ecs`.
 
-    TvgRangeCorrection_allowed_str = (
-        "None",
-        "BySamples",
-        "SimradEx500",
-        "SimradEx60",
-        "BioSonics",
-        "Kaijo",
-        "PulseLength",
-        "Ex500Forced",
-        "SimradEK80",
-        "Standard",
-    )
+    Mirrors the reference's public surface (``parse``, ``get_cal_params``,
+    ``data_type``/``version``/``file_creation_time``/``parsed_params``).
+    """
 
     def __init__(self, input_file=None):
         self.input_file = input_file
-        self.data_type = None
-        self.version = None
-        self.file_creation_time = None
-        self.parsed_params = None
+        self._doc: Optional[EcsDocument] = None
 
-    def _parse_header(self, fid) -> bool:
-        tmp = ECS_TIME.match(fid.readline())
-        if tmp:
-            self.file_creation_time = datetime.strptime(
-                tmp["date"] + " " + tmp["time"], "%m/%d/%Y %H:%M:%S"
-            )
-        if SEPARATOR.match(fid.readline()) is None:
-            raise ValueError("Unexpected line in ECS file!")
-        for _ in range(6):
-            fid.readline()
-        if SEPARATOR.match(fid.readline()) is None:
-            raise ValueError("Unexpected line in ECS file!")
-        line = "\n"
-        while line == "\n":
-            line = fid.readline()
-        m = ECS_VERSION.match(line)
-        if m:
-            self.version = m["version"]
-        return True
+    def parse(self) -> None:
+        self._doc = parse_ecs(self.input_file)
 
-    def _parse_block(self, fid, status) -> dict:
-        param_val = {}
-        if SEPARATOR.match(fid.readline()) is None:
-            raise ValueError("Unexpected line in ECS file!")
-        source = None
-        while True:
-            curr_pos = fid.tell()
-            line = fid.readline()
-            if SEPARATOR.match(line) is not None:
-                fid.seek(curr_pos)
-                break
-            if line == "":
-                break
-            if status == "fileset" and source is None:
-                source = "fileset"
-                param_val[source] = {}
-            if status in line.lower() and status != "fileset":
-                source = CAL_HIERARCHY.match(line)["source"]
-                param_val[source] = {}
-            elif line != "\n" and source is not None:
-                tmp = PARAM_MATCHER.match(line)
-                if tmp and (tmp["skip"] == "" or tmp["param"] == "Frequency"):
-                    param_val[source][tmp["param"]] = tmp["val"]
-        return param_val
+    @property
+    def data_type(self):
+        return self._doc.data_type if self._doc else None
 
-    def _convert_param_type(self):
-        def convert_type(d):
-            for k, v in d.items():
-                if k == "TvgRangeCorrection":
-                    if v not in self.TvgRangeCorrection_allowed_str:
-                        raise ValueError("TvgRangeCorrection contains unexpected setting!")
-                elif k == "TransducerModeActive":
-                    d[k] = bool(v)
-                else:
-                    vals = re.findall(VAL_PATTERN, v)
-                    d[k] = np.array(vals).astype(float) if len(vals) > 1 else float(v)
+    @property
+    def version(self):
+        return self._doc.version if self._doc else None
 
-        for status, settings in self.parsed_params.items():
-            if status == "fileset":
-                convert_type(settings)
-            else:
-                for src_v in settings.values():
-                    convert_type(src_v)
+    @property
+    def file_creation_time(self):
+        return self._doc.file_creation_time if self._doc else None
 
-    def parse(self):
-        with open(self.input_file, encoding="utf-8-sig") as fid:
-            line = fid.readline()
-            parsed_params = {}
-            status = None
-            while line != "":
-                if line != "\n":
-                    if SEPARATOR.match(line) is not None:
-                        if status is not None:
-                            status = None
-                    elif status is None:
-                        status_str = STATUS_CRUDE.match(line)["status"].lower()
-                        if "ecs" in status_str:
-                            status = "ecs"
-                            self.data_type = ECS_HEADER.match(line)["data_type"]
-                            self._parse_header(fid)
-                        elif any(s in status_str for s in ("fileset", "sourcecal", "localcal")):
-                            status = STATUS_FINE.match(line)["status"].lower()
-                            parsed_params[status] = self._parse_block(fid, status)
-                        else:
-                            raise ValueError("Expecting a new block but got something else!")
-                line = fid.readline()
-        parsed_params["fileset"] = parsed_params.get("fileset", {}).get("fileset", {})
-        parsed_params.setdefault("sourcecal", {})
-        parsed_params.setdefault("localcal", {})
-        self.parsed_params = parsed_params
-        self._convert_param_type()
+    @property
+    def parsed_params(self):
+        if self._doc is None:
+            return None
+        return {
+            "fileset": self._doc.fileset,
+            "sourcecal": self._doc.sourcecal,
+            "localcal": self._doc.localcal,
+        }
 
     def get_cal_params(self, localcal_name=None) -> dict:
         """Consolidate with the LocalCal > SourceCal > Fileset hierarchy."""
-        sources = self.parsed_params["sourcecal"].keys()
-        ev_cal_params = {}
-        for src in sources:
-            ev_cal_params[src] = self.parsed_params["fileset"].copy()
-            ev_cal_params[src].update(self.parsed_params["sourcecal"][src])
-        if self.parsed_params["localcal"]:
-            if localcal_name is None:
-                localcal_name = next(iter(self.parsed_params["localcal"]))
-            for k, v in self.parsed_params["localcal"][localcal_name].items():
-                for src in sources:
-                    ev_cal_params[src][k] = v
-        return ev_cal_params
+        if self._doc is None:
+            self.parse()
+        return self._doc.consolidated(localcal_name)
 
 
+# ---------------------------------------------------------------------------
+# ECS -> echopype parameter datasets
+# ---------------------------------------------------------------------------
 def ecs_ev2ep(ev_dict, sonar_type):
     """Consolidated ECS dict -> (env Dataset, cal Dataset, BB cal Dataset|None)."""
     PARAM_MAP = dict(EV_EP_MAP["EK60"])
@@ -303,9 +348,9 @@ def conform_channel_order(ds_in, freq_ref):
     if ds_in is None:
         return None
     if not isinstance(freq_ref, DataArray):
-        raise ValueError("'freq_ref' has to be a DataArray!")
+        raise ValueError("'freq_ref' must be a DataArray")
     if "channel" not in freq_ref.coords:
-        raise ValueError("'channel' has to be a coordinate of 'freq_ref'!")
+        raise ValueError("'freq_ref' must carry a 'channel' coordinate")
     if "frequency_nominal" not in ds_in:
         return None
     ecs_freqs = np.asarray(ds_in["frequency_nominal"].values, dtype="f8")
@@ -331,10 +376,8 @@ def conform_channel_order(ds_in, freq_ref):
 
 def ecs_to_params(ecs_file, sonar_type, frequency_nominal):
     """Parse an ECS file into (env_params, cal_params) dicts for a calibrator."""
-    parser = ECSParser(ecs_file)
-    parser.parse()
-    ev_dict = parser.get_cal_params()
-    ds_env, ds_cal, ds_cal_BB = ecs_ev2ep(ev_dict, sonar_type)
+    doc = parse_ecs(ecs_file)
+    ds_env, ds_cal, ds_cal_BB = ecs_ev2ep(doc.consolidated(), sonar_type)
     env = ecs_ds2dict(conform_channel_order(ds_env, frequency_nominal))
     cal = ecs_ds2dict(conform_channel_order(ds_cal, frequency_nominal))
     # strip params that are not calibration inputs

@@ -102,6 +102,143 @@ class TestECSParser:
         assert list(out.coords["channel"].values) == ["chB", "chA"]
 
 
+ECS_EK80_BB_CONTENT = """#========================================================================================#
+#                    ECHOVIEW CALIBRATION SUPPLEMENT (.ECS) FILE (SimradEK80Raw)         #
+#                                3/5/2023 14:02:59.1234                                  #
+#========================================================================================#
+#       +----------+   +-----------+   +----------+   +-----------+   +----------+       #
+#       | Default  |-->| Data File |-->| Fileset  |-->| SourceCal |-->| LocalCal |       #
+#       | Settings |   | Settings  |   | Settings |   | Settings  |   | Settings |       #
+#       +----------+   +-----------+   +----------+   +-----------+   +----------+       #
+# - Settings to the right override those to their left.                                  #
+#========================================================================================#
+
+Version 1.00
+
+#========================================================================================#
+#                                    FILESET SETTINGS                                    #
+#========================================================================================#
+
+SoundSpeed = 1490.0 # (meters per second)
+Salinity = 34.2 # (PSU)
+# TvgRangeCorrection = # [None, BySamples, SimradEx500, SimradEx60]
+
+#========================================================================================#
+#                                   SOURCECAL SETTINGS                                   #
+#========================================================================================#
+
+SourceCal T1
+    # Frequency = 70.00 # (kilohertz) [0.01..10000.00]
+    AbsorptionDepth = 50.0 # (meters)
+    FrequencyTableWideband = 55.0 65.0 75.0 85.0 # (kilohertz)
+    GainTableWideband = 26.1 26.5 26.9 27.0 # (decibels)
+    MajorAxisBeamWidthTableWideband = 7.1 6.8 6.4 6.1 # (degrees)
+    Temperature = 9.5 # (degrees celsius)
+    TransducerGain = 26.50 # (decibels)
+
+SourceCal T2
+    # Frequency = 120.00 # (kilohertz) [0.01..10000.00]
+    FrequencyTableWideband = 100.0 115.0 130.0 # (kilohertz)
+    GainTableWideband = 24.0 24.5 24.2 # (decibels)
+    TransducerGain = 24.40 # (decibels)
+
+#========================================================================================#
+#                                    LOCALCAL SETTINGS                                   #
+#========================================================================================#
+
+LocalCal MyPatch
+    SoundSpeed = 1500.0 # (meters per second)
+"""
+
+
+class TestECSEdgeCases:
+    """LocalCal overrides, commented params, BB vectors, typed values."""
+
+    @pytest.fixture()
+    def ek80_ecs_file(self, tmp_path):
+        p = tmp_path / "bb.ecs"
+        p.write_text(ECS_EK80_BB_CONTENT)
+        return p
+
+    def test_header_and_commented_frequency(self, ek80_ecs_file):
+        parser = ECSParser(ek80_ecs_file)
+        parser.parse()
+        assert parser.data_type == "SimradEK80Raw"
+        assert parser.file_creation_time is not None
+        assert parser.file_creation_time.year == 2023
+        params = parser.get_cal_params()
+        # commented-out Frequency lines are still channel identity
+        assert params["T1"]["Frequency"] == 70.0
+        assert params["T2"]["Frequency"] == 120.0
+        # commented-out non-Frequency params are dropped
+        assert "TvgRangeCorrection" not in params["T1"]
+
+    def test_localcal_overrides_all_sources(self, ek80_ecs_file):
+        params = ECSParser(ek80_ecs_file).get_cal_params()
+        assert params["T1"]["SoundSpeed"] == 1500.0
+        assert params["T2"]["SoundSpeed"] == 1500.0
+        # fileset value survives where not overridden
+        assert params["T1"]["Salinity"] == 34.2
+        # sourcecal beats fileset
+        assert params["T1"]["TransducerGain"] == 26.5
+
+    def test_bb_tables(self, ek80_ecs_file):
+        params = ECSParser(ek80_ecs_file).get_cal_params()
+        np.testing.assert_allclose(
+            params["T1"]["FrequencyTableWideband"], [55.0, 65.0, 75.0, 85.0]
+        )
+        ds_env, ds_cal, ds_bb = ecs_ev2ep(params, "EK80")
+        assert ds_bb is not None
+        # union frequency axis in Hz
+        np.testing.assert_allclose(
+            ds_bb.coords["cal_frequency"].values,
+            np.array([55.0, 65.0, 75.0, 85.0, 100.0, 115.0, 130.0]) * 1000,
+        )
+        gain = np.asarray(ds_bb["gain_correction"].values)
+        assert gain.shape == (2, 7)
+        np.testing.assert_allclose(gain[0, :4], [26.1, 26.5, 26.9, 27.0])
+        assert np.isnan(gain[0, 4:]).all()
+        np.testing.assert_allclose(gain[1, 4:], [24.0, 24.5, 24.2])
+        # beamwidth table only on T1
+        bw = np.asarray(ds_bb["beamwidth_athwartship"].values)
+        np.testing.assert_allclose(bw[0, :4], [7.1, 6.8, 6.4, 6.1])
+        assert np.isnan(bw[1]).all()
+        # env params flow through
+        np.testing.assert_allclose(ds_env["salinity"].values, [34.2, 34.2])
+        np.testing.assert_allclose(ds_env["temperature"].values[0], 9.5)
+
+    def test_named_localcal_selection(self, tmp_path):
+        content = ECS_EK80_BB_CONTENT + (
+            "\nLocalCal Another\n    SoundSpeed = 1450.0 # (meters per second)\n"
+        )
+        p = tmp_path / "two_local.ecs"
+        p.write_text(content)
+        params = ECSParser(p).get_cal_params(localcal_name="Another")
+        assert params["T1"]["SoundSpeed"] == 1450.0
+
+    def test_tvg_range_correction_validation(self, tmp_path):
+        good = ECS_CONTENT.replace(
+            "SoundSpeed = 1473.0 # (meters per second)",
+            "SoundSpeed = 1473.0 # (meters per second)\nTvgRangeCorrection = SimradEx60",
+        )
+        p = tmp_path / "tvg.ecs"
+        p.write_text(good)
+        parser = ECSParser(p)
+        parser.parse()
+        assert parser.parsed_params["fileset"]["TvgRangeCorrection"] == "SimradEx60"
+        bad = good.replace("TvgRangeCorrection = SimradEx60", "TvgRangeCorrection = Bogus")
+        p2 = tmp_path / "tvg_bad.ecs"
+        p2.write_text(bad)
+        with pytest.raises(ValueError, match="TvgRangeCorrection"):
+            ECSParser(p2).parse()
+
+    def test_unrecognized_content_raises_with_lineno(self, tmp_path):
+        p = tmp_path / "junk.ecs"
+        p.write_text(ECS_CONTENT + "\nthis is not an assignment\n")
+        with pytest.raises(ValueError, match="line"):
+            ECSParser(p).parse()
+
+
 class TestECSCalibration:
     def test_compute_sv_with_ecs(self, tmp_path, ecs_file):
         path = tmp_path / "ECS-D20200101-T000000.raw"
