@@ -11,9 +11,14 @@ __all__ = ["camelcase2snakecase", "depth_from_pressure"]
 
 
 def camelcase2snakecase(name: str) -> str:
-    """Convert CamelCase or mixedCase names to snake_case."""
-    s1 = re.sub(r"(.)([A-Z][a-z]+)", r"\1_\2", name)
-    return re.sub(r"([a-z0-9])([A-Z])", r"\1_\2", s1).lower()
+    """Convert CamelCase names to snake_case.
+
+    Every interior uppercase letter gets an underscore before it, matching
+    the reference's key naming exactly (so e.g. ``XMLConfig`` ->
+    ``x_m_l_config``) -- these strings become user-visible dict/variable
+    keys for XML-config and AZFP fields.
+    """
+    return re.sub(r"(?<=.)([A-Z])", r"_\1", name).lower()
 
 
 def depth_from_pressure(pressure, latitude=30.0, atm_pres_surf=0.0):

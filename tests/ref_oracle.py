@@ -1,0 +1,95 @@
+"""Load reference leaf modules for differential parity testing.
+
+The full reference package can't be imported here (xarray/dask/zarr/flox are
+absent), but its *leaf* modules are pure numpy + stdlib and load fine once
+small dependency stubs are registered.  This gives the test suite true
+reference-executed oracles: our decode/formula outputs are compared against
+the reference's own code, not against builder-written expectations.
+
+Loadable leaves (verified):
+  - echopype/convert/utils/ek_date_conversion.py   (needs a pytz stub)
+  - echopype/convert/utils/ek_raw_parsers.py        (needs log/misc leaves)
+  - echopype/utils/uwa.py
+  - echopype/utils/compute.py                       (needs a dask stub)
+  - echopype/utils/misc.py
+  - echopype/calibrate/ecs.py                       (needs an xarray stub)
+"""
+
+from __future__ import annotations
+
+import datetime
+import importlib.util
+import sys
+import types
+
+REF_ROOT = "/root/reference/echopype"
+
+_loaded: dict = {}
+
+
+def _stub(name: str, **attrs) -> None:
+    """Register a stub module under `name` if no real one is importable."""
+    if name in sys.modules:
+        return
+    try:
+        __import__(name)
+        return
+    except ImportError:
+        pass
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+    if "." in name:
+        parent, leaf = name.rsplit(".", 1)
+        if parent in sys.modules:
+            setattr(sys.modules[parent], leaf, mod)
+
+
+def _package(fullname: str, path: str) -> None:
+    """Register an empty package shell so relative imports resolve."""
+    if fullname in sys.modules:
+        return
+    mod = types.ModuleType(fullname)
+    mod.__path__ = [path]
+    mod.__package__ = fullname
+    sys.modules[fullname] = mod
+
+
+def _install_stubs() -> None:
+    # pandas optionally imports pytz and probes its API; load pandas before
+    # the stub exists so it takes its no-pytz path, and alias UTC defensively
+    try:
+        import pandas  # noqa: F401
+    except ImportError:
+        pass
+    _stub(
+        "pytz",
+        utc=datetime.timezone.utc,
+        UTC=datetime.timezone.utc,
+        __version__="2024.1",
+    )
+    _stub("dask", __version__="2024.1")
+    _stub("dask.array", Array=type("Array", (), {}))
+    # ecs.py imports xarray at module level but ECSParser itself never touches
+    # it; a named shell is enough for parser-level differential tests.
+    _stub("xarray", DataArray=type("DataArray", (), {}), Dataset=type("Dataset", (), {}))
+    _package("echopype", REF_ROOT)
+    _package("echopype.utils", f"{REF_ROOT}/utils")
+    _package("echopype.convert", f"{REF_ROOT}/convert")
+    _package("echopype.convert.utils", f"{REF_ROOT}/convert/utils")
+    _package("echopype.calibrate", f"{REF_ROOT}/calibrate")
+
+
+def load_ref(relpath: str):
+    """Load `echopype/<relpath>.py` from the reference tree, with caching."""
+    if relpath in _loaded:
+        return _loaded[relpath]
+    _install_stubs()
+    fullname = "echopype." + relpath.replace("/", ".")
+    spec = importlib.util.spec_from_file_location(fullname, f"{REF_ROOT}/{relpath}.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[fullname] = mod
+    spec.loader.exec_module(mod)
+    _loaded[relpath] = mod
+    return mod

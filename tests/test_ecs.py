@@ -111,6 +111,7 @@ ECS_EK80_BB_CONTENT = """#======================================================
 #       | Settings |   | Settings  |   | Settings |   | Settings  |   | Settings |       #
 #       +----------+   +-----------+   +----------+   +-----------+   +----------+       #
 # - Settings to the right override those to their left.                                  #
+# - See the Help file page "About calibration".                                          #
 #========================================================================================#
 
 Version 1.00

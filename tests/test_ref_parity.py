@@ -1,0 +1,264 @@
+"""Differential parity tests: our code vs the reference's own executed code.
+
+Each test runs the reference's leaf modules (loaded via ref_oracle with
+dependency stubs) on the same inputs as ours and asserts exact or 1e-12
+agreement.  This replaces builder-written oracles with reference-executed
+ones for: RAW0/RAW3/RAW4 struct decode (ek_raw_parsers.py:1588), NT time
+(ek_date_conversion.py:26), seawater formulas (utils/uwa.py:8,56), dB
+transforms (utils/compute.py:13), misc helpers, and the ECS grammar.
+"""
+
+import numpy as np
+import pytest
+
+from ref_oracle import load_ref
+
+import synth_ek60
+import synth_ek80
+from echopype_tpu.convert.simrad import decode, framing
+from echopype_tpu.convert.simrad.decode import INDEX2POWER
+
+
+# ---------------------------------------------------------------------------
+# NT time conversion
+# ---------------------------------------------------------------------------
+def test_nt_time_parity():
+    ref = load_ref("convert/utils/ek_date_conversion")
+    rng = np.random.default_rng(7)
+    # NT ticks spanning 1990..2040
+    secs_1601 = rng.integers(12_280_000_000, 13_860_000_000, 32)
+    ticks = secs_1601 * 10_000_000 + rng.integers(0, 10_000_000, 32)
+    low = (ticks & 0xFFFFFFFF).astype("u4")
+    high = (ticks >> 32).astype("u4")
+    ours = framing.nt_to_datetime64(low, high)
+    for i in range(len(ticks)):
+        ref_unix = ref.nt_to_unix((int(low[i]), int(high[i])), return_datetime=False)
+        ours_unix = ours[i].astype("i8") / 1e9
+        # the reference computes ticks*1e-7 in float64 (~1us quantization at
+        # 2e9 s); our integer path is exact, so compare at the ref's precision
+        assert abs(ours_unix - ref_unix) < 4e-6, (ours[i], ref_unix)
+
+
+# ---------------------------------------------------------------------------
+# RAW0 power/angle decode
+# ---------------------------------------------------------------------------
+def _scan(chunks):
+    buf = b"".join(chunks)
+    return framing.scan_datagrams(buf), [c[4:-4] for c in chunks]
+
+
+def test_raw0_decode_parity():
+    parsers = load_ref("convert/utils/ek_raw_parsers")
+    ref_parser = parsers.SimradRawParser()
+    rng = np.random.default_rng(11)
+    t0 = np.datetime64("2021-06-01T10:20:30.123456", "ns")
+    chunks = []
+    for p in range(5):
+        n = 40 - 7 * (p % 3)
+        pw = rng.integers(-32768, 0, n).astype("<i2")
+        ang = rng.integers(-128, 128, (n, 2)).astype("i1")
+        chunks.append(
+            synth_ek60.make_raw0(
+                t0 + np.timedelta64(p, "s"),
+                channel=1 + p % 2,
+                power_idx=pw,
+                angle=ang,
+                frequency=38000.0 + p,
+                sample_interval=64e-6 * (1 + p),
+            )
+        )
+    index, bodies = _scan(chunks)
+    rows = index.select("RAW0")
+    hdr, ts = decode.decode_raw0_headers(index, rows)
+    samples = decode.decode_raw0_samples(index, rows, hdr)
+
+    for i, body in enumerate(bodies):
+        ref = ref_parser.from_string(body, len(body))
+        # header fields, exact
+        for f in (
+            "channel", "mode", "transducer_depth", "frequency", "transmit_power",
+            "pulse_length", "bandwidth", "sample_interval", "sound_velocity",
+            "absorption_coefficient", "heave", "roll", "pitch", "temperature",
+            "heading", "transmit_mode", "offset", "count",
+        ):
+            ref_name = f if f != "roll" else "roll"
+            assert hdr[f if f in hdr.dtype.names else ref_name][i] == ref[ref_name], f
+        # timestamp
+        ref_unix = load_ref("convert/utils/ek_date_conversion").nt_to_unix(
+            (ref["low_date"], ref["high_date"]), return_datetime=False
+        )
+        assert abs(ts[i].astype("i8") / 1e9 - ref_unix) < 1e-6
+        n = ref["count"]
+        # power: ours is int16 * INDEX2POWER in f4 -- invert exactly
+        ours_idx = np.round(samples["power"][i, :n] / INDEX2POWER).astype("i2")
+        np.testing.assert_array_equal(ours_idx, ref["power"])
+        assert np.isnan(samples["power"][i, n:]).all()
+        # angle: both byte-0/byte-1 of each 16-bit sample
+        np.testing.assert_array_equal(
+            samples["angle"][i, :n, 0].astype("i1"), ref["angle"][:, 0]
+        )
+        np.testing.assert_array_equal(
+            samples["angle"][i, :n, 1].astype("i1"), ref["angle"][:, 1]
+        )
+
+
+# ---------------------------------------------------------------------------
+# RAW3 / RAW4 complex + power/angle decode
+# ---------------------------------------------------------------------------
+def test_raw3_complex_decode_parity():
+    parsers = load_ref("convert/utils/ek_raw_parsers")
+    ref_parser = parsers.SimradRawParser()
+    rng = np.random.default_rng(13)
+    t0 = np.datetime64("2022-03-04T05:06:07.890123", "ns")
+    chunks = []
+    for p in range(4):
+        n = 30 - 5 * (p % 2)
+        cs = (rng.normal(size=(n, 4)) + 1j * rng.normal(size=(n, 4))).astype("c8")
+        chunks.append(synth_ek80.make_raw3(t0 + np.timedelta64(p, "s"), "WBT 1234", cs))
+    index, bodies = _scan(chunks)
+    rows = index.select("RAW3")
+    hdr, ts, ch_ids = decode.decode_raw3_headers(index, rows)
+    samples = decode.decode_raw3_samples(index, rows, hdr)
+    assert samples["n_complex"] == 4
+    for i, body in enumerate(bodies):
+        ref = ref_parser.from_string(body, len(body))
+        assert ch_ids[i] == ref["channel_id"].strip()
+        assert hdr["data_type"][i] == ref["data_type"]
+        assert hdr["count"][i] == ref["count"]
+        assert ref["n_complex"] == 4
+        n = ref["count"]
+        np.testing.assert_array_equal(
+            samples["complex_r"][i, :n], ref["complex"].real.astype("f8")
+        )
+        np.testing.assert_array_equal(
+            samples["complex_i"][i, :n], ref["complex"].imag.astype("f8")
+        )
+        assert np.isnan(samples["complex_r"][i, n:]).all()
+
+
+def test_raw3_power_angle_decode_parity():
+    parsers = load_ref("convert/utils/ek_raw_parsers")
+    ref_parser = parsers.SimradRawParser()
+    rng = np.random.default_rng(17)
+    t0 = np.datetime64("2022-03-04T05:06:07", "ns")
+    n = 25
+    pw = rng.integers(-32768, 0, n).astype("<i2")
+    ang = rng.integers(-128, 128, (n, 2)).astype("i1")
+    chunks = [synth_ek80.make_raw3(t0, "WBT power", power_idx=pw, angle=ang)]
+    index, bodies = _scan(chunks)
+    rows = index.select("RAW3")
+    hdr, ts, ch_ids = decode.decode_raw3_headers(index, rows)
+    samples = decode.decode_raw3_samples(index, rows, hdr)
+    ref = ref_parser.from_string(bodies[0], len(bodies[0]))
+    ours_idx = np.round(samples["power"][0, :n] / INDEX2POWER).astype("i2")
+    np.testing.assert_array_equal(ours_idx, ref["power"])
+    np.testing.assert_array_equal(samples["angle"][0, :n, 0].astype("i1"), ref["angle"][:, 0])
+    np.testing.assert_array_equal(samples["angle"][0, :n, 1].astype("i1"), ref["angle"][:, 1])
+
+
+def test_raw4_transmit_decode_parity():
+    parsers = load_ref("convert/utils/ek_raw_parsers")
+    ref_parser = parsers.SimradRawParser()
+    rng = np.random.default_rng(19)
+    t0 = np.datetime64("2022-07-08T00:00:01", "ns")
+    cs = (rng.normal(size=(64, 1)) + 1j * rng.normal(size=(64, 1))).astype("c8")
+    chunks = [synth_ek80.make_raw4(t0, "WBT tx", cs)]
+    index, bodies = _scan(chunks)
+    rows = index.select("RAW4")
+    hdr, ts, ch_ids = decode.decode_raw3_headers(index, rows)
+    samples = decode.decode_raw3_samples(index, rows, hdr)
+    ref = ref_parser.from_string(bodies[0], len(bodies[0]))
+    # RAW4 keeps the complex stream flat in the reference; sector dim is 1 here
+    np.testing.assert_array_equal(
+        samples["complex_r"][0].ravel(), ref["complex"].real.astype("f8")
+    )
+    np.testing.assert_array_equal(
+        samples["complex_i"][0].ravel(), ref["complex"].imag.astype("f8")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seawater acoustics formulas
+# ---------------------------------------------------------------------------
+def test_sound_speed_parity():
+    ref = load_ref("utils/uwa")
+    from echopype_tpu.utils import uwa as ours
+
+    T = np.array([2.0, 8.0, 15.0, 27.0])
+    S = np.array([30.0, 33.5, 35.0, 38.0])
+    P = np.array([10.0, 150.0, 1000.0, 4000.0])
+    for src in ("Mackenzie", "AZFP"):
+        a = np.asarray(ours.calc_sound_speed(T, S, P, formula_source=src), dtype="f8")
+        b = np.asarray(ref.calc_sound_speed(T, S, P, formula_source=src), dtype="f8")
+        np.testing.assert_allclose(a, b, rtol=1e-12, atol=0)
+
+
+def test_absorption_parity():
+    ref = load_ref("utils/uwa")
+    from echopype_tpu.utils import uwa as ours
+
+    f = np.array([18e3, 38e3, 70e3, 120e3, 200e3])
+    kwargs = dict(temperature=10.0, salinity=34.0, pressure=100.0, pH=8.0)
+    for src in ("AM", "FG", "AZFP"):
+        a = np.asarray(ours.calc_absorption(f, formula_source=src, **kwargs), dtype="f8")
+        b = np.asarray(ref.calc_absorption(f, formula_source=src, **kwargs), dtype="f8")
+        np.testing.assert_allclose(a, b, rtol=1e-12, atol=0)
+
+
+def test_log_lin_parity():
+    ref = load_ref("utils/compute")
+    from echopype_tpu.utils import compute as ours
+
+    x = np.linspace(-120.0, 30.0, 301)
+    np.testing.assert_array_equal(ours._log2lin(x), ref._log2lin(x))
+    y = np.logspace(-12, 3, 301)
+    np.testing.assert_array_equal(ours._lin2log(y), ref._lin2log(y))
+
+
+def test_misc_parity():
+    ref = load_ref("utils/misc")
+    from echopype_tpu.utils import misc as ours
+
+    for name in ("PulseDuration", "SaCorrectionFactor", "GPT38kHz", "frequencyBB", "XMLConfig"):
+        assert ours.camelcase2snakecase(name) == ref.camelcase2snakecase(name), name
+    p = np.array([10.0, 150.0, 1000.0, 5000.0])
+    np.testing.assert_allclose(
+        np.asarray(ours.depth_from_pressure(p, latitude=47.5), dtype="f8"),
+        np.asarray(ref.depth_from_pressure(p, latitude=47.5), dtype="f8"),
+        rtol=1e-12,
+    )
+
+
+# ---------------------------------------------------------------------------
+# ECS grammar: our tokenizer vs the reference's block parser on the same files
+# ---------------------------------------------------------------------------
+def _assert_params_equal(ours: dict, ref: dict):
+    assert set(ours) == set(ref)
+    for src in ours:
+        assert set(ours[src]) == set(ref[src]), src
+        for k, ov in ours[src].items():
+            rv = ref[src][k]
+            if isinstance(ov, np.ndarray) or isinstance(rv, np.ndarray):
+                np.testing.assert_allclose(np.asarray(ov, "f8"), np.asarray(rv, "f8"))
+            else:
+                assert ov == rv, (src, k, ov, rv)
+
+
+@pytest.mark.parametrize("fixture_name", ["ECS_CONTENT", "ECS_EK80_BB_CONTENT"])
+def test_ecs_parser_differential(tmp_path, fixture_name):
+    import test_ecs as fixtures
+    from echopype_tpu.calibrate.ecs import ECSParser
+
+    ref_ecs = load_ref("calibrate/ecs")
+    content = getattr(fixtures, fixture_name)
+    p = tmp_path / "diff.ecs"
+    p.write_text(content)
+
+    ours = ECSParser(p)
+    ours.parse()
+    ref = ref_ecs.ECSParser(str(p))
+    ref.parse()
+
+    assert ours.data_type == ref.data_type
+    assert ours.version == ref.version
+    _assert_params_equal(ours.get_cal_params(), ref.get_cal_params())
