@@ -164,10 +164,12 @@ def _spill_to_swap(ed, min_bytes: int = 16_384):
 
 
 def to_file(echodata: EchoData, engine: str, save_path=None, compress=True, overwrite=False, **kw):
-    """Serialize an EchoData object (zarr only in this environment)."""
-    if engine not in ("zarr",):
-        raise NotImplementedError("Only zarr output is supported in this environment")
+    """Serialize an EchoData object as zarr or netCDF4 (reference convert/api.py:26)."""
+    if engine not in ("zarr", "netcdf4"):
+        raise ValueError(f"Unsupported engine {engine!r}; use 'zarr' or 'netcdf4'")
     from ..utils.io import validate_output_path
 
     out = validate_output_path(echodata.source_file or "converted", engine, save_path=save_path)
+    if engine == "netcdf4":
+        return echodata.to_netcdf(out, overwrite=overwrite, compress=compress)
     return echodata.to_zarr(out, overwrite=overwrite, compress=compress)

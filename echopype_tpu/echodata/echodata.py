@@ -103,18 +103,28 @@ class EchoData:
         self.converted_raw_path = str(save_path)
         return str(save_path)
 
-    def to_netcdf(self, save_path, **kw):
-        raise NotImplementedError(
-            "netCDF output requires an HDF5 stack not present in this environment; "
-            "use to_zarr instead"
+    def to_netcdf(self, save_path, overwrite=False, compress=True, **kw):
+        """Serialize the group tree as one netCDF4 (HDF5) file.
+
+        Reference parity: echodata/echodata.py:586 ``to_netcdf`` via the
+        netcdf4 xarray engine; here written directly as the netCDF4-on-HDF5
+        profile (dimension scales + DIMENSION_LIST) through h5py.
+        """
+        storage.write_netcdf_tree(
+            save_path, self._tree, compress=compress, overwrite=overwrite
         )
+        self.converted_raw_path = str(save_path)
+        return str(save_path)
 
     @classmethod
     def from_file(cls, converted_raw_path, **kw) -> "EchoData":
         path = Path(converted_raw_path)
         if not path.exists():
             raise FileNotFoundError(str(path))
-        tree = storage.open_zarr_tree(path)
+        if path.is_file() and path.suffix in (".nc", ".netcdf4", ".h5"):
+            tree = storage.open_netcdf_tree(path)
+        else:
+            tree = storage.open_zarr_tree(path)
         ed = cls(tree=tree, converted_raw_path=str(path))
         prov = tree.get("Provenance")
         if prov is not None:

@@ -225,16 +225,14 @@ def read_array(adir: Path):
     return vals, dims, attrs
 
 
-def read_group(store_dir, group: str = "") -> Dataset:
-    gdir = Path(store_dir) / group if group else Path(store_dir)
-    attrs = _read_json(gdir / ".zattrs") if (gdir / ".zattrs").exists() else {}
+def assemble_dataset(arrays: dict, attrs: dict) -> Dataset:
+    """Build a Dataset from {name: (values, dims, attrs)} + group attrs.
+
+    Coordinate promotion rule shared by all storage backends: 1-d arrays whose
+    dim equals their own name, plus anything referenced by a "coordinates"
+    attribute.
+    """
     ds = Dataset(attrs=attrs)
-    arrays = {}
-    for child in sorted(gdir.iterdir()):
-        if child.is_dir() and (child / ".zarray").exists():
-            vals, dims, a_attrs = read_array(child)
-            arrays[child.name] = (vals, dims, a_attrs)
-    # coords first: 1-d arrays whose dim == own name, or referenced in "coordinates"
     coord_names = set()
     for name, (vals, dims, a_attrs) in arrays.items():
         if dims == (name,):
@@ -252,6 +250,17 @@ def read_group(store_dir, group: str = "") -> Dataset:
         da = DataArray(vals, dims, attrs=a_attrs, name=name)
         ds.data_vars[name] = da
     return ds
+
+
+def read_group(store_dir, group: str = "") -> Dataset:
+    gdir = Path(store_dir) / group if group else Path(store_dir)
+    attrs = _read_json(gdir / ".zattrs") if (gdir / ".zattrs").exists() else {}
+    arrays = {}
+    for child in sorted(gdir.iterdir()):
+        if child.is_dir() and (child / ".zarray").exists():
+            vals, dims, a_attrs = read_array(child)
+            arrays[child.name] = (vals, dims, a_attrs)
+    return assemble_dataset(arrays, attrs)
 
 
 def write_dataset(store_dir, ds: Dataset, compress=True, overwrite=False):
