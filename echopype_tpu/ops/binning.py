@@ -30,6 +30,8 @@ __all__ = [
     "x_bounds_np",
     "row_bin_bounds",
     "binned_sum_partials",
+    "banded_x_reduce",
+    "binned_window_partials",
     "binned_mean_linear",
     "binned_sum_raw",
     "binned_mean_1d",
@@ -119,6 +121,54 @@ def binned_sum_partials(sv_db, er, r_edges, x_bounds, skipna: bool = True, close
     counts = _prefix_gather_diff(n1, xb, axis=1)
     nan_counts = _prefix_gather_diff(nan1, xb, axis=1)
     return sums, counts, nan_counts
+
+
+def banded_x_reduce(blocks, x_rel, n_x_window: int):
+    """Reduce the ping axis of [C, P, K] blocks onto a local bin window.
+
+    x_rel: sorted i32 [P] window-relative bin ids (ids >= n_x_window fall
+    past the last boundary and are ignored — park padded pings there).  Each
+    output bin is an independent MXU accumulation over its own pings, unlike
+    the prefix-sum reduction whose f32 cumsum cancels catastrophically for a
+    quiet bin following loud pings (and whose counts saturate past 2^24).
+    Results are therefore invariant to how a stream was chunked or sharded.
+    Returns [C, n_x_window, K].
+    """
+    P = blocks.shape[1]
+    xb = jnp.searchsorted(
+        x_rel, jnp.arange(n_x_window + 1, dtype=x_rel.dtype), side="left"
+    ).astype(jnp.float32)
+    p_ids = jax.lax.broadcasted_iota(jnp.float32, (P, 1), 0)
+    Mx = ((p_ids >= xb[None, :-1]) & (p_ids < xb[None, 1:])).astype(jnp.float32)
+    dn = (((1,), (0,)), ((), ()))
+    out = jax.lax.dot_general(blocks, Mx, dn, preferred_element_type=jnp.float32)
+    return jnp.moveaxis(out, 2, 1)
+
+
+@partial(jax.jit, static_argnames=("n_x_window", "skipna", "closed"))
+def binned_window_partials(
+    sv_db, er, r_edges, x_rel, n_x_window: int, skipna: bool = True, closed: str = "left"
+):
+    """Chunk-invariant partial bin sums on a local ping-bin window.
+
+    Like :func:`binned_sum_partials` but the ping axis reduces via
+    :func:`banded_x_reduce` with window-relative bin ids, so partials from
+    different chunkings/shardings of the same stream accumulate identically.
+    Returns (sums, counts, nan_counts) each f32 [C, n_x_window, n_r].
+    """
+    lin = jnp.power(10.0, sv_db / 10.0)
+    isnan_sv = jnp.isnan(sv_db)
+    ok = ~isnan_sv
+    rb = row_bin_bounds(er, r_edges, closed)  # [C, P, n_r+1]
+    s1 = _prefix_gather_diff(jnp.where(ok, lin, 0.0), rb, axis=2)  # [C,P,n_r]
+    n1 = _prefix_gather_diff(ok.astype(jnp.float32), rb, axis=2)
+    if skipna:
+        nan1 = jnp.zeros_like(n1)
+    else:
+        nan1 = _prefix_gather_diff(isnan_sv.astype(jnp.float32), rb, axis=2)
+    n_r = s1.shape[2]
+    stacked = banded_x_reduce(jnp.concatenate([s1, n1, nan1], axis=2), x_rel, n_x_window)
+    return stacked[:, :, :n_r], stacked[:, :, n_r : 2 * n_r], stacked[:, :, 2 * n_r :]
 
 
 @partial(jax.jit, static_argnames=("skipna", "closed"))

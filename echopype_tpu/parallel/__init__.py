@@ -1,5 +1,8 @@
 from .mesh import make_mesh
 from .pipeline import (
+    sharded_binned_partials,
+    sharded_mvbs_partials_closed,
+    sv_mvbs_window_partials,
     sharded_mvbs_step_closed,
     sharded_sv_mvbs_step,
     survey_pipeline_step,
@@ -13,7 +16,10 @@ __all__ = [
     "make_mesh",
     "sharded_sv_mvbs_step",
     "sharded_mvbs_step_closed",
+    "sharded_mvbs_partials_closed",
+    "sharded_binned_partials",
     "sv_mvbs_core_mxu_closed",
+    "sv_mvbs_window_partials",
     "survey_pipeline_step",
     "sv_mvbs_core",
     "sv_mvbs_core_mxu",

@@ -163,23 +163,11 @@ def sv_mvbs_core_ex60(power, dr, absorption, offset, x_idx, r_edges, n_x, n_r,
     return sv, sums, counts
 
 
-def sv_mvbs_core_mxu_closed(
-    power, dr, tvg_shift, absorption, offset, valid_len, x_idx, r_edges, n_x, n_r,
-    r0=None,
-):
-    """MVBS-only core with closed-form counts: ONE matmul total.
+def _closed_s1_n1(power, dr, tvg_shift, absorption, offset, valid_len, r_edges, n_r, r0):
+    """Shared closed-counts body: per-ping range-binned sums + exact counts.
 
-    echo_range is affine in the sample index, r = r0 + k*dr (r0 defaults to 0,
-    the EK case; AZFP has r0 = cL/2f + ... from the lockout index), and the
-    TVG range is r - tvg_shift.  Valid samples per ping form a contiguous run
-    [k0, valid_len) where k0 is the first sample with r_tvg > 0, so the
-    per-bin count is the overlap of that run with each bin's sample bounds —
-    no counts matmul and no ok-mask materialization.  Requires NaNs to appear
-    only as suffix padding beyond ``valid_len`` (the ragged-ping norm); data
-    with interior NaN masking must use sv_mvbs_core_mxu.
-
-    Measured (v5e, bench workload): 7.97 ms/iter vs 10.2 ms for the
-    two-matmul MVBS-only path — 2.51M pings/s/chip, bit-identical bins.
+    Returns (s1, n1) each [C, P, n_r]: linear-Sv sums via one banded MXU
+    matmul with closed-form bin bounds, counts via clipped bound differences.
     """
     C, Pn, R = power.shape
     rs = jax.lax.broadcasted_iota(jnp.float32, (1, 1, R), 2)
@@ -213,10 +201,61 @@ def sv_mvbs_core_mxu_closed(
     L = valid_len.astype(jnp.float32)
     clipped = jnp.clip(bounds[:, None, :], k0[:, :, None], L[:, :, None])
     n1 = jnp.diff(clipped, axis=2)  # [C,P,n_r] exact per-bin counts
+    return s1, n1
 
+
+def sv_mvbs_core_mxu_closed(
+    power, dr, tvg_shift, absorption, offset, valid_len, x_idx, r_edges, n_x, n_r,
+    r0=None,
+):
+    """MVBS-only core with closed-form counts: ONE matmul total.
+
+    echo_range is affine in the sample index, r = r0 + k*dr (r0 defaults to 0,
+    the EK case; AZFP has r0 = cL/2f + ... from the lockout index), and the
+    TVG range is r - tvg_shift.  Valid samples per ping form a contiguous run
+    [k0, valid_len) where k0 is the first sample with r_tvg > 0, so the
+    per-bin count is the overlap of that run with each bin's sample bounds —
+    no counts matmul and no ok-mask materialization.  Requires NaNs to appear
+    only as suffix padding beyond ``valid_len`` (the ragged-ping norm); data
+    with interior NaN masking must use sv_mvbs_core_mxu.
+
+    Measured (v5e, bench workload): 7.97 ms/iter vs 10.2 ms for the
+    two-matmul MVBS-only path — 2.51M pings/s/chip, bit-identical bins.
+
+    Precision note: the ping-axis reduction is cumsum+gather+diff in f32, so
+    a quiet bin following loud pings inside the same block loses relative
+    precision (and counts can saturate past 2^24 samples/block).  Chunked
+    streaming should prefer :func:`sv_mvbs_window_partials`, which reduces
+    the ping axis with an independent-accumulation matmul per bin.
+    """
+    C = power.shape[0]
+    s1, n1 = _closed_s1_n1(
+        power, dr, tvg_shift, absorption, offset, valid_len, r_edges, n_r, r0
+    )
     xb = jnp.searchsorted(x_idx, jnp.arange(n_x + 1, dtype=x_idx.dtype), side="left")
     xb = jnp.broadcast_to(xb.astype(jnp.int32)[None, :, None], (C, n_x + 1, n_r))
     return _prefix_gather_diff(s1, xb, axis=1), _prefix_gather_diff(n1, xb, axis=1)
+
+
+def sv_mvbs_window_partials(
+    power, dr, tvg_shift, absorption, offset, valid_len, x_rel, r_edges,
+    n_x_window, n_r, r0=None,
+):
+    """Closed-counts partials on a local ping-bin window — chunk-invariant.
+
+    Same physics as sv_mvbs_core_mxu_closed but the ping-axis reduction is a
+    second banded matmul over the (small) window of bins this chunk spans,
+    so each bin accumulates independently.  x_rel carries window-relative bin
+    ids (host subtracts the chunk's first bin id).  Returns (sums, counts)
+    [C, n_x_window, n_r]; the host adds them at the window offset.
+    """
+    from ..ops.binning import banded_x_reduce
+
+    s1, n1 = _closed_s1_n1(
+        power, dr, tvg_shift, absorption, offset, valid_len, r_edges, n_r, r0
+    )
+    both = banded_x_reduce(jnp.concatenate([s1, n1], axis=2), x_rel, n_x_window)
+    return both[:, :, :n_r], both[:, :, n_r:]
 
 
 def sharded_sv_mvbs_step(
@@ -362,6 +401,72 @@ def sharded_mvbs_step_closed(mesh: Mesh, n_x: int, n_r: int):
         mesh=mesh,
         in_specs=(spec_cpr, spec_cp, spec_cp, spec_cp, spec_cp, spec_cp, spec_p, P(None)),
         out_specs=P("channel", None, None),
+    )
+    return jax.jit(mapped)
+
+
+def sharded_mvbs_partials_closed(mesh: Mesh, n_x_window: int, n_r: int):
+    """Multi-chip *partials* step for the survey streamer (closed counts).
+
+    fn(power, dr, tvg_shift, absorption, offset, valid_len, x_rel, r_edges,
+    r0) -> (sums, counts) [C, n_x_window, n_r], psum'd over the ping axis and
+    channel-sharded.  x_rel carries window-relative bin ids (sorted), so each
+    ping shard reduces onto the same chunk-local window and the psum makes
+    the result identical to the single-device window partials — host
+    accumulation at the window offset is then chunking- and mesh-invariant.
+    """
+
+    def step(power, dr, tvg_shift, absorption, offset, valid_len, x_rel, r_edges, r0):
+        sums, counts = sv_mvbs_window_partials(
+            power, dr, tvg_shift, absorption, offset, valid_len, x_rel, r_edges,
+            n_x_window, n_r, r0=r0,
+        )
+        return (
+            jax.lax.psum(sums, axis_name="ping"),
+            jax.lax.psum(counts, axis_name="ping"),
+        )
+
+    spec_cpr = P("channel", "ping", None)
+    spec_cp = P("channel", "ping")
+    mapped = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(
+            spec_cpr, spec_cp, spec_cp, spec_cp, spec_cp, spec_cp, P("ping"),
+            P(None), spec_cp,
+        ),
+        out_specs=(P("channel", None, None), P("channel", None, None)),
+    )
+    return jax.jit(mapped)
+
+
+def sharded_binned_partials(mesh: Mesh, n_x_window: int, skipna: bool = True, closed: str = "left"):
+    """Multi-chip partial bin sums over already-calibrated Sv blocks.
+
+    fn(sv_db, er, r_edges, x_rel) -> (sums, counts, nan_counts)
+    [C, n_x_window, n_r], psum'd over the ping axis and channel-sharded.
+    x_rel carries window-relative ping-bin ids.  Handles interior-NaN Sv
+    (masked data), unlike the closed-counts core.
+    """
+    from ..ops import binning
+
+    def step(sv_db, er, r_edges, x_rel):
+        sums, counts, nan_counts = binning.binned_window_partials(
+            sv_db, er, r_edges, x_rel, n_x_window, skipna=skipna, closed=closed
+        )
+        return (
+            jax.lax.psum(sums, axis_name="ping"),
+            jax.lax.psum(counts, axis_name="ping"),
+            jax.lax.psum(nan_counts, axis_name="ping"),
+        )
+
+    spec_cpr = P("channel", "ping", None)
+    out = P("channel", None, None)
+    mapped = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(spec_cpr, spec_cpr, P(None), P("ping")),
+        out_specs=(out, out, out),
     )
     return jax.jit(mapped)
 

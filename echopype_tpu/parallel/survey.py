@@ -21,6 +21,22 @@ from ..xrlite import DataArray, Dataset
 __all__ = ["run_survey_mvbs", "run_survey_mvbs_from_raw"]
 
 
+def _mesh_layout(mesh, chunk_pings: int, n_channels: int):
+    """Validate mesh axes against the workload; round chunk size up to the
+    ping-shard count.  Returns (ping_shards, rounded_chunk_pings)."""
+    if "ping" not in mesh.axis_names or "channel" not in mesh.axis_names:
+        raise ValueError("survey mesh needs 'ping' and 'channel' axes (make_mesh)")
+    if "range" in mesh.axis_names and mesh.shape["range"] != 1:
+        raise ValueError("survey streaming shards ping/channel only; use range_axis=1")
+    ch_shards = mesh.shape["channel"]
+    if n_channels % ch_shards != 0:
+        raise ValueError(
+            f"{n_channels} channels not divisible by mesh channel axis {ch_shards}"
+        )
+    ping_shards = mesh.shape["ping"]
+    return ping_shards, -(-chunk_pings // ping_shards) * ping_shards
+
+
 def run_survey_mvbs(
     sv_sources,
     range_bin_m: float = 20.0,
@@ -28,11 +44,15 @@ def run_survey_mvbs(
     range_var: str = "echo_range",
     chunk_pings: int = 5000,
     timer: StageTimer = None,
+    mesh=None,
 ):
     """Stream Sv stores/datasets into survey-global MVBS bins.
 
     sv_sources : iterable of Dataset or store paths (calibrated Sv datasets,
         chronologically ordered).
+    mesh : optional jax.sharding.Mesh with (ping, channel) axes — each chunk
+        shards over the mesh and partial bin sums combine with one psum
+        (SURVEY.md §2.6 scale-out; bit-equal to the single-device stream).
     Returns an MVBS Dataset on the union (ping_time-bin, range-bin) grid.
     """
     from ..commongrid.utils import ping_time_bin_edges
@@ -61,17 +81,41 @@ def run_survey_mvbs(
     range_edges = np.arange(0, r_max + range_bin_m, range_bin_m)
     n_x, n_r = len(ping_edges) - 1, len(range_edges) - 1
 
-    chans = None
-    sums = counts = None
-    for ds in datasets:
-        ch = list(ds.coords["channel"].values)
-        if chans is None:
-            chans = ch
-            sums = np.zeros((len(chans), n_x, n_r), dtype="f8")
-            counts = np.zeros_like(sums)
-        elif ch != chans:
+    chans = list(datasets[0].coords["channel"].values)
+    for ds in datasets[1:]:
+        if list(ds.coords["channel"].values) != chans:
             raise ValueError("all Sv sources must share the same channels")
+    if mesh is not None:
+        _, chunk_pings = _mesh_layout(mesh, chunk_pings, len(chans))
+
+    # per-dataset global ping-bin ids + the widest bin window any chunk spans
+    # (static so every chunk runs the same jitted window kernel)
+    edges_i8 = ping_edges.astype("datetime64[ns]").astype("i8")
+    x_ids = []
+    window = 1
+    for ds in datasets:
         pt = np.asarray(ds.coords["ping_time"].values, dtype="datetime64[ns]")
+        x = np.clip(
+            np.searchsorted(edges_i8, pt.astype("i8"), side="right") - 1, 0, n_x - 1
+        ).astype("i4")
+        x_ids.append(x)
+        for lo in range(0, len(x), chunk_pings):
+            hi = min(lo + chunk_pings, len(x))
+            window = max(window, int(x[hi - 1] - x[lo]) + 1)
+
+    if mesh is not None:
+        from .pipeline import sharded_binned_partials
+
+        step = sharded_binned_partials(mesh, window)
+    else:
+        step = lambda sv, er, re, xr: binning.binned_window_partials(  # noqa: E731
+            sv, er, re, xr, window
+        )
+
+    sums = np.zeros((len(chans), n_x, n_r), dtype="f8")
+    counts = np.zeros_like(sums)
+    r_edges_f4 = range_edges.astype("f4")
+    for ds, x_idx_all in zip(datasets, x_ids):
         sv_all = np.asarray(ds["Sv"].values, dtype="f4")
         er_all = np.asarray(ds[range_var].values, dtype="f4")
         if er_all.shape != sv_all.shape:
@@ -79,20 +123,27 @@ def run_survey_mvbs(
         n_ping = sv_all.shape[1]
         for lo in range(0, n_ping, chunk_pings):
             hi = min(lo + chunk_pings, n_ping)
+            pad = chunk_pings - (hi - lo)
+            x_base = int(x_idx_all[lo])
             with timer.stage("device_binning") as hold:
-                x_bounds = binning.x_bounds_np(
-                    pt[lo:hi].astype("i8"), ping_edges.astype("i8")
-                )
-                s, c, _ = binning.binned_sum_partials(
-                    sv_all[:, lo:hi],
-                    er_all[:, lo:hi],
-                    range_edges.astype("f4"),
-                    x_bounds,
-                )
+                sv_chunk = sv_all[:, lo:hi]
+                er_chunk = er_all[:, lo:hi]
+                x_rel = x_idx_all[lo:hi] - x_base
+                if pad:
+                    # padded pings: NaN data parked past the bin window
+                    sv_chunk = np.pad(
+                        sv_chunk, ((0, 0), (0, pad), (0, 0)), constant_values=np.nan
+                    )
+                    er_chunk = np.pad(
+                        er_chunk, ((0, 0), (0, pad), (0, 0)), constant_values=np.nan
+                    )
+                    x_rel = np.pad(x_rel, (0, pad), constant_values=window)
+                s, c, _ = step(sv_chunk, er_chunk, r_edges_f4, x_rel.astype("i4"))
                 hold.extend([s, c])
             with timer.stage("accumulate"):
-                sums += np.asarray(s, dtype="f8")
-                counts += np.asarray(c, dtype="f8")
+                w_eff = min(window, n_x - x_base)
+                sums[:, x_base : x_base + w_eff] += np.asarray(s, dtype="f8")[:, :w_eff]
+                counts[:, x_base : x_base + w_eff] += np.asarray(c, dtype="f8")[:, :w_eff]
 
     with timer.stage("finalize"):
         with np.errstate(invalid="ignore", divide="ignore"):
@@ -120,6 +171,7 @@ def run_survey_mvbs_from_raw(
     use_swap="auto",
     xml_path=None,
     timer: StageTimer = None,
+    mesh=None,
 ):
     """Stream RAW instrument files straight into survey-global MVBS bins.
 
@@ -129,6 +181,10 @@ def run_survey_mvbs_from_raw(
     Sv never materialized (pipeline.sv_mvbs_core_mxu_closed; 2.51M
     pings/s/chip measured). EK60/ES70, EK80/ES80/EA640 power mode, and AZFP
     (affine echo_range via the r0 intercept).
+
+    mesh : optional jax.sharding.Mesh with (ping, channel) axes — each chunk
+        shards over the mesh and the closed-counts partials combine with one
+        psum before host accumulation.
 
     Returns an MVBS Dataset on the global (ping_time-bin, range-bin) grid.
     """
@@ -208,28 +264,51 @@ def run_survey_mvbs_from_raw(
     range_edges = np.arange(0, r_max + range_bin_m, range_bin_m)
     n_x, n_r = len(ping_edges) - 1, len(range_edges) - 1
 
-    @jax.jit
-    def _chunk_partials(power, dr, shift, alpha, offset, valid_len, x_idx, r_edges, r0):
-        # closed-form-counts core: one matmul, no Sv, no ok-mask (2.51M pings/s)
-        return sv_mvbs_core_mxu_closed(
-            power, dr, shift, alpha, offset, valid_len, x_idx, r_edges, n_x, n_r, r0=r0
-        )
+    if mesh is not None:
+        _, chunk_pings = _mesh_layout(mesh, chunk_pings, len(chans))
+
+    # global ping-bin ids per file + widest bin window any chunk spans (the
+    # static window keeps every chunk on one jitted kernel, and the windowed
+    # matmul reduction makes partials chunking- and mesh-invariant)
+    ping_edges_i8 = ping_edges.astype("datetime64[ns]").astype("i8")
+    x_ids = []
+    window = 1
+    for pt in ping_times:
+        x = np.clip(
+            np.searchsorted(ping_edges_i8, pt.astype("i8"), side="right") - 1, 0, n_x - 1
+        ).astype("i4")
+        x_ids.append(x)
+        for lo in range(0, len(x), chunk_pings):
+            hi = min(lo + chunk_pings, len(x))
+            window = max(window, int(x[hi - 1] - x[lo]) + 1)
+
+    if mesh is not None:
+        from .pipeline import sharded_mvbs_partials_closed
+
+        _chunk_partials = sharded_mvbs_partials_closed(mesh, window, n_r)
+    else:
+        from .pipeline import sv_mvbs_window_partials
+
+        @jax.jit
+        def _chunk_partials(power, dr, shift, alpha, offset, valid_len, x_rel, r_edges, r0):
+            # closed-form-counts windowed core: two matmuls, no Sv, no ok-mask
+            return sv_mvbs_window_partials(
+                power, dr, shift, alpha, offset, valid_len, x_rel, r_edges,
+                window, n_r, r0=r0,
+            )
 
     sums = np.zeros((len(chans), n_x, n_r), dtype="f8")
     counts = np.zeros_like(sums)
     r_edges_f4 = range_edges.astype("f4")
-    ping_edges_i8 = ping_edges.astype("datetime64[ns]").astype("i8")
-    for (power, dr, shift, alpha, offset, r0), pt in zip(inputs, ping_times):
+    for (power, dr, shift, alpha, offset, r0), x_idx_all in zip(inputs, x_ids):
         n_ping = power.shape[1]
         # ragged pings pad with a NaN suffix, so finite-count == valid length
         valid_len = (~np.isnan(power)).sum(axis=2).astype("i4")
-        x_idx_all = np.clip(
-            np.searchsorted(ping_edges_i8, pt.astype("i8"), side="right") - 1, 0, n_x - 1
-        ).astype("i4")
         for lo in range(0, n_ping, chunk_pings):
             hi = min(lo + chunk_pings, n_ping)
             pad = chunk_pings - (hi - lo)
             sl = slice(lo, hi)
+            x_base = int(x_idx_all[lo])
 
             def _pad2(a, fill=0.0):
                 a = np.asarray(a[:, sl], dtype="f4")
@@ -240,21 +319,22 @@ def run_survey_mvbs_from_raw(
                 if pad:  # NaN power contributes nothing to any bin
                     p_chunk = np.pad(p_chunk, ((0, 0), (0, pad), (0, 0)),
                                      constant_values=np.nan)
-                x_chunk = x_idx_all[sl]
-                if pad:
-                    x_chunk = np.pad(x_chunk, (0, pad), mode="edge")
+                x_rel = x_idx_all[sl] - x_base
+                if pad:  # padded pings park past the bin window
+                    x_rel = np.pad(x_rel, (0, pad), constant_values=window)
                 vl_chunk = valid_len[:, sl]
                 if pad:  # padded pings contribute no samples
                     vl_chunk = np.pad(vl_chunk, ((0, 0), (0, pad)))
                 s, c = _chunk_partials(
                     p_chunk, _pad2(dr, 1.0), _pad2(shift), _pad2(alpha), _pad2(offset),
-                    jnp.asarray(vl_chunk), jnp.asarray(x_chunk), jnp.asarray(r_edges_f4),
-                    _pad2(r0),
+                    jnp.asarray(vl_chunk), jnp.asarray(x_rel.astype("i4")),
+                    jnp.asarray(r_edges_f4), _pad2(r0),
                 )
                 hold.extend([s, c])
             with timer.stage("accumulate"):
-                sums += np.asarray(s, dtype="f8")
-                counts += np.asarray(c, dtype="f8")
+                w_eff = min(window, n_x - x_base)
+                sums[:, x_base : x_base + w_eff] += np.asarray(s, dtype="f8")[:, :w_eff]
+                counts[:, x_base : x_base + w_eff] += np.asarray(c, dtype="f8")[:, :w_eff]
 
     with timer.stage("finalize"):
         with np.errstate(invalid="ignore", divide="ignore"):

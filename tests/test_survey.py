@@ -230,3 +230,83 @@ class TestAzfp6Streamer:
             [raw], sonar_model="AZFP6", range_bin_m=2.0, ping_time_bin="5s",
             env_params={"salinity": 32.0, "pressure": 60.0})
         assert np.isfinite(mvbs["Sv"].values).any()
+
+
+class TestMeshSurveyRunner:
+    """End-to-end sharded survey (SURVEY.md §2.6): mesh path equals 1-device."""
+
+    def _make_stores(self, tmp_path, n_files=2, n_pings=30):
+        files = []
+        t0 = np.datetime64("2020-01-01T00:00:00", "ns")
+        for i in range(n_files):
+            raw = tmp_path / f"M{i}-D20200101-T000000.raw"
+            write_ek60_raw(raw, n_pings=n_pings, n_samples=120,
+                           t0=t0 + np.timedelta64(i * 40, "s"), seed=i)
+            files.append(raw)
+        return files
+
+    def test_sv_streamer_mesh_equals_single(self, tmp_path):
+        from echopype_tpu.parallel import make_mesh
+
+        files = self._make_stores(tmp_path)
+        svs = [
+            ep.calibrate.compute_Sv(ep.open_raw(f, sonar_model="EK60")) for f in files
+        ]
+        # chunk size divisible by the mesh ping axis (4) so both paths see
+        # identical chunk boundaries: the f32 prefix-sum binning is only
+        # reproducible for identical chunking (cumsum rounding shifts with
+        # the partial-sum split otherwise)
+        kw = dict(range_bin_m=5.0, ping_time_bin="20s", chunk_pings=16)
+        single = run_survey_mvbs(svs, **kw)
+        mesh = make_mesh(n_devices=8, channel_axis=2)
+        sharded = run_survey_mvbs(svs, mesh=mesh, **kw)
+        np.testing.assert_array_equal(
+            single.coords["ping_time"].values, sharded.coords["ping_time"].values
+        )
+        np.testing.assert_allclose(
+            sharded["Sv"].values, single["Sv"].values, rtol=0, atol=1e-4,
+            equal_nan=True,
+        )
+
+    def test_sv_streamer_mesh_handles_interior_nans(self, tmp_path):
+        from echopype_tpu.parallel import make_mesh
+
+        files = self._make_stores(tmp_path, n_files=1)
+        sv = ep.calibrate.compute_Sv(ep.open_raw(files[0], sonar_model="EK60"))
+        vals = np.asarray(sv["Sv"].values).copy()
+        vals[:, 3:7, 10:30] = np.nan  # masked interior block
+        sv["Sv"] = (sv["Sv"].dims, vals)
+        kw = dict(range_bin_m=5.0, ping_time_bin="10s", chunk_pings=8)
+        single = run_survey_mvbs([sv], **kw)
+        sharded = run_survey_mvbs([sv], mesh=make_mesh(n_devices=8, channel_axis=2), **kw)
+        np.testing.assert_allclose(
+            sharded["Sv"].values, single["Sv"].values, rtol=0, atol=1e-4,
+            equal_nan=True,
+        )
+
+    def test_raw_streamer_mesh_equals_single(self, tmp_path):
+        from echopype_tpu.parallel import make_mesh, run_survey_mvbs_from_raw
+
+        files = self._make_stores(tmp_path)
+        kw = dict(sonar_model="EK60", range_bin_m=5.0, ping_time_bin="10s",
+                  chunk_pings=16)  # shard-aligned: see chunking note above
+        single = run_survey_mvbs_from_raw(files, **kw)
+        mesh = make_mesh(n_devices=8, channel_axis=2)
+        sharded = run_survey_mvbs_from_raw(files, mesh=mesh, **kw)
+        np.testing.assert_array_equal(
+            single.coords["ping_time"].values, sharded.coords["ping_time"].values
+        )
+        np.testing.assert_allclose(
+            sharded["Sv"].values, single["Sv"].values, rtol=0, atol=1e-4,
+            equal_nan=True,
+        )
+
+    def test_mesh_channel_mismatch_rejected(self, tmp_path):
+        from echopype_tpu.parallel import make_mesh
+
+        files = self._make_stores(tmp_path, n_files=1)
+        sv = ep.calibrate.compute_Sv(ep.open_raw(files[0], sonar_model="EK60"))
+        # 2 channels, channel_axis=4 -> indivisible
+        mesh = make_mesh(n_devices=8, channel_axis=4)
+        with pytest.raises(ValueError, match="divisible"):
+            run_survey_mvbs([sv], mesh=mesh)
