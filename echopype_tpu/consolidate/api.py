@@ -232,6 +232,9 @@ def add_splitbeam_angle(
     (consolidate/api.py:345-549)."""
     from ..echodata.simrad import check_input_args_combination, retrieve_correct_beam_group
 
+    from ..utils.io import open_source
+
+    source_Sv = open_source(source_Sv, "dataset", storage_options=storage_options)
     if echodata.sonar_model not in ("EK60", "ES70", "EK80", "ES80", "EA640"):
         raise ValueError("add_splitbeam_angle is only supported for EK echosounders")
     if "ping_time" not in source_Sv.sizes or "range_sample" not in source_Sv.sizes:

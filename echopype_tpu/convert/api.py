@@ -32,28 +32,34 @@ GROUP_ORDER = [
 ]
 
 
-def _check_file(raw_file, sonar_model, xml_path=None, include_bot=False, include_idx=False):
-    raw_file = Path(raw_file)
-    if not raw_file.exists():
-        raise FileNotFoundError(str(raw_file))
-    validate_ext(raw_file, sonar_model)
+def _check_file(
+    raw_file, sonar_model, xml_path=None, include_bot=False, include_idx=False,
+    storage_options=None,
+):
+    from ..utils.io import source_exists
+
+    raw_str = str(raw_file)
+    if not source_exists(raw_str, storage_options):
+        raise FileNotFoundError(raw_str)
+    validate_ext(raw_str, sonar_model)
     if SONAR_MODELS[sonar_model]["xml"]:
         if not xml_path:
             raise ValueError(f"sonar_model={sonar_model} requires xml_path")
-        if not Path(xml_path).exists():
+        if not source_exists(xml_path, storage_options):
             raise FileNotFoundError(str(xml_path))
+    stem = raw_str.rsplit(".", 1)[0]
     bot_file = idx_file = ""
     if include_bot:
-        cand = raw_file.with_suffix(".bot")
-        if not cand.exists():
+        cand = stem + ".bot"
+        if not source_exists(cand, storage_options):
             raise FileNotFoundError(f"include_bot=True but {cand} does not exist")
-        bot_file = str(cand)
+        bot_file = cand
     if include_idx:
-        cand = raw_file.with_suffix(".idx")
-        if not cand.exists():
+        cand = stem + ".idx"
+        if not source_exists(cand, storage_options):
             raise FileNotFoundError(f"include_idx=True but {cand} does not exist")
-        idx_file = str(cand)
-    return str(raw_file), bot_file, idx_file
+        idx_file = cand
+    return raw_str, bot_file, idx_file
 
 
 @add_processing_level("L1A", is_echodata=True)
@@ -75,7 +81,8 @@ def open_raw(
             f"Unsupported sonar_model {sonar_model!r}; must be one of {sorted(SONAR_MODELS)}"
         )
     raw_file, bot_file, idx_file = _check_file(
-        raw_file, sonar_model, xml_path, include_bot, include_idx
+        raw_file, sonar_model, xml_path, include_bot, include_idx,
+        storage_options=storage_options,
     )
 
     parser_cls = SONAR_MODELS[sonar_model]["parser"]()

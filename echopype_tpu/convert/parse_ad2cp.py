@@ -18,6 +18,7 @@ from pathlib import Path
 import numpy as np
 
 from ..utils.log import _init_logger
+from ..utils.io import read_source_bytes
 
 logger = _init_logger(__name__)
 
@@ -358,6 +359,7 @@ class ParseAd2cp:
 
     def __init__(self, file, xml_path=None, storage_options=None, sonar_model="AD2CP", **kw):
         self.source_file = str(file)
+        self.storage_options = storage_options
         self.sonar_model = sonar_model
         self.packets: list[Packet] = []
         self.config = None
@@ -365,7 +367,7 @@ class ParseAd2cp:
         self.nmea = {"string": np.empty(0, object), "timestamp": np.empty(0, "datetime64[ns]")}
 
     def parse_raw(self):
-        buf = Path(self.source_file).read_bytes()
+        buf = read_source_bytes(self.source_file, self.storage_options)
         pos = 0
         n = len(buf)
         while pos + 10 <= n:

@@ -19,6 +19,7 @@ import numpy as np
 
 from ..utils.log import _init_logger
 from ..utils.misc import camelcase2snakecase
+from ..utils.io import read_source_bytes
 
 logger = _init_logger(__name__)
 
@@ -98,6 +99,7 @@ class ParseAZFP:
     def __init__(self, file, xml_path=None, storage_options=None, sonar_model="AZFP", **kw):
         self.source_file = str(file)
         self.xml_path = str(xml_path) if xml_path else None
+        self.storage_options = storage_options
         self.sonar_model = sonar_model
         self.parameters = defaultdict(list)
         self.unpacked_data = defaultdict(list)
@@ -112,7 +114,10 @@ class ParseAZFP:
         """Parse the instrument XML into flat parameter lists
         (parse_azfp.py:143-183)."""
         phase_number = None
-        for event, child in ET.iterparse(self.xml_path, events=("start", "end")):
+        from io import BytesIO
+
+        xml_bytes = read_source_bytes(self.xml_path, self.storage_options)
+        for event, child in ET.iterparse(BytesIO(xml_bytes), events=("start", "end")):
             if event == "end" and child.tag == "Phases":
                 phase_number = None
             if event == "start":
@@ -180,7 +185,7 @@ class ParseAZFP:
         if self.xml_path is None:
             raise ValueError("AZFP conversion requires an instrument XML file (xml_path)")
         self.load_AZFP_xml()
-        buf = Path(self.source_file).read_bytes()
+        buf = read_source_bytes(self.source_file, self.storage_options)
 
         def _valid(params):
             return not all(np.isclose(self.parameters.get(p, 0), 0) for p in params)

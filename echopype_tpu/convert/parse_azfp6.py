@@ -20,6 +20,7 @@ import numpy as np
 from ..utils.log import _init_logger
 from ..utils.misc import camelcase2snakecase
 from .parse_azfp import SV_OFFSET, ParseAZFP
+from ..utils.io import read_source_bytes
 
 logger = _init_logger(__name__)
 
@@ -88,7 +89,7 @@ class ParseAZFP6(ParseAZFP):
     ARRAY_BITS_MASK = 0x001F
 
     def __init__(self, file, xml_path=None, storage_options=None, sonar_model="AZFP6", **kw):
-        super().__init__(file, xml_path=xml_path, sonar_model=sonar_model, **kw)
+        super().__init__(file, xml_path=xml_path, storage_options=storage_options, sonar_model=sonar_model, **kw)
         self.parameters = defaultdict(list)
         self.unpacked_data = defaultdict(list)
 
@@ -140,7 +141,7 @@ class ParseAZFP6(ParseAZFP):
 
     # -------------------------------------------------------------- raw parse
     def parse_raw(self):
-        buf = Path(self.source_file).read_bytes()
+        buf = read_source_bytes(self.source_file, self.storage_options)
         raw = BytesIO(buf)
         if struct.unpack("<I", raw.read(4))[0] != self.XML_FILE_TYPE:
             raise ValueError("Unknown file type")

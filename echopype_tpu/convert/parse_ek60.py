@@ -17,6 +17,7 @@ import numpy as np
 from ..utils.log import _init_logger
 from .simrad import framing
 from .simrad import decode as dec
+from ..utils.io import read_source_bytes
 
 logger = _init_logger(__name__)
 
@@ -48,6 +49,7 @@ class ParseEK60:
         self.source_file = str(file)
         self.bot_file = str(bot_file) if bot_file else ""
         self.idx_file = str(idx_file) if idx_file else ""
+        self.storage_options = storage_options
         self.sonar_model = sonar_model
         self.config_datagram = None
         self.ping_time = {}  # ch -> datetime64[ns][n_ping]
@@ -58,7 +60,7 @@ class ParseEK60:
 
     # ---------------------------------------------------------------- parsing
     def parse_raw(self):
-        buf = Path(self.source_file).read_bytes()
+        buf = read_source_bytes(self.source_file, self.storage_options)
         index = framing.scan_datagrams(buf)
 
         con_rows = index.select("CON0")
@@ -98,7 +100,7 @@ class ParseEK60:
 
     def _parse_idx(self):
         try:
-            buf = Path(self.idx_file).read_bytes()
+            buf = read_source_bytes(self.idx_file, self.storage_options)
             index = framing.scan_datagrams(buf)
             self.idx = dec.decode_idx(index, index.select("IDX0"))
         except Exception as e:  # noqa: BLE001 - sidecar is best-effort, like reference
@@ -106,7 +108,7 @@ class ParseEK60:
 
     def _parse_bot(self):
         try:
-            buf = Path(self.bot_file).read_bytes()
+            buf = read_source_bytes(self.bot_file, self.storage_options)
             index = framing.scan_datagrams(buf)
             rows = index.select("BOT0")
             depths, times = [], []

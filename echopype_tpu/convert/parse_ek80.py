@@ -19,6 +19,7 @@ from ..utils.log import _init_logger
 from .simrad import framing
 from .simrad import decode as dec
 from .simrad.xml_config import parse_xml_datagram
+from ..utils.io import read_source_bytes
 
 logger = _init_logger(__name__)
 
@@ -45,6 +46,7 @@ class ParseEK80:
         self.source_file = str(file)
         self.bot_file = str(bot_file) if bot_file else ""
         self.idx_file = str(idx_file) if idx_file else ""
+        self.storage_options = storage_options
         self.sonar_model = sonar_model
         self.config_datagram = None  # {"configuration": {ch_id: {...}}, "xml": str}
         self.environment = {}
@@ -61,7 +63,7 @@ class ParseEK80:
 
     # ---------------------------------------------------------------- parsing
     def parse_raw(self):
-        buf = Path(self.source_file).read_bytes()
+        buf = read_source_bytes(self.source_file, self.storage_options)
         index = framing.scan_datagrams(buf)
 
         self._parse_xml_stream(index)
@@ -92,7 +94,7 @@ class ParseEK80:
     def _parse_sidecar(self, kind):
         try:
             path = self.bot_file if kind == "bot" else self.idx_file
-            buf = Path(path).read_bytes()
+            buf = read_source_bytes(path, self.storage_options)
             index = framing.scan_datagrams(buf)
             if kind == "idx":
                 self.idx = dec.decode_idx(index, index.select("IDX0"))

@@ -9,5 +9,5 @@ __all__ = ["open_converted"]
 
 
 def open_converted(converted_raw_path, storage_options=None, **kwargs) -> EchoData:
-    """Open a converted (.zarr) store as an EchoData object."""
-    return EchoData.from_file(converted_raw_path, **kwargs)
+    """Open a converted store (.zarr or .nc, local or fsspec URL) as EchoData."""
+    return EchoData.from_file(converted_raw_path, storage_options=storage_options, **kwargs)

@@ -97,13 +97,16 @@ class EchoData:
         return "".join(rows)
 
     # ----------------------------------------------------------------- io
-    def to_zarr(self, save_path, overwrite=False, compress=True, **kw):
-        """Serialize the group tree to a zarr store."""
-        storage.write_tree(save_path, self._tree, compress=compress, overwrite=overwrite)
+    def to_zarr(self, save_path, overwrite=False, compress=True, storage_options=None, **kw):
+        """Serialize the group tree to a zarr store (local path or fsspec URL)."""
+        storage.write_tree(
+            save_path, self._tree, compress=compress, overwrite=overwrite,
+            storage_options=storage_options,
+        )
         self.converted_raw_path = str(save_path)
         return str(save_path)
 
-    def to_netcdf(self, save_path, overwrite=False, compress=True, **kw):
+    def to_netcdf(self, save_path, overwrite=False, compress=True, storage_options=None, **kw):
         """Serialize the group tree as one netCDF4 (HDF5) file.
 
         Reference parity: echodata/echodata.py:586 ``to_netcdf`` via the
@@ -111,20 +114,26 @@ class EchoData:
         profile (dimension scales + DIMENSION_LIST) through h5py.
         """
         storage.write_netcdf_tree(
-            save_path, self._tree, compress=compress, overwrite=overwrite
+            save_path, self._tree, compress=compress, overwrite=overwrite,
+            storage_options=storage_options,
         )
         self.converted_raw_path = str(save_path)
         return str(save_path)
 
     @classmethod
-    def from_file(cls, converted_raw_path, **kw) -> "EchoData":
-        path = Path(converted_raw_path)
-        if not path.exists():
+    def from_file(cls, converted_raw_path, storage_options=None, **kw) -> "EchoData":
+        from ..utils.io import is_remote_path, source_exists
+
+        path = converted_raw_path if is_remote_path(converted_raw_path) else Path(converted_raw_path)
+        if not source_exists(path, storage_options):
             raise FileNotFoundError(str(path))
-        if path.is_file() and path.suffix in (".nc", ".netcdf4", ".h5"):
-            tree = storage.open_netcdf_tree(path)
+        suffix = "." + str(path).rsplit(".", 1)[-1] if "." in str(path) else ""
+        if suffix in (".nc", ".netcdf4", ".h5") and (
+            is_remote_path(path) or Path(path).is_file()
+        ):
+            tree = storage.open_netcdf_tree(path, storage_options=storage_options)
         else:
-            tree = storage.open_zarr_tree(path)
+            tree = storage.open_zarr_tree(path, storage_options=storage_options)
         ed = cls(tree=tree, converted_raw_path=str(path))
         prov = tree.get("Provenance")
         if prov is not None:

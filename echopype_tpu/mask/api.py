@@ -27,14 +27,14 @@ __all__ = [
 ]
 
 
-def _validate_and_collect_mask_input(mask):
+def _validate_and_collect_mask_input(mask, storage_options=None):
     masks = mask if isinstance(mask, list) else [mask]
     out = []
     for m in masks:
         if isinstance(m, (str,)):
             from .. import storage
 
-            ds = storage.read_group(m)
+            ds = storage.read_group(m, storage_options=storage_options)
             if len(ds.data_vars) != 1:
                 raise ValueError(f"mask store {m} must contain exactly one variable")
             m = next(iter(ds.data_vars.values()))
@@ -65,8 +65,8 @@ def apply_mask(
     """
     from ..utils.io import open_source
 
-    source_ds = open_source(source_ds, "dataset")
-    mask = _validate_and_collect_mask_input(mask)
+    source_ds = open_source(source_ds, "dataset", storage_options=storage_options_ds)
+    mask = _validate_and_collect_mask_input(mask, storage_options_mask)
     if var_name not in source_ds.data_vars:
         raise ValueError(f"{var_name} is not a variable in source_ds")
     source_da = source_ds[var_name]
@@ -148,7 +148,7 @@ def frequency_differencing(
 
     from ..utils.io import open_source
 
-    source_Sv = open_source(source_Sv, "dataset")
+    source_Sv = open_source(source_Sv, "dataset", storage_options=storage_options)
     if "channel" not in source_Sv.coords or "frequency_nominal" not in source_Sv:
         raise ValueError(
             "source_Sv must have the channel coordinate and frequency_nominal variable"

@@ -154,15 +154,43 @@ def _write_group(grp, ds_obj, compress: bool):
             var.dims[i].attach_scale(grp[d])
 
 
-def write_tree(path, tree: dict, compress=True, overwrite=False):
-    """Write {group_path: Dataset} as one netCDF4 (HDF5) file."""
+def write_tree(path, tree: dict, compress=True, overwrite=False, storage_options=None):
+    """Write {group_path: Dataset} as one netCDF4 (HDF5) file.
+
+    Remote fsspec URLs are written via a local temp file then uploaded (HDF5
+    needs random access while writing).
+    """
+    from ..utils.io import is_remote_path
+
     _require_h5py()
+    if is_remote_path(path):
+        import tempfile
+
+        import fsspec
+
+        fs, _, paths = fsspec.core.get_fs_token_paths(
+            str(path), storage_options=storage_options or {}
+        )
+        if fs.exists(paths[0]):
+            if not overwrite:
+                raise FileExistsError(f"{path} exists; pass overwrite=True")
+            fs.rm(paths[0])
+        with tempfile.NamedTemporaryFile(suffix=".nc") as tmp:
+            _write_tree_local(tmp.name, tree, compress)
+            fs.put_file(tmp.name, paths[0])
+        return str(path)
+
     p = Path(path)
     if p.exists():
         if not overwrite:
             raise FileExistsError(f"{path} exists; pass overwrite=True")
         p.unlink()
     p.parent.mkdir(parents=True, exist_ok=True)
+    _write_tree_local(p, tree, compress)
+    return str(p)
+
+
+def _write_tree_local(p, tree: dict, compress: bool):
     with h5py.File(p, "w") as f:
         f.attrs["_NCProperties"] = np.bytes_("version=2,echopype_tpu=1")
         for gpath, ds_obj in tree.items():
@@ -171,7 +199,6 @@ def write_tree(path, tree: dict, compress=True, overwrite=False):
                 continue
             grp = f.require_group(gpath)
             _write_group(grp, ds_obj, compress)
-    return str(p)
 
 
 # ------------------------------------------------------------------- reading
@@ -237,11 +264,24 @@ def _read_group(grp):
     return assemble_dataset(arrays, attrs)
 
 
-def open_netcdf_tree(path) -> dict:
+def open_netcdf_tree(path, storage_options=None) -> dict:
     """Read a netCDF4 file into {group_path: Dataset}; root key 'Top-level'."""
+    from contextlib import ExitStack
+
+    from ..utils.io import is_remote_path
+
     _require_h5py()
     tree = {}
-    with h5py.File(path, "r") as f:
+    with ExitStack() as stack:
+        if is_remote_path(path):
+            import fsspec
+
+            fileobj = stack.enter_context(
+                fsspec.open(str(path), "rb", **(storage_options or {})).open()
+            )
+            f = stack.enter_context(h5py.File(fileobj, "r"))
+        else:
+            f = stack.enter_context(h5py.File(path, "r"))
 
         def visit(grp, gpath):
             ds = _read_group(grp)
@@ -256,11 +296,14 @@ def open_netcdf_tree(path) -> dict:
     return tree
 
 
-def write_dataset(path, ds, compress=True, overwrite=False):
+def write_dataset(path, ds, compress=True, overwrite=False, storage_options=None):
     """Write a single Dataset as a flat netCDF4 file (e.g. an Sv store)."""
-    return write_tree(path, {"Top-level": ds}, compress=compress, overwrite=overwrite)
+    return write_tree(
+        path, {"Top-level": ds}, compress=compress, overwrite=overwrite,
+        storage_options=storage_options,
+    )
 
 
-def open_dataset(path):
+def open_dataset(path, storage_options=None):
     """Read a flat netCDF4 file written by :func:`write_dataset`."""
-    return open_netcdf_tree(path)["Top-level"]
+    return open_netcdf_tree(path, storage_options=storage_options)["Top-level"]

@@ -26,6 +26,7 @@ import numpy as np
 
 from ..utils import coding
 from ..xrlite import DataArray, Dataset
+from .fsstore import as_store_path, rmtree_store
 
 ZARR_FORMAT = 2
 _FILL = {"f": float("nan"), "c": float("nan")}
@@ -122,9 +123,10 @@ def write_array(group_dir: Path, name: str, arr: np.ndarray, dims, attrs, compre
         (adir / ".".join(map(str, idx))).write_bytes(raw)
 
 
-def write_group(store_dir, ds: Dataset, group: str = "", compress=True):
+def write_group(store_dir, ds: Dataset, group: str = "", compress=True, storage_options=None):
     """Write one Dataset as a zarr group under ``store_dir/group``."""
-    gdir = Path(store_dir) / group if group else Path(store_dir)
+    root = as_store_path(store_dir, storage_options)
+    gdir = root / group if group else root
     gdir.mkdir(parents=True, exist_ok=True)
     _write_json(gdir / ".zgroup", {"zarr_format": ZARR_FORMAT})
     _write_json(gdir / ".zattrs", _sanitize_attrs(ds.attrs))
@@ -137,15 +139,13 @@ def write_group(store_dir, ds: Dataset, group: str = "", compress=True):
         write_array(gdir, name, v.values, v.dims, attrs, compress)
 
 
-def write_tree(store_dir, tree: dict, compress=True, overwrite=False):
-    """Write {group_path: Dataset} as a nested zarr store."""
-    root = Path(store_dir)
+def write_tree(store_dir, tree: dict, compress=True, overwrite=False, storage_options=None):
+    """Write {group_path: Dataset} as a nested zarr store (local or fsspec URL)."""
+    root = as_store_path(store_dir, storage_options)
     if root.exists():
         if not overwrite and any(root.iterdir()):
             raise FileExistsError(f"{store_dir} exists; pass overwrite=True")
-        import shutil
-
-        shutil.rmtree(root)
+        rmtree_store(root)
     root.mkdir(parents=True, exist_ok=True)
     _write_json(root / ".zgroup", {"zarr_format": ZARR_FORMAT})
     for path, ds in tree.items():
@@ -252,8 +252,9 @@ def assemble_dataset(arrays: dict, attrs: dict) -> Dataset:
     return ds
 
 
-def read_group(store_dir, group: str = "") -> Dataset:
-    gdir = Path(store_dir) / group if group else Path(store_dir)
+def read_group(store_dir, group: str = "", storage_options=None) -> Dataset:
+    root = as_store_path(store_dir, storage_options)
+    gdir = root / group if group else root
     attrs = _read_json(gdir / ".zattrs") if (gdir / ".zattrs").exists() else {}
     arrays = {}
     for child in sorted(gdir.iterdir()):
@@ -263,28 +264,26 @@ def read_group(store_dir, group: str = "") -> Dataset:
     return assemble_dataset(arrays, attrs)
 
 
-def write_dataset(store_dir, ds: Dataset, compress=True, overwrite=False):
+def write_dataset(store_dir, ds: Dataset, compress=True, overwrite=False, storage_options=None):
     """Write a single Dataset as a one-group zarr store (e.g. an Sv store)."""
-    root = Path(store_dir)
+    root = as_store_path(store_dir, storage_options)
     if root.exists():
         if not overwrite and any(root.iterdir()):
             raise FileExistsError(f"{store_dir} exists; pass overwrite=True")
-        import shutil
-
-        shutil.rmtree(root)
+        rmtree_store(root)
     root.mkdir(parents=True, exist_ok=True)
     write_group(root, ds, "", compress)
     return str(root)
 
 
-def open_dataset(store_dir) -> Dataset:
+def open_dataset(store_dir, storage_options=None) -> Dataset:
     """Read a single-group zarr store written by :func:`write_dataset`."""
-    return read_group(store_dir, "")
+    return read_group(store_dir, "", storage_options=storage_options)
 
 
-def list_groups(store_dir) -> list:
+def list_groups(store_dir, storage_options=None) -> list:
     """All group paths (relative) in a store, root first."""
-    root = Path(store_dir)
+    root = as_store_path(store_dir, storage_options)
     out = []
     for zg in sorted(root.rglob(".zgroup")):
         rel = zg.parent.relative_to(root)
@@ -292,11 +291,12 @@ def list_groups(store_dir) -> list:
     return out
 
 
-def open_zarr_tree(store_dir) -> dict:
+def open_zarr_tree(store_dir, storage_options=None) -> dict:
     """Read a whole store into {group_path: Dataset}; root key is 'Top-level'."""
+    store = as_store_path(store_dir, storage_options)
     tree = {}
-    for g in list_groups(store_dir):
-        ds = read_group(store_dir, g)
+    for g in list_groups(store):
+        ds = read_group(store, g)
         key = "Top-level" if g == "" else g
         if g == "" or ds.data_vars or ds.coords or ds.attrs:
             tree[key] = ds

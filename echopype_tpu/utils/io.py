@@ -1,14 +1,44 @@
-"""File I/O helpers: path validation, swap-store lifecycle.
+"""File I/O helpers: path validation, remote access, swap-store lifecycle.
 
 Capability parity: echopype/utils/io.py — output path validation, existence
-and permission checks, temp swap store lifecycle.  Local filesystem paths are
-first-class; cloud paths go through fsspec when available.
+and permission checks, temp swap store lifecycle.  Paths with a URL scheme
+("s3://", "memory://", ...) are routed through fsspec — raw-file reads
+(reference convert/utils/ek_raw_io.py:102) and zarr stores
+(reference utils/io.py:177) both accept ``storage_options``.
 """
 
 import os
 import shutil
 import tempfile
 from pathlib import Path
+
+
+def is_remote_path(path) -> bool:
+    """True when the path carries a non-local URL scheme fsspec should handle."""
+    s = str(path)
+    return "://" in s and not s.startswith("file://")
+
+
+def read_source_bytes(path, storage_options=None) -> bytes:
+    """Read a whole source file, locally or via fsspec for URL-style paths."""
+    if is_remote_path(path):
+        import fsspec
+
+        with fsspec.open(str(path), "rb", **(storage_options or {})) as f:
+            return f.read()
+    return Path(path).read_bytes()
+
+
+def source_exists(path, storage_options=None) -> bool:
+    """Existence check that understands fsspec URLs."""
+    if is_remote_path(path):
+        import fsspec
+
+        fs, _, paths = fsspec.core.get_fs_token_paths(
+            str(path), storage_options=storage_options or {}
+        )
+        return fs.exists(paths[0])
+    return Path(path).exists()
 
 SUPPORTED_ENGINES = {
     ".nc": "netcdf4",
@@ -89,8 +119,8 @@ def open_source(obj, kind: str = "dataset", storage_options=None):
         if kind == "echodata":
             from ..echodata.echodata import EchoData
 
-            return EchoData.from_file(obj)
+            return EchoData.from_file(obj, storage_options=storage_options)
         from .. import storage
 
-        return storage.open_dataset(obj)
+        return storage.open_dataset(obj, storage_options=storage_options)
     return obj
