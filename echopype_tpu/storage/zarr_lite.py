@@ -8,12 +8,13 @@ environment, so this module implements the Zarr v2 on-disk format directly:
 - array: ``<name>/.zarray`` (shape/chunks/dtype/compressor/fill_value),
   ``<name>/.zattrs`` with the xarray ``_ARRAY_DIMENSIONS`` convention,
   C-order chunk files ``i.j.k``
-- compressor: stdlib zlib (id "zlib") or none; stores written by the real
-  zarr with blosc cannot be decompressed here and raise a clear error.
+- compressor: Blosc via the system libblosc (zstd-3 bitshuffle for floats,
+  lz4-5 byteshuffle otherwise — the reference's exact defaults,
+  echopype/utils/coding.py:17-29), stdlib zlib, or none.  Reading supports
+  all three, so reference-produced default stores open here directly.
 
 This keeps byte-level compatibility with xarray/zarr readers for everything
-we write, and lets us read echopype-produced stores that use zlib/no
-compression.
+we write.
 """
 
 from __future__ import annotations
@@ -26,6 +27,7 @@ import numpy as np
 
 from ..utils import coding
 from ..xrlite import DataArray, Dataset
+from . import blosc
 from .fsstore import as_store_path, rmtree_store
 
 ZARR_FORMAT = 2
@@ -61,6 +63,31 @@ def _sanitize_attrs(attrs: dict) -> dict:
     return {k: v for k, v in attrs.items() if v is not None}
 
 
+def _encode_chunk(raw: bytes, comp, typesize: int) -> bytes:
+    if comp is None:
+        return raw
+    if comp["id"] == "zlib":
+        return zlib.compress(raw, comp.get("level", 4))
+    return blosc.compress(
+        raw, typesize, comp.get("cname", "zstd"), comp.get("clevel", 3),
+        comp.get("shuffle", blosc.SHUFFLE),
+    )
+
+
+def _decode_chunk(raw: bytes, comp) -> bytes:
+    if comp is None:
+        return raw
+    cid = comp.get("id")
+    if cid in ("zlib", "gzip"):
+        return zlib.decompress(raw)
+    if cid == "blosc":
+        return blosc.decompress(raw)
+    raise ValueError(
+        f"Unsupported zarr compressor {cid!r}; supported: blosc (via libblosc), "
+        "zlib, none"
+    )
+
+
 # --------------------------------------------------------------------- writing
 def write_array(group_dir: Path, name: str, arr: np.ndarray, dims, attrs, compress=True):
     arr = coding.sanitize_dtypes(np.asarray(arr))
@@ -75,12 +102,13 @@ def write_array(group_dir: Path, name: str, arr: np.ndarray, dims, attrs, compre
     fill = _FILL.get(arr.dtype.kind)
     if arr.dtype.kind == "U":
         fill = ""
+    comp_meta = coding.zarr_compressor_meta(arr.dtype) if compress else None
     meta = {
         "zarr_format": ZARR_FORMAT,
         "shape": list(arr.shape),
         "chunks": list(chunks) if chunks else [1],
         "dtype": _dtype_to_str(arr.dtype),
-        "compressor": {"id": "zlib", "level": 4} if compress else None,
+        "compressor": comp_meta,
         "fill_value": fill,
         "order": "C",
         "filters": None,
@@ -98,9 +126,7 @@ def write_array(group_dir: Path, name: str, arr: np.ndarray, dims, attrs, compre
     if 0 in meta["shape"]:
         return  # empty array: metadata only, no chunk files
     if arr.ndim == 0:
-        raw = np.ascontiguousarray(arr).tobytes()
-        if compress:
-            raw = zlib.compress(raw, 4)
+        raw = _encode_chunk(np.ascontiguousarray(arr).tobytes(), comp_meta, arr.dtype.itemsize)
         (adir / "0").write_bytes(raw)
         return
     grid = [max(1, -(-s // c)) for s, c in zip(meta["shape"], cshape)] or [1]
@@ -117,9 +143,9 @@ def write_array(group_dir: Path, name: str, arr: np.ndarray, dims, attrs, compre
                 block = np.pad(block, pad, constant_values="")
             else:
                 block = np.pad(block, pad, constant_values=fillv)
-        raw = np.ascontiguousarray(block).tobytes()
-        if compress:
-            raw = zlib.compress(raw, 4)
+        raw = _encode_chunk(
+            np.ascontiguousarray(block).tobytes(), comp_meta, arr.dtype.itemsize
+        )
         (adir / ".".join(map(str, idx))).write_bytes(raw)
 
 
@@ -181,11 +207,6 @@ def read_array(adir: Path):
     shape = tuple(meta["shape"])
     chunks = tuple(meta["chunks"])
     comp = meta.get("compressor")
-    if comp is not None and comp.get("id") not in ("zlib", "gzip"):
-        raise ValueError(
-            f"Unsupported zarr compressor {comp.get('id')!r} in {adir}; "
-            "only zlib/none are supported in this environment"
-        )
     fill = meta.get("fill_value")
     if fill is None:
         fill = 0
@@ -194,9 +215,7 @@ def read_array(adir: Path):
         out = np.zeros((), dtype=dtype)
         cf = adir / "0"
         if cf.exists():
-            raw = cf.read_bytes()
-            if comp is not None:
-                raw = zlib.decompress(raw)
+            raw = _decode_chunk(cf.read_bytes(), comp)
             out = np.frombuffer(raw, dtype=dtype)[0].reshape(())
         vals = coding.decode_array(out, attrs)
         if isinstance(vals, np.ndarray) and vals is not out:
@@ -209,9 +228,7 @@ def read_array(adir: Path):
             cf = adir / ".".join(map(str, idx))
             if not cf.exists():
                 continue
-            raw = cf.read_bytes()
-            if comp is not None:
-                raw = zlib.decompress(raw)
+            raw = _decode_chunk(cf.read_bytes(), comp)
             block = np.frombuffer(raw, dtype=dtype).reshape(chunks)
             slices = tuple(
                 slice(i * c, min((i + 1) * c, s)) for i, c, s in zip(idx, chunks, shape)

@@ -18,6 +18,25 @@ COMPRESSION_SETTINGS = {
     "zarr": {"compressor": {"id": "zlib", "level": 4}},
 }
 
+
+def zarr_compressor_meta(dtype):
+    """Reference-default zarr compressor per dtype (utils/coding.py:17-29):
+    Blosc zstd-3 bitshuffle for floats, Blosc lz4-5 byteshuffle otherwise —
+    falling back to zlib-4 when no libblosc is present."""
+    from ..storage import blosc
+
+    if blosc.available():
+        if np.dtype(dtype).kind == "f":
+            return {
+                "id": "blosc", "cname": "zstd", "clevel": 3,
+                "shuffle": blosc.BITSHUFFLE, "blocksize": 0,
+            }
+        return {
+            "id": "blosc", "cname": "lz4", "clevel": 5,
+            "shuffle": blosc.SHUFFLE, "blocksize": 0,
+        }
+    return dict(COMPRESSION_SETTINGS["zarr"]["compressor"])
+
 DEFAULT_CHUNK_BYTES = 100 * 1024 * 1024  # 100 MB, matches reference default
 
 TIME_DIMS = ("ping_time", "time1", "time2", "time3", "time4", "nmea_time", "filter_time")

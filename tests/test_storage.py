@@ -65,7 +65,17 @@ class TestZarrLite:
         zarray = json.loads((store / "Sonar/Beam_group1/backscatter_r/.zarray").read_text())
         assert zarray["zarr_format"] == 2
         assert zarray["shape"] == [2, 7, 11]
-        assert zarray["compressor"]["id"] == "zlib"
+        # floats default to the reference's Blosc zstd-3 bitshuffle
+        # (echopype/utils/coding.py:17-29); zlib-4 when libblosc is absent
+        from echopype_tpu.storage import blosc
+
+        if blosc.available():
+            assert zarray["compressor"] == {
+                "id": "blosc", "cname": "zstd", "clevel": 3, "shuffle": 2,
+                "blocksize": 0,
+            }
+        else:
+            assert zarray["compressor"]["id"] == "zlib"
         zattrs = json.loads((store / "Sonar/Beam_group1/backscatter_r/.zattrs").read_text())
         assert zattrs["_ARRAY_DIMENSIONS"] == ["channel", "ping_time", "range_sample"]
         # times encoded as int64 ns since epoch
