@@ -104,19 +104,30 @@ def main():
     assert checksum == checksum or True  # keep the readback live
     pings_per_sec = Pn / dt
 
-    # Baseline: single-threaded numpy on a scaled-down block, extrapolated
-    Pb = 500
+    # Baseline: single-threaded numpy of the identical math.  One warm-up run
+    # (numpy/BLAS and allocator warm-up dominated the old cold measurement),
+    # then the median of 3 timed runs on 2,000 pings.
+    import os
+
+    Pb = 2_000
     bargs = _inputs(C, Pb, R, max(1, Pb // 80), n_r)
-    t0 = time.perf_counter()
-    numpy_pipeline(*bargs, max(1, Pb // 80), n_r)
-    dtb = time.perf_counter() - t0
-    baseline_pings_per_sec = Pb / dtb
+    numpy_pipeline(*bargs, max(1, Pb // 80), n_r)  # warm-up
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        numpy_pipeline(*bargs, max(1, Pb // 80), n_r)
+        times.append(time.perf_counter() - t0)
+    baseline_pings_per_sec = Pb / sorted(times)[1]
 
     result = {
         "metric": "EK60 raw->MVBS survey throughput (5ch x 4000 samples)",
         "value": round(pings_per_sec, 1),
         "unit": "pings/sec/chip",
+        # speedup over single-threaded numpy (median of 3 warm runs); divide
+        # by baseline_cpu_cores for an ideal-scaling multi-core lower bound
         "vs_baseline": round(pings_per_sec / baseline_pings_per_sec, 2),
+        "baseline_pings_per_sec": round(baseline_pings_per_sec, 1),
+        "baseline_cpu_cores": os.cpu_count(),
     }
     print(json.dumps(result))
 

@@ -117,7 +117,12 @@ def decode_raw0_samples(index: DatagramIndex, rows: np.ndarray, hdr: np.ndarray)
     if has_power.any():
         pw_counts = np.where(has_power, counts, 0)
         vals, valid = _gather_i16(u8, sample_start, pw_counts, max_count)
-        power = np.where(valid, vals.astype("f4") * np.float32(INDEX2POWER), np.nan).astype("f4")
+        # in-place scale; rows are full in the common non-ragged case, so the
+        # NaN masking (a large fancy-index write) is skipped entirely then
+        power = vals.astype("f4")
+        power *= np.float32(INDEX2POWER)
+        if pw_counts.min() < max_count:
+            power[~valid] = np.nan
         out["power"] = power
 
     if has_angle.any():
@@ -125,11 +130,10 @@ def decode_raw0_samples(index: DatagramIndex, rows: np.ndarray, hdr: np.ndarray)
         ang_counts = np.where(has_angle, counts, 0)
         vals, valid = _gather_i16(u8, ang_start, ang_counts, max_count)
         # each int16 is an (athwartship lowbyte, alongship highbyte) int8 pair
-        u16 = vals.view("u2").reshape(vals.shape)
-        athwart = (u16 & np.uint16(0xFF)).astype("u1").view("i1").reshape(u16.shape)
-        along = (u16 >> np.uint16(8)).astype("u1").view("i1").reshape(u16.shape)
-        angle = np.stack([athwart, along], axis=-1).astype("f4")
-        angle[~valid] = np.nan
+        pairs = vals.view("i1").reshape(vals.shape + (2,))
+        angle = pairs.astype("f4")
+        if ang_counts.min() < max_count:
+            angle[~valid] = np.nan
         out["angle"] = angle
     return out
 
@@ -272,18 +276,21 @@ def decode_raw3_samples(index: DatagramIndex, rows: np.ndarray, hdr: np.ndarray)
     has_power = (dt & 1).astype(bool)
     has_angle = (dt & 2).astype(bool)
     if has_power.any():
-        vals, valid = _gather_i16(u8, pos, np.where(has_power, counts, 0), max_count)
-        out["power"] = np.where(valid, vals.astype("f4") * np.float32(INDEX2POWER), np.nan).astype(
-            "f4"
-        )
+        pw_counts = np.where(has_power, counts, 0)
+        vals, valid = _gather_i16(u8, pos, pw_counts, max_count)
+        power = vals.astype("f4")
+        power *= np.float32(INDEX2POWER)
+        if pw_counts.min() < max_count:
+            power[~valid] = np.nan
+        out["power"] = power
         pos = pos + np.where(has_power, 2 * counts, 0)
     if has_angle.any():
-        vals, valid = _gather_i16(u8, pos, np.where(has_angle, counts, 0), max_count)
-        u16 = vals.view("u2").reshape(vals.shape)
-        athwart = (u16 & np.uint16(0xFF)).astype("u1").view("i1").reshape(u16.shape)
-        along = (u16 >> np.uint16(8)).astype("u1").view("i1").reshape(u16.shape)
-        angle = np.stack([athwart, along], axis=-1).astype("f4")
-        angle[~valid] = np.nan
+        ang_counts = np.where(has_angle, counts, 0)
+        vals, valid = _gather_i16(u8, pos, ang_counts, max_count)
+        pairs = vals.view("i1").reshape(vals.shape + (2,))
+        angle = pairs.astype("f4")
+        if ang_counts.min() < max_count:
+            angle[~valid] = np.nan
         out["angle"] = angle
         pos = pos + np.where(has_angle, 2 * counts, 0)
     if n_complex > 0:

@@ -102,6 +102,7 @@ class EchoData:
         storage.write_tree(
             save_path, self._tree, compress=compress, overwrite=overwrite,
             storage_options=storage_options,
+            chunk_spec=getattr(self, "_chunk_spec", None),
         )
         self.converted_raw_path = str(save_path)
         return str(save_path)
@@ -141,7 +142,17 @@ class EchoData:
         return ed
 
     def chunk(self, chunk_dict=None):
-        """No-op: arrays are eager host arrays; device sharding handles scale."""
+        """Record a per-dimension chunking request for serialization.
+
+        Arrays stay eager host arrays (device sharding handles compute
+        scale), but the requested chunking is honored by to_zarr's
+        encodings — the role the reference's rechunk-all-groups plays
+        (echodata.py:697-730).
+        """
+        if chunk_dict:
+            spec = dict(getattr(self, "_chunk_spec", None) or {})
+            spec.update(chunk_dict)
+            self._chunk_spec = spec
         return self
 
     def cleanup_swap_files(self):

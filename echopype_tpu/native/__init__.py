@@ -110,7 +110,7 @@ def gather_i16(buf, starts: np.ndarray, counts: np.ndarray, max_count: int):
         vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
         valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
-    return vals, valid.astype(bool)
+    return vals, valid.view(np.bool_)
 
 
 def scan_datagrams_native(buf: bytes, resync: bool = True):

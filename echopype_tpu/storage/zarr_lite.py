@@ -89,7 +89,8 @@ def _decode_chunk(raw: bytes, comp) -> bytes:
 
 
 # --------------------------------------------------------------------- writing
-def write_array(group_dir: Path, name: str, arr: np.ndarray, dims, attrs, compress=True):
+def write_array(group_dir: Path, name: str, arr: np.ndarray, dims, attrs, compress=True,
+                chunk_spec=None):
     arr = coding.sanitize_dtypes(np.asarray(arr))
     arr, extra_attrs = coding.encode_array(arr)
     if arr.dtype == object:
@@ -97,6 +98,12 @@ def write_array(group_dir: Path, name: str, arr: np.ndarray, dims, attrs, compre
     adir = group_dir / name
     adir.mkdir(parents=True, exist_ok=True)
     chunks = coding.auto_chunks(arr.shape, arr.dtype)
+    if chunk_spec:
+        # user-requested per-dim chunking (EchoData.chunk) overrides auto
+        chunks = tuple(
+            min(int(chunk_spec.get(d, c)), s) if chunk_spec.get(d) else c
+            for d, c, s in zip(dims, chunks, arr.shape)
+        )
     # zarr v2 requires chunk extents >= 1 even for zero-length dims
     chunks = tuple(max(1, c) for c in chunks) if chunks else chunks
     fill = _FILL.get(arr.dtype.kind)
@@ -149,7 +156,8 @@ def write_array(group_dir: Path, name: str, arr: np.ndarray, dims, attrs, compre
         (adir / ".".join(map(str, idx))).write_bytes(raw)
 
 
-def write_group(store_dir, ds: Dataset, group: str = "", compress=True, storage_options=None):
+def write_group(store_dir, ds: Dataset, group: str = "", compress=True, storage_options=None,
+                chunk_spec=None):
     """Write one Dataset as a zarr group under ``store_dir/group``."""
     root = as_store_path(store_dir, storage_options)
     gdir = root / group if group else root
@@ -158,14 +166,15 @@ def write_group(store_dir, ds: Dataset, group: str = "", compress=True, storage_
     _write_json(gdir / ".zattrs", _sanitize_attrs(ds.attrs))
     coord_names = list(ds.coords)
     for name, c in ds.coords.items():
-        write_array(gdir, name, c.values, c.dims, c.attrs, compress)
+        write_array(gdir, name, c.values, c.dims, c.attrs, compress, chunk_spec=chunk_spec)
     for name, v in ds.data_vars.items():
         attrs = dict(v.attrs)
         attrs["coordinates"] = " ".join(cn for cn in coord_names if set(ds.coords[cn].dims) <= set(v.dims))
-        write_array(gdir, name, v.values, v.dims, attrs, compress)
+        write_array(gdir, name, v.values, v.dims, attrs, compress, chunk_spec=chunk_spec)
 
 
-def write_tree(store_dir, tree: dict, compress=True, overwrite=False, storage_options=None):
+def write_tree(store_dir, tree: dict, compress=True, overwrite=False, storage_options=None,
+               chunk_spec=None):
     """Write {group_path: Dataset} as a nested zarr store (local or fsspec URL)."""
     root = as_store_path(store_dir, storage_options)
     if root.exists():
@@ -179,9 +188,9 @@ def write_tree(store_dir, tree: dict, compress=True, overwrite=False, storage_op
             # top-level attrs live on the root group
             _write_json(root / ".zattrs", _sanitize_attrs(ds.attrs))
             for name, c in ds.coords.items():
-                write_array(root, name, c.values, c.dims, c.attrs, compress)
+                write_array(root, name, c.values, c.dims, c.attrs, compress, chunk_spec=chunk_spec)
             for name, v in ds.data_vars.items():
-                write_array(root, name, v.values, v.dims, v.attrs, compress)
+                write_array(root, name, v.values, v.dims, v.attrs, compress, chunk_spec=chunk_spec)
             continue
         # intermediate groups need .zgroup markers
         parts = path.split("/")
@@ -191,7 +200,7 @@ def write_tree(store_dir, tree: dict, compress=True, overwrite=False, storage_op
             if not (inter / ".zgroup").exists():
                 _write_json(inter / ".zgroup", {"zarr_format": ZARR_FORMAT})
                 _write_json(inter / ".zattrs", {})
-        write_group(root, ds, path, compress)
+        write_group(root, ds, path, compress, chunk_spec=chunk_spec)
 
 
 # --------------------------------------------------------------------- reading

@@ -112,3 +112,31 @@ class TestZarrLite:
             assert zarray["chunks"][0] < 3 or zarray["chunks"] == [1, 1000, 7]
         finally:
             coding.DEFAULT_CHUNK_BYTES = orig_target
+
+
+class TestChunkSpec:
+    def test_chunk_records_and_applies(self, tmp_path):
+        """EchoData.chunk() requests flow into to_zarr encodings."""
+        import echopype_tpu as ep
+        import sys
+        sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+        from synth_ek60 import write_ek60_raw
+
+        raw = tmp_path / "CH-D20200101-T000000.raw"
+        write_ek60_raw(raw, n_pings=20, n_samples=40)
+        ed = ep.open_raw(raw, sonar_model="EK60")
+        ed.chunk({"ping_time": 7})
+        store = tmp_path / "chunked.zarr"
+        ed.to_zarr(store)
+        meta = json.loads(
+            (store / "Sonar/Beam_group1/backscatter_r/.zarray").read_text()
+        )
+        dims = json.loads(
+            (store / "Sonar/Beam_group1/backscatter_r/.zattrs").read_text()
+        )["_ARRAY_DIMENSIONS"]
+        assert meta["chunks"][dims.index("ping_time")] == 7
+        back = ep.open_converted(store)
+        np.testing.assert_array_equal(
+            np.asarray(back["Sonar/Beam_group1"]["backscatter_r"].values),
+            np.asarray(ed["Sonar/Beam_group1"]["backscatter_r"].values),
+        )
