@@ -160,6 +160,15 @@ def run_survey_mvbs(
     return out
 
 
+def _slice_echodata_pings(ed, beam_path, sl):
+    """Shallow EchoData whose beam group is ping-sliced (chunked calibration)."""
+    from ..echodata.echodata import EchoData
+
+    tree = dict(ed._tree)
+    tree[beam_path] = tree[beam_path].isel(ping_time=sl)
+    return EchoData(tree=tree, source_file=ed.source_file, sonar_model=ed.sonar_model)
+
+
 def run_survey_mvbs_from_raw(
     raw_files,
     sonar_model: str = "EK60",
@@ -172,6 +181,8 @@ def run_survey_mvbs_from_raw(
     xml_path=None,
     timer: StageTimer = None,
     mesh=None,
+    waveform_mode=None,
+    encode_mode=None,
 ):
     """Stream RAW instrument files straight into survey-global MVBS bins.
 
@@ -185,6 +196,10 @@ def run_survey_mvbs_from_raw(
     mesh : optional jax.sharding.Mesh with (ping, channel) axes — each chunk
         shards over the mesh and the closed-counts partials combine with one
         psum before host accumulation.
+    waveform_mode / encode_mode : pass ("BB"|"FM"|"CW", "complex") for EK80
+        complex/broadband channels — pulse compression then runs on device
+        inside the chunk loop and the chunked Sv feeds the same window
+        binning (reference behavior contract: ek80_complex.py:316-369).
 
     Returns an MVBS Dataset on the global (ping_time-bin, range-bin) grid.
     """
@@ -197,6 +212,13 @@ def run_survey_mvbs_from_raw(
     from ..commongrid.utils import ping_time_bin_edges
     from ..convert.api import open_raw
     from .pipeline import sv_mvbs_core_mxu_closed
+
+    if encode_mode == "complex" or waveform_mode in ("BB", "FM"):
+        return _run_survey_mvbs_complex(
+            raw_files, sonar_model, waveform_mode, encode_mode, range_bin_m,
+            ping_time_bin, chunk_pings, env_params, cal_params, use_swap,
+            xml_path, timer, mesh,
+        )
 
     if sonar_model in ("EK60", "ES70"):
         def _make_cal(ed):
@@ -330,6 +352,140 @@ def run_survey_mvbs_from_raw(
                     jnp.asarray(vl_chunk), jnp.asarray(x_rel.astype("i4")),
                     jnp.asarray(r_edges_f4), _pad2(r0),
                 )
+                hold.extend([s, c])
+            with timer.stage("accumulate"):
+                w_eff = min(window, n_x - x_base)
+                sums[:, x_base : x_base + w_eff] += np.asarray(s, dtype="f8")[:, :w_eff]
+                counts[:, x_base : x_base + w_eff] += np.asarray(c, dtype="f8")[:, :w_eff]
+
+    with timer.stage("finalize"):
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mvbs = np.where(counts > 0, _lin2log(sums / np.maximum(counts, 1)), np.nan)
+        out = Dataset(
+            coords={
+                "channel": np.asarray(chans, dtype=object),
+                "ping_time": ping_edges[:-1],
+                "echo_range": range_edges[:-1],
+            }
+        )
+        out["Sv"] = (("channel", "ping_time", "echo_range"), mvbs)
+        out.attrs["stage_timing"] = str(timer.report(log=False))
+    return out
+
+
+def _run_survey_mvbs_complex(
+    raw_files, sonar_model, waveform_mode, encode_mode, range_bin_m,
+    ping_time_bin, chunk_pings, env_params, cal_params, use_swap, xml_path,
+    timer, mesh,
+):
+    """EK80 complex/broadband raw->MVBS streaming.
+
+    Per chunk of pings: the beam group is ping-sliced, compute_Sv runs the
+    full complex calibration (pulse compression on device for BB), and the
+    resulting Sv block feeds the chunk-invariant window binning — the same
+    accumulate path as the Sv-store streamer.  Handles interior NaNs via the
+    general kernel (pulse-compressed data can have prx<=0 holes).
+    """
+    from ..calibrate.api import compute_Sv
+    from ..commongrid.utils import ping_time_bin_edges
+    from ..convert.api import open_raw
+    from ..echodata.simrad import retrieve_correct_beam_group
+    from ..ops import binning
+
+    timer = timer or StageTimer()
+    sv_kw = dict(
+        env_params=env_params, cal_params=cal_params,
+        waveform_mode=waveform_mode, encode_mode=encode_mode,
+    )
+
+    eds, beam_paths, ping_times = [], [], []
+    with timer.stage("ingest"):
+        for f in raw_files:
+            ed = open_raw(f, sonar_model=sonar_model, use_swap=use_swap, xml_path=xml_path)
+            bp = retrieve_correct_beam_group(ed, waveform_mode, encode_mode)
+            eds.append(ed)
+            beam_paths.append(bp)
+            ping_times.append(
+                np.asarray(ed[bp].coords["ping_time"].values, dtype="datetime64[ns]")
+            )
+    if not eds:
+        raise ValueError("no raw files provided")
+    chans = list(eds[0][beam_paths[0]].coords["channel"].values)
+    for ed, bp in zip(eds[1:], beam_paths[1:]):
+        if list(ed[bp].coords["channel"].values) != chans:
+            raise ValueError("all raw files must share the same channels")
+    if mesh is not None:
+        _, chunk_pings = _mesh_layout(mesh, chunk_pings, len(chans))
+
+    t_min = min(pt.min() for pt in ping_times)
+    t_max = max(pt.max() for pt in ping_times)
+    ping_edges = ping_time_bin_edges(
+        np.array([t_min, t_max], dtype="datetime64[ns]"), ping_time_bin
+    )
+    n_x = len(ping_edges) - 1
+
+    # global range extent: calibrate one probe ping per file, scale its
+    # echo_range by the worst-case sample_interval ratio across the file
+    r_max = 0.0
+    with timer.stage("range_probe"):
+        for ed, bp in zip(eds, beam_paths):
+            probe = compute_Sv(_slice_echodata_pings(ed, bp, slice(0, 1)), **sv_kw)
+            er1 = np.asarray(probe["echo_range"].values, dtype="f8")  # [C,1,R]
+            si = np.asarray(ed[bp]["sample_interval"].values, dtype="f8")
+            ratio = np.nanmax(
+                np.nanmax(si, axis=-1) / np.maximum(si[..., 0], 1e-30)
+            ) if si.ndim else 1.0
+            r_max = max(r_max, float(np.nanmax(er1[:, 0, -1]) * max(ratio, 1.0)))
+    range_edges = np.arange(0, r_max + range_bin_m, range_bin_m)
+    n_r = len(range_edges) - 1
+
+    ping_edges_i8 = ping_edges.astype("datetime64[ns]").astype("i8")
+    x_ids = []
+    window = 1
+    for pt in ping_times:
+        x = np.clip(
+            np.searchsorted(ping_edges_i8, pt.astype("i8"), side="right") - 1, 0, n_x - 1
+        ).astype("i4")
+        x_ids.append(x)
+        for lo in range(0, len(x), chunk_pings):
+            hi = min(lo + chunk_pings, len(x))
+            window = max(window, int(x[hi - 1] - x[lo]) + 1)
+
+    if mesh is not None:
+        from .pipeline import sharded_binned_partials
+
+        step = sharded_binned_partials(mesh, window)
+    else:
+        step = lambda sv, er, re, xr: binning.binned_window_partials(  # noqa: E731
+            sv, er, re, xr, window
+        )
+
+    sums = np.zeros((len(chans), n_x, n_r), dtype="f8")
+    counts = np.zeros_like(sums)
+    r_edges_f4 = range_edges.astype("f4")
+    for ed, bp, x_idx_all in zip(eds, beam_paths, x_ids):
+        n_ping = len(x_idx_all)
+        for lo in range(0, n_ping, chunk_pings):
+            hi = min(lo + chunk_pings, n_ping)
+            pad = chunk_pings - (hi - lo)
+            x_base = int(x_idx_all[lo])
+            with timer.stage("chunk_calibrate"):
+                ds = compute_Sv(_slice_echodata_pings(ed, bp, slice(lo, hi)), **sv_kw)
+                sv_chunk = np.asarray(ds["Sv"].values, dtype="f4")
+                er_chunk = np.asarray(ds["echo_range"].values, dtype="f4")
+                if er_chunk.shape != sv_chunk.shape:
+                    er_chunk = np.broadcast_to(er_chunk, sv_chunk.shape)
+            with timer.stage("device_binning") as hold:
+                x_rel = x_idx_all[lo:hi] - x_base
+                if pad:
+                    sv_chunk = np.pad(
+                        sv_chunk, ((0, 0), (0, pad), (0, 0)), constant_values=np.nan
+                    )
+                    er_chunk = np.pad(
+                        er_chunk, ((0, 0), (0, pad), (0, 0)), constant_values=np.nan
+                    )
+                    x_rel = np.pad(x_rel, (0, pad), constant_values=window)
+                s, c, _ = step(sv_chunk, er_chunk, r_edges_f4, x_rel.astype("i4"))
                 hold.extend([s, c])
             with timer.stage("accumulate"):
                 w_eff = min(window, n_x - x_base)

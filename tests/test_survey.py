@@ -310,3 +310,77 @@ class TestMeshSurveyRunner:
         mesh = make_mesh(n_devices=8, channel_axis=4)
         with pytest.raises(ValueError, match="divisible"):
             run_survey_mvbs([sv], mesh=mesh)
+
+
+class TestComplexStreamer:
+    """EK80 broadband raw->MVBS streaming (pulse compression per chunk)."""
+
+    def test_bb_streamer_matches_compute_sv(self, tmp_path):
+        import echopype_tpu as ep
+        from echopype_tpu.commongrid.utils import ping_time_bin_edges
+        from echopype_tpu.ops import binning
+        from echopype_tpu.parallel import run_survey_mvbs_from_raw
+        from synth_ek80 import write_ek80_raw
+
+        t0 = np.datetime64("2021-02-01T00:00:00", "ns")
+        files = []
+        for i in range(2):
+            raw = tmp_path / f"BB{i}-D20210201-T000000.raw"
+            write_ek80_raw(raw, n_pings=10, n_samples=96, seed=i,
+                           t0=t0 + np.timedelta64(i * 12, "s"),
+                           with_power_channel=False, with_cw_complex=False)
+            files.append(raw)
+
+        mvbs = run_survey_mvbs_from_raw(
+            files, sonar_model="EK80", waveform_mode="BB", encode_mode="complex",
+            range_bin_m=5.0, ping_time_bin="5s", chunk_pings=4,
+        )
+
+        # oracle: full-file compute_Sv + window binning on the same grid
+        edges = None
+        svs = []
+        for f in files:
+            ed = ep.open_raw(f, sonar_model="EK80")
+            svs.append(ep.calibrate.compute_Sv(ed, waveform_mode="BB",
+                                               encode_mode="complex"))
+        pts = np.concatenate([np.asarray(s.coords["ping_time"].values) for s in svs])
+        edges = ping_time_bin_edges(np.array([pts.min(), pts.max()]), "5s")
+        r_edges = np.asarray(mvbs.coords["echo_range"].values)
+        r_edges = np.append(r_edges, r_edges[-1] + 5.0).astype("f4")
+        n_x = len(edges) - 1
+        C = len(svs[0].coords["channel"].values)
+        sums = np.zeros((C, n_x, len(r_edges) - 1))
+        counts = np.zeros_like(sums)
+        edges_i8 = edges.astype("datetime64[ns]").astype("i8")
+        for sv in svs:
+            pt = np.asarray(sv.coords["ping_time"].values).astype("i8")
+            x = np.clip(np.searchsorted(edges_i8, pt, side="right") - 1, 0, n_x - 1)
+            s, c, _ = binning.binned_window_partials(
+                np.asarray(sv["Sv"].values, "f4"),
+                np.asarray(sv["echo_range"].values, "f4"),
+                r_edges, x.astype("i4"), n_x,
+            )
+            sums += np.asarray(s, "f8")
+            counts += np.asarray(c, "f8")
+        with np.errstate(invalid="ignore", divide="ignore"):
+            want = np.where(counts > 0, 10 * np.log10(sums / np.maximum(counts, 1)), np.nan)
+        got = np.asarray(mvbs["Sv"].values)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-5, equal_nan=True)
+
+    def test_bb_streamer_mesh(self, tmp_path):
+        from echopype_tpu.parallel import make_mesh, run_survey_mvbs_from_raw
+        from synth_ek80 import write_ek80_raw
+
+        raw = tmp_path / "BBM-D20210201-T000000.raw"
+        write_ek80_raw(raw, n_pings=16, n_samples=64,
+                       with_power_channel=False, with_cw_complex=False)
+        kw = dict(sonar_model="EK80", waveform_mode="BB", encode_mode="complex",
+                  range_bin_m=5.0, ping_time_bin="5s", chunk_pings=8)
+        single = run_survey_mvbs_from_raw([raw], **kw)
+        mesh = make_mesh(n_devices=8, channel_axis=1)
+        sharded = run_survey_mvbs_from_raw([raw], mesh=mesh, **kw)
+        np.testing.assert_allclose(
+            np.asarray(sharded["Sv"].values), np.asarray(single["Sv"].values),
+            rtol=0, atol=1e-4, equal_nan=True,
+        )
