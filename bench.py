@@ -56,7 +56,7 @@ def numpy_pipeline(power, dr, tvg, ab, off, x_idx, r_edges, n_x, n_r):
 def main():
     import jax
 
-    from echopype_tpu.parallel.pipeline import sv_mvbs_core_mxu_closed
+    from echopype_tpu.parallel.pipeline import sv_mvbs_window_partials
     import jax.numpy as jnp
 
     dev = jax.devices()[0]
@@ -77,10 +77,11 @@ def main():
     valid_len = np.full((C, Pn), R, dtype="i4")
 
     def one_step(power, dr, tvg, ab, off, vl, x_idx, r_edges, salt):
-        # MVBS-survey path: Sv never materialized + closed-form counts
-        # (one matmul total) -- parallel/pipeline.sv_mvbs_core_mxu_closed,
-        # the kernel behind run_survey_mvbs_from_raw
-        sums, counts = sv_mvbs_core_mxu_closed(
+        # MVBS-survey path: Sv never materialized, closed-form counts, and
+        # the ping axis reduced by a banded MXU matmul (chunk-invariant) --
+        # parallel/pipeline.sv_mvbs_window_partials, the kernel behind
+        # run_survey_mvbs_from_raw (1.75x the prefix-diff variant on chip)
+        sums, counts = sv_mvbs_window_partials(
             power + salt, dr, tvg, ab, off, vl, x_idx, r_edges, n_x, n_r
         )
         mean = sums / jnp.where(counts > 0, counts, 1.0)

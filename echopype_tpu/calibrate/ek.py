@@ -34,7 +34,23 @@ class CalibrateBase:
             logger.warning(
                 "The ECS file takes precedence when it conflicts with env_params or cal_params"
             )
-        self.range_meter = None
+        self._range_meter = None
+
+    @property
+    def range_meter(self):
+        """echo_range, computed lazily on first access.
+
+        Materializing the [channel, ping, range] float64 grid costs seconds
+        of single-core host time on survey-sized files; the streamer's fused
+        kernels derive range on device from (dr, r0) and never touch this.
+        """
+        if self._range_meter is None:
+            self.compute_echo_range()
+        return self._range_meter
+
+    @range_meter.setter
+    def range_meter(self, value):
+        self._range_meter = value
 
     def _check_echodata_backscatter_size(self, threshold_gib: float = 2.0):
         """Warn when backscatter exceeds the memory-pressure threshold
@@ -214,8 +230,6 @@ class CalibrateEK60(CalibrateEK):
             user_dict=self.cal_params,
             sonar_type=self.sonar_type,
         )
-        self.compute_echo_range()
-
     def compute_Sv(self, **kw):
         return self._cal_power_samples("Sv")
 

@@ -154,7 +154,6 @@ class CalibrateEK80(CalibrateEK):
             user_dict=self.cal_params,
             sonar_type="EK80",
         )
-        self.compute_echo_range()
 
     # ------------------------------------------------------------ complex cal
     def _get_B_theta_phi_m(self):

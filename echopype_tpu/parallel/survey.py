@@ -21,6 +21,42 @@ from ..xrlite import DataArray, Dataset
 __all__ = ["run_survey_mvbs", "run_survey_mvbs_from_raw"]
 
 
+class _PartialAccumulator:
+    """Host-side accumulator over window partials with one chunk of lag.
+
+    jax dispatch is asynchronous: by deferring each chunk's device readback
+    until the NEXT chunk has been dispatched, the device computes chunk k+1
+    while the host blocks on chunk k's result (and decodes chunk k+2's
+    input) — the double-buffering the chunk-serial loop lacked.
+    """
+
+    def __init__(self, n_ch, n_x, n_r, window, timer):
+        self.sums = np.zeros((n_ch, n_x, n_r), dtype="f8")
+        self.counts = np.zeros_like(self.sums)
+        self.window = window
+        self.n_x = n_x
+        self.timer = timer
+        self._pending = None
+
+    def push(self, s, c, x_base):
+        prev, self._pending = self._pending, (s, c, x_base)
+        if prev is not None:
+            self._drain(prev)
+
+    def _drain(self, item):
+        s, c, x_base = item
+        with self.timer.stage("accumulate"):
+            w_eff = min(self.window, self.n_x - x_base)
+            self.sums[:, x_base : x_base + w_eff] += np.asarray(s, dtype="f8")[:, :w_eff]
+            self.counts[:, x_base : x_base + w_eff] += np.asarray(c, dtype="f8")[:, :w_eff]
+
+    def finish(self):
+        if self._pending is not None:
+            self._drain(self._pending)
+            self._pending = None
+        return self.sums, self.counts
+
+
 def _mesh_layout(mesh, chunk_pings: int, n_channels: int):
     """Validate mesh axes against the workload; round chunk size up to the
     ping-shard count.  Returns (ping_shards, rounded_chunk_pings)."""
@@ -112,8 +148,7 @@ def run_survey_mvbs(
             sv, er, re, xr, window
         )
 
-    sums = np.zeros((len(chans), n_x, n_r), dtype="f8")
-    counts = np.zeros_like(sums)
+    acc = _PartialAccumulator(len(chans), n_x, n_r, window, timer)
     r_edges_f4 = range_edges.astype("f4")
     for ds, x_idx_all in zip(datasets, x_ids):
         sv_all = np.asarray(ds["Sv"].values, dtype="f4")
@@ -125,7 +160,7 @@ def run_survey_mvbs(
             hi = min(lo + chunk_pings, n_ping)
             pad = chunk_pings - (hi - lo)
             x_base = int(x_idx_all[lo])
-            with timer.stage("device_binning") as hold:
+            with timer.stage("device_binning"):
                 sv_chunk = sv_all[:, lo:hi]
                 er_chunk = er_all[:, lo:hi]
                 x_rel = x_idx_all[lo:hi] - x_base
@@ -139,11 +174,8 @@ def run_survey_mvbs(
                     )
                     x_rel = np.pad(x_rel, (0, pad), constant_values=window)
                 s, c, _ = step(sv_chunk, er_chunk, r_edges_f4, x_rel.astype("i4"))
-                hold.extend([s, c])
-            with timer.stage("accumulate"):
-                w_eff = min(window, n_x - x_base)
-                sums[:, x_base : x_base + w_eff] += np.asarray(s, dtype="f8")[:, :w_eff]
-                counts[:, x_base : x_base + w_eff] += np.asarray(c, dtype="f8")[:, :w_eff]
+            acc.push(s, c, x_base)
+    sums, counts = acc.finish()
 
     with timer.stage("finalize"):
         with np.errstate(invalid="ignore", divide="ignore"):
@@ -319,8 +351,7 @@ def run_survey_mvbs_from_raw(
                 window, n_r, r0=r0,
             )
 
-    sums = np.zeros((len(chans), n_x, n_r), dtype="f8")
-    counts = np.zeros_like(sums)
+    acc = _PartialAccumulator(len(chans), n_x, n_r, window, timer)
     r_edges_f4 = range_edges.astype("f4")
     for (power, dr, shift, alpha, offset, r0), x_idx_all in zip(inputs, x_ids):
         n_ping = power.shape[1]
@@ -336,7 +367,7 @@ def run_survey_mvbs_from_raw(
                 a = np.asarray(a[:, sl], dtype="f4")
                 return np.pad(a, ((0, 0), (0, pad)), constant_values=fill) if pad else a
 
-            with timer.stage("device_mvbs") as hold:
+            with timer.stage("device_mvbs"):
                 p_chunk = np.asarray(power[:, sl], dtype="f4")
                 if pad:  # NaN power contributes nothing to any bin
                     p_chunk = np.pad(p_chunk, ((0, 0), (0, pad), (0, 0)),
@@ -352,11 +383,8 @@ def run_survey_mvbs_from_raw(
                     jnp.asarray(vl_chunk), jnp.asarray(x_rel.astype("i4")),
                     jnp.asarray(r_edges_f4), _pad2(r0),
                 )
-                hold.extend([s, c])
-            with timer.stage("accumulate"):
-                w_eff = min(window, n_x - x_base)
-                sums[:, x_base : x_base + w_eff] += np.asarray(s, dtype="f8")[:, :w_eff]
-                counts[:, x_base : x_base + w_eff] += np.asarray(c, dtype="f8")[:, :w_eff]
+            acc.push(s, c, x_base)
+    sums, counts = acc.finish()
 
     with timer.stage("finalize"):
         with np.errstate(invalid="ignore", divide="ignore"):
@@ -460,8 +488,7 @@ def _run_survey_mvbs_complex(
             sv, er, re, xr, window
         )
 
-    sums = np.zeros((len(chans), n_x, n_r), dtype="f8")
-    counts = np.zeros_like(sums)
+    acc = _PartialAccumulator(len(chans), n_x, n_r, window, timer)
     r_edges_f4 = range_edges.astype("f4")
     for ed, bp, x_idx_all in zip(eds, beam_paths, x_ids):
         n_ping = len(x_idx_all)
@@ -475,7 +502,7 @@ def _run_survey_mvbs_complex(
                 er_chunk = np.asarray(ds["echo_range"].values, dtype="f4")
                 if er_chunk.shape != sv_chunk.shape:
                     er_chunk = np.broadcast_to(er_chunk, sv_chunk.shape)
-            with timer.stage("device_binning") as hold:
+            with timer.stage("device_binning"):
                 x_rel = x_idx_all[lo:hi] - x_base
                 if pad:
                     sv_chunk = np.pad(
@@ -486,11 +513,8 @@ def _run_survey_mvbs_complex(
                     )
                     x_rel = np.pad(x_rel, (0, pad), constant_values=window)
                 s, c, _ = step(sv_chunk, er_chunk, r_edges_f4, x_rel.astype("i4"))
-                hold.extend([s, c])
-            with timer.stage("accumulate"):
-                w_eff = min(window, n_x - x_base)
-                sums[:, x_base : x_base + w_eff] += np.asarray(s, dtype="f8")[:, :w_eff]
-                counts[:, x_base : x_base + w_eff] += np.asarray(c, dtype="f8")[:, :w_eff]
+            acc.push(s, c, x_base)
+    sums, counts = acc.finish()
 
     with timer.stage("finalize"):
         with np.errstate(invalid="ignore", divide="ignore"):
