@@ -116,26 +116,45 @@ def decode_raw0_samples(index: DatagramIndex, rows: np.ndarray, hdr: np.ndarray)
 
     if has_power.any():
         pw_counts = np.where(has_power, counts, 0)
-        vals, valid = _gather_i16(u8, sample_start, pw_counts, max_count)
-        # in-place scale; rows are full in the common non-ragged case, so the
-        # NaN masking (a large fancy-index write) is skipped entirely then
-        power = vals.astype("f4")
-        power *= np.float32(INDEX2POWER)
-        if pw_counts.min() < max_count:
-            power[~valid] = np.nan
-        out["power"] = power
+        out["power"] = _power_f4(u8, sample_start, pw_counts, max_count)
 
     if has_angle.any():
         ang_start = sample_start + np.where(has_power, 2 * counts, 0)
         ang_counts = np.where(has_angle, counts, 0)
-        vals, valid = _gather_i16(u8, ang_start, ang_counts, max_count)
-        # each int16 is an (athwartship lowbyte, alongship highbyte) int8 pair
-        pairs = vals.view("i1").reshape(vals.shape + (2,))
-        angle = pairs.astype("f4")
-        if ang_counts.min() < max_count:
-            angle[~valid] = np.nan
-        out["angle"] = angle
+        out["angle"] = _angle_f4(u8, ang_start, ang_counts, max_count)
     return out
+
+
+def _power_f4(u8, starts, counts, max_count):
+    """int16 sample runs -> f4 * INDEX2POWER, NaN-padded [n, max_count]."""
+    from ... import native
+
+    fused = native.gather_i16_scaled(u8, starts, counts, max_count, float(INDEX2POWER))
+    if fused is not None:
+        return fused
+    vals, valid = _gather_i16(u8, starts, counts, max_count)
+    # in-place scale; rows are full in the common non-ragged case, so the
+    # NaN masking (a large fancy-index write) is skipped entirely then
+    power = vals.astype("f4")
+    power *= np.float32(INDEX2POWER)
+    if counts.min() < max_count:
+        power[~valid] = np.nan
+    return power
+
+
+def _angle_f4(u8, starts, counts, max_count):
+    """(athwart, along) int8-pair runs -> f4 [n, max_count, 2], NaN-padded."""
+    from ... import native
+
+    fused = native.gather_angle(u8, starts, counts, max_count)
+    if fused is not None:
+        return fused
+    vals, valid = _gather_i16(u8, starts, counts, max_count)
+    pairs = vals.view("i1").reshape(vals.shape + (2,))
+    angle = pairs.astype("f4")
+    if counts.min() < max_count:
+        angle[~valid] = np.nan
+    return angle
 
 
 def decode_con0(index: DatagramIndex, row: int) -> dict:
@@ -277,21 +296,11 @@ def decode_raw3_samples(index: DatagramIndex, rows: np.ndarray, hdr: np.ndarray)
     has_angle = (dt & 2).astype(bool)
     if has_power.any():
         pw_counts = np.where(has_power, counts, 0)
-        vals, valid = _gather_i16(u8, pos, pw_counts, max_count)
-        power = vals.astype("f4")
-        power *= np.float32(INDEX2POWER)
-        if pw_counts.min() < max_count:
-            power[~valid] = np.nan
-        out["power"] = power
+        out["power"] = _power_f4(u8, pos, pw_counts, max_count)
         pos = pos + np.where(has_power, 2 * counts, 0)
     if has_angle.any():
         ang_counts = np.where(has_angle, counts, 0)
-        vals, valid = _gather_i16(u8, pos, ang_counts, max_count)
-        pairs = vals.view("i1").reshape(vals.shape + (2,))
-        angle = pairs.astype("f4")
-        if ang_counts.min() < max_count:
-            angle[~valid] = np.nan
-        out["angle"] = angle
+        out["angle"] = _angle_f4(u8, pos, ang_counts, max_count)
         pos = pos + np.where(has_angle, 2 * counts, 0)
     if n_complex > 0:
         if not bool((dt & 0b1000).any()):

@@ -84,8 +84,70 @@ def load_native():
         ctypes.POINTER(ctypes.c_int16),
         ctypes.POINTER(ctypes.c_uint8),
     ]
+    for fused in ("ep_gather_i16_scale_f32", "ep_gather_angle_f32"):
+        fn = getattr(lib, fused, None)
+        if fn is not None:
+            fn.restype = None
+    lib.ep_gather_i16_scale_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_float,
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.ep_gather_angle_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+    ]
     _lib = lib
     return _lib
+
+
+def gather_i16_scaled(buf, starts, counts, max_count: int, scale: float):
+    """Fused native gather+scale+NaN-pad -> f4 [n, max_count]; None if no lib."""
+    lib = load_native()
+    if lib is None or not hasattr(lib, "ep_gather_i16_scale_f32"):
+        return None
+    u8 = np.frombuffer(buf, dtype="u1") if not isinstance(buf, np.ndarray) else buf
+    starts = np.ascontiguousarray(starts, dtype="i8")
+    counts = np.ascontiguousarray(counts, dtype="i8")
+    out = np.empty((len(starts), max_count), dtype="f4")
+    lib.ep_gather_i16_scale_f32(
+        u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(starts),
+        max_count,
+        ctypes.c_float(scale),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out
+
+
+def gather_angle(buf, starts, counts, max_count: int):
+    """Fused native angle gather -> f4 [n, max_count, 2]; None if no lib."""
+    lib = load_native()
+    if lib is None or not hasattr(lib, "ep_gather_angle_f32"):
+        return None
+    u8 = np.frombuffer(buf, dtype="u1") if not isinstance(buf, np.ndarray) else buf
+    starts = np.ascontiguousarray(starts, dtype="i8")
+    counts = np.ascontiguousarray(counts, dtype="i8")
+    out = np.empty((len(starts), max_count, 2), dtype="f4")
+    lib.ep_gather_angle_f32(
+        u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(starts),
+        max_count,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out
 
 
 def gather_i16(buf, starts: np.ndarray, counts: np.ndarray, max_count: int):

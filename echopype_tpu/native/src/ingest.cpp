@@ -129,6 +129,45 @@ extern "C" {
 // row i copies counts[i] int16s from buf+starts[i] into vals[i*max_count..],
 // zero-pads the rest, and writes a 0/1 validity mask.  memcpy handles the
 // (common) unaligned datagram offsets.
+// Fused gather + scale: out[i,k] = int16(buf+starts[i])[k] * scale for
+// k < counts[i], NaN beyond -- the power-decode scaling (INDEX2POWER) and
+// ragged NaN-padding in one pass, with no int16/validity intermediates.
+void ep_gather_i16_scale_f32(const uint8_t* buf, const int64_t* starts,
+                             const int64_t* counts, int64_t n_rows,
+                             int64_t max_count, float scale, float* out) {
+    const float NAN_F = __builtin_nanf("");
+    for (int64_t i = 0; i < n_rows; ++i) {
+        int64_t c = counts[i];
+        if (c < 0) c = 0;
+        if (c > max_count) c = max_count;
+        const uint8_t* src = buf + starts[i];
+        float* row = out + i * max_count;
+        for (int64_t k = 0; k < c; ++k) {
+            int16_t v;
+            std::memcpy(&v, src + 2 * k, 2);
+            row[k] = (float)v * scale;
+        }
+        for (int64_t k = c; k < max_count; ++k) row[k] = NAN_F;
+    }
+}
+
+// Fused angle gather: each 16-bit sample is an (athwartship low byte,
+// alongship high byte) int8 pair -> f32 [n, max_count, 2], NaN-padded.
+void ep_gather_angle_f32(const uint8_t* buf, const int64_t* starts,
+                         const int64_t* counts, int64_t n_rows,
+                         int64_t max_count, float* out) {
+    const float NAN_F = __builtin_nanf("");
+    for (int64_t i = 0; i < n_rows; ++i) {
+        int64_t c = counts[i];
+        if (c < 0) c = 0;
+        if (c > max_count) c = max_count;
+        const int8_t* src = (const int8_t*)(buf + starts[i]);
+        float* row = out + i * max_count * 2;
+        for (int64_t k = 0; k < 2 * c; ++k) row[k] = (float)src[k];
+        for (int64_t k = 2 * c; k < 2 * max_count; ++k) row[k] = NAN_F;
+    }
+}
+
 void ep_gather_i16(const uint8_t* buf, const int64_t* starts,
                    const int64_t* counts, int64_t n_rows, int64_t max_count,
                    int16_t* vals, uint8_t* valid) {

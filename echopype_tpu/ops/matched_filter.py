@@ -19,7 +19,26 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["pulse_compress_channel", "compress_pulse_batched"]
+__all__ = ["pulse_compress_channel", "compress_pulse_batched", "set_conv_precision"]
+
+# Speed/accuracy knob for the MXU conv fallback (measured on v5e, 2000 pings
+# x 4 sectors x 8192 samples, L=500):
+#   HIGHEST: 3,129 pings/s, <=1e-4 dB of the f64 matched filter (default)
+#   HIGH:    5,862 pings/s, <=0.004 dB within 40 dB of peak (0.02 dB at -60 dB)
+#   DEFAULT: bf16 multiplies, 0.6-2.4 dB error -- never acceptable here
+_CONV_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def set_conv_precision(precision) -> None:
+    """Set the matched-filter conv precision ("HIGHEST" or "HIGH").
+
+    HIGH roughly doubles broadband pulse-compression throughput at the cost
+    of ~0.004 dB (strong echoes) to ~0.02 dB (60 dB below peak) vs f64.
+    """
+    global _CONV_PRECISION
+    if isinstance(precision, str):
+        precision = getattr(jax.lax.Precision, precision.upper())
+    _CONV_PRECISION = precision
 
 
 def _next_fast_len(n: int) -> int:
@@ -50,38 +69,45 @@ def _fft_conv(bs, replica, n_fft: int, out_start: int, out_len: int):
     return jax.lax.dynamic_slice_in_dim(y, out_start, out_len, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("out_start", "out_len"))
-def _mxu_conv_real(xr, xi, hr, hi, out_start: int, out_len: int):
-    """Linear complex convolution as 3 real convolutions (Karatsuba) on the
-    TPU convolution unit — the fallback when the runtime lacks FFT/complex
-    support entirely (the axon backend returns UNIMPLEMENTED even for
-    device_put of complex64, so inputs/outputs here are split real/imag f32).
+@partial(jax.jit, static_argnames=("out_start", "out_len", "precision"))
+def _mxu_conv_real(xr, xi, hr, hi, out_start: int, out_len: int, precision=None):
+    """Linear complex convolution on the TPU convolution unit — the fallback
+    when the runtime lacks FFT/complex support entirely (the axon backend
+    returns UNIMPLEMENTED even for device_put of complex64, so inputs and
+    outputs here are split real/imag f32).
 
-    Uses the plain 4-multiplication form (real = xr*hr - xi*hi,
-    imag = xr*hi + xi*hr) rather than 3-mult Karatsuba: the m-a-b
-    cancellation loses ~3 digits near the noise floor, and the convs are
-    batched into the channel dim of ONE conv call anyway.
+    Design (all measured on v5e, 2000 pings x 4 sectors x 8192 samples,
+    L=500, HIGHEST precision):
+
+    - 3-mult Karatsuba as a GROUPED conv (feature_group_count=3 with
+      1-in/1-out channels per group): 171 ms.  The dense 2-in/2-out channel
+      form of the same math takes 640 ms — grouped single-channel convs
+      lower far better on TPU.  Karatsuba's m3-m1-m2 cancellation costs
+      ~7e-4 dB max (2.5e-5 dB p99) within 60 dB of the peak vs the f64
+      matched filter — an order below the domain's golden tolerances.
+    - asymmetric padding computes ONLY the requested output window (the
+      reference's [L-1:] truncation), saving the wasted L-1 columns and the
+      post-slice copy (+25% alone).
     """
     L = hr.shape[0]
-    # one grouped conv: inputs [N, 2, W] (xr, xi), kernels [2, 2, L]
-    x4 = jnp.stack([xr, xi], axis=1)
+    W = xr.shape[-1]
     hr_f, hi_f = hr[::-1], hi[::-1]
-    zeros = jnp.zeros_like(hr_f)
-    # out channel 0 (real):  xr*hr + xi*(-hi);  out channel 1 (imag): xr*hi + xi*hr
-    k = jnp.stack(
-        [jnp.stack([hr_f, -hi_f], axis=0), jnp.stack([hi_f, hr_f], axis=0)], axis=0
-    )  # [O=2, I=2, L]
-    del zeros
+    # Karatsuba: m1 = xr*hr, m2 = xi*hi, m3 = (xr+xi)*(hr+hi)
+    #            real = m1 - m2, imag = m3 - m1 - m2  (post-ops, exact in f32)
+    x3 = jnp.stack([xr, xi, xr + xi], axis=1)
+    k = jnp.stack([hr_f, hi_f, hr_f + hi_f], axis=0)[:, None, :]  # [O=3, I=1, L]
+    pad_left = L - 1 - out_start
+    pad_right = out_len + L - 1 - W - pad_left
     y = jax.lax.conv_general_dilated(
-        x4, k, window_strides=(1,), padding=[(L - 1, L - 1)],
+        x3, k, window_strides=(1,), padding=[(pad_left, pad_right)],
         dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=3,
         # TPU convs default to bf16 multiplies; matched filtering needs the
         # full f32 significand (bf16 showed ~0.4 dB error near the noise floor)
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision if precision is not None else jax.lax.Precision.HIGHEST,
     )
-    re = jax.lax.dynamic_slice_in_dim(y[:, 0, :], out_start, out_len, axis=-1)
-    im = jax.lax.dynamic_slice_in_dim(y[:, 1, :], out_start, out_len, axis=-1)
-    return re, im
+    m1, m2, m3 = y[:, 0, :], y[:, 1, :], y[:, 2, :]
+    return m1 - m2, m3 - m1 - m2
 
 
 _FFT_OK = None
@@ -137,6 +163,7 @@ def pulse_compress_channel(bs: np.ndarray, replica: np.ndarray) -> np.ndarray:
             jnp.asarray(np.ascontiguousarray(rep.imag, dtype="f4")),
             L - 1,
             R,
+            precision=_CONV_PRECISION,
         )
         out = np.asarray(re).astype("f8") + 1j * np.asarray(im).astype("f8")
     out = np.asarray(out).reshape(P, B, R).transpose(0, 2, 1)
