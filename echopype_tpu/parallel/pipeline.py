@@ -168,9 +168,18 @@ def _closed_s1_n1(power, dr, tvg_shift, absorption, offset, valid_len, r_edges, 
 
     Returns (s1, n1) each [C, P, n_r]: linear-Sv sums via one banded MXU
     matmul with closed-form bin bounds, counts via clipped bound differences.
+
+    ``power`` may be float dB (NaN-padded) or RAW int16 indices — integer
+    input is scaled by INDEX2POWER in-kernel and masked by ``valid_len``,
+    halving host->device transfer bytes (the bottleneck on PCIe/tunnel
+    attached chips) with bit-identical results.
     """
     C, Pn, R = power.shape
     rs = jax.lax.broadcasted_iota(jnp.float32, (1, 1, R), 2)
+    int_power = jnp.issubdtype(power.dtype, jnp.integer)
+    if int_power:
+        index2power = jnp.float32(10.0 * jnp.log10(jnp.float32(2.0)) / 256.0)
+        power = power.astype(jnp.float32) * index2power
     if r0 is None:
         # EK case: fold the absent intercept at trace time (no extra add)
         r_tvg = rs * dr[:, :, None] - tvg_shift[:, :, None]
@@ -186,6 +195,10 @@ def _closed_s1_n1(power, dr, tvg_shift, absorption, offset, valid_len, r_edges, 
         jnp.nan,
     )
     lin = jnp.where(jnp.isnan(sv), 0.0, jnp.power(10.0, sv / 10.0))
+    if int_power:
+        # integer input has no NaN padding: mask the invalid sample tail
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, R), 2)
+        lin = jnp.where(lane < valid_len[:, :, None], lin, 0.0)
     dr0 = dr[:, 0]
     # bin bounds on echo_range: count of k with r0 + k*dr < edge
     edge_off = r_edges[None, :] if r0 is None else r_edges[None, :] - r0[:, 0][:, None]

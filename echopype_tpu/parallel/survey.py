@@ -353,6 +353,14 @@ def run_survey_mvbs_from_raw(
 
     acc = _PartialAccumulator(len(chans), n_x, n_r, window, timer)
     r_edges_f4 = range_edges.astype("f4")
+    # EK power is int16 * INDEX2POWER: recover the exact indices and ship
+    # int16 to the device (scaling happens in-kernel) — half the H2D bytes,
+    # which is the wall on PCIe/tunnel-attached chips, bit-identical bins.
+    ship_i16 = sonar_model in ("EK60", "ES70", "EK80", "ES80", "EA640")
+    if ship_i16:
+        from ..convert.simrad.decode import INDEX2POWER
+
+        inv_scale = np.float32(1.0) / np.float32(INDEX2POWER)
     for (power, dr, shift, alpha, offset, r0), x_idx_all in zip(inputs, x_ids):
         n_ping = power.shape[1]
         # ragged pings pad with a NaN suffix, so finite-count == valid length
@@ -368,10 +376,18 @@ def run_survey_mvbs_from_raw(
                 return np.pad(a, ((0, 0), (0, pad)), constant_values=fill) if pad else a
 
             with timer.stage("device_mvbs"):
-                p_chunk = np.asarray(power[:, sl], dtype="f4")
-                if pad:  # NaN power contributes nothing to any bin
-                    p_chunk = np.pad(p_chunk, ((0, 0), (0, pad), (0, 0)),
-                                     constant_values=np.nan)
+                if ship_i16:
+                    p_chunk = np.asarray(power[:, sl], dtype="f4") * inv_scale
+                    p_chunk = np.rint(
+                        np.nan_to_num(p_chunk, nan=0.0, posinf=0.0, neginf=0.0)
+                    ).astype("<i2")
+                    if pad:  # padded pings excluded via valid_len == 0
+                        p_chunk = np.pad(p_chunk, ((0, 0), (0, pad), (0, 0)))
+                else:
+                    p_chunk = np.asarray(power[:, sl], dtype="f4")
+                    if pad:  # NaN power contributes nothing to any bin
+                        p_chunk = np.pad(p_chunk, ((0, 0), (0, pad), (0, 0)),
+                                         constant_values=np.nan)
                 x_rel = x_idx_all[sl] - x_base
                 if pad:  # padded pings park past the bin window
                     x_rel = np.pad(x_rel, (0, pad), constant_values=window)
