@@ -361,6 +361,16 @@ def run_survey_mvbs_from_raw(
         from ..convert.simrad.decode import INDEX2POWER
 
         inv_scale = np.float32(1.0) / np.float32(INDEX2POWER)
+        # reusable conversion buffers (single-core host: avoid temporaries);
+        # two int16 buffers alternate so the one a dispatched chunk may still
+        # be reading asynchronously is never overwritten (matches the
+        # accumulator's one-chunk lag)
+        R_max = max(p.shape[2] for p, *_ in inputs)
+        buf_f = np.empty((len(chans), chunk_pings, R_max), dtype="f4")
+        bufs_i = [
+            np.empty((len(chans), chunk_pings, R_max), dtype="<i2") for _ in range(2)
+        ]
+        chunk_no = 0
     for (power, dr, shift, alpha, offset, r0), x_idx_all in zip(inputs, x_ids):
         n_ping = power.shape[1]
         # ragged pings pad with a NaN suffix, so finite-count == valid length
@@ -377,12 +387,17 @@ def run_survey_mvbs_from_raw(
 
             with timer.stage("device_mvbs"):
                 if ship_i16:
-                    p_chunk = np.asarray(power[:, sl], dtype="f4") * inv_scale
-                    p_chunk = np.rint(
-                        np.nan_to_num(p_chunk, nan=0.0, posinf=0.0, neginf=0.0)
-                    ).astype("<i2")
-                    if pad:  # padded pings excluded via valid_len == 0
-                        p_chunk = np.pad(p_chunk, ((0, 0), (0, pad), (0, 0)))
+                    R_f = power.shape[2]
+                    bf = buf_f[:, : hi - lo, :R_f]
+                    np.multiply(power[:, sl], inv_scale, out=bf)
+                    np.rint(bf, out=bf)
+                    np.nan_to_num(bf, copy=False)  # NaN tail -> 0 (masked by valid_len)
+                    bi = bufs_i[chunk_no % 2][:, :, :R_f]
+                    chunk_no += 1
+                    bi[:, : hi - lo] = bf
+                    if pad:
+                        bi[:, hi - lo :] = 0  # padded pings excluded via valid_len == 0
+                    p_chunk = bi
                 else:
                     p_chunk = np.asarray(power[:, sl], dtype="f4")
                     if pad:  # NaN power contributes nothing to any bin

@@ -319,3 +319,32 @@ class TestThreeSectorComplex:
         ang = ep.consolidate.add_splitbeam_angle(sv, ed, waveform_mode="CW",
                                                  encode_mode="complex")
         assert np.isfinite(ang["angle_alongship"].values).any()
+
+
+class TestConvPrecisionKnob:
+    def test_set_conv_precision(self):
+        """The MXU-conv speed/accuracy knob accepts names and Precision values
+        and the conv path still matches the FFT path at any setting on CPU."""
+        import jax
+        import numpy as np
+
+        from echopype_tpu.ops import matched_filter as mf
+
+        rng = np.random.default_rng(3)
+        bs = (rng.normal(size=(4, 64, 1)) + 1j * rng.normal(size=(4, 64, 1))).astype("c16")
+        rep = (rng.normal(size=12) + 1j * rng.normal(size=12)).astype("c16")
+        want = mf.pulse_compress_channel(bs, rep)
+
+        orig = mf._CONV_PRECISION
+        try:
+            mf.set_conv_precision("HIGH")
+            assert mf._CONV_PRECISION == jax.lax.Precision.HIGH
+            mf.set_conv_precision(jax.lax.Precision.HIGHEST)
+            assert mf._CONV_PRECISION == jax.lax.Precision.HIGHEST
+            # force the conv fallback and compare against the FFT result
+            mf._FFT_OK = False
+            got = mf.pulse_compress_channel(bs, rep)
+            np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+        finally:
+            mf._FFT_OK = None
+            mf.set_conv_precision(orig)
