@@ -63,12 +63,23 @@ def _install_stubs() -> None:
         import pandas  # noqa: F401
     except ImportError:
         pass
-    _stub(
-        "pytz",
-        utc=datetime.timezone.utc,
-        UTC=datetime.timezone.utc,
-        __version__="2024.1",
-    )
+    class _PytzUtc(datetime.tzinfo):
+        """Just enough of pytz.utc: fixed UTC offset + localize()."""
+
+        def utcoffset(self, dt):
+            return datetime.timedelta(0)
+
+        def tzname(self, dt):
+            return "UTC"
+
+        def dst(self, dt):
+            return datetime.timedelta(0)
+
+        def localize(self, dt):
+            return dt.replace(tzinfo=self)
+
+    _utc = _PytzUtc()
+    _stub("pytz", utc=_utc, UTC=_utc, __version__="2024.1")
     _stub("dask", __version__="2024.1")
     _stub("dask.array", Array=type("Array", (), {}))
     # ecs.py imports xarray at module level but ECSParser itself never touches

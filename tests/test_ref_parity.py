@@ -262,3 +262,61 @@ def test_ecs_parser_differential(tmp_path, fixture_name):
     assert ours.data_type == ref.data_type
     assert ours.version == ref.version
     _assert_params_equal(ours.get_cal_params(), ref.get_cal_params())
+
+
+# ---------------------------------------------------------------------------
+# Frequency-differencing equation grammar
+# ---------------------------------------------------------------------------
+def test_freq_diff_eq_parity():
+    ref = load_ref("mask/freq_diff")
+    from echopype_tpu.mask.freq_diff import _parse_freq_diff_eq as ours
+
+    cases_freq = [
+        "38000Hz - 18000Hz > 5dB",
+        "120 kHz-38 kHz>=2.0 dB",
+        "18.5kHz - 38kHz <= 0.5dB",
+        "200000 Hz - 38000 Hz == 1dB",
+    ]
+    for eq in cases_freq:
+        got = ours(freqABEq=eq)
+        want = ref._parse_freq_diff_eq(freqABEq=eq)
+        assert got[0] == want[0], eq  # freqAB in Hz
+        assert got[1] == want[1] is None or got[1] == want[1], eq
+        assert got[2] == want[2], eq  # operator
+        assert got[3] == want[3], eq  # diff
+    cases_chan = ['"GPT 38"-"GPT 18">5dB', '"chA" - "chB" <= 1.5 dB']
+    for eq in cases_chan:
+        got = ours(chanABEq=eq)
+        want = ref._parse_freq_diff_eq(chanABEq=eq)
+        assert got[1] == want[1], eq
+        assert got[2] == want[2] and got[3] == want[3], eq
+
+    # the grammar has no sign on the dB threshold (reference quirk kept)
+    for bad in (
+        "38000Hz + 18000Hz > 5dB",
+        "38000Hz - 18000Hz >> 5dB",
+        "70kHz - 120kHz < -3dB",
+        "nonsense",
+    ):
+        ref_raises = ours_raises = False
+        try:
+            ref._parse_freq_diff_eq(freqABEq=bad)
+        except Exception:
+            ref_raises = True
+        try:
+            ours(freqABEq=bad)
+        except Exception:
+            ours_raises = True
+        assert ref_raises == ours_raises, bad
+
+
+def test_nt_roundtrip_parity():
+    ref = load_ref("convert/utils/ek_date_conversion")
+    import datetime
+
+    rng = np.random.default_rng(23)
+    for _ in range(8):
+        unix_s = float(rng.integers(0, 2_000_000_000))
+        low, high = ref.unix_to_nt(unix_s)
+        ours = framing.nt_to_datetime64(np.array([low], "u4"), np.array([high], "u4"))
+        assert abs(ours[0].astype("i8") / 1e9 - unix_s) < 4e-6
