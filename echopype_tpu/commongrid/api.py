@@ -86,16 +86,13 @@ def compute_MVBS(
     # bin membership in ORIGINAL ping order (for the lat/lon reduction below)
     x_idx = binning.bin_index_np(ping_time.astype("i8"), ping_edges.astype("i8"), closed)
 
-    mvbs = np.asarray(
-        binning.binned_mean_linear(
-            sv,
-            er_b.astype("f4"),
-            np.asarray(range_edges, dtype="f4"),
-            x_bounds,
-            skipna=bool(skipna),
-            closed=closed,
-        )
+    sums_w, counts_w, nan_w = binning.windowed_partials_np(
+        sv, er_b.astype("f4"), np.asarray(range_edges, dtype="f4"), x_bounds,
+        skipna=bool(skipna), closed=closed,
     )
+    with np.errstate(invalid="ignore", divide="ignore"):
+        good = (counts_w > 0) & (nan_w == 0)
+        mvbs = np.where(good, _lin2log(sums_w / np.where(counts_w > 0, counts_w, 1)), np.nan)
     if not np.isnan(fill_value):
         mvbs = np.where(np.isnan(mvbs), fill_value, mvbs)
 
@@ -286,11 +283,9 @@ def compute_NASC(
 
     depth_f4 = depth_b.astype("f4")
     edges_f4 = np.asarray(depth_edges, dtype="f4")
-    sums, counts, nan_counts = binning.binned_sum_partials(
+    sums, counts, nan_counts = binning.windowed_partials_np(
         sv, depth_f4, edges_f4, x_bounds, skipna=bool(skipna), closed=closed
     )
-    sums, counts = np.asarray(sums, dtype="f8"), np.asarray(counts, dtype="f8")
-    nan_counts = np.asarray(nan_counts, dtype="f8")
     with np.errstate(invalid="ignore", divide="ignore"):
         good = (counts > 0) & (nan_counts == 0)
         sv_mean = np.where(good, sums / np.where(counts > 0, counts, 1), np.nan)
@@ -299,9 +294,8 @@ def compute_NASC(
     # over the 2D bin / number of pings in the dist bin (utils.py:160-201)
     ddepth = np.diff(depth_b, axis=2).astype("f4")  # label=lower -> leading bins
     depth_lower = depth_f4[:, :, :-1]
-    h_num = np.asarray(
-        binning.binned_sum_raw(ddepth, depth_lower, edges_f4, x_bounds, closed=closed),
-        dtype="f8",
+    h_num = binning.windowed_sum_raw_np(
+        ddepth, depth_lower, edges_f4, x_bounds, closed=closed
     )
     denom = np.bincount(x_idx[x_idx >= 0], minlength=n_x).astype("f8")
     with np.errstate(invalid="ignore", divide="ignore"):

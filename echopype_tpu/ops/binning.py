@@ -32,6 +32,9 @@ __all__ = [
     "binned_sum_partials",
     "banded_x_reduce",
     "binned_window_partials",
+    "binned_window_sum_raw",
+    "windowed_partials_np",
+    "windowed_sum_raw_np",
     "binned_mean_linear",
     "binned_sum_raw",
     "binned_mean_1d",
@@ -169,6 +172,92 @@ def binned_window_partials(
     n_r = s1.shape[2]
     stacked = banded_x_reduce(jnp.concatenate([s1, n1, nan1], axis=2), x_rel, n_x_window)
     return stacked[:, :, :n_r], stacked[:, :, n_r : 2 * n_r], stacked[:, :, 2 * n_r :]
+
+
+@partial(jax.jit, static_argnames=("n_x_window", "closed"))
+def binned_window_sum_raw(values, er, r_edges, x_rel, n_x_window: int, closed: str = "left"):
+    """NaN-skipping raw sums on a local ping-bin window (matmul reduction)."""
+    ok = ~jnp.isnan(values)
+    rb = row_bin_bounds(er, r_edges, closed)
+    s1 = _prefix_gather_diff(jnp.where(ok, values, 0.0), rb, axis=2)
+    return banded_x_reduce(s1, x_rel, n_x_window)
+
+
+def _window_ids(x_bounds, P: int) -> np.ndarray:
+    """Sorted-ping bin ids from boundary positions: out-of-range prefix pings
+    map to -1 and suffix pings to n_x — outside any window bin either way."""
+    return (np.searchsorted(np.asarray(x_bounds), np.arange(P), side="right") - 1).astype(
+        "i8"
+    )
+
+
+def _windowed_accumulate(
+    kernel, shape_cpn, n_x: int, x_bounds, chunk_pings: int, n_out: int
+):
+    """Drive a window kernel over ping chunks, accumulating f8 globals.
+
+    kernel(lo, hi, x_rel, window) -> tuple of n_out [C, window, n_r] partials;
+    shape_cpn = (C, P, n_r) of the global output layout.
+    """
+    C, P, n_r = shape_cpn
+    ids = _window_ids(x_bounds, P)
+    outs = [np.zeros((C, n_x, n_r), dtype="f8") for _ in range(n_out)]
+    for lo in range(0, P, chunk_pings):
+        hi = min(lo + chunk_pings, P)
+        ids_c = ids[lo:hi]
+        real = ids_c[(ids_c >= 0) & (ids_c < n_x)]
+        if real.size == 0:
+            continue
+        x_base = int(real[0])
+        window = int(real[-1]) - x_base + 1
+        parts = kernel(lo, hi, (ids_c - x_base).astype("i4"), window)
+        for o, p in zip(outs, parts):
+            o[:, x_base : x_base + window] += np.asarray(p, dtype="f8")
+    return outs
+
+
+def windowed_partials_np(
+    sv, er, r_edges, x_bounds, skipna=True, closed="left", chunk_pings=8192
+):
+    """(sums, counts, nan_counts) f8 via the chunk-windowed matmul reduction.
+
+    Same membership as binned_sum_partials/x_bounds but each bin accumulates
+    independently on the MXU — no prefix-sum cancellation for a quiet bin
+    after loud pings (see banded_x_reduce), bounded mask size via chunking.
+    """
+    def kernel(lo, hi, x_rel, window):
+        return binned_window_partials(
+            sv[:, lo:hi], er[:, lo:hi], r_edges, x_rel, window,
+            skipna=skipna, closed=closed,
+        )
+
+    return _windowed_accumulate(
+        kernel,
+        (sv.shape[0], sv.shape[1], len(r_edges) - 1),
+        len(x_bounds) - 1,
+        x_bounds,
+        chunk_pings,
+        3,
+    )
+
+
+def windowed_sum_raw_np(values, er, r_edges, x_bounds, closed="left", chunk_pings=8192):
+    """NaN-skipping raw bin sums (f8) via the chunk-windowed matmul reduction."""
+    def kernel(lo, hi, x_rel, window):
+        return (
+            binned_window_sum_raw(
+                values[:, lo:hi], er[:, lo:hi], r_edges, x_rel, window, closed=closed
+            ),
+        )
+
+    return _windowed_accumulate(
+        kernel,
+        (values.shape[0], values.shape[1], len(r_edges) - 1),
+        len(x_bounds) - 1,
+        x_bounds,
+        chunk_pings,
+        1,
+    )[0]
 
 
 @partial(jax.jit, static_argnames=("skipna", "closed"))
