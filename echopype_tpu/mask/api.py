@@ -227,15 +227,14 @@ def regrid_mask(
         r3 = np.broadcast_to(rvals, m3.shape[1:])[None, ...].astype("f4")
 
     x_bounds = binning.x_bounds_np(pt.astype("i8"), ping_edges.astype("i8"), closed)
-    # use raw sums + member counts: mean with skipna=False, fill 0
-    sums = np.asarray(
-        binning.binned_sum_raw(m3, r3, range_edges.astype("f4"), x_bounds, closed=closed),
-        dtype="f8",
+    # raw sums + member counts (mean with skipna=False, fill 0) via the
+    # chunk-windowed matmul reduction (no f32 count saturation on big masks)
+    sums = binning.windowed_sum_raw_np(
+        m3, r3, range_edges.astype("f4"), x_bounds, closed=closed
     )
     ones = np.ones_like(m3)
-    counts = np.asarray(
-        binning.binned_sum_raw(ones, r3, range_edges.astype("f4"), x_bounds, closed=closed),
-        dtype="f8",
+    counts = binning.windowed_sum_raw_np(
+        ones, r3, range_edges.astype("f4"), x_bounds, closed=closed
     )
     with np.errstate(invalid="ignore", divide="ignore"):
         mean = np.where(counts > 0, sums / np.maximum(counts, 1), 0.0)
