@@ -204,3 +204,58 @@ class TestGeodesy:
         from echopype_tpu.utils.geodesy import vincenty_inverse_m
 
         assert vincenty_inverse_m(45.0, -125.0, 45.0, -125.0) == 0.0
+
+
+class TestQuietBinPrecision:
+    def test_quiet_bin_after_loud_pings(self):
+        """A quiet bin following loud pings must match a float64 oracle.
+
+        This is the failure mode of the former f32 prefix-sum ping reduction:
+        cumsum cancellation distorted bins ~1e6x below the running total by
+        up to ~0.16 dB. The windowed matmul reduction accumulates each bin
+        independently (ops/binning.banded_x_reduce).
+        """
+        import echopype_tpu as ep
+        from echopype_tpu.xrlite import DataArray, Dataset
+
+        rng = np.random.default_rng(9)
+        P, R = 120, 64
+        pt = np.datetime64("2021-01-01", "ns") + np.arange(P).astype(
+            "timedelta64[s]"
+        ).astype("timedelta64[ns]")
+        sv = np.full((1, P, R), -20.0, dtype="f4")  # loud start
+        sv[:, 80:] = -100.0  # quiet tail: 8 orders below in linear
+        sv += rng.normal(0, 1, sv.shape).astype("f4")
+        er = np.broadcast_to(np.arange(R, dtype="f4") * 0.5, (1, P, R)).copy()
+        ds = Dataset(
+            coords={
+                "channel": np.asarray(["ch"], dtype=object),
+                "ping_time": pt,
+                "range_sample": np.arange(R),
+            }
+        )
+        ds["Sv"] = (("channel", "ping_time", "range_sample"), sv)
+        ds["echo_range"] = (("channel", "ping_time", "range_sample"), er)
+        ds["frequency_nominal"] = (("channel",), np.array([38000.0]))
+
+        got = np.asarray(
+            ep.commongrid.compute_MVBS(ds, range_bin="8m", ping_time_bin="20s")["Sv"].values
+        )
+
+        # float64 brute-force oracle
+        edges_t = np.arange(0, P + 20, 20)
+        edges_r = np.arange(0, er.max() + 8.0, 8.0)
+        want = np.full((1, len(edges_t) - 1, len(edges_r) - 1), np.nan)
+        lin = 10.0 ** (sv.astype("f8") / 10.0)
+        for i in range(len(edges_t) - 1):
+            psel = slice(edges_t[i], min(edges_t[i + 1], P))
+            for j in range(len(edges_r) - 1):
+                rsel = (er[0, 0] >= edges_r[j]) & (er[0, 0] < edges_r[j + 1])
+                block = lin[0, psel][:, rsel]
+                if block.size:
+                    want[0, i, j] = 10 * np.log10(block.mean())
+        n_t = min(got.shape[1], want.shape[1])
+        n_r = min(got.shape[2], want.shape[2])
+        np.testing.assert_allclose(
+            got[:, :n_t, :n_r], want[:, :n_t, :n_r], rtol=0, atol=2e-5, equal_nan=True
+        )
