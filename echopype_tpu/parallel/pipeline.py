@@ -8,9 +8,10 @@ workload needs (the reference gets the same structure from flox map-reduce +
 dask, commongrid/utils.py:614-627).
 
 Scatter-free: both grouping axes are monotone, so bins are contiguous runs
-reduced by cumsum + boundary gather (see ops/binning.py).  Inside the fused
-kernel echo_range is r*dr, so range-bin boundaries are CLOSED FORM
-(ceil(edge/dr)) — no search at all.
+reduced by banded MXU matmuls (see ops/binning.py — the production window
+kernels; the cumsum+boundary-gather variants are kept for reference).
+Inside the fused kernel echo_range is r*dr, so range-bin boundaries are
+CLOSED FORM (ceil(edge/dr)) — no search at all.
 """
 
 from __future__ import annotations
@@ -233,7 +234,8 @@ def sv_mvbs_core_mxu_closed(
     with interior NaN masking must use sv_mvbs_core_mxu.
 
     Measured (v5e, bench workload): 7.97 ms/iter vs 10.2 ms for the
-    two-matmul MVBS-only path — 2.51M pings/s/chip, bit-identical bins.
+    two-matmul MVBS-only path, bit-identical bins.  Superseded as the
+    production path by :func:`sv_mvbs_window_partials` (4.95 ms/iter).
 
     Precision note: the ping-axis reduction is cumsum+gather+diff in f32, so
     a quiet bin following loud pings inside the same block loses relative
@@ -393,8 +395,7 @@ def sharded_mvbs_step_closed(mesh: Mesh, n_x: int, n_r: int):
 
     fn(power, dr, tvg_shift, absorption, offset, valid_len, x_idx, r_edges)
     -> MVBS [C, n_x, n_r] channel-sharded.  Fastest survey path: one matmul
-    per shard, partial bin sums psum over the ping axis (2.51M pings/s/chip
-    measured single-chip).
+    per shard, partial bin sums psum over the ping axis.
     """
 
     def step(power, dr, tvg_shift, absorption, offset, valid_len, x_idx, r_edges):

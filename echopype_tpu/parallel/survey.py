@@ -221,9 +221,11 @@ def run_survey_mvbs_from_raw(
     The TPU-native fast path: per file, calibration parameters resolve on
     host (user dict > vendor tables > defaults, as in compute_Sv) and each
     ping-chunk runs the fused closed-counts kernel with the full-resolution
-    Sv never materialized (pipeline.sv_mvbs_core_mxu_closed; 2.51M
-    pings/s/chip measured). EK60/ES70, EK80/ES80/EA640 power mode, and AZFP
-    (affine echo_range via the r0 intercept).
+    Sv never materialized, int16 power scaled in-kernel, and the ping axis
+    reduced by a chunk-invariant banded matmul
+    (pipeline.sv_mvbs_window_partials; 4.08M pings/s/chip measured).
+    EK60/ES70, EK80/ES80/EA640 power mode, and AZFP (affine echo_range via
+    the r0 intercept).
 
     mesh : optional jax.sharding.Mesh with (ping, channel) axes — each chunk
         shards over the mesh and the closed-counts partials combine with one
