@@ -217,16 +217,40 @@ def _merge_epoch_outputs(pieces, cal_type) -> Dataset:
     return out
 
 
-def compute_Sv(echodata, **kwargs) -> Dataset:
+def compute_Sv(
+    echodata,
+    env_params=None,
+    cal_params=None,
+    ecs_file=None,
+    waveform_mode=None,
+    encode_mode=None,
+    **kwargs,
+) -> Dataset:
     """Compute volume backscattering strength Sv from raw data.
 
     Parameters mirror the reference (calibrate/api.py:249): ``env_params``,
     ``cal_params``, ``ecs_file``, and for EK80 ``waveform_mode`` {"CW","BB","FM"}
     and ``encode_mode`` {"complex","power"}.
     """
-    return _compute_cal("Sv", echodata, **kwargs)
+    return _compute_cal(
+        "Sv", echodata, env_params=env_params, cal_params=cal_params,
+        ecs_file=ecs_file, waveform_mode=waveform_mode, encode_mode=encode_mode,
+        **kwargs,
+    )
 
 
-def compute_TS(echodata, **kwargs) -> Dataset:
+def compute_TS(
+    echodata,
+    env_params=None,
+    cal_params=None,
+    ecs_file=None,
+    waveform_mode=None,
+    encode_mode=None,
+    **kwargs,
+) -> Dataset:
     """Compute target strength TS from raw data (calibrate/api.py:348)."""
-    return _compute_cal("TS", echodata, **kwargs)
+    return _compute_cal(
+        "TS", echodata, env_params=env_params, cal_params=cal_params,
+        ecs_file=ecs_file, waveform_mode=waveform_mode, encode_mode=encode_mode,
+        **kwargs,
+    )

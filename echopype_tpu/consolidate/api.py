@@ -37,7 +37,7 @@ def swap_dims_channel_frequency(ds: Dataset) -> Dataset:
     freqs = np.asarray(ds["frequency_nominal"].values)
     if np.unique(freqs).size != freqs.size:
         raise ValueError(
-            "Duplicated transducer nominal frequencies exist in the file. "
+            "This file carries duplicate transducer nominal frequencies; "
             "Operation is not valid."
         )
     out = ds.copy()
@@ -83,7 +83,7 @@ def add_depth(
         )
     if use_platform_angles and use_beam_angles:
         raise NotImplementedError(
-            "Computing depth with both platform and beam angles is not implemented yet."
+            "Depth from platform angles combined with beam angles is not supported yet."
         )
     if depth_offset is not None and use_platform_vertical_offsets:
         logger.warning(
@@ -99,7 +99,7 @@ def add_depth(
             use_platform_vertical_offsets or use_platform_angles or use_beam_angles
         ):
             raise NotImplementedError(
-                f"`use_platform/beam_...` not implemented yet for `{sonar_model}`."
+                f"The use_platform_*/use_beam_* options are not supported for {sonar_model} yet."
             )
 
     beam_group_name = None
@@ -180,7 +180,7 @@ def add_location(ds: Dataset, echodata, datagram_type=None, nmea_sentence=None) 
         lat_name = f"latitude_{datagram_type.lower()}"
         lon_name = f"longitude_{datagram_type.lower()}"
     elif echodata.sonar_model and not echodata.sonar_model.startswith("EK") and datagram_type:
-        raise ValueError("Sonar Model must be EK in order to specify datagram_type.")
+        raise ValueError("datagram_type requires an EK-family sonar model.")
     else:
         lat_name, lon_name = "latitude", "longitude"
 
@@ -238,14 +238,14 @@ def add_splitbeam_angle(
     if echodata.sonar_model not in ("EK60", "ES70", "EK80", "ES80", "EA640"):
         raise ValueError("add_splitbeam_angle is only supported for EK echosounders")
     if "ping_time" not in source_Sv.sizes or "range_sample" not in source_Sv.sizes:
-        raise NotImplementedError("Adding split-beam data to MVBS has not been implemented!")
+        raise NotImplementedError("Split-beam angles can only be added to full-resolution Sv, not MVBS.")
     if echodata.sonar_model in ("EK80", "ES80", "EA640"):
         waveform_mode, encode_mode = check_input_args_combination(
             waveform_mode, encode_mode, pulse_compression
         )
     ed_beam_group = retrieve_correct_beam_group(echodata, waveform_mode, encode_mode)
     if "channel" not in source_Sv.sizes:
-        raise ValueError("The input source_Sv Dataset must have a channel dimension!")
+        raise ValueError("source_Sv needs a channel dimension.")
 
     ds_beam = echodata[ed_beam_group].sel(channel=list(source_Sv.coords["channel"].values))
 
@@ -259,7 +259,7 @@ def add_splitbeam_angle(
         if p_name in source_Sv:
             angle_params[p_name] = source_Sv[p_name]
         else:
-            raise ValueError(f"source_Sv does not contain the necessary parameter {p_name}!")
+            raise ValueError(f"source_Sv is missing the required parameter {p_name}.")
 
     if waveform_mode == "CW":
         if encode_mode == "power":
