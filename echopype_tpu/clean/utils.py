@@ -70,41 +70,20 @@ def pool_Sv_nanmean(
 
     sv, depth: [C, P, R].  Output NaN where the window would extend outside
     the valid depth/ping domain (pool_Sv validity rules, utils.py:75-85).
+    Runs as one jit kernel on the device (ops/windows.py).
     """
-    C, P, R = sv.shape
-    out = np.full((C, P, R), np.nan)
-    lin = _log2lin(sv)
-    lin_f = np.nan_to_num(lin, nan=0.0)
-    cnt = (~np.isnan(sv)).astype("f8")
-    for c in range(C):
-        d = depth[c]
-        lo, hi = _window_bounds_by_depth(d, d, depth_bin)
-        # stage 1: within-ping depth-window sums via cumsum along range
-        cs = np.concatenate([np.zeros((P, 1)), np.cumsum(lin_f[c], axis=1)], axis=1)
-        cn = np.concatenate([np.zeros((P, 1)), np.cumsum(cnt[c], axis=1)], axis=1)
-        s1 = np.take_along_axis(cs, hi, axis=1) - np.take_along_axis(cs, lo, axis=1)
-        n1 = np.take_along_axis(cn, hi, axis=1) - np.take_along_axis(cn, lo, axis=1)
-        # stage 2: ping-window sums via cumsum along ping
-        ps = np.concatenate([np.zeros((1, R)), np.cumsum(s1, axis=0)], axis=0)
-        pn = np.concatenate([np.zeros((1, R)), np.cumsum(n1, axis=0)], axis=0)
-        p_idx = np.arange(P)
-        p_lo = np.maximum(p_idx - num_side_pings, 0)
-        p_hi = np.minimum(p_idx + num_side_pings, P - 1) + 1
-        sw = ps[p_hi] - ps[p_lo]
-        nw = pn[p_hi] - pn[p_lo]
-        with np.errstate(invalid="ignore", divide="ignore"):
-            pooled = _lin2log(np.where(nw > 0, sw / np.maximum(nw, 1), np.nan))
-        # validity conditions (pool_Sv): window fully inside depth & ping domain
-        d_min, d_max = np.nanmin(d), np.nanmax(d)
-        valid = (
-            (d - depth_bin >= d_min)
-            & (d + depth_bin <= d_max)
-            & (d - depth_bin >= exclude_above)
-            & (p_idx[:, None] - num_side_pings >= 0)
-            & (p_idx[:, None] + num_side_pings <= P)
-        )
-        out[c] = np.where(valid, pooled, np.nan)
-    return out
+    from ..ops.windows import pool_sv_nanmean_device
+
+    return np.asarray(
+        pool_sv_nanmean_device(
+            np.asarray(sv, dtype="f4"),
+            np.asarray(depth, dtype="f4"),
+            float(depth_bin),
+            int(num_side_pings),
+            float(exclude_above),
+        ),
+        dtype="f8",
+    )
 
 
 def pool_Sv_nanmedian(
@@ -154,24 +133,19 @@ def downsample_upsample_along_depth(sv: np.ndarray, depth: np.ndarray, depth_bin
     Returns (downsampled [C,P,B], upsampled [C,P,R], bin_idx [C,P,R]).
     Mirrors clean/utils.py:184-252: bins start at global depth min, left-closed.
     """
-    C, P, R = sv.shape
+    from ..ops.windows import downsample_upsample_depth_device
+
     d_min, d_max = np.nanmin(depth), np.nanmax(depth)
     edges = np.arange(d_min, d_max + depth_bin, depth_bin)
     n_b = max(len(edges) - 1, 1)
-    # left-closed binning on the bin-left edges (digitize on left edges)
+    # left-closed binning on the bin-left edges (digitize on left edges);
+    # nondecreasing along range, so the device kernel reduces scatter-free
     bin_idx = np.digitize(depth, edges) - 1
-    bin_idx = np.clip(bin_idx, 0, n_b - 1)
-    lin = np.nan_to_num(_log2lin(sv), nan=0.0)
-    cnt = (~np.isnan(sv)).astype("f8")
-    down = np.zeros((C, P, n_b))
-    down_cnt = np.zeros((C, P, n_b))
-    flat_idx = (np.arange(C * P)[:, None] * n_b + bin_idx.reshape(C * P, R)).ravel()
-    np.add.at(down.reshape(-1), flat_idx, lin.ravel())
-    np.add.at(down_cnt.reshape(-1), flat_idx, cnt.ravel())
-    with np.errstate(invalid="ignore", divide="ignore"):
-        down = _lin2log(np.where(down_cnt > 0, down / np.maximum(down_cnt, 1), np.nan))
-    up = np.take_along_axis(down, bin_idx, axis=2)
-    return down, up, bin_idx
+    bin_idx = np.clip(bin_idx, 0, n_b - 1).astype("i4")
+    down, up = downsample_upsample_depth_device(
+        np.asarray(sv, dtype="f4"), bin_idx, int(n_b)
+    )
+    return np.asarray(down, dtype="f8"), np.asarray(up, dtype="f8"), bin_idx
 
 
 def echopy_impulse_noise_mask(sv: np.ndarray, num_side_pings: int, threshold: float):

@@ -66,7 +66,9 @@ class TestTransient:
         depth = ds["depth"].values
         pooled = pool_Sv_nanmean(sv, depth, depth_bin=3.0, num_side_pings=4, exclude_above=0.0)
         expected = brute_force_pool(sv, depth, 3.0, 4, 0.0)
-        np.testing.assert_allclose(pooled, expected, atol=1e-8)
+        # the pooling runs on device in float32; the oracle is float64
+        np.testing.assert_allclose(pooled, expected, atol=1e-4)
+        np.testing.assert_array_equal(np.isnan(pooled), np.isnan(expected))
 
     def test_mask_detects_spike(self):
         ds = make_sv(n_ping=40, n_r=60)
