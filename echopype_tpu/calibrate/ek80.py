@@ -216,7 +216,41 @@ class CalibrateEK80(CalibrateEK):
         n_ch, n_ping = beam.sizes["channel"], beam.sizes["ping_time"]
         return self._to_cp(val, n_ch, n_ping)[:, :, None]
 
-    def _cal_complex_samples(self, cal_type: str) -> Dataset:
+    def _tau_effective_cp(self, tx, tx_time, n_ch, n_ping):
+        """tau_effective as a dense [C, P] array with the GPT override."""
+        beam, vend = self.beam, self.vend
+        try:
+            tau_eff_da = get_tau_effective(
+                ytx_dict=tx,
+                fs_deci_dict={k: 1 / np.diff(v[:2]) for k, v in tx_time.items()},
+                waveform_mode=self.waveform_mode,
+                channel=beam["channel"],
+                ping_time=beam.coords["ping_time"],
+            )
+            tau_eff = self._to_cp(tau_eff_da, n_ch, n_ping)
+        except Exception as e:  # noqa: BLE001 - fallback mirrors reference
+            logger.warning(
+                "Could not compute tau_effective from transmit signal; "
+                "falling back to transmit_duration_nominal. Error: %r",
+                e,
+            )
+            tau_eff = self._to_cp(beam["transmit_duration_nominal"], n_ch, n_ping)
+        # GPT channels use nominal duration
+        if "transceiver_type" in vend:
+            ttype = np.asarray(vend["transceiver_type"].values)
+            is_gpt = ttype == "GPT"
+            tdn = self._to_cp(beam["transmit_duration_nominal"], n_ch, n_ping)
+            tau_eff = np.where(is_gpt[:, None], tdn[:, :1], tau_eff)
+        return tau_eff
+
+    def _complex_sv_scalars(self):
+        """Host-resolved inputs for the fused complex-Sv device path.
+
+        Returns a dict with the transmit replicas plus dense [C, P] arrays:
+        everything of the complex Sv equation except the sample sweep itself
+        (Sv = 10log10(prx) + 20log10(r_tvg) + 2*alpha*r_tvg + offset, with
+        echo_range affine r = k*dr).  Shared with _cal_complex_samples.
+        """
         beam, vend = self.beam, self.vend
         n_ch, n_ping = beam.sizes["channel"], beam.sizes["ping_time"]
 
@@ -239,12 +273,45 @@ class CalibrateEK80(CalibrateEK):
         wavelength = c_cp / self._to_cp(self.freq_center, n_ch, n_ping)
         pt = self._to_cp(beam["transmit_power"], n_ch, n_ping)
         gain_cp = self._to_cp(gain, n_ch, n_ping)
-
-        # TVG-modified range
-        er = np.asarray(self.range_meter.values, dtype="f8")  # [C,P,R]
         shift = self._to_cp(
             tvg_shift_meters("EK80", beam, vend, sound_speed), n_ch, n_ping
         )
+        dr = self._to_cp(beam["sample_interval"], n_ch, n_ping) * c_cp / 2.0
+
+        tau_eff = self._tau_effective_cp(tx, tx_time, n_ch, n_ping)
+        psifc = self._to_cp(self.cal_params["equivalent_beam_angle"], n_ch, n_ping)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            offset = -(
+                10 * np.log10(wavelength**2 * pt * c_cp / (32 * np.pi**2))
+                + 2 * gain_cp
+                + 10 * np.log10(tau_eff)
+                + psifc
+            )
+            if self.waveform_mode == "CW":
+                sa = self._to_cp(self.cal_params["sa_correction"], n_ch, n_ping)
+                offset = offset - 2 * sa
+        return {
+            "tx": tx,
+            "tx_time": tx_time,
+            "z_er": z_er,
+            "z_et": z_et,
+            "dr": dr,
+            "shift": shift,
+            "alpha": alpha_cp,
+            "offset": offset,
+            "tau_eff": tau_eff,
+        }
+
+    def _cal_complex_samples(self, cal_type: str) -> Dataset:
+        beam, vend = self.beam, self.vend
+        n_ch, n_ping = beam.sizes["channel"], beam.sizes["ping_time"]
+
+        scal = self._complex_sv_scalars()
+        tx, z_er, z_et = scal["tx"], scal["z_er"], scal["z_et"]
+        alpha_cp, shift, tau_eff = scal["alpha"], scal["shift"], scal["tau_eff"]
+
+        # TVG-modified range
+        er = np.asarray(self.range_meter.values, dtype="f8")  # [C,P,R]
         import warnings
 
         with warnings.catch_warnings():
@@ -258,44 +325,22 @@ class CalibrateEK80(CalibrateEK):
             prx = np.where(prx > 0, prx, np.nan)
 
             if cal_type == "Sv":
-                try:
-                    tau_eff_da = get_tau_effective(
-                        ytx_dict=tx,
-                        fs_deci_dict={k: 1 / np.diff(v[:2]) for k, v in tx_time.items()},
-                        waveform_mode=self.waveform_mode,
-                        channel=beam["channel"],
-                        ping_time=beam.coords["ping_time"],
-                    )
-                    tau_eff = self._to_cp(tau_eff_da, n_ch, n_ping)
-                except Exception as e:  # noqa: BLE001 - fallback mirrors reference
-                    logger.warning(
-                        "Could not compute tau_effective from transmit signal; "
-                        "falling back to transmit_duration_nominal. Error: %r",
-                        e,
-                    )
-                    tau_eff = self._to_cp(beam["transmit_duration_nominal"], n_ch, n_ping)
-                # GPT channels use nominal duration
-                if "transceiver_type" in vend:
-                    ttype = np.asarray(vend["transceiver_type"].values)
-                    is_gpt = ttype == "GPT"
-                    tdn = self._to_cp(beam["transmit_duration_nominal"], n_ch, n_ping)
-                    tau_eff = np.where(is_gpt[:, None], tdn[:, :1], tau_eff)
-
-                psifc = self._to_cp(self.cal_params["equivalent_beam_angle"], n_ch, n_ping)
                 out_vals = (
                     10 * np.log10(prx)
                     + spreading_loss
                     + absorption_loss
-                    - (10 * np.log10(wavelength**2 * pt * c_cp / (32 * np.pi**2)))[:, :, None]
-                    - (2 * gain_cp)[:, :, None]
-                    - (10 * np.log10(tau_eff))[:, :, None]
-                    - psifc[:, :, None]
+                    + scal["offset"][:, :, None]
                 )
-                if self.waveform_mode == "CW":
-                    sa = self._to_cp(self.cal_params["sa_correction"], n_ch, n_ping)
-                    out_vals = out_vals - (2 * sa)[:, :, None]
                 name = "Sv"
             else:
+                sound_speed = self.env_params["sound_speed"]
+                c_cp = self._to_cp(sound_speed, n_ch, n_ping)
+                wavelength = c_cp / self._to_cp(self.freq_center, n_ch, n_ping)
+                pt = self._to_cp(beam["transmit_power"], n_ch, n_ping)
+                gain = self.cal_params["gain_correction"]
+                if self.waveform_mode == "BB":
+                    gain = gain - self._get_B_theta_phi_m()
+                gain_cp = self._to_cp(gain, n_ch, n_ping)
                 out_vals = (
                     10 * np.log10(prx)
                     + 2 * spreading_loss

@@ -15,8 +15,11 @@ import numpy as np
 
 from ..ops import binning
 from ..utils.compute import _lin2log
+from ..utils.log import _init_logger
 from ..utils.profiling import StageTimer
 from ..xrlite import DataArray, Dataset
+
+logger = _init_logger(__name__)
 
 __all__ = ["run_survey_mvbs", "run_survey_mvbs_from_raw"]
 
@@ -215,6 +218,7 @@ def run_survey_mvbs_from_raw(
     mesh=None,
     waveform_mode=None,
     encode_mode=None,
+    device_fused: bool = False,
 ):
     """Stream RAW instrument files straight into survey-global MVBS bins.
 
@@ -234,6 +238,12 @@ def run_survey_mvbs_from_raw(
         complex/broadband channels — pulse compression then runs on device
         inside the chunk loop and the chunked Sv feeds the same window
         binning (reference behavior contract: ek80_complex.py:316-369).
+    device_fused : complex channels only — run pulse compression, received
+        power, Sv, and binning as ONE device program per chunk
+        (ops/bb_pipeline.py): complex samples go up once as split f32 and
+        only bin partials come back.  Float32 end to end (~1e-3 dB of the
+        float64 chunked path) and single-filter-epoch files only (falls
+        back with a warning otherwise).
 
     Returns an MVBS Dataset on the global (ping_time-bin, range-bin) grid.
     """
@@ -251,7 +261,7 @@ def run_survey_mvbs_from_raw(
         return _run_survey_mvbs_complex(
             raw_files, sonar_model, waveform_mode, encode_mode, range_bin_m,
             ping_time_bin, chunk_pings, env_params, cal_params, use_swap,
-            xml_path, timer, mesh,
+            xml_path, timer, mesh, device_fused,
         )
 
     if sonar_model in ("EK60", "ES70"):
@@ -437,7 +447,7 @@ def run_survey_mvbs_from_raw(
 def _run_survey_mvbs_complex(
     raw_files, sonar_model, waveform_mode, encode_mode, range_bin_m,
     ping_time_bin, chunk_pings, env_params, cal_params, use_swap, xml_path,
-    timer, mesh,
+    timer, mesh, device_fused=False,
 ):
     """EK80 complex/broadband raw->MVBS streaming.
 
@@ -512,6 +522,17 @@ def _run_survey_mvbs_complex(
             hi = min(lo + chunk_pings, len(x))
             window = max(window, int(x[hi - 1] - x[lo]) + 1)
 
+    if device_fused and mesh is None:
+        return _run_complex_fused(
+            eds, beam_paths, x_ids, chans, ping_edges, range_edges, window,
+            chunk_pings, sv_kw, timer,
+        )
+    if device_fused:
+        logger.warning(
+            "device_fused complex streaming has no mesh path yet; "
+            "using the chunked compute_Sv path"
+        )
+
     if mesh is not None:
         from .pipeline import sharded_binned_partials
 
@@ -547,6 +568,129 @@ def _run_survey_mvbs_complex(
                     x_rel = np.pad(x_rel, (0, pad), constant_values=window)
                 s, c, _ = step(sv_chunk, er_chunk, r_edges_f4, x_rel.astype("i4"))
             acc.push(s, c, x_base)
+    sums, counts = acc.finish()
+
+    with timer.stage("finalize"):
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mvbs = np.where(counts > 0, _lin2log(sums / np.maximum(counts, 1)), np.nan)
+        out = Dataset(
+            coords={
+                "channel": np.asarray(chans, dtype=object),
+                "ping_time": ping_edges[:-1],
+                "echo_range": range_edges[:-1],
+            }
+        )
+        out["Sv"] = (("channel", "ping_time", "echo_range"), mvbs)
+        out.attrs["stage_timing"] = str(timer.report(log=False))
+    return out
+
+
+def _run_complex_fused(
+    eds, beam_paths, x_ids, chans, ping_edges, range_edges, window,
+    chunk_pings, sv_kw, timer,
+):
+    """Fused complex-channel streaming: one device program per (channel,
+    chunk) does pulse compression, received power, Sv, and window binning
+    (ops/bb_pipeline.bb_chunk_window_partials).  Float32 end to end.
+    """
+    from ..calibrate.ek80 import CalibrateEK80
+    from ..calibrate.ek80_complex import get_norm_fac
+    from ..ops.bb_pipeline import bb_chunk_window_partials
+
+    n_x, n_r = len(ping_edges) - 1, len(range_edges) - 1
+    r_edges_f4 = range_edges.astype("f4")
+    acc = _PartialAccumulator(len(chans), n_x, n_r, window, timer)
+    waveform_mode = sv_kw["waveform_mode"]
+    do_pc = waveform_mode in ("BB", "FM")
+
+    for ed, bp, x_idx_all in zip(eds, beam_paths, x_ids):
+        vend = ed["Vendor_specific"]
+        if "filter_time" in vend.sizes and vend.sizes["filter_time"] > 1:
+            raise NotImplementedError(
+                "device_fused streaming assumes a single filter epoch per "
+                "file; calibrate multi-epoch files via the chunked path "
+                "(device_fused=False)"
+            )
+        with timer.stage("param_resolution"):
+            cal = CalibrateEK80(
+                ed, sv_kw["env_params"], sv_kw["cal_params"],
+                waveform_mode=waveform_mode, encode_mode=sv_kw["encode_mode"],
+            )
+            scal = cal._complex_sv_scalars()
+            beam = cal.beam
+            n_ch = beam.sizes["channel"]
+            n_ping = beam.sizes["ping_time"]
+            n_beam = beam.sizes.get("beam", 1)
+            # per-ping impedance coefficient of prx (calibrate_ek.py:456-505)
+            z_er = cal._to_cp(scal["z_er"], n_ch, n_ping)
+            z_et = cal._to_cp(scal["z_et"], n_ch, n_ping)
+            z_coef = (
+                n_beam / 8.0 * (np.abs(z_er + z_et) / z_er) ** 2 / z_et
+            ).astype("f4")
+            norm = get_norm_fac(scal["tx"])
+            ch_ids = [str(c) for c in beam.coords["channel"].values]
+            inv_norm = {
+                c: np.float32(1.0 / float(norm.sel(channel=c).values)) for c in ch_ids
+            }
+            reps = {
+                c: np.flipud(np.conj(np.asarray(scal["tx"][c]))) for c in ch_ids
+            }
+            bs_r_all = np.asarray(beam["backscatter_r"].values, dtype="f4")
+            bs_i_all = np.asarray(beam["backscatter_i"].values, dtype="f4")
+            if bs_r_all.ndim == 3:  # no beam dim -> single sector
+                bs_r_all = bs_r_all[..., None]
+                bs_i_all = bs_i_all[..., None]
+            valid_len = (~np.isnan(bs_r_all[..., 0])).sum(axis=2).astype("i4")
+            dr = scal["dr"].astype("f4")
+            shift = scal["shift"].astype("f4")
+            alpha = scal["alpha"].astype("f4")
+            offset = scal["offset"].astype("f4")
+            # first sample with r_tvg > 0, decided in float64 (matches the
+            # float64 chunked path at the knife-edge sample)
+            k0 = np.maximum(
+                np.floor(scal["shift"] / np.maximum(scal["dr"], 1e-30)) + 1, 0
+            ).astype("i4")
+
+        for lo in range(0, n_ping, chunk_pings):
+            hi = min(lo + chunk_pings, n_ping)
+            pad = chunk_pings - (hi - lo)
+            sl = slice(lo, hi)
+            x_base = int(x_idx_all[lo])
+            x_rel = x_idx_all[sl] - x_base
+            if pad:
+                x_rel = np.pad(x_rel, (0, pad), constant_values=window)
+
+            def _p1(a, fill=0.0):
+                a = a[:, sl]
+                return np.pad(a, ((0, 0), (0, pad)), constant_values=fill) if pad else a
+
+            with timer.stage("device_fused"):
+                parts_s, parts_c = [], []
+                for ci, cid in enumerate(ch_ids):
+                    br = bs_r_all[ci, sl]
+                    bi = bs_i_all[ci, sl]
+                    if pad:
+                        br = np.pad(br, ((0, pad), (0, 0), (0, 0)),
+                                    constant_values=np.nan)
+                        bi = np.pad(bi, ((0, pad), (0, 0), (0, 0)),
+                                    constant_values=np.nan)
+                    rep = reps[cid]
+                    s, c = bb_chunk_window_partials(
+                        br, bi,
+                        np.ascontiguousarray(rep.real, dtype="f4"),
+                        np.ascontiguousarray(rep.imag, dtype="f4"),
+                        inv_norm[cid] if do_pc else np.float32(1.0),
+                        _p1(z_coef, 1.0)[ci],
+                        _p1(dr, 1.0)[ci], _p1(shift)[ci], _p1(alpha)[ci],
+                        _p1(offset)[ci],
+                        _p1(k0.astype("f4"))[ci].astype("i4"),
+                        _p1(valid_len.astype("f4"))[ci].astype("i4"),
+                        x_rel.astype("i4"), r_edges_f4, window, do_pc,
+                    )
+                    parts_s.append(s)
+                    parts_c.append(c)
+            acc.push(np.stack([np.asarray(p) for p in parts_s]),
+                     np.stack([np.asarray(p) for p in parts_c]), x_base)
     sums, counts = acc.finish()
 
     with timer.stage("finalize"):

@@ -384,3 +384,52 @@ class TestComplexStreamer:
             np.asarray(sharded["Sv"].values), np.asarray(single["Sv"].values),
             rtol=0, atol=1e-4, equal_nan=True,
         )
+
+
+class TestFusedComplexStreamer:
+    def test_fused_matches_chunked(self, tmp_path):
+        """The fully fused device BB path matches the chunked compute_Sv path
+        (float32 end-to-end vs float64 host math: ~1e-3 dB)."""
+        from echopype_tpu.parallel import run_survey_mvbs_from_raw
+        from synth_ek80 import write_ek80_raw
+
+        t0 = np.datetime64("2021-02-01T00:00:00", "ns")
+        files = []
+        for i in range(2):
+            raw = tmp_path / f"FU{i}-D20210201-T000000.raw"
+            write_ek80_raw(raw, n_pings=10, n_samples=96, seed=i,
+                           t0=t0 + np.timedelta64(12 * i, "s"),
+                           with_power_channel=False, with_cw_complex=False)
+            files.append(raw)
+        kw = dict(sonar_model="EK80", waveform_mode="BB", encode_mode="complex",
+                  range_bin_m=5.0, ping_time_bin="5s", chunk_pings=4)
+        chunked = run_survey_mvbs_from_raw(files, **kw)
+        fused = run_survey_mvbs_from_raw(files, device_fused=True, **kw)
+        a = np.asarray(chunked["Sv"].values)
+        b = np.asarray(fused["Sv"].values)
+        assert a.shape == b.shape
+        np.testing.assert_array_equal(np.isnan(a), np.isnan(b))
+        # the last range bin can differ by one knife-edge sample: the ping's
+        # final PC output is exactly zero (Hann first tap) — the fused conv
+        # excludes it like the reference's time-domain convolve, while the
+        # chunked FFT path turns it into ~1e-38 and counts a -370 dB sample
+        np.testing.assert_allclose(b[:, :, :-1], a[:, :, :-1], rtol=0, atol=5e-3,
+                                   equal_nan=True)
+        np.testing.assert_allclose(b[:, :, -1], a[:, :, -1], rtol=0, atol=0.2,
+                                   equal_nan=True)
+
+    def test_fused_cw_complex(self, tmp_path):
+        from echopype_tpu.parallel import run_survey_mvbs_from_raw
+        from synth_ek80 import write_ek80_raw
+
+        raw = tmp_path / "FCW-D20210201-T000000.raw"
+        write_ek80_raw(raw, n_pings=10, n_samples=64,
+                       with_power_channel=False, with_cw_complex=True)
+        kw = dict(sonar_model="EK80", waveform_mode="CW", encode_mode="complex",
+                  range_bin_m=5.0, ping_time_bin="5s", chunk_pings=4)
+        chunked = run_survey_mvbs_from_raw([raw], **kw)
+        fused = run_survey_mvbs_from_raw([raw], device_fused=True, **kw)
+        np.testing.assert_allclose(
+            np.asarray(fused["Sv"].values), np.asarray(chunked["Sv"].values),
+            rtol=0, atol=5e-3, equal_nan=True,
+        )
