@@ -49,9 +49,12 @@ class _PartialAccumulator:
     def _drain(self, item):
         s, c, x_base = item
         with self.timer.stage("accumulate"):
+            # s/c may be device arrays or lists of per-channel device arrays
+            s = np.asarray([np.asarray(p, dtype="f8") for p in s]) if isinstance(s, list) else np.asarray(s, dtype="f8")
+            c = np.asarray([np.asarray(p, dtype="f8") for p in c]) if isinstance(c, list) else np.asarray(c, dtype="f8")
             w_eff = min(self.window, self.n_x - x_base)
-            self.sums[:, x_base : x_base + w_eff] += np.asarray(s, dtype="f8")[:, :w_eff]
-            self.counts[:, x_base : x_base + w_eff] += np.asarray(c, dtype="f8")[:, :w_eff]
+            self.sums[:, x_base : x_base + w_eff] += s[:, :w_eff]
+            self.counts[:, x_base : x_base + w_eff] += c[:, :w_eff]
 
     def finish(self):
         if self._pending is not None:
@@ -495,6 +498,20 @@ def _run_survey_mvbs_complex(
     )
     n_x = len(ping_edges) - 1
 
+    if device_fused and mesh is None:
+        # the fused path resolves calibrators per file anyway — the range
+        # grid comes from their dr scalars, skipping the one-ping compute_Sv
+        # probe (which costs a full unfused-path compile)
+        return _run_complex_fused(
+            eds, beam_paths, chans, ping_edges, range_bin_m, ping_times,
+            chunk_pings, sv_kw, timer,
+        )
+    if device_fused:
+        logger.warning(
+            "device_fused complex streaming has no mesh path yet; "
+            "using the chunked compute_Sv path"
+        )
+
     # global range extent: calibrate one probe ping per file, scale its
     # echo_range by the worst-case sample_interval ratio across the file
     r_max = 0.0
@@ -521,17 +538,6 @@ def _run_survey_mvbs_complex(
         for lo in range(0, len(x), chunk_pings):
             hi = min(lo + chunk_pings, len(x))
             window = max(window, int(x[hi - 1] - x[lo]) + 1)
-
-    if device_fused and mesh is None:
-        return _run_complex_fused(
-            eds, beam_paths, x_ids, chans, ping_edges, range_edges, window,
-            chunk_pings, sv_kw, timer,
-        )
-    if device_fused:
-        logger.warning(
-            "device_fused complex streaming has no mesh path yet; "
-            "using the chunked compute_Sv path"
-        )
 
     if mesh is not None:
         from .pipeline import sharded_binned_partials
@@ -586,7 +592,7 @@ def _run_survey_mvbs_complex(
 
 
 def _run_complex_fused(
-    eds, beam_paths, x_ids, chans, ping_edges, range_edges, window,
+    eds, beam_paths, chans, ping_edges, range_bin_m, ping_times,
     chunk_pings, sv_kw, timer,
 ):
     """Fused complex-channel streaming: one device program per (channel,
@@ -597,26 +603,51 @@ def _run_complex_fused(
     from ..calibrate.ek80_complex import get_norm_fac
     from ..ops.bb_pipeline import bb_chunk_window_partials
 
-    n_x, n_r = len(ping_edges) - 1, len(range_edges) - 1
-    r_edges_f4 = range_edges.astype("f4")
-    acc = _PartialAccumulator(len(chans), n_x, n_r, window, timer)
     waveform_mode = sv_kw["waveform_mode"]
     do_pc = waveform_mode in ("BB", "FM")
+    n_x = len(ping_edges) - 1
 
-    for ed, bp, x_idx_all in zip(eds, beam_paths, x_ids):
-        vend = ed["Vendor_specific"]
-        if "filter_time" in vend.sizes and vend.sizes["filter_time"] > 1:
-            raise NotImplementedError(
-                "device_fused streaming assumes a single filter epoch per "
-                "file; calibrate multi-epoch files via the chunked path "
-                "(device_fused=False)"
-            )
-        with timer.stage("param_resolution"):
+    # resolve calibration once per file; the range grid comes straight from
+    # the dr scalars (echo_range is affine r = k*dr for complex EK80 data)
+    cals, scals, r_max = [], [], 0.0
+    with timer.stage("param_resolution"):
+        for ed, bp in zip(eds, beam_paths):
+            vend = ed["Vendor_specific"]
+            if "filter_time" in vend.sizes and vend.sizes["filter_time"] > 1:
+                raise NotImplementedError(
+                    "device_fused streaming assumes a single filter epoch per "
+                    "file; calibrate multi-epoch files via the chunked path "
+                    "(device_fused=False)"
+                )
             cal = CalibrateEK80(
                 ed, sv_kw["env_params"], sv_kw["cal_params"],
                 waveform_mode=waveform_mode, encode_mode=sv_kw["encode_mode"],
             )
             scal = cal._complex_sv_scalars()
+            cals.append(cal)
+            scals.append(scal)
+            R = cal.beam.sizes["range_sample"]
+            r_max = max(r_max, float(np.nanmax(scal["dr"])) * R)
+    range_edges = np.arange(0, r_max + range_bin_m, range_bin_m)
+    n_r = len(range_edges) - 1
+    r_edges_f4 = range_edges.astype("f4")
+
+    ping_edges_i8 = ping_edges.astype("datetime64[ns]").astype("i8")
+    x_ids = []
+    window = 1
+    for pt in ping_times:
+        x = np.clip(
+            np.searchsorted(ping_edges_i8, pt.astype("i8"), side="right") - 1, 0, n_x - 1
+        ).astype("i4")
+        x_ids.append(x)
+        for lo in range(0, len(x), chunk_pings):
+            hi = min(lo + chunk_pings, len(x))
+            window = max(window, int(x[hi - 1] - x[lo]) + 1)
+
+    acc = _PartialAccumulator(len(chans), n_x, n_r, window, timer)
+
+    for cal, scal, x_idx_all in zip(cals, scals, x_ids):
+        with timer.stage("param_resolution"):
             beam = cal.beam
             n_ch = beam.sizes["channel"]
             n_ping = beam.sizes["ping_time"]
@@ -689,8 +720,9 @@ def _run_complex_fused(
                     )
                     parts_s.append(s)
                     parts_c.append(c)
-            acc.push(np.stack([np.asarray(p) for p in parts_s]),
-                     np.stack([np.asarray(p) for p in parts_c]), x_base)
+            # push device arrays; the accumulator reads them back one chunk
+            # later so the device keeps computing while the host drains
+            acc.push(parts_s, parts_c, x_base)
     sums, counts = acc.finish()
 
     with timer.stage("finalize"):
