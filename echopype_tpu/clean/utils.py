@@ -37,28 +37,6 @@ def extract_dB(db_str: str) -> float:
     return float(m.group(1))
 
 
-def _window_bounds_by_depth(depth: np.ndarray, centers: np.ndarray, half_width: float):
-    """Per-ping index bands [lo, hi) where depth in [center-h, center+h].
-
-    depth: [P, R] monotone along R; centers: [P, R].
-    """
-    P, R = depth.shape
-    lo = np.empty((P, R), dtype="i8")
-    hi = np.empty((P, R), dtype="i8")
-    for p in range(P):
-        d = depth[p]
-        good = ~np.isnan(d)
-        dg = d[good]
-        lo_g = np.searchsorted(dg, centers[p] - half_width, side="left")
-        hi_g = np.searchsorted(dg, centers[p] + half_width, side="right")
-        # map back into full index space
-        idx = np.nonzero(good)[0]
-        lo[p] = idx[np.clip(lo_g, 0, len(idx) - 1)] if len(idx) else 0
-        hi[p] = (idx[np.clip(hi_g - 1, 0, len(idx) - 1)] + 1) if len(idx) else 0
-        hi[p] = np.where(hi_g <= lo_g, lo[p], hi[p])
-    return lo, hi
-
-
 def pool_Sv_nanmean(
     sv: np.ndarray,
     depth: np.ndarray,

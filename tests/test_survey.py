@@ -433,3 +433,20 @@ class TestFusedComplexStreamer:
             np.asarray(fused["Sv"].values), np.asarray(chunked["Sv"].values),
             rtol=0, atol=5e-3, equal_nan=True,
         )
+
+
+def test_fused_rejects_multi_epoch(tmp_path):
+    """device_fused assumes one filter epoch per file; multi-epoch files get
+    a clear NotImplementedError pointing at the chunked path."""
+    import pytest as _pytest
+
+    from echopype_tpu.parallel import run_survey_mvbs_from_raw
+    from test_ek80_epochs import write_two_epoch_ek80
+
+    raw = tmp_path / "ME-D20210201-T000000.raw"
+    write_two_epoch_ek80(raw)
+    with _pytest.raises(NotImplementedError, match="filter epoch"):
+        run_survey_mvbs_from_raw(
+            [raw], sonar_model="EK80", waveform_mode="CW", encode_mode="complex",
+            device_fused=True, chunk_pings=4,
+        )
