@@ -13,7 +13,7 @@ import numpy as np
 from ..ops import binning
 from ..utils.compute import _lin2log, _log2lin
 from ..utils.prov import add_processing_level, echopype_prov_attrs, insert_input_processing_level
-from ..xrlite import DataArray, Dataset
+from ..xrlite import Dataset
 from .utils import (
     _parse_x_bin,
     _setup_and_validate,

@@ -17,7 +17,7 @@ from ..ops import binning
 from ..utils.compute import _lin2log
 from ..utils.log import _init_logger
 from ..utils.profiling import StageTimer
-from ..xrlite import DataArray, Dataset
+from ..xrlite import Dataset
 
 logger = _init_logger(__name__)
 
@@ -258,7 +258,6 @@ def run_survey_mvbs_from_raw(
     from ..calibrate.ek80 import CalibrateEK80
     from ..commongrid.utils import ping_time_bin_edges
     from ..convert.api import open_raw
-    from .pipeline import sv_mvbs_core_mxu_closed
 
     if encode_mode == "complex" or waveform_mode in ("BB", "FM"):
         return _run_survey_mvbs_complex(
