@@ -170,8 +170,14 @@ def _spill_to_swap(ed, min_bytes: int = 16_384):
     ed.swap_dir = swap_dir
 
 
-def to_file(echodata: EchoData, engine: str, save_path=None, compress=True, overwrite=False, **kw):
+def to_file(
+    echodata: EchoData, engine: str, save_path=None, compress=True,
+    overwrite=False, parallel: bool = False, **kw,
+):
     """Serialize an EchoData object as zarr or netCDF4 (reference convert/api.py:26)."""
+    if parallel:
+        # same gate as the reference (convert/api.py:60-61)
+        raise NotImplementedError("parallel save is not yet implemented")
     if engine not in ("zarr", "netcdf4"):
         raise ValueError(f"Unsupported engine {engine!r}; use 'zarr' or 'netcdf4'")
     from ..utils.io import validate_output_path
