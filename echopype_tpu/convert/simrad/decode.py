@@ -305,9 +305,14 @@ def decode_raw3_samples(index: DatagramIndex, rows: np.ndarray, hdr: np.ndarray)
     if n_complex > 0:
         if not bool((dt & 0b1000).any()):
             raise NotImplementedError("float16 complex samples are not supported")
+        from ... import native
+
         n_f32 = np.where(dt >> 8 > 0, counts * n_complex * 2, 0)
-        vals, valid = _gather_f32(u8, pos, n_f32, max_count * n_complex * 2)
-        vals = np.where(valid, vals, np.nan)
+        max_vals = max_count * n_complex * 2
+        vals = native.gather_f32_nan(u8, pos, n_f32, max_vals)
+        if vals is None:
+            vals, valid = _gather_f32(u8, pos, n_f32, max_vals)
+            vals = np.where(valid, vals, np.nan)
         vals = vals.reshape(len(rows), max_count, n_complex, 2)
         # reference upcasts complex parts to f64 with imag-of-padding NaN
         out["complex_r"] = vals[..., 0].astype("f8")

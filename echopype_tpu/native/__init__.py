@@ -105,8 +105,38 @@ def load_native():
         ctypes.c_int64,
         ctypes.POINTER(ctypes.c_float),
     ]
+    if hasattr(lib, "ep_gather_f32_nan"):
+        lib.ep_gather_f32_nan.restype = None
+        lib.ep_gather_f32_nan.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+        ]
     _lib = lib
     return _lib
+
+
+def gather_f32_nan(buf, starts, counts, max_vals: int):
+    """Fused native f32 gather, NaN-padded -> f4 [n, max_vals]; None if no lib."""
+    lib = load_native()
+    if lib is None or not hasattr(lib, "ep_gather_f32_nan"):
+        return None
+    u8 = np.frombuffer(buf, dtype="u1") if not isinstance(buf, np.ndarray) else buf
+    starts = np.ascontiguousarray(starts, dtype="i8")
+    counts = np.ascontiguousarray(counts, dtype="i8")
+    out = np.empty((len(starts), max_vals), dtype="f4")
+    lib.ep_gather_f32_nan(
+        u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(starts),
+        max_vals,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out
 
 
 def gather_i16_scaled(buf, starts, counts, max_count: int, scale: float):

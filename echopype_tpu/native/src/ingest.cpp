@@ -168,6 +168,22 @@ void ep_gather_angle_f32(const uint8_t* buf, const int64_t* starts,
     }
 }
 
+// Fused float32 gather: out[i,k] = f32(buf+starts[i])[k] for k < counts[i],
+// NaN beyond — the complex-sample (RAW3/RAW4) payload decode in one pass.
+void ep_gather_f32_nan(const uint8_t* buf, const int64_t* starts,
+                       const int64_t* counts, int64_t n_rows,
+                       int64_t max_count, float* out) {
+    const float NAN_F = __builtin_nanf("");
+    for (int64_t i = 0; i < n_rows; ++i) {
+        int64_t c = counts[i];
+        if (c < 0) c = 0;
+        if (c > max_count) c = max_count;
+        float* row = out + i * max_count;
+        if (c > 0) std::memcpy(row, buf + starts[i], (size_t)(c * 4));
+        for (int64_t k = c; k < max_count; ++k) row[k] = NAN_F;
+    }
+}
+
 void ep_gather_i16(const uint8_t* buf, const int64_t* starts,
                    const int64_t* counts, int64_t n_rows, int64_t max_count,
                    int16_t* vals, uint8_t* valid) {
