@@ -72,3 +72,61 @@ class TestNativeGather:
         v_np = (lo | (hi << np.uint16(8))).astype("u2").view("i2").reshape(lo.shape)
         np.testing.assert_array_equal(ok_nat, valid)
         np.testing.assert_array_equal(np.where(valid, v_nat, 0), np.where(valid, v_np, 0))
+
+
+class TestFusedGathers:
+    """The round-2 fused C++ gathers vs straightforward numpy, incl. edges."""
+
+    def _buf(self, rng, n_bytes=4096):
+        return rng.integers(0, 256, n_bytes, dtype=np.uint8).tobytes()
+
+    def test_gather_i16_scaled(self):
+        from echopype_tpu import native
+
+        rng = np.random.default_rng(0)
+        buf = self._buf(rng)
+        starts = np.array([0, 100, 801, 3000], dtype="i8")  # incl. odd offset
+        counts = np.array([50, 0, 37, 12], dtype="i8")
+        scale = 0.0117
+        out = native.gather_i16_scaled(buf, starts, counts, 50, scale)
+        if out is None:
+            pytest.skip("native library unavailable")
+        u8 = np.frombuffer(buf, dtype="u1")
+        for i, (s, c) in enumerate(zip(starts, counts)):
+            want = np.frombuffer(bytes(u8[s : s + 2 * c]), dtype="<i2").astype("f4") * np.float32(scale)
+            np.testing.assert_array_equal(out[i, :c], want)
+            assert np.isnan(out[i, c:]).all()
+
+    def test_gather_angle(self):
+        from echopype_tpu import native
+
+        rng = np.random.default_rng(1)
+        buf = self._buf(rng)
+        starts = np.array([5, 201], dtype="i8")
+        counts = np.array([30, 8], dtype="i8")
+        out = native.gather_angle(buf, starts, counts, 30)
+        if out is None:
+            pytest.skip("native library unavailable")
+        u8 = np.frombuffer(buf, dtype="u1")
+        for i, (s, c) in enumerate(zip(starts, counts)):
+            pairs = u8[s : s + 2 * c].view("i1").reshape(-1, 2).astype("f4")
+            np.testing.assert_array_equal(out[i, :c], pairs)
+            assert np.isnan(out[i, c:]).all()
+
+    def test_gather_f32_nan(self):
+        from echopype_tpu import native
+
+        rng = np.random.default_rng(2)
+        vals = rng.normal(size=256).astype("<f4")
+        buf = vals.tobytes()
+        starts = np.array([0, 64, 1023], dtype="i8")  # incl. unaligned offset
+        counts = np.array([16, 200, 1], dtype="i8")
+        buf = buf + b"\x00" * 16  # room for the unaligned read
+        out = native.gather_f32_nan(buf, starts, counts, 200)
+        if out is None:
+            pytest.skip("native library unavailable")
+        u8 = np.frombuffer(buf, dtype="u1")
+        for i, (s, c) in enumerate(zip(starts, counts)):
+            want = np.frombuffer(bytes(u8[s : s + 4 * c]), dtype="<f4")
+            np.testing.assert_array_equal(out[i, :c], want)
+            assert np.isnan(out[i, c:]).all()
