@@ -64,7 +64,7 @@ def numpy_pipeline(power, dr, tvg, ab, off, x_idx, r_edges, n_x, n_r):
 def main():
     import jax
 
-    from echopype_tpu.parallel.pipeline import sv_mvbs_window_partials
+    from echopype_tpu.parallel.pipeline import sv_mvbs_window_partials_uniform
     import jax.numpy as jnp
 
     dev = jax.devices()[0]
@@ -88,12 +88,12 @@ def main():
     valid_len = np.full((C, Pn), R, dtype="i4")
 
     def one_step(power, dr, tvg, ab, off, vl, x_idx, r_edges, salt):
-        # MVBS-survey path: Sv never materialized, closed-form counts, and
-        # the ping axis reduced by a banded MXU matmul (chunk-invariant) --
-        # parallel/pipeline.sv_mvbs_window_partials, the kernel behind
-        # run_survey_mvbs_from_raw (1.75x the prefix-diff variant on chip);
-        # the salt rides the dB offset since power is integer
-        sums, counts = sv_mvbs_window_partials(
+        # MVBS-survey path: Sv never materialized, closed-form counts, the
+        # ping axis reduced by a banded MXU matmul (chunk-invariant), and the
+        # spreading log hoisted to one row per channel -- the kernel the
+        # survey streamer selects for uniform-dr files; the salt rides the dB
+        # offset since power is integer
+        sums, counts = sv_mvbs_window_partials_uniform(
             power, dr, tvg, ab, off + salt, vl, x_idx, r_edges, n_x, n_r
         )
         mean = sums / jnp.where(counts > 0, counts, 1.0)

@@ -3,6 +3,7 @@ from .pipeline import (
     sharded_binned_partials,
     sharded_mvbs_partials_closed,
     sv_mvbs_window_partials,
+    sv_mvbs_window_partials_uniform,
     sharded_mvbs_step_closed,
     sharded_sv_mvbs_step,
     survey_pipeline_step,
@@ -20,6 +21,7 @@ __all__ = [
     "sharded_binned_partials",
     "sv_mvbs_core_mxu_closed",
     "sv_mvbs_window_partials",
+    "sv_mvbs_window_partials_uniform",
     "survey_pipeline_step",
     "sv_mvbs_core",
     "sv_mvbs_core_mxu",

@@ -164,6 +164,23 @@ def sv_mvbs_core_ex60(power, dr, absorption, offset, x_idx, r_edges, n_x, n_r,
     return sv, sums, counts
 
 
+def _refine_bounds(bounds, dr0, edges):
+    """Correct division-derived bin bounds against the actual f32 sample grid.
+
+    bounds[b] must be the smallest q with q*dr >= edge (left-closed bins on
+    r = k*dr).  TPU XLA may lower x/y as x*reciprocal(y), which can be off by
+    one ULP at exactly-integral edge/dr ratios — enough to shift a bin
+    boundary by one sample and disagree with the sums' own k*dr grid.  Two
+    exact multiplications pin the boundary to the grid.
+    """
+    q = bounds
+    # if (q-1)*dr still reaches the edge, the division overshot
+    q = jnp.where((q - 1.0) * dr0[:, None] >= edges, q - 1.0, q)
+    # if q*dr does not reach the edge, it undershot
+    q = jnp.where(q * dr0[:, None] < edges, q + 1.0, q)
+    return q
+
+
 def _closed_s1_n1(power, dr, tvg_shift, absorption, offset, valid_len, r_edges, n_r, r0):
     """Shared closed-counts body: per-ping range-binned sums + exact counts.
 
@@ -203,7 +220,9 @@ def _closed_s1_n1(power, dr, tvg_shift, absorption, offset, valid_len, r_edges, 
     dr0 = dr[:, 0]
     # bin bounds on echo_range: count of k with r0 + k*dr < edge
     edge_off = r_edges[None, :] if r0 is None else r_edges[None, :] - r0[:, 0][:, None]
-    bounds = jnp.clip(jnp.ceil(edge_off / dr0[:, None]), 0, R)
+    bounds = jnp.clip(
+        _refine_bounds(jnp.ceil(edge_off / dr0[:, None]), dr0, edge_off), 0, R
+    )
     r_ids = jax.lax.broadcasted_iota(jnp.float32, (1, R, 1), 1)
     M = ((r_ids >= bounds[:, None, :-1]) & (r_ids < bounds[:, None, 1:])).astype(jnp.float32)
     dn = (((2,), (1,)), ((0,), (0,)))
@@ -417,6 +436,60 @@ def sharded_mvbs_step_closed(mesh: Mesh, n_x: int, n_r: int):
         out_specs=P("channel", None, None),
     )
     return jax.jit(mapped)
+
+
+def sv_mvbs_window_partials_uniform(
+    power, dr, tvg_shift, absorption, offset, valid_len, x_rel, r_edges,
+    n_x_window: int, n_r: int,
+):
+    """Window partials fast path for per-channel-uniform dr and tvg_shift.
+
+    With dr and the TVG shift constant over pings (the overwhelmingly common
+    instrument configuration), the spreading term 20*log10(k*dr - shift) is
+    ONE [C, R] row instead of a per-element log10 — and since this op is
+    transcendental-bound on TPU, halving the transcendentals buys ~1.25x
+    (measured: 4.75 -> 3.81 ms on the bench workload, 5.25M pings/s/chip).
+    Same contract as sv_mvbs_window_partials with r0 = 0; callers must check
+    uniformity (the survey runner does).
+    """
+    from ..ops.binning import banded_x_reduce
+
+    C, Pn, R = power.shape
+    dr0, sh0 = dr[:, 0], tvg_shift[:, 0]
+    k_row = jax.lax.broadcasted_iota(jnp.float32, (1, R), 1)
+    r_tvg_row = k_row * dr0[:, None] - sh0[:, None]  # [C, R]
+    sprd_row = 20.0 * jnp.log10(jnp.maximum(r_tvg_row, jnp.float32(1e-20)))
+    if jnp.issubdtype(power.dtype, jnp.integer):
+        index2power = jnp.float32(10.0 * jnp.log10(jnp.float32(2.0)) / 256.0)
+        power = power.astype(jnp.float32) * index2power
+    # lin = 10^(Sv/10) with one exp per element (ln10/10 folded)
+    lin = jnp.exp(
+        (
+            power
+            + sprd_row[:, None, :]
+            + 2.0 * absorption[:, :, None] * r_tvg_row[:, None, :]
+            + offset[:, :, None]
+        )
+        * jnp.float32(0.23025850929940458)
+    )
+    k0 = jnp.maximum(jnp.floor(sh0 / dr0) + 1.0, 0.0)  # [C]
+    lane = jax.lax.broadcasted_iota(jnp.float32, (1, 1, R), 2)
+    lin = jnp.where(
+        (lane >= k0[:, None, None]) & (lane < valid_len[:, :, None].astype(jnp.float32)),
+        lin,
+        0.0,
+    )
+    edges = r_edges[None, :]
+    bounds = jnp.clip(_refine_bounds(jnp.ceil(edges / dr0[:, None]), dr0, edges), 0, R)
+    r_ids = jax.lax.broadcasted_iota(jnp.float32, (1, R, 1), 1)
+    M = ((r_ids >= bounds[:, None, :-1]) & (r_ids < bounds[:, None, 1:])).astype(jnp.float32)
+    dn = (((2,), (1,)), ((0,), (0,)))
+    s1 = jax.lax.dot_general(lin, M, dn, preferred_element_type=jnp.float32)
+    L = valid_len.astype(jnp.float32)
+    clipped = jnp.clip(bounds[:, None, :], k0[:, None, None], L[:, :, None])
+    n1 = jnp.diff(clipped, axis=2)
+    both = banded_x_reduce(jnp.concatenate([s1, n1], axis=2), x_rel, n_x_window)
+    return both[:, :, :n_r], both[:, :, n_r:]
 
 
 def sharded_mvbs_partials_closed(mesh: Mesh, n_x_window: int, n_r: int):

@@ -350,10 +350,27 @@ def run_survey_mvbs_from_raw(
             hi = min(lo + chunk_pings, len(x))
             window = max(window, int(x[hi - 1] - x[lo]) + 1)
 
+    # per-channel-uniform dr/shift (and no range intercept) unlocks the
+    # hoisted-spreading fast path: one log10 row per channel instead of one
+    # per element (~1.25x, the op is transcendental-bound)
+    uniform = all(
+        np.all(d == d[:, :1]) and np.all(sh == sh[:, :1]) and not np.any(r0_)
+        for (_, d, sh, _, _, r0_) in inputs
+    )
+
     if mesh is not None:
         from .pipeline import sharded_mvbs_partials_closed
 
         _chunk_partials = sharded_mvbs_partials_closed(mesh, window, n_r)
+    elif uniform:
+        from .pipeline import sv_mvbs_window_partials_uniform
+
+        @jax.jit
+        def _chunk_partials(power, dr, shift, alpha, offset, valid_len, x_rel, r_edges, r0):
+            return sv_mvbs_window_partials_uniform(
+                power, dr, shift, alpha, offset, valid_len, x_rel, r_edges,
+                window, n_r,
+            )
     else:
         from .pipeline import sv_mvbs_window_partials
 

@@ -211,3 +211,70 @@ class TestShardedClosedStep:
         full = sharded_sv_mvbs_step(mesh8, n_x, n_r)
         _, mvbs_full = full(power, dr, tvg, ab, off, x_idx, r_edges)
         np.testing.assert_allclose(np.asarray(m8), np.asarray(mvbs_full), rtol=1e-5, atol=1e-5)
+
+
+class TestUniformFastPath:
+    def test_uniform_matches_general(self):
+        """The hoisted-spreading fast path equals the general window kernel
+        for per-channel-uniform dr/shift (same counts, ~1e-6 sums)."""
+        from echopype_tpu.parallel.pipeline import (
+            sv_mvbs_window_partials,
+            sv_mvbs_window_partials_uniform,
+        )
+
+        rng = np.random.default_rng(4)
+        C, P, R = 3, 256, 300
+        n_x, n_r = 7, 9
+        power = rng.integers(-12000, -2000, (C, P, R), dtype=np.int16)
+        dr = np.repeat(rng.uniform(0.1, 0.3, (C, 1)).astype("f4"), P, axis=1)
+        shift = 2 * dr
+        ab = np.full((C, P), 0.01, "f4")
+        off = rng.normal(-30, 2, (C, P)).astype("f4")
+        vl = rng.integers(R // 2, R + 1, (C, P)).astype("i4")
+        x_rel = np.sort(rng.integers(0, n_x, P)).astype("i4")
+        r_edges = np.linspace(0, 0.3 * R, n_r + 1).astype("f4")
+        s_g, c_g = sv_mvbs_window_partials(
+            power, dr, shift, ab, off, vl, x_rel, r_edges, n_x, n_r
+        )
+        s_u, c_u = sv_mvbs_window_partials_uniform(
+            power, dr, shift, ab, off, vl, x_rel, r_edges, n_x, n_r
+        )
+        np.testing.assert_array_equal(np.asarray(c_u), np.asarray(c_g))
+        np.testing.assert_allclose(
+            np.asarray(s_u), np.asarray(s_g), rtol=3e-6, atol=1e-12
+        )
+
+
+def test_pallas_window_interpret_parity():
+    """The fused Pallas window kernel (kept as a documented negative result:
+    the op is transcendental-bound, so full fusion matched XLA speed) agrees
+    with the XLA window kernel in interpret mode."""
+    from echopype_tpu.ops.pallas_window import window_partials_pallas
+    from echopype_tpu.parallel.pipeline import sv_mvbs_window_partials
+
+    rng = np.random.default_rng(0)
+    C, P, R = 2, 128, 256
+    n_x, n_r = 4, 5
+    power = rng.integers(-12000, -2000, (C, P, R), dtype=np.int16)
+    dr = np.full((C, P), 0.19, "f4")
+    shift = 2 * dr
+    ab = np.full((C, P), 0.01, "f4")
+    off = rng.normal(-30, 2, (C, P)).astype("f4")
+    vl = rng.integers(R // 2, R + 1, (C, P)).astype("i4")
+    x_rel = np.sort(rng.integers(0, n_x, P)).astype("i4")
+    r_edges = np.linspace(0, 0.19 * R, n_r + 1).astype("f4")
+    k0 = np.maximum(
+        np.floor(shift.astype("f8") / dr.astype("f8")) + 1, 0
+    ).astype("f4")
+    bounds = np.clip(
+        np.ceil(r_edges[None, :].astype("f8") / dr[:, 0:1].astype("f8")), 0, R
+    ).astype("f4")
+    s_p, c_p = window_partials_pallas(
+        power, dr, shift, ab, off, k0, vl.astype("f4"), x_rel, bounds,
+        n_x, n_r, tile_p=64, interpret=True,
+    )
+    s_x, c_x = sv_mvbs_window_partials(
+        power, dr, shift, ab, off, vl, x_rel, r_edges, n_x, n_r
+    )
+    np.testing.assert_array_equal(np.asarray(c_p), np.asarray(c_x))
+    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_x), rtol=3e-6)
