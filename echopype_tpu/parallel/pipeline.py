@@ -492,7 +492,8 @@ def sv_mvbs_window_partials_uniform(
     return both[:, :, :n_r], both[:, :, n_r:]
 
 
-def sharded_mvbs_partials_closed(mesh: Mesh, n_x_window: int, n_r: int):
+def sharded_mvbs_partials_closed(mesh: Mesh, n_x_window: int, n_r: int,
+                                 uniform: bool = False):
     """Multi-chip *partials* step for the survey streamer (closed counts).
 
     fn(power, dr, tvg_shift, absorption, offset, valid_len, x_rel, r_edges,
@@ -501,13 +502,21 @@ def sharded_mvbs_partials_closed(mesh: Mesh, n_x_window: int, n_r: int):
     ping shard reduces onto the same chunk-local window and the psum makes
     the result identical to the single-device window partials — host
     accumulation at the window offset is then chunking- and mesh-invariant.
+    uniform=True selects the hoisted-spreading fast path (per-channel
+    constant dr/shift, r0 = 0; the caller checks).
     """
 
     def step(power, dr, tvg_shift, absorption, offset, valid_len, x_rel, r_edges, r0):
-        sums, counts = sv_mvbs_window_partials(
-            power, dr, tvg_shift, absorption, offset, valid_len, x_rel, r_edges,
-            n_x_window, n_r, r0=r0,
-        )
+        if uniform:
+            sums, counts = sv_mvbs_window_partials_uniform(
+                power, dr, tvg_shift, absorption, offset, valid_len, x_rel,
+                r_edges, n_x_window, n_r,
+            )
+        else:
+            sums, counts = sv_mvbs_window_partials(
+                power, dr, tvg_shift, absorption, offset, valid_len, x_rel,
+                r_edges, n_x_window, n_r, r0=r0,
+            )
         return (
             jax.lax.psum(sums, axis_name="ping"),
             jax.lax.psum(counts, axis_name="ping"),

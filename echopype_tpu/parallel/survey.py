@@ -361,7 +361,8 @@ def run_survey_mvbs_from_raw(
     if mesh is not None:
         from .pipeline import sharded_mvbs_partials_closed
 
-        _chunk_partials = sharded_mvbs_partials_closed(mesh, window, n_r)
+        _chunk_partials = sharded_mvbs_partials_closed(mesh, window, n_r,
+                                                       uniform=uniform)
     elif uniform:
         from .pipeline import sv_mvbs_window_partials_uniform
 
