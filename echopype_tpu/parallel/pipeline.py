@@ -181,6 +181,14 @@ def _refine_bounds(bounds, dr0, edges):
     return q
 
 
+def _refine_k0(k0, dr, shift):
+    """Pin k0 (smallest k with k*dr > shift) to the f32 sample grid — same
+    division knife-edge as _refine_bounds, strict inequality."""
+    k0 = jnp.where((k0 - 1.0) * dr > shift, k0 - 1.0, k0)
+    k0 = jnp.where(k0 * dr <= shift, k0 + 1.0, k0)
+    return jnp.maximum(k0, 0.0)
+
+
 def _closed_s1_n1(power, dr, tvg_shift, absorption, offset, valid_len, r_edges, n_r, r0):
     """Shared closed-counts body: per-ping range-binned sums + exact counts.
 
@@ -230,7 +238,7 @@ def _closed_s1_n1(power, dr, tvg_shift, absorption, offset, valid_len, r_edges, 
 
     # first sample with r_tvg > 0: k > (tvg_shift - r0)/dr
     shift_eff = tvg_shift if r0 is None else tvg_shift - r0
-    k0 = jnp.maximum(jnp.floor(shift_eff / dr) + 1.0, 0.0)  # [C,P]
+    k0 = _refine_k0(jnp.floor(shift_eff / dr) + 1.0, dr, shift_eff)  # [C,P]
     L = valid_len.astype(jnp.float32)
     clipped = jnp.clip(bounds[:, None, :], k0[:, :, None], L[:, :, None])
     n1 = jnp.diff(clipped, axis=2)  # [C,P,n_r] exact per-bin counts
@@ -472,7 +480,7 @@ def sv_mvbs_window_partials_uniform(
         )
         * jnp.float32(0.23025850929940458)
     )
-    k0 = jnp.maximum(jnp.floor(sh0 / dr0) + 1.0, 0.0)  # [C]
+    k0 = _refine_k0(jnp.floor(sh0 / dr0) + 1.0, dr0, sh0)  # [C]
     lane = jax.lax.broadcasted_iota(jnp.float32, (1, 1, R), 2)
     lin = jnp.where(
         (lane >= k0[:, None, None]) & (lane < valid_len[:, :, None].astype(jnp.float32)),

@@ -278,3 +278,40 @@ def test_pallas_window_interpret_parity():
     )
     np.testing.assert_array_equal(np.asarray(c_p), np.asarray(c_x))
     np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_x), rtol=3e-6)
+
+
+class TestRefineK0:
+    def test_smallest_k_strictly_past_shift(self):
+        """_refine_k0 must return the smallest k >= 0 with k*dr > shift on the
+        f32 sample grid, even when floor(shift/dr) is off by one ULP (the TPU
+        reciprocal-division knife edge; CPU division is exact, so we perturb
+        the quotient by hand to model both failure directions)."""
+        import jax.numpy as jnp
+        from echopype_tpu.parallel.pipeline import _refine_k0
+
+        rng = np.random.default_rng(11)
+        dr = np.concatenate([
+            rng.uniform(0.05, 0.5, 200).astype("f4"),
+            np.full(56, 0.19, "f4"),
+        ])
+        # include exact multiples k*dr (the knife edge) and generic shifts
+        k_true = rng.integers(0, 50, dr.size)
+        shift = np.where(
+            rng.random(dr.size) < 0.5,
+            (k_true * dr.astype("f8")).astype("f4"),      # exactly on the grid
+            (k_true * dr.astype("f8") + rng.uniform(0, 1, dr.size) * dr).astype("f4"),
+        )
+        quot = (shift.astype("f8") / dr.astype("f8")).astype("f4")
+        # model reciprocal-lowered division: the QUOTIENT is off by a few ULP
+        # before floor (a whole-step perturbation of the floored result cannot
+        # occur on hardware and is beyond the one-step refinement)
+        for ulps in (-4, 0, 4):
+            qp = np.nextafter(quot, np.float32(np.sign(ulps) * np.inf), dtype="f4") if ulps else quot
+            for _ in range(abs(ulps) - 1):
+                qp = np.nextafter(qp, np.float32(np.sign(ulps) * np.inf), dtype="f4")
+            q = np.floor(qp) + 1.0
+            got = np.asarray(_refine_k0(jnp.asarray(q), jnp.asarray(dr), jnp.asarray(shift)))
+            assert np.all(got * dr > shift), "k0*dr must strictly exceed shift"
+            prev_ok = (got - 1.0) * dr <= shift
+            assert np.all(prev_ok | (got == 0.0)), "k0 must be minimal"
+            assert np.all(got >= 0.0)
