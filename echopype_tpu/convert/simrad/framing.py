@@ -159,3 +159,81 @@ def _find_next_datagram(buf: bytes, start: int):
                         break
             i = buf.find(t, i + 1)
     return best
+
+
+@dataclass
+class ExtentScan:
+    """Header-only survey extent of one EK60/ES70 .raw file (see
+    ``scan_ek_extent``): everything the survey streamer's global bin grid
+    needs, without reading sample payloads."""
+
+    times: np.ndarray  # datetime64[ns], unique sorted RAW0 timestamps
+    n_channels: int
+    max_count: int
+    max_interval: float  # seconds
+    max_sound_velocity: float  # m/s (as recorded by the instrument)
+
+
+def scan_ek_extent(path) -> ExtentScan:
+    """Seek-scan a local EK60/ES70 ``.raw`` file reading ONLY frame headers
+    plus the 84-byte RAW0 fixed header — ~100 bytes per datagram instead of
+    the whole file.
+
+    This is the "pass 0" of the single-pass survey streamer
+    (parallel/survey.py): the unique RAW0 timestamps equal the decoded beam
+    ``ping_time`` union exactly (set_groups_ek60 unions per-channel RAW0
+    times), so global ping bins can be fixed before any file is decoded, and
+    ``max_count``/``max_interval``/``max_sound_velocity`` bound the range
+    grid.  Raises :class:`CorruptDatagramError` on any framing irregularity —
+    the caller falls back to the eager two-pass path, whose full scan has
+    bad-byte resync.
+    """
+    from .decode import RAW0_HEADER
+
+    off_interval = RAW0_HEADER.fields["sample_interval"][1]
+    off_velocity = RAW0_HEADER.fields["sound_velocity"][1]
+    off_count = RAW0_HEADER.fields["count"][1]
+    unpack_i4 = struct.Struct("<l").unpack_from
+    unpack_f4 = struct.Struct("<f").unpack_from
+    unpack_2u4 = struct.Struct("<II").unpack_from
+
+    lows, highs = [], []
+    channels = set()
+    max_count, max_interval, max_velocity = 0, 0.0, 0.0
+    import os
+
+    fsize = os.path.getsize(path)
+    with open(path, "rb") as f:
+        pos = 0
+        while pos + 4 <= fsize:
+            head = f.read(100)
+            if len(head) < 4:
+                raise CorruptDatagramError(f"truncated frame header at {pos}")
+            (size,) = unpack_i4(head, 0)
+            end = pos + 4 + size
+            if size < 12 or end + 4 > fsize:
+                raise CorruptDatagramError(f"bad framing at byte {pos}")
+            if head[4:8] == b"RAW0":
+                if len(head) < 4 + 84:
+                    raise CorruptDatagramError(f"short RAW0 at byte {pos}")
+                low, high = unpack_2u4(head, 8)
+                lows.append(low)
+                highs.append(high)
+                # RAW0_HEADER starts at the body (type field): offsets are
+                # relative to head[4]
+                body = 4
+                channels.add(head[body + 12] | (head[body + 13] << 8))
+                max_interval = max(max_interval, unpack_f4(head, body + off_interval)[0])
+                max_velocity = max(max_velocity, unpack_f4(head, body + off_velocity)[0])
+                (count,) = unpack_i4(head, body + off_count)
+                max_count = max(max_count, count)
+            pos = end + 4
+            f.seek(pos)
+    times = nt_to_datetime64(np.asarray(lows, dtype="u4"), np.asarray(highs, dtype="u4"))
+    return ExtentScan(
+        times=np.unique(times),
+        n_channels=len(channels),
+        max_count=int(max_count),
+        max_interval=float(max_interval),
+        max_sound_velocity=float(max_velocity),
+    )

@@ -79,6 +79,89 @@ def _mesh_layout(mesh, chunk_pings: int, n_channels: int):
     return ping_shards, -(-chunk_pings // ping_shards) * ping_shards
 
 
+class _ScanUnavailable(Exception):
+    """Extent scan could not cover this survey; use the eager two-pass path."""
+
+
+class _PowerChunkStreamer:
+    """Per-file chunk driver shared by the eager and prefetching power-mode
+    survey paths: int16 conversion in reusable double buffers (single-core
+    host: no temporaries; two int16 buffers alternate so the one a dispatched
+    chunk may still be reading asynchronously is never overwritten, matching
+    the accumulator's one-chunk lag), ping padding, and the fused
+    window-partials dispatch."""
+
+    def __init__(self, n_ch, chunk_pings, R_max, window, n_r, range_edges,
+                 ship_i16, acc, timer):
+        self.chunk_pings = chunk_pings
+        self.window = window
+        self.n_r = n_r
+        self.r_edges_f4 = np.asarray(range_edges, dtype="f4")
+        self.ship_i16 = ship_i16
+        self.acc = acc
+        self.timer = timer
+        self.chunk_no = 0
+        if ship_i16:
+            from ..convert.simrad.decode import INDEX2POWER
+
+            self.inv_scale = np.float32(1.0) / np.float32(INDEX2POWER)
+            self.buf_f = np.empty((n_ch, chunk_pings, R_max), dtype="f4")
+            self.bufs_i = [
+                np.empty((n_ch, chunk_pings, R_max), dtype="<i2") for _ in range(2)
+            ]
+
+    def stream_file(self, chunk_partials, power, dr, shift, alpha, offset, r0,
+                    x_idx_all):
+        import jax.numpy as jnp
+
+        timer, acc, chunk_pings, window = (
+            self.timer, self.acc, self.chunk_pings, self.window
+        )
+        n_ping = power.shape[1]
+        # ragged pings pad with a NaN suffix, so finite-count == valid length
+        valid_len = (~np.isnan(power)).sum(axis=2).astype("i4")
+        for lo in range(0, n_ping, chunk_pings):
+            hi = min(lo + chunk_pings, n_ping)
+            pad = chunk_pings - (hi - lo)
+            sl = slice(lo, hi)
+            x_base = int(x_idx_all[lo])
+
+            def _pad2(a, fill=0.0):
+                a = np.asarray(a[:, sl], dtype="f4")
+                return np.pad(a, ((0, 0), (0, pad)), constant_values=fill) if pad else a
+
+            with timer.stage("device_mvbs"):
+                if self.ship_i16:
+                    R_f = power.shape[2]
+                    bf = self.buf_f[:, : hi - lo, :R_f]
+                    np.multiply(power[:, sl], self.inv_scale, out=bf)
+                    np.rint(bf, out=bf)
+                    np.nan_to_num(bf, copy=False)  # NaN tail -> 0 (masked by valid_len)
+                    bi = self.bufs_i[self.chunk_no % 2][:, :, :R_f]
+                    self.chunk_no += 1
+                    bi[:, : hi - lo] = bf
+                    if pad:
+                        bi[:, hi - lo :] = 0  # padded pings excluded via valid_len == 0
+                    p_chunk = bi
+                else:
+                    p_chunk = np.asarray(power[:, sl], dtype="f4")
+                    if pad:  # NaN power contributes nothing to any bin
+                        p_chunk = np.pad(p_chunk, ((0, 0), (0, pad), (0, 0)),
+                                         constant_values=np.nan)
+                x_rel = x_idx_all[sl] - x_base
+                if pad:  # padded pings park past the bin window
+                    x_rel = np.pad(x_rel, (0, pad), constant_values=window)
+                vl_chunk = valid_len[:, sl]
+                if pad:  # padded pings contribute no samples
+                    vl_chunk = np.pad(vl_chunk, ((0, 0), (0, pad)))
+                s, c = chunk_partials(
+                    p_chunk, _pad2(dr, 1.0), _pad2(shift), _pad2(alpha), _pad2(offset),
+                    jnp.asarray(vl_chunk), jnp.asarray(x_rel.astype("i4")),
+                    jnp.asarray(self.r_edges_f4), _pad2(r0),
+                )
+            acc.push(s, c, x_base)
+
+
 def run_survey_mvbs(
     sv_sources,
     range_bin_m: float = 20.0,
@@ -222,6 +305,7 @@ def run_survey_mvbs_from_raw(
     waveform_mode=None,
     encode_mode=None,
     device_fused: bool = False,
+    prefetch: bool = True,
 ):
     """Stream RAW instrument files straight into survey-global MVBS bins.
 
@@ -247,6 +331,14 @@ def run_survey_mvbs_from_raw(
         only bin partials come back.  Float32 end to end (~1e-3 dB of the
         float64 chunked path) and single-filter-epoch files only (falls
         back with a warning otherwise).
+    prefetch : EK60/ES70 local files — replace the two-pass eager ingest
+        (decode every file, then stream) with a single decode pass: a
+        header-only extent scan fixes the global bin grids up front, then a
+        background thread decodes file N+1 while file N's chunks occupy the
+        host->device transfers.  O(one file) memory instead of O(survey) and
+        ingest overlaps transfer waits; bins are identical to the eager
+        path.  Falls back to eager automatically on remote paths, corrupt
+        framing, or other sonar models.
 
     Returns an MVBS Dataset on the global (ping_time-bin, range-bin) grid.
     """
@@ -283,6 +375,19 @@ def run_survey_mvbs_from_raw(
             "use run_survey_mvbs"
         )
     timer = timer or StageTimer()
+    raw_files = list(raw_files)
+
+    if prefetch and sonar_model in ("EK60", "ES70"):
+        try:
+            return _run_survey_mvbs_streamed(
+                raw_files, sonar_model, range_bin_m, ping_time_bin,
+                chunk_pings, env_params, use_swap, xml_path, timer, mesh,
+                _make_cal,
+            )
+        except _ScanUnavailable as e:
+            logger.warning(
+                f"extent scan unavailable ({e}); using eager two-pass ingest"
+            )
 
     # pass 1: ingest + param resolution (host)
     cals, ping_times = [], []
@@ -384,69 +489,17 @@ def run_survey_mvbs_from_raw(
             )
 
     acc = _PartialAccumulator(len(chans), n_x, n_r, window, timer)
-    r_edges_f4 = range_edges.astype("f4")
     # EK power is int16 * INDEX2POWER: recover the exact indices and ship
     # int16 to the device (scaling happens in-kernel) — half the H2D bytes,
     # which is the wall on PCIe/tunnel-attached chips, bit-identical bins.
     ship_i16 = sonar_model in ("EK60", "ES70", "EK80", "ES80", "EA640")
-    if ship_i16:
-        from ..convert.simrad.decode import INDEX2POWER
-
-        inv_scale = np.float32(1.0) / np.float32(INDEX2POWER)
-        # reusable conversion buffers (single-core host: avoid temporaries);
-        # two int16 buffers alternate so the one a dispatched chunk may still
-        # be reading asynchronously is never overwritten (matches the
-        # accumulator's one-chunk lag)
-        R_max = max(p.shape[2] for p, *_ in inputs)
-        buf_f = np.empty((len(chans), chunk_pings, R_max), dtype="f4")
-        bufs_i = [
-            np.empty((len(chans), chunk_pings, R_max), dtype="<i2") for _ in range(2)
-        ]
-        chunk_no = 0
+    R_max = max(p.shape[2] for p, *_ in inputs)
+    streamer = _PowerChunkStreamer(len(chans), chunk_pings, R_max, window, n_r,
+                                   range_edges, ship_i16, acc, timer)
     for (power, dr, shift, alpha, offset, r0), x_idx_all in zip(inputs, x_ids):
-        n_ping = power.shape[1]
-        # ragged pings pad with a NaN suffix, so finite-count == valid length
-        valid_len = (~np.isnan(power)).sum(axis=2).astype("i4")
-        for lo in range(0, n_ping, chunk_pings):
-            hi = min(lo + chunk_pings, n_ping)
-            pad = chunk_pings - (hi - lo)
-            sl = slice(lo, hi)
-            x_base = int(x_idx_all[lo])
-
-            def _pad2(a, fill=0.0):
-                a = np.asarray(a[:, sl], dtype="f4")
-                return np.pad(a, ((0, 0), (0, pad)), constant_values=fill) if pad else a
-
-            with timer.stage("device_mvbs"):
-                if ship_i16:
-                    R_f = power.shape[2]
-                    bf = buf_f[:, : hi - lo, :R_f]
-                    np.multiply(power[:, sl], inv_scale, out=bf)
-                    np.rint(bf, out=bf)
-                    np.nan_to_num(bf, copy=False)  # NaN tail -> 0 (masked by valid_len)
-                    bi = bufs_i[chunk_no % 2][:, :, :R_f]
-                    chunk_no += 1
-                    bi[:, : hi - lo] = bf
-                    if pad:
-                        bi[:, hi - lo :] = 0  # padded pings excluded via valid_len == 0
-                    p_chunk = bi
-                else:
-                    p_chunk = np.asarray(power[:, sl], dtype="f4")
-                    if pad:  # NaN power contributes nothing to any bin
-                        p_chunk = np.pad(p_chunk, ((0, 0), (0, pad), (0, 0)),
-                                         constant_values=np.nan)
-                x_rel = x_idx_all[sl] - x_base
-                if pad:  # padded pings park past the bin window
-                    x_rel = np.pad(x_rel, (0, pad), constant_values=window)
-                vl_chunk = valid_len[:, sl]
-                if pad:  # padded pings contribute no samples
-                    vl_chunk = np.pad(vl_chunk, ((0, 0), (0, pad)))
-                s, c = _chunk_partials(
-                    p_chunk, _pad2(dr, 1.0), _pad2(shift), _pad2(alpha), _pad2(offset),
-                    jnp.asarray(vl_chunk), jnp.asarray(x_rel.astype("i4")),
-                    jnp.asarray(r_edges_f4), _pad2(r0),
-                )
-            acc.push(s, c, x_base)
+        streamer.stream_file(
+            _chunk_partials, power, dr, shift, alpha, offset, r0, x_idx_all
+        )
     sums, counts = acc.finish()
 
     with timer.stage("finalize"):
@@ -457,6 +510,199 @@ def run_survey_mvbs_from_raw(
                 "channel": np.asarray(chans, dtype=object),
                 "ping_time": ping_edges[:-1],
                 "echo_range": range_edges[:-1],
+            }
+        )
+        out["Sv"] = (("channel", "ping_time", "echo_range"), mvbs)
+        out.attrs["stage_timing"] = str(timer.report(log=False))
+    return out
+
+
+def _run_survey_mvbs_streamed(
+    raw_files, sonar_model, range_bin_m, ping_time_bin, chunk_pings,
+    env_params, use_swap, xml_path, timer, mesh, make_cal,
+):
+    """Single-pass power-mode survey streamer with a decode-ahead thread.
+
+    Pass 0 is a header-only extent scan (framing.scan_ek_extent, ~100 bytes
+    read per datagram): the unique RAW0 timestamps ARE the decoded beam
+    ping_time union, so the global ping bins are exact, and the instrument's
+    recorded sample counts/intervals/sound velocities bound the range grid —
+    kernels run on the bound, and the exact survey grid (a prefix of it,
+    since bins are aligned multiples of range_bin_m from 0) is trimmed at
+    finalize.  Each file then decodes on a background thread while the
+    previous file's chunks occupy the GIL-releasing host->device transfers,
+    so ingest CPU rides the transfer waits and at most two files are ever
+    resident: O(file) memory instead of O(survey).
+
+    Raises _ScanUnavailable (caller falls back to the eager two-pass path,
+    which computes identical bins — asserted by tests) when any file is
+    remote, corrupt, or has no RAW0 data.  The "ingest" stage total is
+    measured on the worker thread and overlaps other stages, so stage sums
+    may exceed wall time.
+    """
+    import jax
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..commongrid.utils import ping_time_bin_edges
+    from ..convert.api import open_raw
+    from ..convert.simrad.framing import CorruptDatagramError, scan_ek_extent
+    from ..utils.io import is_remote_path
+
+    if not raw_files:
+        raise ValueError("no raw files provided")
+    if any(is_remote_path(f) for f in raw_files):
+        raise _ScanUnavailable("remote raw files")
+    with timer.stage("scan"):
+        try:
+            scans = [scan_ek_extent(f) for f in raw_files]
+        except (CorruptDatagramError, OSError) as e:
+            raise _ScanUnavailable(str(e)) from e
+    if any(len(s.times) == 0 for s in scans):
+        raise _ScanUnavailable("file with no RAW0 datagrams")
+
+    t_min = min(s.times[0] for s in scans)
+    t_max = max(s.times[-1] for s in scans)
+    ping_edges = ping_time_bin_edges(
+        np.array([t_min, t_max], dtype="datetime64[ns]"), ping_time_bin
+    )
+    n_x = len(ping_edges) - 1
+
+    # range-grid bound covering any resolved sound speed (user/env/measured)
+    c_bound = max(1700.0, *(s.max_sound_velocity for s in scans))
+    if env_params and isinstance(env_params.get("sound_speed"), (int, float)):
+        c_bound = max(c_bound, float(env_params["sound_speed"]))
+    r_bound = (
+        max(s.max_count for s in scans)
+        * max(s.max_interval for s in scans)
+        * c_bound
+        / 2.0
+    )
+    range_edges = np.arange(0, r_bound + range_bin_m, range_bin_m)
+    n_r = len(range_edges) - 1
+
+    if mesh is not None:
+        _, chunk_pings = _mesh_layout(mesh, chunk_pings, scans[0].n_channels)
+
+    # per-file global ping-bin ids + widest bin window any chunk spans
+    ping_edges_i8 = ping_edges.astype("datetime64[ns]").astype("i8")
+    x_ids = []
+    window = 1
+    for s in scans:
+        x = np.clip(
+            np.searchsorted(ping_edges_i8, s.times.astype("i8"), side="right") - 1,
+            0,
+            n_x - 1,
+        ).astype("i4")
+        x_ids.append(x)
+        for lo in range(0, len(x), chunk_pings):
+            hi = min(lo + chunk_pings, len(x))
+            window = max(window, int(x[hi - 1] - x[lo]) + 1)
+
+    # kernel per uniformity (hoisted-spreading fast path when dr/shift are
+    # per-channel constants), built lazily; window/n_r are static across files
+    kernels = {}
+
+    def get_kernel(uniform):
+        if uniform not in kernels:
+            if mesh is not None:
+                from .pipeline import sharded_mvbs_partials_closed
+
+                kernels[uniform] = sharded_mvbs_partials_closed(
+                    mesh, window, n_r, uniform=uniform
+                )
+            elif uniform:
+                from .pipeline import sv_mvbs_window_partials_uniform
+
+                @jax.jit
+                def _k(power, dr, shift, alpha, offset, valid_len, x_rel, r_edges, r0):
+                    return sv_mvbs_window_partials_uniform(
+                        power, dr, shift, alpha, offset, valid_len, x_rel,
+                        r_edges, window, n_r,
+                    )
+
+                kernels[uniform] = _k
+            else:
+                from .pipeline import sv_mvbs_window_partials
+
+                @jax.jit
+                def _k(power, dr, shift, alpha, offset, valid_len, x_rel, r_edges, r0):
+                    return sv_mvbs_window_partials(
+                        power, dr, shift, alpha, offset, valid_len, x_rel,
+                        r_edges, window, n_r, r0=r0,
+                    )
+
+                kernels[uniform] = _k
+        return kernels[uniform]
+
+    def load(f):
+        with timer.stage("ingest"):
+            ed = open_raw(f, sonar_model=sonar_model, use_swap=use_swap,
+                          xml_path=xml_path)
+            try:
+                cal = make_cal(ed)
+            except Exception as e:  # noqa: BLE001 - surface actionable guidance
+                raise ValueError(
+                    f"{f}: could not set up power-mode calibration ({e!r})."
+                ) from e
+            pt = np.asarray(
+                cal.beam.coords["ping_time"].values, dtype="datetime64[ns]"
+            )
+            chans = list(cal.beam.coords["channel"].values)
+            power, dr, shift, alpha, offset, _ = cal._power_cal_inputs("Sv")
+            return power, dr, shift, alpha, offset, pt, chans
+
+    acc = streamer = chans0 = None
+    r_max_true = 0.0
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        fut = ex.submit(load, raw_files[0])
+        for i in range(len(raw_files)):
+            power, dr, shift, alpha, offset, pt, chans = fut.result()
+            if i + 1 < len(raw_files):
+                fut = ex.submit(load, raw_files[i + 1])
+            if not np.array_equal(pt, scans[i].times):
+                raise RuntimeError(
+                    f"{raw_files[i]}: decoded ping_time disagrees with the "
+                    "extent scan; rerun with prefetch=False"
+                )
+            if chans0 is None:
+                chans0 = chans
+                acc = _PartialAccumulator(len(chans), n_x, n_r, window, timer)
+                streamer = _PowerChunkStreamer(
+                    len(chans), chunk_pings, max(s.max_count for s in scans),
+                    window, n_r, range_edges, True, acc, timer,
+                )
+            elif chans != chans0:
+                raise ValueError("all raw files must share the same channels")
+            r_max_true = max(r_max_true, float(np.nanmax(dr)) * power.shape[2])
+            if r_max_true > range_edges[-1]:
+                raise RuntimeError(
+                    f"{raw_files[i]}: resolved echo range {r_max_true:.1f} m "
+                    f"exceeds the scanned bound {range_edges[-1]:.1f} m; "
+                    "rerun with prefetch=False"
+                )
+            uniform = bool(
+                np.all(dr == dr[:, :1]) and np.all(shift == shift[:, :1])
+            )
+            streamer.stream_file(
+                get_kernel(uniform), power, dr, shift, alpha, offset,
+                np.zeros_like(dr), x_ids[i],
+            )
+    sums, counts = acc.finish()
+
+    with timer.stage("finalize"):
+        # exact survey grid = prefix of the scanned bound grid
+        n_r_true = min(
+            n_r,
+            max(1, len(np.arange(0, r_max_true + range_bin_m, range_bin_m)) - 1),
+        )
+        sums, counts = sums[:, :, :n_r_true], counts[:, :, :n_r_true]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mvbs = np.where(counts > 0, _lin2log(sums / np.maximum(counts, 1)), np.nan)
+        out = Dataset(
+            coords={
+                "channel": np.asarray(chans0, dtype=object),
+                "ping_time": ping_edges[:-1],
+                "echo_range": range_edges[: n_r_true + 1][:-1],
             }
         )
         out["Sv"] = (("channel", "ping_time", "echo_range"), mvbs)

@@ -450,3 +450,70 @@ def test_fused_rejects_multi_epoch(tmp_path):
             [raw], sonar_model="EK80", waveform_mode="CW", encode_mode="complex",
             device_fused=True, chunk_pings=4,
         )
+
+
+class TestPrefetchStreamer:
+    """The single-pass prefetching path (extent scan + decode-ahead thread)
+    must produce bit-identical bins to the eager two-pass path."""
+
+    def _files(self, tmp_path, n_files=3, ragged=False):
+        t0 = np.datetime64("2021-06-01T00:00:00", "ns")
+        files = []
+        for i in range(n_files):
+            raw = tmp_path / f"P{i}-EK60.raw"
+            write_ek60_raw(
+                raw, n_pings=31 + 7 * i, n_samples=257 if not ragged else 200 + 30 * i,
+                t0=t0 + np.timedelta64(i * 45, "s"), seed=10 + i,
+            )
+            files.append(raw)
+        return files
+
+    def test_streamed_equals_eager(self, tmp_path):
+        from echopype_tpu.parallel import run_survey_mvbs_from_raw
+
+        files = self._files(tmp_path, ragged=True)
+        kw = dict(sonar_model="EK60", range_bin_m=7.0, ping_time_bin="15s",
+                  chunk_pings=13)
+        m_new = run_survey_mvbs_from_raw(files, prefetch=True, **kw)
+        m_old = run_survey_mvbs_from_raw(files, prefetch=False, **kw)
+        np.testing.assert_array_equal(
+            np.asarray(m_new.coords["ping_time"].values),
+            np.asarray(m_old.coords["ping_time"].values),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(m_new.coords["echo_range"].values),
+            np.asarray(m_old.coords["echo_range"].values),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(m_new["Sv"].values), np.asarray(m_old["Sv"].values)
+        )
+
+    def test_scan_matches_decode(self, tmp_path):
+        import echopype_tpu as ep
+        from echopype_tpu.convert.simrad.framing import scan_ek_extent
+
+        raw = self._files(tmp_path, n_files=1)[0]
+        s = scan_ek_extent(raw)
+        ed = ep.open_raw(raw, sonar_model="EK60")
+        pt = np.asarray(ed["Sonar/Beam_group1"]["ping_time"].values,
+                        dtype="datetime64[ns]")
+        assert np.array_equal(s.times, pt)
+        assert s.max_count == ed["Sonar/Beam_group1"].sizes["range_sample"]
+        assert s.n_channels == ed["Sonar/Beam_group1"].sizes["channel"]
+        assert 0 < s.max_interval < 1 and 1000 < s.max_sound_velocity < 2000
+
+    def test_corrupt_file_falls_back_to_eager(self, tmp_path):
+        """Trailing garbage breaks the strict seek-scan; the runner must fall
+        back to the eager path (whose full scan resyncs) and still answer."""
+        from echopype_tpu.parallel import run_survey_mvbs_from_raw
+
+        files = self._files(tmp_path, n_files=2)
+        with open(files[1], "ab") as f:
+            f.write(b"\x99" * 37)  # not a valid frame
+        kw = dict(sonar_model="EK60", range_bin_m=7.0, ping_time_bin="15s")
+        m = run_survey_mvbs_from_raw(files, **kw)
+        got = np.asarray(m["Sv"].values)
+        assert np.isfinite(got).any()
+        # and equals the explicit eager run
+        m_e = run_survey_mvbs_from_raw(files, prefetch=False, **kw)
+        np.testing.assert_array_equal(got, np.asarray(m_e["Sv"].values))
