@@ -239,3 +239,35 @@ def scan_datagrams_native(buf: bytes, resync: bool = True):
         type_codes[:count].copy(),
         ts[:count].copy(),
     )
+
+
+def f32_to_i16_scaled(src, dst, scale: float):
+    """One-pass ``dst[r,k] = rint(src[r,k]*scale)`` (NaN -> 0, saturating)
+    into a possibly wider-strided int16 buffer.  src/dst are 2-D, rows of
+    equal length; returns False (caller falls back to numpy) if the native
+    lib is unavailable or the layouts aren't unit-stride rows."""
+    lib = load_native()
+    if (
+        lib is None
+        or not hasattr(lib, "ep_f32_to_i16_scale")
+        or src.dtype != np.float32
+        or dst.dtype != np.int16
+        or src.ndim != 2
+        or dst.ndim != 2
+        or src.shape != dst.shape
+        or src.strides[1] != 4
+        or dst.strides[1] != 2
+        or src.strides[0] % 4
+        or dst.strides[0] % 2
+    ):
+        return False
+    lib.ep_f32_to_i16_scale(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        src.shape[0],
+        src.shape[1],
+        src.strides[0] // 4,
+        ctypes.c_float(scale),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        dst.strides[0] // 2,
+    )
+    return True

@@ -7,6 +7,7 @@
 // arrays, with bad-byte resync equivalent to the reference's recovery
 // (ek_raw_io.py:473-486).  Exposed with C linkage for ctypes.
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 
@@ -181,6 +182,28 @@ void ep_gather_f32_nan(const uint8_t* buf, const int64_t* starts,
         float* row = out + i * max_count;
         if (c > 0) std::memcpy(row, buf + starts[i], (size_t)(c * 4));
         for (int64_t k = c; k < max_count; ++k) row[k] = NAN_F;
+    }
+}
+
+// One-pass f32 -> int16 index conversion for the survey streamer's H2D
+// buffers: dst[r,k] = rint(src[r,k] * scale) (round-half-to-even, matching
+// numpy rint), NaN -> 0, saturating.  Replaces a 4-pass numpy chain
+// (multiply, rint, nan_to_num, cast-store) -- 4x less memory traffic on the
+// single-core ingest host.  Strides are in ELEMENTS.
+void ep_f32_to_i16_scale(const float* src, int64_t n_rows, int64_t n_cols,
+                         int64_t src_stride, float scale, int16_t* dst,
+                         int64_t dst_stride) {
+    for (int64_t r = 0; r < n_rows; ++r) {
+        const float* s = src + r * src_stride;
+        int16_t* d = dst + r * dst_stride;
+        for (int64_t k = 0; k < n_cols; ++k) {
+            float v = s[k];
+            if (v != v) { d[k] = 0; continue; }
+            float x = nearbyintf(v * scale);
+            if (x > 32767.0f) x = 32767.0f;
+            if (x < -32768.0f) x = -32768.0f;
+            d[k] = (int16_t)x;
+        }
     }
 }
 

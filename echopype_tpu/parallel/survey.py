@@ -132,14 +132,26 @@ class _PowerChunkStreamer:
 
             with timer.stage("device_mvbs"):
                 if self.ship_i16:
+                    from .. import native
+
                     R_f = power.shape[2]
-                    bf = self.buf_f[:, : hi - lo, :R_f]
-                    np.multiply(power[:, sl], self.inv_scale, out=bf)
-                    np.rint(bf, out=bf)
-                    np.nan_to_num(bf, copy=False)  # NaN tail -> 0 (masked by valid_len)
                     bi = self.bufs_i[self.chunk_no % 2][:, :, :R_f]
                     self.chunk_no += 1
-                    bi[:, : hi - lo] = bf
+                    # one-pass C++ conversion (rint + NaN->0 + i16 store);
+                    # numpy 4-pass chain is the fallback, bit-identical
+                    done = isinstance(power, np.ndarray) and all(
+                        native.f32_to_i16_scaled(
+                            np.asarray(power[c, sl]), bi[c, : hi - lo],
+                            float(self.inv_scale),
+                        )
+                        for c in range(power.shape[0])
+                    )
+                    if not done:
+                        bf = self.buf_f[:, : hi - lo, :R_f]
+                        np.multiply(power[:, sl], self.inv_scale, out=bf)
+                        np.rint(bf, out=bf)
+                        np.nan_to_num(bf, copy=False)  # NaN -> 0 (masked by valid_len)
+                        bi[:, : hi - lo] = bf
                     if pad:
                         bi[:, hi - lo :] = 0  # padded pings excluded via valid_len == 0
                     p_chunk = bi

@@ -130,3 +130,35 @@ class TestFusedGathers:
             want = np.frombuffer(bytes(u8[s : s + 4 * c]), dtype="<f4")
             np.testing.assert_array_equal(out[i, :c], want)
             assert np.isnan(out[i, c:]).all()
+
+
+class TestF32ToI16:
+    def test_matches_numpy_chain(self):
+        from echopype_tpu import native
+
+        rng = np.random.default_rng(2)
+        src = rng.normal(-50, 20, (64, 257)).astype("f4")
+        src[5, :9] = np.nan
+        wide = np.zeros((64, 300), dtype="<i2")
+        dst = wide[:, :257]
+        scale = 1.0 / 0.011758984205624481
+        if not native.f32_to_i16_scaled(src, dst, scale):
+            import pytest
+
+            pytest.skip("native lib unavailable")
+        ref = np.nan_to_num(np.rint(src * np.float32(scale))).astype("i2")
+        np.testing.assert_array_equal(dst, ref)
+        assert np.all(wide[:, 257:] == 0)
+
+    def test_saturates_and_rejects_bad_layout(self):
+        from echopype_tpu import native
+
+        s = np.array([[1e9, -1e9, np.nan]], dtype="f4")
+        d = np.zeros((1, 3), "<i2")
+        if not native.f32_to_i16_scaled(s, d, 1.0):
+            import pytest
+
+            pytest.skip("native lib unavailable")
+        assert list(d[0]) == [32767, -32768, 0]
+        # column-strided views must be refused (fallback path handles them)
+        assert not native.f32_to_i16_scaled(s[:, ::2], d[:, :2], 1.0)
