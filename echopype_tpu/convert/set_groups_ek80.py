@@ -353,8 +353,11 @@ class SetGroupsEK80(SetGroupsBase):
         max_r = max(p.ping_data_dict["complex"][ch]["real"].shape[1] for ch in chans_used)
         n_beam = max(p.ping_data_dict["complex"][ch]["real"].shape[2] for ch in chans_used)
         shape = (len(chans_used), n_t, max_r, n_beam)
-        bs_r = np.full(shape, np.nan)
-        bs_i = np.full(shape, np.nan)
+        # np.empty + targeted NaN fill of the uncovered complement: the NaN
+        # prefill of [channel, ping, range, beam] blocks dominates warm
+        # ingest otherwise (same finding as set_groups_ek60.set_beam)
+        bs_r = np.empty(shape)
+        bs_i = np.empty(shape)
         arrays = {}
         tx_type = np.full((len(chans_used), n_t), "", dtype=object)
         f_start = np.full((len(chans_used), n_t), np.nan)
@@ -365,8 +368,19 @@ class SetGroupsEK80(SetGroupsBase):
             rows_dst = time_map[ch]
             comp = p.ping_data_dict["complex"][ch]
             r, b = comp["real"].shape[1], comp["real"].shape[2]
+            covered = np.zeros(n_t, dtype=bool)
+            covered[rows_dst] = True
+            if not covered.all():
+                bs_r[ci, ~covered] = np.nan
+                bs_i[ci, ~covered] = np.nan
             bs_r[ci, rows_dst, :r, :b] = comp["real"][rows_src]
             bs_i[ci, rows_dst, :r, :b] = comp["imag"][rows_src]
+            if r < max_r:
+                bs_r[ci, rows_dst, r:] = np.nan
+                bs_i[ci, rows_dst, r:] = np.nan
+            if b < n_beam:
+                bs_r[ci, rows_dst, :r, b:] = np.nan
+                bs_i[ci, rows_dst, :r, b:] = np.nan
             self._per_ping_vars_subset(ch, rows_src, rows_dst, n_t, arrays, len(chans_used))
             tx_type[ci, rows_dst] = want_type
             if want_type == "LFM":
@@ -464,10 +478,11 @@ class SetGroupsEK80(SetGroupsBase):
         chans_used = list(sel_times)
         self._group_chans = chans_used
         max_r = max(p.ping_data_dict["power"][ch].shape[1] for ch in chans_used)
-        bs = np.full((len(chans_used), n_t, max_r), np.nan, dtype="f4")
+        # np.empty + targeted NaN fill (see set_beam_complex / EK60 set_beam)
+        bs = np.empty((len(chans_used), n_t, max_r), dtype="f4")
         has_angle = any(p.ping_data_dict["angle"].get(ch) is not None for ch in chans_used)
-        ang_at = np.full((len(chans_used), n_t, max_r), np.nan, dtype="f4") if has_angle else None
-        ang_al = np.full((len(chans_used), n_t, max_r), np.nan, dtype="f4") if has_angle else None
+        ang_at = np.empty((len(chans_used), n_t, max_r), dtype="f4") if has_angle else None
+        ang_al = np.empty((len(chans_used), n_t, max_r), dtype="f4") if has_angle else None
         arrays = {}
         tx_type = np.full((len(chans_used), n_t), "", dtype=object)
         f_start = np.full((len(chans_used), n_t), np.nan)
@@ -476,11 +491,27 @@ class SetGroupsEK80(SetGroupsBase):
             rows_src = sel_rows[ch]
             rows_dst = time_map[ch]
             pw = p.ping_data_dict["power"][ch]
+            covered = np.zeros(n_t, dtype=bool)
+            covered[rows_dst] = True
+            missing = ~covered if not covered.all() else None
             bs[ci, rows_dst, : pw.shape[1]] = pw
+            if pw.shape[1] < max_r:
+                bs[ci, rows_dst, pw.shape[1] :] = np.nan
+            if missing is not None:
+                bs[ci, missing] = np.nan
             ang = p.ping_data_dict["angle"].get(ch)
-            if ang is not None:
+            if has_angle and ang is None:
+                ang_at[ci] = np.nan
+                ang_al[ci] = np.nan
+            elif ang is not None:
                 ang_at[ci, rows_dst, : ang.shape[1]] = ang[:, :, 0]
                 ang_al[ci, rows_dst, : ang.shape[1]] = ang[:, :, 1]
+                if ang.shape[1] < max_r:
+                    ang_at[ci, rows_dst, ang.shape[1] :] = np.nan
+                    ang_al[ci, rows_dst, ang.shape[1] :] = np.nan
+                if missing is not None:
+                    ang_at[ci, missing] = np.nan
+                    ang_al[ci, missing] = np.nan
             self._per_ping_vars_subset(ch, rows_src, rows_dst, n_t, arrays, len(chans_used))
             tx_type[ci, rows_dst] = self._transmit_types(ch)[rows_src]
             freq = np.asarray(p.ping_data_dict["frequency"][ch], dtype="f8")[rows_src]

@@ -144,8 +144,17 @@ def write_ek60_raw(
     with_angle=True,
     with_nmea=True,
     ragged=False,
+    skip_pings=None,
+    per_channel_samples=None,
 ):
-    """Write a synthetic multi-channel EK60 file; returns ground-truth dict."""
+    """Write a synthetic multi-channel EK60 file; returns ground-truth dict.
+
+    skip_pings : optional {channel_index(1-based): set of ping numbers} —
+        those channels emit no RAW0 for those pings (disjoint ping sets, the
+        union-grid missing-row case).
+    per_channel_samples : optional per-channel sample counts (unequal range
+        lengths across channels).
+    """
     rng = np.random.default_rng(seed)
     txs = [
         {"channel_id": cid, "frequency": f, "gain": 25.0 + i}
@@ -166,7 +175,10 @@ def write_ek60_raw(
     for p in range(n_pings):
         ts = t0 + np.timedelta64(p + 1, "s")
         for i, (cid, f) in enumerate(zip(channels, frequencies), start=1):
-            ns = n_samples if not ragged else n_samples - (p % 3) * 5
+            if skip_pings and p in skip_pings.get(i, ()):
+                continue
+            base_ns = per_channel_samples[i - 1] if per_channel_samples else n_samples
+            ns = base_ns if not ragged else base_ns - (p % 3) * 5
             pw = rng.integers(-20000, 0, ns).astype("<i2")
             ang = rng.integers(-50, 50, (ns, 2)).astype("i1") if with_angle else None
             chunks.append(

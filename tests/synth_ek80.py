@@ -207,9 +207,20 @@ def write_ek80_raw(
     seed=0,
     with_power_channel=True,
     with_cw_complex=True,
+    skip_pings=None,
+    extra_fm_channel=False,
 ):
     rng = np.random.default_rng(seed)
     channels = default_channels()
+    if extra_fm_channel:
+        import copy
+
+        fm2 = copy.deepcopy(channels[0])
+        fm2["id"] = "WBT 5512345-15 ES200-7C"
+        fm2["frequency"] = 200000.0
+        fm2["fmin"], fm2["fmax"] = 160000.0, 260000.0
+        fm2["cal_freqs"] = np.linspace(160000, 260000, 10)
+        channels.insert(1, fm2)
     if not with_cw_complex:
         channels = [channels[0], channels[2]]
     if not with_power_channel:
@@ -228,6 +239,8 @@ def write_ek80_raw(
         ts = t0 + np.timedelta64(p + 1, "s")
         for ch in channels:
             cid = ch["id"]
+            if skip_pings and p in skip_pings.get(cid, ()):
+                continue
             if ch["tcvr_type"] == "GPT":
                 chunks.append(
                     make_xml0(

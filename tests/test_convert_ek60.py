@@ -273,3 +273,31 @@ class TestCorruptionFuzz:
                 assert "Sonar" in ed.group_paths
             except ValueError:
                 pass  # acceptable: unrecoverable stream (e.g. CON0 destroyed)
+
+
+class TestUnionGridScatter:
+    """The np.empty + targeted-NaN-fill scatter (set_groups_ek60.set_beam)
+    must leave NaN exactly where the old NaN-prefill did: missing union rows
+    (a channel skipping pings) and per-channel shorter range tails."""
+
+    def test_missing_pings_and_unequal_ranges(self, tmp_path):
+        path = tmp_path / "UG-D20200101-T000000.raw"
+        write_ek60_raw(
+            path, n_pings=8, n_samples=40,
+            skip_pings={2: {1, 4, 5}}, per_channel_samples=(40, 25),
+        )
+        ed = ep.open_raw(path, sonar_model="EK60")
+        bs = ed["Sonar/Beam_group1"]["backscatter_r"].values
+        ang = ed["Sonar/Beam_group1"]["angle_athwartship"].values
+        assert bs.shape == (2, 8, 40)
+        # channel 2 (sorted second) skipped pings 1/4/5: full-NaN rows
+        for p in range(8):
+            if p in (1, 4, 5):
+                assert np.isnan(bs[1, p]).all()
+                assert np.isnan(ang[1, p]).all()
+            else:
+                assert not np.isnan(bs[1, p, :25]).any()
+                assert np.isnan(bs[1, p, 25:]).all()  # short-range tail
+                assert np.isnan(ang[1, p, 25:]).all()
+        # channel 1 present everywhere at full range
+        assert not np.isnan(bs[0]).any()

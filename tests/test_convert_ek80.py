@@ -148,3 +148,41 @@ class TestRaw4TransmitPulse:
         tp = bg["transmit_pulse_r"].values
         assert tp.shape == (1, 3, 20)
         _np.testing.assert_allclose(tp[0, 0], tx_truth[0].real, rtol=1e-6)
+
+
+class TestUnionGridScatterEK80:
+    """np.empty + targeted NaN fill in the EK80 group builders must leave
+    NaN on union rows where a channel skipped pings."""
+
+    def test_complex_missing_rows(self, tmp_path):
+        from synth_ek80 import default_channels
+
+        path = tmp_path / "UG80-D20210201-T000000.raw"
+        bb_id = default_channels()[0]["id"]
+        # two FM channels share the complex-FM group; the first skips pings
+        # 2/3 so the group union has rows it never covers
+        write_ek80_raw(path, n_pings=6, skip_pings={bb_id: {2, 3}},
+                       extra_fm_channel=True)
+        ed = ep.open_raw(path, sonar_model="EK80")
+        hit = False
+        for g in ("Sonar/Beam_group1", "Sonar/Beam_group2", "Sonar/Beam_group3"):
+            try:
+                ds = ed[g]
+            except (KeyError, AttributeError):
+                continue
+            if ds is None or "backscatter_i" not in ds:
+                continue
+            chans = list(ds.coords["channel"].values)
+            if bb_id not in chans or len(chans) < 2:
+                continue
+            ci = chans.index(bb_id)
+            bs = ds["backscatter_r"].values
+            assert bs.shape[1] == 6  # union spans all pings via the 2nd FM
+            assert np.isnan(bs[ci, 2]).all() and np.isnan(bs[ci, 3]).all()
+            assert not np.isnan(bs[ci, 0]).all()
+            other = 1 - ci if len(chans) == 2 else next(
+                j for j in range(len(chans)) if j != ci
+            )
+            assert not np.isnan(bs[other, 2]).all()
+            hit = True
+        assert hit, "expected a 2-channel complex-FM group"
