@@ -21,10 +21,10 @@ import numpy as np
 
 __all__ = ["pulse_compress_channel", "compress_pulse_batched", "set_conv_precision"]
 
-# Speed/accuracy knob for the MXU conv fallback (measured on v5e, 2000 pings
-# x 4 sectors x 8192 samples, L=500):
-#   HIGHEST: 3,129 pings/s, <=1e-4 dB of the f64 matched filter (default)
-#   HIGH:    5,862 pings/s, <=0.004 dB within 40 dB of peak (0.02 dB at -60 dB)
+# Speed/accuracy knob for the MXU matmul fallback (measured on v5e, 2000
+# pings x 4 sectors x 8192 samples, L=500, blocked Toeplitz form):
+#   HIGHEST: ~54k pings/s, <=1e-4 dB of the f64 matched filter (default)
+#   HIGH:    ~66k pings/s, <=0.004 dB within 40 dB of peak (0.02 dB at -60 dB)
 #   DEFAULT: bf16 multiplies, 0.6-2.4 dB error -- never acceptable here
 _CONV_PRECISION = jax.lax.Precision.HIGHEST
 
@@ -71,43 +71,74 @@ def _fft_conv(bs, replica, n_fft: int, out_start: int, out_len: int):
 
 @partial(jax.jit, static_argnames=("out_start", "out_len", "precision"))
 def _mxu_conv_real(xr, xi, hr, hi, out_start: int, out_len: int, precision=None):
-    """Linear complex convolution on the TPU convolution unit — the fallback
-    when the runtime lacks FFT/complex support entirely (the axon backend
-    returns UNIMPLEMENTED even for device_put of complex64, so inputs and
-    outputs here are split real/imag f32).
+    """Linear complex convolution on the MXU — the fallback when the runtime
+    lacks FFT/complex support entirely (the axon backend returns UNIMPLEMENTED
+    even for device_put of complex64, so inputs and outputs here are split
+    real/imag f32).
 
-    Design (all measured on v5e, 2000 pings x 4 sectors x 8192 samples,
-    L=500, HIGHEST precision):
+    Design: blocked Toeplitz MATMUL, not lax.conv.  Outputs are tiled into
+    blocks of T samples; each block is an [lanes*nblk, T+L-1] slab of the
+    (zero-extended) input times a banded [T+L-1, T] Toeplitz matrix of the
+    flipped replica.  The overlap halo is built with reshape+shifted-concat
+    (no gather), and the complex product is the plain 4-mult form with the
+    two real matmuls fused into one einsum over a shared input expansion
+    (the replica matrices for real/imag concatenate along N).
 
-    - 3-mult Karatsuba as a GROUPED conv (feature_group_count=3 with
-      1-in/1-out channels per group): 171 ms.  The dense 2-in/2-out channel
-      form of the same math takes 640 ms — grouped single-channel convs
-      lower far better on TPU.  Karatsuba's m3-m1-m2 cancellation costs
-      ~7e-4 dB max (2.5e-5 dB p99) within 60 dB of the peak vs the f64
-      matched filter — an order below the domain's golden tolerances.
-    - asymmetric padding computes ONLY the requested output window (the
-      reference's [L-1:] truncation), saving the wasted L-1 columns and the
-      post-slice copy (+25% alone).
+    Why (all measured on v5e, 2000 pings x 4 sectors x 8192 samples, L=500,
+    HIGHEST precision, dispatch-amortized):
+
+    - grouped 3-mult Karatsuba lax.conv (round 2 production): 166 ms — TPU
+      lowers 1-D convs poorly, ~1.2 TF/s effective.
+    - this blocked Toeplitz matmul, T=256: **37 ms** (~54k pings/s) despite
+      computing (T+L-1)/L ≈ 1.5x the MACs — the MXU matmul path runs ~9x the
+      conv unit's effective rate here.  Karatsuba on the same structure is
+      SLOWER (40-45 ms): the shared-X 4-mult einsum needs one expansion
+      instead of three, and no m3-m1-m2 cancellation (exact 4-mult accuracy).
+    - asymmetric windowing computes ONLY the requested output window (the
+      reference's [L-1:] truncation; behavioral contract
+      echopype/calibrate/ek80_complex.py:285-369).
+    - block size T balances MAC overhead ((T+L-1)/L) against matmul lane
+      efficiency (N=T must be a multiple of 128); T ~ L/2 measured best
+      (T=128: 50 ms, T=256: 37-45 ms, T=512: 44-51 ms, T=1024: 84 ms).
     """
-    L = hr.shape[0]
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
+    L = int(hr.shape[0])
     W = xr.shape[-1]
+    lanes = xr.shape[0]
     hr_f, hi_f = hr[::-1], hi[::-1]
-    # Karatsuba: m1 = xr*hr, m2 = xi*hi, m3 = (xr+xi)*(hr+hi)
-    #            real = m1 - m2, imag = m3 - m1 - m2  (post-ops, exact in f32)
-    x3 = jnp.stack([xr, xi, xr + xi], axis=1)
-    k = jnp.stack([hr_f, hi_f, hr_f + hi_f], axis=0)[:, None, :]  # [O=3, I=1, L]
+    # T ~ L/2, rounded to the MXU lane width, floor 128
+    T = max(128, 128 * int(round(L / 256.0))) if L > 192 else 128
+    K = T + L - 1
+    nblk = -(-out_len // T)
+    n_shift = -(-K // T)
+    # correlation form: y[n] = sum_k x[n + k - pad_left] * h_flip[k]
     pad_left = L - 1 - out_start
-    pad_right = out_len + L - 1 - W - pad_left
-    y = jax.lax.conv_general_dilated(
-        x3, k, window_strides=(1,), padding=[(pad_left, pad_right)],
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        feature_group_count=3,
-        # TPU convs default to bf16 multiplies; matched filtering needs the
-        # full f32 significand (bf16 showed ~0.4 dB error near the noise floor)
-        precision=precision if precision is not None else jax.lax.Precision.HIGHEST,
-    )
-    m1, m2, m3 = y[:, 0, :], y[:, 1, :], y[:, 2, :]
-    return m1 - m2, m3 - m1 - m2
+    if pad_left < 0:  # window starts past the head: drop unused input instead
+        xr, xi = xr[:, -pad_left:], xi[:, -pad_left:]
+        W = W + pad_left
+        pad_left = 0
+    total = nblk * T + L - 1
+
+    def expand(x):
+        xp = jnp.pad(x, ((0, 0), (pad_left, max(0, total - pad_left - W))))[:, :total]
+        xp2 = jnp.pad(xp, ((0, 0), (0, (nblk + n_shift) * T - total)))
+        xb = xp2.reshape(lanes, nblk + n_shift, T)
+        parts = [xb[:, s : s + nblk, :] for s in range(n_shift)]
+        return jnp.concatenate(parts, axis=-1)[:, :, :K]
+
+    def toep(hf):
+        tp = jnp.arange(K)[:, None] - jnp.arange(T)[None, :]
+        return jnp.where((tp >= 0) & (tp < L), hf[jnp.clip(tp, 0, L - 1)], 0.0)
+
+    X = jnp.stack([expand(xr), expand(xi)], axis=0)  # [2, lanes, nblk, K]
+    H2 = jnp.concatenate([toep(hr_f), toep(hi_f)], axis=-1)  # [K, 2T]
+    Y = jnp.einsum("glbk,kt->glbt", X, H2, precision=precision)
+    rr, ri = Y[0, :, :, :T], Y[0, :, :, T:]
+    ir, ii = Y[1, :, :, :T], Y[1, :, :, T:]
+    re = (rr - ii).reshape(lanes, nblk * T)[:, :out_len]
+    im = (ri + ir).reshape(lanes, nblk * T)[:, :out_len]
+    return re, im
 
 
 _FFT_OK = None
