@@ -272,11 +272,28 @@ def _gather_f32(u8: np.ndarray, starts: np.ndarray, n_vals: np.ndarray, max_vals
     return vals, valid
 
 
+def _gather_f16_as_f32(u8: np.ndarray, starts: np.ndarray, n_vals: np.ndarray, max_vals: int):
+    """Gather little-endian float16 runs into a padded f32 [rows, max_vals] matrix."""
+    if max_vals == 0 or len(starts) == 0:
+        return np.zeros((len(starts), 0), "f4"), np.zeros((len(starts), 0), bool)
+    lane = np.arange(max_vals, dtype="i8")
+    valid = lane[None, :] < n_vals[:, None].astype("i8")
+    idx = np.where(valid, starts[:, None] + 2 * lane[None, :], 0)
+    b = np.stack([u8[idx], u8[idx + 1]], axis=-1)
+    vals = np.ascontiguousarray(b).view("<f2").reshape(b.shape[:-1]).astype("f4")
+    return vals, valid
+
+
 def decode_raw3_samples(index: DatagramIndex, rows: np.ndarray, hdr: np.ndarray):
     """Vectorized RAW3/RAW4 payload decode for one channel's rows.
 
     data_type bits (ek_raw_parsers.py:1676-1760): bit0 power, bit1 angle,
-    bit3 complex-f32; n_complex = data_type >> 8 (number of sectors).
+    bit2 complex-f16, bit3 complex-f32; n_complex = data_type >> 8 (number
+    of sectors).  float16 complex samples decode as 2x f16 per complex value
+    (4 bytes) per the RAW3 datagram layout — the reference's f16 branch
+    (ek_raw_parsers.py:1746-1765) sizes the block at 2 bytes/complex and then
+    reinterprets the f16 buffer as complex64, which cannot be right; we
+    follow the format spec instead.
 
     Returns dict with keys power [N,R], angle [N,R,2], complex_r/complex_i
     [N,R,n_complex] (None where absent).
@@ -303,15 +320,18 @@ def decode_raw3_samples(index: DatagramIndex, rows: np.ndarray, hdr: np.ndarray)
         out["angle"] = _angle_f4(u8, pos, ang_counts, max_count)
         pos = pos + np.where(has_angle, 2 * counts, 0)
     if n_complex > 0:
-        if not bool((dt & 0b1000).any()):
-            raise NotImplementedError("float16 complex samples are not supported")
-        from ... import native
-
-        n_f32 = np.where(dt >> 8 > 0, counts * n_complex * 2, 0)
+        n_vals = np.where(dt >> 8 > 0, counts * n_complex * 2, 0)
         max_vals = max_count * n_complex * 2
-        vals = native.gather_f32_nan(u8, pos, n_f32, max_vals)
-        if vals is None:
-            vals, valid = _gather_f32(u8, pos, n_f32, max_vals)
+        if bool((dt & 0b1000).any()):
+            from ... import native
+
+            vals = native.gather_f32_nan(u8, pos, n_vals, max_vals)
+            if vals is None:
+                vals, valid = _gather_f32(u8, pos, n_vals, max_vals)
+                vals = np.where(valid, vals, np.nan)
+        else:
+            # float16 complex (data_type bit2): 2x f16 per complex sample
+            vals, valid = _gather_f16_as_f32(u8, pos, n_vals, max_vals)
             vals = np.where(valid, vals, np.nan)
         vals = vals.reshape(len(rows), max_count, n_complex, 2)
         # reference upcasts complex parts to f64 with imag-of-padding NaN

@@ -111,8 +111,10 @@ def make_fil1(timestamp, channel_id, stage, coefficients, decimation):
     return frame(body)
 
 
-def make_raw3(timestamp, channel_id, complex_samples=None, power_idx=None, angle=None):
-    """complex_samples: complex64 [count, n_sectors]."""
+def make_raw3(timestamp, channel_id, complex_samples=None, power_idx=None, angle=None,
+              complex_f16=False):
+    """complex_samples: complex64 [count, n_sectors]; complex_f16 stores the
+    real/imag pairs as float16 (data_type bit2) instead of float32 (bit3)."""
     low, high = dt64_to_nt(timestamp)
     data_type = 0
     count = 0
@@ -128,8 +130,13 @@ def make_raw3(timestamp, channel_id, complex_samples=None, power_idx=None, angle
     if complex_samples is not None:
         cs = np.asarray(complex_samples, dtype="<c8")
         count, n_sec = cs.shape
-        data_type |= 0b1000 | (n_sec << 8)
-        payload += cs.tobytes()
+        if complex_f16:
+            data_type |= 0b100 | (n_sec << 8)
+            pairs = np.stack([cs.real, cs.imag], axis=-1).astype("<f2")
+            payload += pairs.tobytes()
+        else:
+            data_type |= 0b1000 | (n_sec << 8)
+            payload += cs.tobytes()
     body = (
         struct.pack(
             "<4sLL128sh2sll", b"RAW3", low, high, channel_id.encode(), data_type, b"", 0, count
@@ -209,6 +216,7 @@ def write_ek80_raw(
     with_cw_complex=True,
     skip_pings=None,
     extra_fm_channel=False,
+    complex_f16=False,
 ):
     rng = np.random.default_rng(seed)
     channels = default_channels()
@@ -272,7 +280,12 @@ def write_ek80_raw(
                     rng.normal(0, 1e-3, (n_samples, n_sectors))
                     + 1j * rng.normal(0, 1e-3, (n_samples, n_sectors))
                 ).astype("c8")
-                chunks.append(make_raw3(ts, cid, complex_samples=cs))
+                chunks.append(make_raw3(ts, cid, complex_samples=cs,
+                                        complex_f16=complex_f16))
+                if complex_f16:
+                    import numpy as _np
+                    pairs = _np.stack([cs.real, cs.imag], axis=-1).astype("<f2")
+                    cs = (pairs[..., 0].astype("f8") + 1j * pairs[..., 1].astype("f8")).astype("c8")
                 truth["complex"].setdefault(cid, []).append(cs)
             truth["ping_time"].setdefault(cid, []).append(ts)
         if p % 2 == 0:

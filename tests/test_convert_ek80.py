@@ -186,3 +186,35 @@ class TestUnionGridScatterEK80:
             assert not np.isnan(bs[other, 2]).all()
             hit = True
         assert hit, "expected a 2-channel complex-FM group"
+
+
+class TestFloat16Complex:
+    """RAW3 float16 complex samples (data_type bit2): 2x f16 per complex value.
+
+    The reference's f16 branch (ek_raw_parsers.py:1746-1765) mis-sizes the
+    block at 2 bytes/complex and reinterprets the f16 buffer as complex64;
+    we decode per the datagram layout instead (see simrad/decode.py).
+    """
+
+    def test_f16_decode_matches_truth(self, tmp_path):
+        path = tmp_path / "E80f16-D20210201-T000000.raw"
+        truth = write_ek80_raw(
+            path, n_pings=4, n_samples=32,
+            with_power_channel=False, with_cw_complex=False, complex_f16=True,
+        )
+        ed = ep.open_raw(path, sonar_model="EK80")
+        bg1 = ed["Sonar/Beam_group1"]
+        expected = np.stack(truth["complex"][CH_BB])  # f16-quantized truth
+        np.testing.assert_allclose(bg1["backscatter_r"].values[0], expected.real, rtol=1e-6)
+        np.testing.assert_allclose(bg1["backscatter_i"].values[0], expected.imag, rtol=1e-6)
+
+    def test_f16_calibrates(self, tmp_path):
+        path = tmp_path / "E80f16b-D20210201-T000000.raw"
+        write_ek80_raw(
+            path, n_pings=4, n_samples=64,
+            with_power_channel=False, with_cw_complex=False, complex_f16=True,
+        )
+        ed = ep.open_raw(path, sonar_model="EK80")
+        sv = ep.calibrate.compute_Sv(ed, waveform_mode="BB", encode_mode="complex")
+        v = sv["Sv"].values
+        assert np.isfinite(v).any()
