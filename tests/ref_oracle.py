@@ -82,9 +82,28 @@ def _install_stubs() -> None:
     _stub("pytz", utc=_utc, UTC=_utc, __version__="2024.1")
     _stub("dask", __version__="2024.1")
     _stub("dask.array", Array=type("Array", (), {}))
+    # ek80_complex.py imports three suffix-string constants from
+    # set_groups_ek80, whose own import chain needs pynmea2/xarray; stub just
+    # the constants (values mirror set_groups_ek80.py:16-18).
+    _stub(
+        "echopype.convert.set_groups_ek80",
+        FILTER_IMAG="coeffs_imag",
+        FILTER_REAL="coeffs_real",
+        DECIMATION="deci_fac",
+    )
     # ecs.py imports xarray at module level but ECSParser itself never touches
-    # it; a named shell is enough for parser-level differential tests.
-    _stub("xarray", DataArray=type("DataArray", (), {}), Dataset=type("Dataset", (), {}))
+    # it; ek80_complex.py additionally CONSTRUCTS DataArrays for its return
+    # values, so the stub records data/coords for the tests to unwrap.
+    import numpy as _np
+
+    class _StubDataArray:
+        def __init__(self, data=None, coords=None, dims=None, name=None, attrs=None):
+            self.values = None if data is None else _np.asarray(data)
+            self.coords = {} if coords is None else coords
+            self.dims = dims
+            self.attrs = {} if attrs is None else attrs
+
+    _stub("xarray", DataArray=_StubDataArray, Dataset=type("Dataset", (), {}))
     _package("echopype", REF_ROOT)
     _package("echopype.utils", f"{REF_ROOT}/utils")
     _package("echopype.convert", f"{REF_ROOT}/convert")

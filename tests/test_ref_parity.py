@@ -320,3 +320,142 @@ def test_nt_roundtrip_parity():
         low, high = ref.unix_to_nt(unix_s)
         ours = framing.nt_to_datetime64(np.array([low], "u4"), np.array([high], "u4"))
         assert abs(ours[0].astype("i8") / 1e9 - unix_s) < 4e-6
+
+
+# ---------------------------------------------------------------------------
+# EK80 broadband transmit-signal chain (calibrate/ek80_complex.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "fs,tau,slope,f0,f1,drop_last",
+    [
+        (1_500_000.0, 1.024e-3, 0.0078125, 50_000.0, 90_000.0, False),
+        (1_500_000.0, 1.024e-3, 0.0078125, 50_000.0, 90_000.0, True),
+        (500_000.0, 2.048e-3, 0.5, 120_000.0, 120_000.0, False),  # CW (full taper)
+        (93_750.0, 0.512e-3, 0.1, 38_000.0, 45_000.0, False),
+    ],
+)
+def test_tapered_chirp_parity(fs, tau, slope, f0, f1, drop_last):
+    """Chirp replica generation vs reference ek80_complex.py:12-52."""
+    from echopype_tpu.calibrate.ek80_complex import tapered_chirp
+
+    ref = load_ref("calibrate/ek80_complex")
+    arr = lambda v: np.array([v])
+    y_ref, t_ref = ref.tapered_chirp(arr(fs), arr(tau), arr(slope), arr(f0), arr(f1),
+                                     drop_last_hanning_zero=drop_last)
+    y_us, t_us = tapered_chirp(fs, tau, slope, f0, f1, drop_last_hanning_zero=drop_last)
+    np.testing.assert_array_equal(y_us, y_ref)
+    np.testing.assert_array_equal(t_us, t_ref)
+
+
+def test_filter_decimate_chirp_parity():
+    """WBT+PC filter/decimate stages vs reference ek80_complex.py:55-81."""
+    from echopype_tpu.calibrate.ek80_complex import filter_decimate_chirp, tapered_chirp
+
+    ref = load_ref("calibrate/ek80_complex")
+    rng = np.random.default_rng(7)
+    y, _ = tapered_chirp(1_500_000.0, 1.024e-3, 0.0078125, 50_000.0, 90_000.0)
+    coeff = {
+        "wbt_fil": (rng.normal(size=5) + 1j * rng.normal(size=5)).astype("c8"),
+        "pc_fil": (rng.normal(size=3) + 1j * rng.normal(size=3)).astype("c8"),
+        "wbt_decifac": 6,
+        "pc_decifac": 2,
+    }
+    ytx_ref, t_ref = ref.filter_decimate_chirp(coeff, y, 1_500_000.0)
+    ytx_us, t_us = filter_decimate_chirp(coeff, y, 1_500_000.0)
+    np.testing.assert_array_equal(ytx_us, ytx_ref)
+    np.testing.assert_array_equal(t_us, t_ref)
+
+
+@pytest.mark.parametrize("mode", ["BB", "CW"])
+def test_tau_effective_parity(mode):
+    """Effective pulse length vs reference ek80_complex.py:162-208."""
+    from echopype_tpu.calibrate.ek80_complex import filter_decimate_chirp, get_tau_effective, tapered_chirp
+
+    ref = load_ref("calibrate/ek80_complex")
+    rng = np.random.default_rng(11)
+    ytx_dict, fs_dict = {}, {}
+    for i, (f0, f1) in enumerate(((50e3, 90e3), (120e3, 120e3))):
+        y, _ = tapered_chirp(1_500_000.0, 1.024e-3, 0.0078125, f0, f1)
+        coeff = {
+            "wbt_fil": (rng.normal(size=5) + 1j * rng.normal(size=5)).astype("c8"),
+            "pc_fil": (rng.normal(size=3) + 1j * rng.normal(size=3)).astype("c8"),
+            "wbt_decifac": 6,
+            "pc_decifac": 2,
+        }
+        ytx, _ = filter_decimate_chirp(coeff, y, 1_500_000.0)
+        ch = f"CH-{i}"
+        ytx_dict[ch] = ytx
+        fs_dict[ch] = 1_500_000.0 / 12
+
+    channel = np.array(list(ytx_dict), dtype=object)
+    ref_da = ref.get_tau_effective(ytx_dict, fs_dict, mode, channel, None)
+    us_da = get_tau_effective(ytx_dict, fs_dict, mode, channel, None)
+    np.testing.assert_allclose(np.asarray(us_da.values, "f8").ravel(),
+                               np.asarray(ref_da.values, "f8").ravel(), rtol=0)
+
+
+def test_matched_filter_vs_reference_convolve():
+    """Our pulse compression vs the reference's time-domain convolution
+    contract (ek80_complex.py:285-369): NaNs zeroed, conv with
+    flipud(conj(replica)), truncated at [L-1:], NaNs restored."""
+    from types import SimpleNamespace
+
+    from echopype_tpu.ops.matched_filter import pulse_compress_channel
+
+    ref = load_ref("calibrate/ek80_complex")
+    rng = np.random.default_rng(3)
+    P, R, B, L = 4, 257, 3, 41
+    bs = (rng.normal(size=(P, R, B)) + 1j * rng.normal(size=(P, R, B))).astype("c8")
+    bs[:, -17:, :] = np.nan + 1j * np.nan  # ragged NaN tails
+    replica = (rng.normal(size=L) + 1j * rng.normal(size=L)).astype("c8")
+
+    ours = pulse_compress_channel(bs, replica)
+
+    rep_flip = np.flipud(np.conj(replica))
+    chans = [SimpleNamespace(values=np.str_("ch0"))]
+    expected = np.empty_like(bs)
+    for p in range(P):
+        for b in range(B):
+            subset = np.where(np.isnan(bs[p, :, b]), 0, bs[p, :, b])[:, None]
+            out = ref._convolve_per_channel(subset, {"ch0": rep_flip}, chans)
+            expected[p, :, b] = out[:, 0]
+    expected = np.where(np.isnan(bs), np.nan + 1j * np.nan, expected)
+
+    nan_match = np.isnan(ours.real) == np.isnan(expected.real)
+    assert nan_match.all()
+    m = ~np.isnan(expected.real)
+    scale = np.abs(expected[m]).max()
+    assert np.abs(ours[m] - expected[m]).max() / scale < 2e-6
+
+
+def test_mxu_toeplitz_conv_vs_reference_convolve():
+    """The MXU blocked-Toeplitz fallback (the axon production path) against
+    the reference's signal.convolve + [L-1:] truncation, run explicitly
+    (the FFT path shadows it on CPU backends)."""
+    from types import SimpleNamespace
+
+    from echopype_tpu.ops.matched_filter import _mxu_conv_real
+
+    ref = load_ref("calibrate/ek80_complex")
+    rng = np.random.default_rng(5)
+    lanes, R, L = 6, 300, 61
+    x = (rng.normal(size=(lanes, R)) + 1j * rng.normal(size=(lanes, R))).astype("c8")
+    replica = (rng.normal(size=L) + 1j * rng.normal(size=L)).astype("c8")
+    rep_flip = np.flipud(np.conj(replica))
+
+    re, im = _mxu_conv_real(
+        np.ascontiguousarray(x.real, "f4"), np.ascontiguousarray(x.imag, "f4"),
+        np.ascontiguousarray(rep_flip.real, "f4"), np.ascontiguousarray(rep_flip.imag, "f4"),
+        L - 1, R,
+    )
+    ours = np.asarray(re) + 1j * np.asarray(im)
+
+    chans = [SimpleNamespace(values=np.str_("ch0"))]
+    expected = np.stack(
+        [ref._convolve_per_channel(x[i][:, None], {"ch0": rep_flip}, chans)[:, 0]
+         for i in range(lanes)]
+    )
+    scale = np.abs(expected).max()
+    assert np.abs(ours - expected).max() / scale < 2e-6
