@@ -277,6 +277,36 @@ class TestMxuConvFallback:
         _np.testing.assert_allclose(out_mxu.imag, out_fft.imag, rtol=1e-4, atol=1e-9)
         assert _np.isnan(out_mxu.real[1, 100:]).all()
 
+    @pytest.mark.parametrize(
+        "P,R,L",
+        [
+            (3, 300, 500),   # replica longer than the block size T (multi-shift halo)
+            (2, 100, 257),   # replica longer than the signal
+            (5, 1000, 3),    # tiny replica
+            (2, 129, 41),    # out_len not a multiple of the block size
+            (1, 8192, 500),  # the production BB shape, one lane
+        ],
+    )
+    def test_mxu_conv_shape_edges(self, P, R, L):
+        """The blocked Toeplitz matmul across halo/edge shape regimes vs the
+        f64 time-domain convolution truncated at [L-1:]."""
+        import numpy as _np
+
+        from echopype_tpu.ops.matched_filter import _mxu_conv_real
+
+        rng = _np.random.default_rng(L)
+        x = (rng.normal(size=(P, R)) + 1j * rng.normal(size=(P, R)))
+        h = (rng.normal(size=L) + 1j * rng.normal(size=L))
+        expected = _np.stack([_np.convolve(x[p], h)[L - 1 : L - 1 + R] for p in range(P)])
+        re, im = _mxu_conv_real(
+            _np.ascontiguousarray(x.real, "f4"), _np.ascontiguousarray(x.imag, "f4"),
+            _np.ascontiguousarray(h.real, "f4"), _np.ascontiguousarray(h.imag, "f4"),
+            L - 1, R,
+        )
+        got = _np.asarray(re).astype("f8") + 1j * _np.asarray(im)
+        scale = _np.abs(expected).max()
+        assert _np.abs(got - expected).max() / scale < 2e-6
+
 
 class TestThreeSectorComplex:
     def test_cw_complex_three_sectors(self, tmp_path):
