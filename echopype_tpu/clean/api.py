@@ -70,13 +70,30 @@ def mask_transient_noise(
 
     sv = np.asarray(ds_Sv["Sv"].values, dtype="f8")
     depth = _range_values(ds_Sv, range_var, sv.shape)
-    if func == "nanmean":
+    grid = cu.uniform_grid(depth) if func == "nanmean" else None
+    if grid is not None:
+        # fused device path: pooling + dB compare in one program; bit-packed
+        # readback (the tunnel's D2H leg is the bottleneck, ops/windows.py)
+        from ..ops.windows import transient_mask_grid_packed
+
+        packed = np.asarray(
+            transient_mask_grid_packed(
+                np.asarray(sv, dtype="f4"),
+                np.asarray(grid, dtype="f4"),
+                float(depth_bin_m),
+                int(num_side_pings),
+                float(exclude_above_m),
+                float(thr),
+            )
+        )
+        mask_vals = np.unpackbits(packed, axis=-1, count=sv.shape[2]).astype(bool)
+    elif func == "nanmean":
         pooled = cu.pool_Sv_nanmean(sv, depth, depth_bin_m, num_side_pings, exclude_above_m)
+        mask_vals = (sv - pooled) > thr
     else:
         logger.warning("`func=nanmedian` is a slow operation due to the sorting overhead.")
         pooled = cu.pool_Sv_nanmedian(sv, depth, depth_bin_m, num_side_pings, exclude_above_m)
-
-    mask_vals = (sv - pooled) > thr
+        mask_vals = (sv - pooled) > thr
     out = DataArray(mask_vals, ds_Sv["Sv"].dims, name="mask_transient_noise")
     out.coords = dict(ds_Sv["Sv"].coords)
     return out
@@ -97,11 +114,27 @@ def mask_impulse_noise(
 
     sv = np.asarray(ds_Sv["Sv"].values, dtype="f8")
     depth = _range_values(ds_Sv, range_var, sv.shape)
-    _, upsampled, _ = cu.downsample_upsample_along_depth(sv, depth, depth_bin_m)
-    C = sv.shape[0]
-    mask_vals = np.stack(
-        [cu.echopy_impulse_noise_mask(upsampled[c], num_side_pings, thr) for c in range(C)]
-    )
+    C, P, _ = sv.shape
+    grid = cu.uniform_grid(depth)
+    if grid is not None and P > num_side_pings:
+        # fused device path: down/up-sample + two-sided compare, packed out
+        from ..ops.windows import impulse_mask_grid_packed
+
+        d_min, d_max = np.nanmin(depth), np.nanmax(depth)
+        edges = np.arange(d_min, d_max + depth_bin_m, depth_bin_m)
+        n_b = max(len(edges) - 1, 1)
+        idx_grid = np.clip(np.digitize(grid, edges) - 1, 0, n_b - 1).astype("i4")
+        packed = np.asarray(
+            impulse_mask_grid_packed(
+                np.asarray(sv, dtype="f4"), idx_grid, int(n_b), int(num_side_pings), float(thr)
+            )
+        )
+        mask_vals = np.unpackbits(packed, axis=-1, count=sv.shape[2]).astype(bool)
+    else:
+        _, upsampled, _ = cu.downsample_upsample_along_depth(sv, depth, depth_bin_m)
+        mask_vals = np.stack(
+            [cu.echopy_impulse_noise_mask(upsampled[c], num_side_pings, thr) for c in range(C)]
+        )
     out = DataArray(mask_vals, ds_Sv["Sv"].dims, name="mask_impulse_noise")
     out.coords = dict(ds_Sv["Sv"].coords)
     return out
@@ -132,12 +165,30 @@ def mask_attenuated_signal(
         return out
 
     C = sv.shape[0]
-    mask_vals = np.stack(
-        [
-            cu.echopy_attenuated_signal_mask(sv[c], depth[c], upper_m, lower_m, num_side_pings, thr)
-            for c in range(C)
-        ]
-    )
+    grid = cu.uniform_grid(depth)
+    if grid is not None:
+        # device fast path: contiguous-slab medians, per-ping bool readback
+        from ..ops.windows import attenuated_ping_mask_grid_device
+
+        up_idx = np.nanargmin(np.abs(grid - upper_m), axis=1).astype("i4")
+        lw_idx = np.nanargmin(np.abs(grid - lower_m), axis=1).astype("i4")
+        widths = np.maximum(lw_idx - up_idx, 0).astype("i4")
+        s_max = max(int(widths.max()), 1)
+        ping_mask = np.asarray(
+            attenuated_ping_mask_grid_device(
+                np.asarray(sv, dtype="f4"), up_idx, widths, s_max, int(num_side_pings), float(thr)
+            )
+        )
+        mask_vals = np.broadcast_to(ping_mask[:, :, None], sv.shape).copy()
+    else:
+        mask_vals = np.stack(
+            [
+                cu.echopy_attenuated_signal_mask(
+                    sv[c], depth[c], upper_m, lower_m, num_side_pings, thr
+                )
+                for c in range(C)
+            ]
+        )
     out = DataArray(mask_vals, ds_Sv["Sv"].dims, name="mask_attenuated_signal")
     out.coords = dict(ds_Sv["Sv"].coords)
     return out

@@ -37,6 +37,22 @@ def extract_dB(db_str: str) -> float:
     return float(m.group(1))
 
 
+def uniform_grid(depth: np.ndarray):
+    """[C, P, R] depth -> the shared [C, R] grid when pings agree, else None.
+
+    Instrument depth grids are almost always ping-invariant per channel; the
+    MXU band-matmul window kernels require it (the gather kernels do not).
+    """
+    if depth.ndim != 3:
+        return None
+    if depth.shape[1] == 1:
+        return depth[:, 0]
+    first = np.broadcast_to(depth[:, :1], depth.shape)
+    if np.array_equal(depth, first, equal_nan=True):
+        return depth[:, 0]
+    return None
+
+
 def pool_Sv_nanmean(
     sv: np.ndarray,
     depth: np.ndarray,
@@ -48,20 +64,29 @@ def pool_Sv_nanmean(
 
     sv, depth: [C, P, R].  Output NaN where the window would extend outside
     the valid depth/ping domain (pool_Sv validity rules, utils.py:75-85).
-    Runs as one jit kernel on the device (ops/windows.py).
+    Runs as one jit kernel on the device (ops/windows.py): band-matmul on the
+    MXU when the depth grid is ping-invariant, cumsum+gather otherwise.
     """
-    from ..ops.windows import pool_sv_nanmean_device
+    from ..ops.windows import pool_sv_nanmean_device, pool_sv_nanmean_grid_device
 
-    return np.asarray(
-        pool_sv_nanmean_device(
+    grid = uniform_grid(depth)
+    if grid is not None:
+        out = pool_sv_nanmean_grid_device(
+            np.asarray(sv, dtype="f4"),
+            np.asarray(grid, dtype="f4"),
+            float(depth_bin),
+            int(num_side_pings),
+            float(exclude_above),
+        )
+    else:
+        out = pool_sv_nanmean_device(
             np.asarray(sv, dtype="f4"),
             np.asarray(depth, dtype="f4"),
             float(depth_bin),
             int(num_side_pings),
             float(exclude_above),
-        ),
-        dtype="f8",
-    )
+        )
+    return np.asarray(out, dtype="f8")
 
 
 def pool_Sv_nanmedian(
@@ -111,18 +136,28 @@ def downsample_upsample_along_depth(sv: np.ndarray, depth: np.ndarray, depth_bin
     Returns (downsampled [C,P,B], upsampled [C,P,R], bin_idx [C,P,R]).
     Mirrors clean/utils.py:184-252: bins start at global depth min, left-closed.
     """
-    from ..ops.windows import downsample_upsample_depth_device
+    from ..ops.windows import downsample_upsample_depth_device, downsample_upsample_grid_device
 
     d_min, d_max = np.nanmin(depth), np.nanmax(depth)
     edges = np.arange(d_min, d_max + depth_bin, depth_bin)
     n_b = max(len(edges) - 1, 1)
-    # left-closed binning on the bin-left edges (digitize on left edges);
-    # nondecreasing along range, so the device kernel reduces scatter-free
-    bin_idx = np.digitize(depth, edges) - 1
-    bin_idx = np.clip(bin_idx, 0, n_b - 1).astype("i4")
-    down, up = downsample_upsample_depth_device(
-        np.asarray(sv, dtype="f4"), bin_idx, int(n_b)
-    )
+    grid = uniform_grid(depth)
+    if grid is not None:
+        # left-closed binning on the shared grid; both directions run as
+        # membership-matrix matmuls on the MXU
+        idx_grid = np.clip(np.digitize(grid, edges) - 1, 0, n_b - 1).astype("i4")
+        down, up = downsample_upsample_grid_device(
+            np.asarray(sv, dtype="f4"), idx_grid, int(n_b)
+        )
+        bin_idx = np.broadcast_to(idx_grid[:, None, :], sv.shape)
+    else:
+        # left-closed binning on the bin-left edges (digitize on left edges);
+        # nondecreasing along range, so the device kernel reduces scatter-free
+        bin_idx = np.digitize(depth, edges) - 1
+        bin_idx = np.clip(bin_idx, 0, n_b - 1).astype("i4")
+        down, up = downsample_upsample_depth_device(
+            np.asarray(sv, dtype="f4"), bin_idx, int(n_b)
+        )
     return np.asarray(down, dtype="f8"), np.asarray(up, dtype="f8"), bin_idx
 
 

@@ -18,7 +18,18 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["pool_sv_nanmean_device", "downsample_upsample_depth_device"]
+__all__ = [
+    "pool_sv_nanmean_device",
+    "pool_sv_nanmean_grid_device",
+    "transient_mask_grid_device",
+    "downsample_upsample_depth_device",
+    "downsample_upsample_grid_device",
+    "impulse_mask_grid_device",
+    "pack_mask_device",
+    "transient_mask_grid_packed",
+    "impulse_mask_grid_packed",
+    "attenuated_ping_mask_grid_device",
+]
 
 
 def _cumsum_band_diff(values, lo, hi, axis):
@@ -76,6 +87,231 @@ def pool_sv_nanmean_device(sv, depth, depth_bin, num_side_pings: int, exclude_ab
         & (p_idx[None, :, None] + num_side_pings <= P)
     )
     return jnp.where(valid, pooled, jnp.nan)
+
+
+def _pool_windows_grid(sv, grid, depth_bin, num_side_pings: int):
+    """Depth- and ping-window sums for a ping-invariant depth grid — two
+    banded MXU matmuls instead of cumsum+gather (lane gathers are the slow
+    path on TPU; a 0/1 band matrix rides the systolic array).
+
+    sv: f32 [C, P, R]; grid: f32 [C, R].  Returns (sw, nw) each [C, P, R]:
+    linear-domain window sums and valid-sample counts over
+    {r': grid[r'] in [grid[r]-depth_bin, grid[r]+depth_bin]} x {|p'-p| <= W}.
+    """
+    C, P, R = sv.shape
+    lin = jnp.power(10.0, sv / 10.0)
+    lin_f = jnp.where(jnp.isnan(sv), 0.0, lin)
+    cnt = (~jnp.isnan(sv)).astype(jnp.float32)
+
+    # band matrix over the range axis: Wd[c, r_src, r_dst]
+    d = grid
+    wd = (
+        (d[:, :, None] >= d[:, None, :] - depth_bin)
+        & (d[:, :, None] <= d[:, None, :] + depth_bin)
+    ).astype(jnp.float32)
+
+    stacked = jnp.concatenate([lin_f, cnt], axis=1)  # [C, 2P, R]
+    dn = (((2,), (1,)), ((0,), (0,)))
+    s_n = jax.lax.dot_general(
+        stacked, wd, dn, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # [C, 2P, R]
+
+    # Toeplitz band over the ping axis
+    pi = jnp.arange(P)
+    wp = (jnp.abs(pi[:, None] - pi[None, :]) <= num_side_pings).astype(jnp.float32)
+    stacked2 = jnp.concatenate([s_n[:, :P], s_n[:, P:]], axis=2)  # [C, P, 2R]
+    dn2 = (((1,), (0,)), ((), ()))
+    out = jax.lax.dot_general(
+        stacked2, wp, dn2, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # [C, 2R, P]
+    out = jnp.moveaxis(out, 2, 1)
+    return out[..., :R], out[..., R:]
+
+
+def _pool_validity_grid(grid, depth_bin, num_side_pings: int, exclude_above, P: int):
+    """pool_Sv validity rules on a ping-invariant grid -> bool [C, P, R]."""
+    d_min = jnp.nanmin(grid, axis=1, keepdims=True)
+    d_max = jnp.nanmax(grid, axis=1, keepdims=True)
+    v_r = (
+        (grid - depth_bin >= d_min)
+        & (grid + depth_bin <= d_max)
+        & (grid - depth_bin >= exclude_above)
+    )  # [C, R]
+    p_idx = jnp.arange(P)
+    v_p = (p_idx - num_side_pings >= 0) & (p_idx + num_side_pings <= P)  # [P]
+    return v_r[:, None, :] & v_p[None, :, None]
+
+
+@partial(jax.jit, static_argnames=("num_side_pings",))
+def pool_sv_nanmean_grid_device(sv, grid, depth_bin, num_side_pings: int, exclude_above):
+    """Windowed nanmean pooling for a ping-invariant depth grid (MXU path).
+
+    Same contract as :func:`pool_sv_nanmean_device` with
+    depth = broadcast(grid[:, None, :]).
+    """
+    C, P, R = sv.shape
+    sw, nw = _pool_windows_grid(sv, grid, depth_bin, num_side_pings)
+    pooled = jnp.where(nw > 0, 10.0 * jnp.log10(sw / jnp.maximum(nw, 1.0)), jnp.nan)
+    valid = _pool_validity_grid(grid, depth_bin, num_side_pings, exclude_above, P)
+    return jnp.where(valid, pooled, jnp.nan)
+
+
+@partial(jax.jit, static_argnames=("num_side_pings",))
+def transient_mask_grid_device(sv, grid, depth_bin, num_side_pings: int, exclude_above, threshold):
+    """Fused transient-noise mask: pooled nanmean + dB compare, bool out.
+
+    Returning the bool mask keeps the tunnel readback at 1 byte/sample and
+    the dB compare on device (clean/api.py:30-168 parity: NaN pooled -> False).
+    """
+    pooled = pool_sv_nanmean_grid_device(sv, grid, depth_bin, num_side_pings, exclude_above)
+    return (sv - pooled) > threshold
+
+
+@partial(jax.jit, static_argnames=("n_bins",))
+def downsample_upsample_grid_device(sv, bin_idx_grid, n_bins: int):
+    """Depth-bin linear mean + per-sample broadcast-back, ping-invariant grid.
+
+    bin_idx_grid: i32 [C, R].  Both directions are one membership-matrix
+    matmul: down-sums = lin @ M, up-sums = (lin @ M) @ M^T — no gathers.
+    Returns (down [C, P, n_bins] dB, up [C, P, R] dB).
+    """
+    C, P, R = sv.shape
+    lin = jnp.power(10.0, sv / 10.0)
+    lin_f = jnp.where(jnp.isnan(sv), 0.0, lin)
+    cnt = (~jnp.isnan(sv)).astype(jnp.float32)
+
+    m = (bin_idx_grid[:, :, None] == jnp.arange(n_bins)[None, None, :]).astype(jnp.float32)
+
+    stacked = jnp.concatenate([lin_f, cnt], axis=1)  # [C, 2P, R]
+    dn = (((2,), (1,)), ((0,), (0,)))
+    s_n = jax.lax.dot_general(
+        stacked, m, dn, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # [C, 2P, B]
+    sums, counts = s_n[:, :P], s_n[:, P:]
+    down = jnp.where(counts > 0, 10.0 * jnp.log10(sums / jnp.maximum(counts, 1.0)), jnp.nan)
+
+    # broadcast back: each sample picks up its own bin's sums/counts
+    dn_t = (((2,), (2,)), ((0,), (0,)))
+    up_sn = jax.lax.dot_general(
+        s_n, m, dn_t, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # [C, 2P, R]
+    up_s, up_n = up_sn[:, :P], up_sn[:, P:]
+    up = jnp.where(up_n > 0, 10.0 * jnp.log10(up_s / jnp.maximum(up_n, 1.0)), jnp.nan)
+    return down, up
+
+
+@partial(jax.jit, static_argnames=("n_bins", "num_side_pings"))
+def impulse_mask_grid_device(sv, bin_idx_grid, n_bins: int, num_side_pings: int, threshold):
+    """Fused impulse-noise mask: down/up-sample + two-sided ping compare.
+
+    Mirrors clean/utils.echopy_impulse_noise_mask on the upsampled Sv:
+    lags outside the array and NaN diffs count as +inf (mask=True side).
+    Requires P > num_side_pings (caller guards).
+    """
+    C, P, R = sv.shape
+    _, up = downsample_upsample_grid_device(sv, bin_idx_grid, n_bins)
+    m = num_side_pings
+    inf_pad = jnp.full((C, m, R), jnp.inf, dtype=up.dtype)
+    fwd = jnp.concatenate([up[:, : P - m] - up[:, m:], inf_pad], axis=1)
+    bwd = jnp.concatenate([inf_pad, up[:, m:] - up[:, : P - m]], axis=1)
+    fwd = jnp.where(jnp.isnan(fwd), jnp.inf, fwd)
+    bwd = jnp.where(jnp.isnan(bwd), jnp.inf, bwd)
+    return (fwd > threshold) & (bwd > threshold)
+
+
+def pack_mask_device(m):
+    """bool [..., R] -> bit-packed uint8 [..., ceil(R/8)] (np.packbits order).
+
+    The axon tunnel reads back at ~40 MB/s while H2D runs ~1.6 GB/s; packing
+    masks on device cuts the dominant D2H leg 8x.  Unpack on host with
+    np.unpackbits(packed, axis=-1, count=R).
+    """
+    R = m.shape[-1]
+    pad = (-R) % 8
+    if pad:
+        m = jnp.pad(m, [(0, 0)] * (m.ndim - 1) + [(0, pad)])
+    mb = m.reshape(*m.shape[:-1], -1, 8).astype(jnp.uint8)
+    w = jnp.array([128, 64, 32, 16, 8, 4, 2, 1], dtype=jnp.uint8)
+    return jnp.sum(mb * w, axis=-1).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("num_side_pings",))
+def transient_mask_grid_packed(sv, grid, depth_bin, num_side_pings: int, exclude_above, threshold):
+    """transient_mask_grid_device with bit-packed readback."""
+    return pack_mask_device(
+        transient_mask_grid_device(sv, grid, depth_bin, num_side_pings, exclude_above, threshold)
+    )
+
+
+@partial(jax.jit, static_argnames=("n_bins", "num_side_pings"))
+def impulse_mask_grid_packed(sv, bin_idx_grid, n_bins: int, num_side_pings: int, threshold):
+    """impulse_mask_grid_device with bit-packed readback."""
+    return pack_mask_device(
+        impulse_mask_grid_device(sv, bin_idx_grid, n_bins, num_side_pings, threshold)
+    )
+
+
+@partial(jax.jit, static_argnames=("s_max", "num_side_pings", "chunk"))
+def attenuated_ping_mask_grid_device(
+    sv, start_idx, widths, s_max: int, num_side_pings: int, threshold, chunk: int = 256
+):
+    """Per-ping attenuated-signal flags on a ping-invariant grid (device).
+
+    The scattering layer is a contiguous range-index band on a monotone grid,
+    so slab extraction is a per-channel dynamic_slice (no gather); block
+    medians use 2W shifted slab copies, processed in ping chunks so the
+    window tensor stays a few hundred MB, with one sort-based nanmedian per
+    chunk.  Mirrors clean/utils.echopy_attenuated_signal_mask: block pings
+    are p-W..p+W-1, flag when (ping_median - block_median) dB < threshold,
+    pings whose window leaves [0, P) or whose slab is all-NaN stay False.
+
+    sv: f4 [C, P, R]; start_idx: i32 [C] slab starts; widths: i32 [C] slab
+    lengths (<= s_max).  Returns bool [C, P].
+    """
+    C, P, R = sv.shape
+    W = int(num_side_pings)
+    lin = jnp.power(10.0, sv / 10.0)
+
+    linp = jnp.pad(lin, ((0, 0), (0, 0), (0, s_max)), constant_values=jnp.nan)
+    slab = jax.vmap(
+        lambda x, s: jax.lax.dynamic_slice(x, (0, s), (P, s_max))
+    )(linp, start_idx)  # [C, P, s_max]
+    colmask = jnp.arange(s_max)[None, :] < widths[:, None]
+    slab = jnp.where(colmask[:, None, :], slab, jnp.nan)
+
+    ping_med = 10.0 * jnp.log10(jnp.nanmedian(slab, axis=-1))  # [C, P]
+
+    # block windows over pings, chunked
+    n_chunks = -(-P // chunk)
+    P_pad = n_chunks * chunk
+    slab_p = jnp.pad(
+        slab, ((0, 0), (W, W + P_pad - P), (0, 0)), constant_values=jnp.nan
+    )
+
+    def one_chunk(c0):
+        win = jnp.stack(
+            [
+                jax.lax.dynamic_slice(slab_p, (0, c0 + o, 0), (C, chunk, s_max))
+                for o in range(2 * W)
+            ],
+            axis=2,
+        )  # [C, chunk, 2W, s_max]
+        return jnp.nanmedian(win.reshape(C, chunk, 2 * W * s_max), axis=-1)
+
+    block_med_lin = jax.lax.map(
+        one_chunk, jnp.arange(0, P_pad, chunk)
+    )  # [n_chunks, C, chunk]
+    block_med = 10.0 * jnp.log10(
+        jnp.moveaxis(block_med_lin, 0, 1).reshape(C, P_pad)[:, :P]
+    )
+
+    p_idx = jnp.arange(P)
+    valid = (p_idx - W >= 0) & (p_idx + W <= P - 1)
+    return ((ping_med - block_med) < threshold) & valid[None, :]
 
 
 @partial(jax.jit, static_argnames=("n_bins",))

@@ -237,3 +237,121 @@ class TestDetectTransient:
         ds = self._deep_ds()
         with pytest.raises(ValueError):
             ep.clean.detect_transient(ds, method="ryan")
+
+
+class TestGridFastPath:
+    """MXU band-matmul fast path (ping-invariant grid) vs the gather kernel."""
+
+    def test_pool_grid_matches_gather(self):
+        ds = make_sv(n_ch=2, n_ping=25, n_r=30)
+        from echopype_tpu.clean.utils import uniform_grid
+        from echopype_tpu.ops.windows import (
+            pool_sv_nanmean_device,
+            pool_sv_nanmean_grid_device,
+        )
+
+        sv = ds["Sv"].values.astype("f4")
+        depth = ds["depth"].values.astype("f4")
+        grid = uniform_grid(depth)
+        assert grid is not None
+        a = np.asarray(pool_sv_nanmean_grid_device(sv, grid.astype("f4"), 3.0, 4, 2.0))
+        b = np.asarray(pool_sv_nanmean_device(sv, depth, 3.0, 4, 2.0))
+        np.testing.assert_allclose(a, b, atol=1e-4)
+        np.testing.assert_array_equal(np.isnan(a), np.isnan(b))
+
+    def test_pool_grid_with_nan_suffix(self):
+        ds = make_sv(n_ch=1, n_ping=20, n_r=24)
+        sv = ds["Sv"].values.astype("f4")
+        depth = ds["depth"].values.astype("f4")
+        sv[:, :, -4:] = np.nan
+        depth[:, :, -4:] = np.nan
+        from echopype_tpu.ops.windows import (
+            pool_sv_nanmean_device,
+            pool_sv_nanmean_grid_device,
+        )
+
+        a = np.asarray(pool_sv_nanmean_grid_device(sv, depth[:, 0], 3.0, 3, 0.0))
+        b = np.asarray(pool_sv_nanmean_device(sv, depth, 3.0, 3, 0.0))
+        np.testing.assert_allclose(a, b, atol=1e-4)
+        np.testing.assert_array_equal(np.isnan(a), np.isnan(b))
+
+    def test_ping_varying_depth_falls_back(self):
+        from echopype_tpu.clean.utils import uniform_grid
+
+        depth = np.broadcast_to(np.arange(10.0), (1, 5, 10)).copy()
+        depth[0, 3] += 0.5  # heave: one ping's grid shifted
+        assert uniform_grid(depth) is None
+        ds = make_sv(n_ping=5, n_r=10)
+        ds.data_vars["depth"].values[0, 3] += 0.5
+        mask = ep.clean.mask_transient_noise(ds, depth_bin="2m", num_side_pings=1,
+                                             exclude_above="0.0m")
+        assert mask.values.shape == (1, 5, 10)
+
+    def test_impulse_grid_matches_host_kernel(self):
+        ds = make_sv(n_ch=2, n_ping=30, n_r=41)  # odd R exercises bit-pad
+        ds.data_vars["Sv"].values[0, 12, :] += 25.0
+        from echopype_tpu.clean import utils as cu
+        from echopype_tpu.ops.windows import impulse_mask_grid_device
+
+        sv = ds["Sv"].values
+        depth = ds["depth"].values
+        down, up, _ = cu.downsample_upsample_along_depth(sv, depth, 2.0)
+        host = np.stack([cu.echopy_impulse_noise_mask(up[c], 2, 10.0) for c in range(2)])
+
+        grid = cu.uniform_grid(depth)
+        d_min, d_max = np.nanmin(depth), np.nanmax(depth)
+        edges = np.arange(d_min, d_max + 2.0, 2.0)
+        n_b = max(len(edges) - 1, 1)
+        idx = np.clip(np.digitize(grid, edges) - 1, 0, n_b - 1).astype("i4")
+        dev = np.asarray(impulse_mask_grid_device(sv.astype("f4"), idx, int(n_b), 2, 10.0))
+        np.testing.assert_array_equal(dev, host)
+
+    def test_pack_mask_roundtrip(self):
+        from echopype_tpu.ops.windows import pack_mask_device
+
+        rng = np.random.default_rng(3)
+        m = rng.random((2, 5, 21)) > 0.5  # non-multiple-of-8 last dim
+        packed = np.asarray(pack_mask_device(m))
+        un = np.unpackbits(packed, axis=-1, count=21).astype(bool)
+        np.testing.assert_array_equal(un, m)
+
+    def test_downsample_grid_matches_gather(self):
+        ds = make_sv(n_ch=2, n_ping=15, n_r=30)
+        from echopype_tpu.clean import utils as cu
+
+        sv = ds["Sv"].values
+        depth = ds["depth"].values
+        down_g, up_g, _ = cu.downsample_upsample_along_depth(sv, depth, 3.0)
+        # force the gather path by making depth trivially non-uniform
+        depth2 = depth.copy()
+        depth2[0, 0, 0] += 1e-6
+        down_h, up_h, _ = cu.downsample_upsample_along_depth(sv, depth2, 3.0)
+        np.testing.assert_allclose(down_g, down_h, atol=1e-4)
+        np.testing.assert_allclose(up_g, up_h, atol=1e-4)
+
+    def test_attenuated_grid_matches_host_kernel(self):
+        ds = make_sv(n_ch=2, n_ping=40, n_r=60, base=-70.0)
+        ds.data_vars["Sv"].values[:, :, 20:40] = -55.0
+        ds.data_vars["Sv"].values[0, 20, 20:40] = -75.0
+        ds.data_vars["Sv"].values[1, 7, 25:35] = np.nan
+        from echopype_tpu.clean import utils as cu
+        from echopype_tpu.ops.windows import attenuated_ping_mask_grid_device
+
+        sv = ds["Sv"].values
+        depth = ds["depth"].values
+        host = np.stack(
+            [
+                cu.echopy_attenuated_signal_mask(sv[c], depth[c], 20.0, 40.0, 5, -8.0)
+                for c in range(2)
+            ]
+        )
+        grid = cu.uniform_grid(depth)
+        up_idx = np.nanargmin(np.abs(grid - 20.0), axis=1).astype("i4")
+        lw_idx = np.nanargmin(np.abs(grid - 40.0), axis=1).astype("i4")
+        widths = np.maximum(lw_idx - up_idx, 0).astype("i4")
+        dev = np.asarray(
+            attenuated_ping_mask_grid_device(
+                sv.astype("f4"), up_idx, widths, int(widths.max()), 5, -8.0, chunk=16
+            )
+        )
+        np.testing.assert_array_equal(dev[:, :, None] & np.ones_like(host), host)
