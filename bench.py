@@ -125,30 +125,45 @@ def main():
         assert checksum == checksum or True  # keep the readback live
     pings_per_sec = Pn / best_dt
 
-    # Baseline: single-threaded numpy of the identical math.  One warm-up run
-    # (numpy/BLAS and allocator warm-up dominated the old cold measurement),
-    # then the median of 3 timed runs on 2,000 pings.
+    # Baseline: single-threaded numpy of the identical math.  This host is a
+    # shared 1-core VM whose effective CPU rate varies ~20x between sessions
+    # (measured 44-925 pings/s on the same warm workload), so a single median
+    # is not reproducible.  Strategy: warm up once, take up to 5 timed runs
+    # within a ~120 s budget (always >= 2), and use the FASTEST run — the one
+    # least distorted by CPU steal — which makes vs_baseline the CONSERVATIVE
+    # (smallest) speedup claim for this session.  All runs are reported.
     import os
 
     Pb = 2_000
     bargs = _inputs(C, Pb, R, max(1, Pb // 80), n_r)
     numpy_pipeline(*bargs, max(1, Pb // 80), n_r)  # warm-up
     times = []
+    budget_t0 = time.perf_counter()
     for _ in range(5):
         t0 = time.perf_counter()
         numpy_pipeline(*bargs, max(1, Pb // 80), n_r)
         times.append(time.perf_counter() - t0)
-    baseline_pings_per_sec = Pb / sorted(times)[2]
+        if len(times) >= 2 and time.perf_counter() - budget_t0 > 120:
+            break
+    baseline_pings_per_sec = Pb / min(times)
 
     result = {
         "metric": "EK60 raw->MVBS survey throughput (5ch x 4000 samples)",
         "value": round(pings_per_sec, 1),
         "unit": "pings/sec/chip",
-        # speedup over single-threaded numpy (median of 3 warm runs); divide
-        # by baseline_cpu_cores for an ideal-scaling multi-core lower bound
+        # conservative speedup over single-threaded numpy (fastest concurrent
+        # run); divide by baseline_cpu_cores for an ideal-scaling multi-core
+        # lower bound.  The denominator is noisy (see baseline_note).
         "vs_baseline": round(pings_per_sec / baseline_pings_per_sec, 2),
         "baseline_pings_per_sec": round(baseline_pings_per_sec, 1),
+        "baseline_runs_pings_per_sec": [round(Pb / t, 1) for t in times],
         "baseline_cpu_cores": os.cpu_count(),
+        "baseline_note": (
+            "host numpy rate varies ~20x between sessions (44-925 pings/s "
+            "observed; shared-VM CPU steal); vs_baseline uses the fastest "
+            "concurrent run, i.e. the conservative claim — the device rate "
+            "itself is stable to <2%"
+        ),
     }
     print(json.dumps(result))
 

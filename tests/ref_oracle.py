@@ -13,6 +13,9 @@ Loadable leaves (verified):
   - echopype/utils/compute.py                       (needs a dask stub)
   - echopype/utils/misc.py
   - echopype/calibrate/ecs.py                       (needs an xarray stub)
+  - echopype/convert/parse_azfp.py                  (needs zarr/dask.array.core
+    stubs + a forced echopype.utils.io stub so the real io.py, which imports
+    xarray, is never pulled in by parse_base's relative import)
 """
 
 from __future__ import annotations
@@ -44,6 +47,23 @@ def _stub(name: str, **attrs) -> None:
         parent, leaf = name.rsplit(".", 1)
         if parent in sys.modules:
             setattr(sys.modules[parent], leaf, mod)
+
+
+def _force_stub(name: str, **attrs) -> None:
+    """Register a stub even when a real module WOULD be importable.
+
+    Needed for reference-internal modules (e.g. echopype.utils.io) that the
+    package shells make importable but whose real import chain needs xarray.
+    """
+    if name in sys.modules:
+        return
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+    parent, leaf = name.rsplit(".", 1)
+    if parent in sys.modules:
+        setattr(sys.modules[parent], leaf, mod)
 
 
 def _package(fullname: str, path: str) -> None:
@@ -82,6 +102,10 @@ def _install_stubs() -> None:
     _stub("pytz", utc=_utc, UTC=_utc, __version__="2024.1")
     _stub("dask", __version__="2024.1")
     _stub("dask.array", Array=type("Array", (), {}))
+    # parse_base.py imports these at module level but the parse_raw() paths we
+    # exercise never touch them (swap/rectangularize only).
+    _stub("dask.array.core", auto_chunks=lambda *a, **k: None)
+    _stub("zarr", __version__="3.0", Group=type("Group", (), {}))
     # ek80_complex.py imports three suffix-string constants from
     # set_groups_ek80, whose own import chain needs pynmea2/xarray; stub just
     # the constants (values mirror set_groups_ek80.py:16-18).
@@ -106,6 +130,7 @@ def _install_stubs() -> None:
     _stub("xarray", DataArray=_StubDataArray, Dataset=type("Dataset", (), {}))
     _package("echopype", REF_ROOT)
     _package("echopype.utils", f"{REF_ROOT}/utils")
+    _force_stub("echopype.utils.io", create_temp_zarr_store=lambda *a, **k: None)
     _package("echopype.convert", f"{REF_ROOT}/convert")
     _package("echopype.convert.utils", f"{REF_ROOT}/convert/utils")
     _package("echopype.calibrate", f"{REF_ROOT}/calibrate")

@@ -459,3 +459,71 @@ def test_mxu_toeplitz_conv_vs_reference_convolve():
     )
     scale = np.abs(expected).max()
     assert np.abs(ours - expected).max() / scale < 2e-6
+
+
+# ---------------------------------------------------------------------------
+# AZFP parser: field-by-field vs the reference's own ParseAZFP
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("averaged", [False, True], ids=["raw-u16", "avg-linear-sum"])
+def test_azfp_parse_raw_differential(tmp_path, averaged):
+    """Run the reference's ParseAZFP.parse_raw (parse_azfp.py:274) on the same
+    synthetic .01A + XML pair as ours and compare every physical output:
+    counts (both data_type payload branches), sensor conversions, ping_time,
+    sorted frequencies, and Sv offsets."""
+    import synth_azfp
+    from echopype_tpu.convert.parse_azfp import ParseAZFP as OurParse
+
+    raw = tmp_path / "synthetic.01A"
+    xml = tmp_path / "instrument.xml"
+    synth_azfp.write_azfp_xml_refcompat(xml)
+    synth_azfp.write_azfp_raw(raw, n_pings=4, seed=7, averaged=averaged)
+
+    ref_mod = load_ref("convert/parse_azfp")
+    ref = ref_mod.ParseAZFP(str(raw), file_meta=str(xml), storage_options={})
+    ref.parse_raw()
+
+    ours = OurParse(str(raw), xml_path=str(xml))
+    ours.parse_raw()
+
+    # XML parameters (numeric ones) resolve identically
+    for key, rval in ref.parameters.items():
+        assert key in ours.parameters, key
+        np.testing.assert_array_equal(
+            np.asarray(ours.parameters[key]), np.asarray(rval), err_msg=key
+        )
+
+    # ping times
+    np.testing.assert_array_equal(
+        np.asarray(ours.ping_time), np.asarray(ref.ping_time)
+    )
+
+    # uniqueness-reduced per-frequency header fields
+    for f in ("dig_rate", "lock_out_index", "num_bins", "range_samples_per_bin",
+              "pulse_len", "frequency", "data_type", "gain", "board_num"):
+        np.testing.assert_array_equal(
+            np.asarray(ours.unpacked_data[f]), np.asarray(ref.unpacked_data[f]),
+            err_msg=f,
+        )
+
+    # counts: both payload branches must match bit-for-bit in f8
+    r_counts = np.asarray(
+        [[np.asarray(c, "f8") for c in ping] for ping in ref.unpacked_data["counts"]]
+    )
+    o_counts = np.asarray(
+        [[np.asarray(c, "f8") for c in ping] for ping in ours.unpacked_data["counts"]]
+    )
+    np.testing.assert_array_equal(o_counts, r_counts)
+
+    # derived sensor values (NaN where sensors invalid/uninstalled)
+    for f in ("temperature", "pressure", "tilt_x", "tilt_y", "cos_tilt_mag",
+              "battery_main", "battery_tx"):
+        np.testing.assert_allclose(
+            np.asarray(ours.unpacked_data[f], "f8"),
+            np.asarray(ref.unpacked_data[f], "f8"),
+            rtol=0, atol=0, equal_nan=True, err_msg=f,
+        )
+
+    # sorted frequencies + Sv offset table
+    np.testing.assert_array_equal(ours.freq_ind_sorted, ref.freq_ind_sorted)
+    np.testing.assert_array_equal(ours.freq_sorted, ref.freq_sorted)
+    np.testing.assert_array_equal(ours.Sv_offset, ref.Sv_offset)
