@@ -8,13 +8,19 @@ FrequencyPar broadband calibration curves.
 
 from __future__ import annotations
 
+import re
 import xml.etree.ElementTree as ET
+from collections import Counter
 
 import numpy as np
 
 from ...utils.misc import camelcase2snakecase
 
 __all__ = ["parse_xml_datagram"]
+
+# serial-channel token inside a ChannelID, e.g. "WBT 549762-15 ES38B"
+# (ek_raw_parsers.py:22)
+_TCVR_CH_TOKEN = re.compile(r"\d{6}-\w{1,2}|\w{12}-\w{1,2}")
 
 CHANNEL_OPTS = {
     "MaxTxPowerTransceiver": (int, "", ""),
@@ -110,6 +116,36 @@ def _apply_opts(attrib: dict, out: dict, opts: dict):
             out[camelcase2snakecase(k)] = v
 
 
+def _match_mounting(mounts, channel_id: str, xducer_attrib: dict):
+    """Pick this channel's entry from the ship-install <Transducers> section.
+
+    Real WBT configuration XML keeps the mounting offsets
+    (TransducerOffsetX/Y/Z, alpha rotations) in a root-level <Transducers>
+    list rather than on the per-channel <Transducer> element; entries match a
+    channel by transducer name, serial number, or the transceiver-channel
+    token embedded in TransducerCustomName.  When several entries share one
+    TransducerName, the name alone is ambiguous and only the serial/token
+    rules apply (behavior contract: ek_raw_parsers.py:1010-1056).
+    """
+    token_m = _TCVR_CH_TOKEN.search(channel_id)
+    token = token_m[0] if token_m else None
+    entries = list(mounts.iter("Transducer"))
+    name_counts = Counter(e.attrib.get("TransducerName", "") for e in entries)
+    for entry in entries:
+        ea = entry.attrib
+        by_name = ea.get("TransducerName", "") == xducer_attrib.get("TransducerName")
+        sn = ea.get("TransducerSerialNumber", "")
+        by_sn = bool(sn) and sn == xducer_attrib.get("SerialNumber")
+        by_token = token is not None and token in ea.get("TransducerCustomName", "")
+        if name_counts[ea.get("TransducerName", "")] > 1:
+            matched = by_sn or by_token
+        else:
+            matched = by_name or by_sn or by_token
+        if matched:
+            return ea
+    return None
+
+
 def parse_xml_datagram(xml_bytes: bytes) -> dict:
     """Parse one XML0 payload; returns {'subtype': ..., <subtype>: {...}, 'xml': str}."""
     xml_string = xml_bytes.split(b"\x00", 1)[0].decode("ascii", errors="replace")
@@ -118,6 +154,8 @@ def parse_xml_datagram(xml_bytes: bytes) -> dict:
     data = {"subtype": subtype, "xml": xml_string, subtype: {}}
 
     if subtype == "configuration":
+        mounts = root.find("Transducers")
+        hdr = root.find("Header")
         for tcvr in root.iter("Transceiver"):
             for tcvr_ch in tcvr.iter("Channel"):
                 channel_id = tcvr_ch.attrib["ChannelID"]
@@ -142,7 +180,15 @@ def parse_xml_datagram(xml_bytes: bytes) -> dict:
                             "angle_offset_athwartship": col("AngleOffsetAthwartship"),
                         }
                     _apply_opts(xducer.attrib, cfg, TRANSDUCER_OPTS)
-        hdr = root.find("Header")
+                    if mounts is not None:
+                        mount = _match_mounting(mounts, channel_id, xducer.attrib)
+                        if mount is not None:
+                            _apply_opts(mount, cfg, TRANSDUCER_OPTS)
+                if hdr is not None:
+                    # the reference replicates the Header attrs (notably
+                    # application_version) into every channel dict
+                    # (ek_raw_parsers.py:1058-1064)
+                    _apply_opts(hdr.attrib, cfg, HEADER_OPTS)
         if hdr is not None:
             _apply_opts(hdr.attrib, data["configuration"].setdefault("_header", {}), HEADER_OPTS)
     elif subtype == "environment":

@@ -22,7 +22,11 @@ def make_xml0(timestamp, xml_string: str) -> bytes:
     return frame(body)
 
 
-def config_xml(channels):
+def config_xml(channels, mounts=False):
+    """Configuration XML0 body.  mounts=True adds a ship-install
+    <Transducers> section (mounting offsets live there in real WBT files),
+    including a duplicate-name decoy so the name-ambiguity rule is exercised
+    (reference ek_raw_parsers.py:1010-1056)."""
     tcvrs = []
     for i, ch in enumerate(channels):
         cal_block = ""
@@ -59,8 +63,32 @@ def config_xml(channels):
             </Channels>
             </Transceiver>"""
         )
+    mounts_block = ""
+    if mounts:
+        mounts_block = (
+            "<Transducers>"
+            # unique name -> matches the ES70-7C channel by TransducerName
+            '<Transducer TransducerName="ES70-7C" TransducerSerialNumber="" '
+            'TransducerCustomName="Main" TransducerOffsetX="1.1" '
+            'TransducerOffsetY="0.2" TransducerOffsetZ="3.3" '
+            'TransducerAlphaX="0.5" TransducerAlphaY="0.0" TransducerAlphaZ="0.0"/>'
+            # duplicate-name decoy: name alone must NOT match
+            '<Transducer TransducerName="ES120-7C" TransducerSerialNumber="" '
+            'TransducerCustomName="spare" TransducerOffsetX="9.9" '
+            'TransducerOffsetY="9.9" TransducerOffsetZ="9.9"/>'
+            # duplicate name resolved by the transceiver-channel token
+            '<Transducer TransducerName="ES120-7C" TransducerSerialNumber="" '
+            'TransducerCustomName="WBT 400141-15" TransducerOffsetX="2.1" '
+            'TransducerOffsetY="0.0" TransducerOffsetZ="4.2"/>'
+            # different name, matches the ES38B channel by serial number
+            '<Transducer TransducerName="ES38B-mount" TransducerSerialNumber="123" '
+            'TransducerCustomName="aft" TransducerOffsetX="0.7" '
+            'TransducerOffsetY="0.1" TransducerOffsetZ="5.5"/>'
+            "</Transducers>"
+        )
     return (
         '<Configuration><Header Copyright="c" ApplicationName="EK80" Version="21.15.0"/>'
+        + mounts_block
         + "<Transceivers>"
         + "".join(tcvrs)
         + "</Transceivers></Configuration>"

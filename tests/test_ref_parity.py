@@ -527,3 +527,60 @@ def test_azfp_parse_raw_differential(tmp_path, averaged):
     np.testing.assert_array_equal(ours.freq_ind_sorted, ref.freq_ind_sorted)
     np.testing.assert_array_equal(ours.freq_sorted, ref.freq_sorted)
     np.testing.assert_array_equal(ours.Sv_offset, ref.Sv_offset)
+
+
+# ---------------------------------------------------------------------------
+# XML0 configuration/environment/parameter vs the reference's SimradXMLParser
+# ---------------------------------------------------------------------------
+def _xml0_pair(xml_string):
+    """Parse one XML0 body with both the reference parser and ours."""
+    parsers = load_ref("convert/utils/ek_raw_parsers")
+    body = synth_ek80.make_xml0(np.datetime64("2021-02-01T00:00:00", "ns"), xml_string)
+    index, bodies = _scan([body])
+    ref = parsers.SimradXMLParser().from_string(bodies[0], len(bodies[0]))
+    from echopype_tpu.convert.simrad.xml_config import parse_xml_datagram
+
+    ours = parse_xml_datagram(bodies[0][12:])
+    assert ours["subtype"] == ref["subtype"]
+    return ours, ref
+
+
+def _assert_same_tree(ours, ref, path=""):
+    assert set(ours) == set(ref), f"{path}: {set(ours) ^ set(ref)}"
+    for k, rv in ref.items():
+        ov = ours[k]
+        where = f"{path}.{k}"
+        if isinstance(rv, dict):
+            _assert_same_tree(ov, rv, where)
+        elif isinstance(rv, np.ndarray):
+            np.testing.assert_array_equal(np.asarray(ov), rv, err_msg=where)
+        else:
+            assert type(ov) is type(rv) and ov == rv, f"{where}: {ov!r} != {rv!r}"
+
+
+def test_xml0_configuration_parity():
+    """Full configuration decode including the ship-install <Transducers>
+    mounting matches (name / serial / transceiver-token rules, duplicate-name
+    ambiguity) and the Header replication into each channel
+    (ek_raw_parsers.py:935-1064)."""
+    xml = synth_ek80.config_xml(synth_ek80.default_channels(), mounts=True)
+    ours, ref = _xml0_pair(xml)
+    o_cfg = {k: v for k, v in ours["configuration"].items() if k != "_header"}
+    _assert_same_tree(o_cfg, ref["configuration"])
+    # the mounting entries actually resolved (guards against a silently
+    # never-matching matcher making the tree comparison vacuous)
+    assert o_cfg[synth_ek80.CH_BB]["transducer_offset_x"] == 1.1
+    assert o_cfg[synth_ek80.CH_CW]["transducer_offset_z"] == 4.2  # token match, not the decoy
+    assert o_cfg[synth_ek80.CH_PW]["transducer_offset_z"] == 5.5  # serial match
+
+
+def test_xml0_environment_parameter_parity():
+    ours, ref = _xml0_pair(synth_ek80.environment_xml())
+    _assert_same_tree(ours["environment"], ref["environment"])
+
+    for kw in (
+        dict(pulse_form=0, frequency=120000.0),
+        dict(pulse_form=1, freq_start=45000.0, freq_end=90000.0),
+    ):
+        ours, ref = _xml0_pair(synth_ek80.parameter_xml(synth_ek80.CH_BB, **kw))
+        _assert_same_tree(ours["parameter"], ref["parameter"])
