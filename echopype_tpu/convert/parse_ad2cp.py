@@ -100,21 +100,28 @@ class Packet:
 
 
 # ------------------------------------------------------------ record reading
-def _read_scaled(buf, pos, size, signed, scale=None):
+def _read_scaled(buf, pos, size, signed, div=None, mul=None):
+    """Read one little-endian integer; unit-convert with the same floating
+    ops as the reference descriptors (x / div and/or x * mul, in that order)
+    so converted values are bit-identical."""
     dtype = {(1, False): "<u1", (1, True): "<i1", (2, False): "<u2", (2, True): "<i2",
              (4, False): "<u4", (4, True): "<i4"}[(size, signed)]
     val = int(np.frombuffer(buf, dtype=dtype, count=1, offset=pos)[0])
-    if scale:
-        return val * scale, pos + size
+    if div is not None:
+        val = val / div
+    if mul is not None:
+        val = val * mul
     return val, pos + size
 
 
-def _read_array(buf, pos, size, signed, count, scale=None):
+def _read_array(buf, pos, size, signed, count, div=None, mul=None):
     dtype = {(1, False): "<u1", (1, True): "<i1", (2, False): "<u2", (2, True): "<i2",
              (4, False): "<u4", (4, True): "<i4"}[(size, signed)]
     arr = np.frombuffer(buf, dtype=dtype, count=count, offset=pos).astype("f8")
-    if scale is not None:
-        arr = arr * scale
+    if div is not None:
+        arr = arr / div
+    if mul is not None:
+        arr = arr * mul
     return arr, pos + size * count
 
 
@@ -155,12 +162,12 @@ def _parse_burst_average_v3(buf: bytes, pkt: Packet):
     for f in ("year", "month", "day", "hour", "minute", "seconds"):
         d[f], pos = _read_scaled(buf, pos, 1, False)
     d["microsec100"], pos = _read_scaled(buf, pos, 2, False)
-    d["speed_of_sound"], pos = _read_scaled(buf, pos, 2, False, 1 / 10)
-    d["temperature"], pos = _read_scaled(buf, pos, 2, True, 1 / 100)
-    d["pressure"], pos = _read_scaled(buf, pos, 4, False, 1 / 1000)
-    d["heading"], pos = _read_scaled(buf, pos, 2, False, 1 / 100)
-    d["pitch"], pos = _read_scaled(buf, pos, 2, True, 1 / 100)
-    d["roll"], pos = _read_scaled(buf, pos, 2, True, 1 / 100)
+    d["speed_of_sound"], pos = _read_scaled(buf, pos, 2, False, div=10)
+    d["temperature"], pos = _read_scaled(buf, pos, 2, True, div=100)
+    d["pressure"], pos = _read_scaled(buf, pos, 4, False, div=1000)
+    d["heading"], pos = _read_scaled(buf, pos, 2, False, div=100)
+    d["pitch"], pos = _read_scaled(buf, pos, 2, True, div=100)
+    d["roll"], pos = _read_scaled(buf, pos, 2, True, div=100)
     bcc, pos = _read_scaled(buf, pos, 2, False)
     d["num_beams_and_coordinate_system_and_num_cells"] = bcc
     if d["echosounder_data_included"]:
@@ -170,15 +177,15 @@ def _parse_burst_average_v3(buf: bytes, pkt: Packet):
         d["coordinate_system"] = 0
     else:
         _bitfield(bcc, [("num_cells", 9, 0), ("coordinate_system", 11, 10), ("num_beams", 15, 12)], d)
-    d["cell_size"], pos = _read_scaled(buf, pos, 2, False, 1 / 1000)
-    d["blanking"], pos = _read_scaled(buf, pos, 2, False, 1 / 1000)
+    d["cell_size"], pos = _read_scaled(buf, pos, 2, False, div=1000)
+    d["blanking"], pos = _read_scaled(buf, pos, 2, False, div=1000)
     d["nominal_correlation"], pos = _read_scaled(buf, pos, 1, False)
-    d["temperature_from_pressure_sensor"], pos = _read_scaled(buf, pos, 1, False, 5)
-    d["battery_voltage"], pos = _read_scaled(buf, pos, 2, False, 1 / 10)
+    d["temperature_from_pressure_sensor"], pos = _read_scaled(buf, pos, 1, False, mul=5)
+    d["battery_voltage"], pos = _read_scaled(buf, pos, 2, False, div=10)
     d["magnetometer_raw"], pos = _read_array(buf, pos, 2, True, 3)
     for ax in ("x", "y", "z"):
         d[f"accelerometer_raw_{ax}_axis"], pos = _read_scaled(
-            buf, pos, 2, True, 9.819 / 16384
+            buf, pos, 2, True, div=16384, mul=9.819
         )
     amb, pos = _read_scaled(buf, pos, 2, False)
     d["dataset_description"], pos = _read_scaled(buf, pos, 2, False)
@@ -189,14 +196,15 @@ def _parse_burst_average_v3(buf: bytes, pkt: Packet):
         d["echosounder_frequency"] = amb
     else:
         d["ambiguity_velocity"] = amb * (10.0 ** d["velocity_scaling"])
-    # beams encoded in dataset_description 3-bit slots
+    # beams in dataset_description: three 4-bit slots + one 5-bit slot
+    # (v3 layout differs from v2; ref parse_ad2cp.py:702-705)
     beams = [
-        (int(d["dataset_description"]) >> lo) & 0x7
-        for lo in (0, 3, 6, 9, 12)
+        (int(d["dataset_description"]) >> lo) & mask
+        for lo, mask in ((0, 0xF), (4, 0xF), (8, 0xF), (12, 0x1F))
     ]
-    d["beams"] = np.array([b for b in beams if b > 0])
-    d["magnetometer_temperature"], pos = _read_scaled(buf, pos, 2, True, 1000)
-    d["real_time_clock_temperature"], pos = _read_scaled(buf, pos, 2, True, 1 / 100)
+    d["beams"] = np.array([b for b in beams if b > 0], dtype="<u8")
+    d["magnetometer_temperature"], pos = _read_scaled(buf, pos, 2, True, mul=1000)
+    d["real_time_clock_temperature"], pos = _read_scaled(buf, pos, 2, True, div=100)
     d["error"], pos = _read_scaled(buf, pos, 2, False)
     d["status0"], pos = _read_scaled(buf, pos, 2, False)
     d["status"], pos = _read_scaled(buf, pos, 4, False)
@@ -206,10 +214,10 @@ def _parse_burst_average_v3(buf: bytes, pkt: Packet):
     vel_scale = 10.0 ** d["velocity_scaling"]
     mode = "burst" if pkt.is_burst() else ("echosounder" if pkt.is_echosounder() else "average")
     if d["velocity_data_included"]:
-        v, pos = _read_array(buf, pos, 2, True, nb * nc, vel_scale)
+        v, pos = _read_array(buf, pos, 2, True, nb * nc, mul=vel_scale)
         d[f"velocity_data_{mode}"] = v.reshape(nb, nc)
     if d["amplitude_data_included"]:
-        v, pos = _read_array(buf, pos, 1, False, nb * nc, 0.5)
+        v, pos = _read_array(buf, pos, 1, False, nb * nc, div=2)
         d[f"amplitude_data_{mode}"] = v.reshape(nb, nc)
     if d["correlation_data_included"]:
         v, pos = _read_array(buf, pos, 1, False, nb * nc)
@@ -227,13 +235,14 @@ def _parse_burst_average_v3(buf: bytes, pkt: Packet):
         pos += 8  # altimeter spare
     if d["altimeter_raw_data_included"]:
         d["altimeter_raw_data_num_samples"], pos = _read_scaled(buf, pos, 4, False)
-        d["altimeter_raw_data_sample_distance"], pos = _read_scaled(buf, pos, 2, False, 1e-4)
+        d["altimeter_raw_data_sample_distance"], pos = _read_scaled(buf, pos, 2, False, div=10000)
         d["altimeter_raw_data_samples"], pos = _read_array(
             buf, pos, 2, True, int(d["altimeter_raw_data_num_samples"])
         )
     if d["echosounder_data_included"]:
         ne = int(d["num_echosounder_cells"])
-        v, pos = _read_array(buf, pos, 2, False, ne, 0.01)
+        # spec says unsigned, instruments emit signed (ref parse_ad2cp.py:1520)
+        v, pos = _read_array(buf, pos, 2, True, ne, div=100)
         d["echosounder_data"] = v
     if d["ahrs_data_included"]:
         d["ahrs_rotation_matrix"], pos = _read_array(buf, pos, 4, True, 9)
@@ -243,8 +252,8 @@ def _parse_burst_average_v3(buf: bytes, pkt: Packet):
         d["percentage_good_data"], pos = _read_array(buf, pos, 1, False, nc)
     if d["std_dev_data_included"]:
         for name in ("std_dev_pitch", "std_dev_roll", "std_dev_heading"):
-            d[name], pos = _read_scaled(buf, pos, 2, True, 1 / 100)
-        d["std_dev_pressure"], pos = _read_scaled(buf, pos, 2, True, 1 / 100)
+            d[name], pos = _read_scaled(buf, pos, 2, True, div=100)
+        d["std_dev_pressure"], pos = _read_scaled(buf, pos, 2, True, div=100)
         pos += 24  # spare
     return pkt
 
@@ -277,24 +286,24 @@ def _parse_burst_average_v2(buf: bytes, pkt: Packet):
     for f in ("year", "month", "day", "hour", "minute", "seconds"):
         d[f], pos = _read_scaled(buf, pos, 1, False)
     d["microsec100"], pos = _read_scaled(buf, pos, 2, False)
-    d["speed_of_sound"], pos = _read_scaled(buf, pos, 2, False, 1 / 10)
-    d["temperature"], pos = _read_scaled(buf, pos, 2, True, 1 / 100)
-    d["pressure"], pos = _read_scaled(buf, pos, 4, False, 1 / 1000)
-    d["heading"], pos = _read_scaled(buf, pos, 2, False, 1 / 100)
-    d["pitch"], pos = _read_scaled(buf, pos, 2, True, 1 / 100)
-    d["roll"], pos = _read_scaled(buf, pos, 2, True, 1 / 100)
+    d["speed_of_sound"], pos = _read_scaled(buf, pos, 2, False, div=10)
+    d["temperature"], pos = _read_scaled(buf, pos, 2, True, div=100)
+    d["pressure"], pos = _read_scaled(buf, pos, 4, False, div=1000)
+    d["heading"], pos = _read_scaled(buf, pos, 2, False, div=100)
+    d["pitch"], pos = _read_scaled(buf, pos, 2, True, div=100)
+    d["roll"], pos = _read_scaled(buf, pos, 2, True, div=100)
     d["error"], pos = _read_scaled(buf, pos, 2, False)
     d["status"], pos = _read_scaled(buf, pos, 2, False)
     bcc, pos = _read_scaled(buf, pos, 2, False)
     _bitfield(bcc, [("num_cells", 9, 0), ("coordinate_system", 11, 10), ("num_beams", 15, 12)], d)
-    d["cell_size"], pos = _read_scaled(buf, pos, 2, False, 1 / 1000)
-    d["blanking"], pos = _read_scaled(buf, pos, 2, False, 1 / 1000)
-    d["velocity_range"], pos = _read_scaled(buf, pos, 2, False, 1 / 1000)
-    d["battery_voltage"], pos = _read_scaled(buf, pos, 2, False, 1 / 10)
+    d["cell_size"], pos = _read_scaled(buf, pos, 2, False, div=1000)
+    d["blanking"], pos = _read_scaled(buf, pos, 2, False, div=1000)
+    d["velocity_range"], pos = _read_scaled(buf, pos, 2, False, div=1000)
+    d["battery_voltage"], pos = _read_scaled(buf, pos, 2, False, div=10)
     d["magnetometer_raw"], pos = _read_array(buf, pos, 2, True, 3)
     for ax in ("x", "y", "z"):
-        d[f"accelerometer_raw_{ax}_axis"], pos = _read_scaled(buf, pos, 2, True, 9.819 / 16384)
-    amb, pos = _read_scaled(buf, pos, 2, False, 1 / 10000)
+        d[f"accelerometer_raw_{ax}_axis"], pos = _read_scaled(buf, pos, 2, True, div=16384, mul=9.819)
+    amb, pos = _read_scaled(buf, pos, 2, False, div=10000)
     d["ambiguity_velocity"] = amb
     d["dataset_description"], pos = _read_scaled(buf, pos, 2, False)
     d["transmit_energy"], pos = _read_scaled(buf, pos, 2, False)
@@ -302,16 +311,16 @@ def _parse_burst_average_v2(buf: bytes, pkt: Packet):
     d["power_level"], pos = _read_scaled(buf, pos, 1, True)
     pos += 4  # spare
     beams = [(int(d["dataset_description"]) >> lo) & 0x7 for lo in (0, 3, 6, 9, 12)]
-    d["beams"] = np.array([b for b in beams if b > 0])
+    d["beams"] = np.array([b for b in beams if b > 0], dtype="<u8")
 
     nb, nc = int(d["num_beams"]), int(d["num_cells"])
     vel_scale = 10.0 ** d["velocity_scaling"]
     mode = "burst" if pkt.is_burst() else "average"
     if d["velocity_data_included"]:
-        v, pos = _read_array(buf, pos, 2, True, nb * nc, vel_scale)
+        v, pos = _read_array(buf, pos, 2, True, nb * nc, mul=vel_scale)
         d[f"velocity_data_{mode}"] = v.reshape(nb, nc)
     if d["amplitude_data_included"]:
-        v, pos = _read_array(buf, pos, 1, False, nb * nc, 0.5)
+        v, pos = _read_array(buf, pos, 1, False, nb * nc, div=2)
         d[f"amplitude_data_{mode}"] = v.reshape(nb, nc)
     if d["correlation_data_included"]:
         v, pos = _read_array(buf, pos, 1, False, nb * nc)

@@ -68,7 +68,8 @@ def _v3_record(
     if echosounder:
         echo = rng.integers(0, 50000, n_echo_cells).astype("<u2")
         out += echo.tobytes()
-        truth["echo"] = echo.astype("f8") * 0.01
+        # instruments emit signed samples despite the spec (ref parse_ad2cp.py:1520)
+        truth["echo"] = echo.astype("<i2").astype("f8") / 100
     else:
         vel = rng.integers(-30000, 30000, num_beams * num_cells).astype("<i2")
         amp = rng.integers(0, 200, num_beams * num_cells).astype("<u1")

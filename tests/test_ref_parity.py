@@ -584,3 +584,60 @@ def test_xml0_environment_parameter_parity():
     ):
         ours, ref = _xml0_pair(synth_ek80.parameter_xml(synth_ek80.CH_BB, **kw))
         _assert_same_tree(ours["parameter"], ref["parameter"])
+
+
+# ---------------------------------------------------------------------------
+# AD2CP packets vs the reference's own Ad2cpDataPacket machinery
+# ---------------------------------------------------------------------------
+def test_ad2cp_packet_differential(tmp_path):
+    """Run the reference's ParseAd2cp (typed field-descriptor machinery,
+    parse_ad2cp.py:221+) on the synthetic multi-record file and compare every
+    shared field of every packet: unit-converted sensor values, bitfield
+    splits, beams layout, echosounder samples (signed!), and timestamps."""
+    import test_ad2cp as t
+    from echopype_tpu.convert.parse_ad2cp import ParseAd2cp as OurParse
+
+    p = str(tmp_path / "f.ad2cp")
+    t.write_ad2cp(p, n_pings=3)
+
+    ref_mod = load_ref("convert/parse_ad2cp")
+    rp = ref_mod.ParseAd2cp(p)
+    rp.parse_raw()
+    op = OurParse(p)
+    op.parse_raw()
+
+    assert len(op.packets) == len(rp.packets) == 7
+
+    # fields whose values must agree whenever both parsers surface them
+    core = {
+        "version", "offset_of_data", "configuration", "serial_number",
+        "speed_of_sound", "temperature", "pressure", "heading", "pitch",
+        "roll", "cell_size", "blanking", "battery_voltage", "beams",
+        "velocity_scaling", "power_level", "transmit_energy",
+        "dataset_description", "echosounder_data", "magnetometer_raw",
+        "accelerometer_raw_x_axis", "accelerometer_raw_y_axis",
+        "accelerometer_raw_z_axis", "ambiguity_velocity",
+        "echosounder_frequency", "num_echosounder_cells", "num_cells",
+        "num_beams", "coordinate_system", "string_data",
+        "velocity_data_average", "amplitude_data_average",
+        "correlation_data_average",
+    }
+    seen_core = set()
+    for i, (r, o) in enumerate(zip(rp.packets, op.packets)):
+        shared = set(r.data) & set(o.data)
+        seen_core |= shared & core
+        for k in sorted(shared):
+            rv, ov = r.data[k], o.data[k]
+            try:
+                np.testing.assert_array_equal(
+                    np.asarray(ov, dtype="f8"), np.asarray(rv, dtype="f8"),
+                    err_msg=f"packet {i} field {k}",
+                )
+            except (ValueError, TypeError):
+                assert str(ov) == str(rv), f"packet {i} field {k}"
+        if "year" in r.data:
+            assert o.timestamp == r.timestamp, f"packet {i} timestamp"
+    # the comparison actually covered the physical payload, not just headers
+    missing = {"echosounder_data", "velocity_data_average", "beams",
+               "temperature", "string_data"} - seen_core
+    assert not missing, missing
