@@ -207,7 +207,11 @@ def _parse_burst_average_v3(buf: bytes, pkt: Packet):
     d["real_time_clock_temperature"], pos = _read_scaled(buf, pos, 2, True, div=100)
     d["error"], pos = _read_scaled(buf, pos, 2, False)
     d["status0"], pos = _read_scaled(buf, pos, 2, False)
+    if d["status0"] & 0b1000_0000_0000_0000:
+        _bitfield(d["status0"], [("procidle3", 0, 0), ("procidle6", 1, 1),
+                                 ("procidle12", 2, 2)], d)
     d["status"], pos = _read_scaled(buf, pos, 4, False)
+    _bitfield(d["status"], STATUS_BITS, d)
     d["ensemble_counter"], pos = _read_scaled(buf, pos, 4, False)
 
     nb, nc = int(d["num_beams"]), int(d["num_cells"])
@@ -328,30 +332,124 @@ def _parse_burst_average_v2(buf: bytes, pkt: Packet):
     return pkt
 
 
-def _parse_echosounder_raw(buf: bytes, pkt: Packet, transmit=False):
-    """ECHOSOUNDER_RAW(_TRANSMIT) records: complex f4 sample pairs."""
+STATUS_BITS = [
+    ("wakeup_state", 31, 28),
+    ("orientation", 27, 25),
+    ("autoorientation", 24, 22),
+    ("previous_wakeup_state", 21, 18),
+    ("last_measurement_low_voltage_skip", 17, 17),
+    ("active_configuration", 16, 16),
+    ("echosounder_index", 15, 12),
+    ("telemetry_data", 11, 11),
+    ("boost_running", 10, 10),
+    ("echosounder_frequency_bin", 9, 5),
+    ("bd_scaling", 1, 1),
+]
+
+
+CONFIG_BITS_BT = [
+    ("pressure_sensor_valid", 0, 0),
+    ("temperature_sensor_valid", 1, 1),
+    ("compass_sensor_valid", 2, 2),
+    ("tilt_sensor_valid", 3, 3),
+    ("velocity_data_included", 5, 5),
+    ("distance_data_included", 8, 8),
+    ("figure_of_merit_data_included", 9, 9),
+    ("ahrs_data_included", 10, 10),
+]
+
+
+def _parse_bottom_track(buf: bytes, pkt: Packet):
+    """BOTTOM_TRACK record: per-beam velocity/distance/figure-of-merit,
+    4-byte ambiguity velocity, 4-byte error word, and an MSB-first beams
+    layout in dataset_description (ref parse_ad2cp.py:739-774, 1600+)."""
     d = pkt.data
     pos = 0
     d["version"], pos = _read_scaled(buf, pos, 1, False)
     d["offset_of_data"], pos = _read_scaled(buf, pos, 1, False)
-    pos = int(d["offset_of_data"])  # skip to data per offset
-    # header portion before data: parse basic time fields at fixed offsets
-    # (serial, config, time follow the v3 layout prefix)
-    sub = Packet()
-    sub.data["id"] = 0x15
-    try:
-        _parse_burst_average_v3(buf, sub)
-        for k in ("year", "month", "day", "hour", "minute", "seconds", "microsec100"):
-            d[k] = sub.data.get(k, 0)
-    except Exception:  # noqa: BLE001 - time fields best-effort for raw records
-        pass
-    n_f4 = (len(buf) - pos) // 4
-    samples = np.frombuffer(buf, dtype="<f4", count=n_f4, offset=pos).astype("f8")
-    pairs = samples[: (n_f4 // 2) * 2].reshape(-1, 2)
+    cfg, pos = _read_scaled(buf, pos, 2, False)
+    d["configuration"] = cfg
+    _bitfield(cfg, CONFIG_BITS_BT, d)
+    d["serial_number"], pos = _read_scaled(buf, pos, 4, False)
+    for f in ("year", "month", "day", "hour", "minute", "seconds"):
+        d[f], pos = _read_scaled(buf, pos, 1, False)
+    d["microsec100"], pos = _read_scaled(buf, pos, 2, False)
+    d["speed_of_sound"], pos = _read_scaled(buf, pos, 2, False, div=10)
+    d["temperature"], pos = _read_scaled(buf, pos, 2, True, div=100)
+    d["pressure"], pos = _read_scaled(buf, pos, 4, False, div=1000)
+    d["heading"], pos = _read_scaled(buf, pos, 2, False, div=100)
+    d["pitch"], pos = _read_scaled(buf, pos, 2, True, div=100)
+    d["roll"], pos = _read_scaled(buf, pos, 2, True, div=100)
+    bcc, pos = _read_scaled(buf, pos, 2, False)
+    d["num_beams_and_coordinate_system_and_num_cells"] = bcc
+    _bitfield(bcc, [("num_cells", 9, 0), ("coordinate_system", 11, 10), ("num_beams", 15, 12)], d)
+    d["cell_size"], pos = _read_scaled(buf, pos, 2, False, div=1000)
+    d["blanking"], pos = _read_scaled(buf, pos, 2, False, div=1000)
+    d["nominal_correlation"], pos = _read_scaled(buf, pos, 1, False)
+    pos += 1  # spare
+    d["battery_voltage"], pos = _read_scaled(buf, pos, 2, False, div=10)
+    d["magnetometer_raw"], pos = _read_array(buf, pos, 2, True, 3)
+    for ax in ("x", "y", "z"):
+        d[f"accelerometer_raw_{ax}_axis"], pos = _read_scaled(
+            buf, pos, 2, True, div=16384, mul=9.819
+        )
+    d["ambiguity_velocity"], pos = _read_scaled(buf, pos, 4, False)
+    d["dataset_description"], pos = _read_scaled(buf, pos, 2, False)
+    d["transmit_energy"], pos = _read_scaled(buf, pos, 2, False)
+    d["velocity_scaling"], pos = _read_scaled(buf, pos, 1, True)
+    d["power_level"], pos = _read_scaled(buf, pos, 1, True)
+    d["ambiguity_velocity"] = d["ambiguity_velocity"] * (10.0 ** d["velocity_scaling"])
+    # beams slots MSB-first in bottom track (opposite of burst/average)
+    beams = [
+        (int(d["dataset_description"]) >> lo) & mask
+        for lo, mask in ((12, 0x1F), (8, 0xF), (4, 0xF), (0, 0xF))
+    ]
+    d["beams"] = np.array([b for b in beams if b > 0], dtype="<u8")
+    d["magnetometer_temperature"], pos = _read_scaled(buf, pos, 2, True, mul=1000)
+    d["real_time_clock_temperature"], pos = _read_scaled(buf, pos, 2, True, div=100)
+    d["error"], pos = _read_scaled(buf, pos, 4, False)
+    d["status"], pos = _read_scaled(buf, pos, 4, False)
+    d["ensemble_counter"], pos = _read_scaled(buf, pos, 4, False)
+
+    nb = int(d["num_beams"])
+    if d["velocity_data_included"]:
+        vel_scale = 10.0 ** d["velocity_scaling"]
+        d["velocity_data"], pos = _read_array(buf, pos, 4, True, nb, mul=vel_scale)
+    if d["distance_data_included"]:
+        d["distance_data"], pos = _read_array(buf, pos, 4, True, nb, div=1000)
+    if d["figure_of_merit_data_included"]:
+        d["figure_of_merit_data"], pos = _read_array(buf, pos, 2, False, nb)
+    return pkt
+
+
+def _parse_echosounder_raw(buf: bytes, pkt: Packet, transmit=False):
+    """ECHOSOUNDER_RAW(_TRANSMIT) records: own header layout (time fields at
+    offset 2, no configuration word) followed by a 208-byte reserved block
+    and i32 two's-complement signed-fraction IQ pairs scaled by 2^-31
+    (ref parse_ad2cp.py:512-518, 1739+)."""
+    d = pkt.data
+    pos = 0
+    d["version"], pos = _read_scaled(buf, pos, 1, False)
+    d["offset_of_data"], pos = _read_scaled(buf, pos, 1, False)
+    for f in ("year", "month", "day", "hour", "minute", "seconds"):
+        d[f], pos = _read_scaled(buf, pos, 1, False)
+    d["microsec100"], pos = _read_scaled(buf, pos, 2, False)
+    d["error"], pos = _read_scaled(buf, pos, 2, False)
+    d["status"], pos = _read_scaled(buf, pos, 4, False)
+    _bitfield(d["status"], STATUS_BITS, d)
+    d["serial_number"], pos = _read_scaled(buf, pos, 4, False)
+    d["num_complex_samples"], pos = _read_scaled(buf, pos, 4, False)
+    d["ind_start_samples"], pos = _read_scaled(buf, pos, 4, False)
+    d["freq_raw_sample_data"] = float(np.frombuffer(buf, "<f4", count=1, offset=pos)[0])
+    pos += 4
+    pos += 208  # reserved
+    n = int(d["num_complex_samples"])
+    raw = np.frombuffer(buf, dtype="<i4", count=n * 2, offset=pos)
+    pairs = (raw / 2**31).astype("<f8").reshape(n, 2)
     key = "echosounder_raw_transmit_samples" if transmit else "echosounder_raw_samples"
+    d[key] = pairs
     d[key + "_i"] = pairs[:, 0]
     d[key + "_q"] = pairs[:, 1]
-    d["num_complex_samples"] = pairs.shape[0]
     return pkt
 
 
@@ -421,9 +519,7 @@ class ParseAd2cp:
                 elif pkt.is_echosounder_raw_transmit():
                     _parse_echosounder_raw(record, pkt, transmit=True)
                 elif pkt.is_bottom_track():
-                    # bottom track shares the v3 prefix; velocity/figure-of-merit
-                    # fields are parsed with the same machinery
-                    _parse_burst_average_v3(record, pkt)
+                    _parse_bottom_track(record, pkt)
                 else:
                     version = record[0]
                     if version == 3:
@@ -437,6 +533,17 @@ class ParseAd2cp:
                 logger.warning("Failed to parse AD2CP record id=0x%02x: %r", pkt_id, e)
                 pkt = None
             if pkt is not None:
+                # a burst/average/echosounder record names the beam used by an
+                # immediately preceding raw record (ref parse_ad2cp.py:706-710)
+                if (
+                    self.packets
+                    and len(np.atleast_1d(pkt.data.get("beams", []))) > 0
+                    and (self.packets[-1].is_echosounder_raw()
+                         or self.packets[-1].is_echosounder_raw_transmit())
+                    and not (pkt.is_echosounder_raw() or pkt.is_echosounder_raw_transmit()
+                             or pkt.is_string() or pkt.is_bottom_track())
+                ):
+                    self.packets[-1].data["echosounder_raw_beam"] = pkt.data["beams"][0]
                 self.packets.append(pkt)
             pos = header_end + record_size
 

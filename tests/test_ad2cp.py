@@ -93,7 +93,39 @@ def _string_packet(text):
     return _packet(0xA0, record)
 
 
-def write_ad2cp(path, n_pings=4):
+def _bt_record(second=0, seed=0, n_beams=4):
+    """BOTTOM_TRACK record (DF20b layout, ref parse_ad2cp.py:1600+)."""
+    rng = np.random.default_rng(seed)
+    out = struct.pack("<BB", 1, 68)  # version, offset_of_data
+    cfg = (1 << 0) | (1 << 1) | (1 << 5) | (1 << 8) | (1 << 9)  # vel+dist+fom
+    out += struct.pack("<H", cfg)
+    out += struct.pack("<I", 12345)
+    out += struct.pack("<BBBBBB", 122, 4, 10, 8, 0, second)
+    out += struct.pack("<H", 0)  # microsec100
+    out += struct.pack("<H", 14800)  # speed_of_sound
+    out += struct.pack("<h", 1012)  # temperature
+    out += struct.pack("<I", 101325)  # pressure
+    out += struct.pack("<H", 9000)  # heading
+    out += struct.pack("<hh", -123, 45)  # pitch, roll
+    out += struct.pack("<H", (n_beams << 12) | (1 << 10))  # beams/coord/cells
+    out += struct.pack("<HH", 2000, 100)  # cell_size, blanking
+    out += struct.pack("<BB", 50, 0)  # nominal_correlation, spare
+    out += struct.pack("<H", 152)  # battery_voltage
+    out += struct.pack("<hhh", 100, -200, 300)  # magnetometer
+    out += struct.pack("<hhh", 1000, 2000, 16384)  # accelerometer
+    out += struct.pack("<I", 10000)  # ambiguity_velocity (u4 in BT)
+    out += struct.pack("<H", (1 << 12) | (2 << 8) | (3 << 4) | 4)  # beams MSB-first
+    out += struct.pack("<H", 80)  # transmit_energy
+    out += struct.pack("<bb", -3, -10)  # velocity_scaling, power_level
+    out += struct.pack("<hh", 21, 2150)  # magnetometer/rtc temperature
+    out += struct.pack("<III", 0, 0, second)  # error, status, ensemble
+    out += rng.integers(-(2**20), 2**20, n_beams).astype("<i4").tobytes()
+    out += rng.integers(0, 2**20, n_beams).astype("<i4").tobytes()
+    out += rng.integers(0, 2**16, n_beams).astype("<u2").tobytes()
+    return out
+
+
+def write_ad2cp(path, n_pings=4, with_bottom_track=False, with_echosounder_raw=False):
     chunks = [
         _string_packet(
             "GETCLOCKSTR,TIME=\"2022-05-10 08:00:00\"\n"
@@ -106,9 +138,16 @@ def write_ad2cp(path, n_pings=4):
         rec, truth = _v3_record(0x16, second=p, seed=p)
         chunks.append(_packet(0x16, rec))
         truths["average"].append(truth)
+        if with_echosounder_raw:
+            rng = np.random.default_rng(300 + p)
+            chunks.append(
+                _raw_packet(0x23, _raw_record(p, rng.integers(-(2**30), 2**30, (16, 2))))
+            )
         rec, truth = _v3_record(0x1C, second=p, echosounder=True, seed=100 + p)
         chunks.append(_packet(0x1C, rec))
         truths["echosounder"].append(truth)
+        if with_bottom_track:
+            chunks.append(_packet(0x17, _bt_record(second=p, seed=200 + p)))
     with open(path, "wb") as f:
         f.write(b"".join(chunks))
     return truths
@@ -236,20 +275,37 @@ def _raw_packet(pkt_id, record):
     return header + record
 
 
+def _raw_record(second, iq_int32):
+    """ECHOSOUNDER_RAW record: own header (time at offset 2), 208 reserved
+    bytes, then i32 signed-fraction IQ pairs (ref parse_ad2cp.py:1739+)."""
+    n = iq_int32.shape[0]
+    out = struct.pack("<BB", 1, 240)  # version, offset_of_data
+    out += struct.pack("<BBBBBB", 122, 4, 10, 8, 0, second)
+    out += struct.pack("<H", 0)  # microsec100
+    out += struct.pack("<H", 0)  # error
+    out += struct.pack("<I", 0)  # status
+    out += struct.pack("<I", 12345)  # serial_number
+    out += struct.pack("<I", n)  # num_complex_samples
+    out += struct.pack("<I", 0)  # ind_start_samples
+    out += struct.pack("<f", 500000.0)  # freq_raw_sample_data
+    out += bytes(208)
+    out += iq_int32.astype("<i4").tobytes()
+    return out
+
+
 class TestAd2cpEchosounderRawTransmit:
     def test_transmit_pulse_variables(self, tmp_path):
         rng = np.random.default_rng(9)
         chunks = []
         truth_rx, truth_tx = [], []
         for p in range(3):
-            hdr, _ = _v3_record(0x23, second=p, echosounder=True, n_echo_cells=0)
-            rx = rng.normal(0, 1, (30, 2)).astype("<f4")
-            chunks.append(_raw_packet(0x23, hdr + rx.tobytes()))
-            truth_rx.append(rx.astype("f8"))
+            rx_i = rng.integers(-(2**30), 2**30, (30, 2))
+            chunks.append(_raw_packet(0x23, _raw_record(p, rx_i)))
+            truth_rx.append(rx_i.astype("f8") / 2**31)
             if p < 2:  # fewer transmit records than receive
-                tx = rng.normal(0, 1, (8, 2)).astype("<f4")
-                chunks.append(_raw_packet(0x24, hdr + tx.tobytes()))
-                truth_tx.append(tx.astype("f8"))
+                tx_i = rng.integers(-(2**30), 2**30, (8, 2))
+                chunks.append(_raw_packet(0x24, _raw_record(p, tx_i)))
+                truth_tx.append(tx_i.astype("f8") / 2**31)
         raw = tmp_path / "esraw.ad2cp"
         raw.write_bytes(b"".join(chunks))
         ed = ep.open_raw(raw, sonar_model="AD2CP")

@@ -598,7 +598,7 @@ def test_ad2cp_packet_differential(tmp_path):
     from echopype_tpu.convert.parse_ad2cp import ParseAd2cp as OurParse
 
     p = str(tmp_path / "f.ad2cp")
-    t.write_ad2cp(p, n_pings=3)
+    t.write_ad2cp(p, n_pings=3, with_bottom_track=True, with_echosounder_raw=True)
 
     ref_mod = load_ref("convert/parse_ad2cp")
     rp = ref_mod.ParseAd2cp(p)
@@ -606,7 +606,7 @@ def test_ad2cp_packet_differential(tmp_path):
     op = OurParse(p)
     op.parse_raw()
 
-    assert len(op.packets) == len(rp.packets) == 7
+    assert len(op.packets) == len(rp.packets) == 13
 
     # fields whose values must agree whenever both parsers surface them
     core = {
@@ -620,7 +620,11 @@ def test_ad2cp_packet_differential(tmp_path):
         "echosounder_frequency", "num_echosounder_cells", "num_cells",
         "num_beams", "coordinate_system", "string_data",
         "velocity_data_average", "amplitude_data_average",
-        "correlation_data_average",
+        "correlation_data_average", "velocity_data", "distance_data",
+        "figure_of_merit_data", "echosounder_raw_samples_i",
+        "echosounder_raw_samples_q", "freq_raw_sample_data",
+        "echosounder_raw_beam", "status", "wakeup_state", "orientation",
+        "echosounder_index",
     }
     seen_core = set()
     for i, (r, o) in enumerate(zip(rp.packets, op.packets)):
@@ -639,5 +643,7 @@ def test_ad2cp_packet_differential(tmp_path):
             assert o.timestamp == r.timestamp, f"packet {i} timestamp"
     # the comparison actually covered the physical payload, not just headers
     missing = {"echosounder_data", "velocity_data_average", "beams",
-               "temperature", "string_data"} - seen_core
+               "temperature", "string_data", "velocity_data", "distance_data",
+               "figure_of_merit_data", "echosounder_raw_samples_i",
+               "echosounder_raw_beam", "wakeup_state"} - seen_core
     assert not missing, missing
