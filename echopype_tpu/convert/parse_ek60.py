@@ -110,20 +110,7 @@ class ParseEK60:
         try:
             buf = read_source_bytes(self.bot_file, self.storage_options)
             index = framing.scan_datagrams(buf)
-            rows = index.select("BOT0")
-            depths, times = [], []
-            import struct as _s
-
-            for r in rows:
-                start = int(index.body_offset[r])
-                # BOT0: type/dates + datetime l + transceiver_count l + depths f8[count]
-                (_t, low, high, _dt, cnt) = _s.unpack_from("<4sLLlL", buf, start)
-                d = np.frombuffer(buf, dtype="<f8", count=cnt, offset=start + 20)
-                depths.append(d)
-                times.append(index.timestamp[r])
-            if depths:
-                self.bot["depth"] = np.stack(depths)
-                self.bot["timestamp"] = np.asarray(times, dtype="datetime64[ns]")
+            self.bot.update(dec.decode_bot(index, index.select("BOT0")))
         except Exception as e:  # noqa: BLE001 - sidecar is best-effort, like reference
             logger.warning("Failed to parse BOT file %s: %r", self.bot_file, e)
 

@@ -99,17 +99,7 @@ class ParseEK80:
             if kind == "idx":
                 self.idx = dec.decode_idx(index, index.select("IDX0"))
             else:
-                import struct as _s
-
-                depths, times = [], []
-                for r in index.select("BOT0"):
-                    start = int(index.body_offset[r])
-                    (_t, low, high, _dt, cnt) = _s.unpack_from("<4sLLlL", buf, start)
-                    depths.append(np.frombuffer(buf, dtype="<f8", count=cnt, offset=start + 20))
-                    times.append(index.timestamp[r])
-                if depths:
-                    self.bot["depth"] = np.stack(depths)
-                    self.bot["timestamp"] = np.asarray(times, dtype="datetime64[ns]")
+                self.bot.update(dec.decode_bot(index, index.select("BOT0")))
         except Exception as e:  # noqa: BLE001 - sidecars are best-effort
             logger.warning("Failed to parse %s sidecar: %r", kind, e)
 

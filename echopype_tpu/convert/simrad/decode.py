@@ -387,6 +387,24 @@ def decode_idx(index: DatagramIndex, rows: np.ndarray):
     return {k: np.asarray(v) for k, v in out.items()}
 
 
+def decode_bot(index: DatagramIndex, rows: np.ndarray):
+    """BOT0 seafloor-depth datagrams: 16-byte header (type/dates/count) then
+    one f8 depth per transceiver (ek_raw_parsers.py:212-268)."""
+    import struct as _s
+
+    depths, times = [], []
+    for r in rows:
+        start = int(index.body_offset[r])
+        (_t, _lo, _hi, cnt) = _s.unpack_from("<4sLLL", index.buf, start)
+        depths.append(np.frombuffer(index.buf, dtype="<f8", count=cnt, offset=start + 16))
+        times.append(index.timestamp[r])
+    out = {}
+    if depths:
+        out["depth"] = np.stack(depths)
+        out["timestamp"] = np.asarray(times, dtype="datetime64[ns]")
+    return out
+
+
 MRU0_STRUCT = "<4sLLffff"  # heave, roll, pitch, heading
 
 
@@ -407,18 +425,29 @@ def decode_mru0(index: DatagramIndex, rows: np.ndarray):
     return {k: np.asarray(v) for k, v in out.items()}
 
 
-MRU1_PREFIX = "<4sLL4sL12sdd"  # ..., latitude d, longitude d
+# KMB-format motion record (ek_raw_parsers.py:559-589): lat/lon doubles then
+# the full attitude/rate/error/acceleration float block
+MRU1_STRUCT = "<4sLL4sL12sdd" + "f" * 21 + "LLf"
+MRU1_FIELDS = (
+    "latitude", "longitude", "ellipsoid_height", "roll", "pitch", "heading",
+    "heave", "roll_rate", "pitch_rate", "yaw_rate", "velocity_north",
+    "velocity_east", "velocity_down", "latitude_error", "longitude_error",
+    "height_error", "roll_error", "pitch_error", "heading_error",
+    "heave_error", "accel_north", "accel_east", "accel_down",
+    "heave_delay_secs", "heave_delay_usecs", "heave_delay_m",
+)
 
 
 def decode_mru1(index: DatagramIndex, rows: np.ndarray):
     import struct as _s
 
-    out = {"latitude": [], "longitude": [], "timestamp": []}
+    out = {f: [] for f in MRU1_FIELDS}
+    out["timestamp"] = []
     for r in rows:
         start = int(index.body_offset[r])
-        vals = _s.unpack_from(MRU1_PREFIX, index.buf, start)
-        out["latitude"].append(vals[6])
-        out["longitude"].append(vals[7])
+        vals = _s.unpack_from(MRU1_STRUCT, index.buf, start)
+        for f, v in zip(MRU1_FIELDS, vals[6:]):
+            out[f].append(v)
         out["timestamp"].append(index.timestamp[r])
     return {k: np.asarray(v) for k, v in out.items()}
 

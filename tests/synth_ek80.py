@@ -122,6 +122,26 @@ def parameter_xml(channel_id, pulse_form, frequency=None, freq_start=None, freq_
     )
 
 
+def make_mru0(timestamp, heave, roll, pitch, heading):
+    low, high = dt64_to_nt(timestamp)
+    body = struct.pack("<4sLLffff", b"MRU0", low, high, heave, roll, pitch, heading)
+    return frame(body)
+
+
+def make_mru1(timestamp, latitude, longitude, floats=None):
+    """KMB-format MRU1: status word + lat/lon doubles + 21 attitude/rate/
+    error/acceleration floats + delayed-heave tail (ek_raw_parsers.py:559-589)."""
+    low, high = dt64_to_nt(timestamp)
+    f = list(floats) if floats is not None else [0.5 * i for i in range(21)]
+    assert len(f) == 21
+    body = struct.pack(
+        "<4sLL4sL12sdd" + "f" * 21 + "LLf",
+        b"MRU1", low, high, b"KMB#", 0x0001, b"\x00" * 12,
+        latitude, longitude, *f, 7, 500, 0.25,
+    )
+    return frame(body)
+
+
 def make_fil1(timestamp, channel_id, stage, coefficients, decimation):
     low, high = dt64_to_nt(timestamp)
     coeffs = np.asarray(coefficients, dtype="<c8")

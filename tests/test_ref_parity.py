@@ -647,3 +647,115 @@ def test_ad2cp_packet_differential(tmp_path):
                "figure_of_merit_data", "echosounder_raw_samples_i",
                "echosounder_raw_beam", "wakeup_state"} - seen_core
     assert not missing, missing
+
+
+# ---------------------------------------------------------------------------
+# Remaining Simrad datagram types vs the reference's own parsers
+# ---------------------------------------------------------------------------
+def test_con0_decode_parity():
+    """EK60 CON0 configuration decode vs SimradConfigParser
+    (ek_raw_parsers.py:1222+): header strings, transceiver table scalars, and
+    the rounded pulse/gain/sa tables."""
+    parsers = load_ref("convert/utils/ek_raw_parsers")
+    t0 = np.datetime64("2021-06-01T10:20:30.123456", "ns")
+    tcvrs = [
+        dict(channel_id="GPT  38 kHz 009072033fa2 1-1 ES38B", frequency=38000.0,
+             gain=22.3, beam_type=1),
+        dict(channel_id="GPT 120 kHz 009072033fa3 2-1 ES120-7C", frequency=120000.0,
+             gain=25.1, beam_type=1),
+    ]
+    body = synth_ek60.make_con0(t0, tcvrs)
+    index, bodies = _scan([body])
+    ref = parsers.SimradConfigParser().from_string(bodies[0], len(bodies[0]))
+    ours = decode.decode_con0(index, int(index.select("CON0")[0]))
+
+    assert ours["survey_name"] == ref["survey_name"]
+    assert ours["transect_name"] == ref["transect_name"]
+    assert ours["sounder_name"] == ref["sounder_name"]
+    assert ours["version"] == ref["version"]
+    assert ours["transceiver_count"] == ref["transceiver_count"]
+    for i in (1, 2):
+        rt, ot = ref["transceivers"][i], ours["transceivers"][i]
+        assert ot["channel_id"] == rt["channel_id"]
+        for f in ("beam_type", "frequency", "gain", "equivalent_beam_angle",
+                  "beamwidth_alongship", "beamwidth_athwartship",
+                  "angle_sensitivity_alongship", "angle_sensitivity_athwartship",
+                  "angle_offset_alongship", "angle_offset_athwartship",
+                  "pos_x", "pos_y", "pos_z", "dir_x", "dir_y", "dir_z"):
+            assert ot[f] == rt[f], f
+        np.testing.assert_array_equal(ot["pulse_length_table"], rt["pulse_length_table"])
+        np.testing.assert_array_equal(ot["gain_table"], rt["gain_table"])
+        np.testing.assert_array_equal(ot["sa_correction_table"], rt["sa_correction_table"])
+        assert ot["gpt_software_version"] == rt["gpt_software_version"]
+
+
+def test_fil1_decode_parity():
+    parsers = load_ref("convert/utils/ek_raw_parsers")
+    t0 = np.datetime64("2021-02-01T00:00:00", "ns")
+    coeffs = (np.arange(16) - 8 + 1j * np.arange(16)).astype("c8") / 17
+    body = synth_ek80.make_fil1(t0, synth_ek80.CH_BB, 1, coeffs, 6)
+    index, bodies = _scan([body])
+    ref = parsers.SimradFILParser().from_string(bodies[0], len(bodies[0]))
+    ours = decode.decode_fil1(index, int(index.select("FIL1")[0]))
+    assert ours["stage"] == ref["stage"]
+    assert ours["channel_id"] == ref["channel_id"]
+    assert ours["n_coefficients"] == ref["n_coefficients"]
+    assert ours["decimation_factor"] == ref["decimation_factor"]
+    np.testing.assert_array_equal(ours["coefficients"], ref["coefficients"])
+
+
+def test_nmea_decode_parity():
+    parsers = load_ref("convert/utils/ek_raw_parsers")
+    t0 = np.datetime64("2021-06-01T10:20:30", "ns")
+    sent = "$GPGGA,102030.00,4530.123,N,01230.456,E,1,08,0.9,5.4,M,46.9,M,,*47"
+    body = synth_ek60.make_nme0(t0, sent)
+    index, bodies = _scan([body])
+    ref = parsers.SimradNMEAParser().from_string(bodies[0], len(bodies[0]))
+    strings, ts = decode.decode_nmea(index, index.select("NME0"))
+    assert strings[0] == ref["nmea_string"]
+
+
+def test_idx_decode_parity():
+    parsers = load_ref("convert/utils/ek_raw_parsers")
+    from test_sidecars import make_idx0
+    t0 = np.datetime64("2021-06-01T10:20:30", "ns")
+    body = make_idx0(t0, 42, 1234.5, 45.25, -124.75, 99991)
+    index, bodies = _scan([body])
+    ref = parsers.SimradIDXParser().from_string(bodies[0], len(bodies[0]))
+    ours = decode.decode_idx(index, index.select("IDX0"))
+    assert ours["ping_number"][0] == ref["ping_number"]
+    assert ours["vessel_distance"][0] == ref["distance"]
+    assert ours["latitude"][0] == ref["latitude"]
+    assert ours["longitude"][0] == ref["longitude"]
+    assert ours["file_offset"][0] == ref["file_offset"]
+
+
+def test_bot_decode_parity():
+    parsers = load_ref("convert/utils/ek_raw_parsers")
+    from test_sidecars import make_bot0
+    t0 = np.datetime64("2021-06-01T10:20:30", "ns")
+    body = make_bot0(t0, [101.5, 203.25, 55.0])
+    index, bodies = _scan([body])
+    ref = parsers.SimradBottomParser().from_string(bodies[0], len(bodies[0]))
+    ours = decode.decode_bot(index, index.select("BOT0"))
+    assert ref["transceiver_count"] == 3
+    np.testing.assert_array_equal(ours["depth"][0], ref["depth"])
+
+
+def test_mru_decode_parity():
+    """MRU0 and the 29-field KMB MRU1 record (ek_raw_parsers.py:491-589)."""
+    parsers = load_ref("convert/utils/ek_raw_parsers")
+    t0 = np.datetime64("2021-02-01T00:00:00", "ns")
+    b0 = synth_ek80.make_mru0(t0, 0.5, -1.25, 2.5, 182.5)
+    floats = [0.125 * (i + 1) for i in range(21)]
+    b1 = synth_ek80.make_mru1(t0, 45.125, -124.5, floats)
+    index, bodies = _scan([b0, b1])
+    ref0 = parsers.SimradMRUParser().from_string(bodies[0], len(bodies[0]))
+    ours0 = decode.decode_mru0(index, index.select("MRU0"))
+    for f in ("heave", "roll", "pitch", "heading"):
+        assert ours0[f][0] == ref0[f], f
+    ref1 = parsers.SimradMRUParser().from_string(bodies[1], len(bodies[1]))
+    ours1 = decode.decode_mru1(index, index.select("MRU1"))
+    from echopype_tpu.convert.simrad.decode import MRU1_FIELDS
+    for f in MRU1_FIELDS:
+        assert ours1[f][0] == ref1[f], f

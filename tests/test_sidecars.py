@@ -13,7 +13,7 @@ from synth_ek80 import write_ek80_raw
 def make_bot0(timestamp, depths):
     low, high = dt64_to_nt(timestamp)
     d = np.asarray(depths, dtype="<f8")
-    body = struct.pack("<4sLLlL", b"BOT0", low, high, 0, len(d)) + d.tobytes()
+    body = struct.pack("<4sLLL", b"BOT0", low, high, len(d)) + d.tobytes()
     return frame(body)
 
 
