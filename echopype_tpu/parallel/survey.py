@@ -79,6 +79,25 @@ def _mesh_layout(mesh, chunk_pings: int, n_channels: int):
     return ping_shards, -(-chunk_pings // ping_shards) * ping_shards
 
 
+def _global_ping_bins(pt_i8, ping_edges_i8, n_x):
+    """Clip ping timestamps into global ping-bin ids.
+
+    The window kernels (ops.binning.banded_x_reduce) locate bin boundaries by
+    searching the id vector, which requires non-decreasing ids — so reversed
+    timestamps must be repaired before streaming, the same ascending-time
+    contract the reference enforces at combine (echodata/combine.py:458).
+    """
+    pt_i8 = np.asarray(pt_i8, dtype="i8")
+    if pt_i8.size > 1 and np.any(np.diff(pt_i8) < 0):
+        raise ValueError(
+            "ping_time must be non-decreasing for survey streaming; repair "
+            "reversed timestamps first (qc.coerce_increasing_time)"
+        )
+    return np.clip(
+        np.searchsorted(ping_edges_i8, pt_i8, side="right") - 1, 0, n_x - 1
+    ).astype("i4")
+
+
 class _ScanUnavailable(Exception):
     """Extent scan could not cover this survey; use the eager two-pass path."""
 
@@ -232,9 +251,7 @@ def run_survey_mvbs(
     window = 1
     for ds in datasets:
         pt = np.asarray(ds.coords["ping_time"].values, dtype="datetime64[ns]")
-        x = np.clip(
-            np.searchsorted(edges_i8, pt.astype("i8"), side="right") - 1, 0, n_x - 1
-        ).astype("i4")
+        x = _global_ping_bins(pt.astype("i8"), edges_i8, n_x)
         x_ids.append(x)
         for lo in range(0, len(x), chunk_pings):
             hi = min(lo + chunk_pings, len(x))
@@ -459,9 +476,7 @@ def run_survey_mvbs_from_raw(
     x_ids = []
     window = 1
     for pt in ping_times:
-        x = np.clip(
-            np.searchsorted(ping_edges_i8, pt.astype("i8"), side="right") - 1, 0, n_x - 1
-        ).astype("i4")
+        x = _global_ping_bins(pt.astype("i8"), ping_edges_i8, n_x)
         x_ids.append(x)
         for lo in range(0, len(x), chunk_pings):
             hi = min(lo + chunk_pings, len(x))
@@ -600,11 +615,7 @@ def _run_survey_mvbs_streamed(
     x_ids = []
     window = 1
     for s in scans:
-        x = np.clip(
-            np.searchsorted(ping_edges_i8, s.times.astype("i8"), side="right") - 1,
-            0,
-            n_x - 1,
-        ).astype("i4")
+        x = _global_ping_bins(s.times.astype("i8"), ping_edges_i8, n_x)
         x_ids.append(x)
         for lo in range(0, len(x), chunk_pings):
             hi = min(lo + chunk_pings, len(x))
@@ -806,9 +817,7 @@ def _run_survey_mvbs_complex(
     x_ids = []
     window = 1
     for pt in ping_times:
-        x = np.clip(
-            np.searchsorted(ping_edges_i8, pt.astype("i8"), side="right") - 1, 0, n_x - 1
-        ).astype("i4")
+        x = _global_ping_bins(pt.astype("i8"), ping_edges_i8, n_x)
         x_ids.append(x)
         for lo in range(0, len(x), chunk_pings):
             hi = min(lo + chunk_pings, len(x))
@@ -911,9 +920,7 @@ def _run_complex_fused(
     x_ids = []
     window = 1
     for pt in ping_times:
-        x = np.clip(
-            np.searchsorted(ping_edges_i8, pt.astype("i8"), side="right") - 1, 0, n_x - 1
-        ).astype("i4")
+        x = _global_ping_bins(pt.astype("i8"), ping_edges_i8, n_x)
         x_ids.append(x)
         for lo in range(0, len(x), chunk_pings):
             hi = min(lo + chunk_pings, len(x))

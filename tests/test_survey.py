@@ -50,6 +50,19 @@ class TestSurveyRunner:
         report = timer.report(log=False)
         assert "device_binning" in report and report["device_binning"]["count"] >= 9
 
+    def test_reversed_ping_time_rejected(self, tmp_path):
+        """The window kernels need non-decreasing bin ids; reversed times must
+        fail loudly, pointing at qc.coerce_increasing_time."""
+        raw = tmp_path / "R-D20200101-T000000.raw"
+        write_ek60_raw(raw, n_pings=6, n_samples=30)
+        ed = ep.open_raw(raw, sonar_model="EK60")
+        ds = ep.calibrate.compute_Sv(ed)
+        pt = np.asarray(ds.coords["ping_time"].values).copy()
+        pt[2], pt[3] = pt[3], pt[2]
+        ds = ds.assign_coords(ping_time=pt)
+        with pytest.raises(ValueError, match="coerce_increasing_time"):
+            run_survey_mvbs([ds], ping_time_bin="2s")
+
     def test_channel_mismatch_rejected(self, tmp_path):
         raw = tmp_path / "W-D20200101-T000000.raw"
         write_ek60_raw(raw, n_pings=5, n_samples=30)
