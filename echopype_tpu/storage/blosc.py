@@ -62,6 +62,10 @@ def decompress(buf: bytes) -> bytes:
         raise ValueError(
             "This store uses Blosc compression but no libblosc is available"
         )
+    # blosc frames start with a 16-byte header; a truncated chunk must raise
+    # here rather than let the C side read past the buffer
+    if len(buf) < 16:
+        raise ValueError(f"truncated blosc frame ({len(buf)} bytes)")
     n = cbuffer_nbytes(buf)
     out = ctypes.create_string_buffer(n) if n else b""
     if n == 0:
