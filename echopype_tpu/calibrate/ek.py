@@ -30,6 +30,11 @@ class CalibrateBase:
         self.cal_params = cal_params or {}
         self.ecs_file = ecs_file
         self.ecs_dict = {}
+        # "float64" (default): exact host math end to end (parity with the
+        # reference's f64-on-CPU contract, <=1e-10 dB); "float32": fused
+        # device kernels (error budget in PERFORMANCE.md).  The survey
+        # streamers (parallel/survey.py) always use the f32 device path.
+        self.precision = kw.get("precision", "float64")
         if ecs_file is not None and (env_params or cal_params):
             logger.warning(
                 "The ECS file takes precedence when it conflicts with env_params or cal_params"
@@ -164,7 +169,9 @@ class CalibrateEK(CalibrateBase):
         """EK60/EK80 power-mode calibration via the fused device kernel."""
         beam = self.beam
         power, dr, shift_cp, alpha_cp, offset, tau_eff = self._power_cal_inputs(cal_type)
-        out_vals, echo_range = ek_power_cal(power, dr, shift_cp, alpha_cp, offset, cal_type)
+        out_vals, echo_range = ek_power_cal(
+            power, dr, shift_cp, alpha_cp, offset, cal_type, precision=self.precision
+        )
 
         coords = {
             "channel": beam.coords["channel"],
@@ -198,7 +205,7 @@ class CalibrateEK(CalibrateBase):
 
 class CalibrateEK60(CalibrateEK):
     def __init__(self, echodata, env_params=None, cal_params=None, ecs_file=None, **kw):
-        super().__init__(echodata, env_params, cal_params, ecs_file)
+        super().__init__(echodata, env_params, cal_params, ecs_file, **kw)
         self.sonar_type = "EK60"
         self.waveform_mode = "CW"
         self.encode_mode = "power"

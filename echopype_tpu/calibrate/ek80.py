@@ -87,7 +87,7 @@ class CalibrateEK80(CalibrateEK):
         slice_dict=None,
         **kw,
     ):
-        super().__init__(echodata, env_params, cal_params, ecs_file)
+        super().__init__(echodata, env_params, cal_params, ecs_file, **kw)
         self.sonar_type = "EK80"
         self.waveform_mode = waveform_mode
         self.encode_mode = encode_mode
@@ -185,7 +185,7 @@ class CalibrateEK80(CalibrateEK):
                 coords={"channel": beam.coords["channel"]},
                 name="bs",
             )
-            pc = compress_pulse(bs_da, chirp)
+            pc = compress_pulse(bs_da, chirp, precision=self.precision)
             norm = get_norm_fac(chirp)
             ch_order = [str(c) for c in beam.coords["channel"].values]
             norm_vals = np.array(

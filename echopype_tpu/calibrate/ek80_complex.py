@@ -163,13 +163,17 @@ def get_transmit_signal(beam, coeff, waveform_mode, fs, drop_last_hanning_zero=F
     return y_all, y_time_all
 
 
-def compress_pulse(backscatter: DataArray, chirp: dict) -> DataArray:
-    """Matched-filter pulse compression over [channel, ping, range, beam]."""
+def compress_pulse(backscatter: DataArray, chirp: dict, precision: str = "float64") -> DataArray:
+    """Matched-filter pulse compression over [channel, ping, range, beam].
+
+    precision="float64" (chunked-API default) is the exact host path;
+    "float32" runs the device FFT/MXU kernel (budget in PERFORMANCE.md).
+    """
     ch_vals = [str(c) for c in backscatter.coords["channel"].values]
     bs = np.asarray(backscatter.values)
     out = np.empty_like(bs, dtype="complex128")
     for ci, ch in enumerate(ch_vals):
-        out[ci] = pulse_compress_channel(bs[ci], chirp[ch])
+        out[ci] = pulse_compress_channel(bs[ci], chirp[ch], precision=precision)
     pc = DataArray(out, backscatter.dims, name="pulse_compressed_output")
     pc.coords = dict(backscatter.coords)
     return pc

@@ -65,9 +65,29 @@ def ek_power_cal_jit(power, dr, tvg_shift, absorption, offset, spreading_factor:
     return out, echo_range
 
 
-def ek_power_cal(power, dr, tvg_shift, absorption, offset, cal_type: str = "Sv"):
-    """Host wrapper: numpy in/out, float64 params folded to f32 device arrays."""
+def ek_power_cal(
+    power, dr, tvg_shift, absorption, offset, cal_type: str = "Sv", precision: str = "float32"
+):
+    """Host wrapper: numpy in/out.
+
+    precision="float32" runs the fused device kernel; "float64" (the chunked
+    compute_Sv default) evaluates the identical expression in host float64 —
+    parity with the reference's f64-on-CPU numbers to <=1e-10 dB.
+    """
     spreading = 20 if cal_type == "Sv" else 40
+    if precision == "float64":
+        power = np.asarray(power, dtype="f8")
+        dr = np.asarray(dr, dtype="f8")[:, :, None]
+        tvg_shift = np.asarray(tvg_shift, dtype="f8")[:, :, None]
+        absorption = np.asarray(absorption, dtype="f8")[:, :, None]
+        offset = np.asarray(offset, dtype="f8")[:, :, None]
+        r = np.arange(power.shape[2], dtype="f8")[None, None, :] * dr
+        r_tvg = r - tvg_shift
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r_tvg = np.where(r_tvg > 0, r_tvg, np.nan)
+            out = power + spreading * np.log10(r_tvg) + 2.0 * absorption * r_tvg + offset
+        echo_range = np.where(np.isnan(power), np.nan, r)
+        return out, echo_range
     out, echo_range = ek_power_cal_jit(
         jnp.asarray(power, dtype=jnp.float32),
         jnp.asarray(np.asarray(dr, dtype="f4")),

@@ -163,12 +163,44 @@ def _fft_supported() -> bool:
     return _FFT_OK
 
 
-def pulse_compress_channel(bs: np.ndarray, replica: np.ndarray) -> np.ndarray:
+def _host_conv_f64(lanes: np.ndarray, rep: np.ndarray) -> np.ndarray:
+    """Exact float64 direct convolution, truncated to [L-1 : L-1+R].
+
+    Vectorized sliding-window dot product: y[n] = sum_j x[n+j] * rep[::-1][j]
+    with x zero-extended on the right.  Matches scipy.signal.convolve's
+    direct method bit-for-bit in structure — in particular, samples whose
+    only contributions multiply exact-zero replica coefficients (the Hann
+    taper's zero endpoint, ek80_complex.py:12-52) come out exactly 0, which
+    the reference's prx>0 masking turns into NaN (calibrate_ek.py:581).
+    """
+    L = len(rep)
+    R = lanes.shape[-1]
+    rep_rev = rep[::-1].astype("complex128")
+    out = np.empty((lanes.shape[0], R), dtype="complex128")
+    pad = np.zeros((lanes.shape[0], L - 1), dtype="complex128") if L > 1 else None
+    x = np.concatenate([lanes.astype("complex128"), pad], axis=-1) if L > 1 else lanes.astype(
+        "complex128"
+    )
+    win = np.lib.stride_tricks.sliding_window_view(x, L, axis=-1)  # [lanes, R, L]
+    # block over lanes to bound the matmul workspace
+    step = max(1, int(2**24 // max(1, R * L)))
+    for i in range(0, lanes.shape[0], step):
+        out[i : i + step] = win[i : i + step] @ rep_rev
+    return out
+
+
+def pulse_compress_channel(
+    bs: np.ndarray, replica: np.ndarray, precision: str = "float64"
+) -> np.ndarray:
     """Pulse-compress one channel's complex samples.
 
     bs: complex [ping, range, beam] (NaN-padded); replica: complex [L]
     (the raw transmit replica — conjugate-flip happens here).
     Returns complex [ping, range, beam] matching the reference truncation.
+
+    precision="float64" (default for the chunked compute_Sv API) runs the
+    exact host path; "float32" uses the device FFT / MXU Toeplitz kernel
+    (error budget in PERFORMANCE.md).
     """
     rep = np.flipud(np.conj(np.asarray(replica)))
     L = len(rep)
@@ -177,7 +209,9 @@ def pulse_compress_channel(bs: np.ndarray, replica: np.ndarray) -> np.ndarray:
     clean = np.where(nan_mask, 0.0 + 0.0j, bs)
     # batch (ping, beam) lanes; convolve along range
     lanes = clean.transpose(0, 2, 1).reshape(P * B, R)
-    if _fft_supported():
+    if precision == "float64":
+        out = _host_conv_f64(lanes, rep)
+    elif _fft_supported():
         n_fft = _next_fast_len(R + L - 1)
         out = _fft_conv(
             jnp.asarray(lanes.astype("complex64")),

@@ -24,6 +24,47 @@ def _nanfunc(name, skipna):
     return nanver if skipna else plain
 
 
+def _array_equal_nan(a, b):
+    """np.array_equal with NaN==NaN for float/datetime arrays."""
+    a, b = np.asarray(a), np.asarray(b)
+    if a.shape != b.shape:
+        return False
+    if np.issubdtype(a.dtype, np.floating) or np.issubdtype(a.dtype, np.complexfloating):
+        return bool(np.array_equal(a, b, equal_nan=True))
+    return bool(np.array_equal(a, b))
+
+
+class _LocIndexer:
+    """Label-based indexing: ``da.loc[dict(channel=...)]`` get and set.
+
+    Mirrors the subset of xarray's ``.loc`` used by the reference
+    (e.g. GPT range override, calibrate/range.py:199).
+    """
+
+    __slots__ = ("_da",)
+
+    def __init__(self, da):
+        self._da = da
+
+    def _to_iidx(self, key):
+        if not isinstance(key, dict):
+            raise TypeError("xrlite .loc supports dict keys only")
+        return {d: self._da._label_to_index(d, lab) for d, lab in key.items()}
+
+    def __getitem__(self, key):
+        return self._da.isel(self._to_iidx(key))
+
+    def __setitem__(self, key, value):
+        iidx = self._to_iidx(key)
+        sl = tuple(iidx.get(d, slice(None)) for d in self._da.dims)
+        if isinstance(value, DataArray):
+            # align value dims to the target slice's dims
+            tgt = self._da.isel(iidx)
+            value = value.broadcast_like(tgt).transpose(*tgt.dims)
+            value = value.values
+        self._da.values[sl] = np.asarray(value)
+
+
 class DataArray:
     """A labeled N-D array.
 
@@ -48,6 +89,9 @@ class DataArray:
             name = name if name is not None else values.name
             values = values.values
         values = np.asarray(values)
+        if dims is None and coords is not None and len(coords) == values.ndim:
+            # xarray-style dim inference from an ordered coords dict
+            dims = tuple(coords.keys())
         if dims is None:
             dims = tuple(f"dim_{i}" for i in range(values.ndim))
         if isinstance(dims, str):
@@ -113,6 +157,80 @@ class DataArray:
     def item(self):
         return self.values.item()
 
+    # ---------------------------------------------------- xarray-parity sugar
+    @property
+    def data(self):
+        """Alias of ``.values`` (xarray API parity)."""
+        return self.values
+
+    @data.setter
+    def data(self, v):
+        self.values = np.asarray(v)
+
+    @property
+    def chunks(self):
+        """Always None: xrlite arrays are dense in memory (no dask)."""
+        return None
+
+    @property
+    def loc(self):
+        return _LocIndexer(self)
+
+    def __contains__(self, label):
+        """Label membership over values (``"GPT" in vend["transceiver_type"]``)."""
+        return bool(np.isin(np.asarray(label), self.values).all())
+
+    def __getattr__(self, name):
+        # Attribute access for coordinates, xarray-style (da.channel).
+        # Only called when normal lookup fails; __slots__ covers real attrs.
+        if name.startswith("_"):
+            raise AttributeError(name)
+        try:
+            coords = object.__getattribute__(self, "coords")
+        except AttributeError:
+            raise AttributeError(name) from None
+        if name in coords:
+            return coords[name]
+        raise AttributeError(f"DataArray has no attribute or coordinate {name!r}")
+
+    def equals(self, other):
+        """NaN-aware equality of values + dims + coords (xarray semantics)."""
+        if not isinstance(other, DataArray):
+            return False
+        if self.dims != other.dims or self.shape != other.shape:
+            return False
+        if not _array_equal_nan(self.values, other.values):
+            return False
+        if set(self.coords) != set(other.coords):
+            return False
+        return all(
+            self.coords[k].dims == other.coords[k].dims
+            and _array_equal_nan(self.coords[k].values, other.coords[k].values)
+            for k in self.coords
+        )
+
+    def identical(self, other):
+        return self.equals(other) and self.name == other.name and self.attrs == other.attrs
+
+    def compute(self):
+        return self
+
+    def load(self):
+        return self
+
+    def chunk(self, *args, **kwargs):
+        return self
+
+    def sortby(self, key, ascending=True):
+        """Sort along the dim of a 1-D coord/key DataArray (or coord name)."""
+        if isinstance(key, str):
+            key = self.coords[key]
+        (dim,) = key.dims
+        order = np.argsort(key.values, kind="stable")
+        if not ascending:
+            order = order[::-1]
+        return self.isel({dim: order})
+
     def __array__(self, dtype=None, copy=None):
         return np.asarray(self.values, dtype=dtype)
 
@@ -139,6 +257,15 @@ class DataArray:
 
     def __len__(self):
         return len(self.values)
+
+    def __bool__(self):
+        return bool(self.values)
+
+    def __float__(self):
+        return float(self.values)
+
+    def __int__(self):
+        return int(self.values)
 
     def __repr__(self):
         coord_str = ", ".join(
@@ -190,16 +317,25 @@ class DataArray:
         out.coords = dict(self.coords)
         return out
 
-    def expand_dims(self, dim, axis=0):
-        """Insert a new dim of size 1 (or the size of a provided coord)."""
+    def expand_dims(self, dim=None, axis=0, **dim_kwargs):
+        """Insert a new dim of size 1 (or the size of a provided coord).
+
+        Accepts a dim name, a dict {dim: size|coord}, or keyword form
+        (xarray parity: ``da.expand_dims(ping_time=coord)``).
+        """
+        if dim_kwargs:
+            dim = {**(dim if isinstance(dim, dict) else {}), **dim_kwargs}
         if isinstance(dim, dict):
             out = self
             for d, v in dim.items():
                 n = v if isinstance(v, int) else len(np.asarray(v))
-                vals = np.broadcast_to(
-                    np.expand_dims(out.values, 0), (n,) + out.shape
-                ).copy()
-                new = DataArray(vals, (d,) + out.dims, attrs=out.attrs, name=out.name)
+                ax = axis if axis >= 0 else out.ndim + axis + 1
+                shape = list(out.shape)
+                shape.insert(ax, n)
+                vals = np.broadcast_to(np.expand_dims(out.values, ax), shape).copy()
+                new_dims = list(out.dims)
+                new_dims.insert(ax, d)
+                new = DataArray(vals, tuple(new_dims), attrs=out.attrs, name=out.name)
                 new.coords = dict(out.coords)
                 if not isinstance(v, int):
                     new.coords[d] = DataArray(np.asarray(v), (d,), name=d)
@@ -253,10 +389,20 @@ class DataArray:
 
     def isel(self, indexers=None, drop=False, **kw):
         indexers = {**(indexers or {}), **kw}
+        # split out pointwise (vectorized) DataArray indexers: those whose dims
+        # are NOT simply (d,) select elementwise over dims shared with self
+        plain, pointwise = {}, {}
+        for d, idx in indexers.items():
+            if isinstance(idx, DataArray) and idx.dtype == bool and idx.ndim == 1:
+                idx = np.nonzero(idx.values)[0]
+            if isinstance(idx, DataArray) and idx.ndim >= 1 and idx.dims != (d,):
+                pointwise[d] = idx
+            else:
+                plain[d] = idx
         out_vals = self.values
         # apply one dim at a time (supports int/slice/array indexers)
         dims = list(self.dims)
-        for d, idx in indexers.items():
+        for d, idx in plain.items():
             if d not in dims:
                 continue
             ax = dims.index(d)
@@ -269,11 +415,54 @@ class DataArray:
                 dims.pop(ax)
         out = DataArray(out_vals, tuple(dims), attrs=self.attrs, name=self.name)
         for k, v in self.coords.items():
-            rel = {d: i for d, i in indexers.items() if d in v.dims}
+            rel = {d: i for d, i in plain.items() if d in v.dims}
             cv = v.isel(rel) if rel else v
             if cv.ndim == 0 and drop:
                 continue
             out.coords[k] = cv
+        for d, idx in pointwise.items():
+            out = out._isel_pointwise(d, idx, drop=drop)
+        return out
+
+    def _isel_pointwise(self, d, indexer, drop=False):
+        """Vectorized (pointwise) selection along ``d`` with a DataArray of
+        integer positions whose dims are shared with this array.
+
+        xarray semantics: the indexed dim is removed; selection is elementwise
+        over the indexer's dims (which must be a subset of the remaining
+        dims).  This is the access pattern of the reference's pulse-length
+        table matching (calibrate/cal_params.py:311).
+        """
+        from .ops import _expand_to
+
+        if d not in self.dims:
+            return self
+        res_dims = tuple(dd for dd in self.dims if dd != d)
+        missing = [dd for dd in indexer.dims if dd not in res_dims]
+        if missing:
+            raise ValueError(
+                f"pointwise indexer dims {missing} not among array dims {res_dims}"
+            )
+        sizes = {dd: self.sizes[dd] for dd in res_dims}
+        idx_b = _expand_to(indexer, res_dims, sizes)
+        index_arrays = []
+        for dd in self.dims:
+            if dd == d:
+                index_arrays.append(idx_b)
+            else:
+                pos = res_dims.index(dd)
+                shape = [1] * len(res_dims)
+                shape[pos] = sizes[dd]
+                index_arrays.append(np.arange(sizes[dd]).reshape(shape))
+        vals = self.values[tuple(index_arrays)]
+        out = DataArray(vals, res_dims, attrs=self.attrs, name=self.name)
+        out.coords = {
+            k: v for k, v in self.coords.items() if set(v.dims) <= set(res_dims)
+        }
+        if not drop and d in self.coords:
+            out.coords[d] = DataArray(
+                self.coords[d].values[indexer.values], indexer.dims, name=d
+            )
         return out
 
     def _label_to_index(self, dim, label, method=None):
@@ -281,6 +470,26 @@ class DataArray:
         if coord is None:
             raise KeyError(f"no coordinate for dim {dim!r}")
         cv = coord.values
+        # boolean masks select positions directly (xarray-style)
+        if isinstance(label, DataArray) and label.dtype == bool:
+            return np.nonzero(label.values)[0]
+        if isinstance(label, np.ndarray) and label.dtype == bool:
+            return np.nonzero(label)[0]
+        if isinstance(label, DataArray) and label.ndim >= 1:
+            # vectorized label lookup; preserves the indexer's dims so isel
+            # can dispatch to the pointwise path when they differ from (dim,)
+            first_pos = {}
+            for i, v in enumerate(cv):
+                first_pos.setdefault(v if np.ndim(v) == 0 else tuple(v), i)
+            flat = label.values.ravel()
+            try:
+                pos = np.array([first_pos[v] for v in flat], dtype=np.intp)
+            except KeyError as e:
+                raise KeyError(f"label {e.args[0]!r} not found in coord {dim!r}") from None
+            pos = pos.reshape(label.shape)
+            if label.dims == (dim,):
+                return pos
+            return DataArray(pos, label.dims)
         if isinstance(label, slice):
             lo, hi = label.start, label.stop
             mask = np.ones(len(cv), dtype=bool)
@@ -323,7 +532,12 @@ class DataArray:
             return self.coords[key]
         if isinstance(key, dict):
             return self.isel(key)
-        vals = self.values[key]
+        if isinstance(key, DataArray):
+            if key.dtype == bool and key.ndim == 1 and key.dims[0] in self.dims:
+                # dim-aware boolean mask (xarray: da[ch_GPT])
+                return self.isel({key.dims[0]: np.nonzero(key.values)[0]})
+            key = key.values
+        vals = np.asarray(self.values[key])
         # plain positional indexing: keep dims where possible
         if isinstance(key, tuple):
             dims = tuple(
@@ -346,6 +560,16 @@ class DataArray:
             self.values[idx] = _as_array(value)
             return
         if isinstance(key, DataArray):
+            if key.dtype == bool and key.ndim == 1 and key.dims[0] in self.dims:
+                # dim-aware boolean assignment (xarray: tau_eff[ch_GPT] = ...)
+                d = key.dims[0]
+                pos = np.nonzero(key.values)[0]
+                sl = tuple(pos if dd == d else slice(None) for dd in self.dims)
+                if isinstance(value, DataArray):
+                    tgt = self.isel({d: pos})
+                    value = value.broadcast_like(tgt).transpose(*tgt.dims).values
+                self.values[sl] = np.asarray(value)
+                return
             key = key.values
         self.values[key] = _as_array(value)
 
@@ -480,6 +704,16 @@ class DataArray:
 
     def prod(self, dim=None, skipna=True, **kw):
         return self._reduce("prod", dim, skipna)
+
+    def all(self, dim=None, axis=None, **kw):
+        if dim is None and axis is None:
+            return DataArray(np.asarray(np.all(self.values)), (), name=self.name)
+        return self._reduce("all", dim, skipna=False)
+
+    def any(self, dim=None, axis=None, **kw):
+        if dim is None and axis is None:
+            return DataArray(np.asarray(np.any(self.values)), (), name=self.name)
+        return self._reduce("any", dim, skipna=False)
 
     def count(self, dim=None):
         notnull = ~np.isnan(self.values) if np.issubdtype(self.dtype, np.floating) else np.ones(
@@ -625,18 +859,29 @@ class DataArray:
 
     # ----------------------------------------------------------------- interp
     def interp(self, coords=None, method="linear", kwargs=None, **kw):
-        """Linear interpolation along one dim onto new coordinate labels."""
+        """Interpolate along one dim onto new coordinate labels.
+
+        xarray parity: scalar targets drop the dim; a DataArray target with a
+        different dim renames the interpolated dim to the indexer's dim (the
+        access pattern of align_to_ping_time, utils/align.py:5-61).
+        Methods: "linear" (optionally fill_value="extrapolate") or "nearest".
+        """
         coords = {**(coords or {}), **kw}
         if len(coords) != 1:
             raise NotImplementedError("xrlite interp supports one dim at a time")
         (dim, new_labels), = coords.items()
         fill = (kwargs or {}).get("fill_value", None)
         old = self.coords[dim].values
-        newc = new_labels.values if isinstance(new_labels, DataArray) else np.asarray(new_labels)
+        indexer = new_labels if isinstance(new_labels, DataArray) else None
+        newc = indexer.values if indexer is not None else np.asarray(new_labels)
+        scalar = newc.ndim == 0
+        newc_1d = np.atleast_1d(newc)
         time_like = np.issubdtype(old.dtype, np.datetime64)
         x_old = old.astype("datetime64[ns]").astype("f8") if time_like else old.astype("f8")
-        x_new = newc.astype("datetime64[ns]").astype("f8") if time_like else np.asarray(
-            newc, dtype="f8"
+        x_new = (
+            newc_1d.astype("datetime64[ns]").astype("f8")
+            if time_like
+            else np.asarray(newc_1d, dtype="f8")
         )
         ax = self._dim_index(dim)
         moved = np.moveaxis(self.values.astype("f8"), ax, -1)
@@ -650,13 +895,25 @@ class DataArray:
             if good.sum() == 0:
                 out_flat[i] = np.nan
                 continue
-            out_flat[i] = np.interp(x_new, xo[good], yo[good])
+            xg, yg = xo[good], yo[good]
+            if method == "nearest":
+                pos = np.clip(np.searchsorted(xg, x_new), 1, len(xg) - 1) if len(xg) > 1 else (
+                    np.zeros(x_new.shape, dtype=int)
+                )
+                if len(xg) > 1:
+                    left_closer = (x_new - xg[pos - 1]) <= (xg[pos] - x_new)
+                    pos = np.where(left_closer, pos - 1, pos)
+                out_flat[i] = yg[pos]
+                if fill != "extrapolate":
+                    out_flat[i][x_new < xg[0]] = np.nan
+                    out_flat[i][x_new > xg[-1]] = np.nan
+                continue
+            out_flat[i] = np.interp(x_new, xg, yg)
             if fill != "extrapolate":
-                out_flat[i][x_new < xo[good][0]] = np.nan
-                out_flat[i][x_new > xo[good][-1]] = np.nan
+                out_flat[i][x_new < xg[0]] = np.nan
+                out_flat[i][x_new > xg[-1]] = np.nan
             else:
                 # linear extrapolation at both ends
-                xg, yg = xo[good], yo[good]
                 if len(xg) >= 2:
                     lo = x_new < xg[0]
                     hi = x_new > xg[-1]
@@ -666,9 +923,24 @@ class DataArray:
                     out_flat[i][hi] = yg[-1] + slope1 * (x_new[hi] - xg[-1])
         new_shape = moved.shape[:-1] + (x_new.size,)
         vals = np.moveaxis(out_flat.reshape(new_shape), -1, ax)
-        out = DataArray(vals, self.dims, attrs=self.attrs, name=self.name)
+        # name of the output dim: a DataArray indexer on a different dim
+        # renames (xarray vectorized-interp semantics)
+        out_dim = dim
+        if indexer is not None and indexer.ndim == 1 and indexer.dims[0] != dim:
+            out_dim = indexer.dims[0]
+        out_dims = tuple(out_dim if d == dim else d for d in self.dims)
+        out = DataArray(vals, out_dims, attrs=self.attrs, name=self.name)
         out.coords = {k: v for k, v in self.coords.items() if dim not in v.dims}
-        out.coords[dim] = DataArray(newc, (dim,), name=dim)
+        if scalar:
+            out = out.isel({out_dim: 0})
+            out.coords[dim] = DataArray(np.asarray(newc), (), name=dim)
+            return out
+        out.coords[dim] = DataArray(newc_1d, (out_dim,), name=dim)
+        if out_dim != dim:
+            if indexer is not None and out_dim in indexer.coords:
+                out.coords[out_dim] = indexer.coords[out_dim]
+            else:
+                out.coords[out_dim] = DataArray(newc_1d, (out_dim,), name=out_dim)
         return out
 
     # ------------------------------------------------------------- metadata

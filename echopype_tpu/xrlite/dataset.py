@@ -98,6 +98,19 @@ class Dataset:
     def __contains__(self, name):
         return name in self.data_vars or name in self.coords
 
+    def __getattr__(self, name):
+        # Attribute access for variables/coords, xarray-style (ds.channel).
+        if name.startswith("_"):
+            raise AttributeError(name)
+        try:
+            dv = object.__getattribute__(self, "data_vars")
+            co = object.__getattribute__(self, "coords")
+        except AttributeError:
+            raise AttributeError(name) from None
+        if name in dv or name in co:
+            return self[name]
+        raise AttributeError(f"Dataset has no attribute, variable, or coordinate {name!r}")
+
     def __iter__(self):
         return iter(self.data_vars)
 
@@ -132,6 +145,11 @@ class Dataset:
     @property
     def dims(self):
         return self.sizes
+
+    @property
+    def variables(self):
+        """Mapping of all variables including coordinates (xarray parity)."""
+        return {**self.coords, **self.data_vars}
 
     @property
     def nbytes(self):
@@ -233,6 +251,38 @@ class Dataset:
             elif errors == "raise":
                 raise KeyError(n)
         return out
+
+    def drop_dims(self, dims, errors="raise"):
+        """Drop all variables and coords that use any of ``dims``."""
+        dims = {dims} if isinstance(dims, str) else set(dims)
+        if errors == "raise":
+            missing = dims - set(self.sizes)
+            if missing:
+                raise ValueError(f"dims {sorted(missing)} not found in Dataset")
+        out = Dataset(attrs=dict(self.attrs))
+        for k, v in self.coords.items():
+            if not (set(v.dims) & dims):
+                out.coords[k] = v
+        for k, v in self.data_vars.items():
+            if not (set(v.dims) & dims):
+                out.data_vars[k] = v
+        return out
+
+    def compute(self):
+        return self
+
+    def load(self):
+        return self
+
+    def chunk(self, *args, **kwargs):
+        return self
+
+    def equals(self, other):
+        if not isinstance(other, Dataset):
+            return False
+        if set(self.data_vars) != set(other.data_vars):
+            return False
+        return all(self[k].equals(other[k]) for k in self.data_vars)
 
     def rename(self, name_map=None, **kw):
         name_map = {**(name_map or {}), **kw}

@@ -162,21 +162,99 @@ def _concat_datasets(objs, dim):
     return out
 
 
+def _array_equal_any(x, y):
+    try:
+        return bool(np.array_equal(x, y))
+    except Exception:
+        return False
+
+
+def _reindex_values(da: DataArray, targets: dict):
+    """NaN-fill-expand ``da``'s values onto union coords per indexed dim.
+
+    ``targets`` maps dim -> sorted union coord values (or None = leave as-is).
+    """
+    rel = {d: t for d, t in targets.items() if d in da.dims and t is not None}
+    if not rel:
+        return da.values
+    # skip dims whose coord already equals the target
+    rel = {
+        d: t
+        for d, t in rel.items()
+        if d not in da.coords
+        or da.coords[d].shape != t.shape
+        or not _array_equal_any(da.coords[d].values, t)
+    }
+    if not rel:
+        return da.values
+    shape = tuple(len(rel[d]) if d in rel else da.sizes[d] for d in da.dims)
+    dtype = da.dtype
+    if not (np.issubdtype(dtype, np.floating) or np.issubdtype(dtype, np.complexfloating)):
+        dtype = object if dtype.kind in ("U", "S", "O", "m", "M") else np.float64
+    vals = np.full(shape, np.nan, dtype=dtype)
+    idx = []
+    for d in da.dims:
+        if d in rel:
+            if d not in da.coords:
+                raise ValueError(f"cannot outer-join dim {d!r} without a coordinate")
+            idx.append(np.searchsorted(rel[d], da.coords[d].values))
+        else:
+            idx.append(np.arange(da.sizes[d]))
+    vals[np.ix_(*idx)] = da.values
+    return vals
+
+
 def merge(objs, compat="no_conflicts", join="outer"):
-    """Merge Datasets/DataArrays into one Dataset (first occurrence wins)."""
+    """Merge Datasets/DataArrays into one Dataset (xr.merge semantics).
+
+    When objects carry differing coord values along an indexed dim, all
+    variables are outer-joined onto the sorted union of coords with NaN fill
+    (the access pattern of the reference's _collapse_vend,
+    calibrate_ek.py:37-52).  Same-name collisions: first non-NaN value wins
+    (compat="no_conflicts" on non-overlapping inputs).
+    """
     from .dataset import Dataset
 
+    objs = [o.to_dataset() if isinstance(o, DataArray) else o for o in objs]
+    # pass 1: union coords per indexed dim across all objects
+    targets: dict = {}
+    for obj in objs:
+        for d, c in obj.coords.items():
+            if c.dims != (d,):
+                continue
+            if d not in targets:
+                targets[d] = c.values
+            elif not (
+                targets[d].shape == c.values.shape
+                and _array_equal_any(targets[d], c.values)
+            ):
+                targets[d] = np.unique(np.concatenate([targets[d], c.values]))
+    # pass 2: place variables reindexed onto the union
     out = Dataset()
     for obj in objs:
-        if isinstance(obj, DataArray):
-            if obj.name is None:
-                raise ValueError("cannot merge unnamed DataArray")
-            obj = obj.to_dataset()
-        for name, var in obj.data_vars.items():
+        for name, _ in obj.data_vars.items():
+            var = obj[name]
+            vals = _reindex_values(var, targets)
             if name not in out.data_vars:
-                out[name] = var
+                da = DataArray(vals, var.dims, attrs=dict(var.attrs), name=name)
+                out.data_vars[name] = da
+            else:
+                cur = out.data_vars[name].values
+                if cur.shape != vals.shape:
+                    raise ValueError(f"conflicting shapes for merged variable {name!r}")
+                if np.issubdtype(cur.dtype, np.floating) or cur.dtype == object:
+                    hole = (
+                        np.array([x is np.nan or (isinstance(x, float) and np.isnan(x)) for x in cur.ravel()]).reshape(cur.shape)
+                        if cur.dtype == object
+                        else np.isnan(cur)
+                    )
+                    cur[hole] = np.asarray(vals)[hole]
         for k, v in obj.coords.items():
-            if k not in out.coords:
+            if k in out.coords:
+                continue
+            if v.dims == (k,) and k in targets:
+                out.coords[k] = DataArray(targets[k], (k,), attrs=dict(v.attrs), name=k)
+            else:
                 out.coords[k] = v
         for k, v in obj.attrs.items():
             out.attrs.setdefault(k, v)

@@ -1,0 +1,255 @@
+"""Present xrlite as an ``xarray`` module.
+
+This lets xarray-idiomatic user code (and, in the test suite, the reference
+implementation itself, executed as a differential oracle) run directly on
+xrlite's labeled arrays.  The facade re-exports xrlite's ``Dataset`` and
+module ops under xarray's names, adapts ``DataArray``'s constructor argument
+order (xarray: ``DataArray(data, coords, dims, name, attrs)``; xrlite:
+``DataArray(values, dims, coords, attrs, name)``), and adds the module-level
+functions the reference uses (``where``, ``merge``, ``concat``,
+``apply_ufunc``, ``align``, ``broadcast``, ``full_like``/``zeros_like``/
+``ones_like``).
+
+``install()`` registers the facade in ``sys.modules["xarray"]`` (no-op when a
+real xarray is already importable).
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import numpy as np
+
+from . import ops as _ops
+from .dataarray import DataArray as _XrliteDataArray
+from .dataset import Dataset
+
+__all__ = ["DataArray", "Dataset", "install", "make_module"]
+
+
+class _CompatMeta(type):
+    """isinstance(x, facade.DataArray) accepts any xrlite DataArray.
+
+    Reference code type-checks its inputs (e.g. env_params.py:109-110); our
+    groups hold base-class xrlite arrays, so the facade class must treat them
+    as its own.
+    """
+
+    def __instancecheck__(cls, obj):
+        return isinstance(obj, _XrliteDataArray)
+
+
+class DataArray(_XrliteDataArray, metaclass=_CompatMeta):
+    """xrlite DataArray with xarray's constructor signature."""
+
+    __slots__ = ()
+
+    def __init__(self, data=None, coords=None, dims=None, name=None, attrs=None):
+        if isinstance(dims, str):
+            dims = (dims,)
+        super().__init__(data, dims=dims, coords=coords, attrs=attrs, name=name)
+
+
+def where(cond, x, y, keep_attrs=None):
+    return _ops.where(cond, x, y)
+
+
+def merge(objects, compat="no_conflicts", join="outer", **kwargs):
+    return _ops.merge(objects, compat=compat, join=join)
+
+
+def concat(objs, dim, coords="minimal", data_vars="minimal", **kwargs):
+    return _ops.concat(objs, dim, coords=coords, data_vars=data_vars)
+
+
+def full_like(other, fill_value, dtype=None):
+    return _ops.full_like(other, fill_value, dtype=dtype)
+
+
+def zeros_like(other, dtype=None):
+    return _ops.zeros_like(other, dtype=dtype)
+
+
+def ones_like(other, dtype=None):
+    return _ops.full_like(other, 1, dtype=dtype)
+
+
+def broadcast(*args):
+    """Broadcast DataArrays against each other by dim name."""
+    if len(args) == 1:
+        return args
+    out = list(args)
+    base = out[0]
+    for i in range(1, len(out)):
+        base, out[i] = _ops.broadcast_arrays(base, out[i])
+    # second pass so earlier entries pick up dims introduced by later ones
+    final = []
+    for a in out:
+        ab, _ = _ops.broadcast_arrays(a, base)
+        final.append(ab)
+    return tuple(final)
+
+
+def align(*objects, join="inner", copy=True, fill_value=np.nan):
+    """Label alignment. xrlite arrays are assumed pre-aligned (exact join)."""
+    return objects
+
+
+def apply_ufunc(
+    func,
+    *args,
+    input_core_dims=None,
+    output_core_dims=None,
+    exclude_dims=frozenset(),
+    vectorize=False,
+    dask=None,
+    output_dtypes=None,
+    kwargs=None,
+    keep_attrs=None,
+    **extra,
+):
+    """Minimal xr.apply_ufunc: single output, numpy execution.
+
+    Supports the reference's usage pattern (pulse compression,
+    calibrate/ek80_complex.py:356-364): DataArray inputs with
+    ``input_core_dims``/``output_core_dims`` and ``vectorize=True``; the
+    function is applied over every loop-dim slice with core dims moved last.
+    """
+    kwargs = kwargs or {}
+    das = [a for a in args if isinstance(a, _XrliteDataArray)]
+    if not das:
+        return func(*args, **kwargs)
+    if input_core_dims is None:
+        input_core_dims = [()] * len(args)
+    if output_core_dims is None:
+        output_core_dims = [()]
+    if len(output_core_dims) != 1:
+        raise NotImplementedError("xrlite apply_ufunc supports a single output")
+    out_core = tuple(output_core_dims[0])
+
+    # broadcast DataArray inputs against each other over loop (non-core) dims
+    base = das[0]
+    loop_dims = tuple(
+        d
+        for a, cd in zip(args, input_core_dims)
+        if isinstance(a, _XrliteDataArray)
+        for d in a.dims
+        if d not in cd
+    )
+    # stable-dedup loop dims
+    seen = []
+    for d in loop_dims:
+        if d not in seen:
+            seen.append(d)
+    loop_dims = tuple(seen)
+
+    prepared = []
+    for a, cd in zip(args, input_core_dims):
+        if isinstance(a, _XrliteDataArray):
+            order = [d for d in loop_dims if d in a.dims] + list(cd)
+            at = a.transpose(*order)
+            # insert singleton axes for loop dims the input lacks
+            vals = at.values
+            shape = []
+            for d in loop_dims:
+                shape.append(at.sizes.get(d, 1))
+            shape += [at.sizes[d] for d in cd]
+            vals = vals.reshape(shape)
+            prepared.append((vals, len(cd)))
+        else:
+            prepared.append((a, None))
+
+    loop_sizes = {}
+    for a, cd in zip(args, input_core_dims):
+        if isinstance(a, _XrliteDataArray):
+            for d in a.dims:
+                if d not in cd:
+                    loop_sizes[d] = a.sizes[d]
+    loop_shape = tuple(loop_sizes.get(d, 1) for d in loop_dims)
+
+    if not vectorize or not loop_shape:
+        result = func(*[v for v, _ in prepared], **kwargs)
+    else:
+        # loop over every index of the loop dims
+        result = None
+        for idx in np.ndindex(*loop_shape):
+            call_args = []
+            for v, n in prepared:
+                if n is None:
+                    call_args.append(v)
+                else:
+                    sel = tuple(
+                        0 if v.shape[i] == 1 else idx[i] for i in range(len(loop_shape))
+                    )
+                    call_args.append(v[sel])
+            r = np.asarray(func(*call_args, **kwargs))
+            if result is None:
+                result = np.empty(
+                    loop_shape + r.shape,
+                    dtype=output_dtypes[0] if output_dtypes else r.dtype,
+                )
+            result[idx] = r
+
+    result = np.asarray(result)
+    out_dims = loop_dims + out_core
+    if result.ndim != len(out_dims):
+        # un-vectorized call that already returned full shape
+        result = result.reshape(loop_shape + result.shape[len(loop_shape) :])
+    out = _XrliteDataArray(result, out_dims, name=base.name)
+    for k, v in base.coords.items():
+        if set(v.dims) <= set(out_dims) and all(
+            out.sizes.get(d) == v.sizes[d] for d in v.dims
+        ):
+            out.coords[k] = v
+    return out
+
+
+def set_options(**kwargs):
+    class _Ctx:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    return _Ctx()
+
+
+def make_module() -> types.ModuleType:
+    """Build a module object exposing this facade under the xarray API."""
+    mod = types.ModuleType("xarray")
+    mod.DataArray = DataArray
+    mod.Dataset = Dataset
+    mod.where = where
+    mod.merge = merge
+    mod.concat = concat
+    mod.full_like = full_like
+    mod.zeros_like = zeros_like
+    mod.ones_like = ones_like
+    mod.broadcast = broadcast
+    mod.align = align
+    mod.apply_ufunc = apply_ufunc
+    mod.set_options = set_options
+    mod.__version__ = "xrlite-compat"
+    return mod
+
+
+def install(force: bool = False) -> bool:
+    """Register the facade as ``xarray`` in sys.modules.
+
+    Returns True when installed.  When a real xarray is importable (or
+    already imported) and ``force`` is False, does nothing.
+    """
+    if not force:
+        if "xarray" in sys.modules:
+            return getattr(sys.modules["xarray"], "__version__", "") == "xrlite-compat"
+        try:
+            import importlib.util
+
+            if importlib.util.find_spec("xarray") is not None:
+                return False
+        except (ImportError, ValueError):
+            pass
+    sys.modules["xarray"] = make_module()
+    return True

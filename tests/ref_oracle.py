@@ -16,6 +16,18 @@ Loadable leaves (verified):
   - echopype/convert/parse_azfp.py                  (needs zarr/dask.array.core
     stubs + a forced echopype.utils.io stub so the real io.py, which imports
     xarray, is never pulled in by parse_base's relative import)
+
+Since round 3 the "xarray stub" is the full xrlite facade
+(echopype_tpu/xrlite/xarray_compat.py), which makes the reference's
+xarray-dependent COMPUTE PIPELINE executable as an oracle too:
+  - echopype/calibrate/range.py
+  - echopype/calibrate/cal_params.py
+  - echopype/calibrate/env_params.py
+  - echopype/calibrate/calibrate_base.py + calibrate_ek.py (full
+    CalibrateEK60/CalibrateEK80 classes, run against a FakeEchoData holding
+    our converted groups)
+  - echopype/echodata/simrad.py (needs a forced echodata.echodata stub)
+  - echopype/utils/align.py
 """
 
 from __future__ import annotations
@@ -115,25 +127,39 @@ def _install_stubs() -> None:
         FILTER_REAL="coeffs_real",
         DECIMATION="deci_fac",
     )
-    # ecs.py imports xarray at module level but ECSParser itself never touches
-    # it; ek80_complex.py additionally CONSTRUCTS DataArrays for its return
-    # values, so the stub records data/coords for the tests to unwrap.
-    import numpy as _np
+    # xarray = the full xrlite facade, so reference compute modules
+    # (cal_params/env_params/range/calibrate_ek) execute on xrlite arrays.
+    if "xarray" not in sys.modules:
+        from echopype_tpu.xrlite import xarray_compat
 
-    class _StubDataArray:
-        def __init__(self, data=None, coords=None, dims=None, name=None, attrs=None):
-            self.values = None if data is None else _np.asarray(data)
-            self.coords = {} if coords is None else coords
-            self.dims = dims
-            self.attrs = {} if attrs is None else attrs
-
-    _stub("xarray", DataArray=_StubDataArray, Dataset=type("Dataset", (), {}))
+        sys.modules["xarray"] = xarray_compat.make_module()
     _package("echopype", REF_ROOT)
     _package("echopype.utils", f"{REF_ROOT}/utils")
     _force_stub("echopype.utils.io", create_temp_zarr_store=lambda *a, **k: None)
     _package("echopype.convert", f"{REF_ROOT}/convert")
     _package("echopype.convert.utils", f"{REF_ROOT}/convert/utils")
     _package("echopype.calibrate", f"{REF_ROOT}/calibrate")
+    # echodata package shell: EchoData type annotations resolve to `object`;
+    # echodata/simrad.py (beam-group selection) loads for real on the facade.
+    _package("echopype.echodata", f"{REF_ROOT}/echodata")
+    sys.modules["echopype.echodata"].EchoData = object
+    _force_stub("echopype.echodata.echodata", EchoData=object)
+
+
+class FakeEchoData:
+    """Duck-typed EchoData for running reference calibrators on our groups.
+
+    The reference CalibrateEK classes only use ``echodata[group_path]`` and
+    ``echodata.sonar_model`` (calibrate_ek.py:221-227, 313-318), so a dict of
+    xrlite Datasets suffices.
+    """
+
+    def __init__(self, groups: dict, sonar_model: str):
+        self._groups = dict(groups)
+        self.sonar_model = sonar_model
+
+    def __getitem__(self, path):
+        return self._groups[path]
 
 
 def load_ref(relpath: str):

@@ -1,0 +1,276 @@
+"""Pipeline-level differential parity: reference calibrate code as the oracle.
+
+The xrlite xarray facade (echopype_tpu/xrlite/xarray_compat.py) lets the
+reference's xarray-dependent compute modules execute directly on our
+converted groups.  Each test runs the REFERENCE implementation
+(calibrate/range.py, cal_params.py, env_params.py, calibrate_ek.py) on the
+same synthetic EchoData our pipeline consumes and asserts our outputs match.
+
+This converts the compute core's verification from "agrees with a
+builder-written oracle" to "agrees with reference-executed code"
+(VERDICT r2, item 1).
+"""
+
+import numpy as np
+import pytest
+
+import echopype_tpu as ep
+
+from ref_oracle import FakeEchoData, load_ref
+from synth_ek60 import write_ek60_raw
+from synth_ek80 import write_ek80_raw
+
+
+# --------------------------------------------------------------------------
+# fixtures: synthetic files converted by OUR pipeline, wrapped for the
+# reference calibrators
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ek60_ed(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("refpipe_ek60")
+    path = tmp / "REF-D20200101-T000000.raw"
+    truth = write_ek60_raw(path, n_pings=10, n_samples=80)
+    ed = ep.open_raw(path, sonar_model="EK60")
+    return ed, truth
+
+
+@pytest.fixture(scope="module")
+def ek80_ed(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("refpipe_ek80")
+    path = tmp / "REF80-D20210201-T000000.raw"
+    truth = write_ek80_raw(path, n_pings=6, n_samples=64)
+    ed = ep.open_raw(path, sonar_model="EK80")
+    return ed, truth
+
+
+def _fake(ed):
+    groups = {}
+    for p in (
+        "Sonar",
+        "Environment",
+        "Vendor_specific",
+        "Sonar/Beam_group1",
+        "Sonar/Beam_group2",
+        "Sonar/Beam_group3",
+    ):
+        try:
+            groups[p] = ed[p]
+        except KeyError:
+            pass
+    return FakeEchoData(groups, ed.sonar_model)
+
+
+def _sv_delta(ref_ds, our_ds, var="Sv"):
+    """Max |Δ| between reference-executed and our calibrated output."""
+    ref = ref_ds[var]
+    if "beam" in ref.dims:
+        ref = ref.isel(beam=0)
+    ref = ref.transpose("channel", "ping_time", "range_sample")
+    ours = our_ds[var].transpose("channel", "ping_time", "range_sample")
+    assert list(np.asarray(ref["channel"].values)) == list(
+        np.asarray(our_ds["channel"].values)
+    )
+    rv, ov = np.asarray(ref.values, dtype="f8"), np.asarray(ours.values, dtype="f8")
+    assert rv.shape == ov.shape
+    assert np.array_equal(np.isnan(rv), np.isnan(ov)), "NaN masks differ"
+    d = np.abs(rv - ov)
+    return np.nanmax(d) if np.isfinite(d).any() else 0.0
+
+
+# --------------------------------------------------------------------------
+# EK60: full reference CalibrateEK60 pipeline vs ours
+# --------------------------------------------------------------------------
+
+
+class TestEK60FullPipeline:
+    def test_compute_sv_matches_reference(self, ek60_ed):
+        ed, _ = ek60_ed
+        ref_ek = load_ref("calibrate/calibrate_ek")
+        ref_cal = ref_ek.CalibrateEK60(_fake(ed), None, None, None)
+        ref_sv = ref_cal.compute_Sv()
+        our_sv = ep.calibrate.compute_Sv(ed)
+        delta = _sv_delta(ref_sv, our_sv)
+        # default chunked path is float64 end to end: exact parity
+        assert delta < 1e-9, f"EK60 Sv differs from reference by {delta} dB"
+
+    def test_compute_ts_matches_reference(self, ek60_ed):
+        ed, _ = ek60_ed
+        ref_ek = load_ref("calibrate/calibrate_ek")
+        ref_cal = ref_ek.CalibrateEK60(_fake(ed), None, None, None)
+        ref_ts = ref_cal.compute_TS()
+        our_ts = ep.calibrate.compute_TS(ed)
+        delta = _sv_delta(ref_ts, our_ts, var="TS")
+        assert delta < 1e-9, f"EK60 TS differs from reference by {delta} dB"
+
+    def test_echo_range_matches_reference(self, ek60_ed):
+        ed, _ = ek60_ed
+        ref_ek = load_ref("calibrate/calibrate_ek")
+        ref_cal = ref_ek.CalibrateEK60(_fake(ed), None, None, None)
+        ref_sv = ref_cal.compute_Sv()
+        our_sv = ep.calibrate.compute_Sv(ed)
+        delta = _sv_delta(ref_sv, our_sv, var="echo_range")
+        assert delta < 1e-3, f"echo_range differs by {delta} m"
+
+    def test_cal_params_match_reference(self, ek60_ed):
+        """Reference get_cal_params_EK vs our resolver on the same groups."""
+        ed, _ = ek60_ed
+        ref_cp = load_ref("calibrate/cal_params")
+        from echopype_tpu.calibrate.cal_params import get_cal_params_EK as our_gcp
+
+        beam = ed["Sonar/Beam_group1"]
+        vend = ed["Vendor_specific"]
+        ref = ref_cp.get_cal_params_EK(
+            waveform_mode="CW",
+            freq_center=beam["frequency_nominal"],
+            beam=beam,
+            vend=vend,
+            user_dict={},
+            sonar_type="EK60",
+        )
+        ours = our_gcp(
+            waveform_mode="CW",
+            freq_center=beam["frequency_nominal"],
+            beam=beam,
+            vend=vend,
+            user_dict={},
+            sonar_type="EK60",
+        )
+        assert set(k for k, v in ref.items() if v is not None) == set(
+            k for k, v in ours.items() if v is not None
+        )
+        for k, rv in ref.items():
+            if rv is None:
+                continue
+            ov = ours[k]
+            rvv = np.asarray(rv.values, dtype="f8")
+            ovv = np.asarray(ov, dtype="f8") if not hasattr(ov, "values") else np.asarray(
+                ov.values, dtype="f8"
+            )
+            if rvv.shape != ovv.shape and rvv.size == ovv.size:
+                ovv = ovv.reshape(rvv.shape)
+            np.testing.assert_allclose(rvv, ovv, rtol=0, atol=1e-12, err_msg=k)
+
+    def test_env_params_match_reference(self, ek60_ed):
+        ed, _ = ek60_ed
+        ref_ep = load_ref("calibrate/env_params")
+        from echopype_tpu.calibrate.env_params import get_env_params_EK as our_gep
+
+        beam = ed["Sonar/Beam_group1"]
+        env = ed["Environment"]
+        for user in ({}, {"temperature": 10.0, "salinity": 32.0, "pressure": 100.0, "pH": 8.1}):
+            ref = ref_ep.get_env_params_EK(
+                sonar_type="EK60", beam=beam, env=env, user_dict=dict(user)
+            )
+            ours = our_gep(sonar_type="EK60", beam=beam, env=env, user_dict=dict(user))
+            for k, rv in ref.items():
+                assert k in ours, f"{k} missing from our env params (user={user})"
+                ov = ours[k]
+                if isinstance(rv, str):
+                    assert rv == ov
+                    continue
+                rvv = np.asarray(getattr(rv, "values", rv), dtype="f8")
+                ovv = np.asarray(getattr(ov, "values", ov), dtype="f8")
+                np.testing.assert_allclose(
+                    rvv.squeeze(), ovv.squeeze(), rtol=0, atol=1e-12, err_msg=k
+                )
+
+
+# --------------------------------------------------------------------------
+# EK80: reference CalibrateEK80 (CW complex + BB) vs ours
+# --------------------------------------------------------------------------
+
+
+class TestEK80FullPipeline:
+    def _ref_cal(self, ed, waveform_mode, encode_mode):
+        ref_ek = load_ref("calibrate/calibrate_ek")
+        return ref_ek.CalibrateEK80(
+            _fake(ed),
+            env_params=None,
+            cal_params=None,
+            waveform_mode=waveform_mode,
+            encode_mode=encode_mode,
+        )
+
+    def test_power_mode_sv(self, ek80_ed):
+        ed, _ = ek80_ed
+        ref_sv = self._ref_cal(ed, "CW", "power").compute_Sv()
+        our_sv = ep.calibrate.compute_Sv(ed, waveform_mode="CW", encode_mode="power")
+        delta = _sv_delta(ref_sv, our_sv)
+        assert delta < 1e-9, f"EK80 CW-power Sv differs by {delta} dB"
+
+    def test_cw_complex_sv(self, ek80_ed):
+        ed, _ = ek80_ed
+        ref_sv = self._ref_cal(ed, "CW", "complex").compute_Sv()
+        our_sv = ep.calibrate.compute_Sv(ed, waveform_mode="CW", encode_mode="complex")
+        delta = _sv_delta(ref_sv, our_sv)
+        assert delta < 1e-9, f"EK80 CW-complex Sv differs by {delta} dB"
+
+    def test_bb_sv(self, ek80_ed):
+        ed, _ = ek80_ed
+        ref_sv = self._ref_cal(ed, "BB", "complex").compute_Sv()
+        our_sv = ep.calibrate.compute_Sv(ed, waveform_mode="BB", encode_mode="complex")
+        delta = _sv_delta(ref_sv, our_sv)
+        # residual floor: the reference quantizes its pulse-compression output
+        # to complex64 (_convolve_per_channel allocates np.complex64,
+        # ek80_complex.py:304) while ours stays float64 throughout; the
+        # difference is the reference's own rounding, well under the 1e-5 dB
+        # contract
+        assert delta < 5e-6, f"EK80 BB Sv differs by {delta} dB"
+
+    def test_f32_device_path_budget(self, ek80_ed):
+        """The f32 device path must stay inside the documented error budget.
+
+        NaN masks may differ at samples whose reference value is an exact
+        structural zero (Hann-taper endpoint), so compare finite cells only.
+        """
+        ed, _ = ek80_ed
+        ref_sv = self._ref_cal(ed, "BB", "complex").compute_Sv()
+        our_sv = ep.calibrate.compute_Sv(
+            ed, waveform_mode="BB", encode_mode="complex", precision="float32"
+        )
+        ref = ref_sv["Sv"].transpose("channel", "ping_time", "range_sample")
+        ours = our_sv["Sv"].transpose("channel", "ping_time", "range_sample")
+        rv = np.asarray(ref.values, dtype="f8")
+        ov = np.asarray(ours.values, dtype="f8")
+        both = np.isfinite(rv) & np.isfinite(ov)
+        assert both.any()
+        # mask disagreements only at the structural-zero tail
+        mismatch = np.isnan(rv) != np.isnan(ov)
+        assert mismatch.mean() < 0.05
+        delta = np.abs(rv[both] - ov[both]).max()
+        assert delta < 2e-4, f"f32 BB path exceeds budget: {delta} dB"
+
+    def test_bb_cal_params_interp_chain(self, ek80_ed):
+        """BB interpolation fallback chain (cal_params.py:165-258) differential."""
+        ed, _ = ek80_ed
+        ref_cp = load_ref("calibrate/cal_params")
+        from echopype_tpu.calibrate.cal_params import get_cal_params_EK as our_gcp
+
+        # reproduce the calibrator's channel subset for BB mode
+        ref_ek = load_ref("calibrate/calibrate_ek")
+        cal = ref_ek.CalibrateEK80(
+            _fake(ed), env_params=None, cal_params=None,
+            waveform_mode="BB", encode_mode="complex",
+        )
+        beam, vend, freq_center = cal.beam, cal.vend, cal.freq_center
+        ref = ref_cp.get_cal_params_EK(
+            waveform_mode="BB", freq_center=freq_center,
+            beam=beam, vend=vend, user_dict={}, sonar_type="EK80",
+        )
+        ours = our_gcp(
+            waveform_mode="BB", freq_center=freq_center,
+            beam=beam, vend=vend, user_dict={}, sonar_type="EK80",
+        )
+        for k, rv in ref.items():
+            if rv is None:
+                continue
+            assert ours.get(k) is not None, f"{k} missing from ours"
+            rvv = np.asarray(getattr(rv, "values", rv), dtype="f8")
+            ovv = np.asarray(getattr(ours[k], "values", ours[k]), dtype="f8")
+            np.testing.assert_allclose(
+                np.broadcast_arrays(rvv.squeeze(), ovv.squeeze())[0],
+                np.broadcast_arrays(rvv.squeeze(), ovv.squeeze())[1],
+                rtol=0, atol=1e-10, err_msg=k,
+            )
