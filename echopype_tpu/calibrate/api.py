@@ -31,6 +31,41 @@ def _calibrator_map():
 CALIBRATOR = _calibrator_map  # resolved lazily to avoid import cycles
 
 
+def epoch_slice_dicts(beam, vend):
+    """Per-(channel, filter-epoch) slice dicts for multi-``filter_time`` EK80
+    files (reference calibrate/api.py:96-197): each channel's valid ping
+    range is partitioned at the recorded filter timestamps; a slice selects
+    one channel, one filter set, and the ping interval it governs.
+
+    Shared by the chunked compute_Sv path and the fused survey streamer
+    (parallel/survey.py) so both produce identical epoch partitions.
+    """
+    import numpy as np
+
+    ftimes_all = np.sort(np.asarray(vend.coords["filter_time"].values))
+    pt = np.asarray(beam.coords["ping_time"].values)
+    tdn = beam["transmit_duration_nominal"]
+    out = []
+    for ci, ch in enumerate(beam.coords["channel"].values):
+        vals = np.asarray(tdn.values)[ci]
+        valid_pt = pt[~np.isnan(vals)]
+        f_times = np.intersect1d(valid_pt, ftimes_all)
+        if len(f_times) == 0:
+            f_times = ftimes_all[:1]
+        nexts = np.append(f_times[1:], np.datetime64("NaT")).astype("datetime64[ns]")
+        for start, nxt in zip(f_times, nexts):
+            end = None if np.isnat(nxt) else nxt - np.timedelta64(1, "ns")
+            out.append(
+                {
+                    "filter_time": start,
+                    "channel": str(ch),
+                    "beam_group_start_time": start,
+                    "beam_group_end_time": end,
+                }
+            )
+    return out
+
+
 def _compute_cal(
     cal_type,
     echodata,
@@ -99,28 +134,7 @@ def _compute_cal(
                 first_valid[str(ch)] = pt[good[0]] if len(good) else pt[0]
             cal_ds = _one({"first_valid_filter_time_per_channel": first_valid})
         else:
-            ftimes_all = np.sort(np.asarray(vend.coords["filter_time"].values))
-            pieces = []
-            pt = np.asarray(beam.coords["ping_time"].values)
-            for ci, ch in enumerate(beam.coords["channel"].values):
-                vals = np.asarray(tdn.values)[ci]
-                valid_pt = pt[~np.isnan(vals)]
-                f_times = np.intersect1d(valid_pt, ftimes_all)
-                if len(f_times) == 0:
-                    f_times = ftimes_all[:1]
-                nexts = np.append(f_times[1:], np.datetime64("NaT")).astype("datetime64[ns]")
-                for start, nxt in zip(f_times, nexts):
-                    end = None if np.isnat(nxt) else nxt - np.timedelta64(1, "ns")
-                    pieces.append(
-                        _one(
-                            {
-                                "filter_time": start,
-                                "channel": str(ch),
-                                "beam_group_start_time": start,
-                                "beam_group_end_time": end,
-                            }
-                        )
-                    )
+            pieces = [_one(sd) for sd in epoch_slice_dicts(beam, vend)]
             cal_ds = _merge_epoch_outputs(pieces, cal_type)
     else:
         cal_ds = _one({})

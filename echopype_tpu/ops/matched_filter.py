@@ -207,6 +207,15 @@ def pulse_compress_channel(
     P, R, B = bs.shape
     nan_mask = np.isnan(bs.real) | np.isnan(bs.imag)
     clean = np.where(nan_mask, 0.0 + 0.0j, bs)
+    # Structural zeros: the last z outputs touch only the replica's exact-zero
+    # leading taps (Hann taper endpoint) — direct f64 convolution yields exact
+    # 0 there (-> prx>0 masks them NaN downstream, calibrate_ek.py:581), but
+    # FFT/MXU rounding would leave ~1e-24 residues that inflate bin counts.
+    # Zero them explicitly so every precision path shares the contract.
+    z = 0
+    rep_orig = np.asarray(replica)
+    while z < L and rep_orig[z] == 0:
+        z += 1
     # batch (ping, beam) lanes; convolve along range
     lanes = clean.transpose(0, 2, 1).reshape(P * B, R)
     if precision == "float64":
@@ -231,7 +240,12 @@ def pulse_compress_channel(
             precision=_CONV_PRECISION,
         )
         out = np.asarray(re).astype("f8") + 1j * np.asarray(im).astype("f8")
-    out = np.asarray(out).reshape(P, B, R).transpose(0, 2, 1)
+    out = np.asarray(out)
+    if z and precision != "float64" and R >= z:
+        if not out.flags.writeable:  # jax arrays map in read-only
+            out = out.copy()
+        out[..., R - z :] = 0.0
+    out = out.reshape(P, B, R).transpose(0, 2, 1)
     return np.where(nan_mask, np.nan + 1j * np.nan, out)
 
 

@@ -41,20 +41,25 @@ class _PartialAccumulator:
         self.timer = timer
         self._pending = None
 
-    def push(self, s, c, x_base):
-        prev, self._pending = self._pending, (s, c, x_base)
+    def push(self, s, c, x_base, ch=None):
+        prev, self._pending = self._pending, (s, c, x_base, ch)
         if prev is not None:
             self._drain(prev)
 
     def _drain(self, item):
-        s, c, x_base = item
+        s, c, x_base, ch = item
         with self.timer.stage("accumulate"):
             # s/c may be device arrays or lists of per-channel device arrays
             s = np.asarray([np.asarray(p, dtype="f8") for p in s]) if isinstance(s, list) else np.asarray(s, dtype="f8")
             c = np.asarray([np.asarray(p, dtype="f8") for p in c]) if isinstance(c, list) else np.asarray(c, dtype="f8")
             w_eff = min(self.window, self.n_x - x_base)
-            self.sums[:, x_base : x_base + w_eff] += s[:, :w_eff]
-            self.counts[:, x_base : x_base + w_eff] += c[:, :w_eff]
+            if ch is not None:
+                # single-channel partial (per-epoch fused streaming)
+                self.sums[ch, x_base : x_base + w_eff] += s[:w_eff]
+                self.counts[ch, x_base : x_base + w_eff] += c[:w_eff]
+            else:
+                self.sums[:, x_base : x_base + w_eff] += s[:, :w_eff]
+                self.counts[:, x_base : x_base + w_eff] += c[:, :w_eff]
 
     def finish(self):
         if self._pending is not None:
@@ -358,8 +363,9 @@ def run_survey_mvbs_from_raw(
         power, Sv, and binning as ONE device program per chunk
         (ops/bb_pipeline.py): complex samples go up once as split f32 and
         only bin partials come back.  Float32 end to end (~1e-3 dB of the
-        float64 chunked path) and single-filter-epoch files only (falls
-        back with a warning otherwise).
+        float64 chunked path).  Multi-``filter_time`` files stream as one
+        device program per (channel, filter epoch), partitioned exactly like
+        the chunked path (calibrate/api.epoch_slice_dicts).
     prefetch : EK60/ES70 local files — replace the two-pass eager ingest
         (decode every file, then stream) with a single decode pass: a
         header-only extent scan fixes the global bin grids up front, then a
@@ -753,9 +759,13 @@ def _run_survey_mvbs_complex(
     from ..ops import binning
 
     timer = timer or StageTimer()
+    # survey streaming is the throughput path: the per-chunk compute_Sv
+    # calls use the f32 device kernels (the chunked compute_Sv API defaults
+    # to the exact f64 path; budget table in docs/PERFORMANCE.md)
     sv_kw = dict(
         env_params=env_params, cal_params=cal_params,
         waveform_mode=waveform_mode, encode_mode=encode_mode,
+        precision="float32",
     )
 
     eds, beam_paths, ping_times = [], [], []
@@ -814,14 +824,43 @@ def _run_survey_mvbs_complex(
     n_r = len(range_edges) - 1
 
     ping_edges_i8 = ping_edges.astype("datetime64[ns]").astype("i8")
-    x_ids = []
+
+    # Plan the stream before sizing the window.  Multi-filter_time files
+    # partition into (channel, epoch) work units FIRST — resolving epochs per
+    # ping-chunk would silently apply the wrong filter set to chunks that do
+    # not contain their epoch's filter timestamp (the reference partitions
+    # globally, calibrate/api.py:96-197).
+    from ..calibrate.api import epoch_slice_dicts
+
+    x_ids, epoch_plans = [], []
     window = 1
-    for pt in ping_times:
-        x = _global_ping_bins(pt.astype("i8"), ping_edges_i8, n_x)
-        x_ids.append(x)
-        for lo in range(0, len(x), chunk_pings):
-            hi = min(lo + chunk_pings, len(x))
-            window = max(window, int(x[hi - 1] - x[lo]) + 1)
+    for ed, bp, pt in zip(eds, beam_paths, ping_times):
+        vend = ed["Vendor_specific"]
+        if "filter_time" in vend.sizes and vend.sizes["filter_time"] > 1:
+            plan = []
+            for sd in epoch_slice_dicts(ed[bp], vend):
+                start = np.datetime64(sd["beam_group_start_time"], "ns")
+                end = sd["beam_group_end_time"]
+                keep = pt >= start
+                if end is not None:
+                    keep &= pt <= np.datetime64(end, "ns")
+                idxs = np.nonzero(keep)[0]
+                if len(idxs) == 0:
+                    continue
+                x = _global_ping_bins(pt[idxs].astype("i8"), ping_edges_i8, n_x)
+                plan.append((sd, idxs, x))
+                for lo in range(0, len(idxs), chunk_pings):
+                    hi = min(lo + chunk_pings, len(idxs))
+                    window = max(window, int(x[hi - 1] - x[lo]) + 1)
+            epoch_plans.append(plan)
+            x_ids.append(None)
+        else:
+            x = _global_ping_bins(pt.astype("i8"), ping_edges_i8, n_x)
+            x_ids.append(x)
+            epoch_plans.append(None)
+            for lo in range(0, len(x), chunk_pings):
+                hi = min(lo + chunk_pings, len(x))
+                window = max(window, int(x[hi - 1] - x[lo]) + 1)
 
     if mesh is not None:
         from .pipeline import sharded_binned_partials
@@ -833,8 +872,22 @@ def _run_survey_mvbs_complex(
         )
 
     acc = _PartialAccumulator(len(chans), n_x, n_r, window, timer)
+    ch_pos = {str(c): i for i, c in enumerate(chans)}
     r_edges_f4 = range_edges.astype("f4")
-    for ed, bp, x_idx_all in zip(eds, beam_paths, x_ids):
+
+    def _bin_chunk(sv_chunk, er_chunk, x_rel, pad):
+        if pad:
+            sv_chunk = np.pad(sv_chunk, ((0, 0), (0, pad), (0, 0)), constant_values=np.nan)
+            er_chunk = np.pad(er_chunk, ((0, 0), (0, pad), (0, 0)), constant_values=np.nan)
+            x_rel = np.pad(x_rel, (0, pad), constant_values=window)
+        return step(sv_chunk, er_chunk, r_edges_f4, x_rel.astype("i4"))
+
+    for ed, bp, x_idx_all, plan in zip(eds, beam_paths, x_ids, epoch_plans):
+        if plan is not None:
+            _stream_complex_epochs(
+                ed, plan, sv_kw, chunk_pings, window, acc, ch_pos, _bin_chunk, timer
+            )
+            continue
         n_ping = len(x_idx_all)
         for lo in range(0, n_ping, chunk_pings):
             hi = min(lo + chunk_pings, n_ping)
@@ -848,15 +901,7 @@ def _run_survey_mvbs_complex(
                     er_chunk = np.broadcast_to(er_chunk, sv_chunk.shape)
             with timer.stage("device_binning"):
                 x_rel = x_idx_all[lo:hi] - x_base
-                if pad:
-                    sv_chunk = np.pad(
-                        sv_chunk, ((0, 0), (0, pad), (0, 0)), constant_values=np.nan
-                    )
-                    er_chunk = np.pad(
-                        er_chunk, ((0, 0), (0, pad), (0, 0)), constant_values=np.nan
-                    )
-                    x_rel = np.pad(x_rel, (0, pad), constant_values=window)
-                s, c, _ = step(sv_chunk, er_chunk, r_edges_f4, x_rel.astype("i4"))
+                s, c, _ = _bin_chunk(sv_chunk, er_chunk, x_rel, pad)
             acc.push(s, c, x_base)
     sums, counts = acc.finish()
 
@@ -875,6 +920,57 @@ def _run_survey_mvbs_complex(
     return out
 
 
+def _stream_complex_epochs(
+    ed, plan, sv_kw, chunk_pings, window, acc, ch_pos, bin_chunk, timer
+):
+    """Chunk-stream one multi-filter_time file per (channel, epoch) work unit.
+
+    Each chunk calibrates through CalibrateEK80's slice_dict path (one
+    channel, one filter set, chunk ping range) so the filter epoch is always
+    the one governing those pings, regardless of chunk boundaries.
+    """
+    from ..calibrate.ek80 import CalibrateEK80
+
+    for sd, idxs, x_idx_all in plan:
+        ci = ch_pos[sd["channel"]]
+        beam = ed[_bp_of(ed, sv_kw)]
+        pt_all = np.asarray(beam.coords["ping_time"].values, dtype="datetime64[ns]")
+        for lo in range(0, len(idxs), chunk_pings):
+            hi = min(lo + chunk_pings, len(idxs))
+            pad = chunk_pings - (hi - lo)
+            x_base = int(x_idx_all[lo])
+            sd2 = dict(
+                sd,
+                beam_group_start_time=pt_all[idxs[lo]],
+                beam_group_end_time=pt_all[idxs[hi - 1]],
+            )
+            with timer.stage("chunk_calibrate"):
+                cal = CalibrateEK80(
+                    ed,
+                    sv_kw["env_params"],
+                    sv_kw["cal_params"],
+                    waveform_mode=sv_kw["waveform_mode"],
+                    encode_mode=sv_kw["encode_mode"],
+                    precision=sv_kw.get("precision", "float32"),
+                    slice_dict=sd2,
+                )
+                ds = cal.compute_Sv()
+                sv_chunk = np.asarray(ds["Sv"].values, dtype="f4")
+                er_chunk = np.asarray(ds["echo_range"].values, dtype="f4")
+                if er_chunk.shape != sv_chunk.shape:
+                    er_chunk = np.broadcast_to(er_chunk, sv_chunk.shape)
+            with timer.stage("device_binning"):
+                x_rel = x_idx_all[lo:hi] - x_base
+                s, c, _ = bin_chunk(sv_chunk, er_chunk, x_rel, pad)
+            acc.push(s[0], c[0], x_base, ch=ci)
+
+
+def _bp_of(ed, sv_kw):
+    from ..echodata.simrad import retrieve_correct_beam_group
+
+    return retrieve_correct_beam_group(ed, sv_kw["waveform_mode"], sv_kw["encode_mode"])
+
+
 def _run_complex_fused(
     eds, beam_paths, chans, ping_edges, range_bin_m, ping_times,
     chunk_pings, sv_kw, timer,
@@ -891,27 +987,34 @@ def _run_complex_fused(
     do_pc = waveform_mode in ("BB", "FM")
     n_x = len(ping_edges) - 1
 
-    # resolve calibration once per file; the range grid comes straight from
-    # the dr scalars (echo_range is affine r = k*dr for complex EK80 data)
+    # Resolve calibration per file — or per (channel, filter epoch) for
+    # multi-filter_time files, using the same epoch partition as the chunked
+    # path (calibrate/api.epoch_slice_dicts; reference calibrate/api.py:
+    # 96-197).  Each work item owns one jit-ready parameter set: one replica
+    # per channel, so epoch boundaries become separate device programs.
+    from ..calibrate.api import epoch_slice_dicts
+
     cals, scals, r_max = [], [], 0.0
     with timer.stage("param_resolution"):
         for ed, bp in zip(eds, beam_paths):
             vend = ed["Vendor_specific"]
             if "filter_time" in vend.sizes and vend.sizes["filter_time"] > 1:
-                raise NotImplementedError(
-                    "device_fused streaming assumes a single filter epoch per "
-                    "file; calibrate multi-epoch files via the chunked path "
-                    "(device_fused=False)"
+                slice_dicts = epoch_slice_dicts(ed[bp], vend)
+            else:
+                slice_dicts = [{}]
+            for sd in slice_dicts:
+                cal = CalibrateEK80(
+                    ed, sv_kw["env_params"], sv_kw["cal_params"],
+                    waveform_mode=waveform_mode, encode_mode=sv_kw["encode_mode"],
+                    slice_dict=sd,
                 )
-            cal = CalibrateEK80(
-                ed, sv_kw["env_params"], sv_kw["cal_params"],
-                waveform_mode=waveform_mode, encode_mode=sv_kw["encode_mode"],
-            )
-            scal = cal._complex_sv_scalars()
-            cals.append(cal)
-            scals.append(scal)
-            R = cal.beam.sizes["range_sample"]
-            r_max = max(r_max, float(np.nanmax(scal["dr"])) * R)
+                if cal.beam.sizes["ping_time"] == 0:
+                    continue
+                scal = cal._complex_sv_scalars()
+                cals.append(cal)
+                scals.append(scal)
+                R = cal.beam.sizes["range_sample"]
+                r_max = max(r_max, float(np.nanmax(scal["dr"])) * R)
     range_edges = np.arange(0, r_max + range_bin_m, range_bin_m)
     n_r = len(range_edges) - 1
     r_edges_f4 = range_edges.astype("f4")
@@ -919,7 +1022,8 @@ def _run_complex_fused(
     ping_edges_i8 = ping_edges.astype("datetime64[ns]").astype("i8")
     x_ids = []
     window = 1
-    for pt in ping_times:
+    for cal in cals:
+        pt = np.asarray(cal.beam.coords["ping_time"].values, dtype="datetime64[ns]")
         x = _global_ping_bins(pt.astype("i8"), ping_edges_i8, n_x)
         x_ids.append(x)
         for lo in range(0, len(x), chunk_pings):
@@ -927,6 +1031,7 @@ def _run_complex_fused(
             window = max(window, int(x[hi - 1] - x[lo]) + 1)
 
     acc = _PartialAccumulator(len(chans), n_x, n_r, window, timer)
+    ch_pos = {str(c): i for i, c in enumerate(chans)}
 
     for cal, scal, x_idx_all in zip(cals, scals, x_ids):
         with timer.stage("param_resolution"):
@@ -978,7 +1083,6 @@ def _run_complex_fused(
                 return np.pad(a, ((0, 0), (0, pad)), constant_values=fill) if pad else a
 
             with timer.stage("device_fused"):
-                parts_s, parts_c = [], []
                 for ci, cid in enumerate(ch_ids):
                     br = bs_r_all[ci, sl]
                     bi = bs_i_all[ci, sl]
@@ -1000,11 +1104,11 @@ def _run_complex_fused(
                         _p1(valid_len.astype("f4"))[ci].astype("i4"),
                         x_rel.astype("i4"), r_edges_f4, window, do_pc,
                     )
-                    parts_s.append(s)
-                    parts_c.append(c)
-            # push device arrays; the accumulator reads them back one chunk
-            # later so the device keeps computing while the host drains
-            acc.push(parts_s, parts_c, x_base)
+                    # push device arrays per channel (epoch work items cover a
+                    # channel subset); the accumulator reads each back one
+                    # push later so the device keeps computing while the host
+                    # drains
+                    acc.push(s, c, x_base, ch=ch_pos[cid])
     sums, counts = acc.finish()
 
     with timer.stage("finalize"):

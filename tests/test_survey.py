@@ -448,21 +448,27 @@ class TestFusedComplexStreamer:
         )
 
 
-def test_fused_rejects_multi_epoch(tmp_path):
-    """device_fused assumes one filter epoch per file; multi-epoch files get
-    a clear NotImplementedError pointing at the chunked path."""
-    import pytest as _pytest
+def test_fused_handles_multi_epoch(tmp_path):
+    """device_fused streams multi-filter_time files per (channel, epoch)
+    work unit and agrees with the chunked epoch-partitioned path
+    (round-3 removal of the r2 NotImplementedError at survey.py:901)."""
+    import numpy as _np
 
     from echopype_tpu.parallel import run_survey_mvbs_from_raw
     from test_ek80_epochs import write_two_epoch_ek80
 
     raw = tmp_path / "ME-D20210201-T000000.raw"
     write_two_epoch_ek80(raw)
-    with _pytest.raises(NotImplementedError, match="filter epoch"):
-        run_survey_mvbs_from_raw(
-            [raw], sonar_model="EK80", waveform_mode="CW", encode_mode="complex",
-            device_fused=True, chunk_pings=4,
-        )
+    kw = dict(
+        sonar_model="EK80", waveform_mode="CW", encode_mode="complex",
+        chunk_pings=4, range_bin_m=5.0, ping_time_bin="5s",
+    )
+    fused = run_survey_mvbs_from_raw([raw], device_fused=True, **kw)
+    chunked = run_survey_mvbs_from_raw([raw], device_fused=False, **kw)
+    _np.testing.assert_allclose(
+        _np.asarray(fused["Sv"].values), _np.asarray(chunked["Sv"].values),
+        rtol=0, atol=5e-3, equal_nan=True,
+    )
 
 
 class TestPrefetchStreamer:
