@@ -303,12 +303,17 @@ def compute_NASC(
 
     nasc = sv_mean * h_mean * 4 * np.pi * 1852**2
 
-    # mean ping_time per distance bin
+    # Mean ping_time per distance bin.  Host f8 on t0-relative nanoseconds:
+    # absolute ns-epoch values overflow f32 precision on device (ulp ~200 s),
+    # and even f8 loses the low bits at ~1.7e18.
     pt_ns = np.asarray(ds_Sv.coords["ping_time"].values, dtype="datetime64[ns]").astype("i8")
-    pt_mean = np.asarray(
-        binning.binned_mean_1d(pt_ns.astype("f8"), np.asarray(x_idx), n_x)
-    )
-    ping_time_out = np.where(np.isnan(pt_mean), np.datetime64("NaT", "ns").astype("i8"), pt_mean)
+    in_bin = x_idx >= 0
+    pt_rel = (pt_ns - pt_ns[0]).astype("f8")
+    pt_sums = np.bincount(x_idx[in_bin], weights=pt_rel[in_bin], minlength=n_x)
+    pt_cnts = np.bincount(x_idx[in_bin], minlength=n_x)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        pt_mean = pt_ns[0] + pt_sums / np.where(pt_cnts > 0, pt_cnts, np.nan)
+    ping_time_out = np.where(pt_cnts > 0, pt_mean, np.datetime64("NaT", "ns").astype("i8"))
 
     dim_0 = ds_Sv["Sv"].dims[0]
     ds_NASC = Dataset(

@@ -140,13 +140,19 @@ def _ffill_bfill(x: np.ndarray) -> np.ndarray:
 
 
 def get_reduced_positions(ds_Sv, ds_X, x_dim, x_idx, n_x):
-    """Mean lat/lon per x bin attached to the output (utils.py:453-501)."""
+    """Mean lat/lon per x bin attached to the output (utils.py:453-501).
+
+    Host float64 bincount: positions need ~1e-6 deg accuracy (the output's
+    geospatial attrs round to 1e-5), which f32 device reduction can't hold.
+    """
     if all(v in ds_Sv for v in POSITION_VARIABLES):
+        x_idx = np.asarray(x_idx)
         for var in POSITION_VARIABLES:
-            vals = np.asarray(
-                binned_mean_1d(
-                    np.asarray(ds_Sv[var].values, dtype="f4"), np.asarray(x_idx), n_x
-                )
-            ).astype("f8")
+            v = np.asarray(ds_Sv[var].values, dtype="f8")
+            ok = (x_idx >= 0) & np.isfinite(v)
+            sums = np.bincount(x_idx[ok], weights=v[ok], minlength=n_x)
+            cnts = np.bincount(x_idx[ok], minlength=n_x)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                vals = sums / np.where(cnts > 0, cnts, np.nan)
             ds_X[var] = ((x_dim,), vals, dict(ds_Sv[var].attrs))
     return ds_X

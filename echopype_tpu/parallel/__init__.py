@@ -11,7 +11,7 @@ from .pipeline import (
     sv_mvbs_core_mxu,
     sv_mvbs_core_mxu_closed,
 )
-from .survey import run_survey_mvbs, run_survey_mvbs_from_raw
+from .survey import run_survey_mvbs, run_survey_mvbs_from_raw, run_survey_nasc
 
 __all__ = [
     "make_mesh",
@@ -27,4 +27,5 @@ __all__ = [
     "sv_mvbs_core_mxu",
     "run_survey_mvbs",
     "run_survey_mvbs_from_raw",
+    "run_survey_nasc",
 ]

@@ -575,6 +575,30 @@ def sharded_binned_partials(mesh: Mesh, n_x_window: int, skipna: bool = True, cl
     return jax.jit(mapped)
 
 
+def sharded_binned_sum_raw(mesh: Mesh, n_x_window: int, closed: str = "left"):
+    """Multi-chip NaN-skipping raw window sums (NASC height numerator).
+
+    fn(values, er, r_edges, x_rel) -> [C, n_x_window, n_r], psum'd over the
+    ping axis; same layout contract as sharded_binned_partials.
+    """
+    from ..ops import binning
+
+    def step(values, er, r_edges, x_rel):
+        s = binning.binned_window_sum_raw(
+            values, er, r_edges, x_rel, n_x_window, closed=closed
+        )
+        return jax.lax.psum(s, axis_name="ping")
+
+    spec_cpr = P("channel", "ping", None)
+    mapped = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(spec_cpr, spec_cpr, P(None), P("ping")),
+        out_specs=P("channel", None, None),
+    )
+    return jax.jit(mapped)
+
+
 def survey_pipeline_step(mesh: Mesh, n_x: int, n_r: int, with_sv: bool = True):
     """One full survey-processing step on the given mesh (2- or 3-axis)."""
     if "range" in mesh.axis_names:

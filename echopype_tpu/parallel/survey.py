@@ -21,7 +21,7 @@ from ..xrlite import Dataset
 
 logger = _init_logger(__name__)
 
-__all__ = ["run_survey_mvbs", "run_survey_mvbs_from_raw"]
+__all__ = ["run_survey_mvbs", "run_survey_mvbs_from_raw", "run_survey_nasc"]
 
 
 class _PartialAccumulator:
@@ -311,6 +311,233 @@ def run_survey_mvbs(
             }
         )
         out["Sv"] = (("channel", "ping_time", range_var), mvbs)
+        out.attrs["stage_timing"] = str(timer.report(log=False))
+    return out
+
+
+def run_survey_nasc(
+    sv_sources,
+    range_bin: str = "10m",
+    dist_bin: str = "0.5nmi",
+    chunk_pings: int = 5000,
+    timer: StageTimer = None,
+    mesh=None,
+    skipna: bool = True,
+    closed: str = "left",
+):
+    """Stream Sv stores/datasets into survey-global NASC (distance × depth).
+
+    The multi-file, optionally multi-chip NASC path: cumulative along-track
+    distance continues across files (inter-file geodesic gap included), each
+    ping chunk reduces on device via the chunk-invariant window kernels, and
+    with ``mesh`` the partials combine with one psum over the ping axis.
+    Physics contract: commongrid.compute_NASC (reference
+    commongrid/api.py:270-416, utils.py:97-207) — bin-exact with it on a
+    single concatenated dataset.
+
+    sv_sources : iterable of Dataset or store paths, chronologically ordered,
+        each holding Sv + depth + latitude/longitude (consolidate.add_depth /
+        add_location outputs).
+    """
+    from ..commongrid.utils import _parse_x_bin, get_distance_from_latlon
+    from ..utils.geodesy import pairwise_distance_nmi
+    from ..utils.io import open_source
+    from ..utils.prov import echopype_prov_attrs
+
+    timer = timer or StageTimer()
+    range_bin_m = _parse_x_bin(range_bin, "range_bin")
+    dist_bin_nmi = _parse_x_bin(dist_bin, "dist_bin")
+
+    # pass 1: per-file cumulative distance (global, gap-linked), depth extent
+    datasets, dists, depth_all = [], [], []
+    offset = 0.0
+    prev_fix = None
+    depth_max = 0.0
+    with timer.stage("scan_extents"):
+        for src in sv_sources:
+            ds = open_source(src, "dataset")
+            if "depth" not in ds:
+                raise ValueError(
+                    "Input Sv dataset must contain 'depth' (use consolidate.add_depth)"
+                )
+            datasets.append(ds)
+            d = get_distance_from_latlon(ds)
+            lat = np.asarray(ds["latitude"].values, dtype="f8")
+            lon = np.asarray(ds["longitude"].values, dtype="f8")
+            good = np.nonzero(~(np.isnan(lat) | np.isnan(lon)))[0]
+            if prev_fix is not None and len(good):
+                gap = pairwise_distance_nmi(
+                    np.array([prev_fix[0], lat[good[0]]]),
+                    np.array([prev_fix[1], lon[good[0]]]),
+                )[0]
+                if np.isfinite(gap):
+                    offset += float(gap)
+            dists.append(d + offset)
+            offset = float(dists[-1][-1])
+            if len(good):
+                prev_fix = (lat[good[-1]], lon[good[-1]])
+            depth = np.asarray(ds["depth"].values, dtype="f8")
+            depth_all.append(depth)
+            depth_max = max(depth_max, float(np.nanmax(depth)))
+        if not datasets:
+            raise ValueError("no Sv sources provided")
+
+    chans = list(datasets[0].coords["channel"].values)
+    for ds in datasets[1:]:
+        if list(ds.coords["channel"].values) != chans:
+            raise ValueError("all Sv sources must share the same channels")
+    if mesh is not None:
+        _, chunk_pings = _mesh_layout(mesh, chunk_pings, len(chans))
+
+    dist_max = max(float(np.nanmax(d)) for d in dists)
+    dist_edges = np.arange(0, dist_max + dist_bin_nmi, dist_bin_nmi)
+    depth_edges = np.arange(0, depth_max + range_bin_m, range_bin_m)
+    n_x, n_r = len(dist_edges) - 1, len(depth_edges) - 1
+
+    # distance-bin ids per file (cumulative distance is nondecreasing)
+    x_ids = []
+    window = 1
+    for d in dists:
+        side = "right" if closed == "left" else "left"
+        x = np.clip(np.searchsorted(dist_edges, d, side=side) - 1, 0, n_x - 1).astype("i4")
+        x_ids.append(x)
+        for lo in range(0, len(x), chunk_pings):
+            hi = min(lo + chunk_pings, len(x))
+            window = max(window, int(x[hi - 1] - x[lo]) + 1)
+
+    if mesh is not None:
+        from .pipeline import sharded_binned_partials, sharded_binned_sum_raw
+
+        step_sv = sharded_binned_partials(mesh, window, skipna=bool(skipna), closed=closed)
+        step_h = sharded_binned_sum_raw(mesh, window, closed=closed)
+    else:
+        step_sv = lambda sv, er, re, xr: binning.binned_window_partials(  # noqa: E731
+            sv, er, re, xr, window, skipna=bool(skipna), closed=closed
+        )
+        step_h = lambda v, er, re, xr: binning.binned_window_sum_raw(  # noqa: E731
+            v, er, re, xr, window, closed=closed
+        )
+
+    C = len(chans)
+    sums = np.zeros((C, n_x, n_r), dtype="f8")
+    counts = np.zeros_like(sums)
+    nan_counts = np.zeros_like(sums)
+    h_num = np.zeros_like(sums)
+    denom = np.zeros(n_x, dtype="f8")
+    # t0-relative ns so f8 sums stay exact (absolute ns-epoch overflows f8 ulp)
+    t0_ns = int(
+        np.asarray(datasets[0].coords["ping_time"].values[0], dtype="datetime64[ns]").astype("i8")
+    )
+    pt_sum = np.zeros(n_x, dtype="f8")
+    pt_cnt = np.zeros(n_x, dtype="f8")
+    have_pos = all("latitude" in ds and "longitude" in ds for ds in datasets)
+    pos_sum = np.zeros((2, n_x), dtype="f8")
+    pos_cnt = np.zeros((2, n_x), dtype="f8")
+
+    d_edges_f4 = depth_edges.astype("f4")
+    for ds, depth, x_idx_all in zip(datasets, depth_all, x_ids):
+        sv_all = np.asarray(ds["Sv"].values, dtype="f4")
+        from ..commongrid.api import _conform_range, _orient_range_axis
+
+        depth_b = np.broadcast_to(
+            _conform_range(depth, ds, "depth", sv_all.shape), sv_all.shape
+        )
+        sv_all, depth_b = _orient_range_axis(sv_all, depth_b)
+        depth_f4 = np.ascontiguousarray(depth_b, dtype="f4")
+        pt_i8 = np.asarray(
+            ds.coords["ping_time"].values, dtype="datetime64[ns]"
+        ).astype("i8")
+        n_ping = sv_all.shape[1]
+        for lo in range(0, n_ping, chunk_pings):
+            hi = min(lo + chunk_pings, n_ping)
+            pad = chunk_pings - (hi - lo)
+            x_base = int(x_idx_all[lo])
+            with timer.stage("device_binning"):
+                sv_chunk = sv_all[:, lo:hi]
+                dep_chunk = depth_f4[:, lo:hi]
+                ddep = np.diff(dep_chunk, axis=2)
+                dep_lower = dep_chunk[:, :, :-1]
+                x_rel = x_idx_all[lo:hi] - x_base
+                if pad:
+                    sv_chunk = np.pad(
+                        sv_chunk, ((0, 0), (0, pad), (0, 0)), constant_values=np.nan
+                    )
+                    dep_chunk = np.pad(
+                        dep_chunk, ((0, 0), (0, pad), (0, 0)), constant_values=np.nan
+                    )
+                    ddep = np.pad(ddep, ((0, 0), (0, pad), (0, 0)), constant_values=np.nan)
+                    dep_lower = np.pad(
+                        dep_lower, ((0, 0), (0, pad), (0, 0)), constant_values=np.nan
+                    )
+                    x_rel = np.pad(x_rel, (0, pad), constant_values=window)
+                x_rel = x_rel.astype("i4")
+                s, c, nc = step_sv(sv_chunk, dep_chunk, d_edges_f4, x_rel)
+                h = step_h(ddep, dep_lower, d_edges_f4, x_rel)
+            with timer.stage("accumulate"):
+                w_eff = min(window, n_x - x_base)
+                sums[:, x_base : x_base + w_eff] += np.asarray(s, dtype="f8")[:, :w_eff]
+                counts[:, x_base : x_base + w_eff] += np.asarray(c, dtype="f8")[:, :w_eff]
+                nan_counts[:, x_base : x_base + w_eff] += np.asarray(nc, dtype="f8")[
+                    :, :w_eff
+                ]
+                h_num[:, x_base : x_base + w_eff] += np.asarray(h, dtype="f8")[:, :w_eff]
+                bc = np.bincount(x_idx_all[lo:hi], minlength=n_x).astype("f8")
+                denom += bc
+                pt_sum += np.bincount(
+                    x_idx_all[lo:hi],
+                    weights=(pt_i8[lo:hi] - t0_ns).astype("f8"),
+                    minlength=n_x,
+                )
+                pt_cnt += bc
+                if have_pos:
+                    for k, var in enumerate(("latitude", "longitude")):
+                        v = np.asarray(ds[var].values, dtype="f8")[lo:hi]
+                        ok = np.isfinite(v)
+                        pos_sum[k] += np.bincount(
+                            x_idx_all[lo:hi][ok], weights=v[ok], minlength=n_x
+                        )
+                        pos_cnt[k] += np.bincount(x_idx_all[lo:hi][ok], minlength=n_x)
+
+    with timer.stage("finalize"):
+        with np.errstate(invalid="ignore", divide="ignore"):
+            good = (counts > 0) & (nan_counts == 0)
+            sv_mean = np.where(good, sums / np.where(counts > 0, counts, 1), np.nan)
+            h_mean = h_num / np.where(denom > 0, denom, np.nan)[None, :, None]
+            nasc = sv_mean * h_mean * 4 * np.pi * 1852**2
+            pt_mean = t0_ns + pt_sum / np.where(pt_cnt > 0, pt_cnt, np.nan)
+        out = Dataset(
+            coords={
+                "channel": np.asarray(chans, dtype=object),
+                "distance": dist_edges[:-1],
+                "depth": depth_edges[:-1],
+            }
+        )
+        out["NASC"] = (
+            ("channel", "distance", "depth"),
+            nasc,
+            {
+                "long_name": "Nautical Areal Scattering Coefficient (NASC, m2 nmi-2)",
+                "units": "m2 nmi-2",
+            },
+        )
+        pt_out = np.where(np.isfinite(pt_mean), pt_mean, np.datetime64("NaT", "ns").astype("i8"))
+        out["ping_time"] = (
+            ("distance",),
+            pt_out.astype("i8").astype("datetime64[ns]"),
+            {"long_name": "Mean ping time in distance bin"},
+        )
+        if have_pos:
+            with np.errstate(invalid="ignore", divide="ignore"):
+                for k, var in enumerate(("latitude", "longitude")):
+                    out[var] = (
+                        ("distance",),
+                        pos_sum[k] / np.where(pos_cnt[k] > 0, pos_cnt[k], np.nan),
+                    )
+        out.coords["distance"].attrs = {"long_name": "Cumulative distance", "units": "nmi"}
+        out.coords["depth"].attrs = {"long_name": "Cell depth", "units": "m"}
+        prov = echopype_prov_attrs("processing")
+        prov["processing_function"] = "parallel.run_survey_nasc"
+        out.attrs.update(prov)
         out.attrs["stage_timing"] = str(timer.report(log=False))
     return out
 
