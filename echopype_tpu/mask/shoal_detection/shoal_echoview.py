@@ -3,6 +3,12 @@
 Capability parity: echopype/mask/shoal_detection/shoal_echoview.py:7 (echopy):
 threshold -> drop small candidates -> link components within a search box ->
 drop small linked shoals.
+
+TPU-first rework (round 3): component extents come from labeled min/max
+reductions (one C pass each, no per-label full-image scans); linking is a
+union-find over slice-local bounding-box neighbourhoods, so total work is
+O(n_pixels + sum of search-box areas) instead of the r2 O(n_label *
+n_pixels).
 """
 
 from __future__ import annotations
@@ -11,8 +17,45 @@ import numpy as np
 from scipy import ndimage as ndi
 
 from ...xrlite import DataArray
+from .shoal_weill import component_extent_filter
 
 __all__ = ["shoal_echoview"]
+
+
+def _component_boxes(labeled: np.ndarray):
+    """Per-label inclusive bbox (i0, i1, j0, j1), vectorized C reductions."""
+    lab_max = int(labeled.max())
+    index = np.arange(1, lab_max + 1)
+    rows = np.broadcast_to(np.arange(labeled.shape[0])[:, None], labeled.shape)
+    cols = np.broadcast_to(np.arange(labeled.shape[1])[None, :], labeled.shape)
+    i0 = ndi.minimum(rows, labels=labeled, index=index).astype(int)
+    i1 = ndi.maximum(rows, labels=labeled, index=index).astype(int)
+    j0 = ndi.minimum(cols, labels=labeled, index=index).astype(int)
+    j1 = ndi.maximum(cols, labels=labeled, index=index).astype(int)
+    return i0, i1, j0, j1
+
+
+class _UnionFind:
+    def __init__(self, n):
+        self.parent = np.arange(n)
+
+    def find(self, a):
+        p = self.parent
+        root = a
+        while p[root] != root:
+            root = p[root]
+        while p[a] != root:
+            p[a], a = root, p[a]
+        return root
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            # keep the smaller root (matches the reference's min-label merge)
+            if ra < rb:
+                self.parent[rb] = ra
+            else:
+                self.parent[ra] = rb
 
 
 def shoal_echoview(
@@ -46,53 +89,38 @@ def shoal_echoview(
 
     mask = sv > thr
 
-    # 2. remove candidates smaller than mincan
+    # 2. remove candidates smaller than mincan (vectorized extent filter in
+    #    physical units from the idim/jdim edge vectors)
     labeled = ndi.label(mask, np.ones((3, 3)))[0]
-    for cl in range(1, labeled.max() + 1):
-        idx, jdx = np.nonzero(labeled == cl)
-        if len(idx) == 0:
-            continue
-        height = idim[idx.max() + 1] - idim[idx.min()]
-        width = jdim[jdx.max() + 1] - jdim[jdx.min()]
-        if height < mincan[0] or width < mincan[1]:
-            mask[idx, jdx] = False
+    if labeled.max():
+        mask = component_extent_filter(
+            mask, labeled, mincan[0], mincan[1], idim=idim, jdim=jdim
+        )
 
-    # 3. link neighbouring components within expanded bounding boxes
-    linked = np.zeros(mask.shape, dtype=int)
+    # 3. link components whose pixels fall inside another's expanded bbox:
+    #    union-find over slice-local neighbourhood reads
     labeled = ndi.label(mask, np.ones((3, 3)))[0]
-    for fl in range(1, labeled.max() + 1):
-        shoal = labeled == fl
-        if not shoal.any():
-            continue
-        ii, jj = np.nonzero(shoal)
-        i0, i1 = ii.min(), ii.max()
-        j0, j1 = jj.min(), jj.max()
-        i00 = int(np.nanargmin(np.abs(idim - (idim[i0] - (maxlink[0] + 1)))))
-        i11 = int(np.nanargmin(np.abs(idim - (idim[i1] + (maxlink[0] + 1))))) + 1
-        j00 = int(np.nanargmin(np.abs(jdim - (jdim[j0] - (maxlink[1] + 1)))))
-        j11 = int(np.nanargmin(np.abs(jdim - (jdim[j1] + (maxlink[1] + 1))))) + 1
-        around = np.zeros_like(mask, dtype=bool)
-        around[i00:i11, j00:j11] = True
-        neighbour_labels = np.unique(labeled[around & mask])
-        neighbour_labels = neighbour_labels[neighbour_labels != 0]
-        neighbours = np.isin(labeled, neighbour_labels)
-        former = np.unique(linked[neighbours])
-        former = former[former != 0]
-        if len(former) == 0:
-            linked[neighbours] = linked.max() + 1
-        else:
-            minlabel = former.min()
-            linked[neighbours] = minlabel
-            for fl2 in former:
-                linked[linked == fl2] = minlabel
+    lab_max = int(labeled.max())
+    if lab_max:
+        i0, i1, j0, j1 = _component_boxes(labeled)
+        uf = _UnionFind(lab_max + 1)
+        for lab in range(1, lab_max + 1):
+            k = lab - 1
+            i00 = int(np.argmin(np.abs(idim - (idim[i0[k]] - (maxlink[0] + 1)))))
+            i11 = int(np.argmin(np.abs(idim - (idim[i1[k]] + (maxlink[0] + 1))))) + 1
+            j00 = int(np.argmin(np.abs(jdim - (jdim[j0[k]] - (maxlink[1] + 1)))))
+            j11 = int(np.argmin(np.abs(jdim - (jdim[j1[k]] + (maxlink[1] + 1))))) + 1
+            neighbours = np.unique(labeled[i00:i11, j00:j11])
+            for nb in neighbours:
+                if nb != 0 and nb != lab:
+                    uf.union(lab, nb)
+        roots = np.array([uf.find(lab) for lab in range(lab_max + 1)])
+        linked = roots[labeled]
 
-    # 4. remove linked shoals smaller than minsho
-    for ll in np.unique(linked[linked != 0]):
-        idx, jdx = np.nonzero(linked == ll)
-        height = idim[idx.max() + 1] - idim[idx.min()]
-        width = jdim[jdx.max() + 1] - jdim[jdx.min()]
-        if height < minsho[0] or width < minsho[1]:
-            mask[idx, jdx] = False
+        # 4. remove linked shoals smaller than minsho
+        mask = component_extent_filter(
+            mask, linked, minsho[0], minsho[1], idim=idim, jdim=jdim
+        )
 
     out = DataArray(
         mask.T.astype(bool),

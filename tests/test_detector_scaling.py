@@ -1,0 +1,131 @@
+"""Vectorized detector kernels: fast==exact equivalence + 1e6-ping scaling.
+
+VERDICT r2 item 4: no O(n_ping) Python loops in clean/ or mask/; the fast
+paths must agree with the reference-faithful exact paths away from the
+histogram quantization margin, and handle 1e6 pings inside a wall-time
+budget.
+"""
+
+import time
+
+import numpy as np
+
+from echopype_tpu.clean.transient_noise.matecho import _matecho_core
+from echopype_tpu.mask.shoal_detection.shoal_weill import (
+    component_extent_filter,
+    fill_gaps_along_axis,
+)
+
+
+def _legacy_fill_gaps_1d(mask_1d, max_gap):
+    from scipy import ndimage as ndi
+
+    n = len(mask_1d)
+    labelled = ndi.label(~mask_1d)[0]
+    if labelled.max() == 0:
+        return mask_1d
+    out = mask_1d.copy()
+    for lab in range(1, labelled.max() + 1):
+        idx = np.nonzero(labelled == lab)[0]
+        if len(idx) <= max_gap and 0 not in idx and (n - 1) not in idx:
+            out[idx] = True
+    return out
+
+
+class TestGapFill:
+    def test_matches_per_lane_reference(self, rng):
+        mask = rng.random((64, 37)) > 0.55
+        for gap in (1, 2, 5):
+            got = fill_gaps_along_axis(mask.copy(), gap, axis=0)
+            want = mask.copy()
+            for j in range(mask.shape[1]):
+                want[:, j] = _legacy_fill_gaps_1d(want[:, j], gap)
+            np.testing.assert_array_equal(got, want)
+
+    def test_axis1(self, rng):
+        mask = rng.random((23, 90)) > 0.5
+        got = fill_gaps_along_axis(mask.copy(), 3, axis=1)
+        want = mask.copy()
+        for i in range(mask.shape[0]):
+            want[i, :] = _legacy_fill_gaps_1d(want[i, :], 3)
+        np.testing.assert_array_equal(got, want)
+
+    def test_boundary_runs_not_filled(self):
+        m = np.array([False, False, True, False, True, False, False])
+        out = fill_gaps_along_axis(m[:, None], 5, axis=0)[:, 0]
+        # interior single gap filled; boundary runs untouched
+        np.testing.assert_array_equal(
+            out, [False, False, True, True, True, False, False]
+        )
+
+
+class TestExtentFilter:
+    def test_matches_per_label_reference(self, rng):
+        from scipy import ndimage as ndi
+
+        mask = rng.random((50, 80)) > 0.7
+        features = ndi.label(mask)[0]
+        got = component_extent_filter(mask.copy(), features, 3, 4)
+        want = mask.copy()
+        for lab in range(1, features.max() + 1):
+            ii, jj = np.nonzero(features == lab)
+            if len(ii) == 0:
+                continue
+            vlen = int(ii.max() - ii.min() + 1)
+            hlen = int(jj.max() - jj.min() + 1)
+            if vlen < 3 or hlen < 4:
+                want[ii, jj] = False
+        np.testing.assert_array_equal(got, want)
+
+
+class TestMatechoFast:
+    def _data(self, n_ping=400, n_r=300, seed=0, spike_every=37):
+        rng = np.random.default_rng(seed)
+        r = np.arange(n_r) * 2.0  # 0..598 m
+        sv = rng.normal(-85.0, 3.0, (n_r, n_ping))
+        # deep spikes well past the +12 dB threshold (no knife edges)
+        spikes = np.arange(5, n_ping, spike_every)
+        sv[(r >= 220) & (r <= 500)][:, spikes] += 0.0  # keep shape
+        deep = (r >= 220) & (r <= 500)
+        sv[np.ix_(deep, spikes)] += 30.0
+        return sv, r, spikes
+
+    def test_fast_matches_exact(self):
+        sv, r, spikes = self._data()
+        kw = dict(start_depth=220, window_meter=450, window_ping=100,
+                  percentile=25, delta_db=12, min_window=20)
+        fast = _matecho_core(sv, r, exact=False, **kw)
+        exact = _matecho_core(sv, r, exact=True, **kw)
+        np.testing.assert_array_equal(fast, exact)
+        # the planted spikes are flagged
+        assert fast[:, spikes].all()
+
+    def test_fast_matches_exact_varying_bottom(self):
+        sv, r, _ = self._data(seed=3)
+        n_ping = sv.shape[1]
+        bottom = 560.0 - 80.0 * np.sin(np.arange(n_ping) / 25.0)
+        kw = dict(start_depth=220, window_meter=450, window_ping=100,
+                  percentile=25, delta_db=12, min_window=20)
+        fast = _matecho_core(sv, r, bottom_depth=bottom, exact=False, **kw)
+        exact = _matecho_core(sv, r, bottom_depth=bottom, exact=True, **kw)
+        # quantization can flip knife-edge pings only; none planted here
+        np.testing.assert_array_equal(fast, exact)
+
+    def test_million_ping_budget(self):
+        """1e6 pings through the fast path inside a wall-time budget."""
+        rng = np.random.default_rng(7)
+        n_ping, n_r = 1_000_000, 96
+        r = np.arange(n_r) * 6.0  # 0..570 m
+        sv = rng.normal(-85.0, 3.0, (n_r, n_ping))
+        t0 = time.time()
+        bad = _matecho_core(
+            sv, r, start_depth=220, window_meter=450, window_ping=100,
+            percentile=25, delta_db=12, min_window=20, exact=False,
+        )
+        dt = time.time() - t0
+        assert bad.shape == sv.shape
+        # pure noise: nothing should exceed percentile + 12 dB
+        assert bad.mean() < 0.01
+        # single shared 2.1 GHz core with CPU steal: generous ceiling, but
+        # orders of magnitude under the per-ping-percentile loop (~hours)
+        assert dt < 240, f"1e6-ping matecho took {dt:.1f}s"
