@@ -4,41 +4,70 @@ Capability parity: echopype/echodata/convention/1.0.yml (loaded by
 convention/conv.py:9).  Kept as a data-driven python dict (no yaml dep).
 """
 
+#: Group map transcribed from the reference YAML (keys, names, ep_group
+#: paths, and descriptions match 1.0.yml verbatim; drift is guarded by
+#: tests/test_convention_drift.py, which parses the YAML and compares).
 GROUP_MAP = {
-    "top": {"name": "Top-level", "description": "contains metadata about the SONAR file", "ep_group": None},
+    "top": {
+        "name": "Top-level",
+        "description": "contains metadata about the SONAR-netCDF4 file format.",
+        "ep_group": None,
+    },
     "environment": {
         "name": "Environment",
-        "description": "contains information relevant to acoustic propagation through water",
+        "description": "contains information relevant to acoustic propagation through water.",
         "ep_group": "Environment",
     },
     "platform": {
         "name": "Platform",
-        "description": "contains information about the platform on which the sonar is installed",
+        "description": "contains information about the platform on which the sonar is installed.",
         "ep_group": "Platform",
     },
     "nmea": {
-        "name": "Platform/NMEA",
-        "description": "contains information specific to the NMEA protocol",
+        "name": "NMEA",
+        "description": "contains information specific to the NMEA protocol.",
         "ep_group": "Platform/NMEA",
     },
     "provenance": {
         "name": "Provenance",
-        "description": "contains metadata about how the SONAR data were converted",
+        "description": "contains metadata about how the SONAR-netCDF4 version of the data were obtained.",
         "ep_group": "Provenance",
     },
     "sonar": {
         "name": "Sonar",
-        "description": "contains sonar system metadata and sonar beam groups",
+        "description": "contains sonar system metadata and sonar beam groups.",
         "ep_group": "Sonar",
     },
     "beam": {
-        "name": "Sonar/Beam_group1",
-        "description": "contains backscatter data and other beam or channel-specific data",
+        "name": "Beam_group1",
+        "description": (
+            "contains backscatter data (either complex samples or uncalibrated power samples) "
+            "and other beam or channel-specific data, including split-beam angle data when they exist."
+        ),
         "ep_group": "Sonar/Beam_group1",
+    },
+    "beam_power": {
+        "name": "Beam_group2",
+        "description": (
+            "contains backscatter power (uncalibrated) and other beam or channel-specific data, "
+            "including split-beam angle data when they exist. "
+            "Only exists if complex backscatter data are already in Sonar/Beam_group1"
+        ),
+        "ep_group": "Sonar/Beam_group2",
+    },
+    "beam_group3": {
+        "name": "Beam_group3",
+        "description": "",
+        "ep_group": "Sonar/Beam_group3",
+    },
+    "beam_group4": {
+        "name": "Beam_group4",
+        "description": "",
+        "ep_group": "Sonar/Beam_group4",
     },
     "vendor": {
         "name": "Vendor_specific",
-        "description": "contains vendor-specific information about the sonar and the data",
+        "description": "contains vendor-specific information about the sonar and the data.",
         "ep_group": "Vendor_specific",
     },
 }
@@ -89,7 +118,7 @@ VARATTRS = {
     "platform_coord_default": {
         "time1": {
             "axis": "T",
-            "long_name": "Timestamps for NMEA position datagrams",
+            "long_name": "Timestamps for NMEA datagrams",
             "standard_name": "time",
         },
         "time2": {
@@ -125,7 +154,7 @@ VARATTRS = {
             "valid_range": (-90.0, 90.0),
         },
         "vertical_offset": {
-            "long_name": "Platform vertical offset from nominal",
+            "long_name": "Platform vertical offset from nominal water level",
             "units": "m",
         },
         "water_level": {
@@ -144,15 +173,15 @@ VARATTRS = {
             "long_name": "z-axis distance from the platform coordinate system origin to the sonar transducer",  # noqa: E501
             "units": "m",
         },
-        "MRU_offset_x": {"long_name": "Motion reference unit offset x", "units": "m"},
-        "MRU_offset_y": {"long_name": "Motion reference unit offset y", "units": "m"},
-        "MRU_offset_z": {"long_name": "Motion reference unit offset z", "units": "m"},
-        "MRU_rotation_x": {"long_name": "MRU rotation x", "units": "arc_degree"},
-        "MRU_rotation_y": {"long_name": "MRU rotation y", "units": "arc_degree"},
-        "MRU_rotation_z": {"long_name": "MRU rotation z", "units": "arc_degree"},
-        "position_offset_x": {"long_name": "Position sensor offset x", "units": "m"},
-        "position_offset_y": {"long_name": "Position sensor offset y", "units": "m"},
-        "position_offset_z": {"long_name": "Position sensor offset z", "units": "m"},
+        "MRU_offset_x": {"long_name": "Distance along the x-axis from the platform coordinate system origin to the motion reference unit sensor origin", "units": "m"},  # noqa: E501
+        "MRU_offset_y": {"long_name": "Distance along the y-axis from the platform coordinate system origin to the motion reference unit sensor origin", "units": "m"},  # noqa: E501
+        "MRU_offset_z": {"long_name": "Distance along the z-axis from the platform coordinate system origin to the motion reference unit sensor origin", "units": "m"},  # noqa: E501
+        "MRU_rotation_x": {"long_name": "Extrinsic rotation about the x-axis from the platform to MRU coordinate systems", "units": "arc_degree"},  # noqa: E501
+        "MRU_rotation_y": {"long_name": "Extrinsic rotation about the y-axis from the platform to MRU coordinate systems", "units": "arc_degree"},  # noqa: E501
+        "MRU_rotation_z": {"long_name": "Extrinsic rotation about the z-axis from the platform to MRU coordinate systems", "units": "arc_degree"},  # noqa: E501
+        "position_offset_x": {"long_name": "Distance along the x-axis from the platform coordinate system origin to the latitude/longitude sensor origin", "units": "m"},  # noqa: E501
+        "position_offset_y": {"long_name": "Distance along the y-axis from the platform coordinate system origin to the latitude/longitude sensor origin", "units": "m"},  # noqa: E501
+        "position_offset_z": {"long_name": "Distance along the z-axis from the platform coordinate system origin to the latitude/longitude sensor origin", "units": "m"},  # noqa: E501
         "frequency_nominal": {
             "units": "Hz",
             "long_name": "Transducer frequency",
