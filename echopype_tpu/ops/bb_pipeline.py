@@ -25,7 +25,7 @@ from .binning import binned_window_partials
 __all__ = ["bb_chunk_window_partials"]
 
 
-@partial(jax.jit, static_argnames=("n_x_window", "do_pc", "precision"))
+@partial(jax.jit, static_argnames=("n_x_window", "do_pc", "precision", "uniform_er"))
 def bb_chunk_window_partials(
     bs_r, bs_i,          # f4 [P, R, B] one channel's chunk (suffix NaN-padded)
     hr, hi,              # f4 [L] flipped-conjugated transmit replica
@@ -41,6 +41,7 @@ def bb_chunk_window_partials(
     n_x_window: int,
     do_pc: bool,
     precision=None,
+    uniform_er: bool = False,  # ping-invariant dr: cancellation-free binning
 ):
     """Returns (sums, counts) f32 [n_x_window, n_r] for one channel chunk."""
     P, R, B = bs_r.shape
@@ -79,6 +80,6 @@ def bb_chunk_window_partials(
     er = jnp.where(in_run, r, jnp.nan)  # NaN range -> sample lands in no bin
 
     sums, counts, _ = binned_window_partials(
-        sv[None], er[None], r_edges, x_rel, n_x_window
+        sv[None], er[None], r_edges, x_rel, n_x_window, uniform_er=uniform_er
     )
     return sums[0], counts[0]

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
+    "er_is_uniform",
     "bin_index_np",
     "x_bounds_np",
     "row_bin_bounds",
@@ -148,9 +149,46 @@ def banded_x_reduce(blocks, x_rel, n_x_window: int):
     return jnp.moveaxis(out, 2, 1)
 
 
-@partial(jax.jit, static_argnames=("n_x_window", "skipna", "closed"))
+def er_is_uniform(er) -> bool:
+    """True when every ping of each channel shares one finite range grid.
+
+    The uniform case (ping-invariant sample interval — the instrument norm)
+    unlocks the cancellation-free banded-matmul range reduction; the
+    per-ping cumsum reduction loses quiet bins that follow loud samples
+    (f32 prefix cancellation, see banded_x_reduce's docstring).
+    """
+    er = np.asarray(er)
+    if er.ndim < 3:
+        return True
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", category=RuntimeWarning)
+        ref = np.nanmax(er, axis=1)  # [C, R]
+    return bool(np.all(np.isnan(er) | (er == ref[:, None, :])))
+
+
+def _uniform_bin_matmul(vals3, er_grid, r_edges, closed: str):
+    """[C, P, R] -> [C, P, n_r] bin sums via a per-channel banded matmul.
+
+    Membership is computed directly against the channel's range grid
+    (er_grid [C, R], NaN -> no bin): exact and cancellation-free — each bin
+    accumulates only its own samples on the MXU.
+    """
+    eg = jnp.where(jnp.isnan(er_grid), jnp.inf, er_grid)[:, :, None]  # [C,R,1]
+    if closed == "right":
+        M = (eg > r_edges[None, None, :-1]) & (eg <= r_edges[None, None, 1:])
+    else:
+        M = (eg >= r_edges[None, None, :-1]) & (eg < r_edges[None, None, 1:])
+    M = M.astype(jnp.float32)
+    dn = (((2,), (1,)), ((0,), (0,)))
+    return jax.lax.dot_general(vals3, M, dn, preferred_element_type=jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("n_x_window", "skipna", "closed", "uniform_er"))
 def binned_window_partials(
-    sv_db, er, r_edges, x_rel, n_x_window: int, skipna: bool = True, closed: str = "left"
+    sv_db, er, r_edges, x_rel, n_x_window: int, skipna: bool = True,
+    closed: str = "left", uniform_er: bool = False,
 ):
     """Chunk-invariant partial bin sums on a local ping-bin window.
 
@@ -158,28 +196,54 @@ def binned_window_partials(
     :func:`banded_x_reduce` with window-relative bin ids, so partials from
     different chunkings/shardings of the same stream accumulate identically.
     Returns (sums, counts, nan_counts) each f32 [C, n_x_window, n_r].
+
+    uniform_er=True (use :func:`er_is_uniform` to decide) replaces the
+    range-axis prefix-sum reduction with a per-channel banded matmul:
+    cancellation-free, so quiet bins next to loud samples keep full f32
+    precision (the prefix-diff form can lose them entirely — found by the
+    fused freq-diff masked-MVBS differential, round 3).
     """
     lin = jnp.power(10.0, sv_db / 10.0)
     isnan_sv = jnp.isnan(sv_db)
     ok = ~isnan_sv
-    rb = row_bin_bounds(er, r_edges, closed)  # [C, P, n_r+1]
-    s1 = _prefix_gather_diff(jnp.where(ok, lin, 0.0), rb, axis=2)  # [C,P,n_r]
-    n1 = _prefix_gather_diff(ok.astype(jnp.float32), rb, axis=2)
-    if skipna:
-        nan1 = jnp.zeros_like(n1)
+    if uniform_er:
+        er_grid = jnp.nanmax(er, axis=1)  # [C, R]; all-NaN cols stay NaN
+        okv = ok & ~jnp.isnan(er)
+        s1 = _uniform_bin_matmul(jnp.where(okv, lin, 0.0), er_grid, r_edges, closed)
+        n1 = _uniform_bin_matmul(okv.astype(jnp.float32), er_grid, r_edges, closed)
+        if skipna:
+            nan1 = jnp.zeros_like(n1)
+        else:
+            nan1 = _uniform_bin_matmul(
+                (isnan_sv & ~jnp.isnan(er)).astype(jnp.float32), er_grid, r_edges, closed
+            )
     else:
-        nan1 = _prefix_gather_diff(isnan_sv.astype(jnp.float32), rb, axis=2)
+        rb = row_bin_bounds(er, r_edges, closed)  # [C, P, n_r+1]
+        s1 = _prefix_gather_diff(jnp.where(ok, lin, 0.0), rb, axis=2)  # [C,P,n_r]
+        n1 = _prefix_gather_diff(ok.astype(jnp.float32), rb, axis=2)
+        if skipna:
+            nan1 = jnp.zeros_like(n1)
+        else:
+            nan1 = _prefix_gather_diff(isnan_sv.astype(jnp.float32), rb, axis=2)
     n_r = s1.shape[2]
     stacked = banded_x_reduce(jnp.concatenate([s1, n1, nan1], axis=2), x_rel, n_x_window)
     return stacked[:, :, :n_r], stacked[:, :, n_r : 2 * n_r], stacked[:, :, 2 * n_r :]
 
 
-@partial(jax.jit, static_argnames=("n_x_window", "closed"))
-def binned_window_sum_raw(values, er, r_edges, x_rel, n_x_window: int, closed: str = "left"):
+@partial(jax.jit, static_argnames=("n_x_window", "closed", "uniform_er"))
+def binned_window_sum_raw(
+    values, er, r_edges, x_rel, n_x_window: int, closed: str = "left",
+    uniform_er: bool = False,
+):
     """NaN-skipping raw sums on a local ping-bin window (matmul reduction)."""
     ok = ~jnp.isnan(values)
-    rb = row_bin_bounds(er, r_edges, closed)
-    s1 = _prefix_gather_diff(jnp.where(ok, values, 0.0), rb, axis=2)
+    if uniform_er:
+        er_grid = jnp.nanmax(er, axis=1)
+        okv = ok & ~jnp.isnan(er)
+        s1 = _uniform_bin_matmul(jnp.where(okv, values, 0.0), er_grid, r_edges, closed)
+    else:
+        rb = row_bin_bounds(er, r_edges, closed)
+        s1 = _prefix_gather_diff(jnp.where(ok, values, 0.0), rb, axis=2)
     return banded_x_reduce(s1, x_rel, n_x_window)
 
 
@@ -224,11 +288,15 @@ def windowed_partials_np(
     Same membership as binned_sum_partials/x_bounds but each bin accumulates
     independently on the MXU — no prefix-sum cancellation for a quiet bin
     after loud pings (see banded_x_reduce), bounded mask size via chunking.
+    The range axis likewise takes the cancellation-free matmul path whenever
+    the range grid is ping-invariant (er_is_uniform).
     """
+    uniform = er_is_uniform(er)
+
     def kernel(lo, hi, x_rel, window):
         return binned_window_partials(
             sv[:, lo:hi], er[:, lo:hi], r_edges, x_rel, window,
-            skipna=skipna, closed=closed,
+            skipna=skipna, closed=closed, uniform_er=uniform,
         )
 
     return _windowed_accumulate(
@@ -243,10 +311,13 @@ def windowed_partials_np(
 
 def windowed_sum_raw_np(values, er, r_edges, x_bounds, closed="left", chunk_pings=8192):
     """NaN-skipping raw bin sums (f8) via the chunk-windowed matmul reduction."""
+    uniform = er_is_uniform(er)
+
     def kernel(lo, hi, x_rel, window):
         return (
             binned_window_sum_raw(
-                values[:, lo:hi], er[:, lo:hi], r_edges, x_rel, window, closed=closed
+                values[:, lo:hi], er[:, lo:hi], r_edges, x_rel, window,
+                closed=closed, uniform_er=uniform,
             ),
         )
 

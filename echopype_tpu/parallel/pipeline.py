@@ -16,6 +16,8 @@ CLOSED FORM (ceil(edge/dr)) — no search at all.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -300,6 +302,108 @@ def sv_mvbs_window_partials(
     return both[:, :, :n_r], both[:, :, n_r:]
 
 
+_CMP = {
+    ">": jnp.greater,
+    "<": jnp.less,
+    ">=": jnp.greater_equal,
+    "<=": jnp.less_equal,
+    "==": jnp.equal,
+}
+
+
+@partial(jax.jit, static_argnames=("n_x_window", "n_r", "ia", "ib", "op"))
+def sv_mvbs_window_partials_freqdiff(
+    power, dr, tvg_shift, absorption, offset, valid_len, x_rel, r_edges,
+    n_x_window: int, n_r: int, ia: int, ib: int, op: str, diff_db, r0=None,
+):
+    """Masked-MVBS window partials: frequency differencing fused into the
+    Sv pass (VERDICT r2 item 10).
+
+    Per sample the mask is ``Sv[ia] - Sv[ib] <op> diff_db`` (the reference's
+    frequency_differencing, mask/api.py:467-675, applied across channels as
+    in apply_mask); masked-out samples join no bin.  Sv lives only in
+    registers — a masked-MVBS survey never materializes full-resolution Sv.
+    Counts are data-dependent, so both sums and counts reduce by the banded
+    range matmul (vs the closed-form-count fast path).
+    """
+    from ..ops.binning import banded_x_reduce
+
+    C, Pn, R = power.shape
+    rs = jax.lax.broadcasted_iota(jnp.float32, (1, 1, R), 2)
+    if jnp.issubdtype(power.dtype, jnp.integer):
+        index2power = jnp.float32(10.0 * jnp.log10(jnp.float32(2.0)) / 256.0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, R), 2)
+        power = jnp.where(
+            lane < valid_len[:, :, None],
+            power.astype(jnp.float32) * index2power,
+            jnp.nan,
+        )
+    if r0 is None:
+        r_tvg = rs * dr[:, :, None] - tvg_shift[:, :, None]
+    else:
+        r_tvg = rs * dr[:, :, None] + (r0 - tvg_shift)[:, :, None]
+    pos = r_tvg > 0
+    sv = jnp.where(
+        pos,
+        power
+        + 20.0 * jnp.log10(jnp.where(pos, r_tvg, 1.0))
+        + 2.0 * absorption[:, :, None] * r_tvg
+        + offset[:, :, None],
+        jnp.nan,
+    )
+    keep = _CMP[op](sv[ia] - sv[ib], diff_db)  # [P, R]; NaN diff -> False
+    ok = (~jnp.isnan(sv)) & keep[None]
+    lin = jnp.where(ok, jnp.power(10.0, sv / 10.0), 0.0)
+
+    dr0 = dr[:, 0]
+    edge_off = r_edges[None, :] if r0 is None else r_edges[None, :] - r0[:, 0][:, None]
+    bounds = jnp.clip(
+        _refine_bounds(jnp.ceil(edge_off / dr0[:, None]), dr0, edge_off), 0, R
+    )
+    r_ids = jax.lax.broadcasted_iota(jnp.float32, (1, R, 1), 1)
+    M = ((r_ids >= bounds[:, None, :-1]) & (r_ids < bounds[:, None, 1:])).astype(
+        jnp.float32
+    )
+    dn = (((2,), (1,)), ((0,), (0,)))
+    s1 = jax.lax.dot_general(lin, M, dn, preferred_element_type=jnp.float32)
+    n1 = jax.lax.dot_general(
+        ok.astype(jnp.float32), M, dn, preferred_element_type=jnp.float32
+    )
+    both = banded_x_reduce(jnp.concatenate([s1, n1], axis=2), x_rel, n_x_window)
+    return both[:, :, :n_r], both[:, :, n_r:]
+
+
+def sharded_mvbs_partials_freqdiff(mesh: Mesh, window: int, n_r: int, ia, ib, op):
+    """Multi-chip masked-MVBS partials: ping-sharded (channels whole per
+    device — the mask reads two channels pointwise)."""
+    if mesh.shape.get("channel", 1) != 1:
+        raise ValueError(
+            "freq_diff-masked survey streaming needs channel mesh axis 1 "
+            "(the mask compares two channels per sample)"
+        )
+
+    def step(power, dr, shift, alpha, offset, valid_len, x_rel, r_edges, r0, diff_db):
+        s, c = sv_mvbs_window_partials_freqdiff(
+            power, dr, shift, alpha, offset, valid_len, x_rel, r_edges,
+            window, n_r, ia, ib, op, diff_db, r0=r0,
+        )
+        return jax.lax.psum(s, axis_name="ping"), jax.lax.psum(c, axis_name="ping")
+
+    spec_cpr = P(None, "ping", None)
+    spec_cp = P(None, "ping")
+    out = P(None, None, None)
+    mapped = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(
+            spec_cpr, spec_cp, spec_cp, spec_cp, spec_cp, spec_cp,
+            P("ping"), P(None), spec_cp, P(),
+        ),
+        out_specs=(out, out),
+    )
+    return jax.jit(mapped)
+
+
 def sharded_sv_mvbs_step(
     mesh: Mesh, n_x: int, n_r: int, uniform_dr: bool = True, with_sv: bool = True
 ):
@@ -544,19 +648,24 @@ def sharded_mvbs_partials_closed(mesh: Mesh, n_x_window: int, n_r: int,
     return jax.jit(mapped)
 
 
-def sharded_binned_partials(mesh: Mesh, n_x_window: int, skipna: bool = True, closed: str = "left"):
+def sharded_binned_partials(
+    mesh: Mesh, n_x_window: int, skipna: bool = True, closed: str = "left",
+    uniform_er: bool = False,
+):
     """Multi-chip partial bin sums over already-calibrated Sv blocks.
 
     fn(sv_db, er, r_edges, x_rel) -> (sums, counts, nan_counts)
     [C, n_x_window, n_r], psum'd over the ping axis and channel-sharded.
     x_rel carries window-relative ping-bin ids.  Handles interior-NaN Sv
-    (masked data), unlike the closed-counts core.
+    (masked data), unlike the closed-counts core.  Pass
+    uniform_er=er_is_uniform(...) to take the cancellation-free range matmul.
     """
     from ..ops import binning
 
     def step(sv_db, er, r_edges, x_rel):
         sums, counts, nan_counts = binning.binned_window_partials(
-            sv_db, er, r_edges, x_rel, n_x_window, skipna=skipna, closed=closed
+            sv_db, er, r_edges, x_rel, n_x_window, skipna=skipna, closed=closed,
+            uniform_er=uniform_er,
         )
         return (
             jax.lax.psum(sums, axis_name="ping"),
@@ -575,7 +684,9 @@ def sharded_binned_partials(mesh: Mesh, n_x_window: int, skipna: bool = True, cl
     return jax.jit(mapped)
 
 
-def sharded_binned_sum_raw(mesh: Mesh, n_x_window: int, closed: str = "left"):
+def sharded_binned_sum_raw(
+    mesh: Mesh, n_x_window: int, closed: str = "left", uniform_er: bool = False
+):
     """Multi-chip NaN-skipping raw window sums (NASC height numerator).
 
     fn(values, er, r_edges, x_rel) -> [C, n_x_window, n_r], psum'd over the
@@ -585,7 +696,8 @@ def sharded_binned_sum_raw(mesh: Mesh, n_x_window: int, closed: str = "left"):
 
     def step(values, er, r_edges, x_rel):
         s = binning.binned_window_sum_raw(
-            values, er, r_edges, x_rel, n_x_window, closed=closed
+            values, er, r_edges, x_rel, n_x_window, closed=closed,
+            uniform_er=uniform_er,
         )
         return jax.lax.psum(s, axis_name="ping")
 

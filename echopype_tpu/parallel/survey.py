@@ -107,6 +107,54 @@ class _ScanUnavailable(Exception):
     """Extent scan could not cover this survey; use the eager two-pass path."""
 
 
+def _resolve_freq_diff(freq_diff, chans, freq_nominal=None):
+    """Resolve a frequency-differencing criterion to (ia, ib, op, diff_dB).
+
+    Accepts the reference's equation strings ('"chA" - "chB" > 3dB' /
+    '38kHz - 18kHz >= 10dB', mask/freq_diff.py) or a dict with
+    chanA/chanB (or freqA/freqB), operator, diff.
+    """
+    if freq_diff is None:
+        return None
+    from ..mask.freq_diff import _parse_freq_diff_eq
+
+    if isinstance(freq_diff, str):
+        if '"' in freq_diff:
+            freqAB, chanAB, op, diff = _parse_freq_diff_eq(chanABEq=freq_diff)
+        else:
+            freqAB, chanAB, op, diff = _parse_freq_diff_eq(freqABEq=freq_diff)
+    elif isinstance(freq_diff, dict):
+        chanAB = (
+            [freq_diff["chanA"], freq_diff["chanB"]] if "chanA" in freq_diff else None
+        )
+        freqAB = (
+            [freq_diff["freqA"], freq_diff["freqB"]] if "freqA" in freq_diff else None
+        )
+        op = freq_diff.get("operator", ">")
+        diff = float(freq_diff["diff"])
+    else:
+        raise TypeError("freq_diff must be an equation string or a dict")
+
+    chan_list = [str(c) for c in chans]
+    if chanAB is not None:
+        missing = [c for c in chanAB if c not in chan_list]
+        if missing:
+            raise ValueError(f"freq_diff channels not in survey: {missing}")
+        ia, ib = chan_list.index(chanAB[0]), chan_list.index(chanAB[1])
+    else:
+        if freq_nominal is None:
+            raise ValueError("frequency-based freq_diff needs frequency_nominal")
+        fn = np.asarray(freq_nominal, dtype="f8")
+        hitsA = np.nonzero(fn == freqAB[0])[0]
+        hitsB = np.nonzero(fn == freqAB[1])[0]
+        if len(hitsA) != 1 or len(hitsB) != 1:
+            raise ValueError(
+                f"freq_diff frequencies {freqAB} must match exactly one channel each"
+            )
+        ia, ib = int(hitsA[0]), int(hitsB[0])
+    return ia, ib, op, float(diff)
+
+
 class _PowerChunkStreamer:
     """Per-file chunk driver shared by the eager and prefetching power-mode
     survey paths: int16 conversion in reusable double buffers (single-core
@@ -206,6 +254,7 @@ def run_survey_mvbs(
     chunk_pings: int = 5000,
     timer: StageTimer = None,
     mesh=None,
+    freq_diff=None,
 ):
     """Stream Sv stores/datasets into survey-global MVBS bins.
 
@@ -214,6 +263,10 @@ def run_survey_mvbs(
     mesh : optional jax.sharding.Mesh with (ping, channel) axes — each chunk
         shards over the mesh and partial bin sums combine with one psum
         (SURVEY.md §2.6 scale-out; bit-equal to the single-device stream).
+    freq_diff : optional frequency-differencing criterion ('"chA" - "chB" >
+        3dB', '120kHz - 38kHz > 6dB', or a dict); the mask fuses into the
+        device binning pass (apply_mask semantics: masked samples join no
+        bin on any channel) so masked MVBS costs no extra HBM traffic.
     Returns an MVBS Dataset on the union (ping_time-bin, range-bin) grid.
     """
     from ..commongrid.utils import ping_time_bin_edges
@@ -262,14 +315,39 @@ def run_survey_mvbs(
             hi = min(lo + chunk_pings, len(x))
             window = max(window, int(x[hi - 1] - x[lo]) + 1)
 
+    # cancellation-free range reduction whenever every file's range grid is
+    # ping-invariant (binning.er_is_uniform; quiet bins lose everything to
+    # f32 prefix cancellation otherwise)
+    uniform = all(
+        binning.er_is_uniform(np.asarray(ds[range_var].values)) for ds in datasets
+    )
     if mesh is not None:
         from .pipeline import sharded_binned_partials
 
-        step = sharded_binned_partials(mesh, window)
+        step = sharded_binned_partials(mesh, window, uniform_er=uniform)
     else:
         step = lambda sv, er, re, xr: binning.binned_window_partials(  # noqa: E731
-            sv, er, re, xr, window
+            sv, er, re, xr, window, uniform_er=uniform
         )
+
+    fd = _resolve_freq_diff(
+        freq_diff, chans, datasets[0].get("frequency_nominal")
+    )
+    if fd is not None:
+        import jax
+        import jax.numpy as jnp
+
+        from .pipeline import _CMP
+
+        ia, ib, opr, diff = fd
+        inner_step = step
+
+        @jax.jit
+        def _masked(sv):
+            keep = _CMP[opr](sv[ia] - sv[ib], jnp.float32(diff))
+            return jnp.where(keep[None], sv, jnp.nan)
+
+        step = lambda sv, er, re, xr: inner_step(_masked(sv), er, re, xr)  # noqa: E731
 
     acc = _PartialAccumulator(len(chans), n_x, n_r, window, timer)
     r_edges_f4 = range_edges.astype("f4")
@@ -405,17 +483,21 @@ def run_survey_nasc(
             hi = min(lo + chunk_pings, len(x))
             window = max(window, int(x[hi - 1] - x[lo]) + 1)
 
+    uniform = all(binning.er_is_uniform(d) for d in depth_all)
     if mesh is not None:
         from .pipeline import sharded_binned_partials, sharded_binned_sum_raw
 
-        step_sv = sharded_binned_partials(mesh, window, skipna=bool(skipna), closed=closed)
-        step_h = sharded_binned_sum_raw(mesh, window, closed=closed)
+        step_sv = sharded_binned_partials(
+            mesh, window, skipna=bool(skipna), closed=closed, uniform_er=uniform
+        )
+        step_h = sharded_binned_sum_raw(mesh, window, closed=closed, uniform_er=uniform)
     else:
         step_sv = lambda sv, er, re, xr: binning.binned_window_partials(  # noqa: E731
-            sv, er, re, xr, window, skipna=bool(skipna), closed=closed
+            sv, er, re, xr, window, skipna=bool(skipna), closed=closed,
+            uniform_er=uniform,
         )
         step_h = lambda v, er, re, xr: binning.binned_window_sum_raw(  # noqa: E731
-            v, er, re, xr, window, closed=closed
+            v, er, re, xr, window, closed=closed, uniform_er=uniform
         )
 
     C = len(chans)
@@ -567,6 +649,7 @@ def run_survey_mvbs_from_raw(
     encode_mode=None,
     device_fused: bool = False,
     prefetch: bool = True,
+    freq_diff=None,
 ):
     """Stream RAW instrument files straight into survey-global MVBS bins.
 
@@ -601,6 +684,11 @@ def run_survey_mvbs_from_raw(
         ingest overlaps transfer waits; bins are identical to the eager
         path.  Falls back to eager automatically on remote paths, corrupt
         framing, or other sonar models.
+    freq_diff : optional frequency-differencing criterion ('"chA" - "chB" >
+        3dB', '120kHz - 38kHz > 6dB', or a dict).  The mask fuses INTO the
+        Sv+binning device kernel (pipeline.sv_mvbs_window_partials_freqdiff)
+        — a masked-MVBS survey never materializes full-resolution Sv.
+        Power-mode only; uses the eager ingest path.
 
     Returns an MVBS Dataset on the global (ping_time-bin, range-bin) grid.
     """
@@ -613,6 +701,13 @@ def run_survey_mvbs_from_raw(
     from ..commongrid.utils import ping_time_bin_edges
     from ..convert.api import open_raw
 
+    if freq_diff is not None and (
+        encode_mode == "complex" or waveform_mode in ("BB", "FM")
+    ):
+        raise NotImplementedError(
+            "fused freq_diff masking covers power-mode streaming; for complex "
+            "data compute Sv then use run_survey_mvbs(freq_diff=...)"
+        )
     if encode_mode == "complex" or waveform_mode in ("BB", "FM"):
         return _run_survey_mvbs_complex(
             raw_files, sonar_model, waveform_mode, encode_mode, range_bin_m,
@@ -639,7 +734,7 @@ def run_survey_mvbs_from_raw(
     timer = timer or StageTimer()
     raw_files = list(raw_files)
 
-    if prefetch and sonar_model in ("EK60", "ES70"):
+    if prefetch and freq_diff is None and sonar_model in ("EK60", "ES70"):
         try:
             return _run_survey_mvbs_streamed(
                 raw_files, sonar_model, range_bin_m, ping_time_bin,
@@ -723,7 +818,33 @@ def run_survey_mvbs_from_raw(
         for (_, d, sh, _, _, r0_) in inputs
     )
 
-    if mesh is not None:
+    fd = _resolve_freq_diff(
+        freq_diff, chans,
+        np.asarray(cals[0].beam["frequency_nominal"].values, dtype="f8"),
+    )
+    if fd is not None:
+        ia, ib, opr, diff = fd
+        if mesh is not None:
+            from .pipeline import sharded_mvbs_partials_freqdiff
+
+            _fd_step = sharded_mvbs_partials_freqdiff(mesh, window, n_r, ia, ib, opr)
+
+            def _chunk_partials(power, dr, shift, alpha, offset, valid_len,
+                                x_rel, r_edges, r0):
+                return _fd_step(power, dr, shift, alpha, offset, valid_len,
+                                x_rel, r_edges, r0, np.float32(diff))
+        else:
+            from .pipeline import sv_mvbs_window_partials_freqdiff
+
+            @jax.jit
+            def _chunk_partials(power, dr, shift, alpha, offset, valid_len,
+                                x_rel, r_edges, r0):
+                return sv_mvbs_window_partials_freqdiff(
+                    power, dr, shift, alpha, offset, valid_len, x_rel,
+                    r_edges, window, n_r, ia, ib, opr, jnp.float32(diff),
+                    r0=r0,
+                )
+    elif mesh is not None:
         from .pipeline import sharded_mvbs_partials_closed
 
         _chunk_partials = sharded_mvbs_partials_closed(mesh, window, n_r,
@@ -1089,13 +1210,22 @@ def _run_survey_mvbs_complex(
                 hi = min(lo + chunk_pings, len(x))
                 window = max(window, int(x[hi - 1] - x[lo]) + 1)
 
+    # complex-channel echo_range is affine r = k*dr: ping-invariant whenever
+    # the per-file sample interval is (the norm) -> cancellation-free matmul
+    uniform = all(
+        bool(np.all(si == si[..., :1]))
+        for si in (
+            np.asarray(ed[bp]["sample_interval"].values, dtype="f8")
+            for ed, bp in zip(eds, beam_paths)
+        )
+    )
     if mesh is not None:
         from .pipeline import sharded_binned_partials
 
-        step = sharded_binned_partials(mesh, window)
+        step = sharded_binned_partials(mesh, window, uniform_er=uniform)
     else:
         step = lambda sv, er, re, xr: binning.binned_window_partials(  # noqa: E731
-            sv, er, re, xr, window
+            sv, er, re, xr, window, uniform_er=uniform
         )
 
     acc = _PartialAccumulator(len(chans), n_x, n_r, window, timer)
@@ -1330,6 +1460,7 @@ def _run_complex_fused(
                         _p1(k0.astype("f4"))[ci].astype("i4"),
                         _p1(valid_len.astype("f4"))[ci].astype("i4"),
                         x_rel.astype("i4"), r_edges_f4, window, do_pc,
+                        uniform_er=bool(np.all(dr == dr[:, :1])),
                     )
                     # push device arrays per channel (epoch work items cover a
                     # channel subset); the accumulator reads each back one
