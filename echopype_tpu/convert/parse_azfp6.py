@@ -95,49 +95,59 @@ class ParseAZFP6(ParseAZFP):
 
     # ------------------------------------------------------------ embedded XML
     def load_AZFP_xml(self, raw):
+        """Decode the ULS6 embedded instrument-config XML into parameters.
+
+        The parameter-key naming scheme (snake_cased tags/attrs, ``_phaseN``
+        suffixes inside phase blocks) IS the output schema of the reference's
+        parser (parse_azfp6.py) and must match; the extraction here is a
+        recursive element-tree walk rather than an event stream.
+        """
         (xml_size,) = struct.unpack("<I", raw.read(4))
         xml_string = raw.read(xml_size)
         if int.from_bytes(raw.read(4), "little") != self.XML_END_FLAG:
             raise ValueError("Error reading xml string")
         raw.read(4)  # prev-record byte count
-        phase_number = None
-        for event, child in ET.iterparse(BytesIO(xml_string), events=("start", "end")):
-            if event == "end" and child.tag == "Phases":
-                phase_number = None
-            if event == "start":
-                tag = (
-                    camelcase2snakecase(child.tag)
-                    if len(child.tag) > 3 and not child.tag.startswith("VTX")
-                    else child.tag
-                )
-                if len(child.attrib) > 0:
-                    for key, val in child.attrib.items():
-                        attrib_tag = tag + "_" + camelcase2snakecase(key)
-                        if phase_number is not None and tag != "phase":
-                            attrib_tag += f"_phase{phase_number}"
-                        self.parameters[attrib_tag].append(val)
-                        if child.tag == "Phase":
-                            phase_number = val
-                if child.text is None or all(c in "\n\t " for c in child.text):
-                    continue
-                try:
-                    val = int(child.text)
-                except ValueError:
-                    try:
-                        val = float(child.text)
-                    except ValueError:
-                        val = child.text
-                if phase_number is not None and tag != "phase":
-                    tag += f"_phase{phase_number}"
-                self.parameters[tag].append(val)
-        for key, val in list(self.parameters.items()):
-            if isinstance(val, list) and len(val) == 1 and key != "phase_number":
-                self.parameters[key] = val[0]
+        self._walk_config_node(ET.fromstring(xml_string), None)
+        self._collapse_scalars()
         n_phases = int(self.parameters.get("num_phases", 1))
         self.parameters["phase_number"] = [str(n + 1) for n in range(n_phases)]
         # ULS6 removed the per-channel gain; keep backward-compatible gain=1
         for phase in range(n_phases):
             self.parameters[f"gain_phase{phase + 1}"] = [1] * int(self.parameters["num_freq"])
+
+    @staticmethod
+    def _schema_key(xml_tag: str) -> str:
+        """Schema key for one XML tag (short and VTX* tags pass through)."""
+        if len(xml_tag) <= 3 or xml_tag.startswith("VTX"):
+            return xml_tag
+        return camelcase2snakecase(xml_tag)
+
+    @staticmethod
+    def _scalarize(text: str):
+        for cast in (int, float):
+            try:
+                return cast(text)
+            except ValueError:
+                continue
+        return text
+
+    def _walk_config_node(self, node, phase):
+        """Depth-first config walk; ``phase`` is the enclosing <Phase> id."""
+        tag = self._schema_key(node.tag)
+        if node.tag == "Phase" and node.attrib:
+            phase = next(iter(node.attrib.values()))
+        suffix = f"_phase{phase}" if phase is not None and tag != "phase" else ""
+        for key, val in node.attrib.items():
+            self.parameters[f"{tag}_{camelcase2snakecase(key)}{suffix}"].append(val)
+        if node.text is not None and node.text.strip():
+            self.parameters[tag + suffix].append(self._scalarize(node.text))
+        for sub in node:
+            self._walk_config_node(sub, phase)
+
+    def _collapse_scalars(self):
+        for key, val in list(self.parameters.items()):
+            if isinstance(val, list) and len(val) == 1 and key != "phase_number":
+                self.parameters[key] = val[0]
 
     # -------------------------------------------------------------- raw parse
     def parse_raw(self):
