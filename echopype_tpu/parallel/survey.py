@@ -633,6 +633,55 @@ def _slice_echodata_pings(ed, beam_path, sl):
     return EchoData(tree=tree, source_file=ed.source_file, sonar_model=ed.sonar_model)
 
 
+def _make_power_cal(ed, sonar_model, env_params, cal_params):
+    """Power-mode calibrator for one converted file (shared by the serial
+    ingest path and the multi-process decode pool)."""
+    from ..calibrate.azfp import CalibrateAZFP
+    from ..calibrate.ek import CalibrateEK60
+    from ..calibrate.ek80 import CalibrateEK80
+
+    if sonar_model in ("EK60", "ES70"):
+        return CalibrateEK60(ed, env_params, cal_params)
+    if sonar_model in ("EK80", "ES80", "EA640"):
+        return CalibrateEK80(
+            ed, env_params, cal_params, waveform_mode="CW", encode_mode="power"
+        )
+    if sonar_model in ("AZFP", "AZFP6"):
+        return CalibrateAZFP(ed, env_params, cal_params)
+    raise ValueError(f"unsupported power-mode sonar model {sonar_model!r}")
+
+
+def _pool_decode_one(args):
+    """Worker-process body: decode + resolve one raw file to kernel inputs.
+
+    Files are independent (SURVEY.md §2.6 file-level parallelism), so ingest
+    scales across cores with a process pool — each worker runs the full
+    open_raw + host param resolution and returns the dense kernel inputs.
+    Workers never touch an accelerator (module imports only).
+    """
+    path, sonar_model, use_swap, xml_path, env_params, cal_params = args
+    from ..convert.api import open_raw
+
+    ed = open_raw(path, sonar_model=sonar_model, use_swap=use_swap, xml_path=xml_path)
+    cal = _make_power_cal(ed, sonar_model, env_params, cal_params)
+    vals = cal._power_cal_inputs("Sv")
+    if sonar_model in ("AZFP", "AZFP6"):
+        power, dr, shift, alpha, offset, r0 = vals
+    else:
+        power, dr, shift, alpha, offset, _ = vals
+        r0 = np.zeros_like(dr)
+    return {
+        "inputs": (power, dr, shift, alpha, offset, r0),
+        "ping_time": np.asarray(
+            cal.beam.coords["ping_time"].values, dtype="datetime64[ns]"
+        ),
+        "channels": [str(c) for c in cal.beam.coords["channel"].values],
+        "frequency_nominal": np.asarray(
+            cal.beam["frequency_nominal"].values, dtype="f8"
+        ),
+    }
+
+
 def run_survey_mvbs_from_raw(
     raw_files,
     sonar_model: str = "EK60",
@@ -650,6 +699,7 @@ def run_survey_mvbs_from_raw(
     device_fused: bool = False,
     prefetch: bool = True,
     freq_diff=None,
+    workers: int = 0,
 ):
     """Stream RAW instrument files straight into survey-global MVBS bins.
 
@@ -689,6 +739,11 @@ def run_survey_mvbs_from_raw(
         Sv+binning device kernel (pipeline.sv_mvbs_window_partials_freqdiff)
         — a masked-MVBS survey never materializes full-resolution Sv.
         Power-mode only; uses the eager ingest path.
+    workers : decode raw files in N worker PROCESSES (spawn pool), one file
+        per task (files are independent — SURVEY.md §2.6 file-level
+        parallelism).  Host decode is the serial bottleneck once the device
+        pipeline saturates; N cores decode N files concurrently.  0 = the
+        in-process path (decode-ahead thread when prefetch=True).
 
     Returns an MVBS Dataset on the global (ping_time-bin, range-bin) grid.
     """
@@ -734,7 +789,7 @@ def run_survey_mvbs_from_raw(
     timer = timer or StageTimer()
     raw_files = list(raw_files)
 
-    if prefetch and freq_diff is None and sonar_model in ("EK60", "ES70"):
+    if prefetch and freq_diff is None and not workers and sonar_model in ("EK60", "ES70"):
         try:
             return _run_survey_mvbs_streamed(
                 raw_files, sonar_model, range_bin_m, ping_time_bin,
@@ -746,31 +801,64 @@ def run_survey_mvbs_from_raw(
                 f"extent scan unavailable ({e}); using eager two-pass ingest"
             )
 
-    # pass 1: ingest + param resolution (host)
-    cals, ping_times = [], []
-    with timer.stage("ingest"):
-        for f in raw_files:
-            ed = open_raw(f, sonar_model=sonar_model, use_swap=use_swap,
-                          xml_path=xml_path)
-            try:
-                cal = _make_cal(ed)
-            except Exception as e:  # noqa: BLE001 - surface actionable guidance
-                raise ValueError(
-                    f"{f}: could not set up power-mode calibration "
-                    f"({e!r}). Complex/broadband-only files need the "
-                    "store-based path: compute_Sv(...) then run_survey_mvbs."
-                ) from e
-            cals.append(cal)
-            ping_times.append(
-                np.asarray(cal.beam.coords["ping_time"].values, dtype="datetime64[ns]")
-            )
-    if not cals:
+    # pass 1: ingest + param resolution (host; optionally a process pool)
+    if not raw_files:
         raise ValueError("no raw files provided")
+    inputs, ping_times, chans = [], [], None
+    freq_nominal = None
+    if workers and len(raw_files) > 1:
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
 
-    chans = list(cals[0].beam.coords["channel"].values)
-    for cal in cals[1:]:
-        if list(cal.beam.coords["channel"].values) != chans:
-            raise ValueError("all raw files must share the same channels")
+        with timer.stage("ingest"):
+            ctx = mp.get_context("spawn")
+            work = [
+                (f, sonar_model, use_swap, xml_path, env_params, cal_params)
+                for f in raw_files
+            ]
+            with ProcessPoolExecutor(
+                max_workers=min(workers, len(raw_files)), mp_context=ctx
+            ) as ex:
+                results = list(ex.map(_pool_decode_one, work))
+        for res in results:
+            inputs.append(res["inputs"])
+            ping_times.append(res["ping_time"])
+            if chans is None:
+                chans = res["channels"]
+                freq_nominal = res["frequency_nominal"]
+            elif res["channels"] != chans:
+                raise ValueError("all raw files must share the same channels")
+    else:
+        cals = []
+        with timer.stage("ingest"):
+            for f in raw_files:
+                ed = open_raw(f, sonar_model=sonar_model, use_swap=use_swap,
+                              xml_path=xml_path)
+                try:
+                    cal = _make_cal(ed)
+                except Exception as e:  # noqa: BLE001 - actionable guidance
+                    raise ValueError(
+                        f"{f}: could not set up power-mode calibration "
+                        f"({e!r}). Complex/broadband-only files need the "
+                        "store-based path: compute_Sv(...) then run_survey_mvbs."
+                    ) from e
+                cals.append(cal)
+                ping_times.append(
+                    np.asarray(cal.beam.coords["ping_time"].values, dtype="datetime64[ns]")
+                )
+        chans = list(cals[0].beam.coords["channel"].values)
+        freq_nominal = np.asarray(cals[0].beam["frequency_nominal"].values, dtype="f8")
+        for cal in cals[1:]:
+            if list(cal.beam.coords["channel"].values) != chans:
+                raise ValueError("all raw files must share the same channels")
+        for cal in cals:
+            vals = cal._power_cal_inputs("Sv")
+            if sonar_model in ("AZFP", "AZFP6"):
+                power, dr, shift, alpha, offset, r0 = vals
+            else:
+                power, dr, shift, alpha, offset, _ = vals
+                r0 = np.zeros_like(dr)
+            inputs.append((power, dr, shift, alpha, offset, r0))
 
     # global bin grids
     t_min = min(pt.min() for pt in ping_times)
@@ -779,15 +867,7 @@ def run_survey_mvbs_from_raw(
         np.array([t_min, t_max], dtype="datetime64[ns]"), ping_time_bin
     )
     r_max = 0.0
-    inputs = []
-    for cal in cals:
-        vals = cal._power_cal_inputs("Sv")
-        if sonar_model in ("AZFP", "AZFP6"):
-            power, dr, shift, alpha, offset, r0 = vals
-        else:
-            power, dr, shift, alpha, offset, _ = vals
-            r0 = np.zeros_like(dr)
-        inputs.append((power, dr, shift, alpha, offset, r0))
+    for power, dr, shift, alpha, offset, r0 in inputs:
         r_max = max(
             r_max, float(np.nanmax(r0)) + float(np.nanmax(dr)) * power.shape[2]
         )
@@ -818,10 +898,7 @@ def run_survey_mvbs_from_raw(
         for (_, d, sh, _, _, r0_) in inputs
     )
 
-    fd = _resolve_freq_diff(
-        freq_diff, chans,
-        np.asarray(cals[0].beam["frequency_nominal"].values, dtype="f8"),
-    )
+    fd = _resolve_freq_diff(freq_diff, chans, freq_nominal)
     if fd is not None:
         ia, ib, opr, diff = fd
         if mesh is not None:

@@ -536,3 +536,28 @@ class TestPrefetchStreamer:
         # and equals the explicit eager run
         m_e = run_survey_mvbs_from_raw(files, prefetch=False, **kw)
         np.testing.assert_array_equal(got, np.asarray(m_e["Sv"].values))
+
+
+class TestProcessPoolIngest:
+    """workers=N decodes files in worker processes; bins must be identical
+    to the in-process path (VERDICT r2 item 7)."""
+
+    def test_pool_matches_serial(self, tmp_path):
+        import numpy as _np
+
+        from echopype_tpu.parallel import run_survey_mvbs_from_raw
+        from synth_ek60 import write_ek60_raw as _w
+
+        files = []
+        for i in range(3):
+            f = tmp_path / f"PL{i}-D20200101-T00{i}000.raw"
+            _w(f, n_pings=20, n_samples=80,
+               t0=_np.datetime64("2020-01-01T00:00:00", "ns") + _np.timedelta64(i * 30, "s"))
+            files.append(f)
+        kw = dict(sonar_model="EK60", range_bin_m=10.0, ping_time_bin="10s",
+                  chunk_pings=16, prefetch=False)
+        serial = run_survey_mvbs_from_raw(files, workers=0, **kw)
+        pooled = run_survey_mvbs_from_raw(files, workers=2, **kw)
+        _np.testing.assert_allclose(
+            pooled["Sv"].values, serial["Sv"].values, rtol=0, atol=0, equal_nan=True
+        )
