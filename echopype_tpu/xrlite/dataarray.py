@@ -173,6 +173,17 @@ class DataArray:
         return None
 
     @property
+    def variable(self):
+        """xarray API parity: the underlying Variable (duck-typed by self —
+        same .values/.dims/.attrs surface, no index coordinates)."""
+        return DataArray(self.values, self.dims, attrs=self.attrs, name=self.name)
+
+    @property
+    def _data(self):
+        """Variable._data parity: the wrapped array (ndarray; never dask)."""
+        return self.values
+
+    @property
     def loc(self):
         return _LocIndexer(self)
 

@@ -44,6 +44,11 @@ class Dataset:
             self.coords[name] = DataArray(arr, dims, name=name)
 
     def __setitem__(self, name, val):
+        if name in self.coords and name not in self.data_vars:
+            # xarray parity: assignment to an existing coordinate name
+            # updates the coordinate (e.g. qc's ds["ping_time"] = (dims, vals))
+            self._set_coord(name, val)
+            return
         if isinstance(val, DataArray):
             da = DataArray(val.values, val.dims, attrs=val.attrs, name=name)
             da.coords = dict(val.coords)

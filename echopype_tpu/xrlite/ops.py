@@ -33,8 +33,33 @@ def _expand_to(da: DataArray, out_dims, out_sizes):
     return np.broadcast_to(vals, tuple(out_sizes[d] for d in out_dims))
 
 
+def _align_inner(a: DataArray, b: DataArray):
+    """xarray-style automatic alignment: inner-join shared dims on their
+    index coords when the labels differ (e.g. Sv[40] * dz[39] after .diff
+    aligns to the 39 common range samples, metrics/summary_statistics.py)."""
+    for d in tuple(a.dims):
+        if d not in b.dims:
+            continue
+        ca, cb = a.coords.get(d), b.coords.get(d)
+        if ca is None or cb is None or ca.dims != (d,) or cb.dims != (d,):
+            continue
+        if ca.shape == cb.shape and _array_equal_any(ca.values, cb.values):
+            continue
+        keep = np.isin(ca.values, cb.values)
+        ia = np.nonzero(keep)[0]
+        pos_b = {v: i for i, v in enumerate(cb.values)}
+        ib = np.array([pos_b[v] for v in ca.values[ia]], dtype=np.intp)
+        a = a.isel({d: ia})
+        b = b.isel({d: ib})
+    return a, b
+
+
 def broadcast_arrays(a: DataArray, b: DataArray):
-    """Broadcast two DataArrays against each other by dim name."""
+    """Broadcast two DataArrays against each other by dim name.
+
+    Shared dims whose index-coord labels differ first align with an inner
+    join (xarray semantics); positional broadcast applies after."""
+    a, b = _align_inner(a, b)
     out_dims = align_dims(a.dims, b.dims)
     sizes = {}
     for d in out_dims:

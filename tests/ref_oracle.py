@@ -133,12 +133,38 @@ def _install_stubs() -> None:
         from echopype_tpu.xrlite import xarray_compat
 
         sys.modules["xarray"] = xarray_compat.make_module()
+    # post-processing module deps (metrics/qc/mask/consolidate run for real)
+    _stub("_echopype_version", version="0.0-ref-oracle")
+
+    def _unavailable(*a, **k):
+        raise NotImplementedError("not available in the ref-oracle harness")
+
+    _stub("flox", __version__="0")
+    _stub("flox.xarray", xarray_reduce=_unavailable)
+    _stub("geopy", __version__="0")
+    _stub("geopy.distance", distance=_unavailable, geodesic=_unavailable)
+
     _package("echopype", REF_ROOT)
     _package("echopype.utils", f"{REF_ROOT}/utils")
-    _force_stub("echopype.utils.io", create_temp_zarr_store=lambda *a, **k: None)
+    _force_stub(
+        "echopype.utils.io",
+        create_temp_zarr_store=lambda *a, **k: None,
+        validate_source=lambda source, storage_options=None: (source, None),
+        validate_source_ds_da=lambda source, storage_options=None: (source, None),
+        open_source=lambda source, *a, **k: source,
+        get_file_format=lambda path: "zarr",
+    )
     _package("echopype.convert", f"{REF_ROOT}/convert")
     _package("echopype.convert.utils", f"{REF_ROOT}/convert/utils")
     _package("echopype.calibrate", f"{REF_ROOT}/calibrate")
+    _package("echopype.metrics", f"{REF_ROOT}/metrics")
+    _package("echopype.qc", f"{REF_ROOT}/qc")
+    _package("echopype.mask", f"{REF_ROOT}/mask")
+    _package("echopype.mask.seafloor_detection", f"{REF_ROOT}/mask/seafloor_detection")
+    _package("echopype.mask.shoal_detection", f"{REF_ROOT}/mask/shoal_detection")
+    _package("echopype.consolidate", f"{REF_ROOT}/consolidate")
+    _package("echopype.commongrid", f"{REF_ROOT}/commongrid")
+    _package("echopype.clean", f"{REF_ROOT}/clean")
     # echodata package shell: EchoData type annotations resolve to `object`;
     # echodata/simrad.py (beam-group selection) loads for real on the facade.
     _package("echopype.echodata", f"{REF_ROOT}/echodata")

@@ -1,0 +1,225 @@
+"""Reference-differential parity for post-processing subpackages.
+
+Round-3 extension of the facade harness: the reference's metrics, qc, mask,
+and consolidate modules execute directly on our data structures; ours must
+match.  (commongrid/clean stay on synthetic oracles — their cores live in
+flox/dask-image, which are not importable here.)
+"""
+
+import numpy as np
+import pytest
+
+import echopype_tpu as ep
+from echopype_tpu.xrlite import DataArray, Dataset
+
+from ref_oracle import FakeEchoData, load_ref
+from synth_ek60 import write_ek60_raw
+
+
+def make_sv_ds(n_ch=2, n_ping=12, n_r=40, seed=0):
+    rng = np.random.default_rng(seed)
+    ping_time = np.datetime64("2022-01-01T00:00:00", "ns") + np.arange(n_ping).astype(
+        "timedelta64[s]"
+    ).astype("timedelta64[ns]")
+    sv = rng.normal(-70, 10, (n_ch, n_ping, n_r)).astype("f8")
+    er = np.broadcast_to(np.arange(n_r) * 0.5, (n_ch, n_ping, n_r)).copy()
+    return Dataset(
+        {
+            "Sv": (("channel", "ping_time", "range_sample"), sv),
+            "echo_range": (("channel", "ping_time", "range_sample"), er),
+            "frequency_nominal": (("channel",), 18000.0 * (1 + np.arange(n_ch))),
+        },
+        coords={
+            "channel": np.array([f"ch{i}" for i in range(n_ch)], dtype=object),
+            "ping_time": ping_time,
+            "range_sample": np.arange(n_r),
+        },
+    )
+
+
+class TestMetricsDifferential:
+    @pytest.mark.parametrize(
+        "fname", ["abundance", "center_of_mass", "dispersion", "evenness", "aggregation"]
+    )
+    def test_metric_matches_reference(self, fname):
+        ds = make_sv_ds()
+        ref_m = load_ref("metrics/summary_statistics")
+        want = getattr(ref_m, fname)(ds)
+        got = getattr(ep.metrics, fname)(ds)
+        wv = np.asarray(getattr(want, "values", want), dtype="f8")
+        gv = np.asarray(getattr(got, "values", got), dtype="f8")
+        np.testing.assert_allclose(gv.squeeze(), wv.squeeze(), rtol=1e-12, atol=0)
+
+
+class TestQCDifferential:
+    def _reversed_ds(self):
+        ds = make_sv_ds(n_ping=30)
+        pt = np.asarray(ds.coords["ping_time"].values).copy()
+        pt[7] = pt[5] - np.timedelta64(2, "s")
+        pt[19] = pt[17] - np.timedelta64(5, "s")
+        ds.coords["ping_time"].values = pt
+        return ds
+
+    def test_exist_reversed_time(self):
+        ref_qc = load_ref("qc/api")
+        ds = self._reversed_ds()
+        assert bool(ref_qc.exist_reversed_time(ds, "ping_time")) == bool(
+            ep.qc.exist_reversed_time(ds, "ping_time")
+        )
+        clean = make_sv_ds()
+        assert bool(ref_qc.exist_reversed_time(clean, "ping_time")) == bool(
+            ep.qc.exist_reversed_time(clean, "ping_time")
+        )
+
+    def test_coerce_increasing_time_matches(self):
+        ref_qc = load_ref("qc/api")
+        ds_ref = self._reversed_ds()
+        ds_ours = self._reversed_ds()
+        ref_qc.coerce_increasing_time(ds_ref, time_name="ping_time", win_len=10)
+        ours = ep.qc.coerce_increasing_time(ds_ours, time_name="ping_time", win_len=10)
+        ref_pt = np.asarray(ds_ref.coords["ping_time"].values).astype("i8")
+        our_pt = np.asarray(ours.coords["ping_time"].values).astype("i8")
+        np.testing.assert_array_equal(ref_pt, our_pt)
+
+
+class TestMaskDifferential:
+    def test_frequency_differencing_matches(self):
+        ds = make_sv_ds()
+        ref_mask = load_ref("mask/api")
+        for eq in ('"ch0" - "ch1" > 3.0dB', '"ch1" - "ch0" <= 1.5dB'):
+            want = ref_mask.frequency_differencing(ds, chanABEq=eq)
+            got = ep.mask.frequency_differencing(ds, chanABEq=eq)
+            np.testing.assert_array_equal(
+                np.asarray(got.values, dtype=bool), np.asarray(want.values, dtype=bool)
+            )
+
+    def test_frequency_differencing_freq_eq(self):
+        ds = make_sv_ds()
+        ref_mask = load_ref("mask/api")
+        eq = "36kHz - 18kHz > 2.0dB"
+        want = ref_mask.frequency_differencing(ds, freqABEq=eq)
+        got = ep.mask.frequency_differencing(ds, freqABEq=eq)
+        np.testing.assert_array_equal(
+            np.asarray(got.values, dtype=bool), np.asarray(want.values, dtype=bool)
+        )
+
+    def test_apply_mask_matches(self):
+        ds = make_sv_ds()
+        rng = np.random.default_rng(3)
+        m1 = DataArray(
+            rng.random((12, 40)) > 0.4,
+            ("ping_time", "range_sample"),
+            coords={
+                "ping_time": ds.coords["ping_time"],
+                "range_sample": ds.coords["range_sample"],
+            },
+        )
+        m2 = DataArray(
+            rng.random((12, 40)) > 0.2,
+            ("ping_time", "range_sample"),
+            coords={
+                "ping_time": ds.coords["ping_time"],
+                "range_sample": ds.coords["range_sample"],
+            },
+        )
+        ref_mask = load_ref("mask/api")
+        for masks in (m1, [m1, m2]):
+            want = ref_mask.apply_mask(ds, masks, var_name="Sv")
+            got = ep.mask.apply_mask(ds, masks, var_name="Sv")
+            wv = np.asarray(want["Sv"].values, dtype="f8")
+            gv = np.asarray(got["Sv"].values, dtype="f8")
+            assert np.array_equal(np.isnan(wv), np.isnan(gv))
+            np.testing.assert_allclose(gv, wv, rtol=0, atol=0, equal_nan=True)
+
+    def test_apply_mask_fill_value(self):
+        ds = make_sv_ds()
+        rng = np.random.default_rng(4)
+        m = DataArray(
+            rng.random((12, 40)) > 0.5,
+            ("ping_time", "range_sample"),
+            coords={
+                "ping_time": ds.coords["ping_time"],
+                "range_sample": ds.coords["range_sample"],
+            },
+        )
+        ref_mask = load_ref("mask/api")
+        want = ref_mask.apply_mask(ds, m, var_name="Sv", fill_value=-999.0)
+        got = ep.mask.apply_mask(ds, m, var_name="Sv", fill_value=-999.0)
+        np.testing.assert_allclose(
+            np.asarray(got["Sv"].values), np.asarray(want["Sv"].values),
+            rtol=0, atol=0, equal_nan=True,
+        )
+
+
+@pytest.fixture(scope="module")
+def ek60_pair(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("refpp_ek60")
+    path = tmp / "PP-D20200101-T000000.raw"
+    write_ek60_raw(path, n_pings=10, n_samples=60)
+    ed = ep.open_raw(path, sonar_model="EK60")
+    groups = {}
+    for g in (
+        "Sonar", "Environment", "Vendor_specific", "Platform", "Platform/NMEA",
+        "Sonar/Beam_group1",
+    ):
+        try:
+            groups[g] = ed[g]
+        except KeyError:
+            pass
+    return ed, FakeEchoData(groups, "EK60")
+
+
+class TestConsolidateDifferential:
+    def test_add_depth_basic(self, ek60_pair):
+        ed, fake = ek60_pair
+        ds = ep.calibrate.compute_Sv(ed)
+        ref_c = load_ref("consolidate/api")
+        want = ref_c.add_depth(ds.copy(), depth_offset=5.0, tilt=15.0, downward=True)
+        got = ep.consolidate.add_depth(ds.copy(), depth_offset=5.0, tilt=15.0, downward=True)
+        np.testing.assert_allclose(
+            np.asarray(got["depth"].values, dtype="f8"),
+            np.asarray(want["depth"].values, dtype="f8"),
+            rtol=1e-12, atol=0, equal_nan=True,
+        )
+
+    def test_add_depth_upward(self, ek60_pair):
+        ed, fake = ek60_pair
+        ds = ep.calibrate.compute_Sv(ed)
+        ref_c = load_ref("consolidate/api")
+        want = ref_c.add_depth(ds.copy(), depth_offset=2.0, downward=False)
+        got = ep.consolidate.add_depth(ds.copy(), depth_offset=2.0, downward=False)
+        np.testing.assert_allclose(
+            np.asarray(got["depth"].values, dtype="f8"),
+            np.asarray(want["depth"].values, dtype="f8"),
+            rtol=1e-12, atol=0, equal_nan=True,
+        )
+
+    def test_add_location_matches(self, ek60_pair):
+        ed, fake = ek60_pair
+        ds = ep.calibrate.compute_Sv(ed)
+        ref_c = load_ref("consolidate/api")
+        want = ref_c.add_location(ds.copy(), fake)
+        got = ep.consolidate.add_location(ds.copy(), ed)
+        for var in ("latitude", "longitude"):
+            np.testing.assert_allclose(
+                np.asarray(got[var].values, dtype="f8"),
+                np.asarray(want[var].values, dtype="f8"),
+                rtol=1e-12, atol=1e-12, equal_nan=True,
+            )
+
+    def test_add_splitbeam_angle_power(self, ek60_pair):
+        ed, fake = ek60_pair
+        ds = ep.calibrate.compute_Sv(ed)
+        ref_c = load_ref("consolidate/api")
+        want = ref_c.add_splitbeam_angle(
+            ds.copy(), fake, waveform_mode="CW", encode_mode="power", to_disk=False
+        )
+        got = ep.consolidate.add_splitbeam_angle(
+            ds.copy(), ed, waveform_mode="CW", encode_mode="power", to_disk=False
+        )
+        for var in ("angle_alongship", "angle_athwartship"):
+            np.testing.assert_allclose(
+                np.asarray(got[var].values, dtype="f8"),
+                np.asarray(want[var].values, dtype="f8"),
+                rtol=1e-10, atol=1e-12, equal_nan=True,
+            )
