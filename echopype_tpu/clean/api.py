@@ -70,6 +70,17 @@ def mask_transient_noise(
 
     sv = np.asarray(ds_Sv["Sv"].values, dtype="f8")
     depth = _range_values(ds_Sv, range_var, sv.shape)
+    if use_index_binning:
+        # index-window image filter over the echogram (assumes uniform depth
+        # step per channel), reference: clean/api.py:158-163, utils.py:109-181
+        pooled = cu.index_binning_pool_Sv(
+            sv, depth, func, depth_bin_m, num_side_pings, exclude_above_m
+        )
+        with np.errstate(invalid="ignore"):
+            mask_vals = (sv - pooled) > thr
+        out = DataArray(mask_vals, ds_Sv["Sv"].dims, name="mask_transient_noise")
+        out.coords = dict(ds_Sv["Sv"].coords)
+        return out
     grid = cu.uniform_grid(depth) if func == "nanmean" else None
     if grid is not None:
         # fused device path: pooling + dB compare in one program; bit-packed

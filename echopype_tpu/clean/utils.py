@@ -210,3 +210,72 @@ def echopy_attenuated_signal_mask(
             if (ping_median - block_median) < threshold:
                 mask[p, :] = True
     return mask
+
+
+def _box_nanmean_2d(x: np.ndarray, size_p: int, size_r: int) -> np.ndarray:
+    """Exact NaN-skipping box-mean filter with scipy-'reflect' boundary.
+
+    Equivalent to ``generic_filter(x, np.nanmean, size=(size_p, size_r),
+    mode='reflect')`` (the reference's dask-image pooling,
+    reference: clean/utils.py:161-169) but via symmetric-padded summed-area
+    tables: O(P*R) instead of O(P*R*window).
+    """
+    hp, hr = size_p // 2, size_r // 2
+    xp = np.pad(x, ((hp, hp), (hr, hr)), mode="symmetric")
+    good = ~np.isnan(xp)
+    vals = np.where(good, xp, 0.0)
+
+    def _box_sum(a):
+        # summed-area table with a zero row/col prefix
+        s = np.zeros((a.shape[0] + 1, a.shape[1] + 1), dtype="f8")
+        np.cumsum(a, axis=0, out=s[1:, 1:])
+        np.cumsum(s[1:, 1:], axis=1, out=s[1:, 1:])
+        return (
+            s[size_p:, size_r:]
+            - s[:-size_p, size_r:]
+            - s[size_p:, :-size_r]
+            + s[:-size_p, :-size_r]
+        )
+
+    sums = _box_sum(vals)
+    cnts = _box_sum(good.astype("f8"))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return np.where(cnts > 0, sums / cnts, np.nan)
+
+
+def index_binning_pool_Sv(
+    sv: np.ndarray,
+    depth: np.ndarray,
+    func: str,
+    depth_bin: float,
+    num_side_pings: int,
+    exclude_above: float,
+) -> np.ndarray:
+    """Index-binned pooled Sv (mean/median image filter over the echogram).
+
+    Mirrors the reference's dask-image path exactly, including its quirks:
+    the per-channel range-sample window from the mean depth step
+    (reference: clean/utils.py:130-134), the ``argmin`` over the *raveled*
+    3-D exclusion mask (clean/utils.py:142), and reflect ('symmetric')
+    boundary handling.
+    """
+    C, P, R = sv.shape
+    with np.errstate(invalid="ignore"):
+        nrs_all = np.ceil(
+            depth_bin / np.nanmean(np.diff(depth, axis=2), axis=(1, 2))
+        ).astype(int)
+    mrs = int(np.argmin((depth <= exclude_above).ravel()))
+    pooled = np.full((C, P, R), np.nan)
+    for c in range(C):
+        trimmed = sv[c, :, mrs:]
+        lin = _log2lin(trimmed)
+        size_p = 2 * num_side_pings + 1
+        size_r = 2 * int(nrs_all[c]) + 1
+        if func == "nanmean":
+            filt = _box_nanmean_2d(lin, size_p, size_r)
+        else:
+            import scipy.ndimage as ndi
+
+            filt = ndi.generic_filter(lin, np.nanmedian, size=(size_p, size_r), mode="reflect")
+        pooled[c, :, mrs:] = _lin2log(filt)
+    return pooled

@@ -92,9 +92,14 @@ def compute_MVBS(
     )
     with np.errstate(invalid="ignore", divide="ignore"):
         good = (counts_w > 0) & (nan_w == 0)
-        mvbs = np.where(good, _lin2log(sums_w / np.where(counts_w > 0, counts_w, 1)), np.nan)
-    if not np.isnan(fill_value):
-        mvbs = np.where(np.isnan(mvbs), fill_value, mvbs)
+        linear = np.where(good, sums_w / np.where(counts_w > 0, counts_w, 1), np.nan)
+        # flox applies fill_value to bins with nothing aggregated, in the
+        # LINEAR domain, before the dB conversion (reference:
+        # commongrid/utils.py:76-92): a non-positive fill therefore comes out
+        # NaN in dB, and NaN-poisoned bins (skipna=False) are never filled.
+        if not np.isnan(fill_value):
+            linear = np.where(counts_w == 0, fill_value, linear)
+        mvbs = _lin2log(linear)
 
     dim_0 = ds_Sv["Sv"].dims[0]
     ds_MVBS = Dataset(

@@ -24,6 +24,53 @@ def _nanfunc(name, skipna):
     return nanver if skipna else plain
 
 
+def _as_coord(name, val):
+    """Coerce a coords-mapping value into a DataArray (xarray semantics)."""
+    if isinstance(val, DataArray):
+        return val
+    if (
+        isinstance(val, tuple)
+        and len(val) in (2, 3)
+        and isinstance(val[0], (str, tuple, list))
+    ):
+        dims, data = val[0], val[1]
+        attrs = val[2] if len(val) == 3 else None
+        dims = (dims,) if isinstance(dims, str) else tuple(dims)
+        return DataArray(np.asarray(data), dims, attrs=attrs, name=name)
+    arr = np.asarray(val)
+    if arr.ndim == 0:
+        return DataArray(arr, (), name=name)
+    if arr.ndim == 1:
+        return DataArray(arr, (name,), name=name)
+    raise ValueError(f"coord {name!r}: pass (dims, values) for multi-d coords")
+
+
+class CoordsDict(dict):
+    """Coordinate mapping that normalizes values on assignment.
+
+    xarray allows ``obj.coords[name] = (dims, values, attrs)`` (the reference
+    does this, e.g. commongrid/api.py:227-231); plain-dict storage would leak
+    raw tuples into the coords and break every consumer that expects
+    ``.sizes``/``.values`` on them.
+    """
+
+    def __setitem__(self, key, val):
+        super().__setitem__(key, _as_coord(key, val))
+
+    def update(self, other=(), **kw):
+        # dict.update bypasses __setitem__; route through it for coercion
+        items = other.items() if hasattr(other, "items") else other
+        for k, v in items:
+            self[k] = v
+        for k, v in kw.items():
+            self[k] = v
+
+    def setdefault(self, key, default=None):
+        if key not in self:
+            self[key] = default
+        return dict.__getitem__(self, key)
+
+
 def _array_equal_nan(a, b):
     """np.array_equal with NaN==NaN for float/datetime arrays."""
     a, b = np.asarray(a), np.asarray(b)
@@ -79,7 +126,17 @@ class DataArray:
     name : str, optional
     """
 
-    __slots__ = ("values", "dims", "coords", "attrs", "name")
+    __slots__ = ("values", "dims", "_coords", "attrs", "name")
+
+    @property
+    def coords(self):
+        return self._coords
+
+    @coords.setter
+    def coords(self, value):
+        cd = CoordsDict()
+        cd.update(value)
+        self._coords = cd
 
     def __init__(self, values, dims=None, coords=None, attrs=None, name=None):
         if isinstance(values, DataArray):
@@ -316,7 +373,7 @@ class DataArray:
     def transpose(self, *dims):
         if not dims:
             dims = self.dims[::-1]
-        missing = [d for d in dims if d not in self.dims]
+        missing = [d for d in dims if d is not ... and d not in self.dims]
         if missing:
             raise ValueError(f"transpose dims {missing} not in {self.dims}")
         rest = [d for d in self.dims if d not in dims]
@@ -540,6 +597,9 @@ class DataArray:
 
     def __getitem__(self, key):
         if isinstance(key, str):
+            if key not in self.coords and key in self.dims:
+                # xarray virtual dimension coordinate: arange(size)
+                return DataArray(np.arange(self.sizes[key]), (key,), name=key)
             return self.coords[key]
         if isinstance(key, dict):
             return self.isel(key)
@@ -806,15 +866,16 @@ class DataArray:
         out.coords = dict(self.coords)
         return out
 
-    def diff(self, dim, n=1):
+    def diff(self, dim, n=1, label="upper"):
         ax = self._dim_index(dim)
         vals = np.diff(self.values, n=n, axis=ax)
         out = DataArray(vals, self.dims, name=self.name)
+        sl = slice(n, None) if label == "upper" else slice(None, -n)
         for k, v in self.coords.items():
             if dim not in v.dims:
                 out.coords[k] = v
             elif k == dim:
-                out.coords[k] = DataArray(v.values[n:], v.dims, attrs=v.attrs, name=k)
+                out.coords[k] = DataArray(v.values[sl], v.dims, attrs=v.attrs, name=k)
         return out
 
     # ------------------------------------------------------------- nan / where
@@ -996,3 +1057,182 @@ class DataArray:
         out = DataArray(vals, self.dims, attrs=self.attrs, name=self.name)
         out.coords = {k: v for k, v in self.coords.items() if not set(v.dims) & set(pad_width)}
         return out
+
+    def reindex(self, indexers=None, method=None, fill_value=np.nan, **kw):
+        """Conform onto new coordinate labels along existing dims.
+
+        Supports exact matching (``method=None``, unmatched labels filled with
+        ``fill_value``) and forward-fill (``method='ffill'``: each new label
+        takes the value at the nearest old label <= it), which is what the
+        reference's noise-estimate upsampling uses
+        (reference: echopype/clean/api.py:424-431, clean/utils.py:246-250).
+        """
+        indexers = dict(indexers or {})
+        indexers.update(kw)
+        out = self
+        for dim, new_labels in indexers.items():
+            if isinstance(new_labels, DataArray):
+                new = np.asarray(new_labels.values)
+            else:
+                new = np.asarray(new_labels)
+            old_coord = out.coords.get(dim)
+            if old_coord is None:
+                raise KeyError(f"reindex: no coordinate for dim {dim!r}")
+            old = np.asarray(old_coord.values)
+            if method == "ffill":
+                idx = np.searchsorted(old, new, side="right") - 1
+                valid = idx >= 0
+                idx = np.clip(idx, 0, len(old) - 1)
+            elif method is None:
+                idx = np.searchsorted(old, new)
+                idx = np.clip(idx, 0, len(old) - 1)
+                valid = old[idx] == new
+            else:
+                raise NotImplementedError(f"reindex method={method!r}")
+            ax = out._dim_index(dim)
+            vals = np.take(out.values, idx, axis=ax)
+            if not valid.all():
+                if not np.issubdtype(vals.dtype, np.floating):
+                    vals = vals.astype(np.float64)
+                sl = [slice(None)] * vals.ndim
+                sl[ax] = ~valid
+                vals[tuple(sl)] = fill_value
+            res = DataArray(vals, out.dims, attrs=out.attrs, name=out.name)
+            for k, v in out.coords.items():
+                if dim not in v.dims:
+                    res.coords[k] = v
+            res.coords[dim] = DataArray(new, (dim,), name=dim)
+            out = res
+        return out
+
+    def reindex_like(self, other, method=None, fill_value=np.nan):
+        indexers = {
+            d: other.coords[d] for d in self.dims if d in other.coords and d in self.coords
+        }
+        return self.reindex(indexers, method=method, fill_value=fill_value)
+
+    def coarsen(self, windows=None, boundary="strict", coord_func="mean", **dim_windows):
+        """Block aggregation over fixed-size windows (xarray's ``coarsen``).
+
+        Returns a lazy helper exposing ``mean``/``sum``/``min``/``max``.
+        ``boundary='pad'`` NaN-pads each coarsened dim up to a window multiple;
+        coords along coarsened dims are reduced with ``coord_func`` (datetimes
+        through int64 nanoseconds), matching xarray's semantics as used by the
+        reference's index-binned MVBS (reference: echopype/commongrid/api.py:
+        217-238) and background-noise estimator (clean/api.py:402-408).
+        """
+        if isinstance(windows, dict):
+            dim_windows = {**windows, **dim_windows}
+        return _Coarsen(self, dim_windows, boundary, coord_func)
+
+
+class _Coarsen:
+    """Lazy helper returned by ``DataArray.coarsen``."""
+
+    def __init__(self, da, dim_windows, boundary, coord_func):
+        self.da = da
+        self.dim_windows = dict(dim_windows)
+        self.boundary = boundary
+        self.coord_func = coord_func
+        bad = [d for d in self.dim_windows if d not in da.dims]
+        if bad:
+            raise ValueError(f"coarsen dims {bad} not in {da.dims}")
+
+    @staticmethod
+    def _block_reduce(vals, dims, dim_windows, boundary, fname, skipna):
+        """Pad/trim ``vals`` then reduce each window along coarsened dims."""
+        is_dt = np.issubdtype(vals.dtype, np.datetime64)
+        if is_dt:
+            work = vals.astype("datetime64[ns]").astype(np.int64).astype(np.float64)
+            work[np.isnat(vals)] = np.nan
+        else:
+            work = vals
+        new_shape = []
+        window_axes = []
+        pads = []
+        trims = []
+        needs_pad = False
+        for i, d in enumerate(dims):
+            n = work.shape[i]
+            if d in dim_windows:
+                w = int(dim_windows[d])
+                if boundary == "pad":
+                    nb = -(-n // w)
+                    pads.append((0, nb * w - n))
+                    needs_pad = needs_pad or nb * w != n
+                    trims.append(slice(None))
+                elif boundary == "trim":
+                    nb = n // w
+                    pads.append((0, 0))
+                    trims.append(slice(0, nb * w))
+                else:
+                    if n % w:
+                        raise ValueError(
+                            f"coarsen: size {n} of dim {d!r} not a multiple of {w}"
+                        )
+                    nb = n // w
+                    pads.append((0, 0))
+                    trims.append(slice(None))
+                window_axes.append(len(new_shape) + 1)
+                new_shape.extend([nb, w])
+            else:
+                pads.append((0, 0))
+                trims.append(slice(None))
+                new_shape.append(n)
+        work = work[tuple(trims)]
+        if needs_pad:
+            if not np.issubdtype(work.dtype, np.floating):
+                work = work.astype(np.float64)
+            work = np.pad(work, pads, constant_values=np.nan)
+        work = work.reshape(new_shape)
+        fn = {
+            ("mean", True): np.nanmean,
+            ("mean", False): np.mean,
+            ("sum", True): np.nansum,
+            ("sum", False): np.sum,
+            ("min", True): np.nanmin,
+            ("min", False): np.min,
+            ("max", True): np.nanmax,
+            ("max", False): np.max,
+        }[(fname, bool(skipna))]
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            out = fn(work, axis=tuple(window_axes))
+        if is_dt:
+            nat = np.isnan(out)
+            out = np.where(nat, 0.0, out)
+            out = np.round(out).astype(np.int64).astype("datetime64[ns]")
+            if nat.any():
+                out[nat] = np.datetime64("NaT")
+        return out
+
+    def _reduce(self, fname, skipna=True):
+        da = self.da
+        vals = self._block_reduce(
+            da.values, da.dims, self.dim_windows, self.boundary, fname, skipna
+        )
+        out = DataArray(vals, da.dims, attrs=da.attrs, name=da.name)
+        for k, v in da.coords.items():
+            hit = set(v.dims) & set(self.dim_windows)
+            if not hit:
+                out.coords[k] = v
+            else:
+                cvals = self._block_reduce(
+                    v.values, v.dims, self.dim_windows, self.boundary, self.coord_func, True
+                )
+                out.coords[k] = DataArray(cvals, v.dims, attrs=v.attrs, name=k)
+        return out
+
+    def mean(self, skipna=True, **kw):
+        return self._reduce("mean", skipna)
+
+    def sum(self, skipna=True, **kw):
+        return self._reduce("sum", skipna)
+
+    def min(self, skipna=True, **kw):
+        return self._reduce("min", skipna)
+
+    def max(self, skipna=True, **kw):
+        return self._reduce("max", skipna)

@@ -16,7 +16,19 @@ class Dataset:
     (see SURVEY.md Appendix B for the group contents this carries).
     """
 
-    __slots__ = ("data_vars", "coords", "attrs")
+    __slots__ = ("data_vars", "_coords", "attrs")
+
+    @property
+    def coords(self):
+        return self._coords
+
+    @coords.setter
+    def coords(self, value):
+        from .dataarray import CoordsDict
+
+        cd = CoordsDict()
+        cd.update(value)
+        self._coords = cd
 
     def __init__(self, data_vars=None, coords=None, attrs=None):
         self.data_vars = {}

@@ -48,6 +48,14 @@ class DataArray(_XrliteDataArray, metaclass=_CompatMeta):
     def __init__(self, data=None, coords=None, dims=None, name=None, attrs=None):
         if isinstance(dims, str):
             dims = (dims,)
+        if isinstance(coords, (list, tuple)):
+            # xarray positional coords: one entry per dim, in dim order
+            if dims is None:
+                raise ValueError("positional coords require explicit dims")
+            coords = {
+                d: (c.values if isinstance(c, _XrliteDataArray) else np.asarray(c))
+                for d, c in zip(dims, coords)
+            }
         super().__init__(data, dims=dims, coords=coords, attrs=attrs, name=name)
 
 
@@ -124,9 +132,7 @@ def apply_ufunc(
         input_core_dims = [()] * len(args)
     if output_core_dims is None:
         output_core_dims = [()]
-    if len(output_core_dims) != 1:
-        raise NotImplementedError("xrlite apply_ufunc supports a single output")
-    out_core = tuple(output_core_dims[0])
+    n_out = len(output_core_dims)
 
     # broadcast DataArray inputs against each other over loop (non-core) dims
     base = das[0]
@@ -169,10 +175,11 @@ def apply_ufunc(
     loop_shape = tuple(loop_sizes.get(d, 1) for d in loop_dims)
 
     if not vectorize or not loop_shape:
-        result = func(*[v for v, _ in prepared], **kwargs)
+        res = func(*[v for v, _ in prepared], **kwargs)
+        results = list(res) if isinstance(res, tuple) else [res]
     else:
         # loop over every index of the loop dims
-        result = None
+        results = [None] * n_out
         for idx in np.ndindex(*loop_shape):
             call_args = []
             for v, n in prepared:
@@ -183,26 +190,32 @@ def apply_ufunc(
                         0 if v.shape[i] == 1 else idx[i] for i in range(len(loop_shape))
                     )
                     call_args.append(v[sel])
-            r = np.asarray(func(*call_args, **kwargs))
-            if result is None:
-                result = np.empty(
-                    loop_shape + r.shape,
-                    dtype=output_dtypes[0] if output_dtypes else r.dtype,
-                )
-            result[idx] = r
+            r = func(*call_args, **kwargs)
+            r = r if isinstance(r, tuple) else (r,)
+            for i in range(n_out):
+                ri = np.asarray(r[i])
+                if results[i] is None:
+                    results[i] = np.empty(
+                        loop_shape + ri.shape,
+                        dtype=output_dtypes[i] if output_dtypes else ri.dtype,
+                    )
+                results[i][idx] = ri
 
-    result = np.asarray(result)
-    out_dims = loop_dims + out_core
-    if result.ndim != len(out_dims):
-        # un-vectorized call that already returned full shape
-        result = result.reshape(loop_shape + result.shape[len(loop_shape) :])
-    out = _XrliteDataArray(result, out_dims, name=base.name)
-    for k, v in base.coords.items():
-        if set(v.dims) <= set(out_dims) and all(
-            out.sizes.get(d) == v.sizes[d] for d in v.dims
-        ):
-            out.coords[k] = v
-    return out
+    outs = []
+    for i in range(n_out):
+        result = np.asarray(results[i])
+        out_dims = loop_dims + tuple(output_core_dims[i])
+        if result.ndim != len(out_dims):
+            # un-vectorized call that already returned full shape
+            result = result.reshape(loop_shape + result.shape[len(loop_shape) :])
+        out = _XrliteDataArray(result, out_dims, name=base.name)
+        for k, v in base.coords.items():
+            if set(v.dims) <= set(out_dims) and all(
+                out.sizes.get(d) == v.sizes[d] for d in v.dims
+            ):
+                out.coords[k] = v
+        outs.append(out)
+    return outs[0] if n_out == 1 else tuple(outs)
 
 
 def set_options(**kwargs):

@@ -139,8 +139,17 @@ def _install_stubs() -> None:
     def _unavailable(*a, **k):
         raise NotImplementedError("not available in the ref-oracle harness")
 
-    _stub("flox", __version__="0")
-    _stub("flox.xarray", xarray_reduce=_unavailable)
+    # flox + dask_image: real numpy-backed shims (xrlite/flox_compat.py), so
+    # the reference's commongrid and clean numerics execute as oracles.
+    if "flox" not in sys.modules:
+        from echopype_tpu.xrlite import flox_compat
+
+        flox_mod, flox_xr = flox_compat.make_flox_module()
+        sys.modules["flox"] = flox_mod
+        sys.modules["flox.xarray"] = flox_xr
+        di_mod, di_nd = flox_compat.make_dask_image_module()
+        sys.modules["dask_image"] = di_mod
+        sys.modules["dask_image.ndfilters"] = di_nd
     _stub("geopy", __version__="0")
     _stub("geopy.distance", distance=_unavailable, geodesic=_unavailable)
 

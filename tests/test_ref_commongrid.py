@@ -1,0 +1,248 @@
+"""Reference-differential parity for commongrid (MVBS / NASC) numerics.
+
+The reference's binning core — flox ``xarray_reduce`` map-reduce groupby over
+pandas IntervalIndex bins (reference: commongrid/utils.py:614-627) — executes
+on our datasets through the xarray facade plus the numpy flox shim
+(echopype_tpu/xrlite/flox_compat.py).  Our windowed-matmul binning kernels
+must match the reference bin-for-bin, including NaN-coordinate drops, empty
+bins, skipna=False poisoning, and custom fill values.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import echopype_tpu as ep
+from echopype_tpu.xrlite import Dataset
+
+from ref_oracle import load_ref
+from test_ref_postprocess import make_sv_ds
+
+
+def ping_interval_edges(pt, ping_time_bin):
+    """Replicate reference commongrid/api.py:118-124 with pandas directly."""
+    s = pd.Series(np.zeros(len(pt)), index=pd.DatetimeIndex(pt))
+    d_index = s.resample(ping_time_bin).first().index
+    return d_index.union([d_index[-1] + pd.Timedelta(ping_time_bin)]).values
+
+
+def _mvbs_oracle(ds, range_bin_m, ping_time_bin, closed="left", skipna=True,
+                 fill_value=np.nan, range_var="echo_range"):
+    """Run the reference compute_raw_MVBS on ``ds`` via the facade."""
+    ref_u = load_ref("commongrid/utils")
+    er = np.asarray(ds[range_var].values, dtype="f8")
+    range_edges = np.arange(0, np.nanmax(er) + range_bin_m, range_bin_m)
+    ping_edges = ping_interval_edges(
+        np.asarray(ds.coords["ping_time"].values), ping_time_bin
+    )
+    ping_iv = ref_u._convert_bins_to_interval_index(ping_edges, closed=closed)
+    range_iv = ref_u._convert_bins_to_interval_index(range_edges, closed=closed)
+    raw = ref_u.compute_raw_MVBS(
+        ds, range_iv, ping_iv, range_var=range_var,
+        skipna=skipna, fill_value=fill_value,
+    )
+    return raw
+
+
+class TestMVBSDifferential:
+    def test_compute_mvbs_matches_reference(self):
+        ds = make_sv_ds(n_ch=3, n_ping=37, n_r=55, seed=11)
+        # ragged NaN injection: dead samples + one NaN echo_range column
+        sv = np.asarray(ds["Sv"].values)
+        sv[0, 5:9, 10:14] = np.nan
+        sv[2, -1, :] = np.nan
+        raw = _mvbs_oracle(ds, 5.0, "7s")
+        want = np.asarray(raw["Sv"].values, dtype="f8")
+
+        got_ds = ep.commongrid.compute_MVBS(ds, range_bin="5m", ping_time_bin="7s")
+        got = np.asarray(got_ds["Sv"].values, dtype="f8")
+
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=0)
+        # coords: our output uses bin LEFT edges, like the reference api
+        # (reference: commongrid/api.py:146-153)
+        ref_pt = np.array([v.left for v in raw["ping_time_bins"].values])
+        ref_er = np.array([v.left for v in raw["echo_range_bins"].values])
+        np.testing.assert_array_equal(
+            np.asarray(got_ds.coords["ping_time"].values), ref_pt.astype("datetime64[ns]")
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_ds.coords["echo_range"].values, dtype="f8"), ref_er
+        )
+
+    def test_nan_range_coordinate_dropped(self):
+        """flox drops samples whose binning coordinate is NaN; so must we."""
+        ds = make_sv_ds(n_ch=2, n_ping=16, n_r=30, seed=3)
+        er = np.asarray(ds["echo_range"].values)
+        er[1, 3:7, 20:] = np.nan
+        raw = _mvbs_oracle(ds, 4.0, "5s")
+        got_ds = ep.commongrid.compute_MVBS(ds, range_bin="4m", ping_time_bin="5s")
+        np.testing.assert_allclose(
+            np.asarray(got_ds["Sv"].values, dtype="f8"),
+            np.asarray(raw["Sv"].values, dtype="f8"),
+            atol=2e-5, rtol=0,
+        )
+
+    def test_skipna_false_poisons_bins(self):
+        ds = make_sv_ds(n_ch=2, n_ping=12, n_r=24, seed=5)
+        sv = np.asarray(ds["Sv"].values)
+        sv[0, 2, 3] = np.nan
+        raw = _mvbs_oracle(ds, 3.0, "4s", skipna=False)
+        got_ds = ep.commongrid.compute_MVBS(
+            ds, range_bin="3m", ping_time_bin="4s", skipna=False
+        )
+        want = np.asarray(raw["Sv"].values, dtype="f8")
+        got = np.asarray(got_ds["Sv"].values, dtype="f8")
+        np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
+        m = ~np.isnan(want)
+        np.testing.assert_allclose(got[m], want[m], atol=2e-5, rtol=0)
+
+    def test_fill_value(self):
+        ds = make_sv_ds(n_ch=2, n_ping=10, n_r=20, seed=7)
+        # leave a gap in ping_time so an empty time bin exists
+        pt = np.asarray(ds.coords["ping_time"].values).copy()
+        pt[5:] += np.timedelta64(30, "s")
+        ds.coords["ping_time"].values = pt
+        # fill is linear-domain (1e-10 -> -100 dB after the reference's
+        # lin2log pipe, commongrid/utils.py:92)
+        raw = _mvbs_oracle(ds, 4.0, "5s", fill_value=1e-10)
+        got_ds = ep.commongrid.compute_MVBS(
+            ds, range_bin="4m", ping_time_bin="5s", fill_value=1e-10
+        )
+        want = np.asarray(raw["Sv"].values, dtype="f8")
+        got = np.asarray(got_ds["Sv"].values, dtype="f8")
+        assert (want == -100.0).any(), "oracle should contain filled empty bins"
+        both = ~(np.isnan(want) | np.isnan(got))
+        np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
+        np.testing.assert_allclose(got[both], want[both], atol=2e-5, rtol=0)
+
+    def test_closed_right(self):
+        ds = make_sv_ds(n_ch=2, n_ping=14, n_r=25, seed=9)
+        # land samples exactly on bin edges so closed-ness matters
+        er = np.asarray(ds["echo_range"].values)
+        er[:] = np.broadcast_to(np.arange(25) * 1.0, er.shape)
+        raw = _mvbs_oracle(ds, 5.0, "6s", closed="right")
+        got_ds = ep.commongrid.compute_MVBS(
+            ds, range_bin="5m", ping_time_bin="6s", closed="right"
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_ds["Sv"].values, dtype="f8"),
+            np.asarray(raw["Sv"].values, dtype="f8"),
+            atol=2e-5, rtol=0,
+        )
+
+
+class TestMVBSIndexBinningDifferential:
+    def test_index_binning_matches_reference(self):
+        ds = make_sv_ds(n_ch=2, n_ping=23, n_r=47, seed=13)
+        sv = np.asarray(ds["Sv"].values)
+        sv[1, 4, 7:12] = np.nan
+        ref_api = load_ref("commongrid/api")
+        want = ref_api.compute_MVBS_index_binning(ds, range_sample_num=10, ping_num=6)
+        got = ep.commongrid.compute_MVBS_index_binning(
+            ds, range_sample_num=10, ping_num=6
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["Sv"].values, dtype="f8"),
+            np.asarray(want["Sv"].values, dtype="f8"),
+            atol=2e-5, rtol=0,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["echo_range"].values, dtype="f8"),
+            np.asarray(want["echo_range"].values, dtype="f8"),
+            atol=0, rtol=0,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.coords["range_sample"].values),
+            np.asarray(want.coords["range_sample"].values),
+        )
+
+
+def make_nasc_ds(n_ch=2, n_ping=40, n_r=35, seed=21):
+    """Sv dataset with depth + lat/lon for NASC."""
+    ds = make_sv_ds(n_ch=n_ch, n_ping=n_ping, n_r=n_r, seed=seed)
+    rng = np.random.default_rng(seed + 1)
+    depth = np.asarray(ds["echo_range"].values) + 2.0
+    ds["depth"] = (("channel", "ping_time", "range_sample"), depth)
+    lat = 45.0 + np.cumsum(rng.uniform(1e-4, 3e-4, n_ping))
+    lon = -125.0 + np.cumsum(rng.uniform(1e-4, 2e-4, n_ping))
+    ds["latitude"] = (("ping_time",), lat)
+    ds["longitude"] = (("ping_time",), lon)
+    # with valid lat/lon the L3* stamp needs the input's level (prov rules)
+    ds.attrs["processing_level"] = "Level 2A"
+    return ds
+
+
+class TestNASCDifferential:
+    def test_compute_nasc_core_matches_reference(self):
+        """Reference compute_raw_NASC vs our compute_NASC on shared distances.
+
+        Both sides consume the same cumulative distance (ours from
+        utils/geodesy), isolating the binning + mean-height numerics
+        (reference: commongrid/utils.py:97-207).
+        """
+        ds = make_nasc_ds()
+        ref_u = load_ref("commongrid/utils")
+        from echopype_tpu.commongrid.utils import get_distance_from_latlon
+
+        dist_nmi = np.asarray(get_distance_from_latlon(ds), dtype="f8")
+        dist_bin, range_bin = 0.05, 4.0
+
+        # reference path: swap ping_time -> distance_nmi then reduce
+        ds_ref = ds.assign_coords({"distance_nmi": ("ping_time", dist_nmi)}).swap_dims(
+            {"ping_time": "distance_nmi"}
+        )
+        range_edges = np.arange(
+            0, np.nanmax(np.asarray(ds["depth"].values)) + range_bin, range_bin
+        )
+        dist_edges = np.arange(0, np.nanmax(dist_nmi) + dist_bin, dist_bin)
+        dist_iv = ref_u._convert_bins_to_interval_index(dist_edges)
+        range_iv = ref_u._convert_bins_to_interval_index(range_edges)
+        raw = ref_u.compute_raw_NASC(ds_ref, range_iv, dist_iv)
+
+        got = ep.commongrid.compute_NASC(ds, range_bin="4m", dist_bin="0.05nmi")
+
+        want_nasc = np.asarray(raw["sv"].values, dtype="f8")
+        got_nasc = np.asarray(got["NASC"].values, dtype="f8")
+        assert got_nasc.shape == want_nasc.shape
+        both = ~(np.isnan(want_nasc) | np.isnan(got_nasc))
+        np.testing.assert_array_equal(np.isnan(got_nasc), np.isnan(want_nasc))
+        np.testing.assert_allclose(
+            got_nasc[both], want_nasc[both], rtol=3e-6, atol=1e-12
+        )
+        # mean ping_time per distance bin (reference: utils.py:160-168)
+        want_pt = np.asarray(raw["ping_time"].values, dtype="datetime64[ns]")
+        got_pt = np.asarray(got["ping_time"].values, dtype="datetime64[ns]")
+        both_t = ~(np.isnat(want_pt) | np.isnat(got_pt))
+        np.testing.assert_array_equal(np.isnat(got_pt), np.isnat(want_pt))
+        dt_ns = np.abs(got_pt[both_t].astype("i8") - want_pt[both_t].astype("i8"))
+        assert dt_ns.max() <= 2_000, f"mean ping_time off by {dt_ns.max()} ns"
+        # distance / depth coords are bin left edges
+        np.testing.assert_allclose(
+            np.asarray(got.coords["distance"].values, dtype="f8"),
+            np.array([v.left for v in raw["distance_nmi_bins"].values]),
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.coords["depth"].values, dtype="f8"),
+            np.array([v.left for v in raw["depth_bins"].values]),
+        )
+
+
+class TestPositionReduction:
+    def test_reduced_positions_match_reference(self):
+        """MVBS lat/lon reduction vs reference _get_reduced_positions."""
+        ds = make_nasc_ds(n_ping=30, seed=31)
+        ref_u = load_ref("commongrid/utils")
+        ping_edges = ping_interval_edges(
+            np.asarray(ds.coords["ping_time"].values), "6s"
+        )
+        ping_iv = ref_u._convert_bins_to_interval_index(ping_edges)
+        shell = Dataset(coords={"ping_time": ping_edges[:-1]})
+        want = ref_u._get_reduced_positions(ds, shell, "MVBS", ping_iv)
+        got = ep.commongrid.compute_MVBS(ds, range_bin="5m", ping_time_bin="6s")
+        for v in ("latitude", "longitude"):
+            np.testing.assert_allclose(
+                np.asarray(got[v].values, dtype="f8"),
+                np.asarray(want[v].values, dtype="f8"),
+                rtol=1e-12,
+            )
