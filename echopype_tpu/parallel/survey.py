@@ -246,6 +246,40 @@ class _PowerChunkStreamer:
             acc.push(s, c, x_base)
 
 
+_NOISE_MASKS = ("impulse", "transient", "attenuated")
+
+
+def _apply_noise_masks(ds, sv_all, noise_masks, timer):
+    """NaN out samples flagged by the requested clean masks, per file.
+
+    Runs the clean subsystem's device kernels on the full file (the streamer
+    already materializes each file's Sv), so the streamed cleaned MVBS/NASC is
+    bin-exact with the reference composition clean.mask_* -> apply_mask ->
+    compute_X applied file-by-file (reference: clean/api.py:30-359,
+    mask/api.py:467-675) — without ever writing a masked full-resolution Sv.
+    Masks combine with OR: a sample flagged by any detector joins no bin.
+    """
+    from .. import clean as _clean
+
+    fns = {
+        "impulse": _clean.mask_impulse_noise,
+        "transient": _clean.mask_transient_noise,
+        "attenuated": _clean.mask_attenuated_signal,
+    }
+    flagged = None
+    with timer.stage("noise_masks"):
+        for kind, params in noise_masks.items():
+            if kind not in fns:
+                raise ValueError(
+                    f"unknown noise mask {kind!r}; options: {_NOISE_MASKS}"
+                )
+            m = np.asarray(fns[kind](ds, **dict(params or {})).values, dtype=bool)
+            flagged = m if flagged is None else (flagged | m)
+    if flagged is not None:
+        sv_all = np.where(flagged, np.nan, sv_all)
+    return sv_all
+
+
 def run_survey_mvbs(
     sv_sources,
     range_bin_m: float = 20.0,
@@ -255,6 +289,7 @@ def run_survey_mvbs(
     timer: StageTimer = None,
     mesh=None,
     freq_diff=None,
+    noise_masks=None,
 ):
     """Stream Sv stores/datasets into survey-global MVBS bins.
 
@@ -267,6 +302,12 @@ def run_survey_mvbs(
         3dB', '120kHz - 38kHz > 6dB', or a dict); the mask fuses into the
         device binning pass (apply_mask semantics: masked samples join no
         bin on any channel) so masked MVBS costs no extra HBM traffic.
+    noise_masks : optional dict of clean-subsystem masks to fuse into the
+        stream, e.g. ``{"impulse": dict(depth_bin="5m", num_side_pings=2),
+        "transient": {...}, "attenuated": {...}}`` — each value is the
+        keyword dict for the matching ``clean.mask_*`` function.  Flagged
+        samples join no bin; result is bin-exact with running the clean
+        masks + apply_mask + compute_MVBS per file.
     Returns an MVBS Dataset on the union (ping_time-bin, range-bin) grid.
     """
     from ..commongrid.utils import ping_time_bin_edges
@@ -353,6 +394,8 @@ def run_survey_mvbs(
     r_edges_f4 = range_edges.astype("f4")
     for ds, x_idx_all in zip(datasets, x_ids):
         sv_all = np.asarray(ds["Sv"].values, dtype="f4")
+        if noise_masks:
+            sv_all = _apply_noise_masks(ds, sv_all, noise_masks, timer)
         er_all = np.asarray(ds[range_var].values, dtype="f4")
         if er_all.shape != sv_all.shape:
             er_all = np.broadcast_to(er_all, sv_all.shape)
@@ -402,6 +445,7 @@ def run_survey_nasc(
     mesh=None,
     skipna: bool = True,
     closed: str = "left",
+    noise_masks=None,
 ):
     """Stream Sv stores/datasets into survey-global NASC (distance × depth).
 
@@ -416,6 +460,8 @@ def run_survey_nasc(
     sv_sources : iterable of Dataset or store paths, chronologically ordered,
         each holding Sv + depth + latitude/longitude (consolidate.add_depth /
         add_location outputs).
+    noise_masks : optional dict of clean-subsystem masks fused into the
+        stream (see run_survey_mvbs); flagged samples join no bin.
     """
     from ..commongrid.utils import _parse_x_bin, get_distance_from_latlon
     from ..utils.geodesy import pairwise_distance_nmi
@@ -519,6 +565,8 @@ def run_survey_nasc(
     d_edges_f4 = depth_edges.astype("f4")
     for ds, depth, x_idx_all in zip(datasets, depth_all, x_ids):
         sv_all = np.asarray(ds["Sv"].values, dtype="f4")
+        if noise_masks:
+            sv_all = _apply_noise_masks(ds, sv_all, noise_masks, timer)
         from ..commongrid.api import _conform_range, _orient_range_axis
 
         depth_b = np.broadcast_to(
