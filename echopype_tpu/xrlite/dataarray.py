@@ -302,6 +302,20 @@ class DataArray:
     def __array__(self, dtype=None, copy=None):
         return np.asarray(self.values, dtype=dtype)
 
+    @property
+    def real(self):
+        """Real part, labels kept (xarray parity; np.real dispatches here)."""
+        out = DataArray(self.values.real, self.dims, name=self.name)
+        out.coords = dict(self.coords)
+        return out
+
+    @property
+    def imag(self):
+        """Imaginary part, labels kept (np.imag dispatches here)."""
+        out = DataArray(self.values.imag, self.dims, name=self.name)
+        out.coords = dict(self.coords)
+        return out
+
     def __array_ufunc__(self, ufunc, method, *inputs, **kwargs):
         """Numpy ufuncs (np.log10, np.exp, ...) map over values, keep labels."""
         if method != "__call__" or kwargs.get("out") is not None:
@@ -940,7 +954,13 @@ class DataArray:
         """
         coords = {**(coords or {}), **kw}
         if len(coords) != 1:
-            raise NotImplementedError("xrlite interp supports one dim at a time")
+            # multi-dim: tensor-product interpolation, applied one dim at a
+            # time (equivalent to multilinear interpn on an outer-product
+            # target grid for the supported linear/nearest methods)
+            out = self
+            for dim, new_labels in coords.items():
+                out = out.interp({dim: new_labels}, method=method, kwargs=kwargs)
+            return out
         (dim, new_labels), = coords.items()
         fill = (kwargs or {}).get("fill_value", None)
         old = self.coords[dim].values

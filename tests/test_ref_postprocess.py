@@ -223,3 +223,32 @@ class TestConsolidateDifferential:
                 np.asarray(want[var].values, dtype="f8"),
                 rtol=1e-10, atol=1e-12, equal_nan=True,
             )
+
+
+class TestSplitbeamComplexDifferential:
+    """CW-complex split-beam angles vs the reference's complex-sample path
+    (reference: consolidate/split_beam_angle.py:33-116,176-)."""
+
+    def test_add_splitbeam_angle_cw_complex(self, tmp_path):
+        from synth_ek80 import write_ek80_raw
+        from test_ref_pipeline import _fake
+
+        path = tmp_path / "SBC-D20210201-T000000.raw"
+        write_ek80_raw(path, n_pings=6, n_samples=64)
+        ed = ep.open_raw(path, sonar_model="EK80")
+        ds = ep.calibrate.compute_Sv(ed, waveform_mode="CW", encode_mode="complex")
+        ref_c = load_ref("consolidate/api")
+        want = ref_c.add_splitbeam_angle(
+            ds.copy(), _fake(ed), waveform_mode="CW", encode_mode="complex",
+            to_disk=False,
+        )
+        got = ep.consolidate.add_splitbeam_angle(
+            ds.copy(), ed, waveform_mode="CW", encode_mode="complex",
+            to_disk=False,
+        )
+        for var in ("angle_alongship", "angle_athwartship"):
+            w = np.asarray(want[var].values, dtype="f8")
+            g = np.asarray(got[var].values, dtype="f8")
+            np.testing.assert_array_equal(np.isnan(g), np.isnan(w))
+            m = ~np.isnan(w)
+            np.testing.assert_allclose(g[m], w[m], rtol=1e-9, atol=1e-10)

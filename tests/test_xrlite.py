@@ -357,3 +357,123 @@ class TestXarrayApiParity:
         assert (tmp_path / "echogram.png").stat().st_size > 0
         da1 = DataArray(np.arange(5.0), ("ping_time",), name="nasc")
         da1.plot()
+
+
+class TestRound3FacadeSurface:
+    """coarsen / reindex / multi-dim interp / multi-output apply_ufunc /
+    coords normalization added for the commongrid+clean oracle execution."""
+
+    def test_coarsen_pad_mean(self):
+        import numpy as np
+        from echopype_tpu.xrlite import DataArray
+
+        da = DataArray(
+            np.arange(14.0).reshape(2, 7), ("c", "p"),
+            coords={"c": ["a", "b"], "p": np.arange(7.0)},
+        )
+        out = da.coarsen(p=3, boundary="pad").mean(skipna=True)
+        np.testing.assert_allclose(out.values, [[1, 4, 6], [8, 11, 13]])
+        np.testing.assert_allclose(out.coords["p"].values, [1.0, 4.0, 6.0])
+
+    def test_coarsen_strict_raises(self):
+        import numpy as np
+        import pytest
+        from echopype_tpu.xrlite import DataArray
+
+        da = DataArray(np.arange(7.0), ("p",))
+        with pytest.raises(ValueError, match="not a multiple"):
+            da.coarsen(p=3).mean()
+
+    def test_coarsen_datetime_coord(self):
+        import numpy as np
+        from echopype_tpu.xrlite import DataArray
+
+        t = np.datetime64("2022-01-01", "ns") + np.arange(6).astype(
+            "timedelta64[s]"
+        ).astype("timedelta64[ns]")
+        da = DataArray(np.arange(6.0), ("t",), coords={"t": t})
+        out = da.coarsen(t=2, boundary="pad").mean()
+        assert str(out.coords["t"].values.dtype) == "datetime64[ns]"
+        assert out.coords["t"].values[0] == t[0] + np.timedelta64(500, "ms")
+
+    def test_reindex_ffill_and_exact(self):
+        import numpy as np
+        from echopype_tpu.xrlite import DataArray
+
+        da = DataArray(np.array([1.0, 2.0, 3.0]), ("p",), coords={"p": [0, 4, 8]})
+        ff = da.reindex({"p": [0, 1, 5, 9]}, method="ffill")
+        np.testing.assert_allclose(ff.values, [1, 1, 2, 3])
+        ex = da.reindex({"p": [0, 4, 6]})
+        np.testing.assert_allclose(ex.values, [1, 2, np.nan])
+
+    def test_interp_multidim(self):
+        import numpy as np
+        from echopype_tpu.xrlite import DataArray
+
+        x, y = np.linspace(0, 1, 5), np.linspace(0, 2, 7)
+        da = DataArray(
+            np.add.outer(x, 3.0 * y), ("x", "y"), coords={"x": x, "y": y}
+        )
+        out = da.interp(x=np.array([0.125, 0.6]), y=np.array([0.5, 1.25]))
+        want = np.add.outer([0.125, 0.6], 3.0 * np.array([0.5, 1.25]))
+        np.testing.assert_allclose(out.values, want, rtol=1e-12)
+
+    def test_apply_ufunc_multi_output(self):
+        import numpy as np
+        from echopype_tpu.xrlite import DataArray
+        from echopype_tpu.xrlite.xarray_compat import apply_ufunc
+
+        da = DataArray(np.arange(12.0).reshape(3, 4), ("c", "r"))
+        lo, hi = apply_ufunc(
+            lambda v: (v.min(), v.max()),
+            da,
+            input_core_dims=[["r"]],
+            output_core_dims=[[], []],
+            vectorize=True,
+        )
+        np.testing.assert_allclose(lo.values, [0, 4, 8])
+        np.testing.assert_allclose(hi.values, [3, 7, 11])
+
+    def test_coords_tuple_assignment(self):
+        import numpy as np
+        from echopype_tpu.xrlite import DataArray, Dataset
+
+        ds = Dataset({"v": (("p",), np.arange(3.0))})
+        ds.coords["p"] = ("p", np.array([10, 20, 30]), {"units": "m"})
+        assert ds.coords["p"].attrs["units"] == "m"
+        assert ds.sizes == {"p": 3}
+        da = DataArray(np.arange(3.0), ("p",))
+        da.coords["p"] = np.array([1, 2, 3])
+        assert da.coords["p"].dims == ("p",)
+
+    def test_virtual_dim_coordinate(self):
+        import numpy as np
+        from echopype_tpu.xrlite import DataArray
+
+        da = DataArray(np.zeros((2, 5)), ("c", "p"))
+        np.testing.assert_array_equal(da["p"].values, np.arange(5))
+
+    def test_flox_shim_binned_reduce(self):
+        import numpy as np
+        import pandas as pd
+        from echopype_tpu.xrlite import DataArray
+        from echopype_tpu.xrlite.flox_compat import xarray_reduce
+
+        vals = DataArray(
+            np.array([[1.0, 2.0, np.nan, 4.0], [10.0, 20.0, 30.0, 40.0]]),
+            ("c", "p"),
+            coords={"c": ["a", "b"], "p": np.arange(4.0)},
+            name="v",
+        )
+        by_c = DataArray(np.array(["a", "b"], dtype=object), ("c",), name="c")
+        by_p = DataArray(np.array([0.0, 0.9, 2.4, 2.6]), ("p",), name="p")
+        iv = pd.IntervalIndex.from_breaks([0.0, 1.0, 2.0, 3.0], closed="left")
+        out = xarray_reduce(
+            vals, by_c, by_p, func="nanmean",
+            expected_groups=(None, iv), isbin=[False, True],
+        )
+        assert out.dims == ("c", "p_bins")
+        np.testing.assert_allclose(
+            out.values, [[1.5, np.nan, 4.0], [15.0, np.nan, 35.0]]
+        )
+        assert out.coords["p_bins"].values[0].left == 0.0
