@@ -165,3 +165,8 @@ def get_env_params_AZFP(echodata, user_dict=None):
         if isinstance(out[p], DataArray):
             out[p] = harmonize_env_param_time(out[p], ping_time=ping_time)
     return {k: v for k, v in out.items() if v is not None}
+
+
+def sanitize_user_env_dict(user_dict, channel):
+    """Public reference-named wrapper (reference: env_params.py sanitize_user_env_dict)."""
+    return _sanitize_user_env_dict(user_dict, channel)

@@ -156,3 +156,153 @@ def get_reduced_positions(ds_Sv, ds_X, x_dim, x_idx, n_x):
                 vals = sums / np.where(cnts > 0, cnts, np.nan)
             ds_X[var] = ((x_dim,), vals, dict(ds_Sv[var].attrs))
     return ds_X
+
+
+def ping_time_bin_parsing_and_conversion(ping_time_bin: str):
+    """Reference-named alias of parse_time_bin_to_value_unit
+    (reference: commongrid/utils.py:654-698)."""
+    return parse_time_bin_to_value_unit(ping_time_bin)
+
+
+def assign_actual_range(ds_MVBS: Dataset) -> Dataset:
+    """Attach the Sv 'actual_range' attribute post-computation
+    (reference: commongrid/utils.py:631-651)."""
+    sv = np.asarray(ds_MVBS["Sv"].values, dtype="f8")
+    actual_range = [
+        round(float(np.nanmin(sv)), 2),
+        round(float(np.nanmax(sv)), 2),
+    ]
+    return ds_MVBS.assign_attrs({"actual_range": actual_range})
+
+
+def _interval_edges(interval):
+    """Bin edges from a pandas IntervalIndex or a 1-D edge array."""
+    try:
+        import pandas as pd
+
+        if isinstance(interval, pd.IntervalIndex):
+            return np.append(np.asarray(interval.left), interval.right[-1])
+    except ImportError:
+        pass
+    return np.asarray(interval)
+
+
+def compute_raw_MVBS(
+    ds_Sv: Dataset,
+    range_interval,
+    ping_interval,
+    range_var: str = "echo_range",
+    method="map-reduce",
+    reindex=False,
+    skipna=True,
+    fill_value=np.nan,
+    **kwargs,
+):
+    """Raw (unformatted) MVBS on caller-provided bins, in dB.
+
+    Reference-named intermediate entry point (reference:
+    commongrid/utils.py:17-94): output dims are ``(dim0, {x}_bins,
+    {range_var}_bins)`` with bin *left edges* as the binned coords (we use
+    plain edge values where the reference carries pandas Interval objects).
+    Accepts pandas IntervalIndexes or 1-D edge arrays.
+    """
+    from ..ops import binning
+    from ..utils.compute import _lin2log
+
+    range_edges = _interval_edges(range_interval).astype("f8")
+    ping_edges = np.asarray(
+        _interval_edges(ping_interval), dtype="datetime64[ns]"
+    )
+    ping_time = np.asarray(ds_Sv.coords["ping_time"].values, dtype="datetime64[ns]")
+    sv = np.asarray(ds_Sv["Sv"].values, dtype="f8")
+    er = np.asarray(ds_Sv[range_var].values, dtype="f8")
+    if er.shape != sv.shape:
+        er = np.broadcast_to(er, sv.shape)
+    x_bounds = binning.x_bounds_np(ping_time.astype("i8"), ping_edges.astype("i8"), "left")
+    sums, counts, nan_w = binning.windowed_partials_np(
+        sv.astype("f4"), er.astype("f4"), range_edges.astype("f4"), x_bounds,
+        skipna=bool(skipna), closed="left",
+    )
+    with np.errstate(invalid="ignore", divide="ignore"):
+        good = (counts > 0) & (nan_w == 0)
+        linear = np.where(good, sums / np.where(counts > 0, counts, 1), np.nan)
+        if not (isinstance(fill_value, float) and np.isnan(fill_value)):
+            linear = np.where(counts == 0, fill_value, linear)
+        mvbs = _lin2log(linear)
+    dim0 = ds_Sv["Sv"].dims[0]
+    out = Dataset(
+        coords={
+            dim0: ds_Sv.coords[dim0],
+            "ping_time_bins": ping_edges[:-1],
+            f"{range_var}_bins": range_edges[:-1],
+        }
+    )
+    out["Sv"] = ((dim0, "ping_time_bins", f"{range_var}_bins"), mvbs)
+    return out
+
+
+def compute_raw_NASC(
+    ds_Sv: Dataset,
+    range_interval,
+    dist_interval,
+    method="map-reduce",
+    skipna=True,
+    **kwargs,
+):
+    """Raw (unformatted) NASC on caller-provided bins.
+
+    Reference-named intermediate entry point (reference:
+    commongrid/utils.py:97-207).  ``ds_Sv`` must carry a ``distance_nmi``
+    coordinate along the ping dim (the api-level compute_NASC derives it from
+    lat/lon); output holds ``sv`` (= NASC), and the per-distance-bin mean
+    ``ping_time``.
+    """
+    from ..ops import binning
+
+    depth_edges = _interval_edges(range_interval).astype("f8")
+    dist_edges = _interval_edges(dist_interval).astype("f8")
+    dist = np.asarray(ds_Sv["distance_nmi"].values, dtype="f8")
+    sv = np.asarray(ds_Sv["Sv"].values, dtype="f8")
+    depth = np.asarray(ds_Sv["depth"].values, dtype="f8")
+    if depth.shape != sv.shape:
+        depth = np.broadcast_to(depth, sv.shape)
+    n_x, n_r = len(dist_edges) - 1, len(depth_edges) - 1
+    x_bounds = binning.x_bounds_np(dist, dist_edges, "left")
+    x_idx = binning.bin_index_np(dist, dist_edges, "left")
+    sums, counts, nan_w = binning.windowed_partials_np(
+        sv.astype("f4"), depth.astype("f4"), depth_edges.astype("f4"), x_bounds,
+        skipna=bool(skipna), closed="left",
+    )
+    with np.errstate(invalid="ignore", divide="ignore"):
+        good = (counts > 0) & (nan_w == 0)
+        sv_mean = np.where(good, sums / np.where(counts > 0, counts, 1), np.nan)
+    ddepth = np.diff(depth, axis=2).astype("f4")
+    h_num = binning.windowed_sum_raw_np(
+        ddepth, depth.astype("f4")[:, :, :-1], depth_edges.astype("f4"), x_bounds,
+        closed="left",
+    )
+    denom = np.bincount(x_idx[x_idx >= 0], minlength=n_x).astype("f8")
+    with np.errstate(invalid="ignore", divide="ignore"):
+        h_mean = h_num / np.where(denom > 0, denom, np.nan)[None, :, None]
+    nasc = sv_mean * h_mean * 4 * np.pi * 1852**2
+    pt_ns = np.asarray(ds_Sv.coords["ping_time"].values, dtype="datetime64[ns]").astype("i8")
+    in_bin = x_idx >= 0
+    pt_rel = (pt_ns - pt_ns[0]).astype("f8")
+    pt_sums = np.bincount(x_idx[in_bin], weights=pt_rel[in_bin], minlength=n_x)
+    pt_cnts = np.bincount(x_idx[in_bin], minlength=n_x)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        pt_mean = pt_ns[0] + pt_sums / np.where(pt_cnts > 0, pt_cnts, np.nan)
+    pt_out = np.where(
+        pt_cnts > 0, pt_mean, float(np.datetime64("NaT", "ns").astype("i8"))
+    ).astype("i8").astype("datetime64[ns]")
+    dim0 = ds_Sv["Sv"].dims[0]
+    out = Dataset(
+        coords={
+            dim0: ds_Sv.coords[dim0],
+            "distance_nmi_bins": dist_edges[:-1],
+            "depth_bins": depth_edges[:-1],
+        }
+    )
+    out["sv"] = ((dim0, "distance_nmi_bins", "depth_bins"), nasc)
+    out["ping_time"] = (("distance_nmi_bins",), pt_out)
+    return out

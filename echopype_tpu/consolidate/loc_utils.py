@@ -54,3 +54,31 @@ def check_loc_vars_validity(echodata, lat_name, lon_name, datagram_type, check: 
     elif check == "some_zero":
         if np.any(lat == 0) or np.any(lon == 0):
             logger.warning("Some lat/lon values are exactly 0; check your position data.")
+
+
+def compute_invalid_check(lat_var, lon_var, validity_check: str):
+    """Four-way lat/lon invalidity probe (reference: loc_utils.py:15-27)."""
+    if validity_check == "missing":
+        return (lat_var is None) or (lon_var is None)
+    elif lat_var is not None and lon_var is not None and validity_check == "all_nan":
+        return bool(np.isnan(np.asarray(lat_var.values, dtype="f8")).all()
+                    or np.isnan(np.asarray(lon_var.values, dtype="f8")).all())
+    elif lat_var is not None and lon_var is not None and validity_check == "some_nan":
+        return bool(np.isnan(np.asarray(lat_var.values, dtype="f8")).any()
+                    or np.isnan(np.asarray(lon_var.values, dtype="f8")).any())
+    elif lat_var is not None and lon_var is not None and validity_check == "some_zero":
+        return bool((np.asarray(lat_var.values) == 0).any()
+                    or (np.asarray(lon_var.values) == 0).any())
+    else:
+        return True
+
+
+def check_loc_time_dim_duplicates(da, time_dim_name: str) -> None:
+    """Raise when a location variable's time dim holds duplicate stamps
+    (reference: loc_utils.py:110-117)."""
+    vals = np.asarray(da[time_dim_name].values)
+    if len(np.unique(vals)) != len(vals):
+        raise ValueError(
+            f'Data contains duplicate time values in time_dim_name "{time_dim_name}". '
+            "Downstream interpolation on the position variables requires unique time values."
+        )

@@ -252,3 +252,30 @@ def _concat_multi_dim(ds_list, dims):
             if np.issubdtype(coord.dtype, np.integer):
                 out.coords[k] = DataArray(np.arange(n_used), (k,), attrs=coord.attrs, name=k)
     return out
+
+
+def check_zarr_path(zarr_path, storage_options: dict = None, overwrite: bool = False) -> str:
+    """Validate a combine output zarr path (reference: combine.py check_zarr_path)."""
+    from pathlib import Path
+
+    from ..utils.io import validate_output_path
+
+    if zarr_path is not None:
+        if not isinstance(zarr_path, (str, Path)):
+            raise TypeError(
+                "The provided zarr_path input must be of type string or pathlib.Path!"
+            )
+        if Path(str(zarr_path)).suffix != ".zarr":
+            raise ValueError("The provided zarr_path input must have a '.zarr' suffix!")
+    return validate_output_path(
+        source_file="combined_echodata.zarr",
+        engine="zarr",
+        output_storage_options=storage_options or {},
+        save_path=zarr_path,
+    )
+
+
+def check_eds(echodata_list):
+    """Validate EchoData inputs for combining: nonempty, same sonar_model,
+    version attrs collected (reference: combine.py check_eds)."""
+    return _check_eds(echodata_list)

@@ -76,3 +76,8 @@ def aggregation(ds, range_label="echo_range") -> DataArray:
     out = 1 / evenness(ds, range_label)
     out.name = "aggregation"
     return out
+
+
+def convert_to_linear(ds, Sv_label="Sv") -> DataArray:
+    """Sv (dB) -> linear sv (reference: summary_statistics.py convert_to_linear)."""
+    return 10 ** (ds[Sv_label] / 10)

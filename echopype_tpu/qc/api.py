@@ -9,7 +9,10 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..utils.log import _init_logger
 from ..xrlite import DataArray, Dataset
+
+logger = _init_logger(__name__)
 
 __all__ = ["coerce_increasing_time", "exist_reversed_time", "_clean_reversed"]
 
@@ -79,3 +82,34 @@ def orchestrate_reverse_time_check(echodata, win_len: int = 100):
                 )
                 prov.attrs[f"reversed_{time_name}_corrected_{group}"] = True
     return echodata
+
+
+def check_and_correct_reversed_time(combined_group, time_str: str, ed_group: str):
+    """Check a combined group's time coordinate; coerce in place if reversed.
+
+    Returns the pre-correction time as a DataArray when coercion happened,
+    else None (reference: qc/api.py:88-129).
+    """
+    if time_str in combined_group and exist_reversed_time(combined_group, time_str):
+        logger.warning(
+            f"{ed_group} {time_str} reversal detected; {time_str} will be corrected"
+        )
+        old_time = combined_group[time_str].copy()
+        coerce_increasing_time(combined_group, time_name=time_str)
+    else:
+        old_time = None
+    return old_time
+
+
+def create_old_time_array(group: str, old_time_in: DataArray) -> DataArray:
+    """Build the Provenance-group record of an uncorrected time coordinate
+    (reference: qc/api.py:132-171)."""
+    old_time = old_time_in.copy()
+    ed_name = group.replace("-", "_").replace("/", "_").lower()
+    old_time_name = ed_name + "_old_" + old_time.name
+    old_time_name_dim = old_time_name + "_dim"
+    attributes = dict(old_time.attrs)
+    attributes["comment"] = f"Uncorrected {old_time.name} from the combined group {group}."
+    return DataArray(
+        old_time.values, (old_time_name_dim,), attrs=attributes, name=old_time_name
+    )

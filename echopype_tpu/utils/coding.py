@@ -96,3 +96,86 @@ def sanitize_dtypes(arr: np.ndarray) -> np.ndarray:
     if arr.dtype == np.float16:
         return arr.astype(np.float32)
     return arr
+
+
+# ---------------------------------------------------------------- reference-
+# named encoding builders (echopype/utils/coding.py:142-300).  xrlite stores
+# no per-variable `.encoding`; these return/stamp the same information the
+# reference computes so migrating callers keep working, and the storage layer
+# consumes the same defaults when writing.
+
+DEFAULT_ENCODINGS = {
+    name: dict(DEFAULT_TIME_ENCODING)
+    for name in (
+        "nmea_time", "ping_time", "ping_time_transmit",
+        "time1", "time2", "time3", "time4", "time5", "filter_time",
+    )
+}
+
+
+def set_time_encodings(ds):
+    """Return a copy whose time-like variables carry the default time
+    encoding in their attrs (reference: utils/coding.py:142-161 sets
+    `.encoding`; xrlite carries it in attrs under 'units'/'calendar')."""
+    import re as _re
+
+    out = ds.copy()
+    for var in list(out.coords) + list(out.data_vars):
+        if bool(_re.search(r"_time|^time[\d]+$", var)):
+            target = out.coords[var] if var in out.coords else out.data_vars[var]
+            for k, v in DEFAULT_TIME_ENCODING.items():
+                target.attrs.setdefault(k, v)
+    return out
+
+
+def get_zarr_compression(var, compression_settings: dict) -> dict:
+    """Pick the compressor entry for a variable's dtype
+    (reference: utils/coding.py:164-176)."""
+    dtype = np.dtype(getattr(var, "dtype", var))
+    if np.issubdtype(dtype, np.floating):
+        return compression_settings["float"]
+    elif np.issubdtype(dtype, np.integer):
+        return compression_settings["int"]
+    elif np.issubdtype(dtype, np.str_) or np.issubdtype(dtype, np.object_):
+        return compression_settings["object"]
+    elif np.issubdtype(dtype, np.datetime64):
+        return compression_settings["time"]
+    else:
+        raise NotImplementedError(f"Zarr Encoding for dtype = {dtype} has not been set")
+
+
+def set_zarr_encodings(ds, compression_settings: dict = None, chunk_size="100MB", ctol="10MB"):
+    """Per-variable zarr encodings: compressor + auto chunks
+    (reference: utils/coding.py:179-241)."""
+    encoding = {}
+    for name in list(ds.data_vars) + list(ds.coords):
+        da = ds[name]
+        if compression_settings is not None:
+            comp = dict(get_zarr_compression(da, compression_settings))
+        else:
+            comp = {"compressor": zarr_compressor_meta(da.dtype)}
+        comp["chunks"] = auto_chunks(da.shape, da.dtype)
+        encoding[name] = comp
+    return encoding
+
+
+def set_netcdf_encodings(ds, compression_settings: dict = None):
+    """Per-variable netCDF encodings: zlib for non-string variables
+    (reference: utils/coding.py:244-277)."""
+    settings = compression_settings or {"zlib": True, "complevel": 4}
+    encoding = {
+        name: dict(settings)
+        for name in list(ds.data_vars) + list(ds.coords)
+        if ds[name].dtype.kind not in ("U", "O")
+    }
+    return encoding
+
+
+def set_storage_encodings(ds, compression_settings: dict, engine: str):
+    """Dispatch to the zarr or netcdf encoding builder
+    (reference: utils/coding.py:280-300)."""
+    if engine == "zarr":
+        return set_zarr_encodings(ds, compression_settings)
+    elif engine == "netcdf4":
+        return set_netcdf_encodings(ds, compression_settings)
+    raise ValueError(f"Unknown storage engine {engine!r}")

@@ -110,6 +110,9 @@ def _install_stubs() -> None:
         def localize(self, dt):
             return dt.replace(tzinfo=self)
 
+        def normalize(self, dt):
+            return dt
+
     _utc = _PytzUtc()
     _stub("pytz", utc=_utc, UTC=_utc, __version__="2024.1")
     _stub("dask", __version__="2024.1")

@@ -83,3 +83,138 @@ def test_utils_surface():
     assert hasattr(ep.utils.misc, "depth_from_pressure")
     assert hasattr(ep.utils.misc, "camelcase2snakecase")
     assert hasattr(ep.utils.align, "align_to_ping_time")
+
+
+REFERENCE_PUBLIC_FUNCTIONS = {
+    # module -> public names the reference exposes (round-3 parity sweep over
+    # every reference module's top-level def/class list)
+    "commongrid.api": ["compute_MVBS", "compute_MVBS_index_binning", "compute_NASC", "regrid"],
+    "commongrid.utils": [
+        "compute_raw_MVBS", "compute_raw_NASC", "get_distance_from_latlon",
+        "assign_actual_range", "ping_time_bin_parsing_and_conversion",
+    ],
+    "clean.api": [
+        "mask_transient_noise", "mask_impulse_noise", "mask_attenuated_signal",
+        "estimate_background_noise", "remove_background_noise", "detect_transient",
+    ],
+    "mask.api": [
+        "apply_mask", "frequency_differencing", "regrid_mask",
+        "detect_seafloor", "detect_shoal",
+    ],
+    "consolidate.api": [
+        "swap_dims_channel_frequency", "add_depth", "add_location", "add_splitbeam_angle",
+    ],
+    "consolidate.loc_utils": [
+        "compute_invalid_check", "check_loc_vars_validity",
+        "check_loc_time_dim_duplicates", "sel_nmea",
+    ],
+    "metrics.summary_statistics": [
+        "delta_z", "convert_to_linear", "abundance", "center_of_mass",
+        "dispersion", "evenness", "aggregation",
+    ],
+    "qc.api": [
+        "coerce_increasing_time", "exist_reversed_time",
+        "check_and_correct_reversed_time", "create_old_time_array",
+        "orchestrate_reverse_time_check",
+    ],
+    "calibrate.api": ["compute_Sv", "compute_TS"],
+    "calibrate.range": ["compute_range_AZFP", "compute_range_EK", "range_mod_TVG_EK"],
+    "calibrate.env_params": [
+        "harmonize_env_param_time", "sanitize_user_env_dict",
+        "get_env_params_AZFP", "get_env_params_EK",
+    ],
+    "echodata.api": ["open_converted"],
+    "echodata.combine": ["check_zarr_path", "check_eds", "combine_echodata"],
+    "echodata.simrad": ["check_input_args_combination", "retrieve_correct_beam_group"],
+    "convert.api": ["to_file", "open_raw"],
+    "convert.utils.ek_date_conversion": [
+        "nt_to_unix", "unix_to_nt", "unix_to_datetime", "datetime_to_unix",
+    ],
+    "convert.utils.ek_duplicates": ["check_unique_ping_time_duplicates"],
+    "convert.utils.ek_swap": ["calc_final_shapes"],
+    "utils.uwa": ["calc_sound_speed", "calc_absorption"],
+    "utils.misc": ["camelcase2snakecase", "depth_from_pressure"],
+    "utils.align": ["align_to_ping_time"],
+    "utils.log": ["verbose"],
+    "utils.prov": [
+        "echopype_prov_attrs", "source_files_vars",
+        "add_processing_level", "insert_input_processing_level",
+    ],
+    "utils.coding": [
+        "sanitize_dtypes", "set_time_encodings", "get_zarr_compression",
+        "set_zarr_encodings", "set_netcdf_encodings", "set_storage_encodings",
+    ],
+}
+
+
+def test_reference_function_parity_sweep():
+    """Every reference public function has a same-named counterpart here."""
+    import importlib
+
+    missing = []
+    for mod, names in REFERENCE_PUBLIC_FUNCTIONS.items():
+        try:
+            m = importlib.import_module("echopype_tpu." + mod)
+        except ImportError as e:
+            missing.append(f"{mod} (module: {e})")
+            continue
+        missing += [f"{mod}.{n}" for n in names if not hasattr(m, n)]
+    assert not missing, f"missing reference-named API: {missing}"
+
+
+def test_nt_date_conversion_matches_reference():
+    import datetime
+
+    from ref_oracle import load_ref
+
+    from echopype_tpu.convert.utils import ek_date_conversion as ours
+
+    ref = load_ref("convert/utils/ek_date_conversion")
+    for nt in [(19496896, 30196149), (0, 30000000), (4294967295, 31000000)]:
+        # ours uses integer-microsecond math; the reference's float 100ns-tick
+        # multiply truncates ~1 us at 2020-era magnitudes
+        delta = abs((ours.nt_to_unix(nt) - ref.nt_to_unix(nt)).total_seconds())
+        assert delta <= 1e-6, delta
+    dt = datetime.datetime(2021, 6, 1, 12, 30, 15, 123456, datetime.timezone.utc)
+    assert ours.unix_to_nt(dt) == tuple(ref.unix_to_nt(dt))
+    assert ours.datetime_to_unix(dt) == ref.datetime_to_unix(dt)
+
+
+def test_raw_mvbs_entry_point_matches_api():
+    """compute_raw_MVBS on explicit edges == api-level compute_MVBS values."""
+    import numpy as np
+
+    import echopype_tpu as ep
+    from echopype_tpu.commongrid import utils as cu
+    from test_ref_postprocess import make_sv_ds
+
+    ds = make_sv_ds(n_ch=2, n_ping=14, n_r=30, seed=41)
+    pt = np.asarray(ds.coords["ping_time"].values, dtype="datetime64[ns]")
+    ping_edges = cu.ping_time_bin_edges(pt, "5s")
+    er_max = float(np.nanmax(np.asarray(ds["echo_range"].values)))
+    range_edges = np.arange(0, er_max + 4.0, 4.0)
+    raw = cu.compute_raw_MVBS(ds, range_edges, ping_edges)
+    api = ep.commongrid.compute_MVBS(ds, range_bin="4m", ping_time_bin="5s")
+    np.testing.assert_allclose(
+        np.asarray(raw["Sv"].values, dtype="f8"),
+        np.asarray(api["Sv"].values, dtype="f8"),
+        atol=1e-6, rtol=0, equal_nan=True,
+    )
+
+
+def test_calc_final_shapes_matches_reference():
+    import numpy as np
+
+    from ref_oracle import load_ref
+
+    from echopype_tpu.convert.utils.ek_swap import calc_final_shapes
+
+    ref = load_ref("convert/utils/ek_swap")
+    pdd = {
+        "power": {"ch1": [np.zeros(100), np.zeros(120)], "ch2": [np.zeros(90)]},
+        "angle": {"ch1": [np.zeros((100, 2)), np.zeros((110, 2))], "ch2": []},
+        "complex": {},
+    }
+    ours = calc_final_shapes(["power", "angle", "complex"], pdd)
+    want = ref.calc_final_shapes(["power", "angle", "complex"], pdd)
+    assert ours == want
