@@ -142,6 +142,29 @@ def main():
                 _fmt("EK80 BB Sv, float64 + ref's c64 pc quantization", _delta_stats(ref_sv, oq))
             )
 
+    # ---------------- AZFP power ----------------
+    from synth_azfp import write_azfp_raw, write_azfp_xml
+
+    pazfp = tmp / "23010100.01A"
+    xazfp = tmp / "azfp_cfg.xml"
+    write_azfp_raw(pazfp, n_pings=48)
+    write_azfp_xml(xazfp)
+    edaz = ep.open_raw(pazfp, sonar_model="AZFP", xml_path=str(xazfp))
+    ref_az = load_ref("calibrate/calibrate_azfp")
+    env_az = {"salinity": 29.6, "pressure": 60.0, "temperature": 9.2}
+    fake_az = FakeEchoData(
+        {p: edaz[p] for p in ("Sonar/Beam_group1", "Environment", "Vendor_specific")},
+        edaz.sonar_model,
+    )
+    ref_svaz = (
+        ref_az.CalibrateAZFP(fake_az, env_params=dict(env_az))
+        .compute_Sv()["Sv"]
+        .transpose("channel", "ping_time", "range_sample")
+        .values
+    )
+    oaz = ep.calibrate.compute_Sv(edaz, env_params=dict(env_az))["Sv"].values
+    rows.append(_fmt("AZFP power Sv, float64 (default)", _delta_stats(ref_svaz, oaz)))
+
     # ---------------- MVBS: f32 device binning vs f64 numpy binning ----------
     ds64 = ep.calibrate.compute_Sv(ed60)
     mv_dev = ep.commongrid.compute_MVBS(ds64, range_bin="20m", ping_time_bin="4s")

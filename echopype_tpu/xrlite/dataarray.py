@@ -387,9 +387,10 @@ class DataArray:
     def transpose(self, *dims):
         if not dims:
             dims = self.dims[::-1]
-        missing = [d for d in dims if d is not ... and d not in self.dims]
-        if missing:
-            raise ValueError(f"transpose dims {missing} not in {self.dims}")
+        # dims the array doesn't have are dropped (the reference transposes
+        # to a canonical ("channel", "ping_time", "range_sample") order on
+        # arrays that may lack ping_time, calibrate/range.py:95)
+        dims = tuple(d for d in dims if d is ... or d in self.dims)
         rest = [d for d in self.dims if d not in dims]
         if ... in dims:
             i = dims.index(...)

@@ -274,3 +274,62 @@ class TestEK80FullPipeline:
                 np.broadcast_arrays(rvv.squeeze(), ovv.squeeze())[1],
                 rtol=0, atol=1e-10, err_msg=k,
             )
+
+
+class TestAZFPPipelineDifferential:
+    """Reference CalibrateAZFP executed on our converted groups
+    (reference: calibrate/calibrate_azfp.py:10-125)."""
+
+    @pytest.fixture(scope="class")
+    def azfp_ed(self, tmp_path_factory):
+        from synth_azfp import write_azfp_raw, write_azfp_xml
+
+        tmp = tmp_path_factory.mktemp("refpipe_azfp")
+        raw = tmp / "23010100.01A"
+        xml = tmp / "cfg.xml"
+        write_azfp_raw(raw, n_pings=8)
+        write_azfp_xml(xml)
+        return ep.open_raw(raw, sonar_model="AZFP", xml_path=str(xml))
+
+    @pytest.mark.parametrize("cal_type", ["Sv", "TS"])
+    def test_azfp_cal_matches_reference(self, azfp_ed, cal_type):
+        ed = azfp_ed
+        ref_mod = load_ref("calibrate/calibrate_azfp")
+        fake = FakeEchoData(
+            {
+                p: ed[p]
+                for p in ("Sonar/Beam_group1", "Environment", "Vendor_specific")
+            },
+            ed.sonar_model,
+        )
+        env = {"salinity": 30.0, "pressure": 10.0, "temperature": 8.0}
+        cal = ref_mod.CalibrateAZFP(fake, env_params=dict(env))
+        want = cal.compute_Sv() if cal_type == "Sv" else cal.compute_TS()
+        got = (
+            ep.calibrate.compute_Sv(ed, env_params=dict(env))
+            if cal_type == "Sv"
+            else ep.calibrate.compute_TS(ed, env_params=dict(env))
+        )
+        w = np.asarray(want[cal_type].values, dtype="f8")
+        g = np.asarray(got[cal_type].values, dtype="f8")
+        if w.shape != g.shape:
+            want_t = want[cal_type].transpose(*got[cal_type].dims)
+            w = np.asarray(want_t.values, dtype="f8")
+        np.testing.assert_array_equal(np.isnan(g), np.isnan(w))
+        m = ~np.isnan(w)
+        np.testing.assert_allclose(g[m], w[m], rtol=0, atol=1e-10)
+        # echo_range must match too (AZFP Sv/TS use different range formulas)
+        we_da = want["echo_range"]
+        ge_da = got["echo_range"]
+        we = np.asarray(we_da.values, dtype="f8")
+        # align reference dims into our dim order, inserting singleton axes
+        # for dims the reference lacks (its AZFP echo_range has no ping_time)
+        order = [d for d in ge_da.dims if d in we_da.dims]
+        we = np.transpose(we, [we_da.dims.index(d) for d in order])
+        for i, d in enumerate(ge_da.dims):
+            if d not in we_da.dims:
+                we = np.expand_dims(we, i)
+        ge = np.asarray(ge_da.values, dtype="f8")
+        np.testing.assert_allclose(
+            ge, np.broadcast_to(we, ge.shape), rtol=0, atol=1e-10, equal_nan=True
+        )
