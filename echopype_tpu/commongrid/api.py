@@ -15,6 +15,7 @@ from ..utils.compute import _lin2log, _log2lin
 from ..utils.prov import add_processing_level, echopype_prov_attrs, insert_input_processing_level
 from ..xrlite import Dataset
 from .utils import (
+    _binned_mean_to_db,
     _parse_x_bin,
     _setup_and_validate,
     get_distance_from_latlon,
@@ -90,16 +91,7 @@ def compute_MVBS(
         sv, er_b.astype("f4"), np.asarray(range_edges, dtype="f4"), x_bounds,
         skipna=bool(skipna), closed=closed,
     )
-    with np.errstate(invalid="ignore", divide="ignore"):
-        good = (counts_w > 0) & (nan_w == 0)
-        linear = np.where(good, sums_w / np.where(counts_w > 0, counts_w, 1), np.nan)
-        # flox applies fill_value to bins with nothing aggregated, in the
-        # LINEAR domain, before the dB conversion (reference:
-        # commongrid/utils.py:76-92): a non-positive fill therefore comes out
-        # NaN in dB, and NaN-poisoned bins (skipna=False) are never filled.
-        if not np.isnan(fill_value):
-            linear = np.where(counts_w == 0, fill_value, linear)
-        mvbs = _lin2log(linear)
+    mvbs = _binned_mean_to_db(sums_w, counts_w, nan_w, fill_value)
 
     dim_0 = ds_Sv["Sv"].dims[0]
     ds_MVBS = Dataset(

@@ -175,16 +175,40 @@ def assign_actual_range(ds_MVBS: Dataset) -> Dataset:
     return ds_MVBS.assign_attrs({"actual_range": actual_range})
 
 
+def _binned_mean_to_db(sums, counts, nan_counts, fill_value):
+    """Linear bin sums/counts -> dB, with flox's fill semantics.
+
+    flox applies ``fill_value`` to bins with nothing aggregated, in the
+    LINEAR domain, before the dB conversion (reference:
+    commongrid/utils.py:76-92): a non-positive fill therefore comes out NaN
+    in dB, NaN-poisoned bins (skipna=False) are never filled, and
+    ``fill_value=None`` means NaN (flox's default).
+    """
+    from ..utils.compute import _lin2log
+
+    with np.errstate(invalid="ignore", divide="ignore"):
+        good = (counts > 0) & (nan_counts == 0)
+        linear = np.where(good, sums / np.where(counts > 0, counts, 1), np.nan)
+        if fill_value is not None and not np.isnan(fill_value):
+            linear = np.where(counts == 0, fill_value, linear)
+        return _lin2log(linear)
+
+
 def _interval_edges(interval):
-    """Bin edges from a pandas IntervalIndex or a 1-D edge array."""
+    """(edges, closed) from a pandas IntervalIndex or a 1-D edge array.
+
+    An IntervalIndex carries its own closed side; plain edge arrays default
+    to the reference's 'left'.
+    """
     try:
         import pandas as pd
 
         if isinstance(interval, pd.IntervalIndex):
-            return np.append(np.asarray(interval.left), interval.right[-1])
+            closed = interval.closed if interval.closed in ("left", "right") else "left"
+            return np.append(np.asarray(interval.left), interval.right[-1]), closed
     except ImportError:
         pass
-    return np.asarray(interval)
+    return np.asarray(interval), "left"
 
 
 def compute_raw_MVBS(
@@ -207,28 +231,22 @@ def compute_raw_MVBS(
     Accepts pandas IntervalIndexes or 1-D edge arrays.
     """
     from ..ops import binning
-    from ..utils.compute import _lin2log
 
-    range_edges = _interval_edges(range_interval).astype("f8")
-    ping_edges = np.asarray(
-        _interval_edges(ping_interval), dtype="datetime64[ns]"
-    )
+    range_edges, closed_r = _interval_edges(range_interval)
+    range_edges = range_edges.astype("f8")
+    ping_edges_raw, closed_p = _interval_edges(ping_interval)
+    ping_edges = np.asarray(ping_edges_raw, dtype="datetime64[ns]")
     ping_time = np.asarray(ds_Sv.coords["ping_time"].values, dtype="datetime64[ns]")
     sv = np.asarray(ds_Sv["Sv"].values, dtype="f8")
     er = np.asarray(ds_Sv[range_var].values, dtype="f8")
     if er.shape != sv.shape:
         er = np.broadcast_to(er, sv.shape)
-    x_bounds = binning.x_bounds_np(ping_time.astype("i8"), ping_edges.astype("i8"), "left")
+    x_bounds = binning.x_bounds_np(ping_time.astype("i8"), ping_edges.astype("i8"), closed_p)
     sums, counts, nan_w = binning.windowed_partials_np(
         sv.astype("f4"), er.astype("f4"), range_edges.astype("f4"), x_bounds,
-        skipna=bool(skipna), closed="left",
+        skipna=bool(skipna), closed=closed_r,
     )
-    with np.errstate(invalid="ignore", divide="ignore"):
-        good = (counts > 0) & (nan_w == 0)
-        linear = np.where(good, sums / np.where(counts > 0, counts, 1), np.nan)
-        if not (isinstance(fill_value, float) and np.isnan(fill_value)):
-            linear = np.where(counts == 0, fill_value, linear)
-        mvbs = _lin2log(linear)
+    mvbs = _binned_mean_to_db(sums, counts, nan_w, fill_value)
     dim0 = ds_Sv["Sv"].dims[0]
     out = Dataset(
         coords={
@@ -259,19 +277,21 @@ def compute_raw_NASC(
     """
     from ..ops import binning
 
-    depth_edges = _interval_edges(range_interval).astype("f8")
-    dist_edges = _interval_edges(dist_interval).astype("f8")
+    depth_edges, closed_r = _interval_edges(range_interval)
+    depth_edges = depth_edges.astype("f8")
+    dist_edges, closed_x = _interval_edges(dist_interval)
+    dist_edges = dist_edges.astype("f8")
     dist = np.asarray(ds_Sv["distance_nmi"].values, dtype="f8")
     sv = np.asarray(ds_Sv["Sv"].values, dtype="f8")
     depth = np.asarray(ds_Sv["depth"].values, dtype="f8")
     if depth.shape != sv.shape:
         depth = np.broadcast_to(depth, sv.shape)
     n_x, n_r = len(dist_edges) - 1, len(depth_edges) - 1
-    x_bounds = binning.x_bounds_np(dist, dist_edges, "left")
-    x_idx = binning.bin_index_np(dist, dist_edges, "left")
+    x_bounds = binning.x_bounds_np(dist, dist_edges, closed_x)
+    x_idx = binning.bin_index_np(dist, dist_edges, closed_x)
     sums, counts, nan_w = binning.windowed_partials_np(
         sv.astype("f4"), depth.astype("f4"), depth_edges.astype("f4"), x_bounds,
-        skipna=bool(skipna), closed="left",
+        skipna=bool(skipna), closed=closed_r,
     )
     with np.errstate(invalid="ignore", divide="ignore"):
         good = (counts > 0) & (nan_w == 0)
@@ -279,7 +299,7 @@ def compute_raw_NASC(
     ddepth = np.diff(depth, axis=2).astype("f4")
     h_num = binning.windowed_sum_raw_np(
         ddepth, depth.astype("f4")[:, :, :-1], depth_edges.astype("f4"), x_bounds,
-        closed="left",
+        closed=closed_r,
     )
     denom = np.bincount(x_idx[x_idx >= 0], minlength=n_x).astype("f8")
     with np.errstate(invalid="ignore", divide="ignore"):

@@ -18,6 +18,8 @@ def check_unique_ping_time_duplicates(ds_data, logger) -> None:
         if c < 2:
             continue
         idx = order[s : s + c]
+        # warn once per differing VARIABLE (reference warns per variable and
+        # keeps scanning the rest, so the operator sees the full list)
         for var in ds_data.data_vars:
             da = ds_data[var]
             if "ping_time" not in da.dims:
@@ -41,6 +43,3 @@ def check_unique_ping_time_duplicates(ds_data, logger) -> None:
                         "in data loss."
                     )
                     break
-            else:
-                continue
-            break

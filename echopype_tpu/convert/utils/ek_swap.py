@@ -14,9 +14,9 @@ import numpy as np
 __all__ = ["calc_final_shapes"]
 
 
-def _max_shape_across(arrs):
-    """Elementwise max of every array's shape; None when no arrays."""
-    shapes = [np.asarray(a).shape for a in arrs if a is not None]
+def _max_shape_of(shapes):
+    """Elementwise max over shape tuples; None when empty."""
+    shapes = [s for s in shapes if s is not None]
     if not shapes:
         return None
     ndim = max(len(s) for s in shapes)
@@ -33,10 +33,10 @@ def _get_datagram_max_shape(datagram_dict):
     for arr_list in datagram_dict.values():
         if not arr_list:
             continue
-        m = _max_shape_across(arr_list)
+        m = _max_shape_of([np.asarray(a).shape for a in arr_list if a is not None])
         if m is not None:
             per_channel.append((len(arr_list),) + m)
-    return _max_shape_across([np.empty(s) for s in per_channel]) if per_channel else None
+    return _max_shape_of(per_channel)
 
 
 def calc_final_shapes(data_types, ping_data_dict):

@@ -748,6 +748,7 @@ def run_survey_mvbs_from_raw(
     prefetch: bool = True,
     freq_diff=None,
     workers: int = 0,
+    noise_masks=None,
 ):
     """Stream RAW instrument files straight into survey-global MVBS bins.
 
@@ -804,6 +805,13 @@ def run_survey_mvbs_from_raw(
     from ..commongrid.utils import ping_time_bin_edges
     from ..convert.api import open_raw
 
+    if noise_masks is not None:
+        # the raw streamer never materializes full-file Sv, which the clean
+        # windowed detectors need; two-stage covers the use case
+        raise NotImplementedError(
+            "noise_masks requires full-file Sv context: compute Sv first, then "
+            "run_survey_mvbs(sv_sources, noise_masks=...)"
+        )
     if freq_diff is not None and (
         encode_mode == "complex" or waveform_mode in ("BB", "FM")
     ):

@@ -387,9 +387,12 @@ class DataArray:
     def transpose(self, *dims):
         if not dims:
             dims = self.dims[::-1]
-        # dims the array doesn't have are dropped (the reference transposes
-        # to a canonical ("channel", "ping_time", "range_sample") order on
-        # arrays that may lack ping_time, calibrate/range.py:95)
+        # dims the array doesn't have are dropped: the reference (on its
+        # pinned xarray>=2026.01) transposes to a canonical ("channel",
+        # "ping_time", "range_sample") order on arrays that may lack
+        # ping_time (calibrate/range.py:95), so strict-raise here would make
+        # that code un-executable.  A fully-bogus dim list still errors via
+        # numpy's axes-count check below.
         dims = tuple(d for d in dims if d is ... or d in self.dims)
         rest = [d for d in self.dims if d not in dims]
         if ... in dims:
@@ -613,7 +616,10 @@ class DataArray:
     def __getitem__(self, key):
         if isinstance(key, str):
             if key not in self.coords and key in self.dims:
-                # xarray virtual dimension coordinate: arange(size)
+                # xarray virtual dimension coordinate: arange(size).  The
+                # reference iterates da["channel"] on coord-less arrays
+                # (clean/utils.py:211-222), so this fallback is required to
+                # execute it.
                 return DataArray(np.arange(self.sizes[key]), (key,), name=key)
             return self.coords[key]
         if isinstance(key, dict):
@@ -1101,23 +1107,38 @@ class DataArray:
                 raise KeyError(f"reindex: no coordinate for dim {dim!r}")
             old = np.asarray(old_coord.values)
             if method == "ffill":
+                # xarray requires a monotonic index for fill methods
+                if len(old) > 1 and not np.all(old[1:] >= old[:-1]):
+                    raise ValueError(
+                        f"reindex with method='ffill' requires a monotonically "
+                        f"increasing {dim!r} index"
+                    )
                 idx = np.searchsorted(old, new, side="right") - 1
                 valid = idx >= 0
                 idx = np.clip(idx, 0, len(old) - 1)
             elif method is None:
-                idx = np.searchsorted(old, new)
-                idx = np.clip(idx, 0, len(old) - 1)
+                # exact label matching; the old index need not be sorted
+                order = np.argsort(old, kind="stable")
+                pos = np.searchsorted(old[order], new)
+                pos = np.clip(pos, 0, len(old) - 1)
+                idx = order[pos]
                 valid = old[idx] == new
             else:
                 raise NotImplementedError(f"reindex method={method!r}")
             ax = out._dim_index(dim)
             vals = np.take(out.values, idx, axis=ax)
             if not valid.all():
-                if not np.issubdtype(vals.dtype, np.floating):
-                    vals = vals.astype(np.float64)
-                sl = [slice(None)] * vals.ndim
-                sl[ax] = ~valid
-                vals[tuple(sl)] = fill_value
+                if np.issubdtype(vals.dtype, np.datetime64):
+                    sl = [slice(None)] * vals.ndim
+                    sl[ax] = ~valid
+                    vals = vals.astype("datetime64[ns]")
+                    vals[tuple(sl)] = np.datetime64("NaT")
+                else:
+                    if not np.issubdtype(vals.dtype, np.floating):
+                        vals = vals.astype(np.float64)
+                    sl = [slice(None)] * vals.ndim
+                    sl[ax] = ~valid
+                    vals[tuple(sl)] = fill_value
             res = DataArray(vals, out.dims, attrs=out.attrs, name=out.name)
             for k, v in out.coords.items():
                 if dim not in v.dims:

@@ -246,3 +246,39 @@ class TestPositionReduction:
                 np.asarray(want[v].values, dtype="f8"),
                 rtol=1e-12,
             )
+
+
+class TestRawEntryPointEdgeSemantics:
+    def test_right_closed_interval_index(self):
+        """compute_raw_MVBS honors the IntervalIndex's own closed side."""
+        ds = make_sv_ds(n_ch=2, n_ping=12, n_r=25, seed=43)
+        er = np.asarray(ds["echo_range"].values)
+        er[:] = np.broadcast_to(np.arange(25) * 1.0, er.shape)  # edge-landing
+        ref_u = load_ref("commongrid/utils")
+        edges_r = np.arange(0, 26.0, 5.0)
+        edges_t = ping_interval_edges(np.asarray(ds.coords["ping_time"].values), "4s")
+        ri = ref_u._convert_bins_to_interval_index(edges_r, closed="right")
+        pi = ref_u._convert_bins_to_interval_index(edges_t, closed="right")
+        want = ref_u.compute_raw_MVBS(ds, ri, pi)
+        from echopype_tpu.commongrid.utils import compute_raw_MVBS
+
+        got = compute_raw_MVBS(ds, ri, pi)
+        np.testing.assert_allclose(
+            np.asarray(got["Sv"].values, dtype="f8"),
+            np.asarray(want["Sv"].values, dtype="f8"),
+            atol=2e-5, rtol=0, equal_nan=True,
+        )
+
+    def test_fill_value_none_is_nan(self):
+        ds = make_sv_ds(n_ch=2, n_ping=10, n_r=20, seed=45)
+        pt = np.asarray(ds.coords["ping_time"].values).copy()
+        pt[5:] += np.timedelta64(30, "s")  # leave empty time bins
+        ds.coords["ping_time"].values = pt
+        from echopype_tpu.commongrid.utils import compute_raw_MVBS
+        from echopype_tpu.commongrid.utils import ping_time_bin_edges
+
+        edges_t = ping_time_bin_edges(pt, "5s")
+        out = compute_raw_MVBS(ds, np.arange(0, 15.0, 4.0), edges_t, fill_value=None)
+        vals = np.asarray(out["Sv"].values)
+        assert vals.dtype.kind == "f"
+        assert np.isnan(vals).any()

@@ -133,3 +133,10 @@ class TestCleanedNASCStreaming:
         np.testing.assert_array_equal(np.isnan(f), np.isnan(c))
         both = ~np.isnan(f)
         np.testing.assert_array_equal(f[both], c[both])
+
+
+def test_from_raw_noise_masks_clear_error():
+    from echopype_tpu.parallel.survey import run_survey_mvbs_from_raw
+
+    with pytest.raises(NotImplementedError, match="noise_masks"):
+        run_survey_mvbs_from_raw(["whatever.raw"], noise_masks={"impulse": {}})

@@ -477,3 +477,33 @@ class TestRound3FacadeSurface:
             out.values, [[1.5, np.nan, 4.0], [15.0, np.nan, 35.0]]
         )
         assert out.coords["p_bins"].values[0].left == 0.0
+
+    def test_reindex_unsorted_exact(self):
+        import numpy as np
+        from echopype_tpu.xrlite import DataArray
+
+        da = DataArray(
+            np.array([10.0, 20.0, 30.0]), ("ch",),
+            coords={"ch": np.array(["b", "a", "c"], dtype=object)},
+        )
+        out = da.reindex({"ch": np.array(["a", "b", "c"], dtype=object)})
+        np.testing.assert_allclose(out.values, [20.0, 10.0, 30.0])
+
+    def test_reindex_datetime_nat_fill(self):
+        import numpy as np
+        from echopype_tpu.xrlite import DataArray
+
+        t = np.array(["2020-01-01", "2020-01-02"], dtype="datetime64[ns]")
+        da = DataArray(t.copy(), ("p",), coords={"p": [0, 1]})
+        out = da.reindex({"p": [0, 1, 2]})
+        assert out.values.dtype == np.dtype("datetime64[ns]")
+        assert np.isnat(out.values[2]) and out.values[0] == t[0]
+
+    def test_reindex_ffill_unsorted_raises(self):
+        import numpy as np
+        import pytest
+        from echopype_tpu.xrlite import DataArray
+
+        da = DataArray(np.arange(3.0), ("p",), coords={"p": [3, 1, 2]})
+        with pytest.raises(ValueError, match="monotonically"):
+            da.reindex({"p": [1, 2]}, method="ffill")
