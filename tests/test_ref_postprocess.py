@@ -252,3 +252,40 @@ class TestSplitbeamComplexDifferential:
             np.testing.assert_array_equal(np.isnan(g), np.isnan(w))
             m = ~np.isnan(w)
             np.testing.assert_allclose(g[m], w[m], rtol=1e-9, atol=1e-10)
+
+
+class TestSplitbeamBBDifferential:
+    """BB pulse-compressed split-beam angles vs the reference
+    (reference: consolidate/api.py:507-520, split_beam_angle.py:176-)."""
+
+    @pytest.mark.parametrize("pulse_compression", [False, True])
+    def test_add_splitbeam_angle_bb(self, tmp_path, pulse_compression):
+        from synth_ek80 import write_ek80_raw
+        from test_ref_pipeline import _fake
+
+        path = tmp_path / f"SBB{int(pulse_compression)}-D20210201-T000000.raw"
+        write_ek80_raw(
+            path, n_pings=5, n_samples=64,
+            with_power_channel=False, with_cw_complex=False,
+        )
+        ed = ep.open_raw(path, sonar_model="EK80")
+        ds = ep.calibrate.compute_Sv(ed, waveform_mode="BB", encode_mode="complex")
+        ref_c = load_ref("consolidate/api")
+        kw = dict(waveform_mode="BB", encode_mode="complex",
+                  pulse_compression=pulse_compression, to_disk=False)
+        want = ref_c.add_splitbeam_angle(ds.copy(), _fake(ed), **kw)
+        got = ep.consolidate.add_splitbeam_angle(ds.copy(), ed, **kw)
+        for var in ("angle_alongship", "angle_athwartship"):
+            w_da = want[var]
+            g_da = got[var]
+            if w_da.dims != g_da.dims:
+                w_da = w_da.transpose(*g_da.dims)
+            w = np.asarray(w_da.values, dtype="f8")
+            g = np.asarray(g_da.values, dtype="f8")
+            np.testing.assert_array_equal(np.isnan(g), np.isnan(w))
+            m = ~np.isnan(w)
+            # PC residual <= ~1e-5 deg: the reference's compress_pulse
+            # quantizes to complex64 (ek80_complex.py:304); ours stays f64
+            # (see the error-budget table's BB row)
+            tol = 2e-5 if pulse_compression else 1e-9
+            np.testing.assert_allclose(g[m], w[m], rtol=0, atol=tol)
