@@ -84,20 +84,26 @@ def ping_time_bin_edges(ping_time: np.ndarray, ping_time_bin: str) -> np.ndarray
 
 
 def parse_time_bin_to_value_unit(ping_time_bin: str):
-    """'20s' -> (20, 'seconds'), for cell_methods attrs."""
+    """'20s' -> (20, 'second'), for cell_methods attrs.
+
+    Unit labels are singular, matching the reference's timedelta_units map
+    (commongrid/utils.py:678-690).
+    """
     m = re.match(r"([\d.]+)\s*([a-zA-Z]+)", ping_time_bin.strip())
     if not m:
         raise ValueError(f"Cannot parse time bin {ping_time_bin!r}")
     value = float(m.group(1))
     unit = m.group(2).lower()
     label = {
-        "s": "seconds",
-        "sec": "seconds",
-        "min": "minutes",
-        "t": "minutes",
-        "h": "hours",
-        "d": "days",
-        "ms": "milliseconds",
+        "s": "second",
+        "sec": "second",
+        "min": "minute",
+        "t": "minute",
+        "h": "hour",
+        "d": "day",
+        "ms": "millisecond",
+        "us": "millisecond",
+        "ns": "millisecond",
     }.get(unit, unit)
     if value == int(value):
         value = int(value)

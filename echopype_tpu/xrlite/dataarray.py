@@ -621,7 +621,15 @@ class DataArray:
                 # (clean/utils.py:211-222), so this fallback is required to
                 # execute it.
                 return DataArray(np.arange(self.sizes[key]), (key,), name=key)
-            return self.coords[key]
+            c = self.coords[key]
+            out = DataArray(c.values, c.dims, attrs=c.attrs, name=key)
+            # a selected coordinate carries the coords over its own dims,
+            # including itself (xarray semantics; regrid_mask resamples
+            # mask_da["ping_time"] along its own coordinate)
+            out.coords = {
+                k: v for k, v in self.coords.items() if set(v.dims) <= set(c.dims)
+            }
+            return out
         if isinstance(key, dict):
             return self.isel(key)
         if isinstance(key, DataArray):
@@ -1153,6 +1161,25 @@ class DataArray:
         }
         return self.reindex(indexers, method=method, fill_value=fill_value)
 
+    @property
+    def indexes(self):
+        """pandas Index per 1-D dim coordinate (xarray parity)."""
+        import pandas as pd
+
+        return {
+            d: pd.Index(self.coords[d].values)
+            for d in self.dims
+            if d in self.coords and self.coords[d].dims == (d,)
+        }
+
+    def resample(self, indexer=None, skipna=True, **kw):
+        """Datetime resample along one dim (see _Resample)."""
+        spec = {**(indexer or {}), **kw}
+        if len(spec) != 1:
+            raise ValueError("resample takes exactly one dim=freq pair")
+        (dim, freq), = spec.items()
+        return _Resample(self, dim, freq, skipna=skipna)
+
     def coarsen(self, windows=None, boundary="strict", coord_func="mean", **dim_windows):
         """Block aggregation over fixed-size windows (xarray's ``coarsen``).
 
@@ -1278,3 +1305,52 @@ class _Coarsen:
 
     def max(self, skipna=True, **kw):
         return self._reduce("max", skipna)
+
+
+class _Resample:
+    """Helper returned by ``DataArray.resample`` (datetime group-bins).
+
+    Implements the access pattern the reference uses to build its ping-time
+    bin grid: ``da.resample(ping_time="20s").first().indexes["ping_time"]``
+    (reference: commongrid/api.py:117-124, mask/api.py regrid_mask) — the
+    pandas resample index, including empty interior bins.
+    """
+
+    def __init__(self, da, dim, freq, skipna=True):
+        self.da = da
+        self.dim = dim
+        self.freq = freq
+        self.skipna = skipna
+
+    def _grouped(self):
+        import pandas as pd
+
+        t = np.asarray(self.da.coords[self.dim].values, dtype="datetime64[ns]")
+        ax = self.da._dim_index(self.dim)
+        moved = np.moveaxis(self.da.values, ax, 0)
+        flat = moved.reshape(len(t), -1)
+        df = pd.DataFrame(flat, index=pd.DatetimeIndex(t))
+        return df, moved.shape, ax
+
+    def _finish(self, res, shape, ax):
+        vals = res.to_numpy().reshape((len(res.index),) + shape[1:])
+        vals = np.moveaxis(vals, 0, ax)
+        dims = self.da.dims
+        out = DataArray(vals, dims, attrs=self.da.attrs, name=self.da.name)
+        for k, v in self.da.coords.items():
+            if self.dim not in v.dims:
+                out.coords[k] = v
+        out.coords[self.dim] = DataArray(
+            np.asarray(res.index.values, dtype="datetime64[ns]"), (self.dim,), name=self.dim
+        )
+        return out
+
+    def first(self):
+        df, shape, ax = self._grouped()
+        res = df.resample(self.freq).first()
+        return self._finish(res, shape, ax)
+
+    def mean(self):
+        df, shape, ax = self._grouped()
+        res = df.resample(self.freq).mean()
+        return self._finish(res, shape, ax)

@@ -282,3 +282,75 @@ class TestRawEntryPointEdgeSemantics:
         vals = np.asarray(out["Sv"].values)
         assert vals.dtype.kind == "f"
         assert np.isnan(vals).any()
+
+
+class TestApiLevelMVBSDifferential:
+    """The reference's FULL compute_MVBS api (resample bin grid, raw reduce,
+    position reduction, cell_methods attrs) executed as the oracle
+    (reference: commongrid/api.py:31-191)."""
+
+    def test_full_api_matches(self):
+        ds = make_nasc_ds(n_ping=26, seed=61)
+        ref_api = load_ref("commongrid/api")
+        want = ref_api.compute_MVBS(ds, range_bin="5m", ping_time_bin="6s")
+        got = ep.commongrid.compute_MVBS(ds, range_bin="5m", ping_time_bin="6s")
+        np.testing.assert_allclose(
+            np.asarray(got["Sv"].values, dtype="f8"),
+            np.asarray(want["Sv"].values, dtype="f8"),
+            atol=2e-5, rtol=0, equal_nan=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.coords["ping_time"].values, dtype="datetime64[ns]"),
+            np.asarray(
+                want.coords["ping_time"].values.tolist(), dtype="datetime64[ns]"
+            ),
+        )
+        for v in ("latitude", "longitude"):
+            np.testing.assert_allclose(
+                np.asarray(got[v].values, dtype="f8"),
+                np.asarray(want[v].values, dtype="f8"),
+                rtol=1e-12,
+            )
+        # attrs parity: cell_methods / binning metadata
+        for k in ("cell_methods", "binning_mode", "range_meter_interval",
+                  "ping_time_interval"):
+            assert got["Sv"].attrs.get(k) == want["Sv"].attrs.get(k), k
+
+
+class TestRegridMaskDifferential:
+    def test_regrid_mask_matches(self):
+        """Reference regrid_mask (flox 'mean' over bins + AND/OR threshold)
+        vs ours (reference: mask/api.py regrid_mask)."""
+        rng = np.random.default_rng(71)
+        n_ping, n_r = 30, 40
+        pt = np.datetime64("2022-01-01T00:00:00", "ns") + np.arange(n_ping).astype(
+            "timedelta64[s]"
+        ).astype("timedelta64[ns]")
+        from echopype_tpu.xrlite import DataArray
+
+        mask = DataArray(
+            (rng.uniform(size=(n_ping, n_r)) > 0.4),
+            ("ping_time", "depth"),
+            coords={"ping_time": pt, "depth": np.arange(n_r) * 1.0},
+            name="mask",
+        )
+        range_da = DataArray(
+            np.broadcast_to(np.arange(n_r) * 1.0, (n_ping, n_r)).copy(),
+            ("ping_time", "depth"),
+            coords={"ping_time": pt},
+            name="depth",
+        )
+        ref_mask = load_ref("mask/api")
+        for func in ("logical-AND", "logical-OR"):
+            want = ref_mask.regrid_mask(
+                mask, range_da, range_bin="5m", ping_time_bin="5s", func=func
+            )
+            got = ep.mask.regrid_mask(
+                mask, range_da, range_bin="5m", ping_time_bin="5s", func=func
+            )
+            w = np.asarray(want.values)
+            g = np.asarray(got.values)
+            if g.shape != w.shape:
+                want_t = want.transpose(*got.dims)
+                w = np.asarray(want_t.values)
+            np.testing.assert_array_equal(g.astype("f8"), w.astype("f8"), err_msg=func)
