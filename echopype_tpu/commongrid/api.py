@@ -339,9 +339,20 @@ def compute_NASC(
         "units": "nmi",
     }
     ds_NASC.coords["depth"].attrs = {"long_name": "Cell depth", "units": "m"}
-    # ACDD geospatial attrs (api.py:404-414)
-    if "latitude" in ds_NASC and "longitude" in ds_NASC:
-        lat, lon = ds_NASC["latitude"].values, ds_NASC["longitude"].values
+    # ACDD bounding box: Conventions + time coverage + geospatial attrs from
+    # the INPUT per-ping positions, not the bin-reduced ones
+    # (reference: api.py:404-414 reads ds_Sv lat/lon)
+    ds_NASC.attrs["Conventions"] = "CF-1.7,ACDD-1.3"
+    pt_in = np.asarray(ds_Sv.coords["ping_time"].values, dtype="datetime64[ns]")
+    ds_NASC.attrs["time_coverage_start"] = np.datetime_as_string(
+        pt_in.min(), timezone="UTC"
+    )
+    ds_NASC.attrs["time_coverage_end"] = np.datetime_as_string(
+        pt_in.max(), timezone="UTC"
+    )
+    if "latitude" in ds_Sv and "longitude" in ds_Sv:
+        lat = np.asarray(ds_Sv["latitude"].values, dtype="f8")
+        lon = np.asarray(ds_Sv["longitude"].values, dtype="f8")
         if np.isfinite(lat).any():
             ds_NASC.attrs.update(
                 {

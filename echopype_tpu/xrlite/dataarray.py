@@ -1082,6 +1082,21 @@ class DataArray:
             raise ValueError("cannot convert unnamed DataArray to Dataset")
         return Dataset({nm: self})
 
+    def to_dataframe(self, name=None):
+        """1-D DataArray -> pandas DataFrame indexed by the dim coordinate
+        (the access pattern of the reference's lat/lon distance walk,
+        commongrid/utils.py:210-231)."""
+        import pandas as pd
+
+        if self.ndim != 1:
+            raise NotImplementedError("xrlite to_dataframe supports 1-D arrays")
+        d = self.dims[0]
+        if d in self.coords:
+            idx = pd.Index(self.coords[d].values, name=d)
+        else:
+            idx = pd.RangeIndex(len(self.values), name=d)
+        return pd.DataFrame({name or self.name: self.values}, index=idx)
+
     def to_numpy(self):
         return self.values
 

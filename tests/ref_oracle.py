@@ -37,6 +37,8 @@ import importlib.util
 import sys
 import types
 
+import numpy as np
+
 REF_ROOT = "/root/reference/echopype"
 
 _loaded: dict = {}
@@ -153,8 +155,24 @@ def _install_stubs() -> None:
         di_mod, di_nd = flox_compat.make_dask_image_module()
         sys.modules["dask_image"] = di_mod
         sys.modules["dask_image.ndfilters"] = di_nd
+    # geopy.distance shim backed by our WGS-84 geodesic: lets the reference's
+    # get_distance_from_latlon / compute_NASC api execute (distance VALUES
+    # then come from the same geodesy on both sides; the binning, swap_dims,
+    # and assembly remain genuinely differential)
+    class _GeoDist:
+        def __init__(self, p1, p2):
+            from echopype_tpu.utils.geodesy import M_PER_NMI, vincenty_inverse_m
+
+            self._m = float(
+                vincenty_inverse_m(
+                    np.array([p1[0]]), np.array([p1[1]]),
+                    np.array([p2[0]]), np.array([p2[1]]),
+                )[0]
+            )
+            self.nm = self._m / M_PER_NMI
+
     _stub("geopy", __version__="0")
-    _stub("geopy.distance", distance=_unavailable, geodesic=_unavailable)
+    _stub("geopy.distance", distance=_GeoDist, geodesic=_GeoDist)
 
     _package("echopype", REF_ROOT)
     _package("echopype.utils", f"{REF_ROOT}/utils")

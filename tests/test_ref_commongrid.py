@@ -354,3 +354,30 @@ class TestRegridMaskDifferential:
                 want_t = want.transpose(*got.dims)
                 w = np.asarray(want_t.values)
             np.testing.assert_array_equal(g.astype("f8"), w.astype("f8"), err_msg=func)
+
+
+class TestApiLevelNASCDifferential:
+    """The reference's FULL compute_NASC api — lat/lon distance walk
+    (geopy shimmed onto the same WGS-84 geodesic both sides use),
+    swap_dims, raw reduce, position/ping_time assembly, ACDD attrs —
+    executed as the oracle (reference: commongrid/api.py:270-416)."""
+
+    def test_full_api_matches(self):
+        ds = make_nasc_ds(n_ping=35, seed=81)
+        ref_api = load_ref("commongrid/api")
+        want = ref_api.compute_NASC(ds.copy(), range_bin="4m", dist_bin="0.05nmi")
+        got = ep.commongrid.compute_NASC(ds.copy(), range_bin="4m", dist_bin="0.05nmi")
+        w = np.asarray(want["NASC"].values, dtype="f8")
+        g = np.asarray(got["NASC"].values, dtype="f8")
+        assert g.shape == w.shape
+        np.testing.assert_array_equal(np.isnan(g), np.isnan(w))
+        m = ~np.isnan(w)
+        np.testing.assert_allclose(g[m], w[m], rtol=3e-6, atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(got.coords["distance"].values, dtype="f8"),
+            np.asarray(want.coords["distance"].values, dtype="f8"),
+        )
+        for k in ("geospatial_lat_min", "geospatial_lat_max",
+                  "geospatial_lon_min", "geospatial_lon_max",
+                  "Conventions", "time_coverage_start", "time_coverage_end"):
+            assert got.attrs.get(k) == want.attrs.get(k), k
