@@ -126,7 +126,7 @@ class DataArray:
     name : str, optional
     """
 
-    __slots__ = ("values", "dims", "_coords", "attrs", "name")
+    __slots__ = ("values", "dims", "_coords", "attrs", "name", "_encoding")
 
     @property
     def coords(self):
@@ -213,6 +213,21 @@ class DataArray:
 
     def item(self):
         return self.values.item()
+
+    @property
+    def encoding(self):
+        """Serialization encoding hints (xarray parity; storage reads its
+        own defaults, so this is carried but not consumed)."""
+        try:
+            enc = object.__getattribute__(self, "_encoding")
+        except AttributeError:
+            enc = {}
+            object.__setattr__(self, "_encoding", enc)
+        return enc
+
+    @encoding.setter
+    def encoding(self, value):
+        object.__setattr__(self, "_encoding", dict(value))
 
     # ---------------------------------------------------- xarray-parity sugar
     @property

@@ -16,7 +16,7 @@ class Dataset:
     (see SURVEY.md Appendix B for the group contents this carries).
     """
 
-    __slots__ = ("data_vars", "_coords", "attrs")
+    __slots__ = ("data_vars", "_coords", "attrs", "_encoding")
 
     @property
     def coords(self):
@@ -29,6 +29,19 @@ class Dataset:
         cd = CoordsDict()
         cd.update(value)
         self._coords = cd
+
+    @property
+    def encoding(self):
+        try:
+            enc = object.__getattribute__(self, "_encoding")
+        except AttributeError:
+            enc = {}
+            object.__setattr__(self, "_encoding", enc)
+        return enc
+
+    @encoding.setter
+    def encoding(self, value):
+        object.__setattr__(self, "_encoding", dict(value))
 
     def __init__(self, data_vars=None, coords=None, attrs=None):
         self.data_vars = {}
@@ -338,6 +351,25 @@ class Dataset:
     def expand_dims(self, dim, axis=0):
         out = Dataset(attrs=dict(self.attrs))
         out.coords = dict(self.coords)
+        if isinstance(dim, dict):
+            # xarray: {new_dim: coord_values} adds the dim AND its coordinate
+            # (the reference's per-channel group assembly,
+            # set_groups_ek60.py:130)
+            for d, vals in dim.items():
+                vals = np.asarray(vals)
+                if vals.ndim == 0:
+                    vals = vals[None]
+                for k, v in (out.data_vars or self.data_vars).items():
+                    src = out.data_vars.get(k, v)
+                    expanded = src.expand_dims(d, axis)
+                    if len(vals) > 1:
+                        expanded = DataArray(
+                            np.repeat(expanded.values, len(vals), axis=axis),
+                            expanded.dims, attrs=expanded.attrs, name=k,
+                        )
+                    out.data_vars[k] = expanded
+                out.coords[d] = DataArray(vals, (d,), name=d)
+            return out
         for k, v in self.data_vars.items():
             out.data_vars[k] = v.expand_dims(dim, axis)
         return out

@@ -229,9 +229,54 @@ def set_options(**kwargs):
     return _Ctx()
 
 
+def _make_coding_module() -> types.ModuleType:
+    """xarray.coding.times subset: CF datetime encode/decode for the
+    reference's time-encoding round-trip (utils/coding.py:85-95)."""
+    coding = types.ModuleType("xarray.coding")
+    times = types.ModuleType("xarray.coding.times")
+
+    _UNIT_NS = {
+        "nanoseconds": 1,
+        "microseconds": 10**3,
+        "milliseconds": 10**6,
+        "seconds": 10**9,
+        "minutes": 60 * 10**9,
+        "hours": 3600 * 10**9,
+        "days": 86400 * 10**9,
+    }
+
+    def _parse_units(units):
+        unit, _, epoch = units.partition(" since ")
+        epoch = epoch.strip().rstrip("Z").replace(" ", "T")
+        return _UNIT_NS[unit.strip()], np.datetime64(epoch, "ns")
+
+    def encode_cf_datetime(dates, units=None, calendar=None, dtype=None):
+        units = units or "nanoseconds since 1970-01-01T00:00:00Z"
+        step_ns, epoch = _parse_units(units)
+        vals = np.asarray(dates, dtype="datetime64[ns]")
+        num = (vals - epoch).astype("i8") // step_ns
+        return num, units, calendar or "proleptic_gregorian"
+
+    def decode_cf_datetime(num_dates, units, calendar=None, **kw):
+        step_ns, epoch = _parse_units(units)
+        num = np.asarray(num_dates, dtype="i8")
+        return epoch + (num * step_ns).astype("timedelta64[ns]")
+
+    times.encode_cf_datetime = encode_cf_datetime
+    times.decode_cf_datetime = decode_cf_datetime
+    coding.times = times
+    return coding
+
+
 def make_module() -> types.ModuleType:
     """Build a module object exposing this facade under the xarray API."""
     mod = types.ModuleType("xarray")
+    mod.coding = _make_coding_module()
+    sys.modules.setdefault("xarray.coding", mod.coding)
+    sys.modules.setdefault("xarray.coding.times", mod.coding.times)
+    # Variable: annotation-only in the reference (utils/coding.py:164);
+    # xrlite DataArrays duck-type the Variable surface
+    mod.Variable = _XrliteDataArray
     mod.DataArray = DataArray
     mod.Dataset = Dataset
     mod.where = where

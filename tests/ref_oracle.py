@@ -119,10 +119,29 @@ def _install_stubs() -> None:
     _stub("pytz", utc=_utc, UTC=_utc, __version__="2024.1")
     _stub("dask", __version__="2024.1")
     _stub("dask.array", Array=type("Array", (), {}))
+
+    def _parse_bytes(s):
+        if isinstance(s, (int, float)):
+            return int(s)
+        units = {"kb": 1e3, "mb": 1e6, "gb": 1e9, "kib": 2**10, "mib": 2**20,
+                 "gib": 2**30, "b": 1}
+        t = str(s).strip().lower().replace(" ", "")
+        for u in sorted(units, key=len, reverse=True):
+            if t.endswith(u):
+                return int(float(t[: -len(u)]) * units[u])
+        return int(float(t))
+
+    _stub("dask.utils", parse_bytes=_parse_bytes)
     # parse_base.py imports these at module level but the parse_raw() paths we
     # exercise never touch them (swap/rectangularize only).
     _stub("dask.array.core", auto_chunks=lambda *a, **k: None)
     _stub("zarr", __version__="3.0", Group=type("Group", (), {}))
+
+    class _BloscCodec:
+        def __init__(self, cname="zstd", clevel=5, shuffle="shuffle", **kw):
+            self.cname, self.clevel, self.shuffle = cname, clevel, shuffle
+
+    _stub("zarr.codecs", BloscCodec=_BloscCodec, BloscShuffle=type("BloscShuffle", (), {"shuffle": "shuffle", "bitshuffle": "bitshuffle", "noshuffle": "noshuffle"}))
     # ek80_complex.py imports three suffix-string constants from
     # set_groups_ek80, whose own import chain needs pynmea2/xarray; stub just
     # the constants (values mirror set_groups_ek80.py:16-18).
@@ -173,6 +192,57 @@ def _install_stubs() -> None:
 
     _stub("geopy", __version__="0")
     _stub("geopy.distance", distance=_GeoDist, geodesic=_GeoDist)
+
+    # pynmea2 shim: GGA/GLL/RMC lat/lon decode (ddmm.mmmm), just enough for
+    # set_groups_base._extract_NMEA_latlon (set_groups_base.py:185-220)
+    class _NmeaError(Exception):
+        pass
+
+    class _NmeaMsg:
+        def __init__(self, sentence):
+            body = sentence.split("*")[0]
+            parts = body.lstrip("$").split(",")
+            talker_sentence = parts[0]
+            self.sentence_type = talker_sentence[2:] if len(talker_sentence) >= 5 else talker_sentence
+
+            def _latlon(vstr, hemi, width):
+                if not vstr:
+                    return None
+                deg = float(vstr[:width])
+                minutes = float(vstr[width:])
+                val = deg + minutes / 60.0
+                return -val if hemi in ("S", "W") else val
+
+            try:
+                if self.sentence_type == "GGA":
+                    self.latitude = _latlon(parts[2], parts[3], 2)
+                    self.longitude = _latlon(parts[4], parts[5], 3)
+                elif self.sentence_type in ("GLL",):
+                    self.latitude = _latlon(parts[1], parts[2], 2)
+                    self.longitude = _latlon(parts[3], parts[4], 3)
+                elif self.sentence_type in ("RMC",):
+                    self.latitude = _latlon(parts[3], parts[4], 2)
+                    self.longitude = _latlon(parts[5], parts[6], 3)
+            except (ValueError, IndexError) as e:
+                raise _NmeaError(str(e)) from e
+            if getattr(self, "latitude", 1) is None:
+                del self.latitude
+            if getattr(self, "longitude", 1) is None:
+                del self.longitude
+
+    def _nmea_parse(s):
+        if not s or not s.startswith("$"):
+            raise _NmeaError(f"could not parse {s!r}")
+        return _NmeaMsg(s)
+
+    _stub(
+        "pynmea2",
+        parse=_nmea_parse,
+        ChecksumError=_NmeaError,
+        SentenceTypeError=_NmeaError,
+        ParseError=_NmeaError,
+        __version__="0-shim",
+    )
 
     _package("echopype", REF_ROOT)
     _package("echopype.utils", f"{REF_ROOT}/utils")
