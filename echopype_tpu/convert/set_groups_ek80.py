@@ -396,7 +396,8 @@ class SetGroupsEK80(SetGroupsBase):
                 f_stop[ci, rows_dst] = freq
 
         ds = self._build_group_ds(
-            chans_used, union_time, arrays, tx_type, f_start, f_stop, max_r
+            chans_used, union_time, arrays, tx_type, f_start, f_stop, max_r,
+            freq_ramp="per_ping" if want_type == "LFM" else "none",
         )
         ds["backscatter_r"] = (
             ("channel", "ping_time", "range_sample", "beam"),
@@ -520,7 +521,10 @@ class SetGroupsEK80(SetGroupsBase):
             f_start[ci, rows_dst] = freq
             f_stop[ci, rows_dst] = freq
 
-        ds = self._build_group_ds(chans_used, union_time, arrays, tx_type, f_start, f_stop, max_r)
+        ds = self._build_group_ds(
+            chans_used, union_time, arrays, tx_type, f_start, f_stop, max_r,
+            freq_ramp="per_channel",
+        )
         ds["backscatter_r"] = (
             ("channel", "ping_time", "range_sample"),
             bs,
@@ -554,7 +558,10 @@ class SetGroupsEK80(SetGroupsBase):
             arr = arrays.setdefault(out_name, np.full((n_ch, n_t), np.nan))
             arr[self._group_chans.index(ch), rows_dst] = np.asarray(vals, dtype="f8")[rows_src]
 
-    def _build_group_ds(self, chans, union_time, arrays, tx_type, f_start, f_stop, max_r):
+    def _build_group_ds(
+        self, chans, union_time, arrays, tx_type, f_start, f_stop, max_r,
+        freq_ramp="per_ping",
+    ):
         bv = self._varattrs["beam_var_default"]
         ds = Dataset(
             coords={
@@ -586,16 +593,30 @@ class SetGroupsEK80(SetGroupsBase):
             tx_type,
             {"long_name": "Type of transmitted pulse", "flag_values": ["CW", "LFM", "FMD"]},
         )
-        ds["transmit_frequency_start"] = (
-            ("channel", "ping_time"),
-            f_start,
-            bv["transmit_frequency_start"],
-        )
-        ds["transmit_frequency_stop"] = (
-            ("channel", "ping_time"),
-            f_stop,
-            bv["transmit_frequency_stop"],
-        )
+        # frequency ramp vars follow the reference's placement
+        # (set_groups_ek80.py:735-790): per-ping for FM complex groups,
+        # per-channel for power groups, ABSENT for CW-complex groups (the
+        # raw CW pings carry no frequency_start/end fields)
+        if freq_ramp == "per_ping":
+            ds["transmit_frequency_start"] = (
+                ("channel", "ping_time"),
+                f_start,
+                bv["transmit_frequency_start"],
+            )
+            ds["transmit_frequency_stop"] = (
+                ("channel", "ping_time"),
+                f_stop,
+                bv["transmit_frequency_stop"],
+            )
+        elif freq_ramp == "per_channel":
+            with np.errstate(invalid="ignore"):
+                freq = np.nanmean(np.asarray(f_start, dtype="f8"), axis=1)
+            ds["transmit_frequency_start"] = (
+                ("channel",), freq, bv["transmit_frequency_start"]
+            )
+            ds["transmit_frequency_stop"] = (
+                ("channel",), freq.copy(), bv["transmit_frequency_stop"]
+            )
         return ds
 
     # ---------------------------------------------------------------- vendor

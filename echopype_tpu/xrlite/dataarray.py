@@ -956,7 +956,16 @@ class DataArray:
             o = np.broadcast_to(o_b.values, a2.shape)
             a = a2
             _, c = broadcast_arrays(a, cond)
-        vals = np.where(c.values, a.values, o)
+        av = a.values
+        if (
+            av.dtype.kind in ("U", "S")
+            and not isinstance(o, np.ndarray)
+            and isinstance(o, float)
+            and np.isnan(o)
+        ):
+            # xarray: NaN-masking a string array promotes it to object
+            av = av.astype(object)
+        vals = np.where(c.values, av, o)
         out = DataArray(vals, a.dims, attrs=self.attrs, name=self.name)
         out.coords = a.coords
         return out

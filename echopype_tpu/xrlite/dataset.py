@@ -227,12 +227,21 @@ class Dataset:
             iidx[d] = ref._label_to_index(d, lab, method)
         return self.isel(iidx, drop=drop)
 
-    def where(self, cond, other=np.nan):
+    def where(self, cond, other=np.nan, drop=False):
         out = Dataset(attrs=dict(self.attrs))
         out.coords = dict(self.coords)
         for k, v in self.data_vars.items():
             da = self[k]
             out.data_vars[k] = da.where(cond, other) if set(cond.dims) & set(da.dims) else da
+        if drop:
+            # xarray semantics: along each of cond's dims keep only indices
+            # where cond is True somewhere (reference: set_groups_ek80.py's
+            # LFM/CW complex split)
+            cv = np.asarray(cond.values, dtype=bool)
+            for d in cond.dims:
+                ax = cond.dims.index(d)
+                keep = cv.any(axis=tuple(i for i in range(cv.ndim) if i != ax))
+                out = out.isel({d: np.nonzero(keep)[0]})
         return out
 
     def dropna(self, dim, how="any", subset=None):

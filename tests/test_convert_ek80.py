@@ -48,7 +48,9 @@ class TestEK80Convert:
         ed, truth = ek80_ed
         bg2 = ed["Sonar/Beam_group2"]
         assert list(bg2.coords["channel"].values) == [CH_CW]
-        np.testing.assert_allclose(bg2["transmit_frequency_start"].values, 120000.0)
+        # CW-complex groups carry no frequency ramp vars (the raw CW pings
+        # have no frequency_start/end; reference set_groups_ek80.py:753-790)
+        assert "transmit_frequency_start" not in bg2.data_vars
         assert str(bg2["transmit_type"].values[0, 0]) == "CW"
 
     def test_power_group(self, ek80_ed):

@@ -51,6 +51,14 @@ def converted_pair(tmp_path_factory):
 def _cmp(ref_ds, our_ds, var, rtol=0.0, atol=0.0):
     w_da = ref_ds[var]
     g_da = our_ds[var]
+    # squeeze singleton dims one side lacks (e.g. the reference drops the
+    # channel dim on per-channel EK80 subsets)
+    for d in list(g_da.dims):
+        if d not in w_da.dims and g_da.sizes[d] == 1:
+            g_da = g_da.isel({d: 0})
+    for d in list(w_da.dims):
+        if d not in g_da.dims and w_da.sizes[d] == 1:
+            w_da = w_da.isel({d: 0})
     order = [d for d in g_da.dims if d in w_da.dims]
     if tuple(order) != w_da.dims and order:
         w_da = w_da.transpose(*order)
@@ -126,3 +134,73 @@ class TestSetGroupsDifferential:
         ref_v, our_v = ref_groups["Vendor_specific"], ed["Vendor_specific"]
         for var in ("sa_correction", "gain_correction", "pulse_length"):
             _cmp(ref_v, our_v, var, rtol=1e-12)
+
+
+class TestSetGroupsEK80Differential:
+    """Reference ParseEK80 + SetGroupsEK80 vs our EK80 conversion: the 3-way
+    beam split (BB complex / CW complex / CW power) and the Environment group
+    (reference: set_groups_ek80.py set_beam/set_env)."""
+
+    @pytest.fixture(scope="class")
+    def ek80_pair(self, tmp_path_factory):
+        from synth_ek80 import write_ek80_raw
+
+        tmp = tmp_path_factory.mktemp("ref_setgroups_ek80")
+        raw = tmp / "SG80-D20210201-T000000.raw"
+        write_ek80_raw(raw, n_pings=6, n_samples=64)
+
+        ref_parse = load_ref("convert/parse_ek80")
+        parser = ref_parse.ParseEK80(str(raw), storage_options={}, sonar_model="EK80")
+        parser.parse_raw()
+        parser.rectangularize_data(use_swap=False)
+        ref_sg = load_ref("convert/set_groups_ek80")
+        sg = ref_sg.SetGroupsEK80(
+            parser, input_file=str(raw), xml_path=None, output_path=None,
+            sonar_model="EK80", params=dict(CONVERT_PARAMS),
+        )
+        beams = sg.set_beam()
+        env = sg.set_env()
+        ed = ep.open_raw(str(raw), sonar_model="EK80")
+        return beams, env, ed
+
+    def test_three_way_beam_split(self, ek80_pair):
+        beams, _, ed = ek80_pair
+        ours = [
+            ed.get("Sonar/Beam_group1"),
+            ed.get("Sonar/Beam_group2"),
+            ed.get("Sonar/Beam_group3"),
+        ]
+        ref_present = [b is not None for b in beams]
+        our_present = [b is not None for b in ours]
+        assert ref_present == our_present
+
+    @pytest.mark.parametrize("gi", [0, 1, 2])
+    def test_beam_group_values(self, ek80_pair, gi):
+        beams, _, ed = ek80_pair
+        ref_b = beams[gi]
+        our_b = ed.get(f"Sonar/Beam_group{gi + 1}")
+        if ref_b is None:
+            pytest.skip("group absent in both (split check covers presence)")
+        for var in (
+            "backscatter_r", "backscatter_i", "frequency_nominal",
+            "transmit_duration_nominal", "sample_interval",
+            "angle_alongship", "angle_athwartship",
+            "transmit_frequency_start", "transmit_frequency_stop",
+        ):
+            has_ref = var in ref_b.data_vars
+            has_our = var in our_b.data_vars
+            assert has_ref == has_our, var
+            if has_ref:
+                _cmp(ref_b, our_b, var, rtol=3e-7)
+        np.testing.assert_array_equal(
+            np.asarray(our_b.coords["ping_time"].values, dtype="datetime64[ns]"),
+            np.asarray(ref_b.coords["ping_time"].values, dtype="datetime64[ns]"),
+        )
+
+    def test_environment(self, ek80_pair):
+        _, ref_env, ed = ek80_pair
+        our_env = ed["Environment"]
+        for var in ("sound_speed_indicative", "temperature", "salinity",
+                    "acidity", "depth"):
+            if var in ref_env.data_vars and var in our_env.data_vars:
+                _cmp(ref_env, our_env, var, rtol=1e-12)
