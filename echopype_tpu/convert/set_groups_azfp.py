@@ -156,7 +156,13 @@ class SetGroupsAZFP(SetGroupsBase):
                 counts[out_i, pi, : len(v)] = v
 
         dig_rate = self._per_freq(ud["dig_rate"])
-        sample_int = np.where(dig_rate > 0, 1.0 / np.where(dig_rate > 0, dig_rate, 1), np.nan)
+        # sample_interval = time per stored BIN: the instrument averages
+        # range_samples_per_bin ADC samples into each bin
+        # (reference: set_groups_azfp.py:374)
+        rspb = self._per_freq(ud["range_samples_per_bin"])
+        sample_int = np.where(
+            dig_rate > 0, rspb / np.where(dig_rate > 0, dig_rate, 1), np.nan
+        )
         tdn = self._per_freq(ud["pulse_len"]) / 1e6
         bp = np.atleast_1d(np.asarray(p.parameters.get("BP", np.full(n_ch, np.nan)), dtype="f8"))
         if bp.size >= n_ch:
@@ -199,10 +205,18 @@ class SetGroupsAZFP(SetGroupsBase):
             self._per_freq(ud["gain"]),
             {"long_name": "Gain correction", "units": "dB"},
         )
-        ds["sample_interval"] = (("channel",), sample_int, bv["sample_interval"])
+        # sample_interval / transmit_duration_nominal carry a ping_time dim
+        # (constant per channel): the reference's SetGroupsBase expands its
+        # ping_time_only_names over pings (set_groups_azfp.py:38-43)
+        n_ping = ds.sizes["ping_time"]
+        ds["sample_interval"] = (
+            ("channel", "ping_time"),
+            np.repeat(np.asarray(sample_int, dtype="f8")[:, None], n_ping, axis=1),
+            bv["sample_interval"],
+        )
         ds["transmit_duration_nominal"] = (
-            ("channel",),
-            tdn,
+            ("channel", "ping_time"),
+            np.repeat(np.asarray(tdn, dtype="f8")[:, None], n_ping, axis=1),
             bv["transmit_duration_nominal"],
         )
         return [ds]

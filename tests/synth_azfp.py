@@ -43,7 +43,22 @@ def write_azfp_xml_refcompat(path):
         [
             "<NumFreq>2</NumFreq>",
             "<SerialNumber>55077</SerialNumber>",
-            '<SensorsFlag PressureSensorInstalled="no">\n</SensorsFlag>',
+            # instrument metadata consumed by the reference's set_vendor
+            # attrs block (set_groups_azfp.py:707-717); InstrumentType is
+            # emitted twice so it survives the single-value flattening that
+            # its `[0]` access requires
+            "<InstrumentType>1</InstrumentType>",
+            "<InstrumentType>1</InstrumentType>",
+            "<Minor>4</Minor>",
+            "<Major>2</Major>",
+            "<Date>20210101</Date>",
+            "<Program>1</Program>",
+            "<cpu>2</cpu>",
+            "<BoardVersion>0</BoardVersion>",
+            "<FileVersion>5</FileVersion>",
+            "<ParameterVersion>3</ParameterVersion>",
+            "<ConfigurationVersion>2</ConfigurationVersion>",
+            '<SensorsFlag PressureSensorInstalled="no">0</SensorsFlag>',
             "<ka>0.001</ka>",
             "<kb>5000.0</kb>",
             "<kc>5.0</kc>",
@@ -68,8 +83,42 @@ def write_azfp_xml_refcompat(path):
             "<TVR>167.3</TVR>",
             "<VTX0>88.2</VTX0>",
             "<VTX0>90.1</VTX0>",
+            "<VTX1>0.0</VTX1>",
+            "<VTX1>0.0</VTX1>",
+            "<VTX2>0.0</VTX2>",
+            "<VTX2>0.0</VTX2>",
+            "<VTX3>0.0</VTX3>",
+            "<VTX3>0.0</VTX3>",
             "<BP>0.0049</BP>",
             "<BP>0.0088</BP>",
+            # phase section: real AZFP XML nests per-frequency blocks under
+            # <Phases>/<Phase Number=..>; the Number attributes become the
+            # frequency_number_phase1 strings set_groups uses in channel ids
+            "<Phases>",
+            '<Phase Number="1">',
+            "<BurstInterval>60</BurstInterval>",
+            "<PingsPerBurst>4</PingsPerBurst>",
+            "<AverageBurstPings>0</AverageBurstPings>",
+            '<Frequency Number="1">',
+            "<DigRate>64000</DigRate>",
+            "<RangeSamples>40</RangeSamples>",
+            "<RangeAveragingSamples>1</RangeAveragingSamples>",
+            "<LockOutIndex>0</LockOutIndex>",
+            "<Gain>1</Gain>",
+            "<StorageFormat>0</StorageFormat>",
+            "<PulseLen>300</PulseLen>",
+            "</Frequency>",
+            '<Frequency Number="2">',
+            "<DigRate>64000</DigRate>",
+            "<RangeSamples>40</RangeSamples>",
+            "<RangeAveragingSamples>1</RangeAveragingSamples>",
+            "<LockOutIndex>0</LockOutIndex>",
+            "<Gain>1</Gain>",
+            "<StorageFormat>0</StorageFormat>",
+            "<PulseLen>500</PulseLen>",
+            "</Frequency>",
+            "</Phase>",
+            "</Phases>",
         ]
     )
     with open(path, "w") as f:

@@ -204,3 +204,62 @@ class TestSetGroupsEK80Differential:
                     "acidity", "depth"):
             if var in ref_env.data_vars and var in our_env.data_vars:
                 _cmp(ref_env, our_env, var, rtol=1e-12)
+
+
+class TestSetGroupsAZFPDifferential:
+    """Reference ParseAZFP + SetGroupsAZFP vs our AZFP conversion
+    (reference: parse_azfp.py, set_groups_azfp.py)."""
+
+    @pytest.fixture(scope="class")
+    def azfp_pair(self, tmp_path_factory):
+        from synth_azfp import write_azfp_raw, write_azfp_xml_refcompat
+
+        tmp = tmp_path_factory.mktemp("ref_setgroups_azfp")
+        raw = tmp / "23010100.01A"
+        xml = tmp / "cfg.xml"
+        write_azfp_raw(raw, n_pings=10)
+        write_azfp_xml_refcompat(xml)
+
+        ref_parse = load_ref("convert/parse_azfp")
+        parser = ref_parse.ParseAZFP(
+            str(raw), file_meta=str(xml), storage_options={}, sonar_model="AZFP"
+        )
+        parser.parse_raw()
+        ref_sg = load_ref("convert/set_groups_azfp")
+        sg = ref_sg.SetGroupsAZFP(
+            parser, input_file=str(raw), xml_path=str(xml), output_path=None,
+            sonar_model="AZFP", params=dict(CONVERT_PARAMS),
+        )
+        groups = {
+            "Sonar/Beam_group1": sg.set_beam()[0],
+            "Environment": sg.set_env(),
+            "Vendor_specific": sg.set_vendor(),
+        }
+        ed = ep.open_raw(str(raw), sonar_model="AZFP", xml_path=str(xml))
+        return groups, ed
+
+    def test_beam_group(self, azfp_pair):
+        groups, ed = azfp_pair
+        ref_b = groups["Sonar/Beam_group1"]
+        our_b = ed["Sonar/Beam_group1"]
+        for var in ("backscatter_r", "frequency_nominal",
+                    "transmit_duration_nominal", "sample_interval"):
+            if var in ref_b.data_vars and var in our_b.data_vars:
+                _cmp(ref_b, our_b, var, rtol=1e-12)
+        np.testing.assert_array_equal(
+            np.asarray(our_b.coords["ping_time"].values, dtype="datetime64[ns]"),
+            np.asarray(ref_b.coords["ping_time"].values, dtype="datetime64[ns]"),
+        )
+
+    def test_environment_temperature(self, azfp_pair):
+        groups, ed = azfp_pair
+        _cmp(groups["Environment"], ed["Environment"], "temperature", rtol=1e-12)
+
+    def test_vendor_cal_tables(self, azfp_pair):
+        groups, ed = azfp_pair
+        ref_v = groups["Vendor_specific"]
+        our_v = ed["Vendor_specific"]
+        for var in ("DS", "EL", "TVR", "VTX0", "Sv_offset",
+                    "tilt_X_a", "tilt_X_b"):
+            if var in ref_v.data_vars and var in our_v.data_vars:
+                _cmp(ref_v, our_v, var, rtol=1e-12)
