@@ -81,12 +81,24 @@ def _force_stub(name: str, **attrs) -> None:
 
 
 def _package(fullname: str, path: str) -> None:
-    """Register an empty package shell so relative imports resolve."""
+    """Register an empty package shell so relative imports resolve.
+
+    The shell carries a real spec + SourceFileLoader (never executed) so
+    importlib.resources can read package data files (parse_ad2cp loads
+    ad2cp_fields.yaml via files(convert)).
+    """
     if fullname in sys.modules:
         return
+    import importlib.machinery
+
     mod = types.ModuleType(fullname)
     mod.__path__ = [path]
     mod.__package__ = fullname
+    init = f"{path}/__init__.py"
+    loader = importlib.machinery.SourceFileLoader(fullname, init)
+    spec = importlib.machinery.ModuleSpec(fullname, loader, origin=init, is_package=True)
+    spec.submodule_search_locations = [path]
+    mod.__spec__ = spec
     sys.modules[fullname] = mod
 
 
