@@ -50,6 +50,11 @@ class SetGroupsAd2cp(SetGroupsBase):
     def set_env(self) -> Dataset:
         pkts = self._packets(lambda p: not p.is_string() and "speed_of_sound" in p.data)
         t = self._times(pkts)
+        # one entry per unique timestamp (average + echosounder packets of the
+        # same ping share a stamp; the reference's time index dedupes them)
+        _, keep = np.unique(t, return_index=True)
+        pkts = [pkts[i] for i in sorted(keep)]
+        t = t[sorted(keep)]
         ds = Dataset(coords={"time1": (("time1",), t, {"axis": "T", "standard_name": "time"})})
         for src, dst in (
             ("speed_of_sound", "sound_speed_indicative"),
@@ -63,6 +68,9 @@ class SetGroupsAd2cp(SetGroupsBase):
     def set_platform(self) -> Dataset:
         pkts = self._packets(lambda p: "heading" in p.data)
         t = self._times(pkts)
+        _, keep = np.unique(t, return_index=True)
+        pkts = [pkts[i] for i in sorted(keep)]
+        t = t[sorted(keep)]
         ds = Dataset(
             coords={"time2": (("time2",), t, self._varattrs["platform_coord_default"]["time2"])},
             attrs=self._platform_attrs(),
@@ -154,10 +162,10 @@ class SetGroupsAd2cp(SetGroupsBase):
                     "beam", DataArray(np.arange(1, nb + 1).astype(str).astype(object), ("beam",))
                 )
                 ds.coords.setdefault(
-                    f"range_sample_{mode}",
-                    DataArray(np.arange(nc), (f"range_sample_{mode}",)),
+                    "range_sample",
+                    DataArray(np.arange(nc), ("range_sample",)),
                 )
-                ds[dst] = (("ping_time", "beam", f"range_sample_{mode}"), out)
+                ds[dst] = (("ping_time", "beam", "range_sample"), out)
         elif mode == "echosounder":
             arrays = [p.data.get("echosounder_data") for p in pkts]
             if any(a is not None for a in arrays):
@@ -166,10 +174,10 @@ class SetGroupsAd2cp(SetGroupsBase):
                 for i, a in enumerate(arrays):
                     if a is not None:
                         out[i, : len(a)] = a
-                ds.coords["range_sample_echosounder"] = DataArray(
-                    np.arange(nc), ("range_sample_echosounder",)
+                ds.coords["range_sample"] = DataArray(
+                    np.arange(nc), ("range_sample",)
                 )
-                ds["amplitude"] = (("ping_time", "range_sample_echosounder"), out)
+                ds["amplitude"] = (("ping_time", "range_sample"), out)
             ds.coords["echogram"] = DataArray(np.arange(3), ("echogram",))
             pulse_compressed = np.zeros(3)
             if self.pulse_compressed > 0:
@@ -189,10 +197,10 @@ class SetGroupsAd2cp(SetGroupsBase):
                     if a is not None:
                         out[i, : len(a)] = a
                 ds.coords.setdefault(
-                    "range_sample_echosounder_raw",
-                    DataArray(np.arange(nc), ("range_sample_echosounder_raw",)),
+                    "range_sample",
+                    DataArray(np.arange(nc), ("range_sample",)),
                 )
-                ds[dst] = (("ping_time", "range_sample_echosounder_raw"), out)
+                ds[dst] = (("ping_time", "range_sample"), out)
             scalar_var("num_complex_samples", "num_complex_samples")
             # transmit-pulse records (id 0x24) ride their own time axis
             # (echopype set_groups_ad2cp: echosounder_raw_transmit_samples_i/q
@@ -217,13 +225,13 @@ class SetGroupsAd2cp(SetGroupsBase):
                         if a is not None:
                             out[i, : len(a)] = a
                     ds.coords.setdefault(
-                        "range_sample_echosounder_raw_transmit",
-                        DataArray(np.arange(nc), ("range_sample_echosounder_raw_transmit",)),
+                        "transmit_sample",
+                        DataArray(np.arange(nc), ("transmit_sample",)),
                     )
                     ds[dst] = (
                         (
                             "ping_time_echosounder_raw_transmit",
-                            "range_sample_echosounder_raw_transmit",
+                            "transmit_sample",
                         ),
                         out,
                     )

@@ -54,7 +54,10 @@ def _v3_record(
     out += struct.pack("<hhh", 10, -20, 30)  # magnetometer
     out += struct.pack("<hhh", 100, 200, 16384)  # accelerometer xyz
     out += struct.pack("<H", 500)  # ambiguity vel / echosounder freq
-    out += struct.pack("<H", 0o4321)  # dataset_description (beams)
+    # dataset_description: 4-bit beam fields -> physical beams 1,2,3,4,
+    # consistent with num_beams=4 (was octal 0o4321, which decodes to only
+    # 3 active beams and makes the record self-inconsistent)
+    out += struct.pack("<H", 0x4321)
     out += struct.pack("<H", 80)  # transmit energy
     out += struct.pack("<b", -3)  # velocity scaling
     out += struct.pack("<b", -10)  # power level
@@ -310,13 +313,13 @@ class TestAd2cpEchosounderRawTransmit:
         raw.write_bytes(b"".join(chunks))
         ed = ep.open_raw(raw, sonar_model="AD2CP")
         bg = ed["Sonar/Beam_group1"]
-        assert bg["backscatter_r"].dims == ("ping_time", "range_sample_echosounder_raw")
+        assert bg["backscatter_r"].dims == ("ping_time", "range_sample")
         np.testing.assert_allclose(bg["backscatter_r"].values[0], truth_rx[0][:, 0], rtol=1e-7)
         np.testing.assert_allclose(bg["backscatter_i"].values[2], truth_rx[2][:, 1], rtol=1e-7)
         # transmit pulse rides its own (shorter) time axis
         assert bg["transmit_pulse_r"].dims == (
             "ping_time_echosounder_raw_transmit",
-            "range_sample_echosounder_raw_transmit",
+            "transmit_sample",
         )
         assert bg["transmit_pulse_r"].shape == (2, 8)
         np.testing.assert_allclose(bg["transmit_pulse_r"].values[1], truth_tx[1][:, 0], rtol=1e-7)
