@@ -541,6 +541,29 @@ class DataArray:
         res_dims = tuple(dd for dd in self.dims if dd != d)
         missing = [dd for dd in indexer.dims if dd not in res_dims]
         if missing:
+            if not (set(indexer.dims) & set(res_dims)):
+                # general vectorized indexing: the indexed dim is REPLACED by
+                # the indexer's (new) dims (xarray semantics; the reference's
+                # time1 -> ping_time alignment, set_groups_ad2cp.py:421)
+                ax = self._dim_index(d)
+                vals = np.take(self.values, np.asarray(indexer.values), axis=ax)
+                new_dims = self.dims[:ax] + tuple(indexer.dims) + self.dims[ax + 1 :]
+                out = DataArray(vals, new_dims, attrs=self.attrs, name=self.name)
+                out.coords = {
+                    k: v
+                    for k, v in self.coords.items()
+                    if set(v.dims) <= set(new_dims) and d not in v.dims
+                }
+                for k, v in indexer.coords.items():
+                    if set(v.dims) <= set(new_dims):
+                        out.coords.setdefault(k, v)
+                if not drop and d in self.coords:
+                    out.coords[d] = DataArray(
+                        self.coords[d].values[np.asarray(indexer.values)],
+                        indexer.dims,
+                        name=d,
+                    )
+                return out
             raise ValueError(
                 f"pointwise indexer dims {missing} not among array dims {res_dims}"
             )
