@@ -326,3 +326,62 @@ class TestSetGroupsAD2CPDifferential:
             _cmp(groups["Environment"], ed["Environment"], var, rtol=1e-12)
         for var in ("heading", "pitch", "roll"):
             _cmp(groups["Platform"], ed["Platform"], var, rtol=1e-12)
+
+
+class TestSetGroupsEK80PlatformNMEA:
+    """EK80 Platform + NMEA groups vs the reference assembly."""
+
+    def test_platform_and_nmea(self, tmp_path):
+        from synth_ek80 import write_ek80_raw
+
+        raw = tmp_path / "SGP80-D20210201-T000000.raw"
+        write_ek80_raw(raw, n_pings=6, n_samples=64)
+        ref_parse = load_ref("convert/parse_ek80")
+        parser = ref_parse.ParseEK80(str(raw), storage_options={}, sonar_model="EK80")
+        parser.parse_raw()
+        parser.rectangularize_data(use_swap=False)
+        ref_sg = load_ref("convert/set_groups_ek80")
+        sg = ref_sg.SetGroupsEK80(
+            parser, input_file=str(raw), xml_path=None, output_path=None,
+            sonar_model="EK80", params=dict(CONVERT_PARAMS),
+        )
+        ref_p = sg.set_platform()
+        ref_n = sg.set_nmea()
+        ed = ep.open_raw(str(raw), sonar_model="EK80")
+        our_p = ed["Platform"]
+        for var in ("latitude", "longitude", "pitch", "roll", "vertical_offset",
+                    "water_level", "drop_keel_offset",
+                    "transducer_offset_x", "transducer_offset_y",
+                    "transducer_offset_z"):
+            if var in ref_p.data_vars and var in our_p.data_vars:
+                _cmp(ref_p, our_p, var, rtol=1e-9)
+        np.testing.assert_array_equal(
+            np.asarray(ed["Platform/NMEA"]["NMEA_datagram"].values),
+            np.asarray(ref_n["NMEA_datagram"].values),
+        )
+
+
+class TestSetGroupsAD2CPRawGroup:
+    """AD2CP echosounder-raw beam group (complex samples) vs the reference."""
+
+    def test_raw_group(self, tmp_path):
+        from test_ad2cp import write_ad2cp
+
+        raw = tmp_path / "mraw.ad2cp"
+        write_ad2cp(str(raw), n_pings=4, with_echosounder_raw=True)
+        ref_parse = load_ref("convert/parse_ad2cp")
+        parser = ref_parse.ParseAd2cp(str(raw), storage_options={}, sonar_model="AD2CP")
+        parser.parse_raw()
+        ref_sg = load_ref("convert/set_groups_ad2cp")
+        sg = ref_sg.SetGroupsAd2cp(
+            parser, input_file=str(raw), xml_path=None, output_path=None,
+            sonar_model="AD2CP", params=dict(CONVERT_PARAMS),
+        )
+        beams = sg.set_beam()
+        ref_raw = next(
+            b for b in beams if b is not None and "backscatter_r" in b.data_vars
+        )
+        ed = ep.open_raw(str(raw), sonar_model="AD2CP")
+        our_raw = ed["Sonar/Beam_group3"]
+        for var in ("backscatter_r", "backscatter_i"):
+            _cmp(ref_raw, our_raw, var, rtol=1e-12)
