@@ -18,23 +18,89 @@ NUM_BINS = 30
 FREQS_KHZ = (125, 38)
 PULSE_LEN_US = (300, 500)
 
-XML = """<?xml version="1.0"?>
-<InstrumentInfo>
-  <NumFreq>2</NumFreq>
-  <NumPhases>1</NumPhases>
-  <SerialNumber>60001</SerialNumber>
-  <SensorsFlag PressureSensorInstalled="no"/>
-  <ka>0.001</ka><kb>5000.0</kb><kc>5.0</kc>
-  <A>0.00123</A><B>0.000234</B><C>0.00000011</C>
-  <X_a>0.0</X_a><X_b>0.01</X_b><X_c>0.0</X_c><X_d>0.0</X_d>
-  <Y_a>0.0</Y_a><Y_b>0.01</Y_b><Y_c>0.0</Y_c><Y_d>0.0</Y_d>
-  <a0>0.0</a0><a1>0.0</a1>
-  <DS>0.0246</DS><DS>0.0242</DS>
-  <EL>142.1</EL><EL>140.2</EL>
-  <TVR>169.8</TVR><TVR>167.3</TVR>
-  <VTX0>88.2</VTX0><VTX0>90.1</VTX0>
-  <BP>0.0049</BP><BP>0.0088</BP>
-</InstrumentInfo>"""
+# Embedded instrument XML in the layout real ULS6 files carry: newline-only
+# text between tags (the reference's load_AZFP_xml iterates child.text and
+# crashes on self-closing/indented layouts, parse_azfp6.py:175-185), plus the
+# Phases section and instrument metadata its set_vendor consumes.
+XML = "\n".join(
+    [
+        '<?xml version="1.0"?>',
+        "<InstrumentInfo>",
+        "<NumFreq>2</NumFreq>",
+        "<NumPhases>1</NumPhases>",
+        "<SerialNumber>60001</SerialNumber>",
+        "<InstrumentType>1</InstrumentType>",
+        "<InstrumentType>1</InstrumentType>",
+        "<Minor>4</Minor>",
+        "<Major>2</Major>",
+        "<Date>20230101</Date>",
+        "<Program>1</Program>",
+        "<cpu>2</cpu>",
+        "<BoardVersion>0</BoardVersion>",
+        "<FileVersion>6</FileVersion>",
+        "<ParameterVersion>3</ParameterVersion>",
+        "<ConfigurationVersion>2</ConfigurationVersion>",
+        '<SensorsFlag PressureSensorInstalled="no">0</SensorsFlag>',
+        "<ka>0.001</ka>",
+        "<kb>5000.0</kb>",
+        "<kc>5.0</kc>",
+        "<A>0.00123</A>",
+        "<B>0.000234</B>",
+        "<C>0.00000011</C>",
+        "<X_a>0.0</X_a>",
+        "<X_b>0.01</X_b>",
+        "<X_c>0.0</X_c>",
+        "<X_d>0.0</X_d>",
+        "<Y_a>0.0</Y_a>",
+        "<Y_b>0.01</Y_b>",
+        "<Y_c>0.0</Y_c>",
+        "<Y_d>0.0</Y_d>",
+        "<a0>0.0</a0>",
+        "<a1>0.0</a1>",
+        "<DS>0.0246</DS>",
+        "<DS>0.0242</DS>",
+        "<EL>142.1</EL>",
+        "<EL>140.2</EL>",
+        "<TVR>169.8</TVR>",
+        "<TVR>167.3</TVR>",
+        "<VTX0>88.2</VTX0>",
+        "<VTX0>90.1</VTX0>",
+        "<VTX1>0.0</VTX1>",
+        "<VTX1>0.0</VTX1>",
+        "<VTX2>0.0</VTX2>",
+        "<VTX2>0.0</VTX2>",
+        "<VTX3>0.0</VTX3>",
+        "<VTX3>0.0</VTX3>",
+        "<BP>0.0049</BP>",
+        "<BP>0.0088</BP>",
+        "<Phases>",
+        '<Phase Number="1">',
+        "<BurstInterval>60</BurstInterval>",
+        "<PingsPerBurst>4</PingsPerBurst>",
+        "<AverageBurstPings>0</AverageBurstPings>",
+        '<Frequency Number="1">',
+        "<DigRate>64000</DigRate>",
+        "<RangeSamples>30</RangeSamples>",
+        "<RangeAveragingSamples>1</RangeAveragingSamples>",
+        "<LockOutIndex>0</LockOutIndex>",
+        "<Gain>1</Gain>",
+        "<StorageFormat>0</StorageFormat>",
+        "<PulseLen>300</PulseLen>",
+        "</Frequency>",
+        '<Frequency Number="2">',
+        "<DigRate>64000</DigRate>",
+        "<RangeSamples>30</RangeSamples>",
+        "<RangeAveragingSamples>1</RangeAveragingSamples>",
+        "<LockOutIndex>0</LockOutIndex>",
+        "<Gain>1</Gain>",
+        "<StorageFormat>0</StorageFormat>",
+        "<PulseLen>500</PulseLen>",
+        "</Frequency>",
+        "</Phase>",
+        "</Phases>",
+        "</InstrumentInfo>",
+    ]
+)
 
 
 def _rec_u16(vals):

@@ -385,3 +385,55 @@ class TestSetGroupsAD2CPRawGroup:
         our_raw = ed["Sonar/Beam_group3"]
         for var in ("backscatter_r", "backscatter_i"):
             _cmp(ref_raw, our_raw, var, rtol=1e-12)
+
+
+class TestSetGroupsAZFP6Differential:
+    """Reference ParseAZFP6 + SetGroupsAZFP6 vs our AZFP6 conversion: beam
+    and Environment groups.  (set_vendor is not executable on synthetic
+    files: the reference's _check_uniqueness leaves profile_flag an empty
+    list, which its own xr.Dataset construction cannot accept.)"""
+
+    @pytest.fixture(scope="class")
+    def azfp6_pair(self, tmp_path_factory):
+        from test_azfp6 import write_azfp6_raw
+
+        tmp = tmp_path_factory.mktemp("ref_setgroups_azfp6")
+        raw = tmp / "23010100.azfp"
+        write_azfp6_raw(str(raw), n_pings=6)
+
+        ref_parse = load_ref("convert/parse_azfp6")
+        parser = ref_parse.ParseAZFP6(
+            str(raw), file_meta=None, storage_options={}, sonar_model="AZFP6"
+        )
+        parser.parse_raw()
+        ref_sg = load_ref("convert/set_groups_azfp6")
+        sg = ref_sg.SetGroupsAZFP6(
+            parser, input_file=str(raw), xml_path=None, output_path=None,
+            sonar_model="AZFP6", params=dict(CONVERT_PARAMS),
+        )
+        groups = {
+            "Sonar/Beam_group1": sg.set_beam()[0],
+            "Environment": sg.set_env(),
+        }
+        ed = ep.open_raw(str(raw), sonar_model="AZFP6")
+        return groups, ed
+
+    def test_beam_group(self, azfp6_pair):
+        groups, ed = azfp6_pair
+        ref_b = groups["Sonar/Beam_group1"]
+        our_b = ed["Sonar/Beam_group1"]
+        for var in ("backscatter_r", "frequency_nominal"):
+            if var in ref_b.data_vars and var in our_b.data_vars:
+                _cmp(ref_b, our_b, var, rtol=1e-12)
+        np.testing.assert_array_equal(
+            np.asarray(our_b.coords["ping_time"].values, dtype="datetime64[ns]"),
+            np.asarray(ref_b.coords["ping_time"].values, dtype="datetime64[ns]"),
+        )
+
+    def test_environment(self, azfp6_pair):
+        groups, ed = azfp6_pair
+        ref_e = groups["Environment"]
+        our_e = ed["Environment"]
+        for var in ("temperature", "pressure"):
+            if var in ref_e.data_vars and var in our_e.data_vars:
+                _cmp(ref_e, our_e, var, rtol=1e-9)
