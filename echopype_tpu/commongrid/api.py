@@ -344,12 +344,14 @@ def compute_NASC(
     # (reference: api.py:404-414 reads ds_Sv lat/lon)
     ds_NASC.attrs["Conventions"] = "CF-1.7,ACDD-1.3"
     pt_in = np.asarray(ds_Sv.coords["ping_time"].values, dtype="datetime64[ns]")
-    ds_NASC.attrs["time_coverage_start"] = np.datetime_as_string(
-        pt_in.min(), timezone="UTC"
-    )
-    ds_NASC.attrs["time_coverage_end"] = np.datetime_as_string(
-        pt_in.max(), timezone="UTC"
-    )
+    pt_ok = pt_in[~np.isnat(pt_in)]  # NaT-skipping min/max (xarray skipna)
+    if pt_ok.size:
+        ds_NASC.attrs["time_coverage_start"] = np.datetime_as_string(
+            pt_ok.min(), timezone="UTC"
+        )
+        ds_NASC.attrs["time_coverage_end"] = np.datetime_as_string(
+            pt_ok.max(), timezone="UTC"
+        )
     if "latitude" in ds_Sv and "longitude" in ds_Sv:
         lat = np.asarray(ds_Sv["latitude"].values, dtype="f8")
         lon = np.asarray(ds_Sv["longitude"].values, dtype="f8")

@@ -86,28 +86,29 @@ def ping_time_bin_edges(ping_time: np.ndarray, ping_time_bin: str) -> np.ndarray
 def parse_time_bin_to_value_unit(ping_time_bin: str):
     """'20s' -> (20, 'second'), for cell_methods attrs.
 
-    Unit labels are singular, matching the reference's timedelta_units map
-    (commongrid/utils.py:678-690).
+    Exactly the reference's algorithm (commongrid/utils.py:654-698):
+    pd.Timedelta resolution_string picks the most granular unit, the value
+    is the integer count of that unit ('0.5min' -> (30, 'second')), and the
+    unit labels come from its timedelta_units map (singular; note its us/ns
+    entries deliberately map to millisecond).
     """
-    m = re.match(r"([\d.]+)\s*([a-zA-Z]+)", ping_time_bin.strip())
-    if not m:
-        raise ValueError(f"Cannot parse time bin {ping_time_bin!r}")
-    value = float(m.group(1))
-    unit = m.group(2).lower()
-    label = {
-        "s": "second",
-        "sec": "second",
-        "min": "minute",
-        "t": "minute",
-        "h": "hour",
-        "d": "day",
-        "ms": "millisecond",
-        "us": "millisecond",
-        "ns": "millisecond",
-    }.get(unit, unit)
-    if value == int(value):
-        value = int(value)
-    return value, label
+    timedelta_units = {
+        "d": {"nptd64": "D", "unitstr": "day"},
+        "h": {"nptd64": "h", "unitstr": "hour"},
+        "t": {"nptd64": "m", "unitstr": "minute"},
+        "min": {"nptd64": "m", "unitstr": "minute"},
+        "s": {"nptd64": "s", "unitstr": "second"},
+        "l": {"nptd64": "ms", "unitstr": "millisecond"},
+        "ms": {"nptd64": "ms", "unitstr": "millisecond"},
+        "u": {"nptd64": "us", "unitstr": "microsecond"},
+        "us": {"nptd64": "ms", "unitstr": "millisecond"},
+        "n": {"nptd64": "ns", "unitstr": "nanosecond"},
+        "ns": {"nptd64": "ms", "unitstr": "millisecond"},
+    }
+    td = pd.Timedelta(ping_time_bin)
+    resunit = td.resolution_string.lower()
+    value = int(td / np.timedelta64(1, timedelta_units[resunit]["nptd64"]))
+    return value, timedelta_units[resunit]["unitstr"]
 
 
 def get_distance_from_latlon(ds_Sv: Dataset) -> np.ndarray:

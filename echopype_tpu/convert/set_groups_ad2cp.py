@@ -46,15 +46,19 @@ class SetGroupsAd2cp(SetGroupsBase):
     def _times(self, pkts):
         return np.asarray([p.timestamp for p in pkts], dtype="datetime64[ns]")
 
+    @staticmethod
+    def _dedup_times(pkts, t):
+        """Keep the first packet per unique timestamp (average + echosounder
+        packets of one ping share a stamp; the reference's time index
+        dedupes them)."""
+        _, keep = np.unique(t, return_index=True)
+        keep = np.sort(keep)
+        return [pkts[i] for i in keep], t[keep]
+
     # ------------------------------------------------------------------- env
     def set_env(self) -> Dataset:
         pkts = self._packets(lambda p: not p.is_string() and "speed_of_sound" in p.data)
-        t = self._times(pkts)
-        # one entry per unique timestamp (average + echosounder packets of the
-        # same ping share a stamp; the reference's time index dedupes them)
-        _, keep = np.unique(t, return_index=True)
-        pkts = [pkts[i] for i in sorted(keep)]
-        t = t[sorted(keep)]
+        pkts, t = self._dedup_times(pkts, self._times(pkts))
         ds = Dataset(coords={"time1": (("time1",), t, {"axis": "T", "standard_name": "time"})})
         for src, dst in (
             ("speed_of_sound", "sound_speed_indicative"),
@@ -67,10 +71,7 @@ class SetGroupsAd2cp(SetGroupsBase):
     # -------------------------------------------------------------- platform
     def set_platform(self) -> Dataset:
         pkts = self._packets(lambda p: "heading" in p.data)
-        t = self._times(pkts)
-        _, keep = np.unique(t, return_index=True)
-        pkts = [pkts[i] for i in sorted(keep)]
-        t = t[sorted(keep)]
+        pkts, t = self._dedup_times(pkts, self._times(pkts))
         ds = Dataset(
             coords={"time2": (("time2",), t, self._varattrs["platform_coord_default"]["time2"])},
             attrs=self._platform_attrs(),

@@ -609,8 +609,15 @@ class SetGroupsEK80(SetGroupsBase):
                 bv["transmit_frequency_stop"],
             )
         elif freq_ramp == "per_channel":
-            with np.errstate(invalid="ignore"):
-                freq = np.nanmean(np.asarray(f_start, dtype="f8"), axis=1)
+            # per-channel value = the config transducer_frequency (reference:
+            # set_groups_ek80.py:547-551), NOT a mean of per-ping datagram
+            # frequencies (which may differ, e.g. LFM power pings)
+            freq = np.array(
+                [
+                    float(self.config.get(ch, {}).get("transducer_frequency", np.nan))
+                    for ch in chans
+                ]
+            )
             ds["transmit_frequency_start"] = (
                 ("channel",), freq, bv["transmit_frequency_start"]
             )

@@ -1414,5 +1414,9 @@ class _Resample:
 
     def mean(self):
         df, shape, ax = self._grouped()
-        res = df.resample(self.freq).mean()
+        if self.skipna:
+            res = df.resample(self.freq).mean()
+        else:
+            # pandas Resampler.mean has no skipna; NaN must poison its bin
+            res = df.resample(self.freq).apply(lambda s: s.mean(skipna=False))
         return self._finish(res, shape, ax)

@@ -363,8 +363,9 @@ class Dataset:
         if isinstance(dim, dict):
             # xarray: {new_dim: coord_values} adds the dim AND its coordinate
             # (the reference's per-channel group assembly,
-            # set_groups_ek60.py:130)
-            for d, vals in dim.items():
+            # set_groups_ek60.py:130).  Insert in reverse so the FIRST key
+            # ends up outermost, matching xarray's resulting dim order.
+            for d, vals in reversed(list(dim.items())):
                 vals = np.asarray(vals)
                 if vals.ndim == 0:
                     vals = vals[None]
