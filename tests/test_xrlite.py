@@ -507,3 +507,28 @@ class TestRound3FacadeSurface:
         da = DataArray(np.arange(3.0), ("p",), coords={"p": [3, 1, 2]})
         with pytest.raises(ValueError, match="monotonically"):
             da.reindex({"p": [1, 2]}, method="ffill")
+
+    def test_resample_skipna_false_poisons(self):
+        import numpy as np
+        from echopype_tpu.xrlite import DataArray
+
+        t = np.datetime64("2020-01-01", "ns") + np.arange(6).astype(
+            "timedelta64[s]"
+        ).astype("timedelta64[ns]")
+        da = DataArray(
+            np.array([1.0, np.nan, 3.0, 4.0, 5.0, 6.0]), ("ping_time",),
+            coords={"ping_time": t},
+        )
+        skip = da.resample(ping_time="2s").mean()
+        poison = da.resample(ping_time="2s", skipna=False).mean()
+        np.testing.assert_allclose(skip.values, [1.0, 3.5, 5.5])
+        assert np.isnan(poison.values[0])
+        np.testing.assert_allclose(poison.values[1:], [3.5, 5.5])
+
+    def test_expand_dims_multikey_order(self):
+        import numpy as np
+        from echopype_tpu.xrlite import Dataset
+
+        ds = Dataset({"v": (("x",), np.arange(3.0))})
+        out = ds.expand_dims({"a": ["p"], "b": ["q"]})
+        assert out["v"].dims == ("a", "b", "x")
