@@ -279,6 +279,69 @@ class Dataset:
         out.attrs.update(kw)
         return out
 
+    def reindex(self, indexers=None, method=None, fill_value=np.nan, **kw):
+        """Conform every variable onto new labels along existing dims
+        (delegates to DataArray.reindex per variable)."""
+        indexers = {**(indexers or {}), **kw}
+        out = Dataset(attrs=dict(self.attrs))
+        for k, v in self.coords.items():
+            out.coords[k] = v
+        for dim, new_labels in indexers.items():
+            new = np.asarray(getattr(new_labels, "values", new_labels))
+            out.coords[dim] = DataArray(new, (dim,), name=dim)
+        for k, v in self.data_vars.items():
+            da = self[k]
+            rel = {d: lab for d, lab in indexers.items() if d in da.dims}
+            res = da.reindex(rel, method=method, fill_value=fill_value) if rel else da
+            res.coords = {}
+            out.data_vars[k] = res
+        # non-dim coords over reindexed dims must follow too
+        for k, v in list(self.coords.items()):
+            rel = {d: lab for d, lab in indexers.items() if d in v.dims and k != d}
+            if rel:
+                tmp = DataArray(v.values, v.dims, attrs=v.attrs, name=k)
+                tmp.coords = {
+                    c: cv for c, cv in self.coords.items() if set(cv.dims) <= set(v.dims)
+                }
+                res = tmp.reindex(rel, method=method, fill_value=fill_value)
+                res.coords = {}
+                out.coords[k] = res
+        return out
+
+    def reindex_like(self, other, method=None, fill_value=np.nan):
+        indexers = {
+            d: other.coords[d]
+            for d in self.dims
+            if d in other.coords and d in self.coords
+        }
+        return self.reindex(indexers, method=method, fill_value=fill_value)
+
+    def set_coords(self, names):
+        """Promote data variables to coordinates (xarray parity)."""
+        if isinstance(names, str):
+            names = [names]
+        out = self.copy()
+        for n in names:
+            if n in out.data_vars:
+                out.coords[n] = out.data_vars.pop(n)
+            elif n not in out.coords:
+                raise KeyError(n)
+        return out
+
+    def reset_coords(self, names=None, drop=False):
+        """Demote non-dim coordinates back to data variables."""
+        if names is None:
+            names = [k for k, v in self.coords.items() if v.dims != (k,)]
+        elif isinstance(names, str):
+            names = [names]
+        out = self.copy()
+        for n in names:
+            if n in out.coords:
+                c = out.coords.pop(n)
+                if not drop:
+                    out.data_vars[n] = c
+        return out
+
     def drop_vars(self, names, errors="raise"):
         names = [names] if isinstance(names, str) else list(names)
         out = self.copy()

@@ -333,3 +333,32 @@ class TestAZFPPipelineDifferential:
         np.testing.assert_allclose(
             ge, np.broadcast_to(we, ge.shape), rtol=0, atol=1e-10, equal_nan=True
         )
+
+
+class TestECSIntegrationDifferential:
+    """compute_Sv with an ECS file vs the reference CalibrateEK60(ecs_file=):
+    the full ECS precedence chain (fileset < sourcecal < localcal), env
+    override, and sonar-equation assembly in one differential
+    (reference: calibrate/calibrate_base.py:13-43, ecs.py)."""
+
+    def test_ek60_ecs_calibration_matches(self, tmp_path):
+        from test_ecs import ECS_CONTENT
+
+        ecs = tmp_path / "cal.ecs"
+        ecs.write_text(ECS_CONTENT)
+        raw = tmp_path / "ECSD-D20200101-T000000.raw"
+        write_ek60_raw(raw, n_pings=8, n_samples=50)
+        ed = ep.open_raw(str(raw), sonar_model="EK60")
+
+        ref_ek = load_ref("calibrate/calibrate_ek")
+        want = (
+            ref_ek.CalibrateEK60(_fake(ed), None, None, str(ecs))
+            .compute_Sv()["Sv"]
+            .transpose("channel", "ping_time", "range_sample")
+        )
+        got = ep.calibrate.compute_Sv(ed, ecs_file=str(ecs))["Sv"]
+        w = np.asarray(want.values, dtype="f8")
+        g = np.asarray(got.values, dtype="f8")
+        np.testing.assert_array_equal(np.isnan(g), np.isnan(w))
+        m = ~np.isnan(w)
+        np.testing.assert_allclose(g[m], w[m], rtol=0, atol=1e-12)
