@@ -408,16 +408,24 @@ class Dataset:
         return out
 
     def swap_dims(self, dim_map):
-        """Swap a dim for a same-length 1-D coordinate (e.g. channel→frequency)."""
+        """Swap a dim for a same-length 1-D coordinate (e.g. channel→frequency).
+
+        A data variable named as the NEW dim is promoted to a coordinate
+        (xarray semantics; the reference assigns ds["channel"] then swaps,
+        calibrate/ecs.py:470-475)."""
         out = Dataset(attrs=dict(self.attrs))
         for k, v in self.coords.items():
             out.coords[k] = DataArray(
                 v.values, tuple(dim_map.get(d, d) for d in v.dims), attrs=v.attrs, name=k
             )
         for k, v in self.data_vars.items():
-            out.data_vars[k] = DataArray(
+            da = DataArray(
                 v.values, tuple(dim_map.get(d, d) for d in v.dims), attrs=v.attrs, name=k
             )
+            if k in dim_map.values():
+                out.coords[k] = da
+            else:
+                out.data_vars[k] = da
         return out
 
     def expand_dims(self, dim, axis=0):

@@ -134,6 +134,7 @@ SourceCal T1
     FrequencyTableWideband = 55.0 65.0 75.0 85.0 # (kilohertz)
     GainTableWideband = 26.1 26.5 26.9 27.0 # (decibels)
     MajorAxisBeamWidthTableWideband = 7.1 6.8 6.4 6.1 # (degrees)
+    MajorAxis3dbBeamAngle = 7.0 # (degrees)
     Temperature = 9.5 # (degrees celsius)
     TransducerGain = 26.50 # (decibels)
 
@@ -141,6 +142,7 @@ SourceCal T2
     # Frequency = 120.00 # (kilohertz) [0.01..10000.00]
     FrequencyTableWideband = 100.0 115.0 130.0 # (kilohertz)
     GainTableWideband = 24.0 24.5 24.2 # (decibels)
+    MajorAxis3dbBeamAngle = 6.5 # (degrees)
     TransducerGain = 24.40 # (decibels)
 
 #========================================================================================#

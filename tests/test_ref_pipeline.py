@@ -362,3 +362,39 @@ class TestECSIntegrationDifferential:
         np.testing.assert_array_equal(np.isnan(g), np.isnan(w))
         m = ~np.isnan(w)
         np.testing.assert_allclose(g[m], w[m], rtol=0, atol=1e-12)
+
+    def test_ek80_ecs_params_match(self, tmp_path):
+        """EK80 ECS: reference-assimilated env + narrowband cal params vs
+        ours.  (The Sv-level BB comparison is out of reach here: the
+        reference's ECS gain-table interpolation returns NaN under the
+        facade's partial interp; the BB interp chain itself is differentially
+        covered by test_bb_cal_params_interp_chain.)"""
+        from test_ecs import ECS_EK80_BB_CONTENT
+
+        ecs = tmp_path / "bb.ecs"
+        ecs.write_text(ECS_EK80_BB_CONTENT)
+        raw = tmp_path / "ECS80-D20210201-T000000.raw"
+        write_ek80_raw(raw, n_pings=5, n_samples=64,
+                       with_power_channel=False, with_cw_complex=False)
+        ed = ep.open_raw(str(raw), sonar_model="EK80")
+
+        ref_ek = load_ref("calibrate/calibrate_ek")
+        ref_cal = ref_ek.CalibrateEK80(
+            _fake(ed), env_params=None, cal_params=None, ecs_file=str(ecs),
+            waveform_mode="BB", encode_mode="complex",
+        )
+        got = ep.calibrate.compute_Sv(
+            ed, ecs_file=str(ecs), waveform_mode="BB", encode_mode="complex"
+        )
+        # env params: ECS values flow through identically
+        for k in ("sound_speed", "temperature", "salinity", "pressure"):
+            rv = float(np.asarray(
+                getattr(ref_cal.env_params[k], "values", ref_cal.env_params[k])
+            ).ravel()[0])
+            gv = float(np.asarray(got[k].values).ravel()[0])
+            np.testing.assert_allclose(gv, rv, rtol=1e-12, err_msg=k)
+        # narrowband cal params (non-BB-table) match
+        for k in ("sa_correction", "equivalent_beam_angle"):
+            rv = np.asarray(ref_cal.cal_params[k].values, dtype="f8").ravel()
+            gv = np.asarray(got[k].values, dtype="f8").ravel()
+            np.testing.assert_allclose(gv[: rv.size], rv, rtol=1e-12, err_msg=k)
