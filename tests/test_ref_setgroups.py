@@ -437,3 +437,36 @@ class TestSetGroupsAZFP6Differential:
         for var in ("temperature", "pressure"):
             if var in ref_e.data_vars and var in our_e.data_vars:
                 _cmp(ref_e, our_e, var, rtol=1e-9)
+
+
+class TestSetGroupsAD2CPVendor:
+    """AD2CP Vendor_specific sensor diagnostics vs the reference assembly."""
+
+    def test_vendor_diagnostics(self, tmp_path):
+        from test_ad2cp import write_ad2cp
+
+        raw = tmp_path / "mv.ad2cp"
+        write_ad2cp(str(raw), n_pings=5)
+        ref_parse = load_ref("convert/parse_ad2cp")
+        parser = ref_parse.ParseAd2cp(str(raw), storage_options={}, sonar_model="AD2CP")
+        parser.parse_raw()
+        ref_sg = load_ref("convert/set_groups_ad2cp")
+        sg = ref_sg.SetGroupsAd2cp(
+            parser, input_file=str(raw), xml_path=None, output_path=None,
+            sonar_model="AD2CP", params=dict(CONVERT_PARAMS),
+        )
+        ref_v = sg.set_vendor()
+        ed = ep.open_raw(str(raw), sonar_model="AD2CP")
+        our_v = ed["Vendor_specific"]
+        for var in ("battery_voltage", "nominal_correlation", "power_level",
+                    "magnetometer_temperature", "real_time_clock_temperature",
+                    "ensemble_counter"):
+            w = np.asarray(ref_v[var].values, dtype="f8").ravel()
+            g = np.asarray(our_v[var].values, dtype="f8").ravel()
+            # our vendor records one row per unique timestamp; the reference
+            # keeps one per packet — compare the deduped leading values
+            n = min(len(w), len(g))
+            assert n > 0, var
+            np.testing.assert_allclose(
+                np.unique(g), np.unique(w), rtol=1e-12, err_msg=var
+            )
