@@ -30,12 +30,23 @@ def nt_to_unix(nt_timestamp_tuple, return_datetime=True):
 
 
 def unix_to_nt(unix_timestamp):
-    """Unix time (float or datetime) -> (lowDateTime, highDateTime)."""
+    """Unix time (float or datetime) -> (lowDateTime, highDateTime).
+
+    Integer tick arithmetic: at ~1.3e17 ticks a float64 product exceeds
+    2**53 and drifts by ~10 ticks (~1 us), breaking the exact
+    nt->unix->nt round-trip that nt_to_unix's integer path provides.
+    """
     if isinstance(unix_timestamp, datetime.datetime):
-        unix_seconds = datetime_to_unix(unix_timestamp)
+        if unix_timestamp.tzinfo is None:
+            unix_timestamp = unix_timestamp.replace(tzinfo=UTC)
+        delta = unix_timestamp - UTC_UNIX_EPOCH
+        unix_us = (delta.days * 86400 + delta.seconds) * 10**6 + delta.microseconds
     else:
         unix_seconds = float(unix_timestamp)
-    nt_ticks = int(round((unix_seconds + EPOCH_DELTA_SECONDS) * 1e7))
+        whole = int(unix_seconds)
+        frac = unix_seconds - whole
+        unix_us = whole * 10**6 + int(round(frac * 1e6))
+    nt_ticks = (unix_us + int(EPOCH_DELTA_SECONDS) * 10**6) * 10
     return (nt_ticks & 0xFFFFFFFF, nt_ticks >> 32)
 
 

@@ -114,17 +114,20 @@ DEFAULT_ENCODINGS = {
 
 
 def set_time_encodings(ds):
-    """Return a copy whose time-like variables carry the default time
-    encoding in their attrs (reference: utils/coding.py:142-161 sets
-    `.encoding`; xrlite carries it in attrs under 'units'/'calendar')."""
-    import re as _re
-
+    """Return a copy whose known time variables carry the default time
+    encoding (reference: utils/coding.py:142-161).  Restricted to the fixed
+    DEFAULT_ENCODINGS name list like the reference — an arbitrary
+    ``*_time*`` data variable is NOT stamped — and routed through
+    ``.encoding`` rather than attrs so CF-aware readers don't see decoding
+    attrs on already-decoded datetime64 data."""
     out = ds.copy()
-    for var in list(out.coords) + list(out.data_vars):
-        if bool(_re.search(r"_time|^time[\d]+$", var)):
+    for var, enc in DEFAULT_ENCODINGS.items():
+        if var in out.coords or var in out.data_vars:
             target = out.coords[var] if var in out.coords else out.data_vars[var]
-            for k, v in DEFAULT_TIME_ENCODING.items():
-                target.attrs.setdefault(k, v)
+            # reference overwrites the full encoding with the default
+            # (utils/coding.py:158); the datetime64[ns] encode/decode
+            # round-trip it also runs is an identity at ns resolution
+            target.encoding = dict(enc)
     return out
 
 

@@ -54,8 +54,21 @@ class CoordsDict(dict):
     ``.sizes``/``.values`` on them.
     """
 
+    def __init__(self, other=(), **kw):
+        super().__init__()
+        self.update(other, **kw)
+
     def __setitem__(self, key, val):
         super().__setitem__(key, _as_coord(key, val))
+
+    def __ior__(self, other):
+        self.update(other)
+        return self
+
+    def __or__(self, other):
+        out = CoordsDict(self)
+        out.update(other)
+        return out
 
     def update(self, other=(), **kw):
         # dict.update bypasses __setitem__; route through it for coercion
@@ -373,13 +386,18 @@ class DataArray:
             f"dtype={self.dtype} coords=[{coord_str}]>"
         )
 
-    def copy(self, deep=False):
-        vals = self.values.copy() if deep else self.values
+    def copy(self, deep=False, data=None):
+        if data is not None:
+            vals = np.asarray(data).reshape(self.values.shape)
+        else:
+            vals = self.values.copy() if deep else self.values
         out = DataArray(vals, self.dims, attrs=dict(self.attrs), name=self.name)
         out.coords = {
             k: DataArray(v.values.copy() if deep else v.values, v.dims, attrs=dict(v.attrs), name=k)
             for k, v in self.coords.items()
         }
+        if self.encoding:
+            out.encoding = self.encoding
         return out
 
     # --------------------------------------------------------------- reshaping
@@ -399,15 +417,21 @@ class DataArray:
             )
         return out
 
-    def transpose(self, *dims):
+    def transpose(self, *dims, missing_dims="raise"):
         if not dims:
             dims = self.dims[::-1]
-        # dims the array doesn't have are dropped: the reference (on its
-        # pinned xarray>=2026.01) transposes to a canonical ("channel",
-        # "ping_time", "range_sample") order on arrays that may lack
-        # ping_time (calibrate/range.py:95), so strict-raise here would make
-        # that code un-executable.  A fully-bogus dim list still errors via
-        # numpy's axes-count check below.
+        # xarray semantics: requested dims must exist unless
+        # missing_dims="ignore" (the reference opts into "ignore" only at
+        # set_groups_base.py:466; everywhere else runs under the strict
+        # default, so a misspelled dim surfaces instead of silently
+        # producing a wrong-ordered array).
+        if missing_dims == "raise":
+            missing = [d for d in dims if d is not ... and d not in self.dims]
+            if missing:
+                raise ValueError(
+                    f"dimensions {missing} do not exist on this array; "
+                    f"existing dims: {self.dims} (pass missing_dims='ignore' to drop)"
+                )
         dims = tuple(d for d in dims if d is ... or d in self.dims)
         rest = [d for d in self.dims if d not in dims]
         if ... in dims:
@@ -1176,7 +1200,11 @@ class DataArray:
             if old_coord is None:
                 raise KeyError(f"reindex: no coordinate for dim {dim!r}")
             old = np.asarray(old_coord.values)
-            if method == "ffill":
+            if len(old) == 0:
+                # empty source index: every new label is unmatched
+                idx = np.zeros(len(new), dtype=np.intp)
+                valid = np.zeros(len(new), dtype=bool)
+            elif method == "ffill":
                 # xarray requires a monotonic index for fill methods
                 if len(old) > 1 and not np.all(old[1:] >= old[:-1]):
                     raise ValueError(
@@ -1196,18 +1224,28 @@ class DataArray:
             else:
                 raise NotImplementedError(f"reindex method={method!r}")
             ax = out._dim_index(dim)
-            vals = np.take(out.values, idx, axis=ax)
+            if len(old) == 0:
+                # np.take on a zero-length axis is invalid; build the filled
+                # shape directly
+                shape = list(out.values.shape)
+                shape[ax] = len(new)
+                vals = np.empty(shape, dtype=out.values.dtype)
+            else:
+                vals = np.take(out.values, idx, axis=ax)
             if not valid.all():
+                sl = [slice(None)] * vals.ndim
+                sl[ax] = ~valid
                 if np.issubdtype(vals.dtype, np.datetime64):
-                    sl = [slice(None)] * vals.ndim
-                    sl[ax] = ~valid
                     vals = vals.astype("datetime64[ns]")
                     vals[tuple(sl)] = np.datetime64("NaT")
+                elif vals.dtype.kind in ("O", "U", "S"):
+                    # xarray fills object/string arrays with NaN (object
+                    # dtype), e.g. EK80 transmit_type along ping_time
+                    vals = vals.astype(object)
+                    vals[tuple(sl)] = fill_value
                 else:
                     if not np.issubdtype(vals.dtype, np.floating):
                         vals = vals.astype(np.float64)
-                    sl = [slice(None)] * vals.ndim
-                    sl[ax] = ~valid
                     vals[tuple(sl)] = fill_value
             res = DataArray(vals, out.dims, attrs=out.attrs, name=out.name)
             for k, v in out.coords.items():

@@ -455,7 +455,14 @@ class Dataset:
             out.data_vars[k] = v.expand_dims(dim, axis)
         return out
 
-    def transpose(self, *dims):
+    def transpose(self, *dims, missing_dims="raise"):
+        if missing_dims == "raise":
+            missing = [d for d in dims if d is not ... and d not in self.dims]
+            if missing:
+                raise ValueError(
+                    f"dimensions {missing} do not exist on this Dataset; "
+                    f"existing dims: {tuple(self.dims)}"
+                )
         out = Dataset(attrs=dict(self.attrs))
         out.coords = dict(self.coords)
         for k, v in self.data_vars.items():

@@ -176,7 +176,13 @@ def test_nt_date_conversion_matches_reference():
         delta = abs((ours.nt_to_unix(nt) - ref.nt_to_unix(nt)).total_seconds())
         assert delta <= 1e-6, delta
     dt = datetime.datetime(2021, 6, 1, 12, 30, 15, 123456, datetime.timezone.utc)
-    assert ours.unix_to_nt(dt) == tuple(ref.unix_to_nt(dt))
+    # ours is integer-exact; the reference's float 100ns-tick multiply loses
+    # ~16 ticks (~1.6 us) at 2020-era magnitudes, so compare at tick level
+    low_o, high_o = ours.unix_to_nt(dt)
+    low_r, high_r = ref.unix_to_nt(dt)
+    assert abs(((high_o << 32) + low_o) - ((high_r << 32) + low_r)) <= 32
+    # and the integer path round-trips exactly where the reference's cannot
+    assert ours.nt_to_unix(ours.unix_to_nt(dt)) == dt
     assert ours.datetime_to_unix(dt) == ref.datetime_to_unix(dt)
 
 
