@@ -54,34 +54,70 @@ def exist_reversed_time(ds, time_name: str) -> bool:
     return bool((np.diff(np.asarray(da.values, dtype="datetime64[ns]")) < np.timedelta64(0, "ns")).any())
 
 
-def orchestrate_reverse_time_check(echodata, win_len: int = 100):
-    """Check every group's time coordinates; repair reversals and store the
-    originals in the Provenance group (reference qc/api.py:174-267).
+def orchestrate_reverse_time_check(
+    ed_comb,
+    zarr_store=None,
+    possible_time_dims=None,
+    storage_options=None,
+    consolidated: bool = True,
+):
+    """Check every group's time dims; repair reversals, record the originals
+    in the Provenance group, and mirror the updates into ``zarr_store``
+    (reference qc/api.py:174-267).
 
-    Modifies the input EchoData in place and returns it.
+    Sets the Provenance attribute ``reversed_ping_times`` to 1 when any
+    reversal was corrected (0 otherwise); the uncorrected times are stored
+    as ``<group>_old_<time>`` arrays.  ``Platform/NMEA`` is skipped like the
+    reference (non-GPS NMEA timestamps are routinely unordered).  Unlike the
+    reference's literal code — whose store write re-reads the tree and so
+    persists the *uncorrected* time — the corrected time is written.
+
+    Modifies ``ed_comb`` in place and returns it.
     """
-    from ..xrlite import DataArray, Dataset
+    if possible_time_dims is None:
+        from ..echodata.combine import POSSIBLE_TIME_DIMS as possible_time_dims
 
-    prov = echodata.get("Provenance")
-    if prov is None:
-        prov = Dataset()
-        echodata["Provenance"] = prov
-    for group in list(echodata.group_paths):
-        ds = echodata[group]
-        for time_name, coord in list(ds.coords.items()):
-            if coord.dtype.kind != "M" or coord.ndim != 1 or len(coord.values) < 2:
+    prov = ed_comb["Provenance"]
+    prov.attrs["reversed_ping_times"] = 0
+    if zarr_store is not None:
+        from ..xrlite.datatree import dataset_to_zarr
+
+        only_attrs_ds = Dataset(attrs=prov.attrs)
+        dataset_to_zarr(
+            only_attrs_ds, zarr_store, group="Provenance", mode="a",
+            storage_options=storage_options, consolidated=consolidated,
+        )
+
+    for group in ed_comb.group_paths:
+        if group == "Platform/NMEA":
+            continue
+        group_ds = ed_comb[group]
+        time_dims = set(group_ds.dims).intersection(possible_time_dims)
+        for time in sorted(time_dims):
+            old_time = check_and_correct_reversed_time(
+                combined_group=group_ds, time_str=time, ed_group=group
+            )
+            if old_time is None:
                 continue
-            if exist_reversed_time(ds, time_name):
-                old = coord.values.copy()
-                coerce_increasing_time(ds, time_name=time_name, win_len=win_len)
-                store_name = f"old_{time_name}_{group.replace('/', '_').replace('-', '_')}"
-                prov[store_name] = (
-                    (store_name + "_dim",),
-                    old,
-                    {"comment": f"Original (reversed) {time_name} of group {group}"},
+            old_time_array = create_old_time_array(group, old_time)
+            prov[old_time_array.name] = old_time_array
+            prov.attrs["reversed_ping_times"] = 1
+            if zarr_store is not None:
+                from ..xrlite.datatree import dataset_to_zarr
+
+                old_time_ds = old_time_array.to_dataset()
+                old_time_ds.attrs = prov.attrs
+                dataset_to_zarr(
+                    old_time_ds, zarr_store, group="Provenance", mode="a",
+                    storage_options=storage_options, consolidated=consolidated,
                 )
-                prov.attrs[f"reversed_{time_name}_corrected_{group}"] = True
-    return echodata
+                dataset_to_zarr(
+                    group_ds[[time]] if time in group_ds.data_vars
+                    else Dataset(coords={time: group_ds.coords[time]}),
+                    zarr_store, group=group, mode="r+",
+                    storage_options=storage_options, consolidated=consolidated,
+                )
+    return ed_comb
 
 
 def check_and_correct_reversed_time(combined_group, time_str: str, ed_group: str):

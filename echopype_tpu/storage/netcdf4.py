@@ -154,11 +154,14 @@ def _write_group(grp, ds_obj, compress: bool):
             var.dims[i].attach_scale(grp[d])
 
 
-def write_tree(path, tree: dict, compress=True, overwrite=False, storage_options=None):
+def write_tree(path, tree: dict, compress=True, overwrite=False, storage_options=None,
+               append=False):
     """Write {group_path: Dataset} as one netCDF4 (HDF5) file.
 
-    Remote fsspec URLs are written via a local temp file then uploaded (HDF5
-    needs random access while writing).
+    ``append=True`` opens an existing file and adds/updates the given groups
+    (xarray's ``to_netcdf(mode='a', group=...)``).  Remote fsspec URLs are
+    written via a local temp file then uploaded (HDF5 needs random access
+    while writing).
     """
     from ..utils.io import is_remote_path
 
@@ -171,27 +174,30 @@ def write_tree(path, tree: dict, compress=True, overwrite=False, storage_options
         fs, _, paths = fsspec.core.get_fs_token_paths(
             str(path), storage_options=storage_options or {}
         )
-        if fs.exists(paths[0]):
-            if not overwrite:
-                raise FileExistsError(f"{path} exists; pass overwrite=True")
-            fs.rm(paths[0])
+        exists = fs.exists(paths[0])
+        if exists and not (overwrite or append):
+            raise FileExistsError(f"{path} exists; pass overwrite=True")
         with tempfile.NamedTemporaryFile(suffix=".nc") as tmp:
-            _write_tree_local(tmp.name, tree, compress)
+            if append and exists:
+                fs.get_file(paths[0], tmp.name)
+            _write_tree_local(tmp.name, tree, compress, append=append and exists)
+            if exists:
+                fs.rm(paths[0])
             fs.put_file(tmp.name, paths[0])
         return str(path)
 
     p = Path(path)
-    if p.exists():
+    if p.exists() and not append:
         if not overwrite:
             raise FileExistsError(f"{path} exists; pass overwrite=True")
         p.unlink()
     p.parent.mkdir(parents=True, exist_ok=True)
-    _write_tree_local(p, tree, compress)
+    _write_tree_local(p, tree, compress, append=append and p.exists())
     return str(p)
 
 
-def _write_tree_local(p, tree: dict, compress: bool):
-    with h5py.File(p, "w") as f:
+def _write_tree_local(p, tree: dict, compress: bool, append: bool = False):
+    with h5py.File(p, "a" if append else "w") as f:
         f.attrs["_NCProperties"] = np.bytes_("version=2,echopype_tpu=1")
         for gpath, ds_obj in tree.items():
             if gpath in ("Top-level", "/", ""):

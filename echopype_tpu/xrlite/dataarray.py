@@ -240,7 +240,14 @@ class DataArray:
 
     @encoding.setter
     def encoding(self, value):
-        object.__setattr__(self, "_encoding", dict(value))
+        # update the existing dict in place: Dataset.__getitem__ hands out
+        # wrappers whose _encoding is the SAME dict object as the stored
+        # variable's, so `ds[var].encoding = {...}` sticks (xarray shares the
+        # underlying Variable; the reference relies on this in
+        # utils/coding.py:158)
+        enc = self.encoding
+        enc.clear()
+        enc.update(value)
 
     # ---------------------------------------------------- xarray-parity sugar
     @property

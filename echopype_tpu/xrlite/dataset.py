@@ -57,7 +57,10 @@ class Dataset:
     # ------------------------------------------------------------------ dunder
     def _set_coord(self, name, val):
         if isinstance(val, DataArray):
-            self.coords[name] = DataArray(val.values, val.dims, attrs=val.attrs, name=name)
+            da = DataArray(val.values, val.dims, attrs=val.attrs, name=name)
+            if val.encoding:
+                da.encoding = val.encoding
+            self.coords[name] = da
         elif isinstance(val, tuple) and len(val) in (2, 3):
             dims, data = val[0], val[1]
             attrs = val[2] if len(val) == 3 else None
@@ -74,9 +77,23 @@ class Dataset:
             # updates the coordinate (e.g. qc's ds["ping_time"] = (dims, vals))
             self._set_coord(name, val)
             return
+        # xarray parity: a variable assigned under a name equal to one of its
+        # own dims becomes an index coordinate (the reference's combine relies
+        # on this when re-assigning concatenated variables, combine.py:820-823)
+        val_dims = (
+            val.dims
+            if isinstance(val, DataArray)
+            else (val[0],) if isinstance(val, tuple) and isinstance(val[0], str) else
+            tuple(val[0]) if isinstance(val, tuple) and isinstance(val[0], (list, tuple)) else ()
+        )
+        if name in val_dims and name not in self.data_vars:
+            self._set_coord(name, val)
+            return
         if isinstance(val, DataArray):
             da = DataArray(val.values, val.dims, attrs=val.attrs, name=name)
             da.coords = dict(val.coords)
+            if val.encoding:
+                da.encoding = val.encoding
         elif isinstance(val, tuple) and len(val) in (2, 3):
             dims, data = val[0], val[1]
             attrs = val[2] if len(val) == 3 else None
@@ -115,6 +132,9 @@ class Dataset:
             out.coords = {
                 k: v for k, v in self.coords.items() if set(v.dims) <= set(da.dims)
             }
+            # share the stored variable's encoding dict so mutation through
+            # the returned wrapper sticks (xarray Variable-sharing semantics)
+            object.__setattr__(out, "_encoding", da.encoding)
             return out
         if name in self.coords:
             c = self.coords[name]
@@ -122,6 +142,7 @@ class Dataset:
             out.coords = {
                 k: v for k, v in self.coords.items() if set(v.dims) <= set(c.dims)
             }
+            object.__setattr__(out, "_encoding", c.encoding)
             return out
         raise KeyError(name)
 
@@ -139,6 +160,11 @@ class Dataset:
             raise AttributeError(name) from None
         if name in dv or name in co:
             return self[name]
+        # xarray parity: dataset attributes are reachable as attributes too
+        # (the reference reads ds.keywords, echodata/echodata.py:276)
+        at = object.__getattribute__(self, "attrs")
+        if name in at:
+            return at[name]
         raise AttributeError(f"Dataset has no attribute, variable, or coordinate {name!r}")
 
     def __iter__(self):
@@ -386,6 +412,62 @@ class Dataset:
             return False
         return all(self[k].equals(other[k]) for k in self.data_vars)
 
+    def identical(self, other):
+        """Like equals plus attribute equality, for vars, coords and the
+        dataset itself (xarray parity; the reference's Vendor_specific
+        identity check, echodata/combine.py:545)."""
+        if not self.equals(other):
+            return False
+        if set(self.coords) != set(other.coords):
+            return False
+        if not all(self.coords[k].equals(other.coords[k]) for k in self.coords):
+            return False
+
+        def _attrs_eq(a, b):
+            if set(a) != set(b):
+                return False
+            for k in a:
+                va, vb = a[k], b[k]
+                if isinstance(va, np.ndarray) or isinstance(vb, np.ndarray):
+                    if not np.array_equal(np.asarray(va), np.asarray(vb)):
+                        return False
+                elif va != vb:
+                    return False
+            return True
+
+        if not _attrs_eq(self.attrs, other.attrs):
+            return False
+        for k in self.data_vars:
+            if not _attrs_eq(self.data_vars[k].attrs, other.data_vars[k].attrs):
+                return False
+        for k in self.coords:
+            if not _attrs_eq(self.coords[k].attrs, other.coords[k].attrs):
+                return False
+        return True
+
+    def astype(self, dtype):
+        out = self.copy()
+        for k, da in out.data_vars.items():
+            out.data_vars[k] = da.astype(dtype)
+        return out
+
+    @classmethod
+    def from_dataframe(cls, df) -> "Dataset":
+        """pandas DataFrame -> Dataset: index becomes the dim coordinate,
+        columns become 1-d variables (what pandas' DataFrame.to_xarray
+        delegates to; used by the reference's combine provenance table,
+        echodata/combine.py:631-639)."""
+        idx = df.index
+        if getattr(idx, "nlevels", 1) != 1:
+            raise NotImplementedError("MultiIndex from_dataframe is not supported")
+        dim = idx.name if idx.name is not None else "index"
+        ds = cls()
+        ds.coords[dim] = DataArray(np.asarray(idx), (dim,), name=dim)
+        for col in df.columns:
+            vals = df[col].to_numpy()
+            ds.data_vars[str(col)] = DataArray(vals, (dim,), name=str(col))
+        return ds
+
     def rename(self, name_map=None, **kw):
         name_map = {**(name_map or {}), **kw}
         out = Dataset(attrs=dict(self.attrs))
@@ -499,15 +581,17 @@ class Dataset:
         return out
 
     def copy(self, deep=False):
+        def _cp(v, name):
+            da = DataArray(
+                v.values.copy() if deep else v.values, v.dims, attrs=dict(v.attrs), name=name
+            )
+            if v.encoding:
+                da.encoding = v.encoding
+            return da
+
         out = Dataset(attrs=dict(self.attrs))
-        out.coords = {
-            k: DataArray(v.values.copy() if deep else v.values, v.dims, attrs=dict(v.attrs), name=k)
-            for k, v in self.coords.items()
-        }
-        out.data_vars = {
-            k: DataArray(v.values.copy() if deep else v.values, v.dims, attrs=dict(v.attrs), name=k)
-            for k, v in self.data_vars.items()
-        }
+        out.coords = {k: _cp(v, k) for k, v in self.coords.items()}
+        out.data_vars = {k: _cp(v, k) for k, v in self.data_vars.items()}
         return out
 
     def interp(self, coords=None, method="linear", kwargs=None, **kw):
@@ -525,12 +609,45 @@ class Dataset:
                 out.coords[k] = v
         return out
 
-    def to_zarr(self, store_path, compress=True, overwrite=False, mode=None):
-        """Persist this Dataset as a one-group zarr store (an Sv/MVBS store)."""
+    def to_zarr(self, store_path=None, compress=True, overwrite=False, mode=None,
+                store=None, group=None, encoding=None, consolidated=True,
+                storage_options=None, **kw):
+        """Persist this Dataset as zarr.
+
+        Two call styles:
+        - plain (ours): ``ds.to_zarr(path)`` writes a one-group store
+          (an Sv/MVBS store)
+        - xarray-style group write: ``ds.to_zarr(store, group=..., mode=...,
+          encoding=..., storage_options=...)`` — what the reference's save
+          chain and qc orchestration use (utils/io.py:80, qc/api.py:219)
+        """
+        target = store_path if store_path is not None else store
+        if group is not None or encoding is not None or mode in ("a", "r+"):
+            from .datatree import dataset_to_zarr
+
+            return dataset_to_zarr(
+                self, target, mode=mode, group=group, encoding=encoding,
+                consolidated=consolidated, storage_options=storage_options,
+                compress=compress,
+            )
         from .. import storage
 
         return storage.write_dataset(
-            store_path, self, compress=compress, overwrite=overwrite or mode in ("w", "a")
+            target, self, compress=compress, overwrite=overwrite or mode in ("w", "a"),
+            storage_options=storage_options,
+        )
+
+    def to_netcdf(self, path=None, mode=None, group=None, encoding=None,
+                  engine=None, compress=True, storage_options=None, **kw):
+        """Persist as netCDF4 (single group, or group-targeted append like
+        xarray's ``to_netcdf(group=...)``)."""
+        from ..storage import netcdf4
+
+        key = "Top-level" if not group else str(group).strip("/")
+        netcdf4.write_tree(
+            str(path), {key: self}, compress=compress,
+            overwrite=mode in (None, "w", "a"), storage_options=storage_options,
+            append=mode == "a",
         )
 
     def _reduce_all(self, method, dim=None, skipna=True):
@@ -579,6 +696,16 @@ class Dataset:
         for k, da in out.data_vars.items():
             if np.issubdtype(da.values.dtype, np.floating):
                 da.values = np.where(np.isnan(da.values), value, da.values)
+            elif da.values.dtype == object:
+                # object columns (e.g. the combine provenance attr table)
+                # carry float NaN for missing entries
+                mask = np.frompyfunc(
+                    lambda v: isinstance(v, float) and np.isnan(v), 1, 1
+                )(da.values).astype(bool)
+                if mask.any():
+                    vals = da.values.copy()
+                    vals[mask] = value
+                    da.values = vals
         return out
 
     def clip(self, min=None, max=None):

@@ -1,0 +1,487 @@
+"""Minimal DataTree + tree-aware file IO for the xarray facade.
+
+The reference's echodata layer (echopype/echodata/echodata.py:43,
+combine.py:860, qc/api.py:174) operates on ``xr.DataTree`` plus the
+module-level openers ``open_dataset``/``open_datatree``/``open_groups`` and
+group-targeted ``Dataset.to_zarr``/``to_netcdf`` writes.  This module
+implements exactly that surface on xrlite Datasets, backed by the
+``storage/`` zarr v2 + netCDF4 writers, so the reference's EchoData,
+combine_echodata, and orchestrate_reverse_time_check execute unmodified as
+differential oracles — and so user code written against xarray's tree API
+runs on this framework.
+
+Semantics mirrored from xarray (relied on by the reference):
+- ``node.to_dataset()`` shares the node's attrs dict and variable objects
+  (attr mutation through the returned Dataset sticks; adding variables does
+  not) — qc/api.py:217 mutates ``ed_comb["Provenance"].attrs`` this way.
+- ``DataTree.from_dict`` creates intermediate nodes for nested paths.
+- ``tree.groups`` lists "/"-prefixed node paths in pre-order.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from .dataset import Dataset
+
+__all__ = [
+    "DataTree",
+    "open_dataset",
+    "open_datatree",
+    "open_groups",
+    "dataset_to_zarr",
+]
+
+
+def _norm_parts(path) -> list:
+    """'/Sonar/Beam_group1' | 'Sonar/Beam_group1' -> ['Sonar', 'Beam_group1']."""
+    s = str(path).strip()
+    return [p for p in s.split("/") if p not in ("", ".")]
+
+
+class DataTree:
+    """A tree of named nodes, each holding one Dataset."""
+
+    def __init__(self, dataset=None, name=None, children=None):
+        self._ds = dataset if dataset is not None else Dataset()
+        self.name = name
+        self.parent = None
+        self.children = {}
+        for k, v in (children or {}).items():
+            self[k] = v
+
+    # ------------------------------------------------------------- node data
+    @property
+    def dataset(self):
+        return self._ds
+
+    @dataset.setter
+    def dataset(self, value):
+        self._ds = value if value is not None else Dataset()
+
+    ds = dataset
+
+    def to_dataset(self, inherit=True):
+        """Dataset view of this node: shares attrs dict + variable objects
+        (xarray Variable-sharing semantics); adding variables to the result
+        does not modify the node."""
+        out = Dataset()
+        out.attrs = self._ds.attrs
+        out.coords = dict(self._ds.coords)
+        out.data_vars = dict(self._ds.data_vars)
+        return out
+
+    @property
+    def has_data(self) -> bool:
+        return bool(self._ds.data_vars) or bool(self._ds.coords)
+
+    @property
+    def has_attrs(self) -> bool:
+        return bool(self._ds.attrs)
+
+    @property
+    def attrs(self):
+        return self._ds.attrs
+
+    @property
+    def sizes(self):
+        return self._ds.sizes
+
+    @property
+    def dims(self):
+        return self._ds.dims
+
+    @property
+    def nbytes(self):
+        return sum(node._ds.nbytes for node in self._walk())
+
+    # ------------------------------------------------------------ tree shape
+    @property
+    def path(self) -> str:
+        parts = []
+        node = self
+        while node.parent is not None:
+            parts.append(node.name)
+            node = node.parent
+        return "/" + "/".join(reversed(parts))
+
+    def _walk(self):
+        yield self
+        for child in self.children.values():
+            yield from child._walk()
+
+    @property
+    def groups(self) -> tuple:
+        return tuple(node.path for node in self._walk())
+
+    @property
+    def subtree(self):
+        return self._walk()
+
+    def __contains__(self, key) -> bool:
+        try:
+            self[key]
+            return True
+        except KeyError:
+            return False
+
+    def __getitem__(self, key) -> "DataTree":
+        node = self
+        for part in _norm_parts(key):
+            if part == "..":
+                if node.parent is None:
+                    raise KeyError(key)
+                node = node.parent
+            else:
+                try:
+                    node = node.children[part]
+                except KeyError:
+                    raise KeyError(key) from None
+        return node
+
+    def __setitem__(self, key, value):
+        parts = _norm_parts(key)
+        if not parts:
+            # assigning the root: value must be a Dataset
+            self.dataset = value if isinstance(value, Dataset) else value.dataset
+            return
+        node = self
+        for part in parts[:-1]:
+            if part not in node.children:
+                child = DataTree(name=part)
+                child.parent = node
+                node.children[part] = child
+            node = node.children[part]
+        leaf = parts[-1]
+        if isinstance(value, DataTree):
+            value.name = leaf
+            value.parent = node
+            node.children[leaf] = value
+        else:
+            if leaf in node.children:
+                node.children[leaf].dataset = value
+            else:
+                child = DataTree(dataset=value, name=leaf)
+                child.parent = node
+                node.children[leaf] = child
+
+    def get(self, key, default=None):
+        try:
+            return self[key]
+        except KeyError:
+            return default
+
+    @classmethod
+    def from_dict(cls, d: dict, name=None) -> "DataTree":
+        tree = cls(name=name)
+        for key, value in d.items():
+            parts = _norm_parts(key)
+            if not parts:
+                tree.dataset = value if isinstance(value, Dataset) else value.dataset
+            else:
+                tree["/".join(parts)] = value
+        return tree
+
+    def to_dict(self) -> dict:
+        return {node.path: node.to_dataset() for node in self._walk()}
+
+    def __repr__(self):
+        lines = [f"<xrlite.DataTree {self.name or ''!r}>"]
+        for node in self._walk():
+            nvars = len(node._ds.data_vars)
+            lines.append(f"  {node.path}  ({nvars} vars)")
+        return "\n".join(lines)
+
+    # ----------------------------------------------------------------- save
+    def to_zarr(self, store, mode="w-", consolidated=True, storage_options=None, **kw):
+        from ..storage import zarr_lite
+
+        tree = {}
+        for node in self._walk():
+            key = "Top-level" if node.path == "/" else node.path.lstrip("/")
+            tree[key] = node.to_dataset()
+        zarr_lite.write_tree(
+            store, tree, overwrite=mode in ("w", "a"), storage_options=storage_options
+        )
+
+    def identical(self, other) -> bool:
+        if sorted(self.groups) != sorted(other.groups):
+            return False
+        for node in self._walk():
+            o = other[node.path] if node.path != "/" else other
+            a, b = node.to_dataset(), o.to_dataset()
+            if a.attrs != b.attrs or not a.equals(b):
+                return False
+        return True
+
+
+# ------------------------------------------------------------------ file IO
+def _unwrap_store(path):
+    """Accept str/Path or an fsspec FSMap (the reference's sanitize_file_path
+    hands FSMaps to xr.open_dataset, echodata/echodata.py:566).  Only a
+    mapping-like store is unwrapped — pathlib.Path also HAS a .root ("/")."""
+    if hasattr(path, "fs") and hasattr(path, "root"):
+        return path.root
+    return path
+
+
+def _engine_for(path, engine=None) -> str:
+    if engine in ("zarr", "netcdf4"):
+        return engine
+    sfx = Path(str(_unwrap_store(path))).suffix
+    return {".nc": "netcdf4", ".zarr": "zarr"}.get(sfx, "zarr")
+
+
+def open_dataset(path, group=None, engine=None, storage_options=None, **kw) -> Dataset:
+    """Open one group of a zarr/netCDF store as a Dataset
+    (facade for xr.open_dataset; reference: echodata/echodata.py:598)."""
+    eng = _engine_for(path, engine)
+    path = _unwrap_store(path)
+    if eng == "zarr":
+        from ..storage import zarr_lite
+
+        return zarr_lite.read_group(str(path), group or "", storage_options=storage_options)
+    from ..storage import netcdf4
+
+    tree = netcdf4.open_netcdf_tree(str(path), storage_options=storage_options)
+    key = group or "Top-level"
+    if key in tree:
+        return tree[key]
+    if (group or "") == "" and "Top-level" not in tree:
+        return Dataset()
+    raise KeyError(f"group {group!r} not found in {path}")
+
+
+def open_groups(path, engine=None, storage_options=None, **kw) -> dict:
+    """{'/': root_ds, '/Sonar': ..., ...} for every group in a store
+    (facade for xr.open_groups; reference: echodata/echodata.py:219)."""
+    eng = _engine_for(path, engine)
+    path = _unwrap_store(path)
+    if eng == "zarr":
+        from ..storage import zarr_lite
+
+        raw = zarr_lite.open_zarr_tree(str(path), storage_options=storage_options)
+    else:
+        from ..storage import netcdf4
+
+        raw = netcdf4.open_netcdf_tree(str(path), storage_options=storage_options)
+    out = {}
+    for key, ds in raw.items():
+        out["/" if key in ("Top-level", "", "/") else "/" + key.lstrip("/")] = ds
+    return out
+
+
+def open_datatree(path, engine=None, storage_options=None, **kw) -> DataTree:
+    """Open a whole store as a DataTree
+    (facade for xr.open_datatree; reference: echodata/echodata.py:249)."""
+    return DataTree.from_dict(open_groups(path, engine=engine, storage_options=storage_options))
+
+
+# ------------------------------------------------- group-targeted zarr write
+def _blosc_shuffle_code(shuffle):
+    from ..storage import blosc
+
+    name = getattr(shuffle, "shuffle", shuffle)
+    return {
+        "noshuffle": blosc.NOSHUFFLE,
+        "shuffle": blosc.SHUFFLE,
+        "bitshuffle": blosc.BITSHUFFLE,
+    }.get(str(name), blosc.SHUFFLE)
+
+
+def _compressor_meta_from_encoding(enc: dict, dtype):
+    """Translate an xarray-style encoding entry into zarr_lite compressor
+    metadata.  Accepts zarr-v3 style {'compressors': [BloscCodec(...)]} (the
+    reference's COMPRESSION_SETTINGS, utils/coding.py:17-29) and numcodecs
+    style {'compressor': {...}}."""
+    from ..utils import coding as our_coding
+
+    comps = enc.get("compressors", enc.get("compressor"))
+    if comps is None:
+        return our_coding.zarr_compressor_meta(dtype)
+    if isinstance(comps, (list, tuple)):
+        comps = comps[0] if comps else None
+    if comps is None:
+        return None
+    if isinstance(comps, dict):
+        return dict(comps)
+    # duck-typed BloscCodec-like object
+    return {
+        "id": "blosc",
+        "cname": str(getattr(comps, "cname", "zstd")),
+        "clevel": int(getattr(comps, "clevel", 3)),
+        "shuffle": _blosc_shuffle_code(getattr(comps, "shuffle", "shuffle")),
+        "blocksize": 0,
+    }
+
+
+def _encode_with(values: np.ndarray, enc: dict):
+    """Apply a CF time encoding (units/calendar/dtype) if present; return
+    (encoded array, attrs-to-store)."""
+    from ..utils import coding as our_coding
+
+    units = enc.get("units")
+    if units and np.issubdtype(values.dtype, np.datetime64):
+        from .xarray_compat import _make_coding_module
+
+        times = _make_coding_module().times
+        num, units, calendar = times.encode_cf_datetime(
+            values, units, enc.get("calendar")
+        )
+        dtype = enc.get("dtype", "int64")
+        return np.asarray(num, dtype=dtype), {"units": units, "calendar": calendar}
+    return our_coding.encode_array(values)
+
+
+def dataset_to_zarr(
+    ds: Dataset,
+    store,
+    mode=None,
+    group=None,
+    encoding=None,
+    consolidated=True,
+    storage_options=None,
+    compress=True,
+    **kw,
+):
+    """Group-targeted Dataset→zarr write (facade for xr.Dataset.to_zarr).
+
+    Modes (xarray semantics, as the reference's save chain uses them —
+    utils/io.py:80, qc/api.py:219,253,261):
+      - "w": wipe the whole store, write this group fresh
+      - "w-"/None: like "w" but refuse to clobber an existing store
+      - "a": create/extend the group — add or replace arrays, merge attrs
+      - "r+": only overwrite the values of arrays that already exist
+    """
+    from ..storage import zarr_lite
+    from ..storage.fsstore import as_store_path, rmtree_store
+
+    encoding = encoding or {}
+    mode = mode or "w-"
+    root = as_store_path(getattr(store, "root", store), storage_options)
+    if mode == "w" and root.exists():
+        rmtree_store(root)
+    if mode == "w-" and root.exists() and any(root.iterdir()):
+        raise FileExistsError(f"{store} exists; use mode='w' or 'a'")
+
+    gparts = _norm_parts(group or "")
+    # ensure root + intermediate group markers
+    root.mkdir(parents=True, exist_ok=True)
+    if not (root / ".zgroup").exists():
+        zarr_lite._write_json(root / ".zgroup", {"zarr_format": zarr_lite.ZARR_FORMAT})
+        if gparts:
+            zarr_lite._write_json(root / ".zattrs", {})
+    gdir = root
+    for part in gparts:
+        gdir = gdir / part
+        gdir.mkdir(parents=True, exist_ok=True)
+        if not (gdir / ".zgroup").exists():
+            zarr_lite._write_json(gdir / ".zgroup", {"zarr_format": zarr_lite.ZARR_FORMAT})
+            zarr_lite._write_json(gdir / ".zattrs", {})
+
+    # group attrs: "a"/"w" merge (new values win); "r+" leaves attrs alone
+    if mode != "r+" or not (gdir / ".zattrs").exists():
+        existing = {}
+        if (gdir / ".zattrs").exists():
+            existing = zarr_lite._read_json(gdir / ".zattrs")
+        existing.update(zarr_lite._sanitize_attrs(ds.attrs))
+        zarr_lite._write_json(gdir / ".zattrs", existing)
+
+    coord_names = list(ds.coords)
+    for name, da in list(ds.coords.items()) + list(ds.data_vars.items()):
+        adir = gdir / name
+        if mode == "r+" and not (adir / ".zarray").exists():
+            raise KeyError(
+                f"mode='r+' cannot create new array {name!r} in group {group!r}"
+            )
+        enc = {**da.encoding, **encoding.get(name, {})}
+        values, extra_attrs = _encode_with(np.asarray(da.values), enc)
+        attrs = dict(da.attrs)
+        attrs.update(extra_attrs)
+        if name in ds.data_vars:
+            cs = " ".join(
+                cn for cn in coord_names if set(ds.coords[cn].dims) <= set(da.dims)
+            )
+            if cs:
+                attrs["coordinates"] = cs
+        comp = _compressor_meta_from_encoding(enc, values.dtype) if compress else None
+        chunk_spec = None
+        chunks = enc.get("chunks")
+        if chunks:
+            chunk_spec = dict(zip(da.dims, chunks))
+        _write_zarr_array(gdir, name, values, da.dims, attrs, comp, chunk_spec)
+    return str(root)
+
+
+def _write_zarr_array(gdir, name, values, dims, attrs, comp_meta, chunk_spec):
+    """Like zarr_lite.write_array but with explicit pre-encoded values,
+    compressor metadata, and chunking."""
+    from ..storage import zarr_lite
+    from ..utils import coding as our_coding
+
+    arr = our_coding.sanitize_dtypes(np.asarray(values))
+    if arr.dtype == object:
+        arr = arr.astype(str)
+    adir = gdir / name
+    adir.mkdir(parents=True, exist_ok=True)
+    chunks = our_coding.auto_chunks(arr.shape, arr.dtype)
+    if chunk_spec:
+        chunks = tuple(
+            min(int(chunk_spec.get(d, c) or c), s)
+            for d, c, s in zip(dims, chunks, arr.shape)
+        )
+    chunks = tuple(max(1, c) for c in chunks) if chunks else chunks
+    fill = zarr_lite._FILL.get(arr.dtype.kind)
+    if arr.dtype.kind == "U":
+        fill = ""
+    meta = {
+        "zarr_format": zarr_lite.ZARR_FORMAT,
+        "shape": list(arr.shape),
+        "chunks": list(chunks) if chunks else [1],
+        "dtype": zarr_lite._dtype_to_str(arr.dtype),
+        "compressor": comp_meta,
+        "fill_value": fill,
+        "order": "C",
+        "filters": None,
+    }
+    if arr.ndim == 0:
+        meta["shape"] = []
+        meta["chunks"] = []
+    # drop stale chunk files from a previous write of this array
+    for old in adir.iterdir():
+        if old.name not in (".zarray", ".zattrs"):
+            old.unlink()
+    zarr_lite._write_json(adir / ".zarray", meta)
+    zarr_lite._write_json(
+        adir / ".zattrs",
+        {"_ARRAY_DIMENSIONS": list(dims), **zarr_lite._sanitize_attrs(attrs or {})},
+    )
+    if 0 in meta["shape"]:
+        return
+    if arr.ndim == 0:
+        raw = zarr_lite._encode_chunk(
+            np.ascontiguousarray(arr).tobytes(), comp_meta, arr.dtype.itemsize
+        )
+        (adir / "0").write_bytes(raw)
+        return
+    cshape = meta["chunks"]
+    grid = [max(1, -(-s // c)) for s, c in zip(meta["shape"], cshape)] or [1]
+    for idx in np.ndindex(*grid):
+        slices = tuple(
+            slice(i * c, min((i + 1) * c, s))
+            for i, c, s in zip(idx, cshape, meta["shape"])
+        )
+        block = arr[slices]
+        if list(block.shape) != cshape:
+            pad = [(0, c - bs) for bs, c in zip(block.shape, cshape)]
+            fillv = fill if fill is not None and fill != "" else 0
+            if block.dtype.kind == "U":
+                block = np.pad(block, pad, constant_values="")
+            else:
+                block = np.pad(block, pad, constant_values=fillv)
+        raw = zarr_lite._encode_chunk(
+            np.ascontiguousarray(block).tobytes(), comp_meta, arr.dtype.itemsize
+        )
+        (adir / ".".join(map(str, idx))).write_bytes(raw)

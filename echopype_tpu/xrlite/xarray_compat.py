@@ -270,6 +270,8 @@ def _make_coding_module() -> types.ModuleType:
 
 def make_module() -> types.ModuleType:
     """Build a module object exposing this facade under the xarray API."""
+    from . import datatree as _dt
+
     mod = types.ModuleType("xarray")
     mod.coding = _make_coding_module()
     sys.modules.setdefault("xarray.coding", mod.coding)
@@ -279,6 +281,10 @@ def make_module() -> types.ModuleType:
     mod.Variable = _XrliteDataArray
     mod.DataArray = DataArray
     mod.Dataset = Dataset
+    mod.DataTree = _dt.DataTree
+    mod.open_dataset = _dt.open_dataset
+    mod.open_datatree = _dt.open_datatree
+    mod.open_groups = _dt.open_groups
     mod.where = where
     mod.merge = merge
     mod.concat = concat
@@ -289,7 +295,11 @@ def make_module() -> types.ModuleType:
     mod.align = align
     mod.apply_ufunc = apply_ufunc
     mod.set_options = set_options
-    mod.__version__ = "xrlite-compat"
+    # a real (parseable, recent) version string: pandas' DataFrame.to_xarray
+    # gates on a minimum xarray version before delegating to
+    # Dataset.from_dataframe; identify the facade via __xrlite__ instead
+    mod.__version__ = "2025.7.0"
+    mod.__xrlite__ = True
     return mod
 
 
@@ -301,7 +311,7 @@ def install(force: bool = False) -> bool:
     """
     if not force:
         if "xarray" in sys.modules:
-            return getattr(sys.modules["xarray"], "__version__", "") == "xrlite-compat"
+            return bool(getattr(sys.modules["xarray"], "__xrlite__", False))
         try:
             import importlib.util
 

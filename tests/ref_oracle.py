@@ -146,7 +146,26 @@ def _install_stubs() -> None:
     _stub("dask.utils", parse_bytes=_parse_bytes)
     # parse_base.py imports these at module level but the parse_raw() paths we
     # exercise never touch them (swap/rectangularize only).
-    _stub("dask.array.core", auto_chunks=lambda *a, **k: None)
+    def _auto_chunks(chunks, shape, limit=None, dtype=None, **kw):
+        """dask.array.core.auto_chunks shim: resolve "auto" chunk requests to
+        concrete sizes targeting ``limit`` bytes (coding._get_dask_auto_chunk
+        consumes this for the reference's zarr encodings)."""
+        itemsize = np.dtype(dtype).itemsize if dtype is not None else 8
+        limit_b = _parse_bytes(limit or "100MB")
+        out = []
+        remaining = max(1, limit_b // max(itemsize, 1))
+        for i, (c, s) in enumerate(zip(chunks, shape)):
+            if c != "auto":
+                out.append(c)
+                continue
+            inner = 1
+            for s2 in shape[i + 1:]:
+                inner *= max(1, s2)
+            lead = max(1, remaining // inner)
+            out.append((int(min(lead, s)),))
+        return tuple(out)
+
+    _stub("dask.array.core", auto_chunks=_auto_chunks)
     _stub("zarr", __version__="3.0", Group=type("Group", (), {}))
 
     class _BloscCodec:
@@ -312,3 +331,141 @@ def load_ref(relpath: str):
     spec.loader.exec_module(mod)
     _loaded[relpath] = mod
     return mod
+
+
+def load_ref_echodata():
+    """Load the reference's echodata layer (EchoData, combine, qc, io) for
+    differential testing.
+
+    Executes the REAL modules from /root/reference on the xrlite facade:
+      - echodata/convention (YAML loader; sonarnetcdf_1 singleton)
+      - utils/coding.py (sanitize_dtypes, set_time_encodings, encodings)
+      - echodata/utils_platform.py, echodata/echodata.py (EchoData incl.
+        update_platform/from_file/to_zarr), echodata/api.py (open_converted)
+      - utils/io.py (validate_output_path, sanitize_file_path, save_file)
+      - echodata/combine.py (combine_echodata), qc/api.py (orchestrate)
+
+    Returns a dict of the loaded modules keyed by short name.
+    """
+    if "echodata_layer" in _loaded:
+        return _loaded["echodata_layer"]
+    _install_stubs()
+
+    # --- extra stubs the echodata layer needs ---------------------------------
+    class _GroupNotFoundError(KeyError):
+        pass
+
+    _stub("zarr.errors", GroupNotFoundError=_GroupNotFoundError)
+    _stub("zarr.storage", LocalStore=type("LocalStore", (), {}))
+
+    def _tree_repr(tree):
+        return "\n".join(tree.groups)
+
+    _force_stub("echopype.echodata.widgets", )
+    _force_stub("echopype.echodata.widgets.utils", tree_repr=_tree_repr)
+    _force_stub(
+        "echopype.echodata.widgets.widgets",
+        _load_static_files=lambda: ("", ""),
+        get_template=lambda name: None,
+    )
+
+    # --- convention package: shell + real conv.py + singleton -----------------
+    _package("echopype.echodata.convention", f"{REF_ROOT}/echodata/convention")
+    conv = load_ref("echodata/convention/conv")
+    shell = sys.modules["echopype.echodata.convention"]
+    shell._Convention = conv._Convention
+    if not hasattr(shell, "sonarnetcdf_1"):
+        shell.sonarnetcdf_1 = conv._Convention(version="1.0")
+
+    # --- real coding + utils_platform -----------------------------------------
+    coding = load_ref("utils/coding")
+    utils_platform = load_ref("echodata/utils_platform")
+
+    # --- real EchoData ---------------------------------------------------------
+    # _install_stubs force-stubbed echodata.echodata (EchoData=object) for the
+    # simrad.py loads; replace it with the real module
+    sys.modules.pop("echopype.echodata.echodata", None)
+    _loaded.pop("echodata/echodata", None)
+    echodata_mod = load_ref("echodata/echodata")
+    sys.modules["echopype.echodata"].EchoData = echodata_mod.EchoData
+    sys.modules["echopype.echodata"].echodata = echodata_mod
+    api_mod = load_ref("echodata/api")
+    sys.modules["echopype.echodata"].api = api_mod
+
+    # --- real utils/io.py (replaces the minimal stub) --------------------------
+    sys.modules.pop("echopype.utils.io", None)
+    _loaded.pop("utils/io", None)
+    io_mod = load_ref("utils/io")
+    sys.modules["echopype.utils"].io = io_mod
+
+    # --- combine + qc ----------------------------------------------------------
+    combine_mod = load_ref("echodata/combine")
+    qc_mod = load_ref("qc/api")
+
+    out = {
+        "convention": shell,
+        "coding": coding,
+        "utils_platform": utils_platform,
+        "echodata": echodata_mod,
+        "EchoData": echodata_mod.EchoData,
+        "api": api_mod,
+        "io": io_mod,
+        "combine": combine_mod,
+        "qc": qc_mod,
+    }
+    _loaded["echodata_layer"] = out
+    return out
+
+
+def make_ref_echodata(groups: dict, sonar_model: str, source_file: str = None):
+    """Build a REAL reference EchoData object from {group_path: Dataset}.
+
+    Keys use our group names ('Top-level', 'Environment', 'Sonar/Beam_group1',
+    ...); 'Top-level' maps to the tree root.  The datasets are xrlite facade
+    Datasets (e.g. from our conversion pipeline or from reference-executed
+    SetGroups).
+    """
+    layer = load_ref_echodata()
+    import xarray as xr
+
+    tree_dict = {}
+    for key, ds in groups.items():
+        tree_dict["/" if key in ("Top-level", "/") else key] = ds
+    tree = xr.DataTree.from_dict(tree_dict, name="root")
+    ed = layer["EchoData"](sonar_model=sonar_model, source_file=source_file)
+    ed._set_tree(tree)
+    ed._load_tree()
+    # a non-None converted_raw_path makes the reference's __del__ skip its
+    # dask swap-file cleanup (noisy at interpreter shutdown)
+    ed.converted_raw_path = source_file or "internal-memory"
+    return ed
+
+
+def load_ref_convert_api():
+    """Load the reference's convert/api.py (to_file/open_raw) with the real
+    core.py registry — requires swapping the minimal set_groups_ek80
+    constants stub for the real module (loadable on the facade)."""
+    if "convert_api" in _loaded:
+        return _loaded["convert_api"]
+    load_ref_echodata()
+    # core.py imports every parser + SetGroups class for its registry
+    stub = sys.modules.get("echopype.convert.set_groups_ek80")
+    if stub is not None and not hasattr(stub, "SetGroupsEK80"):
+        sys.modules.pop("echopype.convert.set_groups_ek80", None)
+        _loaded.pop("convert/set_groups_ek80", None)
+    load_ref("convert/set_groups_base")
+    load_ref("convert/set_groups_ek60")
+    load_ref("convert/set_groups_ek80")
+    load_ref("convert/set_groups_azfp")
+    load_ref("convert/set_groups_azfp6")
+    load_ref("convert/set_groups_ad2cp")
+    load_ref("convert/parse_ek60")
+    load_ref("convert/parse_ek80")
+    load_ref("convert/parse_azfp")
+    load_ref("convert/parse_azfp6")
+    load_ref("convert/parse_ad2cp")
+    core = load_ref("core")
+    sys.modules["echopype"].core = core
+    api = load_ref("convert/api")
+    _loaded["convert_api"] = api
+    return api

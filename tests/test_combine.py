@@ -158,5 +158,8 @@ class TestRecombine:
         prov = final["Provenance"]
         srcs = [str(s) for s in np.atleast_1d(prov["source_filenames"].values)]
         assert len(srcs) == 4 and all(s.endswith(".raw") for s in srcs)
-        assert len(np.atleast_1d(prov["echodata_filename"].values)) == 2
+        # re-combining flattens to the ORIGINAL per-file rows
+        # (reference combine.py:745-750)
+        fns = [str(s) for s in np.atleast_1d(prov["echodata_filename"].values)]
+        assert len(fns) == 4 and all(f.endswith(".raw") for f in fns)
         assert prov.attrs["is_combined"]

@@ -130,4 +130,6 @@ class TestQCOrchestrate:
         ep.qc.orchestrate_reverse_time_check(ed)
         assert not ep.qc.exist_reversed_time(ed["Sonar/Beam_group1"], "ping_time")
         prov = ed["Provenance"]
-        assert any(k.startswith("old_ping_time") for k in prov.data_vars)
+        # reference naming: <group>_old_<time> (qc/api.py:152-155)
+        assert "sonar_beam_group1_old_ping_time" in prov.data_vars
+        assert prov.attrs["reversed_ping_times"] == 1

@@ -1,0 +1,155 @@
+"""Store-format interop differential, both directions.
+
+Direction A: the REFERENCE's own save chain — EchoData.to_zarr →
+convert/api.to_file → utils/io.save_file (+ utils/coding set_storage_encodings
+/ set_time_encodings) — executes on the facade (backed by our zarr v2 writer),
+and OUR open_converted must read the resulting store bit-exact.
+
+Direction B: a store written by OUR EchoData.to_zarr/to_netcdf is opened by
+the REFERENCE's EchoData.from_file (facade open_datatree + its legacy-format
+checks, echodata/echodata.py:158-257) and must round-trip identically.
+
+Reference chain: utils/io.py:62, utils/coding.py:142-241,
+echodata/echodata.py:586-696, convert/api.py:26-200.
+"""
+
+import numpy as np
+import pytest
+
+import echopype_tpu as ep
+
+from ref_oracle import load_ref_convert_api, load_ref_echodata, make_ref_echodata
+from synth_ek60 import write_ek60_raw
+from test_ref_echodata import _assert_ds_equal
+
+
+@pytest.fixture(scope="module")
+def converted(tmp_path_factory):
+    # EchoData.to_zarr lazily imports convert/api (-> core.py's full parser
+    # registry); load it through the harness BEFORE the stub blocks it
+    load_ref_convert_api()
+    tmp = tmp_path_factory.mktemp("ref_store")
+    raw = tmp / "ST-D20200101-T000000.raw"
+    write_ek60_raw(raw, n_pings=12, n_samples=60, with_nmea=True)
+    ed = ep.open_raw(str(raw), sonar_model="EK60")
+    return str(raw), ed
+
+
+class TestReferenceWritesOurReader:
+    """Direction A: reference save chain -> our open_converted."""
+
+    def test_zarr(self, converted, tmp_path):
+        raw, ed = converted
+        layer = load_ref_echodata()
+        ref_ed = make_ref_echodata({g: ed[g] for g in ed.group_paths}, "EK60", source_file=raw)
+        store = str(tmp_path / "refwritten.zarr")
+        # the real chain: EchoData.to_zarr -> convert/api.to_file ->
+        # io.save_file per group with the reference's zarr encodings
+        ref_ed.to_zarr(save_path=store, overwrite=True)
+        assert ref_ed.converted_raw_path == store
+
+        ours = ep.open_converted(store)
+        assert set(ours.group_paths) == set(ed.group_paths)
+        for g in ed.group_paths:
+            _assert_ds_equal(ed[g], ours[g], g)
+
+    def test_zarr_encodings_on_disk(self, converted, tmp_path):
+        """The store the reference writes carries its own encoding defaults:
+        Blosc zstd-3 bitshuffle floats / lz4-5 shuffle otherwise
+        (utils/coding.py:17-29), int64-ns times (:11-15)."""
+        import json
+        from pathlib import Path
+
+        raw, ed = converted
+        load_ref_echodata()
+        ref_ed = make_ref_echodata({g: ed[g] for g in ed.group_paths}, "EK60", source_file=raw)
+        store = tmp_path / "refenc.zarr"
+        ref_ed.to_zarr(save_path=str(store), overwrite=True)
+
+        meta = json.loads((store / "Sonar/Beam_group1/backscatter_r/.zarray").read_text())
+        comp = meta["compressor"]
+        assert comp["id"] == "blosc" and comp["cname"] == "zstd" and comp["clevel"] == 3
+        assert comp["shuffle"] == 2  # bitshuffle
+        tmeta = json.loads((store / "Sonar/Beam_group1/ping_time/.zarray").read_text())
+        assert tmeta["dtype"] == "<i8"
+        tattrs = json.loads((store / "Sonar/Beam_group1/ping_time/.zattrs").read_text())
+        assert "since" in tattrs["units"]
+        assert tmeta["compressor"]["cname"] == "lz4"
+        assert tmeta["compressor"]["clevel"] == 5
+        assert tmeta["compressor"]["shuffle"] == 1  # byte shuffle
+
+    def test_netcdf(self, converted, tmp_path):
+        raw, ed = converted
+        load_ref_echodata()
+        ref_ed = make_ref_echodata({g: ed[g] for g in ed.group_paths}, "EK60", source_file=raw)
+        path = str(tmp_path / "refwritten.nc")
+        ref_ed.to_netcdf(save_path=path, overwrite=True)
+
+        ours = ep.open_converted(path)
+        for g in ("Sonar/Beam_group1", "Environment", "Platform", "Vendor_specific"):
+            _assert_ds_equal(ed[g], ours[g], g)
+
+
+class TestOurWriterReferenceReads:
+    """Direction B: our to_zarr/to_netcdf -> reference EchoData.from_file."""
+
+    def _assert_ref_read_matches(self, ref_read, ed):
+        for g in ed.group_paths:
+            ref_ds = ref_read[g]
+            assert ref_ds is not None, g
+            _assert_ds_equal(ed[g], ref_ds, g)
+
+    def test_zarr(self, converted, tmp_path):
+        raw, ed = converted
+        layer = load_ref_echodata()
+        store = str(tmp_path / "ourwritten.zarr")
+        ed.to_zarr(store)
+        ref_read = layer["EchoData"].from_file(store)
+        assert ref_read.sonar_model == "EK60"
+        self._assert_ref_read_matches(ref_read, ed)
+
+    def test_netcdf(self, converted, tmp_path):
+        raw, ed = converted
+        layer = load_ref_echodata()
+        path = str(tmp_path / "ourwritten.nc")
+        ed.to_netcdf(path)
+        ref_read = layer["EchoData"].from_file(path)
+        self._assert_ref_read_matches(ref_read, ed)
+
+    def test_open_converted_parity(self, converted, tmp_path):
+        """Same store, both readers: reference open_converted (facade) and
+        our open_converted agree group-for-group."""
+        raw, ed = converted
+        layer = load_ref_echodata()
+        store = str(tmp_path / "shared.zarr")
+        ed.to_zarr(store)
+        ref_read = layer["api"].open_converted(store)
+        our_read = ep.open_converted(store)
+        for g in our_read.group_paths:
+            _assert_ds_equal(ref_read[g], our_read[g], g)
+
+
+class TestRoundTripBothWays:
+    def test_ref_store_recombined_by_us(self, tmp_path):
+        """A reference-written store re-opened by us can be combined and the
+        result matches combining the in-memory originals."""
+        layer = load_ref_echodata()
+        t0 = np.datetime64("2020-01-01T00:00:00", "ns")
+        eds, reopened = [], []
+        for i in range(2):
+            raw = tmp_path / f"RT{i}-D20200101-T000000.raw"
+            write_ek60_raw(raw, n_pings=6, n_samples=30, t0=t0 + np.timedelta64(i * 60, "s"), seed=i)
+            ed = ep.open_raw(str(raw), sonar_model="EK60")
+            eds.append(ed)
+            ref_ed = make_ref_echodata(
+                {g: ed[g] for g in ed.group_paths}, "EK60", source_file=str(raw)
+            )
+            store = str(tmp_path / f"rt{i}.zarr")
+            ref_ed.to_zarr(save_path=store, overwrite=True)
+            re_ed = ep.open_converted(store)
+            re_ed.source_file = str(raw)
+            reopened.append(re_ed)
+        comb_mem = ep.combine_echodata(eds)
+        comb_store = ep.combine_echodata(reopened)
+        for g in ("Sonar/Beam_group1", "Environment", "Platform"):
+            _assert_ds_equal(comb_mem[g], comb_store[g], g)
