@@ -30,11 +30,14 @@ class CalibrateBase:
         self.cal_params = cal_params or {}
         self.ecs_file = ecs_file
         self.ecs_dict = {}
-        # "float64" (default): exact host math end to end (parity with the
-        # reference's f64-on-CPU contract, <=1e-10 dB); "float32": fused
-        # device kernels (error budget in PERFORMANCE.md).  The survey
-        # streamers (parallel/survey.py) always use the f32 device path.
-        self.precision = kw.get("precision", "float64")
+        # "float32" (default since round 4): the fused device kernels run on
+        # the chip (error budget in docs/PERFORMANCE.md: <=2.7e-5 dB for
+        # power/CW, <=6.1e-4 dB max on the faint BB tail, zero NaN-mask
+        # mismatches).  "float64": exact host math end to end — parity with
+        # the reference's f64-on-CPU numbers to <=6e-14 dB, for callers that
+        # need the machine-epsilon contract.  The survey streamers
+        # (parallel/survey.py) always use the f32 device path.
+        self.precision = kw.get("precision", "float32")
         if ecs_file is not None and (env_params or cal_params):
             logger.warning(
                 "The ECS file takes precedence when it conflicts with env_params or cal_params"

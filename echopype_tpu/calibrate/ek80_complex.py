@@ -166,8 +166,9 @@ def get_transmit_signal(beam, coeff, waveform_mode, fs, drop_last_hanning_zero=F
 def compress_pulse(backscatter: DataArray, chirp: dict, precision: str = "float64") -> DataArray:
     """Matched-filter pulse compression over [channel, ping, range, beam].
 
-    precision="float64" (chunked-API default) is the exact host path;
-    "float32" runs the device FFT/MXU kernel (budget in PERFORMANCE.md).
+    precision="float64" is the exact host path (the compute_Sv opt-in);
+    "float32" (the compute_Sv default) runs the device MXU Toeplitz kernel
+    (budget in docs/PERFORMANCE.md).
     """
     ch_vals = [str(c) for c in backscatter.coords["channel"].values]
     bs = np.asarray(backscatter.values)

@@ -22,28 +22,15 @@ import jax.numpy as jnp
 
 from .binning import binned_window_partials
 
-__all__ = ["bb_chunk_window_partials"]
+__all__ = ["bb_chunk_window_partials", "bb_chunk_sv"]
 
 
-@partial(jax.jit, static_argnames=("n_x_window", "do_pc", "precision", "uniform_er"))
-def bb_chunk_window_partials(
-    bs_r, bs_i,          # f4 [P, R, B] one channel's chunk (suffix NaN-padded)
-    hr, hi,              # f4 [L] flipped-conjugated transmit replica
-    inv_norm,            # f4 scalar: 1 / replica norm factor (BB only)
-    z_coef,              # f4 [P]: n_beam/8 * (|z_er+z_et|/z_er)^2 / z_et
-    dr, shift, alpha, offset,  # f4 [P] per-ping scalars of the Sv equation
-    k0,                  # i4 [P]: first sample with r_tvg > 0, decided in
-                         # float64 on host so the boundary sample matches the
-                         # float64 chunked path exactly
-    valid_len,           # i4 [P]
-    x_rel,               # i4 [P] window-relative ping-bin ids (sorted)
-    r_edges,             # f4 [n_r+1]
-    n_x_window: int,
-    do_pc: bool,
-    precision=None,
-    uniform_er: bool = False,  # ping-invariant dr: cancellation-free binning
+def _bb_chunk_sv_impl(
+    bs_r, bs_i, hr, hi, inv_norm, z_coef, dr, shift, alpha, offset, k0,
+    valid_len, do_pc, precision,
 ):
-    """Returns (sums, counts) f32 [n_x_window, n_r] for one channel chunk."""
+    """Shared complex->Sv body: pulse compression, prx, TVG'd Sv; returns
+    (sv, er) f32 [P, R]."""
     P, R, B = bs_r.shape
     xr = jnp.where(jnp.isnan(bs_r), 0.0, bs_r)
     xi = jnp.where(jnp.isnan(bs_i), 0.0, bs_i)
@@ -78,7 +65,46 @@ def bb_chunk_window_partials(
         jnp.nan,
     )
     er = jnp.where(in_run, r, jnp.nan)  # NaN range -> sample lands in no bin
+    return sv, er
 
+
+@partial(jax.jit, static_argnames=("do_pc", "precision"))
+def bb_chunk_sv(
+    bs_r, bs_i, hr, hi, inv_norm, z_coef, dr, shift, alpha, offset, k0,
+    valid_len, do_pc: bool, precision=None,
+):
+    """One channel chunk complex->Sv on device WITHOUT binning — for fused
+    cross-channel masking (frequency differencing needs every channel's Sv
+    at the same samples before bins form; reference mask/api.py:467-675)."""
+    return _bb_chunk_sv_impl(
+        bs_r, bs_i, hr, hi, inv_norm, z_coef, dr, shift, alpha, offset, k0,
+        valid_len, do_pc, precision,
+    )
+
+
+@partial(jax.jit, static_argnames=("n_x_window", "do_pc", "precision", "uniform_er"))
+def bb_chunk_window_partials(
+    bs_r, bs_i,          # f4 [P, R, B] one channel's chunk (suffix NaN-padded)
+    hr, hi,              # f4 [L] flipped-conjugated transmit replica
+    inv_norm,            # f4 scalar: 1 / replica norm factor (BB only)
+    z_coef,              # f4 [P]: n_beam/8 * (|z_er+z_et|/z_er)^2 / z_et
+    dr, shift, alpha, offset,  # f4 [P] per-ping scalars of the Sv equation
+    k0,                  # i4 [P]: first sample with r_tvg > 0, decided in
+                         # float64 on host so the boundary sample matches the
+                         # float64 chunked path exactly
+    valid_len,           # i4 [P]
+    x_rel,               # i4 [P] window-relative ping-bin ids (sorted)
+    r_edges,             # f4 [n_r+1]
+    n_x_window: int,
+    do_pc: bool,
+    precision=None,
+    uniform_er: bool = False,  # ping-invariant dr: cancellation-free binning
+):
+    """Returns (sums, counts) f32 [n_x_window, n_r] for one channel chunk."""
+    sv, er = _bb_chunk_sv_impl(
+        bs_r, bs_i, hr, hi, inv_norm, z_coef, dr, shift, alpha, offset, k0,
+        valid_len, do_pc, precision,
+    )
     sums, counts, _ = binned_window_partials(
         sv[None], er[None], r_edges, x_rel, n_x_window, uniform_er=uniform_er
     )

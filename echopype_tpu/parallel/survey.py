@@ -290,11 +290,17 @@ def run_survey_mvbs(
     mesh=None,
     freq_diff=None,
     noise_masks=None,
+    reopen: bool = False,
 ):
     """Stream Sv stores/datasets into survey-global MVBS bins.
 
-    sv_sources : iterable of Dataset or store paths (calibrated Sv datasets,
-        chronologically ordered).
+    sv_sources : iterable of Dataset, store paths, or zero-argument callables
+        returning a Dataset (calibrated Sv datasets, chronologically
+        ordered).  Callables let a caller stream per-file Sv lazily (the
+        raw->MVBS streamer's internal two-pass noise-mask path).
+    reopen : re-acquire each source in the binning pass instead of keeping
+        every dataset from the extent scan — O(one file) host memory for
+        callable/path sources at the cost of a second decode.
     mesh : optional jax.sharding.Mesh with (ping, channel) axes — each chunk
         shards over the mesh and partial bin sums combine with one psum
         (SURVEY.md §2.6 scale-out; bit-equal to the single-device stream).
@@ -315,20 +321,38 @@ def run_survey_mvbs(
 
     timer = timer or StageTimer()
 
-    # pass 1: global extents (cheap: coords + range max only)
-    datasets = []
+    # sources normalize to zero-arg providers so the scan can drop each
+    # dataset after measuring it (reopen=True) or keep it (default)
+    providers = [
+        src if callable(src) else (lambda s=src: open_source(s, "dataset"))
+        for src in sv_sources
+    ]
+    if not providers:
+        raise ValueError("no Sv sources provided")
+
+    # pass 1: global extents + per-file metadata (ping times, uniformity)
+    datasets = [None] * len(providers)
+    ping_times_all, uniform_flags = [], []
+    chans = None
+    freq_nom = None
     with timer.stage("scan_extents"):
         t_min = t_max = None
         r_max = 0.0
-        for src in sv_sources:
-            ds = open_source(src, "dataset")
-            datasets.append(ds)
+        for i, provider in enumerate(providers):
+            ds = provider()
             pt = np.asarray(ds.coords["ping_time"].values, dtype="datetime64[ns]")
+            ping_times_all.append(pt)
             t_min = pt.min() if t_min is None else min(t_min, pt.min())
             t_max = pt.max() if t_max is None else max(t_max, pt.max())
             r_max = max(r_max, float(np.nanmax(np.asarray(ds[range_var].values, dtype="f8"))))
-        if not datasets:
-            raise ValueError("no Sv sources provided")
+            uniform_flags.append(binning.er_is_uniform(np.asarray(ds[range_var].values)))
+            if chans is None:
+                chans = list(ds.coords["channel"].values)
+                freq_nom = ds.get("frequency_nominal")
+            elif list(ds.coords["channel"].values) != chans:
+                raise ValueError("all Sv sources must share the same channels")
+            if not reopen:
+                datasets[i] = ds
 
     ping_edges = ping_time_bin_edges(
         np.array([t_min, t_max], dtype="datetime64[ns]"), ping_time_bin
@@ -336,10 +360,6 @@ def run_survey_mvbs(
     range_edges = np.arange(0, r_max + range_bin_m, range_bin_m)
     n_x, n_r = len(ping_edges) - 1, len(range_edges) - 1
 
-    chans = list(datasets[0].coords["channel"].values)
-    for ds in datasets[1:]:
-        if list(ds.coords["channel"].values) != chans:
-            raise ValueError("all Sv sources must share the same channels")
     if mesh is not None:
         _, chunk_pings = _mesh_layout(mesh, chunk_pings, len(chans))
 
@@ -348,8 +368,7 @@ def run_survey_mvbs(
     edges_i8 = ping_edges.astype("datetime64[ns]").astype("i8")
     x_ids = []
     window = 1
-    for ds in datasets:
-        pt = np.asarray(ds.coords["ping_time"].values, dtype="datetime64[ns]")
+    for pt in ping_times_all:
         x = _global_ping_bins(pt.astype("i8"), edges_i8, n_x)
         x_ids.append(x)
         for lo in range(0, len(x), chunk_pings):
@@ -359,9 +378,7 @@ def run_survey_mvbs(
     # cancellation-free range reduction whenever every file's range grid is
     # ping-invariant (binning.er_is_uniform; quiet bins lose everything to
     # f32 prefix cancellation otherwise)
-    uniform = all(
-        binning.er_is_uniform(np.asarray(ds[range_var].values)) for ds in datasets
-    )
+    uniform = all(uniform_flags)
     if mesh is not None:
         from .pipeline import sharded_binned_partials
 
@@ -371,9 +388,7 @@ def run_survey_mvbs(
             sv, er, re, xr, window, uniform_er=uniform
         )
 
-    fd = _resolve_freq_diff(
-        freq_diff, chans, datasets[0].get("frequency_nominal")
-    )
+    fd = _resolve_freq_diff(freq_diff, chans, freq_nom)
     if fd is not None:
         import jax
         import jax.numpy as jnp
@@ -392,7 +407,11 @@ def run_survey_mvbs(
 
     acc = _PartialAccumulator(len(chans), n_x, n_r, window, timer)
     r_edges_f4 = range_edges.astype("f4")
-    for ds, x_idx_all in zip(datasets, x_ids):
+    for i, x_idx_all in enumerate(x_ids):
+        ds = datasets[i]
+        if ds is None:  # reopen=True: pass-2 re-acquire, one file in memory
+            with timer.stage("reopen"):
+                ds = providers[i]()
         sv_all = np.asarray(ds["Sv"].values, dtype="f4")
         if noise_masks:
             sv_all = _apply_noise_masks(ds, sv_all, noise_masks, timer)
@@ -785,14 +804,24 @@ def run_survey_mvbs_from_raw(
         framing, or other sonar models.
     freq_diff : optional frequency-differencing criterion ('"chA" - "chB" >
         3dB', '120kHz - 38kHz > 6dB', or a dict).  The mask fuses INTO the
-        Sv+binning device kernel (pipeline.sv_mvbs_window_partials_freqdiff)
-        — a masked-MVBS survey never materializes full-resolution Sv.
-        Power-mode only; uses the eager ingest path.
+        Sv+binning device kernel (pipeline.sv_mvbs_window_partials_freqdiff
+        for power mode; bb_chunk_sv + masked binning for complex/BB, incl.
+        device_fused) — a masked-MVBS survey never materializes
+        full-resolution Sv.  Power mode uses the eager ingest path;
+        multi-filter_time complex files calibrate full-file so every
+        channel is sample-aligned before the mask.
     workers : decode raw files in N worker PROCESSES (spawn pool), one file
         per task (files are independent — SURVEY.md §2.6 file-level
         parallelism).  Host decode is the serial bottleneck once the device
         pipeline saturates; N cores decode N files concurrently.  0 = the
         in-process path (decode-ahead thread when prefetch=True).
+    noise_masks : optional dict of clean-subsystem masks, e.g.
+        ``{"impulse": dict(depth_bin="5m"), "transient": {...}}``.  The
+        windowed detectors need full-FILE Sv context, so the stream runs
+        two-pass internally: each file calibrates to a full Sv dataset (any
+        mode), the masks NaN flagged samples, and the chunked binning
+        consumes it with O(one file) host memory (reopen).  Bin-exact with
+        clean.mask_* -> apply_mask -> compute_MVBS per file.
 
     Returns an MVBS Dataset on the global (ping_time-bin, range-bin) grid.
     """
@@ -806,24 +835,36 @@ def run_survey_mvbs_from_raw(
     from ..convert.api import open_raw
 
     if noise_masks is not None:
-        # the raw streamer never materializes full-file Sv, which the clean
-        # windowed detectors need; two-stage covers the use case
-        raise NotImplementedError(
-            "noise_masks requires full-file Sv context: compute Sv first, then "
-            "run_survey_mvbs(sv_sources, noise_masks=...)"
-        )
-    if freq_diff is not None and (
-        encode_mode == "complex" or waveform_mode in ("BB", "FM")
-    ):
-        raise NotImplementedError(
-            "fused freq_diff masking covers power-mode streaming; for complex "
-            "data compute Sv then use run_survey_mvbs(freq_diff=...)"
+        # the clean windowed detectors need full-FILE Sv context, which the
+        # chunked streamers never materialize.  Stream two-pass internally:
+        # each file calibrates to a full Sv dataset (any mode — power,
+        # complex CW, BB, multi-filter_time), the clean masks + binning
+        # consume it, and reopen=True keeps host memory at O(one file) by
+        # re-decoding in the binning pass (reference composes these freely
+        # over dask: clean/api.py:30-511 -> mask/api.py:467 -> commongrid).
+        from ..calibrate.api import compute_Sv
+
+        def _provider(f):
+            def _open():
+                ed = open_raw(f, sonar_model=sonar_model, use_swap=use_swap,
+                              xml_path=xml_path)
+                kw = dict(env_params=env_params, cal_params=cal_params)
+                if waveform_mode or encode_mode:
+                    kw.update(waveform_mode=waveform_mode, encode_mode=encode_mode)
+                return compute_Sv(ed, **kw)
+            return _open
+
+        return run_survey_mvbs(
+            [_provider(f) for f in raw_files],
+            range_bin_m=range_bin_m, ping_time_bin=ping_time_bin,
+            chunk_pings=chunk_pings, timer=timer, mesh=mesh,
+            freq_diff=freq_diff, noise_masks=noise_masks, reopen=True,
         )
     if encode_mode == "complex" or waveform_mode in ("BB", "FM"):
         return _run_survey_mvbs_complex(
             raw_files, sonar_model, waveform_mode, encode_mode, range_bin_m,
             ping_time_bin, chunk_pings, env_params, cal_params, use_swap,
-            xml_path, timer, mesh, device_fused,
+            xml_path, timer, mesh, device_fused, freq_diff=freq_diff,
         )
 
     if sonar_model in ("EK60", "ES70"):
@@ -1223,7 +1264,7 @@ def _run_survey_mvbs_streamed(
 def _run_survey_mvbs_complex(
     raw_files, sonar_model, waveform_mode, encode_mode, range_bin_m,
     ping_time_bin, chunk_pings, env_params, cal_params, use_swap, xml_path,
-    timer, mesh, device_fused=False,
+    timer, mesh, device_fused=False, freq_diff=None,
 ):
     """EK80 complex/broadband raw->MVBS streaming.
 
@@ -1232,6 +1273,14 @@ def _run_survey_mvbs_complex(
     resulting Sv block feeds the chunk-invariant window binning — the same
     accumulate path as the Sv-store streamer.  Handles interior NaNs via the
     general kernel (pulse-compressed data can have prx<=0 holes).
+
+    freq_diff : the differencing mask fuses into the device binning pass
+        like the power path (apply_mask semantics, reference
+        mask/api.py:467-675): every channel's chunk Sv is present before
+        bins form, masked samples join no bin on any channel.  Multi-
+        filter_time files stream per-channel work units, so those files
+        calibrate full-file first (all channels aligned) and feed the same
+        masked binning.
     """
     from ..calibrate.api import compute_Sv
     from ..commongrid.utils import ping_time_bin_edges
@@ -1275,15 +1324,33 @@ def _run_survey_mvbs_complex(
     )
     n_x = len(ping_edges) - 1
 
+    fd = None
+    if freq_diff is not None:
+        freq_nom = eds[0][beam_paths[0]].get("frequency_nominal")
+        fd = _resolve_freq_diff(freq_diff, chans, freq_nom)
+
     if device_fused and mesh is None:
         # the fused path resolves calibrators per file anyway — the range
         # grid comes from their dr scalars, skipping the one-ping compute_Sv
         # probe (which costs a full unfused-path compile)
-        return _run_complex_fused(
-            eds, beam_paths, chans, ping_edges, range_bin_m, ping_times,
-            chunk_pings, sv_kw, timer,
+        multi_epoch = any(
+            "filter_time" in ed["Vendor_specific"].sizes
+            and ed["Vendor_specific"].sizes["filter_time"] > 1
+            for ed in eds
         )
-    if device_fused:
+        if fd is None or not multi_epoch:
+            return _run_complex_fused(
+                eds, beam_paths, chans, ping_edges, range_bin_m, ping_times,
+                chunk_pings, sv_kw, timer, fd=fd,
+            )
+        # fused + freq_diff + multi-epoch: per-channel epoch work units
+        # cannot see the other channel's Sv; the chunked path below handles
+        # it (full-file calibration keeps the channels sample-aligned)
+        logger.warning(
+            "device_fused freq_diff with multi-filter_time files uses the "
+            "chunked compute_Sv path"
+        )
+    elif device_fused:
         logger.warning(
             "device_fused complex streaming has no mesh path yet; "
             "using the chunked compute_Sv path"
@@ -1317,7 +1384,10 @@ def _run_survey_mvbs_complex(
     window = 1
     for ed, bp, pt in zip(eds, beam_paths, ping_times):
         vend = ed["Vendor_specific"]
-        if "filter_time" in vend.sizes and vend.sizes["filter_time"] > 1:
+        if (
+            "filter_time" in vend.sizes and vend.sizes["filter_time"] > 1
+            and fd is None
+        ):
             plan = []
             for sd in epoch_slice_dicts(ed[bp], vend):
                 start = np.datetime64(sd["beam_group_start_time"], "ns")
@@ -1361,6 +1431,22 @@ def _run_survey_mvbs_complex(
             sv, er, re, xr, window, uniform_er=uniform
         )
 
+    if fd is not None:
+        import jax
+        import jax.numpy as jnp
+
+        from .pipeline import _CMP
+
+        ia, ib, opr, diff = fd
+        inner_step = step
+
+        @jax.jit
+        def _masked(sv):
+            keep = _CMP[opr](sv[ia] - sv[ib], jnp.float32(diff))
+            return jnp.where(keep[None], sv, jnp.nan)
+
+        step = lambda sv, er, re, xr: inner_step(_masked(sv), er, re, xr)  # noqa: E731
+
     acc = _PartialAccumulator(len(chans), n_x, n_r, window, timer)
     ch_pos = {str(c): i for i, c in enumerate(chans)}
     r_edges_f4 = range_edges.astype("f4")
@@ -1378,17 +1464,35 @@ def _run_survey_mvbs_complex(
                 ed, plan, sv_kw, chunk_pings, window, acc, ch_pos, _bin_chunk, timer
             )
             continue
+        vend = ed["Vendor_specific"]
+        full_file = (
+            fd is not None
+            and "filter_time" in vend.sizes and vend.sizes["filter_time"] > 1
+        )
+        if full_file:
+            # multi-epoch + freq_diff: the api-level epoch merge keeps all
+            # channels sample-aligned, which the cross-channel mask needs
+            with timer.stage("chunk_calibrate"):
+                ds_full = compute_Sv(ed, **sv_kw)
+                sv_full = np.asarray(ds_full["Sv"].values, dtype="f4")
+                er_full = np.asarray(ds_full["echo_range"].values, dtype="f4")
+                if er_full.shape != sv_full.shape:
+                    er_full = np.broadcast_to(er_full, sv_full.shape)
         n_ping = len(x_idx_all)
         for lo in range(0, n_ping, chunk_pings):
             hi = min(lo + chunk_pings, n_ping)
             pad = chunk_pings - (hi - lo)
             x_base = int(x_idx_all[lo])
             with timer.stage("chunk_calibrate"):
-                ds = compute_Sv(_slice_echodata_pings(ed, bp, slice(lo, hi)), **sv_kw)
-                sv_chunk = np.asarray(ds["Sv"].values, dtype="f4")
-                er_chunk = np.asarray(ds["echo_range"].values, dtype="f4")
-                if er_chunk.shape != sv_chunk.shape:
-                    er_chunk = np.broadcast_to(er_chunk, sv_chunk.shape)
+                if full_file:
+                    sv_chunk = sv_full[:, lo:hi]
+                    er_chunk = er_full[:, lo:hi]
+                else:
+                    ds = compute_Sv(_slice_echodata_pings(ed, bp, slice(lo, hi)), **sv_kw)
+                    sv_chunk = np.asarray(ds["Sv"].values, dtype="f4")
+                    er_chunk = np.asarray(ds["echo_range"].values, dtype="f4")
+                    if er_chunk.shape != sv_chunk.shape:
+                        er_chunk = np.broadcast_to(er_chunk, sv_chunk.shape)
             with timer.stage("device_binning"):
                 x_rel = x_idx_all[lo:hi] - x_base
                 s, c, _ = _bin_chunk(sv_chunk, er_chunk, x_rel, pad)
@@ -1463,15 +1567,22 @@ def _bp_of(ed, sv_kw):
 
 def _run_complex_fused(
     eds, beam_paths, chans, ping_edges, range_bin_m, ping_times,
-    chunk_pings, sv_kw, timer,
+    chunk_pings, sv_kw, timer, fd=None,
 ):
     """Fused complex-channel streaming: one device program per (channel,
     chunk) does pulse compression, received power, Sv, and window binning
     (ops/bb_pipeline.bb_chunk_window_partials).  Float32 end to end.
+
+    fd : resolved frequency-differencing tuple (ia, ib, op, diff) — each
+        channel's chunk runs the complex->Sv device program WITHOUT binning
+        (bb_chunk_sv), the stacked on-device Sv block is masked
+        cross-channel, and one masked binning pass produces the partials.
+        Sv stays on device; only bin partials come back.  Caller guarantees
+        single-filter_time files (epoch work units split channels).
     """
     from ..calibrate.ek80 import CalibrateEK80
     from ..calibrate.ek80_complex import get_norm_fac
-    from ..ops.bb_pipeline import bb_chunk_window_partials
+    from ..ops.bb_pipeline import bb_chunk_sv, bb_chunk_window_partials
 
     waveform_mode = sv_kw["waveform_mode"]
     do_pc = waveform_mode in ("BB", "FM")
@@ -1573,6 +1684,50 @@ def _run_complex_fused(
                 return np.pad(a, ((0, 0), (0, pad)), constant_values=fill) if pad else a
 
             with timer.stage("device_fused"):
+                uniform_er = bool(np.all(dr == dr[:, :1]))
+                if fd is not None:
+                    # fused freq_diff: per-channel complex->Sv programs, one
+                    # stacked cross-channel mask + binning pass, all device
+                    import jax.numpy as jnp
+
+                    from ..ops.binning import binned_window_partials
+                    from .pipeline import _CMP
+
+                    sv_by_global, er_by_global = {}, {}
+                    for ci, cid in enumerate(ch_ids):
+                        br = bs_r_all[ci, sl]
+                        bi = bs_i_all[ci, sl]
+                        if pad:
+                            br = np.pad(br, ((0, pad), (0, 0), (0, 0)),
+                                        constant_values=np.nan)
+                            bi = np.pad(bi, ((0, pad), (0, 0), (0, 0)),
+                                        constant_values=np.nan)
+                        rep = reps[cid]
+                        sv_c, er_c = bb_chunk_sv(
+                            br, bi,
+                            np.ascontiguousarray(rep.real, dtype="f4"),
+                            np.ascontiguousarray(rep.imag, dtype="f4"),
+                            inv_norm[cid] if do_pc else np.float32(1.0),
+                            _p1(z_coef, 1.0)[ci],
+                            _p1(dr, 1.0)[ci], _p1(shift)[ci], _p1(alpha)[ci],
+                            _p1(offset)[ci],
+                            _p1(k0.astype("f4"))[ci].astype("i4"),
+                            _p1(valid_len.astype("f4"))[ci].astype("i4"),
+                            do_pc,
+                        )
+                        sv_by_global[ch_pos[cid]] = sv_c
+                        er_by_global[ch_pos[cid]] = er_c
+                    sv_stack = jnp.stack([sv_by_global[i] for i in range(len(chans))])
+                    er_stack = jnp.stack([er_by_global[i] for i in range(len(chans))])
+                    ia, ib, opr, diff = fd
+                    keep = _CMP[opr](sv_stack[ia] - sv_stack[ib], jnp.float32(diff))
+                    sv_stack = jnp.where(keep[None], sv_stack, jnp.nan)
+                    s, c, _ = binned_window_partials(
+                        sv_stack, er_stack, r_edges_f4, x_rel.astype("i4"),
+                        window, uniform_er=uniform_er,
+                    )
+                    acc.push(s, c, x_base)
+                    continue
                 for ci, cid in enumerate(ch_ids):
                     br = bs_r_all[ci, sl]
                     bi = bs_i_all[ci, sl]

@@ -90,17 +90,20 @@ class TestEK60FullPipeline:
         ref_ek = load_ref("calibrate/calibrate_ek")
         ref_cal = ref_ek.CalibrateEK60(_fake(ed), None, None, None)
         ref_sv = ref_cal.compute_Sv()
-        our_sv = ep.calibrate.compute_Sv(ed)
+        # the f64 opt-in is exact parity; the f32 DEFAULT (device kernels)
+        # stays inside its published budget (docs/PERFORMANCE.md)
+        our_sv = ep.calibrate.compute_Sv(ed, precision="float64")
         delta = _sv_delta(ref_sv, our_sv)
-        # default chunked path is float64 end to end: exact parity
         assert delta < 1e-9, f"EK60 Sv differs from reference by {delta} dB"
+        d32 = _sv_delta(ref_sv, ep.calibrate.compute_Sv(ed))
+        assert d32 < 1e-4, f"EK60 Sv f32-default differs by {d32} dB"
 
     def test_compute_ts_matches_reference(self, ek60_ed):
         ed, _ = ek60_ed
         ref_ek = load_ref("calibrate/calibrate_ek")
         ref_cal = ref_ek.CalibrateEK60(_fake(ed), None, None, None)
         ref_ts = ref_cal.compute_TS()
-        our_ts = ep.calibrate.compute_TS(ed)
+        our_ts = ep.calibrate.compute_TS(ed, precision="float64")
         delta = _sv_delta(ref_ts, our_ts, var="TS")
         assert delta < 1e-9, f"EK60 TS differs from reference by {delta} dB"
 
@@ -196,21 +199,31 @@ class TestEK80FullPipeline:
     def test_power_mode_sv(self, ek80_ed):
         ed, _ = ek80_ed
         ref_sv = self._ref_cal(ed, "CW", "power").compute_Sv()
-        our_sv = ep.calibrate.compute_Sv(ed, waveform_mode="CW", encode_mode="power")
+        our_sv = ep.calibrate.compute_Sv(
+            ed, waveform_mode="CW", encode_mode="power", precision="float64"
+        )
         delta = _sv_delta(ref_sv, our_sv)
         assert delta < 1e-9, f"EK80 CW-power Sv differs by {delta} dB"
+        d32 = _sv_delta(
+            ref_sv, ep.calibrate.compute_Sv(ed, waveform_mode="CW", encode_mode="power")
+        )
+        assert d32 < 1e-4, f"EK80 CW-power f32-default differs by {d32} dB"
 
     def test_cw_complex_sv(self, ek80_ed):
         ed, _ = ek80_ed
         ref_sv = self._ref_cal(ed, "CW", "complex").compute_Sv()
-        our_sv = ep.calibrate.compute_Sv(ed, waveform_mode="CW", encode_mode="complex")
+        our_sv = ep.calibrate.compute_Sv(
+            ed, waveform_mode="CW", encode_mode="complex", precision="float64"
+        )
         delta = _sv_delta(ref_sv, our_sv)
         assert delta < 1e-9, f"EK80 CW-complex Sv differs by {delta} dB"
 
     def test_bb_sv(self, ek80_ed):
         ed, _ = ek80_ed
         ref_sv = self._ref_cal(ed, "BB", "complex").compute_Sv()
-        our_sv = ep.calibrate.compute_Sv(ed, waveform_mode="BB", encode_mode="complex")
+        our_sv = ep.calibrate.compute_Sv(
+            ed, waveform_mode="BB", encode_mode="complex", precision="float64"
+        )
         delta = _sv_delta(ref_sv, our_sv)
         # residual floor: the reference quantizes its pulse-compression output
         # to complex64 (_convolve_per_channel allocates np.complex64,
@@ -356,7 +369,7 @@ class TestECSIntegrationDifferential:
             .compute_Sv()["Sv"]
             .transpose("channel", "ping_time", "range_sample")
         )
-        got = ep.calibrate.compute_Sv(ed, ecs_file=str(ecs))["Sv"]
+        got = ep.calibrate.compute_Sv(ed, ecs_file=str(ecs), precision="float64")["Sv"]
         w = np.asarray(want.values, dtype="f8")
         g = np.asarray(got.values, dtype="f8")
         np.testing.assert_array_equal(np.isnan(g), np.isnan(w))

@@ -135,8 +135,68 @@ class TestCleanedNASCStreaming:
         np.testing.assert_array_equal(f[both], c[both])
 
 
-def test_from_raw_noise_masks_clear_error():
-    from echopype_tpu.parallel.survey import run_survey_mvbs_from_raw
+class TestFromRawNoiseMasks:
+    """noise_masks on RAW->MVBS streaming (round-4 closure of the
+    survey.py:811 NotImplementedError): the streamer runs two-pass
+    internally — full-file Sv -> clean masks -> chunked binning — and must
+    be bin-exact with the composed reference chain per file."""
 
-    with pytest.raises(NotImplementedError, match="noise_masks"):
-        run_survey_mvbs_from_raw(["whatever.raw"], noise_masks={"impulse": {}})
+    RAW_SPEC = {
+        "impulse": dict(
+            depth_bin="4m", num_side_pings=2, impulse_noise_threshold="10.0dB",
+            range_var="echo_range",
+        ),
+        "attenuated": dict(
+            upper_limit_sl="10.0m", lower_limit_sl="30.0m", num_side_pings=3,
+            attenuation_signal_threshold="5.0dB", range_var="echo_range",
+        ),
+    }
+
+    def _files(self, tmp_path, n=2):
+        from synth_ek60 import write_ek60_raw
+
+        t0 = np.datetime64("2020-01-01T00:00:00", "ns")
+        files = []
+        for i in range(n):
+            raw = tmp_path / f"NM{i}-D20200101-T000000.raw"
+            write_ek60_raw(raw, n_pings=24, n_samples=60, seed=10 + i,
+                           t0=t0 + np.timedelta64(30 * i, "s"))
+            files.append(str(raw))
+        return files
+
+    def test_from_raw_equals_composed(self, tmp_path):
+        from echopype_tpu.parallel.survey import (
+            run_survey_mvbs,
+            run_survey_mvbs_from_raw,
+        )
+
+        files = self._files(tmp_path)
+        kw = dict(range_bin_m=5.0, ping_time_bin="10s", chunk_pings=8)
+        streamed = run_survey_mvbs_from_raw(
+            files, sonar_model="EK60", noise_masks=self.RAW_SPEC, **kw
+        )
+        # composed chain: per-file compute_Sv -> clean masks -> store stream
+        sv_files = [
+            ep.calibrate.compute_Sv(ep.open_raw(f, sonar_model="EK60"))
+            for f in files
+        ]
+        masked = [_masked_copy(ds, self.RAW_SPEC) for ds in sv_files]
+        composed = run_survey_mvbs(masked, **kw)
+        np.testing.assert_allclose(
+            np.asarray(streamed["Sv"].values),
+            np.asarray(composed["Sv"].values),
+            rtol=0, atol=1e-5, equal_nan=True,
+        )
+
+    def test_from_raw_masks_change_result(self, tmp_path):
+        from echopype_tpu.parallel.survey import run_survey_mvbs_from_raw
+
+        files = self._files(tmp_path, n=1)
+        kw = dict(range_bin_m=5.0, ping_time_bin="10s", chunk_pings=8)
+        plain = run_survey_mvbs_from_raw(files, sonar_model="EK60", **kw)
+        masked = run_survey_mvbs_from_raw(
+            files, sonar_model="EK60", noise_masks=self.RAW_SPEC, **kw
+        )
+        a, b = np.asarray(plain["Sv"].values), np.asarray(masked["Sv"].values)
+        assert a.shape == b.shape
+        assert not np.array_equal(np.nan_to_num(a), np.nan_to_num(b))

@@ -133,3 +133,91 @@ class TestFusedFreqDiff:
         np.testing.assert_allclose(
             got["Sv"].values, want["Sv"].values, rtol=0, atol=1e-5, equal_nan=True
         )
+
+
+class TestComplexFreqDiff:
+    """Fused freq_diff for complex/BB raw streaming (round-4 closure of the
+    survey.py:818 NotImplementedError)."""
+
+    def _bb_files(self, tmp_path, n=2):
+        from synth_ek80 import write_ek80_raw
+
+        t0 = np.datetime64("2021-02-01T00:00:00", "ns")
+        files = []
+        for i in range(n):
+            raw = tmp_path / f"FDBB{i}-D20210201-T000000.raw"
+            # two FM channels (extra_fm_channel) -> the complex-FM beam
+            # group carries both, which the differencing mask needs
+            write_ek80_raw(raw, n_pings=10, n_samples=96, seed=i,
+                           t0=t0 + np.timedelta64(12 * i, "s"),
+                           with_power_channel=False, extra_fm_channel=True)
+            files.append(str(raw))
+        return files
+
+    def _eq_of(self, files):
+        ed = ep.open_raw(files[0], sonar_model="EK80")
+        from echopype_tpu.echodata.simrad import retrieve_correct_beam_group
+
+        bp = retrieve_correct_beam_group(ed, "BB", "complex")
+        chans = [str(c) for c in ed[bp].coords["channel"].values]
+        assert len(chans) >= 2
+        return f'"{chans[0]}" - "{chans[1]}" > 3.0dB'
+
+    def _composed(self, files, eq, kw):
+        """Reference chain per file: compute_Sv (f32 device path, matching
+        the streamer) -> frequency_differencing -> apply_mask -> store
+        streamer."""
+        masked = []
+        for f in files:
+            ed = ep.open_raw(f, sonar_model="EK80")
+            ds = ep.calibrate.compute_Sv(
+                ed, waveform_mode="BB", encode_mode="complex", precision="float32"
+            )
+            m = ep.mask.frequency_differencing(ds, chanABEq=eq)
+            masked.append(ep.mask.apply_mask(ds, m))
+        return run_survey_mvbs(masked, **kw)
+
+    def test_chunked_bb_matches_composed(self, tmp_path):
+        files = self._bb_files(tmp_path)
+        eq = self._eq_of(files)
+        kw = dict(range_bin_m=5.0, ping_time_bin="5s", chunk_pings=4)
+        want = self._composed(files, eq, kw)
+        got = run_survey_mvbs_from_raw(
+            files, sonar_model="EK80", waveform_mode="BB",
+            encode_mode="complex", freq_diff=eq, **kw
+        )
+        g = np.asarray(got["Sv"].values)
+        w = np.asarray(want["Sv"].values)
+        nb, nr = min(g.shape[1], w.shape[1]), min(g.shape[2], w.shape[2])
+        np.testing.assert_allclose(
+            g[:, :nb, :nr], w[:, :nb, :nr], rtol=0, atol=2e-4, equal_nan=True
+        )
+
+    def test_fused_bb_matches_chunked(self, tmp_path):
+        files = self._bb_files(tmp_path)
+        eq = self._eq_of(files)
+        kw = dict(
+            sonar_model="EK80", waveform_mode="BB", encode_mode="complex",
+            range_bin_m=5.0, ping_time_bin="5s", chunk_pings=4, freq_diff=eq,
+        )
+        chunked = run_survey_mvbs_from_raw(files, **kw)
+        fused = run_survey_mvbs_from_raw(files, device_fused=True, **kw)
+        a = np.asarray(chunked["Sv"].values)
+        b = np.asarray(fused["Sv"].values)
+        assert a.shape == b.shape
+        # float32-fused vs f32-chunked: same tolerance regime as the unmasked
+        # fused test (knife-edge last bin aside)
+        np.testing.assert_allclose(b[:, :, :-1], a[:, :, :-1], rtol=0,
+                                   atol=5e-3, equal_nan=True)
+
+    def test_mask_changes_bb_result(self, tmp_path):
+        files = self._bb_files(tmp_path, n=1)
+        eq = self._eq_of(files)
+        kw = dict(
+            sonar_model="EK80", waveform_mode="BB", encode_mode="complex",
+            range_bin_m=5.0, ping_time_bin="5s", chunk_pings=4,
+        )
+        plain = run_survey_mvbs_from_raw(files, **kw)
+        masked = run_survey_mvbs_from_raw(files, freq_diff=eq, **kw)
+        a, b = np.asarray(plain["Sv"].values), np.asarray(masked["Sv"].values)
+        assert not np.array_equal(np.nan_to_num(a), np.nan_to_num(b))
