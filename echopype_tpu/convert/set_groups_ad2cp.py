@@ -259,22 +259,35 @@ class SetGroupsAd2cp(SetGroupsBase):
         return groups
 
     # ---------------------------------------------------------------- vendor
+    VENDOR_FIELDS = (
+        ("battery_voltage", "battery_voltage"),
+        ("power_level", "power_level"),
+        ("temperature_of_pressure_sensor", "temperature_from_pressure_sensor"),
+        ("nominal_correlation", "nominal_correlation"),
+        ("magnetometer_temperature", "magnetometer_temperature"),
+        ("real_time_clock_temperature", "real_time_clock_temperature"),
+        ("ensemble_counter", "ensemble_counter"),
+    )
+
     def set_vendor(self) -> Dataset:
-        pkts = self._packets(lambda p: "battery_voltage" in p.data)
+        """Vendor diagnostics on ``time1`` = the unique packet timestamps.
+
+        Reference semantics (set_groups_ad2cp.py:72-73,190-192): field rows
+        are gathered from EVERY timestamped packet in stream order (missing
+        fields pad with 0), then sliced at the FIRST packet index of each
+        unique timestamp — one row per unique time, not per packet.
+        """
+        pkts = [p for p in self.parser_obj.packets if p.has_timestamp()]
         t = self._times(pkts)
-        ds = Dataset(coords={"ping_time": (("ping_time",), t)})
-        for name in (
-            "battery_voltage",
-            "power_level",
-            "temperature_from_pressure_sensor",
-            "nominal_correlation",
-            "magnetometer_temperature",
-            "real_time_clock_temperature",
-            "ensemble_counter",
-        ):
-            vals = np.asarray([p.data.get(name, np.nan) for p in pkts], dtype="f8")
-            if not np.isnan(vals).all():
-                ds[name] = (("ping_time",), vals)
+        uniq_t, first_idx = np.unique(t, return_index=True)
+        ds = Dataset(coords={"time1": (("time1",), uniq_t)})
+        for var_name, field in self.VENDOR_FIELDS:
+            if not any(field in p.data for p in pkts):
+                continue
+            vals = np.asarray(
+                [p.data.get(field, 0) for p in pkts], dtype="f8"
+            )[first_idx]
+            ds[var_name] = (("time1",), vals)
         if self.parser_obj.config:
             for heading, kv in self.parser_obj.config.items():
                 for k, v in kv.items():

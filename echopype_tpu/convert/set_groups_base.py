@@ -141,8 +141,9 @@ class SetGroupsBase:
     def _add_seafloor_detection_data_to_vendor_ds(
         self, vendor_ds: Dataset, channels, config_order=None
     ) -> Dataset:
-        """Append BOT-file seafloor depths on a time3 dim
-        (set_groups_base.py:469-520).
+        """Append BOT-file seafloor depths on a ``ping_time`` dim — its own
+        BOT-timestamp coordinate in the Vendor group, matching the reference
+        (set_groups_base.py:469-522).
 
         BOT columns follow transceiver (config) order; when the vendor group's
         channel coord uses a different order, pass ``config_order`` to remap.
@@ -161,16 +162,21 @@ class SetGroupsBase:
             rows = out
         else:
             rows = rows[: len(channels)]
-        vendor_ds.coords["time3"] = DataArray(
+        vendor_ds.coords["ping_time"] = DataArray(
             np.asarray(bot["timestamp"], dtype="datetime64[ns]"),
-            ("time3",),
-            attrs={"axis": "T", "long_name": "Timestamps from the BOT datagrams"},
-            name="time3",
+            ("ping_time",),
+            attrs={
+                "long_name": "Timestamps from the BOT datagrams",
+                "standard_name": "time",
+                "axis": "T",
+                "comment": "Time coordinate corresponding to seafloor detection data.",
+            },
+            name="ping_time",
         )
         vendor_ds["detected_seafloor_depth"] = (
-            ("channel", "time3"),
+            ("channel", "ping_time"),
             rows,
-            {"long_name": "Echosounder detected seafloor depth", "units": "m"},
+            {"long_name": "Echosounder detected seafloor depth from the BOT datagrams."},
         )
         return vendor_ds
 

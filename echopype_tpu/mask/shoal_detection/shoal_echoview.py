@@ -22,6 +22,16 @@ from .shoal_weill import component_extent_filter
 __all__ = ["shoal_echoview"]
 
 
+def _nearest_idx(grid: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Vectorized argmin(|grid - v|) for a sorted edge vector, keeping the
+    first-minimum (lower-index) tie-break of np.argmin."""
+    pos = np.searchsorted(grid, vals)
+    lo = np.clip(pos - 1, 0, len(grid) - 1)
+    hi = np.clip(pos, 0, len(grid) - 1)
+    pick_hi = np.abs(grid[hi] - vals) < np.abs(grid[lo] - vals)
+    return np.where(pick_hi, hi, lo).astype(int)
+
+
 def _component_boxes(labeled: np.ndarray):
     """Per-label inclusive bbox (i0, i1, j0, j1), vectorized C reductions."""
     lab_max = int(labeled.max())
@@ -97,23 +107,52 @@ def shoal_echoview(
             mask, labeled, mincan[0], mincan[1], idim=idim, jdim=jdim
         )
 
-    # 3. link components whose pixels fall inside another's expanded bbox:
-    #    union-find over slice-local neighbourhood reads
+    # 3. link components with PIXELS inside another's expanded bbox.
+    #    Vectorized (round 4): expanded windows for all labels at once, a
+    #    blocked broadcasted bbox-interval test proposes candidate pairs
+    #    (O(n_label^2) bools in bounded blocks), and only candidates get the
+    #    exact pixel-in-window check — work is O(n_label^2 / 64 + pixels of
+    #    candidate pairs) instead of a per-label full-subimage np.unique.
     labeled = ndi.label(mask, np.ones((3, 3)))[0]
     lab_max = int(labeled.max())
     if lab_max:
         i0, i1, j0, j1 = _component_boxes(labeled)
+        i00 = _nearest_idx(idim, idim[i0] - (maxlink[0] + 1))
+        i11 = _nearest_idx(idim, idim[i1] + (maxlink[0] + 1)) + 1
+        j00 = _nearest_idx(jdim, jdim[j0] - (maxlink[1] + 1))
+        j11 = _nearest_idx(jdim, jdim[j1] + (maxlink[1] + 1)) + 1
+
+        # per-label pixel lists (one stable argsort of the label image)
+        flat = labeled.ravel()
+        order = np.argsort(flat, kind="stable")
+        sorted_labs = flat[order]
+        starts = np.searchsorted(sorted_labs, np.arange(1, lab_max + 2))
+        px_r = order // labeled.shape[1]
+        px_c = order % labeled.shape[1]
+
         uf = _UnionFind(lab_max + 1)
-        for lab in range(1, lab_max + 1):
-            k = lab - 1
-            i00 = int(np.argmin(np.abs(idim - (idim[i0[k]] - (maxlink[0] + 1)))))
-            i11 = int(np.argmin(np.abs(idim - (idim[i1[k]] + (maxlink[0] + 1))))) + 1
-            j00 = int(np.argmin(np.abs(jdim - (jdim[j0[k]] - (maxlink[1] + 1)))))
-            j11 = int(np.argmin(np.abs(jdim - (jdim[j1[k]] + (maxlink[1] + 1))))) + 1
-            neighbours = np.unique(labeled[i00:i11, j00:j11])
-            for nb in neighbours:
-                if nb != 0 and nb != lab:
-                    uf.union(lab, nb)
+        block = max(1, min(lab_max, 2**22 // max(lab_max, 1)))
+        for a_lo in range(0, lab_max, block):
+            a_hi = min(a_lo + block, lab_max)
+            # candidate pairs: B's bbox intersects A's expanded window
+            cand = (
+                (i0[None, :] < i11[a_lo:a_hi, None])
+                & (i1[None, :] >= i00[a_lo:a_hi, None])
+                & (j0[None, :] < j11[a_lo:a_hi, None])
+                & (j1[None, :] >= j00[a_lo:a_hi, None])
+            )
+            np.fill_diagonal(cand[:, a_lo:a_hi], False)
+            for ak, bk in zip(*np.nonzero(cand)):
+                a = a_lo + ak  # 0-based label ids
+                if uf.find(a + 1) == uf.find(bk + 1):
+                    continue
+                rb = px_r[starts[bk] : starts[bk + 1]]
+                cb = px_c[starts[bk] : starts[bk + 1]]
+                hit = (
+                    (rb >= i00[a]) & (rb < i11[a]) & (cb >= j00[a]) & (cb < j11[a])
+                ).any()
+                if hit:
+                    uf.union(a + 1, bk + 1)
         roots = np.array([uf.find(lab) for lab in range(lab_max + 1)])
         linked = roots[labeled]
 

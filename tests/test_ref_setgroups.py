@@ -458,15 +458,18 @@ class TestSetGroupsAD2CPVendor:
         ref_v = sg.set_vendor()
         ed = ep.open_raw(str(raw), sonar_model="AD2CP")
         our_v = ed["Vendor_specific"]
+        # exact row-for-row parity (round 4): one row per UNIQUE timestamp on
+        # the time1 dim, first-packet-at-time selection with 0 padding
+        # (reference set_groups_ad2cp.py:72-73,190-192)
+        np.testing.assert_array_equal(
+            np.asarray(our_v.coords["time1"].values, dtype="datetime64[ns]"),
+            np.asarray(ref_v.coords["time1"].values, dtype="datetime64[ns]"),
+        )
         for var in ("battery_voltage", "nominal_correlation", "power_level",
                     "magnetometer_temperature", "real_time_clock_temperature",
                     "ensemble_counter"):
-            w = np.asarray(ref_v[var].values, dtype="f8").ravel()
-            g = np.asarray(our_v[var].values, dtype="f8").ravel()
-            # our vendor records one row per unique timestamp; the reference
-            # keeps one per packet — compare the deduped leading values
-            n = min(len(w), len(g))
-            assert n > 0, var
-            np.testing.assert_allclose(
-                np.unique(g), np.unique(w), rtol=1e-12, err_msg=var
-            )
+            w = np.asarray(ref_v[var].values, dtype="f8")
+            g = np.asarray(our_v[var].values, dtype="f8")
+            assert ref_v[var].dims == our_v[var].dims == ("time1",), var
+            assert g.shape == w.shape, var
+            np.testing.assert_allclose(g, w, rtol=1e-12, err_msg=var)

@@ -26,13 +26,21 @@ def make_idx0(timestamp, ping_number, distance, lat, lon, file_offset):
 
 
 def write_sidecars(raw_path, t0, n, n_chan):
+    """Realistic sidecar streams: like instrument-written .bot/.idx files,
+    each starts with a CON0 configuration datagram (the reference skips the
+    first datagram unconditionally, parse_base.py:398-407; our parser
+    selects by datagram type)."""
+    from synth_ek60 import make_con0
+
+    con = make_con0(t0, [{"channel_id": f"CH{k}", "frequency": 38000.0}
+                         for k in range(n_chan)])
     rng = np.random.default_rng(7)
     depth_truth = rng.uniform(50, 500, (n, n_chan))
-    bot = b"".join(
+    bot = con + b"".join(
         make_bot0(t0 + np.timedelta64(p + 1, "s"), depth_truth[p]) for p in range(n)
     )
     raw_path.with_suffix(".bot").write_bytes(bot)
-    idx = b"".join(
+    idx = con + b"".join(
         make_idx0(
             t0 + np.timedelta64(p + 1, "s"), p + 1, 0.01 * p, 44.0 + 0.001 * p,
             -125.0 - 0.001 * p, 4096 * p,
@@ -52,11 +60,13 @@ class TestEK60Sidecars:
 
         ed = ep.open_raw(raw, sonar_model="EK60", include_bot=True, include_idx=True)
         vend = ed["Vendor_specific"]
-        assert vend["detected_seafloor_depth"].dims == ("channel", "time3")
+        # reference dims: BOT depths ride their own ping_time coordinate in
+        # the Vendor group (set_groups_base.py:500-506)
+        assert vend["detected_seafloor_depth"].dims == ("channel", "ping_time")
         np.testing.assert_allclose(
             vend["detected_seafloor_depth"].values, depth_truth.T
         )
-        assert vend.coords["time3"].values[0] == t0 + np.timedelta64(1, "s")
+        assert vend.coords["ping_time"].values[0] == t0 + np.timedelta64(1, "s")
         plat = ed["Platform"]
         np.testing.assert_allclose(plat["ping_number_idx"].values, np.arange(1, 6))
         np.testing.assert_allclose(plat["latitude_idx"].values[2], 44.002)
@@ -80,7 +90,7 @@ class TestEK80Sidecars:
 
         ed = ep.open_raw(raw, sonar_model="EK80", include_bot=True, include_idx=True)
         vend = ed["Vendor_specific"]
-        assert vend["detected_seafloor_depth"].dims == ("channel", "time3")
+        assert vend["detected_seafloor_depth"].dims == ("channel", "ping_time")
         assert vend["detected_seafloor_depth"].shape == (3, 4)
         # BOT columns are transceiver (config) order; vendor channels are
         # sorted alphabetically -> depths must be remapped per channel
@@ -94,3 +104,122 @@ class TestEK80Sidecars:
             )
         plat = ed["Platform"]
         np.testing.assert_allclose(plat["file_offset_idx"].values, 4096 * np.arange(4))
+
+
+class TestSidecarReferenceDifferential:
+    """Round-4 (VERDICT item 9): the reference's own sidecar ingestion —
+    ParseEK60(bot_file=, idx_file=) -> SetGroupsEK60 with
+    _add_index_data_to_platform_ds / _add_seafloor_detection_data_to_vendor_ds
+    (set_groups_base.py:371-522) — executes on the same synthetic .raw/.bot/
+    .idx bytes our open_raw converts; Platform/Vendor sidecar variables must
+    match value-for-value."""
+
+    CONVERT_PARAMS = {
+        "survey_name": "", "platform_name": "", "platform_type": "",
+        "platform_code_ICES": "", "water_level": np.nan,
+        "nmea_gps_sentence": "GGA",
+    }
+
+    def test_ek60_idx_bot_differential(self, tmp_path):
+        from ref_oracle import load_ref
+
+        raw = tmp_path / "RD0001-D20200101-T000000-EK60.raw"
+        t0 = np.datetime64("2020-01-01T00:00:00", "ns")
+        write_ek60_raw(raw, n_pings=6, n_samples=24, t0=t0)
+        write_sidecars(raw, t0, n=6, n_chan=2)
+
+        ref_parse = load_ref("convert/parse_ek60")
+        parser = ref_parse.ParseEK60(
+            str(raw), bot_file=str(raw.with_suffix(".bot")),
+            idx_file=str(raw.with_suffix(".idx")),
+            storage_options={}, sonar_model="EK60",
+        )
+        parser.parse_raw()
+        parser.rectangularize_data(use_swap=False)
+        ref_sg = load_ref("convert/set_groups_ek60")
+        sg = ref_sg.SetGroupsEK60(
+            parser, input_file=str(raw), xml_path=None, output_path=None,
+            sonar_model="EK60", params=dict(self.CONVERT_PARAMS),
+        )
+        ref_platform = sg.set_platform()
+        ref_vendor = sg.set_vendor()
+
+        ed = ep.open_raw(str(raw), sonar_model="EK60",
+                         include_bot=True, include_idx=True)
+        our_platform = ed["Platform"]
+        our_vendor = ed["Vendor_specific"]
+
+        # IDX -> Platform on time4
+        np.testing.assert_array_equal(
+            np.asarray(our_platform.coords["time4"].values, dtype="datetime64[ns]"),
+            np.asarray(ref_platform.coords["time4"].values, dtype="datetime64[ns]"),
+        )
+        for var in ("ping_number_idx", "file_offset_idx", "vessel_distance_idx",
+                    "latitude_idx", "longitude_idx"):
+            assert var in our_platform.data_vars, var
+            assert our_platform[var].dims == tuple(ref_platform[var].dims), var
+            np.testing.assert_allclose(
+                np.asarray(our_platform[var].values, dtype="f8"),
+                np.asarray(ref_platform[var].values, dtype="f8"),
+                rtol=0, atol=0, err_msg=var,
+            )
+
+        # BOT -> Vendor detected_seafloor_depth on (channel, ping_time)
+        rv = ref_vendor["detected_seafloor_depth"]
+        gv = our_vendor["detected_seafloor_depth"]
+        assert tuple(gv.dims) == tuple(rv.dims)
+        np.testing.assert_array_equal(
+            np.asarray(our_vendor.coords["ping_time"].values, dtype="datetime64[ns]"),
+            np.asarray(ref_vendor.coords["ping_time"].values, dtype="datetime64[ns]"),
+        )
+        np.testing.assert_allclose(
+            np.asarray(gv.values, dtype="f8"), np.asarray(rv.values, dtype="f8")
+        )
+
+    def test_ek80_bot_differential(self, tmp_path):
+        from ref_oracle import load_ref
+
+        raw = tmp_path / "RD80-D20210201-T000000.raw"
+        t0 = np.datetime64("2021-02-01T00:00:00", "ns")
+        write_ek80_raw(raw, n_pings=4, n_samples=32, t0=t0)
+        write_sidecars(raw, t0, n=4, n_chan=3)
+
+        ref_parse = load_ref("convert/parse_ek80")
+        parser = ref_parse.ParseEK80(
+            str(raw), bot_file=str(raw.with_suffix(".bot")),
+            idx_file=str(raw.with_suffix(".idx")),
+            storage_options={}, sonar_model="EK80",
+        )
+        parser.parse_raw()
+        parser.rectangularize_data(use_swap=False)
+        ref_sg = load_ref("convert/set_groups_ek80")
+        sg = ref_sg.SetGroupsEK80(
+            parser, input_file=str(raw), xml_path=None, output_path=None,
+            sonar_model="EK80", params=dict(self.CONVERT_PARAMS),
+        )
+        # full set_vendor is not executable on this synthetic (known harness
+        # limit, see test_ref_setgroups); drive the BOT helper itself, which
+        # is the differential target (set_groups_base.py:469-522)
+        import xarray as xr
+
+        base = xr.Dataset(
+            coords={"channel": np.asarray(
+                [str(c) for c in parser.config_datagram["configuration"].keys()],
+                dtype=object,
+            )}
+        )
+        ref_vendor = sg._add_seafloor_detection_data_to_vendor_ds(base)
+
+        ed = ep.open_raw(str(raw), sonar_model="EK80",
+                         include_bot=True, include_idx=True)
+        gv = ed["Vendor_specific"]["detected_seafloor_depth"]
+        rv = ref_vendor["detected_seafloor_depth"]
+        assert tuple(gv.dims) == tuple(rv.dims)
+        # align channel order (ours sorts; reference keeps config order)
+        g_ch = [str(c) for c in ed["Vendor_specific"].coords["channel"].values]
+        r_ch = [str(c) for c in ref_vendor.coords["channel"].values]
+        remap = [r_ch.index(c) for c in g_ch]
+        np.testing.assert_allclose(
+            np.asarray(gv.values, dtype="f8"),
+            np.asarray(rv.values, dtype="f8")[remap],
+        )
