@@ -304,9 +304,15 @@ def ecs_ev2ep(ev_dict, sonar_type):
         freqs = np.asarray(freqs, dtype="f8")
         ds_cal_BB = Dataset(
             coords={
+                # table frequencies stay AS LISTED in the ECS file — the
+                # reference performs no unit conversion on the wideband
+                # frequency axis (ecs.py:383-388 converts only
+                # frequency_nominal/sampling/receiver), so working Echoview
+                # EK80 tables carry Hz; a kHz-axis table interps to NaN at
+                # the Hz center frequency on both sides
                 "cal_frequency": (
                     ("cal_frequency",),
-                    freqs * 1000,
+                    freqs,
                     {"long_name": "Frequency of calibration parameter", "units": "Hz"},
                 ),
                 "cal_channel_id": np.asarray(
@@ -374,8 +380,92 @@ def conform_channel_order(ds_in, freq_ref):
     return out
 
 
-def ecs_to_params(ecs_file, sonar_type, frequency_nominal):
-    """Parse an ECS file into (env_params, cal_params) dicts for a calibrator."""
+def _interp_union_grid(xp, yp, x):
+    """Linear interp over a (possibly NaN-padded) union frequency grid with
+    xarray semantics: NaN outside [xp[0], xp[-1]], NaN bracketing values
+    propagate, exact grid hits return the stored value."""
+    xp = np.asarray(xp, dtype="f8")
+    yp = np.asarray(yp, dtype="f8")
+    x = np.atleast_1d(np.asarray(x, dtype="f8"))
+    out = np.interp(x, xp, yp)
+    out = np.where((x < xp[0]) | (x > xp[-1]), np.nan, out)
+    exact = np.isin(x, xp)
+    if exact.any():
+        idx = np.searchsorted(xp, x[exact])
+        out[exact] = yp[idx]
+    return out
+
+
+def assimilate_bb_cal_params(ds_cal_BB, cal, frequency_nominal, freq_center):
+    """Fold frequency-dependent ECS tables into the cal dict at freq_center
+    (reference: calibrate_ek.py:406-456 -> cal_params.py:165-258).
+
+    Channels with a table interp at their per-ping center frequency; the
+    rest keep the narrowband value.  The reference requires the narrowband
+    value to exist for every table channel — same ValueError here.
+    """
+    if ds_cal_BB is None or freq_center is None:
+        return cal
+    ecs_fn = np.asarray(ds_cal_BB["frequency_nominal"].values, dtype="f8")
+    data_fn = np.asarray(frequency_nominal.values, dtype="f8")
+    chan_names = [str(c) for c in frequency_nominal.coords["channel"].values]
+    # map each table row to the data channel with matching nominal frequency
+    row_of = {}
+    for i, ch in enumerate(chan_names):
+        hits = np.nonzero(ecs_fn == data_fn[i])[0]
+        if len(hits):
+            row_of[ch] = int(hits[0])
+    if not row_of:
+        return cal
+    fc = freq_center
+    fc_vals = np.asarray(fc.values, dtype="f8")
+    if fc_vals.ndim == 1:  # [channel] -> [channel, 1]
+        fc_vals = fc_vals[:, None]
+    n_ping = fc_vals.shape[1]
+    grid = np.asarray(ds_cal_BB.coords["cal_frequency"].values, dtype="f8")
+    for name, table in ds_cal_BB.data_vars.items():
+        if name == "frequency_nominal":
+            continue
+        nb = cal.get(name)
+        if nb is None or not all(
+            ch in [str(c) for c in nb.coords.get("channel", nb).values]
+            for ch in row_of
+        ):
+            raise ValueError(
+                f"Narrowband (CW mode) parameter {name} should exist "
+                "for all channels with frequency-dependent parameter values."
+            )
+        nb_vals = np.asarray(nb.values, dtype="f8")
+        out = np.empty((len(chan_names), n_ping))
+        for i, ch in enumerate(chan_names):
+            if ch in row_of:
+                out[i] = _interp_union_grid(
+                    grid, np.asarray(table.values)[row_of[ch]], fc_vals[i]
+                )
+            else:
+                out[i] = nb_vals[i]
+        cal[name] = DataArray(
+            out,
+            ("channel", "ping_time"),
+            coords={
+                "channel": np.asarray(chan_names, dtype=object),
+                **(
+                    {"ping_time": fc.coords["ping_time"]}
+                    if "ping_time" in fc.coords
+                    else {}
+                ),
+            },
+            name=name,
+        )
+    return cal
+
+
+def ecs_to_params(ecs_file, sonar_type, frequency_nominal, freq_center=None):
+    """Parse an ECS file into (env_params, cal_params) dicts for a calibrator.
+
+    ``freq_center`` (EK80 BB): per-channel(/ping) center frequency at which
+    frequency-dependent ECS tables interpolate into the cal dict.
+    """
     doc = parse_ecs(ecs_file)
     ds_env, ds_cal, ds_cal_BB = ecs_ev2ep(doc.consolidated(), sonar_type)
     env = ecs_ds2dict(conform_channel_order(ds_env, frequency_nominal))
@@ -384,4 +474,5 @@ def ecs_to_params(ecs_file, sonar_type, frequency_nominal):
     cal.pop("transmit_duration_nominal", None)
     cal.pop("transmit_power", None)
     cal.pop("tau_effective", None)
+    cal = assimilate_bb_cal_params(ds_cal_BB, cal, frequency_nominal, freq_center)
     return env, cal

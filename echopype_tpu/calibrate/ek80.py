@@ -134,7 +134,8 @@ class CalibrateEK80(CalibrateEK):
             from .ecs import ecs_to_params
 
             env_from_ecs, cal_from_ecs = ecs_to_params(
-                self.ecs_file, "EK80", self.beam["frequency_nominal"]
+                self.ecs_file, "EK80", self.beam["frequency_nominal"],
+                freq_center=self.freq_center,
             )
             self.env_params = env_from_ecs
             self.cal_params = cal_from_ecs

@@ -192,10 +192,11 @@ class TestECSEdgeCases:
         )
         ds_env, ds_cal, ds_bb = ecs_ev2ep(params, "EK80")
         assert ds_bb is not None
-        # union frequency axis in Hz
+        # union frequency axis AS LISTED — the reference applies no unit
+        # conversion to the wideband table axis (ecs.py:383-388)
         np.testing.assert_allclose(
             ds_bb.coords["cal_frequency"].values,
-            np.array([55.0, 65.0, 75.0, 85.0, 100.0, 115.0, 130.0]) * 1000,
+            [55.0, 65.0, 75.0, 85.0, 100.0, 115.0, 130.0],
         )
         gain = np.asarray(ds_bb["gain_correction"].values)
         assert gain.shape == (2, 7)
@@ -259,3 +260,31 @@ class TestECSCalibration:
             ds["gain_correction"].values.ravel()[0], 22.95
         )
         assert np.isfinite(diff)
+
+
+# EK80 BB ECS with wideband tables on an Hz frequency axis: the reference
+# applies NO unit conversion to FrequencyTableWideband (ecs.py:383-388), so
+# working Echoview EK80 tables carry Hz; this variant spans the synthetic
+# ES70 BB channel's center frequency so the gain-table interpolation chain
+# produces finite values end to end.  T2 (200 kHz) deliberately has NO
+# wideband table -> narrowband fallback path.
+ECS_EK80_BB_HZ_CONTENT = (
+    ECS_EK80_BB_CONTENT
+    .replace(
+        "FrequencyTableWideband = 55.0 65.0 75.0 85.0 # (kilohertz)",
+        "FrequencyTableWideband = 45000.0 55000.0 67500.0 80000.0 90000.0 # (hertz)",
+    )
+    .replace(
+        "GainTableWideband = 26.1 26.5 26.9 27.0 # (decibels)",
+        "GainTableWideband = 26.1 26.5 26.9 27.0 27.2 # (decibels)",
+    )
+    .replace(
+        "MajorAxisBeamWidthTableWideband = 7.1 6.8 6.4 6.1 # (degrees)",
+        "MajorAxisBeamWidthTableWideband = 7.1 6.8 6.4 6.1 5.9 # (degrees)",
+    )
+    .replace("# Frequency = 120.00", "# Frequency = 200.00")
+    .replace(
+        "FrequencyTableWideband = 100.0 115.0 130.0 # (kilohertz)\n    GainTableWideband = 24.0 24.5 24.2 # (decibels)\n",
+        "",
+    )
+)

@@ -411,3 +411,83 @@ class TestECSIntegrationDifferential:
             rv = np.asarray(ref_cal.cal_params[k].values, dtype="f8").ravel()
             gv = np.asarray(got[k].values, dtype="f8").ravel()
             np.testing.assert_allclose(gv[: rv.size], rv, rtol=1e-12, err_msg=k)
+
+
+class TestEK80ECSBBGainTableSvDifferential:
+    """Round-4 (VERDICT item 5): compute_Sv(ecs_file=) with an EK80 wideband
+    gain TABLE, compared at the Sv level against the reference's full chain
+    ecs_ev2ep -> conform_channel_order -> _assimilate_ecs_cal_params ->
+    _get_interp_da (reference: calibrate/ecs.py:306,402 ->
+    calibrate_ek.py:406-456 -> cal_params.py:165-258) executing on the
+    facade.  One channel interpolates its table at the per-ping center
+    frequency; the other falls back to the narrowband TransducerGain."""
+
+    def _setup(self, tmp_path):
+        from test_ecs import ECS_EK80_BB_HZ_CONTENT
+
+        ecs = tmp_path / "bbhz.ecs"
+        ecs.write_text(ECS_EK80_BB_HZ_CONTENT)
+        raw = tmp_path / "EBBG-D20210201-T000000.raw"
+        # two FM channels: ES70 (has a table spanning its 67.5 kHz center
+        # frequency) + ES200 (no table -> narrowband fallback)
+        write_ek80_raw(raw, n_pings=5, n_samples=64,
+                       with_power_channel=False, extra_fm_channel=True)
+        ed = ep.open_raw(str(raw), sonar_model="EK80")
+        return str(ecs), ed
+
+    def test_sv_level(self, tmp_path):
+        ecs, ed = self._setup(tmp_path)
+        ref_ek = load_ref("calibrate/calibrate_ek")
+        ref_cal = ref_ek.CalibrateEK80(
+            _fake(ed), env_params=None, cal_params=None, ecs_file=ecs,
+            waveform_mode="BB", encode_mode="complex",
+        )
+        ref_sv = ref_cal.compute_Sv()
+        our_sv = ep.calibrate.compute_Sv(
+            ed, ecs_file=ecs, waveform_mode="BB", encode_mode="complex",
+            precision="float64",
+        )
+
+        # interpolated gain is applied (not the narrowband fallback) on the
+        # table channel, exact on both sides
+        rg = np.asarray(ref_cal.cal_params["gain_correction"].values, dtype="f8")
+        og = np.asarray(our_sv["gain_correction"].values, dtype="f8")
+        assert og.shape == rg.shape
+        np.testing.assert_allclose(og, rg, rtol=0, atol=1e-12)
+        assert not np.allclose(rg[0], 26.50)  # must differ from TransducerGain
+
+        w = np.asarray(
+            ref_sv["Sv"].transpose("channel", "ping_time", "range_sample").values,
+            dtype="f8",
+        )
+        g = np.asarray(our_sv["Sv"].values, dtype="f8")
+        np.testing.assert_array_equal(np.isnan(g), np.isnan(w))
+        m = ~np.isnan(w)
+        # residual floor = the reference's own complex64 pulse-compression
+        # quantization (same as the plain BB differential)
+        np.testing.assert_allclose(g[m], w[m], rtol=0, atol=5e-6)
+
+    def test_out_of_band_table_nan_parity(self, tmp_path):
+        """A kHz-axis table (never spanning the Hz center frequency) yields
+        NaN gain on BOTH sides — the reference applies no unit conversion to
+        the table axis, and neither do we."""
+        from test_ecs import ECS_EK80_BB_CONTENT
+
+        ecs = tmp_path / "bbkhz.ecs"
+        ecs.write_text(ECS_EK80_BB_CONTENT)
+        raw = tmp_path / "EBBK-D20210201-T000000.raw"
+        write_ek80_raw(raw, n_pings=3, n_samples=48,
+                       with_power_channel=False, with_cw_complex=False)
+        ed = ep.open_raw(str(raw), sonar_model="EK80")
+        ref_ek = load_ref("calibrate/calibrate_ek")
+        ref_cal = ref_ek.CalibrateEK80(
+            _fake(ed), env_params=None, cal_params=None, ecs_file=str(ecs),
+            waveform_mode="BB", encode_mode="complex",
+        )
+        rg = np.asarray(ref_cal.cal_params["gain_correction"].values, dtype="f8")
+        our_sv = ep.calibrate.compute_Sv(
+            ed, ecs_file=str(ecs), waveform_mode="BB", encode_mode="complex",
+            precision="float64",
+        )
+        og = np.asarray(our_sv["gain_correction"].values, dtype="f8")
+        assert np.isnan(rg).all() and np.isnan(og).all()
