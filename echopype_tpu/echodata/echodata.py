@@ -12,9 +12,12 @@ from pathlib import Path
 import numpy as np
 
 from .. import storage
+from ..utils.log import _init_logger
 from ..utils.prov import ECHOPYPE_TPU_VERSION
 from ..xrlite import Dataset
 from .convention import GROUP_MAP
+
+logger = _init_logger(__name__)
 
 __all__ = ["EchoData"]
 
@@ -187,12 +190,91 @@ class EchoData:
     ):
         """Merge external platform data (e.g. ship GPS) into the Platform group.
 
-        Capability parity: echodata.py:349-517 — new variables arrive on fresh
-        timeN dims clipped to the data time range.
+        Capability parity: echodata.py:349-517 — CF trajectory inputs are
+        unrolled onto their time coordinate; only mappings whose Platform
+        variable pre-exists AND whose external variable carries valid data
+        are applied; new variables arrive on fresh timeN dims clipped to one
+        sample beyond the data time range; scalar lat/lon land on the first
+        ping time; pre-existing time dims left without variables are
+        dropped.
         """
         if variable_mappings is None:
             raise ValueError("variable_mappings is required")
+
+        # CF Trajectory Discrete Sampling Geometry (e.g. Saildrone files):
+        # select the first trajectory and swap the obs dim for time
+        if (
+            str(extra_platform_data.attrs.get("featureType", "")).lower()
+            == "trajectory"
+        ):
+            trajectory_var = time_dim = None
+            for coordvar in list(extra_platform_data.coords):
+                cattrs = extra_platform_data.coords[coordvar].attrs
+                if cattrs.get("cf_role") == "trajectory_id":
+                    trajectory_var = coordvar
+                if cattrs.get("standard_name") == "time":
+                    time_dim = coordvar
+            if trajectory_var is not None and time_dim is not None:
+                # first trajectory only (reference selects coords[var][0])
+                if trajectory_var in extra_platform_data.sizes:
+                    extra_platform_data = extra_platform_data.isel(
+                        {trajectory_var: 0}, drop=True
+                    )
+                extra_platform_data = extra_platform_data.drop_vars(
+                    [trajectory_var], errors="ignore"
+                )
+                obs_dim = extra_platform_data[time_dim].dims[0]
+                extra_platform_data = extra_platform_data.swap_dims({obs_dim: time_dim})
+
         platform = self._tree["Platform"]
+
+        # reference filtering (utils_platform.get_mappings_expanded): the
+        # Platform variable must pre-exist and the external data be valid
+        mappings_expanded = {}
+        for plat_name, ext_name in variable_mappings.items():
+            if plat_name not in platform:
+                continue
+            if ext_name not in extra_platform_data:
+                continue
+            ext = extra_platform_data[ext_name]
+            vals = np.asarray(ext.values, dtype="f8" if ext.dtype.kind in "fi" else ext.dtype)
+            if ext.dtype.kind in "fi" and np.isnan(np.asarray(vals, dtype="f8")).all():
+                continue
+            time_dim = ext.dims[0] if ext.dims else "scalar"
+            mappings_expanded[plat_name] = dict(
+                external_var=ext_name, ext_time_dim_name=time_dim
+            )
+        if not mappings_expanded:
+            logger.warning(
+                "No variables will be updated, check variable_mappings to "
+                "ensure variable names are correctly specified!"
+            )
+        for lat_name, lon_name in (
+            ("latitude", "longitude"),
+            ("latitude_idx", "longitude_idx"),
+            ("latitude_mru1", "longitude_mru1"),
+        ):
+            if lat_name in mappings_expanded or lon_name in mappings_expanded:
+                if lat_name not in mappings_expanded or lon_name not in mappings_expanded:
+                    raise ValueError(
+                        f"Only one of {lat_name} and {lon_name} are specified. "
+                        "Please include both, or neither."
+                    )
+                if (
+                    mappings_expanded[lat_name]["ext_time_dim_name"]
+                    != mappings_expanded[lon_name]["ext_time_dim_name"]
+                ):
+                    raise ValueError(
+                        "The external latitude and longitude use different time "
+                        "dimensions. They must share the same time dimension."
+                    )
+        dropped = set(variable_mappings) - set(mappings_expanded)
+        if dropped:
+            logger.warning(
+                f"The following requested variables will not be updated: "
+                f"{', '.join(sorted(dropped))}"
+            )
+
         # next free timeN index
         existing = [d for d in platform.sizes if d.startswith("time")]
         next_idx = max([int(d[4:]) for d in existing if d[4:].isdigit()], default=0) + 1
@@ -205,24 +287,41 @@ class EchoData:
                 tmin, tmax = pt.min(), pt.max()
 
         time_dim_for = {}
-        for plat_name, ext_name in variable_mappings.items():
-            if ext_name not in extra_platform_data:
+        for plat_name, info in mappings_expanded.items():
+            ext = extra_platform_data[info["external_var"]]
+            src_time = info["ext_time_dim_name"]
+            old_attrs = dict(platform[plat_name].attrs) if plat_name in platform else {}
+            if src_time == "scalar":
+                if plat_name.startswith(("latitude", "longitude")) and platform[
+                    plat_name
+                ].dims:
+                    # scalar lat/lon writes into the existing 1-element
+                    # placeholder variable (echodata.py:494-505).  The
+                    # reference also re-stamps the time coordinate with the
+                    # first ping time, but that assignment is silently
+                    # dropped by dataset-assignment alignment — the
+                    # executable oracle keeps the original (NaT) stamp, and
+                    # so do we.
+                    dim = platform[plat_name].dims[0]
+                    platform[plat_name] = (
+                        (dim,),
+                        np.full(
+                            platform.sizes[dim], float(np.asarray(ext.values))
+                        ),
+                        old_attrs,
+                    )
+                else:
+                    platform[plat_name] = ((), np.asarray(ext.values).reshape(()), old_attrs)
                 continue
-            ext = extra_platform_data[ext_name]
-            src_time_dims = [d for d in ext.dims if "time" in d.lower()]
-            src_time = src_time_dims[0] if src_time_dims else None
-            if src_time is None:
-                platform[plat_name] = ((), np.asarray(ext.values).reshape(()))
-                continue
-            key = src_time
-            if key not in time_dim_for:
-                time_dim_for[key] = f"time{next_idx}"
+            if src_time not in time_dim_for:
+                time_dim_for[src_time] = f"time{next_idx}"
                 next_idx += 1
-            new_dim = time_dim_for[key]
+            new_dim = time_dim_for[src_time]
             tvals = ext.coords[src_time].values
             vals = ext.values
             if tmin is not None and len(tvals):
-                # clip to data time range, keeping one sample beyond each edge
+                # clip to data time range, keeping one sample beyond each
+                # edge (utils_platform._clip_by_time_dim)
                 keep = (tvals >= tmin) & (tvals <= tmax)
                 lo = np.searchsorted(tvals, tmin)
                 hi = np.searchsorted(tvals, tmax, side="right")
@@ -231,7 +330,19 @@ class EchoData:
                 tvals = tvals[keep]
                 vals = vals[keep]
             platform._set_coord(new_dim, (new_dim, tvals))
-            platform[plat_name] = ((new_dim,), vals)
+            platform[plat_name] = ((new_dim,), vals, old_attrs)
+
+        # drop pre-existing time dims no longer used by any data variable
+        # (echodata.py:509-515)
+        used_dims = {
+            d for var in platform.data_vars.values() for d in var.dims
+        }
+        unused = [
+            d for d in list(platform.sizes)
+            if d.startswith("time") and d not in used_dims
+        ]
+        if unused:
+            self._tree["Platform"] = platform = platform.drop_dims(unused, errors="ignore")
         # re-stamp L1A once valid location data exists (echodata.py:348)
         from ..utils.prov import PROCESSING_LEVELS, _valid_latlon
 

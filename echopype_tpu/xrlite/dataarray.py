@@ -257,7 +257,19 @@ class DataArray:
 
     @data.setter
     def data(self, v):
-        self.values = np.asarray(v)
+        v = np.asarray(v)
+        if v.shape == self.values.shape and self.values.flags.writeable:
+            # write through the existing buffer: Dataset.__getitem__ hands
+            # out wrappers sharing the stored variable's ndarray, and xarray
+            # semantics make `ds[var].data = x` visible in the dataset
+            # (the reference's scalar update_platform branch relies on it,
+            # echodata.py:494-505)
+            try:
+                self.values[...] = v
+                return
+            except (TypeError, ValueError):
+                pass
+        self.values = v
 
     @property
     def chunks(self):

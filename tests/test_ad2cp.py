@@ -128,7 +128,8 @@ def _bt_record(second=0, seed=0, n_beams=4):
     return out
 
 
-def write_ad2cp(path, n_pings=4, with_bottom_track=False, with_echosounder_raw=False):
+def write_ad2cp(path, n_pings=4, with_bottom_track=False, with_echosounder_raw=False,
+                minute=0):
     chunks = [
         _string_packet(
             "GETCLOCKSTR,TIME=\"2022-05-10 08:00:00\"\n"
@@ -138,7 +139,7 @@ def write_ad2cp(path, n_pings=4, with_bottom_track=False, with_echosounder_raw=F
     ]
     truths = {"average": [], "echosounder": []}
     for p in range(n_pings):
-        rec, truth = _v3_record(0x16, second=p, seed=p)
+        rec, truth = _v3_record(0x16, minute=minute, second=p, seed=p)
         chunks.append(_packet(0x16, rec))
         truths["average"].append(truth)
         if with_echosounder_raw:
@@ -146,7 +147,7 @@ def write_ad2cp(path, n_pings=4, with_bottom_track=False, with_echosounder_raw=F
             chunks.append(
                 _raw_packet(0x23, _raw_record(p, rng.integers(-(2**30), 2**30, (16, 2))))
             )
-        rec, truth = _v3_record(0x1C, second=p, echosounder=True, seed=100 + p)
+        rec, truth = _v3_record(0x1C, minute=minute, second=p, echosounder=True, seed=100 + p)
         chunks.append(_packet(0x1C, rec))
         truths["echosounder"].append(truth)
         if with_bottom_track:

@@ -26,6 +26,10 @@ VOLATILE_ATTRS = {
     "processing_software_name",
     "processing_software_version",
     "processing_time",
+    # each side converts the raw files in its own pass; second-resolution
+    # stamps can straddle a tick
+    "conversion_time",
+    "date_created",
 }
 
 
@@ -72,9 +76,14 @@ def _assert_ds_equal(ref_ds, our_ds, group, attrs=True):
         f"{group}: coords differ: only-ref={set(ref_ds.coords) - set(our_ds.coords)}, "
         f"only-ours={set(our_ds.coords) - set(ref_ds.coords)}"
     )
+    # per-file conversion stamps: each side converts the raw files in its own
+    # pass, so second-resolution timestamps can legitimately straddle a tick
+    volatile_vars = {"conversion_time", "date_created", "processing_time"}
     for name in ref_ds.coords:
         _assert_da_equal(ref_ds.coords[name], our_ds.coords[name], f"{group}/{name}")
     for name in ref_ds.data_vars:
+        if name in volatile_vars:
+            continue
         _assert_da_equal(ref_ds.data_vars[name], our_ds.data_vars[name], f"{group}/{name}")
     if attrs:
         _assert_attrs_equal(ref_ds.attrs, our_ds.attrs, group)
@@ -354,3 +363,220 @@ class TestOrchestrateDifferential:
         bg = zarr_lite.read_group(our_store, "Sonar/Beam_group1")
         pt = np.asarray(bg.coords["ping_time"].values, dtype="datetime64[ns]")
         assert (np.diff(pt) > np.timedelta64(0, "ns")).all()
+
+
+class TestCombineEK80Differential:
+    """EK80 combine: multi-beam-group trees exercise the EK80-specific
+    channel-selection-dict branch (Sonar/Platform/Vendor get the union of
+    the dict values; each beam group gets its own list —
+    combine.py:360-374)."""
+
+    def _convert_ek80(self, tmp_path, n=2):
+        from synth_ek80 import write_ek80_raw
+
+        t0 = np.datetime64("2021-02-01T00:00:00", "ns")
+        paths, ours, theirs = [], [], []
+        for i in range(n):
+            raw = tmp_path / f"K80-{i}-D20210201-T000000.raw"
+            write_ek80_raw(raw, n_pings=6, n_samples=32, seed=i,
+                           t0=t0 + np.timedelta64(20 * i, "s"))
+            paths.append(str(raw))
+            ours.append(ep.open_raw(str(raw), sonar_model="EK80"))
+            theirs.append(ep.open_raw(str(raw), sonar_model="EK80"))
+        return paths, ours, theirs
+
+    def _ref_eds(self, eds, paths):
+        return [
+            make_ref_echodata({g: ed[g] for g in ed.group_paths}, "EK80", source_file=p)
+            for ed, p in zip(eds, paths)
+        ]
+
+    def test_combine_all_groups(self, tmp_path):
+        layer = load_ref_echodata()
+        paths, ours, theirs = self._convert_ek80(tmp_path)
+        ref_comb = layer["combine"].combine_echodata(self._ref_eds(theirs, paths))
+        our_comb = ep.combine_echodata(ours)
+        assert set(ref_comb.group_paths) == set(our_comb.group_paths)
+        # multiple beam groups must be present (complex + power split)
+        beam_groups = [g for g in our_comb.group_paths if "Beam_group" in g]
+        assert len(beam_groups) >= 2, beam_groups
+        for g in sorted(set(ref_comb.group_paths)):
+            if g == "Provenance":
+                _assert_ds_equal(ref_comb[g], our_comb[g], g, attrs=False)
+                _assert_attrs_equal(ref_comb[g].attrs, our_comb[g].attrs, g)
+            else:
+                _assert_ds_equal(ref_comb[g], our_comb[g], g)
+
+    def test_combine_beam_group_dict_selection(self, tmp_path):
+        """Per-beam-group dict (must name EVERY beam group — the reference
+        indexes the dict for each, combine.py:368): each group keeps only
+        its list; Sonar/Platform/Vendor_specific keep the union
+        (combine.py:360-374)."""
+        layer = load_ref_echodata()
+        paths, ours, theirs = self._convert_ek80(tmp_path)
+        beam_groups = [g for g in ours[0].group_paths if "Beam_group" in g]
+        sel = {
+            g: [str(c) for c in ours[0][g].coords["channel"].values]
+            for g in beam_groups
+        }
+        # narrow one multi-channel beam group to a single channel
+        narrowed = next((g for g in beam_groups if len(sel[g]) > 1), beam_groups[0])
+        sel[narrowed] = sel[narrowed][:1]
+        ref_comb = layer["combine"].combine_echodata(
+            self._ref_eds(theirs, paths), channel_selection=dict(sel)
+        )
+        our_comb = ep.combine_echodata(ours, channel_selection=dict(sel))
+        for g in beam_groups + ["Vendor_specific", "Environment", "Platform"]:
+            _assert_ds_equal(ref_comb[g], our_comb[g], g)
+        assert our_comb[narrowed].sizes["channel"] == 1
+
+        # a dict missing a beam group fails identically on both sides
+        partial = {beam_groups[0]: sel[beam_groups[0]]}
+        if len(beam_groups) > 1:
+            with pytest.raises(KeyError):
+                layer["combine"].combine_echodata(
+                    self._ref_eds(theirs, paths), channel_selection=dict(partial)
+                )
+            with pytest.raises(KeyError):
+                ep.combine_echodata(ours, channel_selection=dict(partial))
+
+
+class TestCombineAD2CPDifferential:
+    """AD2CP combine: multiple beam groups with beam/echogram dims, vendor
+    diagnostics on time1, env/platform on time1/time2."""
+
+    def test_combine_all_groups(self, tmp_path):
+        from test_ad2cp import write_ad2cp
+
+        layer = load_ref_echodata()
+        paths, ours, theirs = [], [], []
+        for i in range(2):
+            raw = tmp_path / f"AD{i}.ad2cp"
+            write_ad2cp(str(raw), n_pings=4, minute=i)
+            paths.append(str(raw))
+            ours.append(ep.open_raw(str(raw), sonar_model="AD2CP"))
+            theirs.append(ep.open_raw(str(raw), sonar_model="AD2CP"))
+        ref_comb = layer["combine"].combine_echodata(
+            [
+                make_ref_echodata(
+                    {g: ed[g] for g in ed.group_paths}, "AD2CP", source_file=p
+                )
+                for ed, p in zip(theirs, paths)
+            ]
+        )
+        our_comb = ep.combine_echodata(ours)
+        assert set(ref_comb.group_paths) == set(our_comb.group_paths)
+        for g in sorted(set(ref_comb.group_paths)):
+            if g == "Provenance":
+                _assert_ds_equal(ref_comb[g], our_comb[g], g, attrs=False)
+            else:
+                _assert_ds_equal(ref_comb[g], our_comb[g], g)
+        assert our_comb["Sonar/Beam_group1"].sizes["ping_time"] == 8
+        assert our_comb["Vendor_specific"].sizes["time1"] == 8
+
+
+class TestUpdatePlatformEdgeDifferential:
+    """update_platform edge branches vs the reference: CF trajectory input
+    (echodata.py:394-414), scalar lat/lon stamped at the first ping time
+    (:494-505), lat-without-lon ValueError, unknown mappings dropped."""
+
+    def _trajectory_ds(self):
+        import xarray as xr
+
+        t = np.datetime64("2020-01-01T00:00:00", "ns") + np.arange(0, 40, 4).astype(
+            "timedelta64[s]"
+        )
+        n = len(t)
+        # Saildrone-style CF layout: trajectory is its own size-1 dimension
+        ds = xr.Dataset(
+            {
+                "lat": (("trajectory", "obs"), (45.0 + 0.001 * np.arange(n))[None]),
+                "lon": (("trajectory", "obs"), (-125.0 + 0.001 * np.arange(n))[None]),
+            },
+            coords={
+                "trajectory": (
+                    ("trajectory",),
+                    np.array([1001.0]),
+                    {"cf_role": "trajectory_id"},
+                ),
+                "time": (("trajectory", "obs"), t[None], {"standard_name": "time"}),
+            },
+            attrs={"featureType": "trajectory"},
+        )
+        return ds
+
+    def test_trajectory_input(self, tmp_path):
+        layer = load_ref_echodata()
+        paths, ours, theirs = _convert(tmp_path, n_files=1)
+        mappings = {"latitude": "lat", "longitude": "lon"}
+        ref_ed = _ref_eds(theirs, paths)[0]
+        ref_ed.update_platform(self._trajectory_ds(), variable_mappings=mappings)
+        ours[0].update_platform(self._trajectory_ds(), variable_mappings=mappings)
+        rp, op = ref_ed["Platform"], ours[0]["Platform"]
+        for name in ("latitude", "longitude"):
+            np.testing.assert_array_equal(
+                np.asarray(op[name].values), np.asarray(rp[name].values), err_msg=name
+            )
+            assert tuple(op[name].dims) == tuple(rp[name].dims), name
+        assert set(rp.dims) == set(op.dims)
+
+    def test_scalar_latlon(self, tmp_path):
+        """No-GPS file: Platform lat/lon is a size-1 NaN placeholder, which
+        is the only shape the reference's scalar-assign branch fits (it
+        writes a 1-element array into the existing variable)."""
+        import xarray as xr
+
+        layer = load_ref_echodata()
+        t0 = np.datetime64("2020-01-01T00:00:00", "ns")
+        raw = tmp_path / "SCAL-D20200101-T000000.raw"
+        write_ek60_raw(raw, n_pings=6, n_samples=30, t0=t0, with_nmea=False)
+        paths = [str(raw)]
+        ours = [ep.open_raw(str(raw), sonar_model="EK60")]
+        theirs = [ep.open_raw(str(raw), sonar_model="EK60")]
+        ext = xr.Dataset({"lat": ((), np.float64(45.5)), "lon": ((), np.float64(-125.5))})
+        mappings = {"latitude": "lat", "longitude": "lon"}
+        ref_ed = _ref_eds(theirs, paths)[0]
+        ref_ed.update_platform(ext, variable_mappings=mappings)
+        ours[0].update_platform(ext, variable_mappings=mappings)
+        rp, op = ref_ed["Platform"], ours[0]["Platform"]
+        for name in ("latitude", "longitude"):
+            rv, ov = np.atleast_1d(rp[name].values), np.atleast_1d(op[name].values)
+            np.testing.assert_array_equal(ov, rv, err_msg=name)
+            assert len(ov) == 1
+            # the reference's first-ping-time coord restamp is silently
+            # dropped by dataset-assignment alignment; both sides keep the
+            # original placeholder stamp
+            r_t = np.asarray(rp.coords[rp[name].dims[0]].values, dtype="datetime64[ns]")
+            o_t = np.asarray(op.coords[op[name].dims[0]].values, dtype="datetime64[ns]")
+            np.testing.assert_array_equal(o_t, r_t, err_msg=name)
+
+    def test_lat_without_lon_raises(self, tmp_path):
+        import xarray as xr
+
+        layer = load_ref_echodata()
+        paths, ours, theirs = _convert(tmp_path, n_files=1)
+        t = np.datetime64("2020-01-01T00:00:00", "ns") + np.arange(5).astype("timedelta64[s]")
+        ext = xr.Dataset(
+            {"lat": (("time",), 45.0 + np.arange(5.0))},
+            coords={"time": t},
+        )
+        ref_ed = _ref_eds(theirs, paths)[0]
+        with pytest.raises(ValueError, match="[Oo]nly one of"):
+            ref_ed.update_platform(ext, variable_mappings={"latitude": "lat"})
+        with pytest.raises(ValueError, match="[Oo]nly one of"):
+            ours[0].update_platform(ext, variable_mappings={"latitude": "lat"})
+
+    def test_unknown_mapping_dropped(self, tmp_path):
+        import xarray as xr
+
+        layer = load_ref_echodata()
+        paths, ours, theirs = _convert(tmp_path, n_files=1)
+        t = np.datetime64("2020-01-01T00:00:00", "ns") + np.arange(5).astype("timedelta64[s]")
+        ext = xr.Dataset(
+            {"bogus": (("time",), np.arange(5.0))}, coords={"time": t}
+        )
+        ref_ed = _ref_eds(theirs, paths)[0]
+        ref_ed.update_platform(ext, variable_mappings={"not_a_platform_var": "bogus"})
+        ours[0].update_platform(ext, variable_mappings={"not_a_platform_var": "bogus"})
+        assert "not_a_platform_var" not in ref_ed["Platform"].data_vars
+        assert "not_a_platform_var" not in ours[0]["Platform"].data_vars
