@@ -138,11 +138,35 @@ class EchoData:
             tree = storage.open_netcdf_tree(path, storage_options=storage_options)
         else:
             tree = storage.open_zarr_tree(path, storage_options=storage_options)
+        cls._migrate_legacy_names(tree)
         ed = cls(tree=tree, converted_raw_path=str(path))
         prov = tree.get("Provenance")
         if prov is not None:
             ed.source_file = prov.attrs.get("source_file")
         return ed
+
+    @staticmethod
+    def _migrate_legacy_names(tree: dict) -> None:
+        """Rename pre-DataTree-era coordinates in older echopype stores
+        (reference from_file legacy checks, echodata/echodata.py:170-243):
+        Sonar ``channel`` -> ``channel_all``, Kongsberg Platform/NMEA
+        ``time1`` -> ``nmea_time``."""
+        top = tree.get("Top-level")
+        keywords = str(top.attrs.get("keywords", "")) if top is not None else ""
+        is_kongsberg = any(
+            m in keywords for m in ("EK60", "ES70", "EK80", "ES80", "EA640")
+        )
+        sonar = tree.get("Sonar")
+        if sonar is not None and "channel" in sonar.coords and "channel_all" not in sonar.coords:
+            tree["Sonar"] = sonar.rename({"channel": "channel_all"})
+        nmea = tree.get("Platform/NMEA")
+        if (
+            is_kongsberg
+            and nmea is not None
+            and "time1" in nmea.coords
+            and "nmea_time" not in nmea.coords
+        ):
+            tree["Platform/NMEA"] = nmea.rename({"time1": "nmea_time"})
 
     def chunk(self, chunk_dict=None):
         """Record a per-dimension chunking request for serialization.

@@ -153,3 +153,33 @@ class TestRoundTripBothWays:
         comb_store = ep.combine_echodata(reopened)
         for g in ("Sonar/Beam_group1", "Environment", "Platform"):
             _assert_ds_equal(comb_mem[g], comb_store[g], g)
+
+
+class TestLegacyStoreRead:
+    """Pre-DataTree-era stores (Sonar 'channel', Kongsberg Platform/NMEA on
+    'time1') are migrated on open by BOTH readers (reference from_file legacy
+    checks, echodata/echodata.py:170-243)."""
+
+    def test_legacy_names_migrated(self, converted, tmp_path):
+        raw, ed = converted
+        store = str(tmp_path / "legacy.zarr")
+        # fabricate a legacy-named store from a modern tree
+        tree = {g: ed[g] for g in ed.group_paths}
+        tree = dict(tree)
+        tree["Platform/NMEA"] = tree["Platform/NMEA"].rename({"nmea_time": "time1"})
+        from echopype_tpu.storage import zarr_lite
+
+        zarr_lite.write_tree(store, tree, overwrite=True)
+
+        ours = ep.open_converted(store)
+        assert "nmea_time" in ours["Platform/NMEA"].coords
+        assert "time1" not in ours["Platform/NMEA"].coords
+
+        layer = load_ref_echodata()
+        ref_read = layer["EchoData"].from_file(store)
+        ref_nmea = ref_read["Platform/NMEA"]
+        assert "nmea_time" in ref_nmea.coords
+        np.testing.assert_array_equal(
+            np.asarray(ours["Platform/NMEA"].coords["nmea_time"].values),
+            np.asarray(ref_nmea.coords["nmea_time"].values),
+        )
