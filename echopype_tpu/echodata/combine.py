@@ -225,7 +225,9 @@ def _capture_prov_attrs(attrs_dict, echodata_filenames):
                 continue  # first group wins on a name collision (xr.merge)
             col = np.array(
                 [
-                    "" if _is_missing(attributes[i].get(key, "")) else str(attributes[i][key])
+                    ""
+                    if (key not in attributes[i] or _is_missing(attributes[i][key]))
+                    else str(attributes[i][key])
                     for i in range(n)
                 ],
                 dtype=object,
@@ -336,7 +338,11 @@ def _combine(sonar_model, eds, echodata_filenames, ed_group_chan_sel):
 
     tree_dict = {}
     for ed_group in all_group_paths:
-        ds_list = [ed[ed_group] for ed in eds if ed.get(ed_group) is not None]
+        # attr-table rows stay aligned with echodata_filenames: one row per
+        # INPUT (empty when the input lacks the group), while only the
+        # present datasets concatenate
+        per_ed = [ed.get(ed_group) for ed in eds]
+        ds_list = [ds for ds in per_ed if ds is not None]
         if not ds_list:
             continue
         sel = ed_group_chan_sel.get(ed_group)
@@ -344,15 +350,18 @@ def _combine(sonar_model, eds, echodata_filenames, ed_group_chan_sel):
             ds_list = [ds.sel(channel=sel) for ds in ds_list]
 
         if not any_combined:
-            ds_attrs = [dict(ds.attrs) for ds in ds_list]
+            ds_attrs = [dict(ds.attrs) if ds is not None else {} for ds in per_ed]
         else:
             ds_attrs = []
-            for idx, ds in enumerate(ds_list):
+            for idx, ds in enumerate(per_ed):
                 ed_attrs_dict = combined_mapping[idx]["attrs_dict"]
                 if ed_attrs_dict is not None:
-                    ds_attrs += ed_attrs_dict.get(ed_group, {})
+                    rows = ed_attrs_dict.get(ed_group)
+                    if rows is None:
+                        rows = [{}] * len(combined_mapping[idx][ED_FILENAME])
+                    ds_attrs += rows
                 else:
-                    ds_attrs += [dict(ds.attrs)]
+                    ds_attrs += [dict(ds.attrs) if ds is not None else {}]
         attrs_dict[ed_group] = ds_attrs
 
         _check_ascending_ds_times(ds_list, ed_group)
@@ -361,7 +370,11 @@ def _combine(sonar_model, eds, echodata_filenames, ed_group_chan_sel):
             _check_no_append_vendor_params(ds_list, ds_append_dims)
 
         if not ds_append_dims:
-            combined_ds = ds_list[0]
+            # shallow copy: variables shared, but attrs live on the copy so
+            # the merged-attr assignment below cannot mutate the input
+            # EchoData (the reference's to_dataset() view isolates the same
+            # way)
+            combined_ds = ds_list[0].copy()
         else:
             combined_ds = _concat_append_dims(ds_list, ds_append_dims)
 

@@ -23,8 +23,15 @@ __all__ = ["shoal_echoview"]
 
 
 def _nearest_idx(grid: np.ndarray, vals: np.ndarray) -> np.ndarray:
-    """Vectorized argmin(|grid - v|) for a sorted edge vector, keeping the
-    first-minimum (lower-index) tie-break of np.argmin."""
+    """Vectorized argmin(|grid - v|), keeping the first-minimum
+    (lower-index) tie-break of np.argmin.
+
+    Sorted grids (the norm for idim/jdim edge vectors) use searchsorted;
+    unsorted grids fall back to a broadcast argmin so pre-round-4 inputs
+    keep their exact behavior."""
+    vals = np.asarray(vals, dtype="f8")
+    if len(grid) > 1 and not np.all(grid[1:] >= grid[:-1]):
+        return np.argmin(np.abs(grid[None, :] - vals[:, None]), axis=1).astype(int)
     pos = np.searchsorted(grid, vals)
     lo = np.clip(pos - 1, 0, len(grid) - 1)
     hi = np.clip(pos, 0, len(grid) - 1)

@@ -1,14 +1,15 @@
-"""FFT matched filter (pulse compression) for EK80 broadband data.
+"""Matched filter (pulse compression) for EK80 broadband data.
 
 Behavioral contract: echopype/calibrate/ek80_complex.py:285-369 — per-channel
 time-domain ``signal.convolve(bs, flip(conj(replica)), mode="full")`` truncated
 at ``[replica.size-1:]``, with NaNs zero-filled before and restored after.
 
-TPU-native design: the convolution runs as an FFT product on device.  The
-linear convolution of length R+L-1 is computed with a zero-padded FFT, then
-sliced to exactly the reference's truncation window — bit-compatible with the
-time-domain result up to float rounding.  One dispatch per channel (replica
-lengths differ per channel); ping x beam lanes batch in a single FFT.
+TPU-native design: the correlation runs as a blocked-Toeplitz MATMUL on the
+MXU with split real/imag f32 lanes (the axon runtime has no complex/FFT
+support, and at Precision.HIGHEST the matmul form also beats a complex64
+FFT product on accuracy — no eps*spectrum leakage into faint outputs — and
+on speed, ~9x TPU's 1-D conv lowering).  One dispatch per channel (replica
+lengths differ per channel); ping x beam lanes batch in one matmul.
 """
 
 from __future__ import annotations
@@ -39,34 +40,6 @@ def set_conv_precision(precision) -> None:
     if isinstance(precision, str):
         precision = getattr(jax.lax.Precision, precision.upper())
     _CONV_PRECISION = precision
-
-
-def _next_fast_len(n: int) -> int:
-    """Next 5-smooth size >= n (FFT-friendly)."""
-    if n <= 1:
-        return 1
-    best = 1 << (n - 1).bit_length()
-    m = 1
-    while m < best:
-        k = m
-        while k < best:
-            j = k
-            while j < best:
-                if j >= n:
-                    best = j
-                j *= 5
-            k *= 3
-        m *= 2
-    return best
-
-
-@partial(jax.jit, static_argnames=("n_fft", "out_start", "out_len"))
-def _fft_conv(bs, replica, n_fft: int, out_start: int, out_len: int):
-    """bs [..., R] complex, replica [L] complex -> linear conv sliced window."""
-    X = jnp.fft.fft(bs, n=n_fft, axis=-1)
-    H = jnp.fft.fft(replica, n=n_fft)
-    y = jnp.fft.ifft(X * H, axis=-1)
-    return jax.lax.dynamic_slice_in_dim(y, out_start, out_len, axis=-1)
 
 
 @partial(jax.jit, static_argnames=("out_start", "out_len", "precision"))
@@ -141,28 +114,6 @@ def _mxu_conv_real(xr, xi, hr, hi, out_start: int, out_len: int, precision=None)
     return re, im
 
 
-_FFT_OK = None
-
-
-def _fft_supported() -> bool:
-    """Does the default backend support complex64 + jnp.fft?
-
-    The axon TPU runtime supports neither — and probing by execution poisons
-    the runtime stream (a failed complex transfer makes every later readback
-    raise UNIMPLEMENTED), so detection is by platform identity: any backend
-    whose platform_version names axon takes the real-split conv path.  CPU,
-    GPU, and standard Cloud TPU runtimes all execute jnp.fft.
-    """
-    global _FFT_OK
-    if _FFT_OK is None:
-        try:
-            version = getattr(jax.devices()[0].client, "platform_version", "")
-        except Exception:  # noqa: BLE001 - no backend at all
-            version = ""
-        _FFT_OK = "axon" not in version
-    return _FFT_OK
-
-
 def _host_conv_f64(lanes: np.ndarray, rep: np.ndarray) -> np.ndarray:
     """Exact float64 direct convolution, truncated to [L-1 : L-1+R].
 
@@ -198,9 +149,9 @@ def pulse_compress_channel(
     (the raw transmit replica — conjugate-flip happens here).
     Returns complex [ping, range, beam] matching the reference truncation.
 
-    precision="float64" (default for the chunked compute_Sv API) runs the
-    exact host path; "float32" uses the device FFT / MXU Toeplitz kernel
-    (error budget in PERFORMANCE.md).
+    precision="float64" (the compute_Sv exact-parity opt-in) runs the host
+    path; "float32" (the compute_Sv default) uses the MXU Toeplitz kernel
+    (error budget in docs/PERFORMANCE.md).
     """
     rep = np.flipud(np.conj(np.asarray(replica)))
     L = len(rep)

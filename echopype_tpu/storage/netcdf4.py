@@ -81,7 +81,12 @@ def _set_attrs(obj, attrs: dict):
 
 
 def _create_var(grp, name: str, arr: np.ndarray, attrs: dict, compress: bool):
-    """Create one HDF5 dataset holding an (already encoded) array."""
+    """Create one HDF5 dataset holding an (already encoded) array.
+
+    A pre-existing dataset of the same name is replaced (append-mode group
+    updates re-write variables)."""
+    if name in grp:
+        del grp[name]
     if arr.dtype.kind in ("U", "O"):
         str_dt = h5py.string_dtype("utf-8")
         ds = grp.create_dataset(name, shape=arr.shape, dtype=str_dt)
@@ -141,6 +146,8 @@ def _write_group(grp, ds_obj, compress: bool):
             scale = h5_vars[d]
             scale.make_scale(d)
         else:
+            if d in grp:  # replaced on append-mode group updates
+                del grp[d]
             scale = grp.create_dataset(d, shape=(size,), dtype="f4")
             scale.make_scale(f"{_DIM_WITHOUT_VAR}{size:10d}")
         scale.attrs["_Netcdf4Dimid"] = np.int32(dimid)

@@ -89,27 +89,28 @@ def _decode_chunk(raw: bytes, comp) -> bytes:
 
 
 # --------------------------------------------------------------------- writing
-def write_array(group_dir: Path, name: str, arr: np.ndarray, dims, attrs, compress=True,
-                chunk_spec=None):
-    arr = coding.sanitize_dtypes(np.asarray(arr))
-    arr, extra_attrs = coding.encode_array(arr)
+def write_array_encoded(group_dir: Path, name: str, arr: np.ndarray, dims, attrs,
+                        comp_meta, chunks=None, clean: bool = False):
+    """Write one ALREADY-ENCODED array (times as int64, objects stringified)
+    with explicit compressor metadata and chunk shape.
+
+    The single chunk-writing implementation behind both :func:`write_array`
+    (our defaults) and the facade's encoding-driven group writes
+    (xrlite/datatree.dataset_to_zarr).  ``clean=True`` removes stale chunk
+    files from a previous write of this array (append-mode updates).
+    """
+    arr = np.asarray(arr)
     if arr.dtype == object:
         arr = arr.astype(str)
     adir = group_dir / name
     adir.mkdir(parents=True, exist_ok=True)
-    chunks = coding.auto_chunks(arr.shape, arr.dtype)
-    if chunk_spec:
-        # user-requested per-dim chunking (EchoData.chunk) overrides auto
-        chunks = tuple(
-            min(int(chunk_spec.get(d, c)), s) if chunk_spec.get(d) else c
-            for d, c, s in zip(dims, chunks, arr.shape)
-        )
+    if chunks is None:
+        chunks = coding.auto_chunks(arr.shape, arr.dtype)
     # zarr v2 requires chunk extents >= 1 even for zero-length dims
-    chunks = tuple(max(1, c) for c in chunks) if chunks else chunks
+    chunks = tuple(max(1, int(c)) for c in chunks) if chunks else chunks
     fill = _FILL.get(arr.dtype.kind)
     if arr.dtype.kind == "U":
         fill = ""
-    comp_meta = coding.zarr_compressor_meta(arr.dtype) if compress else None
     meta = {
         "zarr_format": ZARR_FORMAT,
         "shape": list(arr.shape),
@@ -124,9 +125,15 @@ def write_array(group_dir: Path, name: str, arr: np.ndarray, dims, attrs, compre
         # zarr v2 0-d: shape [], chunks [], single chunk keyed "0"
         meta["shape"] = []
         meta["chunks"] = []
+    if clean:
+        for old in adir.iterdir():
+            if old.name not in (".zarray", ".zattrs"):
+                old.unlink()
     _write_json(adir / ".zarray", meta)
-    all_attrs = {"_ARRAY_DIMENSIONS": list(dims), **extra_attrs, **_sanitize_attrs(attrs or {})}
-    _write_json(adir / ".zattrs", all_attrs)
+    _write_json(
+        adir / ".zattrs",
+        {"_ARRAY_DIMENSIONS": list(dims), **_sanitize_attrs(attrs or {})},
+    )
 
     # write chunks
     cshape = meta["chunks"]
@@ -154,6 +161,22 @@ def write_array(group_dir: Path, name: str, arr: np.ndarray, dims, attrs, compre
             np.ascontiguousarray(block).tobytes(), comp_meta, arr.dtype.itemsize
         )
         (adir / ".".join(map(str, idx))).write_bytes(raw)
+
+
+def write_array(group_dir: Path, name: str, arr: np.ndarray, dims, attrs, compress=True,
+                chunk_spec=None):
+    arr = coding.sanitize_dtypes(np.asarray(arr))
+    arr, extra_attrs = coding.encode_array(arr)
+    chunks = coding.auto_chunks(arr.shape, arr.dtype)
+    if chunk_spec:
+        # user-requested per-dim chunking (EchoData.chunk) overrides auto
+        chunks = tuple(
+            min(int(chunk_spec.get(d, c)), s) if chunk_spec.get(d) else c
+            for d, c, s in zip(dims, chunks, arr.shape)
+        )
+    comp_meta = coding.zarr_compressor_meta(arr.dtype) if compress else None
+    all_attrs = {**extra_attrs, **_sanitize_attrs(attrs or {})}
+    write_array_encoded(group_dir, name, arr, dims, all_attrs, comp_meta, chunks)
 
 
 def write_group(store_dir, ds: Dataset, group: str = "", compress=True, storage_options=None,

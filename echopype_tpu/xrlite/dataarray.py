@@ -258,12 +258,18 @@ class DataArray:
     @data.setter
     def data(self, v):
         v = np.asarray(v)
-        if v.shape == self.values.shape and self.values.flags.writeable:
+        if (
+            v.shape == self.values.shape
+            and v.dtype == self.values.dtype
+            and self.values.flags.writeable
+        ):
             # write through the existing buffer: Dataset.__getitem__ hands
             # out wrappers sharing the stored variable's ndarray, and xarray
             # semantics make `ds[var].data = x` visible in the dataset
             # (the reference's scalar update_platform branch relies on it,
-            # echodata.py:494-505)
+            # echodata.py:494-505).  Restricted to exact dtype matches so a
+            # dtype-changing assignment REBINDS like xarray instead of
+            # silently truncating through an unsafe in-place cast.
             try:
                 self.values[...] = v
                 return

@@ -198,12 +198,22 @@ class DataTree:
     def to_zarr(self, store, mode="w-", consolidated=True, storage_options=None, **kw):
         from ..storage import zarr_lite
 
+        if mode == "a":
+            # xarray append semantics: add/update this tree's groups, leave
+            # other groups in the store untouched
+            for node in self._walk():
+                dataset_to_zarr(
+                    node.to_dataset(), store, mode="a",
+                    group=None if node.path == "/" else node.path.lstrip("/"),
+                    storage_options=storage_options,
+                )
+            return
         tree = {}
         for node in self._walk():
             key = "Top-level" if node.path == "/" else node.path.lstrip("/")
             tree[key] = node.to_dataset()
         zarr_lite.write_tree(
-            store, tree, overwrite=mode in ("w", "a"), storage_options=storage_options
+            store, tree, overwrite=mode == "w", storage_options=storage_options
         )
 
     def identical(self, other) -> bool:
@@ -416,72 +426,18 @@ def dataset_to_zarr(
 
 
 def _write_zarr_array(gdir, name, values, dims, attrs, comp_meta, chunk_spec):
-    """Like zarr_lite.write_array but with explicit pre-encoded values,
-    compressor metadata, and chunking."""
+    """Write one encoding-driven array via the shared zarr_lite encoded-level
+    writer (one chunk-format implementation for both store writers)."""
     from ..storage import zarr_lite
     from ..utils import coding as our_coding
 
     arr = our_coding.sanitize_dtypes(np.asarray(values))
-    if arr.dtype == object:
-        arr = arr.astype(str)
-    adir = gdir / name
-    adir.mkdir(parents=True, exist_ok=True)
     chunks = our_coding.auto_chunks(arr.shape, arr.dtype)
     if chunk_spec:
         chunks = tuple(
             min(int(chunk_spec.get(d, c) or c), s)
             for d, c, s in zip(dims, chunks, arr.shape)
         )
-    chunks = tuple(max(1, c) for c in chunks) if chunks else chunks
-    fill = zarr_lite._FILL.get(arr.dtype.kind)
-    if arr.dtype.kind == "U":
-        fill = ""
-    meta = {
-        "zarr_format": zarr_lite.ZARR_FORMAT,
-        "shape": list(arr.shape),
-        "chunks": list(chunks) if chunks else [1],
-        "dtype": zarr_lite._dtype_to_str(arr.dtype),
-        "compressor": comp_meta,
-        "fill_value": fill,
-        "order": "C",
-        "filters": None,
-    }
-    if arr.ndim == 0:
-        meta["shape"] = []
-        meta["chunks"] = []
-    # drop stale chunk files from a previous write of this array
-    for old in adir.iterdir():
-        if old.name not in (".zarray", ".zattrs"):
-            old.unlink()
-    zarr_lite._write_json(adir / ".zarray", meta)
-    zarr_lite._write_json(
-        adir / ".zattrs",
-        {"_ARRAY_DIMENSIONS": list(dims), **zarr_lite._sanitize_attrs(attrs or {})},
+    zarr_lite.write_array_encoded(
+        gdir, name, arr, dims, attrs, comp_meta, chunks, clean=True
     )
-    if 0 in meta["shape"]:
-        return
-    if arr.ndim == 0:
-        raw = zarr_lite._encode_chunk(
-            np.ascontiguousarray(arr).tobytes(), comp_meta, arr.dtype.itemsize
-        )
-        (adir / "0").write_bytes(raw)
-        return
-    cshape = meta["chunks"]
-    grid = [max(1, -(-s // c)) for s, c in zip(meta["shape"], cshape)] or [1]
-    for idx in np.ndindex(*grid):
-        slices = tuple(
-            slice(i * c, min((i + 1) * c, s))
-            for i, c, s in zip(idx, cshape, meta["shape"])
-        )
-        block = arr[slices]
-        if list(block.shape) != cshape:
-            pad = [(0, c - bs) for bs, c in zip(block.shape, cshape)]
-            fillv = fill if fill is not None and fill != "" else 0
-            if block.dtype.kind == "U":
-                block = np.pad(block, pad, constant_values="")
-            else:
-                block = np.pad(block, pad, constant_values=fillv)
-        raw = zarr_lite._encode_chunk(
-            np.ascontiguousarray(block).tobytes(), comp_meta, arr.dtype.itemsize
-        )
-        (adir / ".".join(map(str, idx))).write_bytes(raw)

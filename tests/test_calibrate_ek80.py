@@ -46,8 +46,8 @@ class TestChirp:
 
 
 class TestMatchedFilter:
-    def test_fft_conv_matches_scipy(self):
-        """Device FFT matched filter == time-domain convolve + truncation."""
+    def test_matched_filter_matches_scipy(self):
+        """Matched filter == time-domain convolve + truncation."""
         rng = np.random.default_rng(0)
         P, R, B, L = 3, 200, 4, 37
         bs = rng.normal(size=(P, R, B)) + 1j * rng.normal(size=(P, R, B))
@@ -258,9 +258,10 @@ class TestPowerModeWbtTau:
 
 
 class TestMxuConvFallback:
-    def test_mxu_conv_matches_fft_path(self, monkeypatch):
-        """Backends without FFT/complex support (TPU axon) use the real-split
-        conv fallback; results match the FFT path."""
+    def test_mxu_conv_matches_f64_host(self):
+        """The f32 MXU Toeplitz path (the only device path since round 4 —
+        the complex64 FFT branch was removed for its eps*spectrum leakage)
+        matches the exact f64 host convolution."""
         import numpy as _np
 
         import echopype_tpu.ops.matched_filter as mf
@@ -270,11 +271,10 @@ class TestMxuConvFallback:
         bs = (rng.normal(0, 1e-3, (P, R, B)) + 1j * rng.normal(0, 1e-3, (P, R, B))).astype("c8")
         bs[1, 100:, :] = _np.nan  # ragged
         rep = (rng.normal(size=L) + 1j * rng.normal(size=L)).astype("c8")
-        out_fft = mf.pulse_compress_channel(bs, rep)
-        monkeypatch.setattr(mf, "_FFT_OK", False)
-        out_mxu = mf.pulse_compress_channel(bs, rep)
-        _np.testing.assert_allclose(out_mxu.real, out_fft.real, rtol=1e-4, atol=1e-9)
-        _np.testing.assert_allclose(out_mxu.imag, out_fft.imag, rtol=1e-4, atol=1e-9)
+        out_f64 = mf.pulse_compress_channel(bs, rep)
+        out_mxu = mf.pulse_compress_channel(bs, rep, precision="float32")
+        _np.testing.assert_allclose(out_mxu.real, out_f64.real, rtol=1e-4, atol=1e-9)
+        _np.testing.assert_allclose(out_mxu.imag, out_f64.imag, rtol=1e-4, atol=1e-9)
         assert _np.isnan(out_mxu.real[1, 100:]).all()
 
     @pytest.mark.parametrize(

@@ -163,3 +163,29 @@ class TestRecombine:
         fns = [str(s) for s in np.atleast_1d(prov["echodata_filename"].values)]
         assert len(fns) == 4 and all(f.endswith(".raw") for f in fns)
         assert prov.attrs["is_combined"]
+
+
+class TestCombineReviewRegressions:
+    """Round-4 review findings: differing group sets, input mutation."""
+
+    def test_differing_group_sets(self, tmp_path):
+        """Inputs with different groups combine; the Provenance attr table
+        keeps one aligned row per input (empty for missing groups) and the
+        inputs stay unmutated."""
+        t0 = np.datetime64("2020-01-01T00:00:00", "ns")
+        r1 = tmp_path / "GA-D20200101-T000000.raw"
+        r2 = tmp_path / "GB-D20200101-T000000.raw"
+        write_ek60_raw(r1, n_pings=6, n_samples=20, t0=t0, with_nmea=True)
+        write_ek60_raw(r2, n_pings=5, n_samples=20,
+                       t0=t0 + np.timedelta64(60, "s"), with_nmea=False, seed=1)
+        ed1 = ep.open_raw(r1, sonar_model="EK60")
+        ed2 = ep.open_raw(r2, sonar_model="EK60")
+        sonar_attrs_before = dict(ed1["Sonar"].attrs)
+        top_attrs_before = dict(ed1["Top-level"].attrs)
+        comb = ep.combine_echodata([ed1, ed2])
+        prov = comb["Provenance"]
+        assert len(prov.coords["echodata_filename"].values) == 2
+        # inputs not mutated by the merged-attrs assignment
+        assert dict(ed1["Sonar"].attrs) == sonar_attrs_before
+        assert dict(ed1["Top-level"].attrs) == top_attrs_before
+        assert comb["Sonar/Beam_group1"].sizes["ping_time"] == 11

@@ -140,3 +140,40 @@ class TestChunkSpec:
             np.asarray(back["Sonar/Beam_group1"]["backscatter_r"].values),
             np.asarray(ed["Sonar/Beam_group1"]["backscatter_r"].values),
         )
+
+
+class TestGroupTargetedWrites:
+    """Round-4 review findings: append modes must update, not clobber."""
+
+    def test_datatree_append_preserves_store(self, tmp_path):
+        import numpy as np
+
+        from echopype_tpu.xrlite import Dataset
+        from echopype_tpu.xrlite.datatree import DataTree, open_groups
+
+        store = str(tmp_path / "t.zarr")
+        DataTree.from_dict(
+            {"/": Dataset(attrs={"k": 1}),
+             "A": Dataset({"x": (("n",), np.arange(3.0))})}
+        ).to_zarr(store, mode="w")
+        DataTree.from_dict(
+            {"B": Dataset({"y": (("m",), np.arange(2.0))})}
+        ).to_zarr(store, mode="a")
+        g = open_groups(store)
+        assert "/A" in g and "/B" in g
+        np.testing.assert_array_equal(g["/A"]["x"].values, np.arange(3.0))
+
+    def test_netcdf_group_update(self, tmp_path):
+        import numpy as np
+
+        from echopype_tpu.storage import netcdf4, zarr_lite  # noqa: F401
+        from echopype_tpu.xrlite import Dataset
+
+        path = str(tmp_path / "t.nc")
+        ds = Dataset({"x": (("n",), np.arange(4.0))}, attrs={"v": 1})
+        ds.to_netcdf(path, group="G")
+        ds2 = Dataset({"x": (("n",), np.arange(4.0) + 10)}, attrs={"v": 2})
+        ds2.to_netcdf(path, mode="a", group="G")
+        back = netcdf4.open_netcdf_tree(path)["G"]
+        np.testing.assert_array_equal(back["x"].values, np.arange(4.0) + 10)
+        assert back.attrs["v"] == 2
