@@ -125,7 +125,7 @@ def write_azfp_xml_refcompat(path):
         f.write(f'<?xml version="1.0"?>\n<InstrumentInfo>\n{leaves}\n</InstrumentInfo>')
 
 
-def write_azfp_raw(path, n_pings=5, seed=0, averaged=False):
+def write_azfp_raw(path, n_pings=5, seed=0, averaged=False, minute=0):
     """Write a synthetic .01A file.
 
     averaged=True exercises the data_type=1 payload branch: per-bin u32 linear
@@ -142,7 +142,7 @@ def write_azfp_raw(path, n_pings=5, seed=0, averaged=False):
         vals = []
         vals += [64770, p + 1, 55077, 1]  # profile_flag, number, serial, status
         vals += [60]  # burst_int (u4)
-        vals += [2021, 3, 15, 10, 0, p, 0]  # y m d h m s hundredths
+        vals += [2021, 3, 15, 10, minute, p, 0]  # y m d h m s hundredths
         vals += list(DIG_RATE) + [0, 0]
         vals += list(LOCKOUT) + [0, 0]
         vals += [NUM_BINS, NUM_BINS, 0, 0]

@@ -580,3 +580,35 @@ class TestUpdatePlatformEdgeDifferential:
         ours[0].update_platform(ext, variable_mappings={"not_a_platform_var": "bogus"})
         assert "not_a_platform_var" not in ref_ed["Platform"].data_vars
         assert "not_a_platform_var" not in ours[0]["Platform"].data_vars
+
+
+class TestCombineAZFPDifferential:
+    """AZFP combine: profile data on ping_time, env on ping_time, vendor
+    constants identical across files (Vendor identity check must pass)."""
+
+    def test_combine_all_groups(self, tmp_path):
+        from synth_azfp import write_azfp_raw, write_azfp_xml
+
+        layer = load_ref_echodata()
+        xml = tmp_path / "cfg.XML"
+        write_azfp_xml(xml)
+        paths, ours, theirs = [], [], []
+        for i in range(2):
+            raw = tmp_path / f"210315{i:02d}.01A"
+            write_azfp_raw(str(raw), n_pings=4, minute=i, seed=i)
+            paths.append(str(raw))
+            ours.append(ep.open_raw(str(raw), sonar_model="AZFP", xml_path=str(xml)))
+            theirs.append(ep.open_raw(str(raw), sonar_model="AZFP", xml_path=str(xml)))
+        ref_comb = layer["combine"].combine_echodata(
+            [
+                make_ref_echodata(
+                    {g: ed[g] for g in ed.group_paths}, "AZFP", source_file=p
+                )
+                for ed, p in zip(theirs, paths)
+            ]
+        )
+        our_comb = ep.combine_echodata(ours)
+        assert set(ref_comb.group_paths) == set(our_comb.group_paths)
+        for g in sorted(set(ref_comb.group_paths)):
+            _assert_ds_equal(ref_comb[g], our_comb[g], g, attrs=(g != "Provenance"))
+        assert our_comb["Sonar/Beam_group1"].sizes["ping_time"] == 8

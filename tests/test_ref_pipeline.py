@@ -232,6 +232,29 @@ class TestEK80FullPipeline:
         # contract
         assert delta < 5e-6, f"EK80 BB Sv differs by {delta} dB"
 
+    def test_cw_complex_ts(self, ek80_ed):
+        """EK80 CW-complex TS vs the reference calibrator (round 4: TS was
+        builder-tested only)."""
+        ed, _ = ek80_ed
+        ref_ts = self._ref_cal(ed, "CW", "complex").compute_TS()
+        our_ts = ep.calibrate.compute_TS(
+            ed, waveform_mode="CW", encode_mode="complex", precision="float64"
+        )
+        delta = _sv_delta(ref_ts, our_ts, var="TS")
+        assert delta < 1e-9, f"EK80 CW-complex TS differs by {delta} dB"
+
+    def test_bb_ts(self, ek80_ed):
+        """EK80 BB TS vs the reference calibrator."""
+        ed, _ = ek80_ed
+        ref_ts = self._ref_cal(ed, "BB", "complex").compute_TS()
+        our_ts = ep.calibrate.compute_TS(
+            ed, waveform_mode="BB", encode_mode="complex", precision="float64"
+        )
+        delta = _sv_delta(ref_ts, our_ts, var="TS")
+        # same residual floor as BB Sv: the reference's own complex64 pc
+        # quantization
+        assert delta < 5e-6, f"EK80 BB TS differs by {delta} dB"
+
     def test_f32_device_path_budget(self, ek80_ed):
         """The f32 device path must stay inside the documented error budget.
 
