@@ -90,6 +90,7 @@ def main():
     # enqueued asynchronously, so steady-state throughput is the asymptote.
     n_iter = 200 if on_tpu else 3
     n_reps = 3 if on_tpu else 1
+    bench_t0 = time.perf_counter()
 
     valid_len = np.full((C, Pn), R, dtype="i4")
 
@@ -117,6 +118,13 @@ def main():
     args_dev = [jax.device_put(a, dev) for a in (power, dr, tvg, ab, off, valid_len, x_idx, r_edges)]
     float(chained(*args_dev))  # compile + warm up
 
+    # Slow-tunnel guard: on a degraded session the transfers+compile above
+    # can take minutes; drop to fewer timed reps so the run stays inside the
+    # driver's window (the device rate is stable to <2%, so fewer reps cost
+    # little)
+    if on_tpu and time.perf_counter() - bench_t0 > 240:
+        n_reps = 1
+
     best_dt = float("inf")
     for _ in range(n_reps):
         t0 = time.perf_counter()
@@ -139,11 +147,12 @@ def main():
     numpy_pipeline(*bargs, max(1, Pb // 80), n_r)  # warm-up
     times = []
     budget_t0 = time.perf_counter()
+    baseline_budget = 120 if time.perf_counter() - bench_t0 < 300 else 45
     for _ in range(5):
         t0 = time.perf_counter()
         numpy_pipeline(*bargs, max(1, Pb // 80), n_r)
         times.append(time.perf_counter() - t0)
-        if len(times) >= 2 and time.perf_counter() - budget_t0 > 120:
+        if len(times) >= 2 and time.perf_counter() - budget_t0 > baseline_budget:
             break
     baseline_pings_per_sec = Pb / min(times)
 
