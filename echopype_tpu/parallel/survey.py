@@ -11,6 +11,8 @@ accumulation across chunks is associative so the stream order is free.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import numpy as np
 
 from ..ops import binning
@@ -290,7 +292,7 @@ def run_survey_mvbs(
     mesh=None,
     freq_diff=None,
     noise_masks=None,
-    reopen: bool = False,
+    reopen=None,
 ):
     """Stream Sv stores/datasets into survey-global MVBS bins.
 
@@ -299,8 +301,10 @@ def run_survey_mvbs(
         ordered).  Callables let a caller stream per-file Sv lazily (the
         raw->MVBS streamer's internal two-pass noise-mask path).
     reopen : re-acquire each source in the binning pass instead of keeping
-        every dataset from the extent scan — O(one file) host memory for
-        callable/path sources at the cost of a second decode.
+        every dataset from the extent scan — O(one file) host memory at the
+        cost of a second open/decode.  Default (None) resolves to True when
+        every source is a path or callable (re-openable) and False when any
+        in-memory Dataset is passed.
     mesh : optional jax.sharding.Mesh with (ping, channel) axes — each chunk
         shards over the mesh and partial bin sums combine with one psum
         (SURVEY.md §2.6 scale-out; bit-equal to the single-device stream).
@@ -323,6 +327,10 @@ def run_survey_mvbs(
 
     # sources normalize to zero-arg providers so the scan can drop each
     # dataset after measuring it (reopen=True) or keep it (default)
+    sv_sources = list(sv_sources)
+    if reopen is None:
+        # paths/callables re-open cheaply; in-memory Datasets must be kept
+        reopen = all(callable(s) or isinstance(s, (str, Path)) for s in sv_sources)
     providers = [
         src if callable(src) else (lambda s=src: open_source(s, "dataset"))
         for src in sv_sources
