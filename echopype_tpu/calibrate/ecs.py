@@ -427,10 +427,12 @@ def assimilate_bb_cal_params(ds_cal_BB, cal, frequency_nominal, freq_center):
         if name == "frequency_nominal":
             continue
         nb = cal.get(name)
-        if nb is None or not all(
-            ch in [str(c) for c in nb.coords.get("channel", nb).values]
-            for ch in row_of
-        ):
+        nb_chans = (
+            {str(c) for c in nb.coords.get("channel", nb).values}
+            if nb is not None
+            else set()
+        )
+        if nb is None or not all(ch in nb_chans for ch in row_of):
             raise ValueError(
                 f"Narrowband (CW mode) parameter {name} should exist "
                 "for all channels with frequency-dependent parameter values."

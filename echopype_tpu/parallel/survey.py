@@ -282,6 +282,30 @@ def _apply_noise_masks(ds, sv_all, noise_masks, timer):
     return sv_all
 
 
+def _fd_mask_jit(fd):
+    """jit'd cross-channel frequency-differencing mask: NaN out samples
+    failing the criterion on every channel (apply_mask semantics)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .pipeline import _CMP
+
+    ia, ib, opr, diff = fd
+
+    @jax.jit
+    def _masked(sv):
+        keep = _CMP[opr](sv[ia] - sv[ib], jnp.float32(diff))
+        return jnp.where(keep[None], sv, jnp.nan)
+
+    return _masked
+
+
+def _fd_masked_step(step, fd):
+    """Wrap a binning step so the fd mask applies on device before bins."""
+    masked = _fd_mask_jit(fd)
+    return lambda sv, er, re, xr: step(masked(sv), er, re, xr)
+
+
 def run_survey_mvbs(
     sv_sources,
     range_bin_m: float = 20.0,
@@ -398,20 +422,7 @@ def run_survey_mvbs(
 
     fd = _resolve_freq_diff(freq_diff, chans, freq_nom)
     if fd is not None:
-        import jax
-        import jax.numpy as jnp
-
-        from .pipeline import _CMP
-
-        ia, ib, opr, diff = fd
-        inner_step = step
-
-        @jax.jit
-        def _masked(sv):
-            keep = _CMP[opr](sv[ia] - sv[ib], jnp.float32(diff))
-            return jnp.where(keep[None], sv, jnp.nan)
-
-        step = lambda sv, er, re, xr: inner_step(_masked(sv), er, re, xr)  # noqa: E731
+        step = _fd_masked_step(step, fd)
 
     acc = _PartialAccumulator(len(chans), n_x, n_r, window, timer)
     r_edges_f4 = range_edges.astype("f4")
@@ -1440,20 +1451,7 @@ def _run_survey_mvbs_complex(
         )
 
     if fd is not None:
-        import jax
-        import jax.numpy as jnp
-
-        from .pipeline import _CMP
-
-        ia, ib, opr, diff = fd
-        inner_step = step
-
-        @jax.jit
-        def _masked(sv):
-            keep = _CMP[opr](sv[ia] - sv[ib], jnp.float32(diff))
-            return jnp.where(keep[None], sv, jnp.nan)
-
-        step = lambda sv, er, re, xr: inner_step(_masked(sv), er, re, xr)  # noqa: E731
+        step = _fd_masked_step(step, fd)
 
     acc = _PartialAccumulator(len(chans), n_x, n_r, window, timer)
     ch_pos = {str(c): i for i, c in enumerate(chans)}
@@ -1641,6 +1639,7 @@ def _run_complex_fused(
 
     acc = _PartialAccumulator(len(chans), n_x, n_r, window, timer)
     ch_pos = {str(c): i for i, c in enumerate(chans)}
+    fd_mask = _fd_mask_jit(fd) if fd is not None else None
 
     for cal, scal, x_idx_all in zip(cals, scals, x_ids):
         with timer.stage("param_resolution"):
@@ -1699,7 +1698,6 @@ def _run_complex_fused(
                     import jax.numpy as jnp
 
                     from ..ops.binning import binned_window_partials
-                    from .pipeline import _CMP
 
                     sv_by_global, er_by_global = {}, {}
                     for ci, cid in enumerate(ch_ids):
@@ -1727,9 +1725,7 @@ def _run_complex_fused(
                         er_by_global[ch_pos[cid]] = er_c
                     sv_stack = jnp.stack([sv_by_global[i] for i in range(len(chans))])
                     er_stack = jnp.stack([er_by_global[i] for i in range(len(chans))])
-                    ia, ib, opr, diff = fd
-                    keep = _CMP[opr](sv_stack[ia] - sv_stack[ib], jnp.float32(diff))
-                    sv_stack = jnp.where(keep[None], sv_stack, jnp.nan)
+                    sv_stack = fd_mask(sv_stack)
                     s, c, _ = binned_window_partials(
                         sv_stack, er_stack, r_edges_f4, x_rel.astype("i4"),
                         window, uniform_er=uniform_er,

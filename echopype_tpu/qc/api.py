@@ -77,11 +77,12 @@ def orchestrate_reverse_time_check(
     if possible_time_dims is None:
         from ..echodata.combine import POSSIBLE_TIME_DIMS as possible_time_dims
 
-    prov = ed_comb["Provenance"]
-    prov.attrs["reversed_ping_times"] = 0
     if zarr_store is not None:
         from ..xrlite.datatree import dataset_to_zarr
 
+    prov = ed_comb["Provenance"]
+    prov.attrs["reversed_ping_times"] = 0
+    if zarr_store is not None:
         only_attrs_ds = Dataset(attrs=prov.attrs)
         dataset_to_zarr(
             only_attrs_ds, zarr_store, group="Provenance", mode="a",
@@ -103,8 +104,6 @@ def orchestrate_reverse_time_check(
             prov[old_time_array.name] = old_time_array
             prov.attrs["reversed_ping_times"] = 1
             if zarr_store is not None:
-                from ..xrlite.datatree import dataset_to_zarr
-
                 old_time_ds = old_time_array.to_dataset()
                 old_time_ds.attrs = prov.attrs
                 dataset_to_zarr(
