@@ -89,6 +89,7 @@ def bench_clean(on_tpu):
     import jax.numpy as jnp
 
     from echopype_tpu.ops.windows import (
+        grid_window_halo,
         impulse_mask_grid_device,
         transient_mask_grid_device,
     )
@@ -105,9 +106,12 @@ def bench_clean(on_tpu):
     ).copy()
     n_iter = 50 if on_tpu else 3
 
+    halo = grid_window_halo(grid, 10.0)
+
     def one(sv, grid, bin_idx, salt):
         t = transient_mask_grid_device(
-            sv + salt, grid, jnp.float32(10.0), 25, jnp.float32(5.0), jnp.float32(12.0)
+            sv + salt, grid, jnp.float32(10.0), 25, jnp.float32(5.0),
+            jnp.float32(12.0), range_halo=halo,
         )
         im = impulse_mask_grid_device(sv + salt, bin_idx, n_bins, 2, jnp.float32(10.0))
         return jnp.sum(t.astype(jnp.float32)) + jnp.sum(im.astype(jnp.float32))

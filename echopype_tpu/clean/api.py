@@ -85,7 +85,7 @@ def mask_transient_noise(
     if grid is not None:
         # fused device path: pooling + dB compare in one program; bit-packed
         # readback (the tunnel's D2H leg is the bottleneck, ops/windows.py)
-        from ..ops.windows import transient_mask_grid_packed
+        from ..ops.windows import grid_window_halo, transient_mask_grid_packed
 
         packed = np.asarray(
             transient_mask_grid_packed(
@@ -95,6 +95,7 @@ def mask_transient_noise(
                 int(num_side_pings),
                 float(exclude_above_m),
                 float(thr),
+                range_halo=grid_window_halo(grid, depth_bin_m),
             )
         )
         mask_vals = np.unpackbits(packed, axis=-1, count=sv.shape[2]).astype(bool)

@@ -67,7 +67,11 @@ def pool_Sv_nanmean(
     Runs as one jit kernel on the device (ops/windows.py): band-matmul on the
     MXU when the depth grid is ping-invariant, cumsum+gather otherwise.
     """
-    from ..ops.windows import pool_sv_nanmean_device, pool_sv_nanmean_grid_device
+    from ..ops.windows import (
+        grid_window_halo,
+        pool_sv_nanmean_device,
+        pool_sv_nanmean_grid_device,
+    )
 
     grid = uniform_grid(depth)
     if grid is not None:
@@ -77,6 +81,7 @@ def pool_Sv_nanmean(
             float(depth_bin),
             int(num_side_pings),
             float(exclude_above),
+            range_halo=grid_window_halo(grid, depth_bin),
         )
     else:
         out = pool_sv_nanmean_device(

@@ -89,42 +89,108 @@ def pool_sv_nanmean_device(sv, depth, depth_bin, num_side_pings: int, exclude_ab
     return jnp.where(valid, pooled, jnp.nan)
 
 
-def _pool_windows_grid(sv, grid, depth_bin, num_side_pings: int):
+def _expand_tiles(x, H: int, T: int, pad_value=0.0):
+    """[..., N] -> [..., nT, T+2H] overlapping tiles with an H halo per side.
+
+    Built with reshape + shifted-concat (no gather), the same halo trick as
+    the blocked-Toeplitz matched filter (ops/matched_filter._mxu_conv_real):
+    tile n covers padded positions [n*T, n*T + T + 2H), i.e. source
+    positions [n*T - H, n*T + T + H) with ``pad_value`` outside the array.
+    """
+    N = x.shape[-1]
+    nT = -(-N // T)
+    K = T + 2 * H
+    n_shift = -(-K // T)
+    lead = x.ndim - 1
+    xp = jnp.pad(
+        x, [(0, 0)] * lead + [(H, (nT + n_shift) * T - N - H)],
+        constant_values=pad_value,
+    )
+    xb = xp.reshape(*x.shape[:-1], nT + n_shift, T)
+    parts = [xb[..., s : s + nT, :] for s in range(n_shift)]
+    return jnp.concatenate(parts, axis=-1)[..., :K]
+
+
+def _window_sum_ping_blocked(x, W: int, tile: int = 128):
+    """Sliding window sums over the ping axis: sum over |p' - p| <= W.
+
+    x: f32 [C, M, P] (ping LAST).  Blocked Toeplitz band matmul — each
+    T-ping tile contracts against one static [T+2W, T] 0/1 band instead of
+    a dense [P, P] matrix, cutting MACs by ~P/(T+2W); edge clipping rides
+    the zero halo padding.
+    """
+    P = x.shape[-1]
+    T = min(tile, max(1, P))
+    K = T + 2 * W
+    xb = _expand_tiles(x, W, T)  # [C, M, nT, K]
+    k = jnp.arange(K)[:, None]
+    t = jnp.arange(T)[None, :]
+    band = ((k >= t) & (k <= t + 2 * W)).astype(jnp.float32)  # [K, T]
+    out = jnp.einsum(
+        "cmnk,kt->cmnt", xb, band,
+        precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
+    )
+    nT = xb.shape[-2]
+    return out.reshape(*x.shape[:-1], nT * T)[..., :P]
+
+
+def _pool_windows_grid(sv, grid, depth_bin, num_side_pings: int, range_halo: int = 0,
+                       tile: int = 128):
     """Depth- and ping-window sums for a ping-invariant depth grid — two
-    banded MXU matmuls instead of cumsum+gather (lane gathers are the slow
-    path on TPU; a 0/1 band matrix rides the systolic array).
+    BLOCKED banded MXU matmuls (lane gathers are the slow path on TPU; a
+    0/1 band matrix rides the systolic array, and tiling the band cuts the
+    dense [R,R]/[P,P] MAC waste by ~R/(T+2H) and ~P/(T+2W)).
 
     sv: f32 [C, P, R]; grid: f32 [C, R].  Returns (sw, nw) each [C, P, R]:
     linear-domain window sums and valid-sample counts over
     {r': grid[r'] in [grid[r]-depth_bin, grid[r]+depth_bin]} x {|p'-p| <= W}.
+
+    range_halo: static max samples any depth window extends past its center
+    (host-computed, e.g. ceil(depth_bin / min grid step) + 1).  0 selects
+    the dense range band (correct for any halo, more MACs).
     """
     C, P, R = sv.shape
     lin = jnp.power(10.0, sv / 10.0)
     lin_f = jnp.where(jnp.isnan(sv), 0.0, lin)
     cnt = (~jnp.isnan(sv)).astype(jnp.float32)
 
-    # band matrix over the range axis: Wd[c, r_src, r_dst]
-    d = grid
-    wd = (
-        (d[:, :, None] >= d[:, None, :] - depth_bin)
-        & (d[:, :, None] <= d[:, None, :] + depth_bin)
-    ).astype(jnp.float32)
-
     stacked = jnp.concatenate([lin_f, cnt], axis=1)  # [C, 2P, R]
-    dn = (((2,), (1,)), ((0,), (0,)))
-    s_n = jax.lax.dot_general(
-        stacked, wd, dn, precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )  # [C, 2P, R]
+    d = grid
+    if range_halo and range_halo * 2 < R:
+        H = int(range_halo)
+        T = min(tile, R)
+        xb = _expand_tiles(stacked, H, T)  # [C, 2P, nT, K]
+        # pad value +inf never satisfies the window membership
+        gb = _expand_tiles(d, H, T, pad_value=jnp.inf)  # [C, nT, K]
+        nT = gb.shape[-2]
+        gc = jnp.pad(
+            d, ((0, 0), (0, nT * T - R)), constant_values=jnp.inf
+        ).reshape(C, nT, T)
+        band = (
+            (gb[..., :, None] >= gc[..., None, :] - depth_bin)
+            & (gb[..., :, None] <= gc[..., None, :] + depth_bin)
+        ).astype(jnp.float32)  # [C, nT, K, T]
+        s_n = jnp.einsum(
+            "cpnk,cnkt->cpnt", xb, band,
+            precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
+        )
+        s_n = s_n.reshape(C, 2 * P, nT * T)[..., :R]
+    else:
+        # dense band matrix over the range axis: Wd[c, r_src, r_dst]
+        wd = (
+            (d[:, :, None] >= d[:, None, :] - depth_bin)
+            & (d[:, :, None] <= d[:, None, :] + depth_bin)
+        ).astype(jnp.float32)
+        dn = (((2,), (1,)), ((0,), (0,)))
+        s_n = jax.lax.dot_general(
+            stacked, wd, dn, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # [C, 2P, R]
 
-    # Toeplitz band over the ping axis
-    pi = jnp.arange(P)
-    wp = (jnp.abs(pi[:, None] - pi[None, :]) <= num_side_pings).astype(jnp.float32)
+    # blocked Toeplitz band over the ping axis (ping moved last)
     stacked2 = jnp.concatenate([s_n[:, :P], s_n[:, P:]], axis=2)  # [C, P, 2R]
-    dn2 = (((1,), (0,)), ((), ()))
-    out = jax.lax.dot_general(
-        stacked2, wp, dn2, precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
+    out = _window_sum_ping_blocked(
+        jnp.moveaxis(stacked2, 1, 2), num_side_pings, tile=tile
     )  # [C, 2R, P]
     out = jnp.moveaxis(out, 2, 1)
     return out[..., :R], out[..., R:]
@@ -144,28 +210,33 @@ def _pool_validity_grid(grid, depth_bin, num_side_pings: int, exclude_above, P: 
     return v_r[:, None, :] & v_p[None, :, None]
 
 
-@partial(jax.jit, static_argnames=("num_side_pings",))
-def pool_sv_nanmean_grid_device(sv, grid, depth_bin, num_side_pings: int, exclude_above):
+@partial(jax.jit, static_argnames=("num_side_pings", "range_halo"))
+def pool_sv_nanmean_grid_device(sv, grid, depth_bin, num_side_pings: int, exclude_above,
+                                range_halo: int = 0):
     """Windowed nanmean pooling for a ping-invariant depth grid (MXU path).
 
     Same contract as :func:`pool_sv_nanmean_device` with
-    depth = broadcast(grid[:, None, :]).
+    depth = broadcast(grid[:, None, :]).  ``range_halo`` (static,
+    host-computed window extent in samples) selects the blocked range band.
     """
     C, P, R = sv.shape
-    sw, nw = _pool_windows_grid(sv, grid, depth_bin, num_side_pings)
+    sw, nw = _pool_windows_grid(sv, grid, depth_bin, num_side_pings, range_halo)
     pooled = jnp.where(nw > 0, 10.0 * jnp.log10(sw / jnp.maximum(nw, 1.0)), jnp.nan)
     valid = _pool_validity_grid(grid, depth_bin, num_side_pings, exclude_above, P)
     return jnp.where(valid, pooled, jnp.nan)
 
 
-@partial(jax.jit, static_argnames=("num_side_pings",))
-def transient_mask_grid_device(sv, grid, depth_bin, num_side_pings: int, exclude_above, threshold):
+@partial(jax.jit, static_argnames=("num_side_pings", "range_halo"))
+def transient_mask_grid_device(sv, grid, depth_bin, num_side_pings: int, exclude_above,
+                               threshold, range_halo: int = 0):
     """Fused transient-noise mask: pooled nanmean + dB compare, bool out.
 
     Returning the bool mask keeps the tunnel readback at 1 byte/sample and
     the dB compare on device (clean/api.py:30-168 parity: NaN pooled -> False).
     """
-    pooled = pool_sv_nanmean_grid_device(sv, grid, depth_bin, num_side_pings, exclude_above)
+    pooled = pool_sv_nanmean_grid_device(
+        sv, grid, depth_bin, num_side_pings, exclude_above, range_halo
+    )
     return (sv - pooled) > threshold
 
 
@@ -239,11 +310,14 @@ def pack_mask_device(m):
     return jnp.sum(mb * w, axis=-1).astype(jnp.uint8)
 
 
-@partial(jax.jit, static_argnames=("num_side_pings",))
-def transient_mask_grid_packed(sv, grid, depth_bin, num_side_pings: int, exclude_above, threshold):
+@partial(jax.jit, static_argnames=("num_side_pings", "range_halo"))
+def transient_mask_grid_packed(sv, grid, depth_bin, num_side_pings: int, exclude_above,
+                               threshold, range_halo: int = 0):
     """transient_mask_grid_device with bit-packed readback."""
     return pack_mask_device(
-        transient_mask_grid_device(sv, grid, depth_bin, num_side_pings, exclude_above, threshold)
+        transient_mask_grid_device(
+            sv, grid, depth_bin, num_side_pings, exclude_above, threshold, range_halo
+        )
     )
 
 
@@ -339,3 +413,17 @@ def downsample_upsample_depth_device(sv, bin_idx, n_bins: int):
     down = jnp.where(counts > 0, 10.0 * jnp.log10(sums / jnp.maximum(counts, 1.0)), jnp.nan)
     up = jnp.take_along_axis(down, bin_idx, axis=2)
     return down, up
+
+
+def grid_window_halo(grid, depth_bin) -> int:
+    """Static range-window extent in samples for a ping-invariant grid:
+    ceil(depth_bin / smallest positive grid step) + 1 (host-side; feeds the
+    blocked band path of the pooling kernels)."""
+    import numpy as _np
+
+    g = _np.asarray(grid, dtype="f8")
+    steps = _np.diff(g, axis=-1)
+    steps = steps[_np.isfinite(steps) & (steps > 0)]
+    if steps.size == 0:
+        return 0
+    return int(_np.ceil(float(depth_bin) / float(steps.min()))) + 1
