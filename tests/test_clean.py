@@ -355,3 +355,45 @@ class TestGridFastPath:
             )
         )
         np.testing.assert_array_equal(dev[:, :, None] & np.ones_like(host), host)
+
+
+class TestBlockedWindowPrimitives:
+    """Round-4 blocked banded pooling: primitives vs brute force at odd
+    shapes (R not a tile multiple, tiny windows, halo fallback)."""
+
+    def test_ping_window_sum_matches_brute(self, rng):
+        import jax.numpy as jnp
+
+        from echopype_tpu.ops.windows import _window_sum_ping_blocked
+
+        for P, W in ((37, 3), (130, 0), (257, 25), (5, 9)):
+            x = rng.normal(size=(2, 4, P)).astype("f4")
+            got = np.asarray(_window_sum_ping_blocked(jnp.asarray(x), W))
+            want = np.empty_like(x)
+            for p in range(P):
+                lo, hi = max(p - W, 0), min(p + W, P - 1) + 1
+                want[..., p] = x[..., lo:hi].sum(axis=-1)
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_blocked_range_band_matches_dense(self, rng):
+        """Blocked range-window sums == dense band matmul for uniform and
+        per-channel grids, including R not a multiple of the tile."""
+        import jax.numpy as jnp
+
+        from echopype_tpu.ops.windows import _pool_windows_grid, grid_window_halo
+
+        for R, step in ((200, 0.5), (130, 0.19)):
+            C, P = 2, 17
+            sv = rng.normal(-70, 5, size=(C, P, R)).astype("f4")
+            sv[1, :, R - 7:] = np.nan  # NaN suffix
+            grid = np.stack([np.arange(R) * step, np.arange(R) * (step * 1.5)]).astype("f4")
+            bin_m = 4.0
+            halo = grid_window_halo(grid, bin_m)
+            sw_b, nw_b = _pool_windows_grid(
+                jnp.asarray(sv), jnp.asarray(grid), bin_m, 2, range_halo=halo
+            )
+            sw_d, nw_d = _pool_windows_grid(
+                jnp.asarray(sv), jnp.asarray(grid), bin_m, 2, range_halo=0
+            )
+            np.testing.assert_allclose(np.asarray(sw_b), np.asarray(sw_d), rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(nw_b), np.asarray(nw_d), rtol=0, atol=0)
