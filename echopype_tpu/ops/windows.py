@@ -416,14 +416,30 @@ def downsample_upsample_depth_device(sv, bin_idx, n_bins: int):
 
 
 def grid_window_halo(grid, depth_bin) -> int:
-    """Static range-window extent in samples for a ping-invariant grid:
-    ceil(depth_bin / smallest positive grid step) + 1 (host-side; feeds the
-    blocked band path of the pooling kernels)."""
+    """Static range-window extent in samples for a ping-invariant grid
+    (host-side; feeds the blocked band path of the pooling kernels).
+
+    Exact per-position extent via searchsorted — duplicate values
+    (plateaus) widen the window beyond depth_bin/step, which a step-based
+    estimate misses.  Returns 0 (the exact dense fallback) when any
+    channel's finite prefix is not nondecreasing.  The result is rounded up
+    to the next power of two so heterogeneous surveys (files differing only
+    in sample spacing) hit a bounded set of jit specializations instead of
+    one compile per distinct spacing."""
     import numpy as _np
 
-    g = _np.asarray(grid, dtype="f8")
-    steps = _np.diff(g, axis=-1)
-    steps = steps[_np.isfinite(steps) & (steps > 0)]
-    if steps.size == 0:
+    g2 = _np.atleast_2d(_np.asarray(grid, dtype="f8"))
+    extent = 0
+    for row in g2:
+        finite = row[_np.isfinite(row)]
+        if finite.size < 2:
+            continue
+        if (_np.diff(finite) < 0).any():
+            return 0  # not monotone: only the dense band is correct
+        hi = _np.searchsorted(finite, finite + float(depth_bin), side="right")
+        lo = _np.searchsorted(finite, finite - float(depth_bin), side="left")
+        idx = _np.arange(finite.size)
+        extent = max(extent, int((hi - 1 - idx).max()), int((idx - lo).max()))
+    if extent == 0:
         return 0
-    return int(_np.ceil(float(depth_bin) / float(steps.min()))) + 1
+    return int(2 ** _np.ceil(_np.log2(extent + 1)))

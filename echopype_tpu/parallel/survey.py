@@ -326,9 +326,11 @@ def run_survey_mvbs(
         raw->MVBS streamer's internal two-pass noise-mask path).
     reopen : re-acquire each source in the binning pass instead of keeping
         every dataset from the extent scan — O(one file) host memory at the
-        cost of a second open/decode.  Default (None) resolves to True when
-        every source is a path or callable (re-openable) and False when any
-        in-memory Dataset is passed.
+        cost of a second open/decode.  Default (None) resolves to True only
+        when every source is a PATH (paths re-open cheaply and
+        side-effect-free); in-memory Datasets and user callables keep the
+        keep-open behavior unless reopen=True is passed explicitly (a
+        callable would otherwise be invoked twice).
     mesh : optional jax.sharding.Mesh with (ping, channel) axes — each chunk
         shards over the mesh and partial bin sums combine with one psum
         (SURVEY.md §2.6 scale-out; bit-equal to the single-device stream).
@@ -353,8 +355,9 @@ def run_survey_mvbs(
     # dataset after measuring it (reopen=True) or keep it (default)
     sv_sources = list(sv_sources)
     if reopen is None:
-        # paths/callables re-open cheaply; in-memory Datasets must be kept
-        reopen = all(callable(s) or isinstance(s, (str, Path)) for s in sv_sources)
+        # only paths auto-reopen: re-opening is cheap and side-effect-free;
+        # a user callable must not be silently invoked twice
+        reopen = all(isinstance(s, (str, Path)) for s in sv_sources) and bool(sv_sources)
     providers = [
         src if callable(src) else (lambda s=src: open_source(s, "dataset"))
         for src in sv_sources

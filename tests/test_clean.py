@@ -397,3 +397,68 @@ class TestBlockedWindowPrimitives:
             )
             np.testing.assert_allclose(np.asarray(sw_b), np.asarray(sw_d), rtol=1e-5, atol=1e-6)
             np.testing.assert_allclose(np.asarray(nw_b), np.asarray(nw_d), rtol=0, atol=0)
+
+
+class TestGridWindowHalo:
+    """Round-4 review regressions: the halo must be the EXACT index extent
+    (duplicate plateaus widen windows), dense fallback for unsorted grids,
+    power-of-two bucketing for bounded jit specialization."""
+
+    def test_plateau_grid_exact(self):
+        import jax.numpy as jnp
+
+        from echopype_tpu.ops.windows import _pool_windows_grid, grid_window_halo
+
+        g = np.concatenate([np.arange(0, 60, 0.5), np.full(20, 59.5),
+                            np.arange(60, 85, 0.5)]).astype("f4")[None]
+        R = g.shape[1]
+        rng = np.random.default_rng(0)
+        sv = rng.normal(-70, 5, size=(1, 9, R)).astype("f4")
+        halo = grid_window_halo(g, 2.0)
+        assert halo >= 21  # plateau spans 20 duplicates + step windows
+        sw_b, nw_b = _pool_windows_grid(jnp.asarray(sv), jnp.asarray(g), 2.0, 2,
+                                        range_halo=halo)
+        sw_d, nw_d = _pool_windows_grid(jnp.asarray(sv), jnp.asarray(g), 2.0, 2,
+                                        range_halo=0)
+        np.testing.assert_allclose(np.asarray(nw_b), np.asarray(nw_d), rtol=0, atol=0)
+        np.testing.assert_allclose(np.asarray(sw_b), np.asarray(sw_d), rtol=1e-5, atol=1e-6)
+
+    def test_unsorted_grid_dense_fallback(self):
+        from echopype_tpu.ops.windows import grid_window_halo
+
+        g = np.array([0.0, 1.0, 0.5, 2.0])
+        assert grid_window_halo(g, 1.0) == 0
+
+    def test_power_of_two_bucketing(self):
+        from echopype_tpu.ops.windows import grid_window_halo
+
+        h1 = grid_window_halo(np.arange(100) * 0.50, 5.0)
+        h2 = grid_window_halo(np.arange(100) * 0.52, 5.0)
+        assert h1 == h2  # nearby spacings share one jit specialization
+        assert h1 & (h1 - 1) == 0  # power of two
+
+
+class TestReopenPolicy:
+    def test_user_callable_called_once_by_default(self, rng):
+        from echopype_tpu.parallel import run_survey_mvbs
+        from echopype_tpu.xrlite import Dataset
+
+        calls = {"n": 0}
+
+        def make_ds():
+            calls["n"] += 1
+            ds = Dataset(
+                coords={
+                    "channel": np.asarray(["c1"], dtype=object),
+                    "ping_time": np.arange(8).astype("datetime64[s]").astype("datetime64[ns]"),
+                    "range_sample": np.arange(10),
+                }
+            )
+            ds["Sv"] = (("channel", "ping_time", "range_sample"),
+                        rng.normal(-70, 5, (1, 8, 10)).astype("f4"))
+            ds["echo_range"] = (("channel", "ping_time", "range_sample"),
+                                np.broadcast_to(np.arange(10, dtype="f4") * 0.5, (1, 8, 10)).copy())
+            return ds
+
+        run_survey_mvbs([make_ds], range_bin_m=2.0, ping_time_bin="4s", chunk_pings=4)
+        assert calls["n"] == 1  # callables are not silently invoked twice
