@@ -289,3 +289,36 @@ class TestSplitbeamBBDifferential:
             # (see the error-budget table's BB row)
             tol = 2e-5 if pulse_compression else 1e-9
             np.testing.assert_allclose(g[m], w[m], rtol=0, atol=tol)
+
+
+class TestAddLocationIDXDifferential:
+    """add_location(datagram_type='IDX'): IDX-derived Platform lat/lon
+    (round-4 sidecar support) interpolates onto ping_time identically to
+    the reference (consolidate/api.py:244-342 + loc_utils)."""
+
+    def test_idx_location_matches(self, tmp_path):
+        from synth_ek60 import write_ek60_raw
+        from test_sidecars import write_sidecars
+
+        raw = tmp_path / "LI0001-D20200101-T000000-EK60.raw"
+        t0 = np.datetime64("2020-01-01T00:00:00", "ns")
+        write_ek60_raw(raw, n_pings=6, n_samples=24, t0=t0)
+        write_sidecars(raw, t0, n=6, n_chan=2)
+        ed = ep.open_raw(str(raw), sonar_model="EK60",
+                         include_bot=True, include_idx=True)
+        fake = FakeEchoData({g: ed[g] for g in ed.group_paths}, "EK60")
+        ds = ep.calibrate.compute_Sv(ed)
+        ref_c = load_ref("consolidate/api")
+        want = ref_c.add_location(ds.copy(), fake, datagram_type="IDX")
+        got = ep.consolidate.add_location(ds.copy(), ed, datagram_type="IDX")
+        for var in ("latitude", "longitude"):
+            np.testing.assert_allclose(
+                np.asarray(got[var].values, dtype="f8"),
+                np.asarray(want[var].values, dtype="f8"),
+                rtol=1e-12, atol=1e-12, equal_nan=True,
+            )
+        # IDX-derived positions differ from the NMEA-derived default
+        base = ep.consolidate.add_location(ds.copy(), ed)
+        assert not np.allclose(
+            np.asarray(got["latitude"].values), np.asarray(base["latitude"].values)
+        )
