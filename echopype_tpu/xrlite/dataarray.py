@@ -909,27 +909,45 @@ class DataArray:
         tmp = DataArray(notnull.astype(np.int64), self.dims)
         return tmp._reduce("sum", dim, skipna=False)
 
-    def argmin(self, dim):
+    def _nanarg(self, dim, fn):
+        """nanargmin/max that tolerates all-NaN slices (index 0 there, with
+        an all-NaN marker returned alongside) — xarray returns NaN for such
+        slices instead of raising like numpy (e.g. skipped pings feeding the
+        reference's pulse-length idxmin, cal_params.py:291)."""
         ax = self._dim_index(dim)
-        vals = np.nanargmin(self.values, axis=ax)
+        vals = self.values
+        if np.issubdtype(vals.dtype, np.floating):
+            all_nan = np.isnan(vals).all(axis=ax)
+            safe = np.where(np.isnan(vals), np.inf if fn is np.nanargmin else -np.inf, vals)
+            idx = fn(safe, axis=ax)
+        else:
+            all_nan = np.zeros(tuple(s for i, s in enumerate(vals.shape) if i != ax), bool)
+            idx = fn(vals, axis=ax)
+        return idx, all_nan
+
+    def argmin(self, dim):
+        idx, _ = self._nanarg(dim, np.nanargmin)
         new_dims = tuple(d for d in self.dims if d != dim)
-        out = DataArray(vals, new_dims, name=self.name)
+        out = DataArray(idx, new_dims, name=self.name)
         out.coords = {k: v for k, v in self.coords.items() if dim not in v.dims}
         return out
 
     def idxmin(self, dim):
+        idx, all_nan = self._nanarg(dim, np.nanargmin)
         coord = self.coords[dim]
+        picked = coord.values[idx]
+        if all_nan.any():
+            picked = np.where(all_nan, np.nan, picked.astype("f8"))
         return DataArray(
-            coord.values[self.argmin(dim).values],
+            picked,
             tuple(d for d in self.dims if d != dim),
             name=self.name,
         )
 
     def argmax(self, dim):
-        ax = self._dim_index(dim)
-        vals = np.nanargmax(self.values, axis=ax)
+        idx, _ = self._nanarg(dim, np.nanargmax)
         new_dims = tuple(d for d in self.dims if d != dim)
-        out = DataArray(vals, new_dims, name=self.name)
+        out = DataArray(idx, new_dims, name=self.name)
         out.coords = {k: v for k, v in self.coords.items() if dim not in v.dims}
         return out
 

@@ -514,3 +514,34 @@ class TestEK80ECSBBGainTableSvDifferential:
         )
         og = np.asarray(our_sv["gain_correction"].values, dtype="f8")
         assert np.isnan(rg).all() and np.isnan(og).all()
+
+
+class TestRaggedConfigSweepDifferential:
+    """Randomized-shape sweep: ragged pings, per-channel widths, and skipped
+    pings through the FULL reference pipeline (parse -> rectangularize ->
+    SetGroups -> CalibrateEK60) vs our open_raw -> compute_Sv, at the f64
+    machine-epsilon contract.  Catches shape-edge divergences a single
+    fixed-shape differential can miss."""
+
+    @pytest.mark.parametrize("cfg", [
+        dict(n_pings=9, n_samples=33, ragged=True, seed=21),
+        dict(n_pings=7, n_samples=26, per_channel_samples=(26, 19), seed=22),
+        dict(n_pings=11, n_samples=24, skip_pings={2: {3, 7}}, seed=23),
+        dict(n_pings=8, n_samples=31, ragged=True, skip_pings={1: {2}}, seed=24),
+    ])
+    def test_sv_matches_reference(self, tmp_path, cfg):
+        raw = tmp_path / f"RS{cfg['seed']}-D20200101-T000000.raw"
+        write_ek60_raw(raw, **cfg)
+        ed = ep.open_raw(str(raw), sonar_model="EK60")
+        ref_ek = load_ref("calibrate/calibrate_ek")
+        ref_cal = ref_ek.CalibrateEK60(_fake(ed), None, None, None)
+        ref_sv = ref_cal.compute_Sv()
+        our_sv = ep.calibrate.compute_Sv(ed, precision="float64")
+        delta = _sv_delta(ref_sv, our_sv)
+        assert delta < 1e-9, f"{cfg}: Sv differs by {delta} dB"
+        # NaN layout identical too (ragged padding / skipped pings)
+        w = np.asarray(
+            ref_sv["Sv"].transpose("channel", "ping_time", "range_sample").values
+        )
+        g = np.asarray(our_sv["Sv"].values)
+        np.testing.assert_array_equal(np.isnan(g), np.isnan(w), err_msg=str(cfg))
