@@ -171,7 +171,14 @@ def _get_interp_da(da_param, freq_center, alternative, BB_factor=1):
             ys = np.asarray(row.values, dtype="f8")
             good = ~np.isnan(ys)
             if good.sum() >= 2:
-                out[i] = np.interp(fc, xs[good], ys[good])
+                xg, yg = xs[good], ys[good]
+                res = np.interp(fc, xg, yg)
+                # xarray interp semantics: NaN outside the curve's frequency
+                # range (np.interp would clamp to the edge values) — e.g. a
+                # channel whose center frequency lies outside its own BB cal
+                # table gets NaN gain, not the nearest table entry
+                res = np.where((fc < xg[0]) | (fc > xg[-1]), np.nan, res)
+                out[i] = res
                 continue
         bb = (
             float(BB_factor.sel(channel=ch).values)

@@ -18,7 +18,7 @@ import echopype_tpu as ep
 
 from ref_oracle import FakeEchoData, load_ref
 from synth_ek60 import write_ek60_raw
-from synth_ek80 import write_ek80_raw
+from synth_ek80 import CH_BB, write_ek80_raw
 
 
 # --------------------------------------------------------------------------
@@ -540,6 +540,45 @@ class TestRaggedConfigSweepDifferential:
         delta = _sv_delta(ref_sv, our_sv)
         assert delta < 1e-9, f"{cfg}: Sv differs by {delta} dB"
         # NaN layout identical too (ragged padding / skipped pings)
+        w = np.asarray(
+            ref_sv["Sv"].transpose("channel", "ping_time", "range_sample").values
+        )
+        g = np.asarray(our_sv["Sv"].values)
+        np.testing.assert_array_equal(np.isnan(g), np.isnan(w), err_msg=str(cfg))
+
+
+class TestEK80ConfigSweepDifferential:
+    """EK80 complex-path shape sweep: skipped pings, float16 complex
+    samples, and an extra FM channel through the reference CalibrateEK80 vs
+    our compute_Sv at the BB residual floor."""
+
+    @pytest.mark.parametrize("cfg", [
+        dict(n_pings=6, n_samples=48, with_power_channel=False,
+             with_cw_complex=False, seed=31),
+        dict(n_pings=6, n_samples=48, with_power_channel=False,
+             extra_fm_channel=True, seed=32),
+        dict(n_pings=6, n_samples=48, with_power_channel=False,
+             with_cw_complex=False, complex_f16=True, seed=33),
+        dict(n_pings=8, n_samples=40, with_power_channel=False,
+             with_cw_complex=False, skip_pings={CH_BB: {2, 5}}, seed=34),
+    ])
+    def test_bb_sv_matches_reference(self, tmp_path, cfg):
+        from synth_ek80 import CH_BB, write_ek80_raw as w80
+
+        raw = tmp_path / f"K{cfg['seed']}-D20210201-T000000.raw"
+        w80(raw, **cfg)
+        ed = ep.open_raw(str(raw), sonar_model="EK80")
+        ref_ek = load_ref("calibrate/calibrate_ek")
+        ref_cal = ref_ek.CalibrateEK80(
+            _fake(ed), env_params=None, cal_params=None,
+            waveform_mode="BB", encode_mode="complex",
+        )
+        ref_sv = ref_cal.compute_Sv()
+        our_sv = ep.calibrate.compute_Sv(
+            ed, waveform_mode="BB", encode_mode="complex", precision="float64"
+        )
+        delta = _sv_delta(ref_sv, our_sv)
+        assert delta < 5e-6, f"{cfg}: BB Sv differs by {delta} dB"
         w = np.asarray(
             ref_sv["Sv"].transpose("channel", "ping_time", "range_sample").values
         )
