@@ -584,3 +584,41 @@ class TestEK80ConfigSweepDifferential:
         )
         g = np.asarray(our_sv["Sv"].values)
         np.testing.assert_array_equal(np.isnan(g), np.isnan(w), err_msg=str(cfg))
+
+
+class TestAZFPAveragedSweepDifferential:
+    """AZFP data_type=1 (instrument-averaged profiles: per-bin u32 linear
+    sums + overflow counters over ping_per_profile) through the reference
+    CalibrateAZFP vs ours — the payload branch the fixed-shape differential
+    doesn't hit (reference parse_azfp.py:455-482)."""
+
+    @pytest.mark.parametrize("cal_type", ["Sv", "TS"])
+    def test_averaged_cal_matches_reference(self, tmp_path, cal_type):
+        from synth_azfp import write_azfp_raw, write_azfp_xml
+
+        raw = tmp_path / "23010200.01A"
+        xml = tmp_path / "cfg.xml"
+        write_azfp_raw(raw, n_pings=6, averaged=True, seed=4)
+        write_azfp_xml(xml)
+        ed = ep.open_raw(raw, sonar_model="AZFP", xml_path=str(xml))
+        ref_mod = load_ref("calibrate/calibrate_azfp")
+        fake = FakeEchoData(
+            {p: ed[p] for p in ("Sonar/Beam_group1", "Environment", "Vendor_specific")},
+            ed.sonar_model,
+        )
+        env = {"salinity": 31.0, "pressure": 12.0, "temperature": 7.5}
+        cal = ref_mod.CalibrateAZFP(fake, env_params=dict(env))
+        want = cal.compute_Sv() if cal_type == "Sv" else cal.compute_TS()
+        got = (
+            ep.calibrate.compute_Sv(ed, env_params=dict(env))
+            if cal_type == "Sv"
+            else ep.calibrate.compute_TS(ed, env_params=dict(env))
+        )
+        var = cal_type
+        w = np.asarray(
+            want[var].transpose("channel", "ping_time", "range_sample").values, "f8"
+        )
+        g = np.asarray(got[var].values, "f8")
+        np.testing.assert_array_equal(np.isnan(g), np.isnan(w))
+        m = ~np.isnan(w)
+        np.testing.assert_allclose(g[m], w[m], rtol=0, atol=1e-10)
