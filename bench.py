@@ -119,11 +119,25 @@ def main():
     float(chained(*args_dev))  # compile + warm up
 
     # Slow-tunnel guard: on a degraded session the transfers+compile above
-    # can take minutes; drop to fewer timed reps so the run stays inside the
-    # driver's window (the device rate is stable to <2%, so fewer reps cost
-    # little)
+    # can take minutes AND the per-dispatch RTT grows from ~28 ms to
+    # seconds, which leaks into the measurement as RTT/n_iter per step
+    # (observed: 13.7M pings/s healthy vs 10.9M on a degraded tunnel at
+    # n_iter=200).  Amortize harder with a longer chain and drop to one
+    # timed rep so the run stays inside the driver's window.
     if on_tpu and time.perf_counter() - bench_t0 > 240:
         n_reps = 1
+        n_iter_slow = 800
+
+        @jax.jit
+        def chained_slow(power, dr, tvg, ab, off, vl, x_idx, r_edges):
+            def body(i, acc):
+                salt = 1e-7 * (i.astype(jnp.float32) + acc * 1e-20)
+                return acc + one_step(power, dr, tvg, ab, off, vl, x_idx, r_edges, salt)
+
+            return jax.lax.fori_loop(0, n_iter_slow, body, jnp.float32(0.0))
+
+        float(chained_slow(*args_dev))  # compile + warm
+        chained, n_iter = chained_slow, n_iter_slow
 
     best_dt = float("inf")
     for _ in range(n_reps):
