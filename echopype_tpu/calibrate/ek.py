@@ -26,8 +26,21 @@ class CalibrateBase:
 
     def __init__(self, echodata, env_params=None, cal_params=None, ecs_file=None, **kw):
         self.echodata = echodata
-        self.env_params = env_params or {}
-        self.cal_params = cal_params or {}
+        # None | dict only — an EnvParams object must be applied explicitly
+        # via its _apply (reference calibrate_base.py:35-47 raises the same).
+        # With an ECS file the reference skips the type check entirely (ECS
+        # takes precedence and env/cal_params are discarded, :20-32).
+        if ecs_file is None:
+            if env_params is not None and not isinstance(env_params, dict):
+                raise ValueError("'env_params' has to be None or a dict")
+            if cal_params is not None and not isinstance(cal_params, dict):
+                raise ValueError("'cal_params' has to be None or a dict")
+            self.env_params = env_params or {}
+            self.cal_params = cal_params or {}
+        else:
+            # ECS takes precedence; user dicts are discarded (reference :28-32)
+            self.env_params = {}
+            self.cal_params = {}
         self.ecs_file = ecs_file
         self.ecs_dict = {}
         # "float32" (default since round 4): the fused device kernels run on

@@ -72,12 +72,19 @@ class SetGroupsBase:
     def set_nmea(self) -> Dataset:
         strings = self.parser_obj.nmea["string"]
         times = self.parser_obj.nmea["timestamp"]
-        times, strings = self._nan_timestamp_handler_pair(times, strings)
+        if len(strings) == 0:
+            # no NMEA in the file: float-NaN datagram var on a first-ping
+            # time stamp (reference set_groups_base.py:142-147)
+            values = np.array([np.nan])
+            times = [np.nan]
+        else:
+            values = np.asarray(strings, dtype=object)
+        times = self._nan_timestamp_handler(times)
         return Dataset(
             {
                 "NMEA_datagram": (
                     ("nmea_time",),
-                    np.asarray(strings, dtype=object),
+                    values,
                     {"long_name": "NMEA datagram contents"},
                 )
             },
@@ -181,21 +188,31 @@ class SetGroupsBase:
         return vendor_ds
 
     # ------------------------------------------------------------- utilities
-    @staticmethod
-    def _nan_timestamp_handler(time_data):
-        """Empty time vector -> single NaT stamp (reference :set_groups_base)."""
-        if len(time_data) == 0:
-            return np.array(["NaT"], dtype="datetime64[ns]")
-        return time_data
-
-    @staticmethod
-    def _nan_timestamp_handler_pair(times, values):
-        if len(times) == 0:
-            return (
-                np.array(["NaT"], dtype="datetime64[ns]"),
-                np.array([""], dtype=object),
+    def _nan_timestamp_handler(self, time_data):
+        """Empty or single-NaN time vector -> the earliest first-ping time
+        (reference set_groups_base.py:110-125: xarray warns on all-NaN time
+        coordinates, so a missing sensor stream borrows the earliest ping
+        timestamp — min of each channel's first ping for Simrad models, the
+        first profile time for AZFP)."""
+        arr = np.asarray(time_data)
+        if arr.size > 1:
+            return time_data
+        if arr.size == 1:
+            missing = bool(
+                np.isnat(arr[0]) if arr.dtype.kind == "M" else np.isnan(arr.astype("f8")[0])
             )
-        return times, values
+        else:
+            missing = True
+        if not missing:
+            return time_data
+        pt = getattr(self.parser_obj, "ping_time", None)
+        if isinstance(pt, dict) and pt:
+            first = min(np.asarray(v)[0] for v in pt.values() if len(v))
+        elif pt is not None and len(pt):
+            first = np.asarray(pt)[0]
+        else:
+            return np.array(["NaT"], dtype="datetime64[ns]")
+        return np.asarray([first], dtype="datetime64[ns]")
 
     @staticmethod
     def union_times(per_channel_times: dict):

@@ -12,8 +12,11 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..utils.log import _init_logger
 from ..xrlite import DataArray, Dataset
 from .set_groups_base import SetGroupsBase
+
+logger = _init_logger(__name__)
 
 WIDE_BAND_TRANS = "WBT"
 PULSE_COMPRESS = "PC"
@@ -126,16 +129,76 @@ class SetGroupsEK80(SetGroupsBase):
         freq = np.asarray(
             [self.config[ch].get("transducer_frequency", np.nan) for ch in chans], dtype="f8"
         )
+
+        # MRU streams are ALWAYS materialized (reference set_groups_ek80.py
+        # :328-536): a missing stream becomes a single-NaN row whose time2/
+        # time3 stamp borrows the earliest first-ping time, so every EK80
+        # Platform carries the full variable set
+        def mru_field(d, key):
+            vals = np.asarray(d.get(key) if d.get(key) is not None else [], dtype="f8")
+            return vals if vals.size else np.array([np.nan])
+
+        mru0 = self.parser_obj.mru0
+        mru1 = self.parser_obj.mru1
+        t2 = np.asarray(mru0.get("timestamp") if mru0.get("timestamp") is not None else [])
+        time2 = self._nan_timestamp_handler(t2 if t2.size else [np.nan])
+        t3 = np.asarray(mru1.get("timestamp") if mru1.get("timestamp") is not None else [])
+        time3 = self._nan_timestamp_handler(t3 if t3.size else [np.nan])
+
+        env = self.parser_obj.environment
+        if "water_level_draft" in env:
+            water_level = np.float64(env["water_level_draft"])
+        else:
+            water_level = np.float64(np.nan)
+            logger.info("WARNING: The water_level_draft was not in the file. Value set to NaN.")
+
+        latlon_mru1_comment = {
+            "comment": "Derived from the Simrad MRU1 Datagrams which are "
+            "a wrapper of the Kongsberg Maritime Binary Datagrams."
+        }
         ds = Dataset(
             {
                 "latitude": (("time1",), lat, pv["latitude"]),
                 "longitude": (("time1",), lon, pv["longitude"]),
                 "sentence_type": (("time1",), msg_type, pv["sentence_type"]),
-                "frequency_nominal": (("channel",), freq, pv["frequency_nominal"]),
-                "water_level": (
+                "pitch": (("time2",), mru_field(mru0, "pitch"), pv["pitch"]),
+                "roll": (("time2",), mru_field(mru0, "roll"), pv["roll"]),
+                "vertical_offset": (
+                    ("time2",),
+                    mru_field(mru0, "heave"),
+                    pv["vertical_offset"],
+                ),
+                "water_level": ((), water_level, pv["water_level"]),
+                "drop_keel_offset": ((), np.float64(env.get("drop_keel_offset", np.nan))),
+                "drop_keel_offset_is_manual": (
                     (),
-                    np.float64(self.parser_obj.environment.get("water_level_draft", 0.0)),
-                    pv["water_level"],
+                    np.float64(env.get("drop_keel_offset_is_manual", np.nan)),
+                ),
+                "water_level_draft_is_manual": (
+                    (),
+                    np.float64(env.get("water_level_draft_is_manual", np.nan)),
+                ),
+                "frequency_nominal": (("channel",), freq, pv["frequency_nominal"]),
+                "heading": (
+                    ("time2",),
+                    mru_field(mru0, "heading"),
+                    {
+                        "long_name": "Platform heading (true)",
+                        "standard_name": "platform_orientation",
+                        "units": "degrees_north",
+                        "valid_min": 0.0,
+                        "valid_max": 360.0,
+                    },
+                ),
+                "latitude_mru1": (
+                    ("time3",),
+                    mru_field(mru1, "latitude"),
+                    {**pv["latitude"], **latlon_mru1_comment},
+                ),
+                "longitude_mru1": (
+                    ("time3",),
+                    mru_field(mru1, "longitude"),
+                    {**pv["longitude"], **latlon_mru1_comment},
                 ),
                 **{
                     f"transducer_offset_{x}": (
@@ -148,6 +211,20 @@ class SetGroupsEK80(SetGroupsBase):
                     )
                     for x in ("x", "y", "z")
                 },
+                **{
+                    var: ((), np.float64(np.nan), pv[var])
+                    for var in (
+                        "MRU_offset_x",
+                        "MRU_offset_y",
+                        "MRU_offset_z",
+                        "MRU_rotation_x",
+                        "MRU_rotation_y",
+                        "MRU_rotation_z",
+                        "position_offset_x",
+                        "position_offset_y",
+                        "position_offset_z",
+                    )
+                },
             },
             coords={
                 "channel": (
@@ -158,45 +235,37 @@ class SetGroupsEK80(SetGroupsBase):
                 "time1": (
                     ("time1",),
                     time1,
-                    self._varattrs["platform_coord_default"]["time1"],
+                    {
+                        **self._varattrs["platform_coord_default"]["time1"],
+                        "comment": "Time coordinate corresponding to NMEA position data.",
+                    },
+                ),
+                "time2": (
+                    ("time2",),
+                    np.asarray(time2, dtype="datetime64[ns]"),
+                    {
+                        "axis": "T",
+                        "long_name": "Timestamps for platform motion and orientation data",
+                        "standard_name": "time",
+                        "comment": "Time coordinate corresponding to platform motion and "
+                        "orientation data.",
+                    },
+                ),
+                "time3": (
+                    ("time3",),
+                    np.asarray(time3, dtype="datetime64[ns]"),
+                    {
+                        "axis": "T",
+                        "long_name": "Timestamps for platform motion and orientation data "
+                        "from the Kongsberg Maritime Binary Datagram",
+                        "standard_name": "time",
+                        "comment": "Time coordinate corresponding to platform motion and "
+                        "orientation data from the Kongsberg Maritime Binary Datagram.",
+                    },
                 ),
             },
             attrs=self._platform_attrs(),
         )
-        mru0 = self.parser_obj.mru0
-        if mru0 and len(mru0.get("timestamp", [])):
-            ds.coords["time2"] = DataArray(
-                np.asarray(mru0["timestamp"], dtype="datetime64[ns]"),
-                ("time2",),
-                attrs=self._varattrs["platform_coord_default"]["time2"],
-                name="time2",
-            )
-            ds["pitch"] = (("time2",), mru0["pitch"].astype("f8"), pv["pitch"])
-            ds["roll"] = (("time2",), mru0["roll"].astype("f8"), pv["roll"])
-            ds["vertical_offset"] = (("time2",), mru0["heave"].astype("f8"), pv["vertical_offset"])
-            ds["heading"] = (
-                ("time2",),
-                mru0["heading"].astype("f8"),
-                {"long_name": "Platform heading", "units": "arc_degree"},
-            )
-        mru1 = self.parser_obj.mru1
-        if mru1 and len(mru1.get("timestamp", [])):
-            ds.coords["time3"] = DataArray(
-                np.asarray(mru1["timestamp"], dtype="datetime64[ns]"),
-                ("time3",),
-                attrs={"axis": "T", "long_name": "Timestamps from MRU1 datagrams"},
-                name="time3",
-            )
-            ds["latitude_mru1"] = (
-                ("time3",),
-                mru1["latitude"].astype("f8"),
-                {"long_name": "Platform latitude from MRU1"},
-            )
-            ds["longitude_mru1"] = (
-                ("time3",),
-                mru1["longitude"].astype("f8"),
-                {"long_name": "Platform longitude from MRU1"},
-            )
         ds = self._add_index_data_to_platform_ds(ds)
         return ds
 
@@ -318,9 +387,7 @@ class SetGroupsEK80(SetGroupsBase):
                 if not np.array_equal(
                     data_check[rows[d]], data_check[rows[k]], equal_nan=True
                 ):
-                    from ..utils.log import _init_logger
-
-                    _init_logger(__name__).warning(
+                    logger.warning(
                         "Duplicate ping_time %s in channel %s carries differing data; "
                         "keeping the first occurrence.",
                         times[d],

