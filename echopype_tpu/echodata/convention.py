@@ -132,26 +132,26 @@ VARATTRS = {
             "long_name": "Platform latitude",
             "standard_name": "latitude",
             "units": "degrees_north",
-            "valid_range": (-90.0, 90.0),
+            "valid_range": "(-90.0, 90.0)",
         },
         "longitude": {
             "long_name": "Platform longitude",
             "standard_name": "longitude",
             "units": "degrees_east",
-            "valid_range": (-180.0, 180.0),
+            "valid_range": "(-180.0, 180.0)",
         },
         "sentence_type": {"long_name": "NMEA sentence type"},
         "pitch": {
             "long_name": "Platform pitch",
             "standard_name": "platform_pitch_angle",
             "units": "arc_degree",
-            "valid_range": (-90.0, 90.0),
+            "valid_range": "(-90.0, 90.0)",
         },
         "roll": {
             "long_name": "Platform roll",
             "standard_name": "platform_roll_angle",
             "units": "arc_degree",
-            "valid_range": (-90.0, 90.0),
+            "valid_range": "(-90.0, 90.0)",
         },
         "vertical_offset": {
             "long_name": "Platform vertical offset from nominal water level",
@@ -176,9 +176,9 @@ VARATTRS = {
         "MRU_offset_x": {"long_name": "Distance along the x-axis from the platform coordinate system origin to the motion reference unit sensor origin", "units": "m"},  # noqa: E501
         "MRU_offset_y": {"long_name": "Distance along the y-axis from the platform coordinate system origin to the motion reference unit sensor origin", "units": "m"},  # noqa: E501
         "MRU_offset_z": {"long_name": "Distance along the z-axis from the platform coordinate system origin to the motion reference unit sensor origin", "units": "m"},  # noqa: E501
-        "MRU_rotation_x": {"long_name": "Extrinsic rotation about the x-axis from the platform to MRU coordinate systems", "units": "arc_degree"},  # noqa: E501
-        "MRU_rotation_y": {"long_name": "Extrinsic rotation about the y-axis from the platform to MRU coordinate systems", "units": "arc_degree"},  # noqa: E501
-        "MRU_rotation_z": {"long_name": "Extrinsic rotation about the z-axis from the platform to MRU coordinate systems", "units": "arc_degree"},  # noqa: E501
+        "MRU_rotation_x": {"long_name": "Extrinsic rotation about the x-axis from the platform to MRU coordinate systems", "units": "arc_degree", "valid_range": "(–180.0, 180.0)"},  # noqa: E501
+        "MRU_rotation_y": {"long_name": "Extrinsic rotation about the y-axis from the platform to MRU coordinate systems", "units": "arc_degree", "valid_range": "(–180.0, 180.0)"},  # noqa: E501
+        "MRU_rotation_z": {"long_name": "Extrinsic rotation about the z-axis from the platform to MRU coordinate systems", "units": "arc_degree", "valid_range": "(–180.0, 180.0)"},  # noqa: E501
         "position_offset_x": {"long_name": "Distance along the x-axis from the platform coordinate system origin to the latitude/longitude sensor origin", "units": "m"},  # noqa: E501
         "position_offset_y": {"long_name": "Distance along the y-axis from the platform coordinate system origin to the latitude/longitude sensor origin", "units": "m"},  # noqa: E501
         "position_offset_z": {"long_name": "Distance along the z-axis from the platform coordinate system origin to the latitude/longitude sensor origin", "units": "m"},  # noqa: E501

@@ -13,7 +13,6 @@ import numpy as np
 
 from .. import storage
 from ..utils.log import _init_logger
-from ..utils.prov import ECHOPYPE_TPU_VERSION
 from ..xrlite import Dataset
 from .convention import GROUP_MAP
 
@@ -73,7 +72,28 @@ class EchoData:
 
     @property
     def version_info(self):
-        return tuple(int(x) for x in ECHOPYPE_TPU_VERSION.split(".")[:3])
+        """(major, minor, patch) of the echopype-family software that wrote
+        this tree, from the Provenance attrs (reference echodata.py:283-304);
+        None when the store was not written by an echopype-family converter.
+
+        Combination provenance wins over conversion provenance, like the
+        reference.  We additionally accept our own software name so stores
+        written by this package report a version too.
+        """
+        prov = self._tree.get("Provenance")
+        if prov is None:
+            return None
+
+        def _tuple(ptype):
+            v = prov.attrs.get(f"{ptype}_software_version")
+            if v is None:
+                return None
+            return tuple(int(i) for i in str(v).lstrip("v").split(".")[:3])
+
+        for ptype in ("combination", "conversion"):
+            if prov.attrs.get(f"{ptype}_software_name") in ("echopype", "echopype_tpu"):
+                return _tuple(ptype)
+        return None
 
     def __repr__(self):
         lines = [f"<EchoData: standardized raw data from {self.source_file or self.converted_raw_path}>"]

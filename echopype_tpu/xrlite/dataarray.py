@@ -139,7 +139,28 @@ class DataArray:
     name : str, optional
     """
 
-    __slots__ = ("values", "dims", "_coords", "attrs", "name", "_encoding")
+    __slots__ = ("values", "dims", "_coords", "_attrs", "name", "_encoding")
+
+    @property
+    def attrs(self):
+        return self._attrs
+
+    @attrs.setter
+    def attrs(self, value):
+        # xarray Variable-sharing parity: Dataset.__getitem__ hands out
+        # wrappers that SHARE the stored variable's attrs dict, so
+        # ``ds["x"].attrs = {...}`` must reach the stored variable (xarray
+        # routes it to self.variable.attrs).  Replace the contents of the
+        # already-bound dict in place; first bind makes a private copy.
+        try:
+            cur = object.__getattribute__(self, "_attrs")
+        except AttributeError:
+            cur = None
+        if cur is None:
+            object.__setattr__(self, "_attrs", dict(value) if value else {})
+        else:
+            cur.clear()
+            cur.update(value or {})
 
     @property
     def coords(self):
@@ -475,6 +496,12 @@ class DataArray:
         """
         if dim_kwargs:
             dim = {**(dim if isinstance(dim, dict) else {}), **dim_kwargs}
+        if isinstance(dim, (list, tuple)):
+            # xarray: a sequence of names adds size-1 dims in order
+            out = self
+            for d in dim:
+                out = out.expand_dims(d, axis)
+            return out
         if isinstance(dim, dict):
             out = self
             for d, v in dim.items():

@@ -128,20 +128,23 @@ class Dataset:
             return out
         if name in self.data_vars:
             da = self.data_vars[name]
-            out = DataArray(da.values, da.dims, attrs=da.attrs, name=name)
+            out = DataArray(da.values, da.dims, name=name)
             out.coords = {
                 k: v for k, v in self.coords.items() if set(v.dims) <= set(da.dims)
             }
-            # share the stored variable's encoding dict so mutation through
-            # the returned wrapper sticks (xarray Variable-sharing semantics)
+            # share the stored variable's attrs + encoding dicts so mutation
+            # through the returned wrapper sticks (xarray Variable-sharing
+            # semantics: ds["x"].attrs["k"] = v reaches the stored variable)
+            object.__setattr__(out, "_attrs", da.attrs)
             object.__setattr__(out, "_encoding", da.encoding)
             return out
         if name in self.coords:
             c = self.coords[name]
-            out = DataArray(c.values, c.dims, attrs=c.attrs, name=name)
+            out = DataArray(c.values, c.dims, name=name)
             out.coords = {
                 k: v for k, v in self.coords.items() if set(v.dims) <= set(c.dims)
             }
+            object.__setattr__(out, "_attrs", c.attrs)
             object.__setattr__(out, "_encoding", c.encoding)
             return out
         raise KeyError(name)
@@ -468,8 +471,9 @@ class Dataset:
             ds.data_vars[str(col)] = DataArray(vals, (dim,), name=str(col))
         return ds
 
-    def rename(self, name_map=None, **kw):
-        name_map = {**(name_map or {}), **kw}
+    def rename(self, name_map=None, name_dict=None, **kw):
+        # xarray's signature names the mapping ``name_dict``; accept both
+        name_map = {**(name_map or {}), **(name_dict or {}), **kw}
         out = Dataset(attrs=dict(self.attrs))
         for k, v in self.coords.items():
             nk = name_map.get(k, k)

@@ -156,6 +156,12 @@ class DataTree:
             node = node.children[part]
         leaf = parts[-1]
         if isinstance(value, DataTree):
+            # move semantics (datatree-era node re-parenting): detach from any
+            # previous parent so the node lives at exactly one path — the
+            # reference's v0.5->v0.6 migration relies on this when it maps
+            # Beam -> Sonar/Beam_group1 (v05x_to_v06x.py:89-109) and renames
+            # Vendor -> Vendor_specific via orphan() (:949-966)
+            value.orphan()
             value.name = leaf
             value.parent = node
             node.children[leaf] = value
@@ -166,6 +172,12 @@ class DataTree:
                 child = DataTree(dataset=value, name=leaf)
                 child.parent = node
                 node.children[leaf] = child
+
+    def orphan(self):
+        """Detach this node from its parent (xarray TreeNode.orphan)."""
+        if self.parent is not None:
+            self.parent.children.pop(self.name, None)
+            self.parent = None
 
     def get(self, key, default=None):
         try:

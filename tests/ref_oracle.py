@@ -325,6 +325,14 @@ def load_ref(relpath: str):
         return _loaded[relpath]
     _install_stubs()
     fullname = "echopype." + relpath.replace("/", ".")
+    # a relative import inside another reference module may already have
+    # imported this file through the package shell's __path__; reuse that
+    # instance instead of executing the file twice (two copies of an enum
+    # class break identity-keyed lookups, e.g. parse_ad2cp.DataRecordType)
+    existing = sys.modules.get(fullname)
+    if existing is not None and getattr(existing, "__file__", None) == f"{REF_ROOT}/{relpath}.py":
+        _loaded[relpath] = existing
+        return existing
     spec = importlib.util.spec_from_file_location(fullname, f"{REF_ROOT}/{relpath}.py")
     mod = importlib.util.module_from_spec(spec)
     sys.modules[fullname] = mod
@@ -469,3 +477,26 @@ def load_ref_convert_api():
     api = load_ref("convert/api")
     _loaded["convert_api"] = api
     return api
+
+
+def load_ref_version_mapping():
+    """Load the reference's sensor_ep_version_mapping package (the v0.5.x ->
+    v0.6.x legacy-store migration) for differential testing.
+
+    Requires the real core.py registry because _modify_sonar_group reads
+    SONAR_MODELS[sensor]["set_groups"] and calls the SetGroups classes'
+    beam_groups_to_convention/_beam_groups_vars unbound
+    (v05x_to_v06x.py:416-428).
+    """
+    if "version_mapping" in _loaded:
+        return _loaded["version_mapping"]
+    load_ref_convert_api()
+    _package(
+        "echopype.echodata.sensor_ep_version_mapping",
+        f"{REF_ROOT}/echodata/sensor_ep_version_mapping",
+    )
+    v06 = load_ref("echodata/sensor_ep_version_mapping/v05x_to_v06x")
+    mapper = load_ref("echodata/sensor_ep_version_mapping/ep_version_mapper")
+    out = {"v05x_to_v06x": v06, "mapper": mapper}
+    _loaded["version_mapping"] = out
+    return out
