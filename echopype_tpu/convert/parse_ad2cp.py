@@ -34,7 +34,12 @@ STRING_ID = 0xA0
 
 
 def checksum(data: bytes) -> int:
-    """Nortek 16-bit checksum seeded with 0xB58C (parse_ad2cp.py:807)."""
+    """Nortek 16-bit checksum seeded with 0xB58C (parse_ad2cp.py:807-820).
+
+    Odd-length records: the trailing byte contributes TWICE — the reference's
+    final 2-byte window holds just that byte (little-endian -> low byte), and
+    the odd-length branch adds it again shifted high.  Summing it only once
+    made every odd-length record fail validation and get skipped."""
     c = 0xB58C
     n = len(data)
     even = n - (n % 2)
@@ -42,7 +47,7 @@ def checksum(data: bytes) -> int:
         c += int(np.frombuffer(data[:even], dtype="<u2").sum(dtype="u8") % 65536)
         c %= 65536
     if n % 2 == 1:
-        c = (c + (data[-1] << 8)) % 65536
+        c = (c + data[-1] + (data[-1] << 8)) % 65536
     return c
 
 
@@ -123,6 +128,15 @@ def _read_array(buf, pos, size, signed, count, div=None, mul=None):
     if mul is not None:
         arr = arr * mul
     return arr, pos + size * count
+
+
+def _read_f32(buf, pos):
+    return float(np.frombuffer(buf, dtype="<f4", count=1, offset=pos)[0]), pos + 4
+
+
+def _read_f32_array(buf, pos, count):
+    arr = np.frombuffer(buf, dtype="<f4", count=count, offset=pos).astype("f8")
+    return arr, pos + 4 * count
 
 
 def _bitfield(value, specs, data):
@@ -227,21 +241,26 @@ def _parse_burst_average_v3(buf: bytes, pkt: Packet):
         v, pos = _read_array(buf, pos, 1, False, nb * nc)
         d[f"correlation_data_{mode}"] = v.reshape(nb, nc)
     if d["altimeter_data_included"]:
-        d["altimeter_distance"], pos = _read_scaled(buf, pos, 4, True)  # float32
-        d["altimeter_distance"] = float(
-            np.frombuffer(struct.pack("<i", int(d["altimeter_distance"])), dtype="<f4")[0]
-        )
+        d["altimeter_distance"], pos = _read_f32(buf, pos)
         d["altimeter_quality"], pos = _read_scaled(buf, pos, 2, False)
     if d["ast_data_included"]:
-        for name, sz in (("ast_distance", 4), ("ast_quality", 2), ("ast_offset_100us", 2),
-                         ("ast_pressure", 4)):
-            d[name], pos = _read_scaled(buf, pos, sz, False)
-        pos += 8  # altimeter spare
+        # AST block: f32 distance/pressure, quality/100, SIGNED offset, then
+        # an 8-byte raw spare the reference keeps as a u1 array
+        # (ref parse_ad2cp.py:1459-1489)
+        d["ast_distance"], pos = _read_f32(buf, pos)
+        d["ast_quality"], pos = _read_scaled(buf, pos, 2, False, div=100)
+        d["ast_offset_100us"], pos = _read_scaled(buf, pos, 2, True)
+        d["ast_pressure"], pos = _read_f32(buf, pos)
+        d["altimeter_spare"] = np.frombuffer(buf, dtype="<u1", count=8, offset=pos)
+        pos += 8
     if d["altimeter_raw_data_included"]:
-        d["altimeter_raw_data_num_samples"], pos = _read_scaled(buf, pos, 4, False)
+        # num_samples is a 2-byte field (the reference notes the spec's
+        # size/count swap, parse_ad2cp.py:1491-1497); samples are 2-byte
+        # two's-complement signed fractions scaled by 2^-15 (:513-518)
+        d["altimeter_raw_data_num_samples"], pos = _read_scaled(buf, pos, 2, False)
         d["altimeter_raw_data_sample_distance"], pos = _read_scaled(buf, pos, 2, False, div=10000)
         d["altimeter_raw_data_samples"], pos = _read_array(
-            buf, pos, 2, True, int(d["altimeter_raw_data_num_samples"])
+            buf, pos, 2, True, int(d["altimeter_raw_data_num_samples"]), div=32768
         )
     if d["echosounder_data_included"]:
         ne = int(d["num_echosounder_cells"])
@@ -249,9 +268,11 @@ def _parse_burst_average_v3(buf: bytes, pkt: Packet):
         v, pos = _read_array(buf, pos, 2, True, ne, div=100)
         d["echosounder_data"] = v
     if d["ahrs_data_included"]:
-        d["ahrs_rotation_matrix"], pos = _read_array(buf, pos, 4, True, 9)
-        d["ahrs_quaternions"], pos = _read_array(buf, pos, 4, True, 4)
-        d["ahrs_gyro"], pos = _read_array(buf, pos, 4, True, 3)
+        # AHRS rotation/quaternion/gyro values are float32 on the wire
+        # (ref parse_ad2cp.py:1530-1551)
+        d["ahrs_rotation_matrix"], pos = _read_f32_array(buf, pos, 9)
+        d["ahrs_quaternions"], pos = _read_f32_array(buf, pos, 4)
+        d["ahrs_gyro"], pos = _read_f32_array(buf, pos, 3)
     if d["percentage_good_data_included"]:
         d["percentage_good_data"], pos = _read_array(buf, pos, 1, False, nc)
     if d["std_dev_data_included"]:
@@ -283,10 +304,11 @@ def _parse_burst_average_v2(buf: bytes, pkt: Packet):
     cfg, pos = _read_scaled(buf, pos, 2, False)
     d["configuration"] = cfg
     _bitfield(cfg, CONFIG_BITS_V2, d)
-    for k in ("altimeter_data_included", "altimeter_raw_data_included", "ast_data_included",
-              "echosounder_data_included", "ahrs_data_included",
-              "percentage_good_data_included", "std_dev_data_included"):
-        d[k] = 0
+    # NOTE: v2 records carry no altimeter/ast/echosounder/ahrs/percentage-
+    # good/std-dev include flags; the reference leaves those keys absent from
+    # packet.data (its v2 bitfield list, parse_ad2cp.py:611-619), which makes
+    # the corresponding Vendor variables EMPTY for v2-only files — do not
+    # zero-fill them here.
     for f in ("year", "month", "day", "hour", "minute", "seconds"):
         d[f], pos = _read_scaled(buf, pos, 1, False)
     d["microsec100"], pos = _read_scaled(buf, pos, 2, False)

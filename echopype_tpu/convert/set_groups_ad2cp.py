@@ -1,9 +1,32 @@
 """AD2CP group assembly: up to 4 beam groups by acquisition mode.
 
-Capability parity: echopype/convert/set_groups_ad2cp.py:29-2138 — beam groups
-for Average / Burst / Echosounder / Echosounder-raw modes, env (sound speed,
-temperature, pressure) and platform (heading/pitch/roll) on ping_time, vendor
-holds the config string and sensor diagnostics.
+Capability parity: echopype/convert/set_groups_ad2cp.py:29-520 — every group
+(beam/env/platform/vendor) is assembled through the reference's
+``_make_dataset`` combine semantics, re-implemented vectorized:
+
+- every timestamped packet contributes one row per field, in stream order,
+  with 0-padding when the packet lacks the field (set_groups_ad2cp.py:132-139);
+- fields ride the time axis their reference descriptor declares
+  (parse_ad2cp.py:124-140): ``time1`` rows are sliced at the FIRST packet
+  index of each unique timestamp, mode axes (average/burst/echosounder/raw/
+  raw-transmit ``ping_time``) keep one row per packet of that mode;
+- fields that exist in no packet become EMPTY variables — dims ``()`` and a
+  ``None`` payload, exactly like the reference's ``((), None)`` data_vars
+  (set_groups_ad2cp.py:201-215);
+- beam groups are built on ``time1`` then re-indexed onto their mode's
+  ``ping_time`` via the reference's ``sel(time1=ds["ping_time"])`` +
+  ``drop_vars("time1")`` step (set_groups_ad2cp.py:420-422), which takes each
+  scalar's value from the first packet at that timestamp — whatever its type
+  (the observable "cross-packet zero-fill" quirk);
+- the ``beam`` coordinate holds the PHYSICAL beam numbers decoded from
+  dataset_description (longest ``beams`` array over all packets,
+  set_groups_ad2cp.py:99-103), mij/wxyz/xyz get the reference's string
+  labels, and remaining dims get arange coords.
+
+Documented deviation: the reference's ``set_vendor`` crashes on any file
+carrying AST data (``altimeter_spare`` is an 8-byte array declared with a
+single ``time1`` dim, so its own ``xr.Dataset`` construction raises); we
+emit it on ("time1", "spare") instead.
 """
 
 from __future__ import annotations
@@ -33,57 +56,277 @@ BEAM_GROUP_DESCR = {
     ),
 }
 
+AHRS_COORDS = {
+    "mij": np.array(["11", "12", "13", "21", "22", "23", "31", "32", "33"], dtype=object),
+    "wxyz": np.array(["w", "x", "y", "z"], dtype=object),
+    "xyz": np.array(["x", "y", "z"], dtype=object),
+}
+
+# Non-default field dimensions (reference parse_ad2cp.py F-entry declarations;
+# everything not listed rides ("time1",)).  The first element names the time
+# axis: "time1", or a (dim_name, mode) pair for per-mode ping_time axes.
+_T1 = "time1"
+_FIELD_DIMS = {
+    "velocity_data_average": (("ping_time", "average"), "beam", "range_sample"),
+    "velocity_data_burst": (("ping_time", "burst"), "beam", "range_sample"),
+    "velocity_data_echosounder": (("ping_time", "echosounder"), "beam", "range_sample"),
+    "amplitude_data_average": (("ping_time", "average"), "beam", "range_sample"),
+    "amplitude_data_burst": (("ping_time", "burst"), "beam", "range_sample"),
+    "amplitude_data_echosounder": (("ping_time", "echosounder"), "beam", "range_sample"),
+    "correlation_data_average": (("ping_time", "average"), "beam", "range_sample"),
+    "correlation_data_burst": (("ping_time", "burst"), "beam", "range_sample"),
+    "correlation_data_echosounder": (("ping_time", "echosounder"), "beam", "range_sample"),
+    "echosounder_data": (("ping_time", "echosounder"), "range_sample"),
+    "echosounder_raw_samples_i": (("ping_time", "echosounder_raw"), "range_sample"),
+    "echosounder_raw_samples_q": (("ping_time", "echosounder_raw"), "range_sample"),
+    "echosounder_raw_transmit_samples_i": (
+        ("ping_time_transmit", "echosounder_raw_transmit"),
+        "transmit_sample",
+    ),
+    "echosounder_raw_transmit_samples_q": (
+        ("ping_time_transmit", "echosounder_raw_transmit"),
+        "transmit_sample",
+    ),
+    "ahrs_rotation_matrix": (_T1, "mij"),
+    "ahrs_quaternions": (_T1, "wxyz"),
+    "ahrs_gyro": (_T1, "xyz"),
+    "magnetometer_raw": (_T1, "xyz"),
+    "percentage_good_data": (_T1, "range_sample"),
+    "altimeter_raw_data_samples": (_T1, "num_altimeter_samples"),
+    "figure_of_merit_data": (_T1, "beam"),
+    "altimeter_spare": (_T1, "spare"),  # deviation: see module docstring
+}
+
+_BEAM_SCALARS = (
+    ("num_beams", "number_of_beams"),
+    ("coordinate_system", "coordinate_system"),
+    ("num_cells", "number_of_cells"),
+    ("blanking", "blanking"),
+    ("cell_size", "cell_size"),
+    ("velocity_range", "velocity_range"),
+    ("echosounder_frequency", "echosounder_frequency"),
+    ("ambiguity_velocity", "ambiguity_velocity"),
+    ("dataset_description", "data_set_description"),
+    ("transmit_energy", "transmit_energy"),
+    ("velocity_scaling", "velocity_scaling"),
+)
+
+# Reference set_vendor var map, in order (set_groups_ad2cp.py:425-495)
+_VENDOR_MAP = (
+    ("version", "data_record_version"),
+    ("pressure_sensor_valid", "pressure_sensor_valid"),
+    ("temperature_sensor_valid", "temperature_sensor_valid"),
+    ("compass_sensor_valid", "compass_sensor_valid"),
+    ("tilt_sensor_valid", "tilt_sensor_valid"),
+    ("velocity_data_included", "velocity_data_included"),
+    ("amplitude_data_included", "amplitude_data_included"),
+    ("correlation_data_included", "correlation_data_included"),
+    ("altimeter_data_included", "altimeter_data_included"),
+    ("altimeter_raw_data_included", "altimeter_raw_data_included"),
+    ("ast_data_included", "ast_data_included"),
+    ("echosounder_data_included", "echosounder_data_included"),
+    ("ahrs_data_included", "ahrs_data_included"),
+    ("percentage_good_data_included", "percentage_good_data_included"),
+    ("std_dev_data_included", "std_dev_data_included"),
+    ("distance_data_included", "distance_data_included"),
+    ("figure_of_merit_data_included", "figure_of_merit_data_included"),
+    ("error", "error"),
+    ("status0", "status0"),
+    ("procidle3", "procidle3"),
+    ("procidle6", "procidle6"),
+    ("procidle12", "procidle12"),
+    ("status", "status"),
+    ("wakeup_state", "wakeup_state"),
+    ("orientation", "orientation"),
+    ("autoorientation", "autoorientation"),
+    ("previous_wakeup_state", "previous_wakeup_state"),
+    ("last_measurement_low_voltage_skip", "last_measurement_low_voltage_skip"),
+    ("active_configuration", "active_configuration"),
+    ("echosounder_index", "echosounder_index"),
+    ("telemetry_data", "telemetry_data"),
+    ("boost_running", "boost_running"),
+    ("echosounder_frequency_bin", "echosounder_frequency_bin"),
+    ("bd_scaling", "bd_scaling"),
+    ("battery_voltage", "battery_voltage"),
+    ("power_level", "power_level"),
+    ("temperature_from_pressure_sensor", "temperature_of_pressure_sensor"),
+    ("nominal_correlation", "nominal_correlation"),
+    ("magnetometer_temperature", "magnetometer_temperature"),
+    ("real_time_clock_temperature", "real_time_clock_temperature"),
+    ("ensemble_counter", "ensemble_counter"),
+    ("ahrs_rotation_matrix", "ahrs_rotation_matrix_mij"),
+    ("ahrs_quaternions", "ahrs_quaternions_wxyz"),
+    ("ahrs_gyro", "ahrs_gyro_xyz"),
+    ("percentage_good_data", "percentage_good_data"),
+    ("std_dev_pitch", "std_dev_pitch"),
+    ("std_dev_roll", "std_dev_roll"),
+    ("std_dev_heading", "std_dev_heading"),
+    ("std_dev_pressure", "std_dev_pressure"),
+    ("figure_of_merit_data", "figure_of_merit"),
+    ("altimeter_distance", "altimeter_distance"),
+    ("altimeter_quality", "altimeter_quality"),
+    ("ast_distance", "ast_distance"),
+    ("ast_quality", "ast_quality"),
+    ("ast_offset_100us", "ast_offset_100us"),
+    ("ast_pressure", "ast_pressure"),
+    ("altimeter_spare", "altimeter_spare"),
+    ("altimeter_raw_data_num_samples", "altimeter_raw_data_num_samples"),
+    ("altimeter_raw_data_sample_distance", "altimeter_raw_data_sample_distance"),
+    ("altimeter_raw_data_samples", "altimeter_raw_data_samples"),
+    ("magnetometer_raw", "magnetometer_raw"),
+)
+
 
 class SetGroupsAd2cp(SetGroupsBase):
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
         self.pulse_compressed = self.parser_obj.get_pulse_compressed()
         self._beamgroups = []
+        self._index_packets()
 
-    def _packets(self, pred):
-        return [p for p in self.parser_obj.packets if pred(p) and p.has_timestamp()]
+    # ------------------------------------------------------- packet indexing
+    def _index_packets(self):
+        """Precompute the reference's time indices (set_groups_ad2cp:40-73)."""
+        self._pkts = [p for p in self.parser_obj.packets if p.has_timestamp()]
+        self._timestamps = np.asarray(
+            [p.timestamp for p in self._pkts], dtype="datetime64[ns]"
+        )
+        if len(self._pkts):
+            self._uniq_t, self._time1_idx = np.unique(
+                self._timestamps, return_index=True
+            )
+        else:
+            self._uniq_t = np.empty(0, "datetime64[ns]")
+            self._time1_idx = np.empty(0, "i8")
+        mode_of = {
+            "average": lambda p: p.is_average(),
+            "burst": lambda p: p.is_burst(),
+            "echosounder": lambda p: p.is_echosounder(),
+            "echosounder_raw": lambda p: p.is_echosounder_raw(),
+            "echosounder_raw_transmit": lambda p: p.is_echosounder_raw_transmit(),
+        }
+        self._mode_idx = {
+            mode: np.asarray(
+                [i for i, p in enumerate(self._pkts) if pred(p)], dtype="i8"
+            )
+            for mode, pred in mode_of.items()
+        }
+        # longest physical-beams array over all packets (first wins on ties)
+        self._beam_coords = None
+        for p in self._pkts:
+            b = p.data.get("beams")
+            if b is not None and len(b) and (
+                self._beam_coords is None or len(b) > len(self._beam_coords)
+            ):
+                self._beam_coords = np.asarray(b)
 
-    def _times(self, pkts):
-        return np.asarray([p.timestamp for p in pkts], dtype="datetime64[ns]")
+    # --------------------------------------------------------- field combine
+    def _combine(self, var_names) -> Dataset:
+        """Reference ``_make_dataset`` (set_groups_ad2cp.py:75-229), vectorized.
 
-    @staticmethod
-    def _dedup_times(pkts, t):
-        """Keep the first packet per unique timestamp (average + echosounder
-        packets of one ping share a stamp; the reference's time index
-        dedupes them)."""
-        _, keep = np.unique(t, return_index=True)
-        keep = np.sort(keep)
-        return [pkts[i] for i in keep], t[keep]
+        var_names: iterable of (field, var_name).  Returns a Dataset whose
+        time1-dim variables are sliced at unique-first packet rows; mode-dim
+        variables keep one row per packet of that mode.
+        """
+        data_vars = {}
+        used_dims = set()
+        for field, var in var_names:
+            dims = _FIELD_DIMS.get(field, (_T1,))
+            values = [p.data.get(field) for p in self._pkts]
+            if not any(v is not None for v in values):
+                data_vars[var] = ((), None)
+                continue
+            if len(dims) > 1:
+                arrs = [None if v is None else np.asarray(v, dtype="f8") for v in values]
+                ndim = len(dims) - 1
+                max_shape = np.zeros(ndim, dtype="i8")
+                for a in arrs:
+                    if a is not None:
+                        max_shape = np.maximum(max_shape, a.shape)
+                out = np.zeros((len(arrs), *max_shape), dtype="f8")
+                for i, a in enumerate(arrs):
+                    if a is not None:
+                        out[(i, *map(slice, a.shape))] = a
+            else:
+                out = np.asarray(
+                    [0.0 if v is None else float(v) for v in values], dtype="f8"
+                )
+            t0 = dims[0]
+            if t0 == _T1:
+                rows = self._time1_idx
+                dim_names = dims
+            else:
+                dim_name, mode = t0
+                rows = self._mode_idx[mode]
+                dim_names = (dim_name, *dims[1:])
+                t0 = dim_name
+            out = out[rows]
+            data_vars[var] = (dim_names, out)
+            used_dims.update(dim_names)
+            used_dims.add((t0, dims[0]))
+
+        coords = {}
+        for t0, orig in {d for d in used_dims if isinstance(d, tuple)}:
+            if orig == _T1:
+                coords[_T1] = (( _T1,), self._uniq_t)
+            else:
+                coords[t0] = ((t0,), self._timestamps[self._mode_idx[orig[1]]])
+        used_dims = {d for d in used_dims if not isinstance(d, tuple)}
+        for dim, labels in AHRS_COORDS.items():
+            if dim in used_dims:
+                coords[dim] = ((dim,), labels)
+        if "beam" in used_dims and self._beam_coords is not None:
+            coords["beam"] = (("beam",), self._beam_coords.astype("i8"))
+
+        ds = Dataset(coords=coords)
+        for var, spec in data_vars.items():
+            ds[var] = spec
+        # arange coords for remaining dims (reference :226-228)
+        for dim in sorted(used_dims - set(ds.coords)):
+            if dim in ds.dims:
+                ds.coords[dim] = DataArray(np.arange(ds.sizes[dim]), (dim,))
+        return ds
+
+    def _reindex_onto_ping_time(self, ds: Dataset) -> Dataset:
+        """The reference's ``sel(time1=ds["ping_time"]).drop_vars("time1")``
+        step (set_groups_ad2cp.py:420-422): time1-dim variables are re-indexed
+        onto the group's ping_time axis, taking each unique timestamp's row."""
+        if _T1 not in ds.dims or "ping_time" not in ds.coords:
+            return ds
+        pt = np.asarray(ds.coords["ping_time"].values, dtype="datetime64[ns]")
+        rows = np.searchsorted(self._uniq_t, pt)
+        out = Dataset(coords={k: v for k, v in ds.coords.items() if k != _T1}, attrs=ds.attrs)
+        for name in ds.data_vars:
+            da = ds[name]
+            if da.dims and da.dims[0] == _T1:
+                out[name] = (("ping_time", *da.dims[1:]), np.asarray(da.values)[rows])
+            else:
+                out[name] = da
+        return out
 
     # ------------------------------------------------------------------- env
     def set_env(self) -> Dataset:
-        pkts = self._packets(lambda p: not p.is_string() and "speed_of_sound" in p.data)
-        pkts, t = self._dedup_times(pkts, self._times(pkts))
-        ds = Dataset(coords={"time1": (("time1",), t, {"axis": "T", "standard_name": "time"})})
-        for src, dst in (
-            ("speed_of_sound", "sound_speed_indicative"),
-            ("temperature", "temperature"),
-            ("pressure", "pressure"),
-        ):
-            ds[dst] = (("time1",), np.asarray([p.data.get(src, np.nan) for p in pkts], dtype="f8"))
+        ds = self._combine(
+            (
+                ("speed_of_sound", "sound_speed_indicative"),
+                ("temperature", "temperature"),
+                ("pressure", "pressure"),
+            )
+        )
+        if _T1 in ds.coords:
+            ds.coords[_T1].attrs.update({"axis": "T", "standard_name": "time"})
         return ds
 
     # -------------------------------------------------------------- platform
     def set_platform(self) -> Dataset:
-        pkts = self._packets(lambda p: "heading" in p.data)
-        pkts, t = self._dedup_times(pkts, self._times(pkts))
-        ds = Dataset(
-            coords={"time2": (("time2",), t, self._varattrs["platform_coord_default"]["time2"])},
-            attrs=self._platform_attrs(),
+        ds = self._combine(
+            (("heading", "heading"), ("pitch", "pitch"), ("roll", "roll"))
         )
+        ds.attrs.update(self._platform_attrs())
         pv = self._varattrs["platform_var_default"]
         for name in ("heading", "pitch", "roll"):
-            attrs = pv.get(name, {"long_name": f"Platform {name}"})
-            ds[name] = (
-                ("time2",),
-                np.asarray([p.data.get(name, np.nan) for p in pkts], dtype="f8"),
-                attrs,
-            )
+            if name in ds.data_vars:
+                ds[name].attrs.update(pv.get(name, {"long_name": f"Platform {name}"}))
         return ds
 
     # ----------------------------------------------------------------- sonar
@@ -91,6 +334,13 @@ class SetGroupsAd2cp(SetGroupsBase):
         names = [bg["name"] for bg in self._beamgroups]
         descr = [bg["descr"] for bg in self._beamgroups]
         fw = self.parser_obj.get_firmware_version() or {}
+        serials = np.unique(
+            [
+                str(p.data["serial_number"])
+                for p in self.parser_obj.packets
+                if "serial_number" in p.data
+            ]
+        )
         ds = Dataset(
             {
                 "beam_group_descr": (
@@ -102,7 +352,7 @@ class SetGroupsAd2cp(SetGroupsBase):
             attrs={
                 "sonar_manufacturer": "Nortek",
                 "sonar_model": self.sonar_model,
-                "sonar_serial_number": "",
+                "sonar_serial_number": ", ".join(serials),
                 "sonar_software_name": "",
                 "sonar_software_version": str(fw.get("FW", "")),
                 "sonar_type": "acoustic Doppler current profiler (ADCP)",
@@ -111,147 +361,54 @@ class SetGroupsAd2cp(SetGroupsBase):
         return ds
 
     # ------------------------------------------------------------------ beam
-    def _mode_dataset(self, pkts, mode):
-        """Dataset of [ping_time(, beam, range)] variables for one mode."""
-        t = self._times(pkts)
-        ds = Dataset(
-            coords={
-                "ping_time": (
-                    ("ping_time",),
-                    t,
-                    self._varattrs["beam_coord_default"]["ping_time"],
-                )
-            }
-        )
-
-        def scalar_var(src, dst):
-            vals = np.asarray([p.data.get(src, np.nan) for p in pkts], dtype="f8")
-            if not np.isnan(vals).all():
-                ds[dst] = (("ping_time",), vals)
-
-        for src, dst in (
-            ("num_beams", "number_of_beams"),
-            ("coordinate_system", "coordinate_system"),
-            ("num_cells", "number_of_cells"),
-            ("blanking", "blanking"),
-            ("cell_size", "cell_size"),
-            ("echosounder_frequency", "echosounder_frequency"),
-            ("velocity_range", "velocity_range"),
-            ("ambiguity_velocity", "ambiguity_velocity"),
-            ("dataset_description", "data_set_description"),
-            ("transmit_energy", "transmit_energy"),
-            ("velocity_scaling", "velocity_scaling"),
-        ):
-            scalar_var(src, dst)
-
-        if mode in ("average", "burst"):
-            for src, dst in (
-                (f"velocity_data_{mode}", "velocity"),
-                (f"amplitude_data_{mode}", "amplitude"),
-                (f"correlation_data_{mode}", "correlation"),
-            ):
-                arrays = [p.data.get(src) for p in pkts]
-                if all(a is None for a in arrays):
-                    continue
-                nb = max(a.shape[0] for a in arrays if a is not None)
-                nc = max(a.shape[1] for a in arrays if a is not None)
-                out = np.full((len(pkts), nb, nc), np.nan)
-                for i, a in enumerate(arrays):
-                    if a is not None:
-                        out[i, : a.shape[0], : a.shape[1]] = a
-                ds.coords.setdefault(
-                    "beam", DataArray(np.arange(1, nb + 1).astype(str).astype(object), ("beam",))
-                )
-                ds.coords.setdefault(
-                    "range_sample",
-                    DataArray(np.arange(nc), ("range_sample",)),
-                )
-                ds[dst] = (("ping_time", "beam", "range_sample"), out)
-        elif mode == "echosounder":
-            arrays = [p.data.get("echosounder_data") for p in pkts]
-            if any(a is not None for a in arrays):
-                nc = max(len(a) for a in arrays if a is not None)
-                out = np.full((len(pkts), nc), np.nan)
-                for i, a in enumerate(arrays):
-                    if a is not None:
-                        out[i, : len(a)] = a
-                ds.coords["range_sample"] = DataArray(
-                    np.arange(nc), ("range_sample",)
-                )
-                ds["amplitude"] = (("ping_time", "range_sample"), out)
-            ds.coords["echogram"] = DataArray(np.arange(3), ("echogram",))
-            pulse_compressed = np.zeros(3)
-            if self.pulse_compressed > 0:
-                pulse_compressed[self.pulse_compressed - 1] = 1
-            ds["pulse_compressed"] = (("echogram",), pulse_compressed)
-        elif mode == "echosounder_raw":
-            for src, dst in (
-                ("echosounder_raw_samples_i", "backscatter_r"),
-                ("echosounder_raw_samples_q", "backscatter_i"),
-            ):
-                arrays = [p.data.get(src) for p in pkts]
-                if all(a is None for a in arrays):
-                    continue
-                nc = max(len(a) for a in arrays if a is not None)
-                out = np.full((len(pkts), nc), np.nan)
-                for i, a in enumerate(arrays):
-                    if a is not None:
-                        out[i, : len(a)] = a
-                ds.coords.setdefault(
-                    "range_sample",
-                    DataArray(np.arange(nc), ("range_sample",)),
-                )
-                ds[dst] = (("ping_time", "range_sample"), out)
-            scalar_var("num_complex_samples", "num_complex_samples")
-            # transmit-pulse records (id 0x24) ride their own time axis
-            # (echopype set_groups_ad2cp: echosounder_raw_transmit_samples_i/q
-            #  -> transmit_pulse_r/i)
-            tx_pkts = self._packets(lambda p: p.is_echosounder_raw_transmit())
-            if tx_pkts:
-                ds.coords["ping_time_echosounder_raw_transmit"] = DataArray(
-                    self._times(tx_pkts),
-                    ("ping_time_echosounder_raw_transmit",),
-                    self._varattrs["beam_coord_default"]["ping_time"],
-                )
-                for src, dst in (
-                    ("echosounder_raw_transmit_samples_i", "transmit_pulse_r"),
-                    ("echosounder_raw_transmit_samples_q", "transmit_pulse_i"),
-                ):
-                    arrays = [p.data.get(src) for p in tx_pkts]
-                    if all(a is None for a in arrays):
-                        continue
-                    nc = max(len(a) for a in arrays if a is not None)
-                    out = np.full((len(tx_pkts), nc), np.nan)
-                    for i, a in enumerate(arrays):
-                        if a is not None:
-                            out[i, : len(a)] = a
-                    ds.coords.setdefault(
-                        "transmit_sample",
-                        DataArray(np.arange(nc), ("transmit_sample",)),
-                    )
-                    ds[dst] = (
-                        (
-                            "ping_time_echosounder_raw_transmit",
-                            "transmit_sample",
-                        ),
-                        out,
-                    )
-        return ds
-
     def set_beam(self) -> list:
         groups = []
         self._beamgroups = []
-        mode_pred = {
-            "average": lambda p: p.is_average(),
-            "burst": lambda p: p.is_burst(),
-            "echosounder": lambda p: p.is_echosounder(),
-            "echosounder_raw": lambda p: p.is_echosounder_raw(),
-        }
-        for mode, pred in mode_pred.items():
-            pkts = self._packets(pred)
-            if not pkts:
+        present = {mode for mode in ("average", "burst", "echosounder", "echosounder_raw")
+                   if len(self._mode_idx[mode])}
+        for mode in ("average", "burst", "echosounder", "echosounder_raw"):
+            if mode not in present:
                 continue
-            ds = self._mode_dataset(pkts, mode)
+            spec = list(_BEAM_SCALARS)
+            if mode in ("average", "burst"):
+                spec += [
+                    (f"velocity_data_{mode}", "velocity"),
+                    (f"amplitude_data_{mode}", "amplitude"),
+                    (f"correlation_data_{mode}", "correlation"),
+                ]
+            elif mode == "echosounder":
+                spec += [
+                    ("correlation_data_echosounder", "correlation"),
+                    ("echosounder_data", "amplitude"),
+                ]
+            else:  # echosounder_raw
+                spec += [
+                    ("num_complex_samples", "num_complex_samples"),
+                    ("ind_start_samples", "ind_start_samples"),
+                    ("freq_raw_sample_data", "freq_raw_sample_data"),
+                    ("echosounder_raw_samples_i", "backscatter_r"),
+                    ("echosounder_raw_samples_q", "backscatter_i"),
+                    ("echosounder_raw_transmit_samples_i", "transmit_pulse_r"),
+                    ("echosounder_raw_transmit_samples_q", "transmit_pulse_i"),
+                ]
+            ds = self._combine(spec)
+            # the scalar fields ride time1; attach the mode's ping_time axis
+            # so the reference's sel() re-index step has a target
+            if "ping_time" not in ds.coords:
+                ds.coords["ping_time"] = DataArray(
+                    self._timestamps[self._mode_idx[mode]], ("ping_time",)
+                )
+            ds = self._reindex_onto_ping_time(ds)
+            ds.coords["ping_time"].attrs.update(
+                self._varattrs["beam_coord_default"]["ping_time"]
+            )
+            if mode == "echosounder":
+                ds.coords["echogram"] = DataArray(np.arange(3), ("echogram",))
+                pulse_compressed = np.zeros(3)
+                # reference keeps the index bug: pulse_compressed==0 marks the
+                # LAST echogram as compressed (set_groups_ad2cp.py:358-360)
+                pulse_compressed[self.pulse_compressed - 1] = 1
+                ds["pulse_compressed"] = (("echogram",), pulse_compressed)
             groups.append(ds)
             self._beamgroups.append(
                 {"name": f"Beam_group{len(self._beamgroups) + 1}", "descr": BEAM_GROUP_DESCR[mode]}
@@ -259,35 +416,8 @@ class SetGroupsAd2cp(SetGroupsBase):
         return groups
 
     # ---------------------------------------------------------------- vendor
-    VENDOR_FIELDS = (
-        ("battery_voltage", "battery_voltage"),
-        ("power_level", "power_level"),
-        ("temperature_of_pressure_sensor", "temperature_from_pressure_sensor"),
-        ("nominal_correlation", "nominal_correlation"),
-        ("magnetometer_temperature", "magnetometer_temperature"),
-        ("real_time_clock_temperature", "real_time_clock_temperature"),
-        ("ensemble_counter", "ensemble_counter"),
-    )
-
     def set_vendor(self) -> Dataset:
-        """Vendor diagnostics on ``time1`` = the unique packet timestamps.
-
-        Reference semantics (set_groups_ad2cp.py:72-73,190-192): field rows
-        are gathered from EVERY timestamped packet in stream order (missing
-        fields pad with 0), then sliced at the FIRST packet index of each
-        unique timestamp — one row per unique time, not per packet.
-        """
-        pkts = [p for p in self.parser_obj.packets if p.has_timestamp()]
-        t = self._times(pkts)
-        uniq_t, first_idx = np.unique(t, return_index=True)
-        ds = Dataset(coords={"time1": (("time1",), uniq_t)})
-        for var_name, field in self.VENDOR_FIELDS:
-            if not any(field in p.data for p in pkts):
-                continue
-            vals = np.asarray(
-                [p.data.get(field, 0) for p in pkts], dtype="f8"
-            )[first_idx]
-            ds[var_name] = (("time1",), vals)
+        ds = self._combine(_VENDOR_MAP)
         if self.parser_obj.config:
             for heading, kv in self.parser_obj.config.items():
                 for k, v in kv.items():

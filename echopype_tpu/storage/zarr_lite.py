@@ -101,7 +101,12 @@ def write_array_encoded(group_dir: Path, name: str, arr: np.ndarray, dims, attrs
     """
     arr = np.asarray(arr)
     if arr.dtype == object:
-        arr = arr.astype(str)
+        flat = arr.ravel()
+        if all(v is None or (isinstance(v, float) and np.isnan(v)) for v in flat):
+            # all-null object arrays -> f8 NaN (xarray ensure_dtype_not_object)
+            arr = np.full(arr.shape, np.nan, dtype="f8")
+        else:
+            arr = arr.astype(str)
     adir = group_dir / name
     adir.mkdir(parents=True, exist_ok=True)
     if chunks is None:

@@ -51,6 +51,12 @@ def encode_array(arr: np.ndarray):
     if is_time_array(arr):
         return arr.astype("datetime64[ns]").astype("int64"), dict(DEFAULT_TIME_ENCODING)
     if arr.dtype == object:
+        # all-null object arrays (e.g. the AD2CP vendor group's empty
+        # `((), None)` variables) store as float64 NaN, matching xarray's
+        # ensure_dtype_not_object in the reference's save chain
+        flat = arr.ravel()
+        if all(v is None or (isinstance(v, float) and np.isnan(v)) for v in flat):
+            return np.full(arr.shape, np.nan, dtype="f8"), {}
         # object arrays of strings -> fixed-width unicode
         return arr.astype(str), {}
     return arr, {}

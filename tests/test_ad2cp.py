@@ -22,13 +22,35 @@ def _v3_record(
     echosounder=False,
     n_echo_cells=25,
     seed=0,
+    include_vel=True,
+    include_amp=True,
+    include_corr=True,
+    with_altimeter=False,
+    with_ast=False,
+    with_altimeter_raw=False,
+    n_alt_samples=6,
+    with_ahrs=False,
+    with_percentage_good=False,
+    with_std_dev=False,
+    dataset_description=None,
+    status=0,
+    status0=0,
 ):
     rng = np.random.default_rng(seed)
     out = bytearray()
     out += struct.pack("<BB", 3, 76)  # version, offset_of_data
-    cfg = 0b0000000011101111  # sensors valid + vel/amp/corr included
-    if echosounder:
-        cfg = (cfg | (1 << 11)) & ~(0b111 << 5)  # echosounder data, no vel/amp/corr
+    cfg = 0b1111  # sensors valid
+    if not echosounder:
+        cfg |= (include_vel << 5) | (include_amp << 6) | (include_corr << 7)
+    cfg |= (
+        (with_altimeter << 8)
+        | (with_altimeter_raw << 9)
+        | (with_ast << 10)
+        | (echosounder << 11)
+        | (with_ahrs << 12)
+        | (with_percentage_good << 13)
+        | (with_std_dev << 14)
+    )
     out += struct.pack("<H", cfg)
     out += struct.pack("<I", 900123)  # serial
     out += struct.pack(
@@ -54,33 +76,69 @@ def _v3_record(
     out += struct.pack("<hhh", 10, -20, 30)  # magnetometer
     out += struct.pack("<hhh", 100, 200, 16384)  # accelerometer xyz
     out += struct.pack("<H", 500)  # ambiguity vel / echosounder freq
-    # dataset_description: 4-bit beam fields -> physical beams 1,2,3,4,
-    # consistent with num_beams=4 (was octal 0o4321, which decodes to only
-    # 3 active beams and makes the record self-inconsistent)
-    out += struct.pack("<H", 0x4321)
+    # dataset_description: 4-bit beam fields -> physical beams 1..num_beams
+    # (was octal 0o4321, which decodes to only 3 active beams and makes the
+    # record self-inconsistent)
+    if dataset_description is None:
+        dataset_description = 0
+        for slot in range(num_beams):
+            dataset_description |= (slot + 1) << (4 * slot)
+    out += struct.pack("<H", dataset_description)
     out += struct.pack("<H", 80)  # transmit energy
     out += struct.pack("<b", -3)  # velocity scaling
     out += struct.pack("<b", -10)  # power level
     out += struct.pack("<h", 20)  # magnetometer temp
     out += struct.pack("<h", 2500)  # rtc temp
     out += struct.pack("<H", 0)  # error
-    out += struct.pack("<H", 0)  # status0
-    out += struct.pack("<I", 0)  # status
+    out += struct.pack("<H", status0)  # status0
+    out += struct.pack("<I", status)  # status
     out += struct.pack("<I", 1)  # ensemble counter
     truth = {}
+    if not echosounder:
+        vel = rng.integers(-30000, 30000, num_beams * num_cells).astype("<i2")
+        amp = rng.integers(0, 200, num_beams * num_cells).astype("<u1")
+        corr = rng.integers(0, 100, num_beams * num_cells).astype("<u1")
+        if include_vel:
+            out += vel.tobytes()
+            truth["vel"] = vel.reshape(num_beams, num_cells).astype("f8") * 1e-3
+        if include_amp:
+            out += amp.tobytes()
+            truth["amp"] = amp.reshape(num_beams, num_cells).astype("f8") / 2
+        if include_corr:
+            out += corr.tobytes()
+            truth["corr"] = corr.reshape(num_beams, num_cells).astype("f8")
+    # optional field blocks, in record order (ref parse_ad2cp.py:1447-1599)
+    if with_altimeter:
+        out += struct.pack("<f", 12.5 + second)
+        out += struct.pack("<H", 77)
+    if with_ast:
+        out += struct.pack("<f", 10.25 + second)  # ast_distance
+        out += struct.pack("<H", 321)  # ast_quality (/100)
+        out += struct.pack("<h", -40)  # ast_offset_100us
+        out += struct.pack("<f", 101.5)  # ast_pressure
+        out += bytes(range(8))  # altimeter spare
+    if with_altimeter_raw:
+        out += struct.pack("<H", n_alt_samples)
+        out += struct.pack("<H", 12345)  # sample distance (/10000)
+        alt = rng.integers(-32000, 32000, n_alt_samples).astype("<i2")
+        out += alt.tobytes()
+        truth["alt_raw"] = alt.astype("f8") / 32768
     if echosounder:
         echo = rng.integers(0, 50000, n_echo_cells).astype("<u2")
         out += echo.tobytes()
         # instruments emit signed samples despite the spec (ref parse_ad2cp.py:1520)
         truth["echo"] = echo.astype("<i2").astype("f8") / 100
-    else:
-        vel = rng.integers(-30000, 30000, num_beams * num_cells).astype("<i2")
-        amp = rng.integers(0, 200, num_beams * num_cells).astype("<u1")
-        corr = rng.integers(0, 100, num_beams * num_cells).astype("<u1")
-        out += vel.tobytes() + amp.tobytes() + corr.tobytes()
-        truth["vel"] = vel.reshape(num_beams, num_cells).astype("f8") * 1e-3
-        truth["amp"] = amp.reshape(num_beams, num_cells).astype("f8") / 2
-        truth["corr"] = corr.reshape(num_beams, num_cells).astype("f8")
+    if with_ahrs:
+        ahrs = rng.normal(size=16).astype("<f4")
+        out += ahrs.tobytes()
+        truth["ahrs"] = ahrs.astype("f8")
+    if with_percentage_good:
+        pg = rng.integers(0, 101, num_cells).astype("<u1")
+        out += pg.tobytes()
+        truth["pg"] = pg.astype("f8")
+    if with_std_dev:
+        out += struct.pack("<hhhh", 12, -34, 567, 89)
+        out += bytes(24)
     return bytes(out), truth
 
 
@@ -129,7 +187,12 @@ def _bt_record(second=0, seed=0, n_beams=4):
 
 
 def write_ad2cp(path, n_pings=4, with_bottom_track=False, with_echosounder_raw=False,
-                minute=0):
+                minute=0, with_average=True, with_echosounder=True,
+                echosounder_first=False, average_id=0x16, record_kw=None):
+    """Synthesize an .ad2cp file.  ``record_kw`` passes optional-field knobs
+    to the average/burst ``_v3_record``; ``average_id=0x15`` emits burst
+    records instead; ``echosounder_first`` flips the per-ping packet order
+    (exercises the reference's first-packet-at-timestamp combine rows)."""
     chunks = [
         _string_packet(
             "GETCLOCKSTR,TIME=\"2022-05-10 08:00:00\"\n"
@@ -137,21 +200,30 @@ def write_ad2cp(path, n_pings=4, with_bottom_track=False, with_echosounder_raw=F
             "GETHW,FW=2.1.3\n"
         )
     ]
+    record_kw = record_kw or {}
     truths = {"average": [], "echosounder": []}
     for p in range(n_pings):
-        rec, truth = _v3_record(0x16, minute=minute, second=p, seed=p)
-        chunks.append(_packet(0x16, rec))
-        truths["average"].append(truth)
+        ping_chunks = []
+        if with_average:
+            rec, truth = _v3_record(average_id, minute=minute, second=p, seed=p, **record_kw)
+            ping_chunks.append(_packet(average_id, rec))
+            truths["average"].append(truth)
         if with_echosounder_raw:
             rng = np.random.default_rng(300 + p)
-            chunks.append(
+            ping_chunks.append(
                 _raw_packet(0x23, _raw_record(p, rng.integers(-(2**30), 2**30, (16, 2))))
             )
-        rec, truth = _v3_record(0x1C, minute=minute, second=p, echosounder=True, seed=100 + p)
-        chunks.append(_packet(0x1C, rec))
-        truths["echosounder"].append(truth)
+        if with_echosounder:
+            rec, truth = _v3_record(0x1C, minute=minute, second=p, echosounder=True, seed=100 + p)
+            es = _packet(0x1C, rec)
+            if echosounder_first:
+                ping_chunks.insert(0, es)
+            else:
+                ping_chunks.append(es)
+            truths["echosounder"].append(truth)
         if with_bottom_track:
-            chunks.append(_packet(0x17, _bt_record(second=p, seed=200 + p)))
+            ping_chunks.append(_packet(0x17, _bt_record(second=p, seed=200 + p)))
+        chunks.extend(ping_chunks)
     with open(path, "wb") as f:
         f.write(b"".join(chunks))
     return truths
@@ -196,7 +268,11 @@ class TestAd2cp:
         amp = bg["amplitude"].values
         assert amp.shape == (4, 25)
         np.testing.assert_allclose(amp[0], truth["echosounder"][0]["echo"])
-        np.testing.assert_allclose(bg["echosounder_frequency"].values, 500.0)
+        # reference cross-packet combine: scalar rows come from the FIRST
+        # packet at each timestamp — here the average packet, which carries
+        # no echosounder_frequency, so the row is zero-filled
+        # (ref set_groups_ad2cp.py:132-139,420-422)
+        np.testing.assert_allclose(bg["echosounder_frequency"].values, 0.0)
         # pulse compression flag from config string
         np.testing.assert_allclose(bg["pulse_compressed"].values, [1, 0, 0])
 
@@ -223,41 +299,47 @@ class TestAd2cp:
         assert (np.diff(pt) == np.timedelta64(1, "s")).all()
 
 
+def _v2_record(second=0, seed=5, nb=4, nc=12):
+    """Version-2 burst/average record (reference layout parse_ad2cp.py:898+)."""
+    rng = np.random.default_rng(seed)
+    out = bytearray()
+    out += struct.pack("<BB", 2, 68)
+    out += struct.pack("<I", 800500)  # serial (v2: serial before config)
+    out += struct.pack("<H", 0b11101111)  # config
+    out += struct.pack("<BBBBBB", 2021 - 1900, 4, 2, 6, 30, second)
+    out += struct.pack("<H", 0)
+    out += struct.pack("<H", 15000)  # sound speed
+    out += struct.pack("<h", 850)  # temperature
+    out += struct.pack("<I", 20500)  # pressure
+    out += struct.pack("<H", 9000)  # heading
+    out += struct.pack("<h", -250)  # pitch
+    out += struct.pack("<h", 100)  # roll
+    out += struct.pack("<HH", 0, 0)  # error, status
+    bcc = (nc & 0x3FF) | (1 << 10) | ((nb & 0xF) << 12)
+    out += struct.pack("<H", bcc)
+    out += struct.pack("<HH", 500, 1000)  # cell size, blanking
+    out += struct.pack("<H", 5000)  # velocity range
+    out += struct.pack("<H", 148)  # battery
+    out += struct.pack("<hhh", 1, 2, 3)
+    out += struct.pack("<hhh", 0, 0, 16384)
+    out += struct.pack("<H", 1000)  # ambiguity velocity
+    out += struct.pack("<H", 0o4321)  # dataset description
+    out += struct.pack("<H", 60)  # transmit energy
+    out += struct.pack("<bb", -3, -6)  # vel scaling, power
+    out += struct.pack("<I", 0)  # spare
+    vel = rng.integers(-20000, 20000, nb * nc).astype("<i2")
+    amp = rng.integers(0, 200, nb * nc).astype("<u1")
+    corr = rng.integers(0, 100, nb * nc).astype("<u1")
+    out += vel.tobytes() + amp.tobytes() + corr.tobytes()
+    return bytes(out), {"vel": vel.reshape(nb, nc).astype("f8") * 1e-3}
+
+
 class TestAd2cpV2:
     def test_v2_average_record(self, tmp_path):
         """Version-2 burst/average records parse through the v2 layout."""
-        rng = np.random.default_rng(5)
         nb, nc = 4, 12
-        out = bytearray()
-        out += struct.pack("<BB", 2, 68)
-        out += struct.pack("<I", 800500)  # serial (v2: serial before config)
-        out += struct.pack("<H", 0b11101111)  # config
-        out += struct.pack("<BBBBBB", 2021 - 1900, 4, 2, 6, 30, 0)
-        out += struct.pack("<H", 0)
-        out += struct.pack("<H", 15000)  # sound speed
-        out += struct.pack("<h", 850)  # temperature
-        out += struct.pack("<I", 20500)  # pressure
-        out += struct.pack("<H", 9000)  # heading
-        out += struct.pack("<h", -250)  # pitch
-        out += struct.pack("<h", 100)  # roll
-        out += struct.pack("<HH", 0, 0)  # error, status
-        bcc = (nc & 0x3FF) | (1 << 10) | ((nb & 0xF) << 12)
-        out += struct.pack("<H", bcc)
-        out += struct.pack("<HH", 500, 1000)  # cell size, blanking
-        out += struct.pack("<H", 5000)  # velocity range
-        out += struct.pack("<H", 148)  # battery
-        out += struct.pack("<hhh", 1, 2, 3)
-        out += struct.pack("<hhh", 0, 0, 16384)
-        out += struct.pack("<H", 1000)  # ambiguity velocity
-        out += struct.pack("<H", 0o4321)  # dataset description
-        out += struct.pack("<H", 60)  # transmit energy
-        out += struct.pack("<bb", -3, -6)  # vel scaling, power
-        out += struct.pack("<I", 0)  # spare
-        vel = rng.integers(-20000, 20000, nb * nc).astype("<i2")
-        amp = rng.integers(0, 200, nb * nc).astype("<u1")
-        corr = rng.integers(0, 100, nb * nc).astype("<u1")
-        out += vel.tobytes() + amp.tobytes() + corr.tobytes()
-        record = bytes(out)
+        record, truth = _v2_record(second=0, seed=5, nb=nb, nc=nc)
+        vel = (truth["vel"] * 1e3).astype("<i2").reshape(-1)
         raw = tmp_path / "v2.ad2cp"
         raw.write_bytes(_packet(0x16, record))
         ed = ep.open_raw(raw, sonar_model="AD2CP")
@@ -319,7 +401,7 @@ class TestAd2cpEchosounderRawTransmit:
         np.testing.assert_allclose(bg["backscatter_i"].values[2], truth_rx[2][:, 1], rtol=1e-7)
         # transmit pulse rides its own (shorter) time axis
         assert bg["transmit_pulse_r"].dims == (
-            "ping_time_echosounder_raw_transmit",
+            "ping_time_transmit",
             "transmit_sample",
         )
         assert bg["transmit_pulse_r"].shape == (2, 8)

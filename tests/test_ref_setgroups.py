@@ -313,10 +313,10 @@ class TestSetGroupsAD2CPDifferential:
         groups, ed = ad2cp_pair
         ref_b = groups["beams"][1]
         our_b = ed["Sonar/Beam_group2"]
-        # echosounder_frequency excluded: the reference's cross-packet field
-        # combine zero-fills it for echosounder pings (its slice picks the
-        # field from packets where it is absent); we keep the decoded value
-        for var in ("amplitude", "cell_size", "blanking"):
+        # echosounder_frequency now included: our combine replicates the
+        # reference's cross-packet zero-fill (value from the first packet at
+        # each timestamp), so the full scalar set matches
+        for var in ("amplitude", "cell_size", "blanking", "echosounder_frequency"):
             if var in ref_b.data_vars and var in our_b.data_vars:
                 _cmp(ref_b, our_b, var, rtol=1e-12)
 
@@ -479,3 +479,167 @@ class TestSetGroupsAD2CPVendor:
             assert ref_v[var].dims == our_v[var].dims == ("time1",), var
             assert g.shape == w.shape, var
             np.testing.assert_allclose(g, w, rtol=1e-12, err_msg=var)
+
+
+def _run_ref_ad2cp(raw):
+    """Execute the reference's full AD2CP conversion on the facade."""
+    ref_parse = load_ref("convert/parse_ad2cp")
+    parser = ref_parse.ParseAd2cp(str(raw), storage_options={}, sonar_model="AD2CP")
+    parser.parse_raw()
+    ref_sg = load_ref("convert/set_groups_ad2cp")
+    return ref_sg.SetGroupsAd2cp(
+        parser, input_file=str(raw), xml_path=None, output_path=None,
+        sonar_model="AD2CP", params=dict(CONVERT_PARAMS),
+    )
+
+
+def _is_empty_var(da):
+    return da.dims == () and (
+        da.values is None or (np.asarray(da.values).ndim == 0
+                              and np.asarray(da.values).dtype == object
+                              and np.asarray(da.values).item() is None)
+    )
+
+
+def _cmp_full_group(ref_ds, our_ds, label, skip_vars=()):
+    """Full-structure compare: var/coord SETS, dims name-for-name, values."""
+    assert sorted(ref_ds.data_vars) == sorted(our_ds.data_vars), label
+    assert sorted(ref_ds.coords) == sorted(our_ds.coords), label
+    for var in sorted(ref_ds.data_vars):
+        if var in skip_vars:
+            continue
+        w_da, g_da = ref_ds[var], our_ds[var]
+        if _is_empty_var(w_da):
+            assert _is_empty_var(g_da), f"{label}/{var}: ours not empty"
+            continue
+        assert tuple(w_da.dims) == tuple(g_da.dims), (
+            f"{label}/{var}: {g_da.dims} vs {w_da.dims}"
+        )
+        _cmp(ref_ds, our_ds, var, rtol=1e-12)
+    for coord in sorted(ref_ds.coords):
+        w = np.asarray(ref_ds.coords[coord].values)
+        g = np.asarray(our_ds.coords[coord].values)
+        if w.dtype.kind == "M":
+            w = w.astype("datetime64[ns]")
+            g = g.astype("datetime64[ns]")
+        if w.dtype.kind in ("U", "O", "S"):
+            np.testing.assert_array_equal(
+                g.astype(str), w.astype(str), err_msg=f"{label}/{coord}"
+            )
+        else:
+            np.testing.assert_array_equal(g, w, err_msg=f"{label}/{coord}")
+
+
+class TestAD2CPConfigSweepDifferential:
+    """Randomized AD2CP config sweep through the reference's full conversion
+    (ParseAd2cp -> SetGroupsAd2cp) vs our open_raw: burst records, 3-beam
+    layouts, optional AHRS/altimeter/percentage-good/std-dev blocks, status
+    bitfields, cross-packet ordering, and v2 records — comparing the FULL
+    variable/coord sets (incl. the reference's empty `((), None)` variables)
+    for every group.  This sweep is what surfaced the round-4 optional-field
+    decode fixes (AST floats, AHRS f32, altimeter_raw sizes/scaling)."""
+
+    CONFIGS = [
+        ("burst", dict(average_id=0x15, with_echosounder=False,
+                       record_kw=dict(num_beams=4, num_cells=16))),
+        ("3beam_nocorr", dict(with_echosounder=False,
+                              record_kw=dict(num_beams=3, num_cells=13,
+                                             include_corr=False))),
+        ("ahrs_pg_altraw", dict(with_echosounder=False,
+                                record_kw=dict(with_ahrs=True,
+                                               with_percentage_good=True,
+                                               with_altimeter_raw=True,
+                                               with_altimeter=True,
+                                               status=0xD2345678,
+                                               status0=0x8005))),
+        ("echosounder_first", dict(echosounder_first=True)),
+        ("bottom_track", dict(with_bottom_track=True)),
+    ]
+
+    @pytest.mark.parametrize("name,cfg", CONFIGS, ids=[c[0] for c in CONFIGS])
+    def test_all_groups_match_reference(self, tmp_path, name, cfg):
+        from test_ad2cp import write_ad2cp
+
+        raw = tmp_path / f"{name}.ad2cp"
+        write_ad2cp(str(raw), n_pings=4, **cfg)
+        sg = _run_ref_ad2cp(raw)
+        ref_beams = sg.set_beam()
+        ed = ep.open_raw(str(raw), sonar_model="AD2CP")
+        for i, ref_b in enumerate(ref_beams):
+            _cmp_full_group(ref_b, ed[f"Sonar/Beam_group{i + 1}"], f"{name}/beam{i}")
+        _cmp_full_group(sg.set_env(), ed["Environment"], f"{name}/env")
+        _cmp_full_group(sg.set_platform(), ed["Platform"], f"{name}/platform",
+                        skip_vars=())
+        _cmp_full_group(sg.set_vendor(), ed["Vendor_specific"], f"{name}/vendor",
+                        skip_vars=("altimeter_spare",))
+
+    def test_ast_reference_vendor_crashes_ours_works(self, tmp_path):
+        """Files carrying AST data: the reference's own set_vendor cannot
+        represent the 8-byte altimeter_spare on a single time1 dim and
+        raises from its Dataset construction; our vendor group emits it on
+        ("time1", "spare") and everything else still matches for the
+        non-vendor groups (documented deviation, set_groups_ad2cp.py
+        module docstring)."""
+        from test_ad2cp import write_ad2cp
+
+        raw = tmp_path / "ast.ad2cp"
+        write_ad2cp(str(raw), n_pings=3, with_echosounder=False,
+                    record_kw=dict(with_ast=True, with_std_dev=True))
+        sg = _run_ref_ad2cp(raw)
+        ref_beams = sg.set_beam()
+        ed = ep.open_raw(str(raw), sonar_model="AD2CP")
+        for i, ref_b in enumerate(ref_beams):
+            _cmp_full_group(ref_b, ed[f"Sonar/Beam_group{i + 1}"], f"ast/beam{i}")
+        _cmp_full_group(sg.set_env(), ed["Environment"], "ast/env")
+        with pytest.raises(Exception):
+            sg.set_vendor()
+        our_v = ed["Vendor_specific"]
+        assert our_v["altimeter_spare"].dims == ("time1", "spare")
+        np.testing.assert_array_equal(
+            np.asarray(our_v["altimeter_spare"].values)[0], np.arange(8)
+        )
+        np.testing.assert_allclose(
+            np.asarray(our_v["ast_quality"].values, "f8"), 3.21
+        )
+        np.testing.assert_allclose(
+            np.asarray(our_v["std_dev_roll"].values, "f8"), -0.34
+        )
+
+    def test_v2_file_reference_crashes_ours_works(self, tmp_path):
+        """v2 burst/average records are DEAD CODE in the reference: its
+        ``_read_data`` captures the VERSION3 field iterator before the
+        version postprocess switches ``data_record_format``
+        (parse_ad2cp.py:464-496, 603-607), so the first v2 record raises
+        KeyError at the v3 altimeter predicate and ``parse_raw`` crashes
+        the whole conversion.  Our parser implements the layout the
+        reference's v2 format tables INTEND (parse_ad2cp.py:898-1100),
+        with the optional include flags left absent so the corresponding
+        vendor variables come out EMPTY like the v2 bitfield list implies
+        (:611-619)."""
+        from test_ad2cp import _packet, _string_packet, _v2_record
+
+        raw = tmp_path / "v2.ad2cp"
+        chunks = [_string_packet('GETCLOCKSTR,TIME="2021-04-02 06:30:00"\n')]
+        for p in range(3):
+            rec, _ = _v2_record(second=p, seed=p)
+            chunks.append(_packet(0x16, rec))
+        raw.write_bytes(b"".join(chunks))
+        ref_parse = load_ref("convert/parse_ad2cp")
+        parser = ref_parse.ParseAd2cp(
+            str(raw), storage_options={}, sonar_model="AD2CP"
+        )
+        with pytest.raises(KeyError):
+            parser.parse_raw()
+        ed = ep.open_raw(str(raw), sonar_model="AD2CP")
+        bg = ed["Sonar/Beam_group1"]
+        assert np.asarray(bg["velocity"].values).shape == (3, 4, 12)
+        np.testing.assert_allclose(
+            np.asarray(ed["Environment"]["temperature"].values, "f8"), 8.5
+        )
+        our_v = ed["Vendor_specific"]
+        for var in ("ahrs_data_included", "ast_data_included",
+                    "altimeter_distance", "std_dev_pitch"):
+            assert _is_empty_var(our_v[var]), var
+        # v2 records carry no nominal_correlation / ensemble_counter either
+        assert _is_empty_var(our_v["nominal_correlation"])
+        assert _is_empty_var(our_v["ensemble_counter"])
