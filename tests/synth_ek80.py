@@ -341,3 +341,31 @@ def write_ek80_raw(
     with open(path, "wb") as f:
         f.write(b"".join(chunks))
     return truth
+
+
+def write_ek80_multisector(path, beam_type=17, n_pings=4, n_samples=48, seed=21):
+    """One CW-complex channel with a 3-sector (beam_type 17) or 3+center
+    (49/65/81 -> 4 lanes) transducer; returns the channel id."""
+    n_sectors = 3 if beam_type == 17 else 4
+    ch = "WBT 600100-15 ES333-3S"
+    channels = [{"id": ch, "tcvr_type": "WBT", "frequency": 333000.0,
+                 "pulse_durations": [256e-6, 512e-6, 1024e-6],
+                 "sample_intervals": [8e-6, 16e-6, 32e-6],
+                 "gains": [24.0, 25.0, 26.0], "sas": [0.0, -0.1, -0.2],
+                 "impedance": 5400, "fs": 1500000, "cal_freqs": None,
+                 "beam_type": beam_type}]
+    t0 = np.datetime64("2021-02-01T00:00:00", "ns")
+    chunks = [make_xml0(t0, config_xml(channels)), make_xml0(t0, environment_xml())]
+    chunks.append(make_fil1(t0, ch, 1, np.full(4, 0.25, dtype="c8"), 6))
+    chunks.append(make_fil1(t0, ch, 2, np.full(2, 0.5, dtype="c8"), 1))
+    rng = np.random.default_rng(seed)
+    for p in range(n_pings):
+        ts = t0 + np.timedelta64(p + 1, "s")
+        chunks.append(make_xml0(ts, parameter_xml(
+            ch, 0, frequency=333000.0, sample_interval=32e-6)))
+        cs = (rng.normal(0, 1e-3, (n_samples, n_sectors))
+              + 1j * rng.normal(0, 1e-3, (n_samples, n_sectors))).astype("c8")
+        chunks.append(make_raw3(ts, ch, complex_samples=cs))
+    with open(path, "wb") as f:
+        f.write(b"".join(chunks))
+    return ch

@@ -322,3 +322,42 @@ class TestAddLocationIDXDifferential:
         assert not np.allclose(
             np.asarray(got["latitude"].values), np.asarray(base["latitude"].values)
         )
+
+
+class TestMultiSectorDifferential:
+    """3-sector (beam_type 17) and 3+center (65/81) transducers through the
+    reference's CW-complex calibration AND split-beam angle paths
+    (reference: calibrate/calibrate_ek.py:456-505 prx sector mean;
+    consolidate/split_beam_angle.py:82-103 sector combinations)."""
+
+    @pytest.mark.parametrize("beam_type", [17, 65, 81])
+    def test_sv_and_splitbeam_match_reference(self, tmp_path, beam_type):
+        from synth_ek80 import write_ek80_multisector
+        from test_ref_pipeline import _fake, _sv_delta
+
+        path = tmp_path / f"MS{beam_type}-D20210201-T000000.raw"
+        write_ek80_multisector(path, beam_type=beam_type, n_pings=4, seed=beam_type)
+        ed = ep.open_raw(path, sonar_model="EK80")
+        assert ed["Sonar/Beam_group1"].sizes["beam"] == (3 if beam_type == 17 else 4)
+
+        ref_ek = load_ref("calibrate/calibrate_ek")
+        ref_cal = ref_ek.CalibrateEK80(
+            _fake(ed), env_params=None, cal_params=None,
+            waveform_mode="CW", encode_mode="complex",
+        )
+        ref_sv = ref_cal.compute_Sv()
+        our_sv = ep.calibrate.compute_Sv(
+            ed, waveform_mode="CW", encode_mode="complex", precision="float64"
+        )
+        assert _sv_delta(ref_sv, our_sv) < 1e-9
+
+        ref_c = load_ref("consolidate/api")
+        kw = dict(waveform_mode="CW", encode_mode="complex", to_disk=False)
+        want = ref_c.add_splitbeam_angle(our_sv.copy(), _fake(ed), **kw)
+        got = ep.consolidate.add_splitbeam_angle(our_sv.copy(), ed, **kw)
+        for var in ("angle_alongship", "angle_athwartship"):
+            w = np.asarray(want[var].values, dtype="f8")
+            g = np.asarray(got[var].values, dtype="f8")
+            np.testing.assert_array_equal(np.isnan(g), np.isnan(w))
+            m = ~np.isnan(w)
+            np.testing.assert_allclose(g[m], w[m], rtol=1e-9, atol=1e-10)
