@@ -54,11 +54,15 @@ def bench_nasc(on_tpu):
     n_iter = 100 if on_tpu else 3
 
     def one(sv, er, height, x_rel, r_edges, salt):
+        # salt BOTH kernel inputs: a loop-invariant operand lets XLA's
+        # while-loop invariant code motion hoist that kernel out of the
+        # chained timing loop entirely (caught in round 4 — the height-sum
+        # matmul was being amortized away)
         s, c, nanc = binning.binned_window_partials(
             sv + salt, er, r_edges, x_rel, window, uniform_er=True
         )
         hs = binning.binned_window_sum_raw(
-            height, er, r_edges, x_rel, window, uniform_er=True
+            height + salt, er, r_edges, x_rel, window, uniform_er=True
         )
         return jnp.nansum(s) + jnp.nansum(c) + jnp.nansum(nanc) + jnp.nansum(hs)
 
@@ -166,9 +170,14 @@ def bench_bb_fused(on_tpu):
     n_iter = 30 if on_tpu else 2
 
     def one(bs_r, bs_i, off, salt):
+        # the salt MUST enter the complex samples, not just the Sv offset:
+        # pulse compression depends only on bs_r/bs_i, and with those
+        # loop-invariant XLA hoists the ENTIRE matched filter out of the
+        # fori_loop (caught in round 4 — the published 536k pings/s rate was
+        # measuring an amortized-away PC)
         s, c = bb_chunk_window_partials(
-            bs_r, bs_i, hr, hi, np.float32(1.0), z, dr, shift, alpha,
-            off + salt, k0, vl, x_rel, r_edges, window, True, uniform_er=True,
+            bs_r + salt, bs_i, hr, hi, np.float32(1.0), z, dr, shift, alpha,
+            off, k0, vl, x_rel, r_edges, window, True, uniform_er=True,
         )
         return jnp.nansum(s) + jnp.nansum(c)
 

