@@ -47,38 +47,42 @@ def bench_nasc(on_tpu):
     window, n_r = 8, 50
     rng = np.random.default_rng(0)
     sv = rng.normal(-70.0, 8.0, (C, Pn, R)).astype("f4")
-    er = np.broadcast_to(np.arange(R, dtype="f4") * 0.19, (C, Pn, R)).copy()
-    height = np.where(np.isnan(sv), np.nan, 0.19).astype("f4")
+    # uniform grids: production ships ONE [C, R] depth row per file and the
+    # height sums collapse to a row matmul x per-bin ping counts (round-4
+    # grid variants, ops/binning.py) — no [C, P, R] er/height operands
+    er_row = np.broadcast_to(np.arange(R, dtype="f4") * 0.19, (C, R)).copy()
+    h_row = np.full((C, R - 1), 0.19, dtype="f4")
+    lo_row = np.ascontiguousarray(er_row[:, :-1])
     x_rel = np.minimum(np.arange(Pn) // max(1, Pn // window), window - 1).astype("i4")
     r_edges = np.linspace(0, 0.19 * R, n_r + 1).astype("f4")
     n_iter = 100 if on_tpu else 3
 
-    def one(sv, er, height, x_rel, r_edges, salt):
-        # salt BOTH kernel inputs: a loop-invariant operand lets XLA's
+    def one(sv, er_row, h_row, lo_row, x_rel, r_edges, salt):
+        # salt EVERY kernel input: a loop-invariant operand lets XLA's
         # while-loop invariant code motion hoist that kernel out of the
         # chained timing loop entirely (caught in round 4 — the height-sum
         # matmul was being amortized away)
-        s, c, nanc = binning.binned_window_partials(
-            sv + salt, er, r_edges, x_rel, window, uniform_er=True
+        s, c, nanc = binning.binned_window_partials_grid(
+            sv + salt, er_row, r_edges, x_rel, window
         )
-        hs = binning.binned_window_sum_raw(
-            height + salt, er, r_edges, x_rel, window, uniform_er=True
+        hs = binning.binned_window_row_sum(
+            h_row + salt, lo_row, r_edges, x_rel, window
         )
         return jnp.nansum(s) + jnp.nansum(c) + jnp.nansum(nanc) + jnp.nansum(hs)
 
     @jax.jit
-    def chained(sv, er, height, x_rel, r_edges):
+    def chained(sv, er_row, h_row, lo_row, x_rel, r_edges):
         def body(i, acc):
             salt = 1e-7 * (i.astype(jnp.float32) + acc * 1e-20)
-            return acc + one(sv, er, height, x_rel, r_edges, salt)
+            return acc + one(sv, er_row, h_row, lo_row, x_rel, r_edges, salt)
 
         return jax.lax.fori_loop(0, n_iter, body, jnp.float32(0.0))
 
     dev = jax.devices()[0]
-    args = [jax.device_put(a, dev) for a in (sv, er, height, x_rel, r_edges)]
+    args = [jax.device_put(a, dev) for a in (sv, er_row, h_row, lo_row, x_rel, r_edges)]
     rate = _measure(chained, args, n_iter, 3 if on_tpu else 1, Pn)
     return {
-        "metric": "NASC device program (5ch x 4000 samples, Sv+height binning)",
+        "metric": "NASC device program (5ch x 4000 samples, Sv+height binning, grid variant)",
         "value": round(rate, 1),
         "unit": "pings/sec/chip",
     }

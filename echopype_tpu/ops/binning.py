@@ -33,6 +33,8 @@ __all__ = [
     "binned_sum_partials",
     "banded_x_reduce",
     "binned_window_partials",
+    "binned_window_partials_grid",
+    "binned_window_row_sum",
     "binned_window_sum_raw",
     "windowed_partials_np",
     "windowed_sum_raw_np",
@@ -228,6 +230,62 @@ def binned_window_partials(
     n_r = s1.shape[2]
     stacked = banded_x_reduce(jnp.concatenate([s1, n1, nan1], axis=2), x_rel, n_x_window)
     return stacked[:, :, :n_r], stacked[:, :, n_r : 2 * n_r], stacked[:, :, 2 * n_r :]
+
+
+@partial(jax.jit, static_argnames=("n_x_window", "skipna", "closed"))
+def binned_window_partials_grid(
+    sv_db, er_grid, r_edges, x_rel, n_x_window: int, skipna: bool = True,
+    closed: str = "left",
+):
+    """Uniform-grid variant of :func:`binned_window_partials`.
+
+    er_grid: f32 [C, R] — the ping-invariant range grid (NaN = no bin).
+    Saves the [C, P, R] range-array HBM read AND its host->device transfer:
+    the round-4 NASC/MVBS streamers were shipping er (and for NASC also
+    ddep/dep_lower) at full [C, P, R] resolution per chunk when a [C, R]
+    row determines all of it.  Membership and results are identical to
+    binned_window_partials(..., uniform_er=True) on a broadcast er whose
+    NaN pattern is ping-invariant; Sv-NaN handling is unchanged (the mask
+    comes from sv itself).
+    """
+    lin = jnp.power(10.0, sv_db / 10.0)
+    isnan_sv = jnp.isnan(sv_db)
+    ok = ~isnan_sv & ~jnp.isnan(er_grid)[:, None, :]
+    s1 = _uniform_bin_matmul(jnp.where(ok, lin, 0.0), er_grid, r_edges, closed)
+    n1 = _uniform_bin_matmul(ok.astype(jnp.float32), er_grid, r_edges, closed)
+    if skipna:
+        nan1 = jnp.zeros_like(n1)
+    else:
+        nan1 = _uniform_bin_matmul(
+            (isnan_sv & ~jnp.isnan(er_grid)[:, None, :]).astype(jnp.float32),
+            er_grid, r_edges, closed,
+        )
+    n_r = s1.shape[2]
+    stacked = banded_x_reduce(jnp.concatenate([s1, n1, nan1], axis=2), x_rel, n_x_window)
+    return stacked[:, :, :n_r], stacked[:, :, n_r : 2 * n_r], stacked[:, :, 2 * n_r :]
+
+
+@partial(jax.jit, static_argnames=("n_x_window", "closed"))
+def binned_window_row_sum(values_row, er_row, r_edges, x_rel, n_x_window: int,
+                          closed: str = "left"):
+    """Ping-invariant raw bin sums x per-bin ping counts.
+
+    values_row / er_row: f32 [C, R] one row shared by every ping (the NASC
+    height integrand ddep on a uniform depth grid).  The per-ping sum is
+    the same [C, n_r] row, so the window reduction collapses to that row
+    times the number of pings in each window bin (from x_rel; padded pings
+    parked at id >= n_x_window drop out) — O(C*R*n_r) instead of
+    O(C*P*R*n_r), and no [C, P, R] operand at all.
+    """
+    ok = ~jnp.isnan(values_row) & ~jnp.isnan(er_row)
+    s_row = _uniform_bin_matmul(
+        jnp.where(ok, values_row, 0.0)[:, None, :], er_row, r_edges, closed
+    )[:, 0, :]  # [C, n_r]
+    ids = jnp.arange(n_x_window, dtype=x_rel.dtype)
+    ping_counts = jnp.sum(
+        (x_rel[None, :] == ids[:, None]).astype(jnp.float32), axis=1
+    )  # [n_x_window]
+    return s_row[:, None, :] * ping_counts[None, :, None]
 
 
 @partial(jax.jit, static_argnames=("n_x_window", "closed", "uniform_er"))

@@ -424,8 +424,16 @@ def run_survey_mvbs(
         )
 
     fd = _resolve_freq_diff(freq_diff, chans, freq_nom)
+    masked = _fd_mask_jit(fd) if fd is not None else None
     if fd is not None:
         step = _fd_masked_step(step, fd)
+
+    def grid_step(sv, row, re, xr):
+        # uniform-grid fast path: one [C, R] range row per file instead of a
+        # [C, P, R] er operand per chunk (ops/binning.py grid variants)
+        if masked is not None:
+            sv = masked(sv)
+        return binning.binned_window_partials_grid(sv, row, re, xr, window)
 
     acc = _PartialAccumulator(len(chans), n_x, n_r, window, timer)
     r_edges_f4 = range_edges.astype("f4")
@@ -440,6 +448,16 @@ def run_survey_mvbs(
         er_all = np.asarray(ds[range_var].values, dtype="f4")
         if er_all.shape != sv_all.shape:
             er_all = np.broadcast_to(er_all, sv_all.shape)
+        use_grid = uniform and mesh is None
+        if use_grid:
+            import warnings as _warnings
+
+            with _warnings.catch_warnings():
+                _warnings.simplefilter("ignore", category=RuntimeWarning)
+                er_row = np.nanmax(er_all, axis=1)  # [C, R]
+            # per-ping NaN holes the row can't represent: keep the full path
+            if np.any(np.isnan(er_all) & ~np.isnan(er_row)[:, None, :]):
+                use_grid = False
         n_ping = sv_all.shape[1]
         for lo in range(0, n_ping, chunk_pings):
             hi = min(lo + chunk_pings, n_ping)
@@ -447,18 +465,22 @@ def run_survey_mvbs(
             x_base = int(x_idx_all[lo])
             with timer.stage("device_binning"):
                 sv_chunk = sv_all[:, lo:hi]
-                er_chunk = er_all[:, lo:hi]
                 x_rel = x_idx_all[lo:hi] - x_base
                 if pad:
                     # padded pings: NaN data parked past the bin window
                     sv_chunk = np.pad(
                         sv_chunk, ((0, 0), (0, pad), (0, 0)), constant_values=np.nan
                     )
-                    er_chunk = np.pad(
-                        er_chunk, ((0, 0), (0, pad), (0, 0)), constant_values=np.nan
-                    )
                     x_rel = np.pad(x_rel, (0, pad), constant_values=window)
-                s, c, _ = step(sv_chunk, er_chunk, r_edges_f4, x_rel.astype("i4"))
+                if use_grid:
+                    s, c, _ = grid_step(sv_chunk, er_row, r_edges_f4, x_rel.astype("i4"))
+                else:
+                    er_chunk = er_all[:, lo:hi]
+                    if pad:
+                        er_chunk = np.pad(
+                            er_chunk, ((0, 0), (0, pad), (0, 0)), constant_values=np.nan
+                        )
+                    s, c, _ = step(sv_chunk, er_chunk, r_edges_f4, x_rel.astype("i4"))
             acc.push(s, c, x_base)
     sums, counts = acc.finish()
 
@@ -615,6 +637,24 @@ def run_survey_nasc(
         )
         sv_all, depth_b = _orient_range_axis(sv_all, depth_b)
         depth_f4 = np.ascontiguousarray(depth_b, dtype="f4")
+        # uniform grids (the instrument norm): ship ONE [C, R] depth row per
+        # file instead of [C, P, R] depth + ddep + dep_lower per chunk — 4x
+        # less transfer/HBM traffic, and the height sums collapse to a row
+        # matmul times per-bin ping counts (ops/binning.py grid variants)
+        use_grid = uniform and mesh is None
+        if use_grid:
+            import warnings as _warnings
+
+            with _warnings.catch_warnings():
+                _warnings.simplefilter("ignore", category=RuntimeWarning)
+                depth_row = np.nanmax(depth_f4, axis=1)  # [C, R]
+            # a ping with NaN depth where the grid row has a value (per-ping
+            # holes) cannot be represented by the row — keep the full path
+            if np.any(np.isnan(depth_f4) & ~np.isnan(depth_row)[:, None, :]):
+                use_grid = False
+            else:
+                ddep_row = np.diff(depth_row, axis=1)
+                dep_lower_row = np.ascontiguousarray(depth_row[:, :-1])
         pt_i8 = np.asarray(
             ds.coords["ping_time"].values, dtype="datetime64[ns]"
         ).astype("i8")
@@ -625,25 +665,39 @@ def run_survey_nasc(
             x_base = int(x_idx_all[lo])
             with timer.stage("device_binning"):
                 sv_chunk = sv_all[:, lo:hi]
-                dep_chunk = depth_f4[:, lo:hi]
-                ddep = np.diff(dep_chunk, axis=2)
-                dep_lower = dep_chunk[:, :, :-1]
                 x_rel = x_idx_all[lo:hi] - x_base
                 if pad:
                     sv_chunk = np.pad(
                         sv_chunk, ((0, 0), (0, pad), (0, 0)), constant_values=np.nan
                     )
-                    dep_chunk = np.pad(
-                        dep_chunk, ((0, 0), (0, pad), (0, 0)), constant_values=np.nan
-                    )
-                    ddep = np.pad(ddep, ((0, 0), (0, pad), (0, 0)), constant_values=np.nan)
-                    dep_lower = np.pad(
-                        dep_lower, ((0, 0), (0, pad), (0, 0)), constant_values=np.nan
-                    )
                     x_rel = np.pad(x_rel, (0, pad), constant_values=window)
+                if not use_grid:
+                    dep_chunk = depth_f4[:, lo:hi]
+                    ddep = np.diff(dep_chunk, axis=2)
+                    dep_lower = dep_chunk[:, :, :-1]
+                    if pad:
+                        dep_chunk = np.pad(
+                            dep_chunk, ((0, 0), (0, pad), (0, 0)), constant_values=np.nan
+                        )
+                        ddep = np.pad(
+                            ddep, ((0, 0), (0, pad), (0, 0)), constant_values=np.nan
+                        )
+                        dep_lower = np.pad(
+                            dep_lower, ((0, 0), (0, pad), (0, 0)), constant_values=np.nan
+                        )
                 x_rel = x_rel.astype("i4")
-                s, c, nc = step_sv(sv_chunk, dep_chunk, d_edges_f4, x_rel)
-                h = step_h(ddep, dep_lower, d_edges_f4, x_rel)
+                if use_grid:
+                    s, c, nc = binning.binned_window_partials_grid(
+                        sv_chunk, depth_row, d_edges_f4, x_rel, window,
+                        skipna=bool(skipna), closed=closed,
+                    )
+                    h = binning.binned_window_row_sum(
+                        ddep_row, dep_lower_row, d_edges_f4, x_rel, window,
+                        closed=closed,
+                    )
+                else:
+                    s, c, nc = step_sv(sv_chunk, dep_chunk, d_edges_f4, x_rel)
+                    h = step_h(ddep, dep_lower, d_edges_f4, x_rel)
             with timer.stage("accumulate"):
                 w_eff = min(window, n_x - x_base)
                 sums[:, x_base : x_base + w_eff] += np.asarray(s, dtype="f8")[:, :w_eff]
