@@ -711,6 +711,63 @@ def sharded_binned_sum_raw(
     return jax.jit(mapped)
 
 
+def sharded_binned_partials_grid(
+    mesh: Mesh, n_x_window: int, skipna: bool = True, closed: str = "left"
+):
+    """Multi-chip partial bin sums with a ping-invariant [C, R] range row.
+
+    fn(sv_db, er_row, r_edges, x_rel) — the uniform-grid fast path
+    (ops/binning.binned_window_partials_grid): the range row is channel-
+    sharded and replicated across ping shards, so no [C, P, R] er block
+    ever moves to the mesh.
+    """
+    from ..ops import binning
+
+    def step(sv_db, er_row, r_edges, x_rel):
+        sums, counts, nan_counts = binning.binned_window_partials_grid(
+            sv_db, er_row, r_edges, x_rel, n_x_window, skipna=skipna, closed=closed
+        )
+        return (
+            jax.lax.psum(sums, axis_name="ping"),
+            jax.lax.psum(counts, axis_name="ping"),
+            jax.lax.psum(nan_counts, axis_name="ping"),
+        )
+
+    out = P("channel", None, None)
+    mapped = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P("channel", "ping", None), P("channel", None), P(None), P("ping")),
+        out_specs=(out, out, out),
+    )
+    return jax.jit(mapped)
+
+
+def sharded_binned_row_sum(mesh: Mesh, n_x_window: int, closed: str = "left"):
+    """Multi-chip ping-invariant raw bin sums (NASC height numerator).
+
+    fn(values_row, er_row, r_edges, x_rel) -> [C, n_x_window, n_r]: each
+    ping shard scales the shared [C, n_r] row by its own per-bin ping
+    counts (from its x_rel slice); one psum over the ping axis makes the
+    global counts — exactly the factorized form of the full-resolution sum.
+    """
+    from ..ops import binning
+
+    def step(values_row, er_row, r_edges, x_rel):
+        s = binning.binned_window_row_sum(
+            values_row, er_row, r_edges, x_rel, n_x_window, closed=closed
+        )
+        return jax.lax.psum(s, axis_name="ping")
+
+    mapped = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P("channel", None), P("channel", None), P(None), P("ping")),
+        out_specs=P("channel", None, None),
+    )
+    return jax.jit(mapped)
+
+
 def survey_pipeline_step(mesh: Mesh, n_x: int, n_r: int, with_sv: bool = True):
     """One full survey-processing step on the given mesh (2- or 3-axis)."""
     if "range" in mesh.axis_names:

@@ -415,12 +415,16 @@ def run_survey_mvbs(
     # f32 prefix cancellation otherwise)
     uniform = all(uniform_flags)
     if mesh is not None:
-        from .pipeline import sharded_binned_partials
+        from .pipeline import sharded_binned_partials, sharded_binned_partials_grid
 
         step = sharded_binned_partials(mesh, window, uniform_er=uniform)
+        _grid_fn = sharded_binned_partials_grid(mesh, window)
     else:
         step = lambda sv, er, re, xr: binning.binned_window_partials(  # noqa: E731
             sv, er, re, xr, window, uniform_er=uniform
+        )
+        _grid_fn = lambda sv, row, re, xr: binning.binned_window_partials_grid(  # noqa: E731
+            sv, row, re, xr, window
         )
 
     fd = _resolve_freq_diff(freq_diff, chans, freq_nom)
@@ -430,10 +434,11 @@ def run_survey_mvbs(
 
     def grid_step(sv, row, re, xr):
         # uniform-grid fast path: one [C, R] range row per file instead of a
-        # [C, P, R] er operand per chunk (ops/binning.py grid variants)
+        # [C, P, R] er operand per chunk (ops/binning.py grid variants;
+        # sharded twin on the mesh)
         if masked is not None:
             sv = masked(sv)
-        return binning.binned_window_partials_grid(sv, row, re, xr, window)
+        return _grid_fn(sv, row, re, xr)
 
     acc = _PartialAccumulator(len(chans), n_x, n_r, window, timer)
     r_edges_f4 = range_edges.astype("f4")
@@ -448,7 +453,7 @@ def run_survey_mvbs(
         er_all = np.asarray(ds[range_var].values, dtype="f4")
         if er_all.shape != sv_all.shape:
             er_all = np.broadcast_to(er_all, sv_all.shape)
-        use_grid = uniform and mesh is None
+        use_grid = uniform
         if use_grid:
             import warnings as _warnings
 
@@ -594,12 +599,21 @@ def run_survey_nasc(
 
     uniform = all(binning.er_is_uniform(d) for d in depth_all)
     if mesh is not None:
-        from .pipeline import sharded_binned_partials, sharded_binned_sum_raw
+        from .pipeline import (
+            sharded_binned_partials,
+            sharded_binned_partials_grid,
+            sharded_binned_row_sum,
+            sharded_binned_sum_raw,
+        )
 
         step_sv = sharded_binned_partials(
             mesh, window, skipna=bool(skipna), closed=closed, uniform_er=uniform
         )
         step_h = sharded_binned_sum_raw(mesh, window, closed=closed, uniform_er=uniform)
+        grid_sv_fn = sharded_binned_partials_grid(
+            mesh, window, skipna=bool(skipna), closed=closed
+        )
+        grid_h_fn = sharded_binned_row_sum(mesh, window, closed=closed)
     else:
         step_sv = lambda sv, er, re, xr: binning.binned_window_partials(  # noqa: E731
             sv, er, re, xr, window, skipna=bool(skipna), closed=closed,
@@ -607,6 +621,12 @@ def run_survey_nasc(
         )
         step_h = lambda v, er, re, xr: binning.binned_window_sum_raw(  # noqa: E731
             v, er, re, xr, window, closed=closed, uniform_er=uniform
+        )
+        grid_sv_fn = lambda sv, row, re, xr: binning.binned_window_partials_grid(  # noqa: E731
+            sv, row, re, xr, window, skipna=bool(skipna), closed=closed
+        )
+        grid_h_fn = lambda v, row, re, xr: binning.binned_window_row_sum(  # noqa: E731
+            v, row, re, xr, window, closed=closed
         )
 
     C = len(chans)
@@ -640,8 +660,9 @@ def run_survey_nasc(
         # uniform grids (the instrument norm): ship ONE [C, R] depth row per
         # file instead of [C, P, R] depth + ddep + dep_lower per chunk — 4x
         # less transfer/HBM traffic, and the height sums collapse to a row
-        # matmul times per-bin ping counts (ops/binning.py grid variants)
-        use_grid = uniform and mesh is None
+        # matmul times per-bin ping counts (ops/binning.py grid variants;
+        # sharded twins in parallel/pipeline.py for the mesh path)
+        use_grid = uniform
         if use_grid:
             import warnings as _warnings
 
@@ -687,14 +708,8 @@ def run_survey_nasc(
                         )
                 x_rel = x_rel.astype("i4")
                 if use_grid:
-                    s, c, nc = binning.binned_window_partials_grid(
-                        sv_chunk, depth_row, d_edges_f4, x_rel, window,
-                        skipna=bool(skipna), closed=closed,
-                    )
-                    h = binning.binned_window_row_sum(
-                        ddep_row, dep_lower_row, d_edges_f4, x_rel, window,
-                        closed=closed,
-                    )
+                    s, c, nc = grid_sv_fn(sv_chunk, depth_row, d_edges_f4, x_rel)
+                    h = grid_h_fn(ddep_row, dep_lower_row, d_edges_f4, x_rel)
                 else:
                     s, c, nc = step_sv(sv_chunk, dep_chunk, d_edges_f4, x_rel)
                     h = step_h(ddep, dep_lower, d_edges_f4, x_rel)
