@@ -238,3 +238,102 @@ class TestDownstreamRepairs:
         assert not ep.qc.exist_reversed_time(repaired, "ping_time")
         out = run_survey_mvbs([good, repaired], range_bin_m=8.0, ping_time_bin="5s")
         assert np.isfinite(out["Sv"].values).any()
+
+
+class TestIgnoredDatagramTypes:
+    """TAG0 (annotations), DEP0 (sounder-detected depths), and a CON1
+    (ME70 extra config) datagram interleaved in an EK60 stream: the
+    reference's _read_datagrams just logs and ignores TAG/DEP
+    (parse_base.py:632-655) and stashes CON1 unused (:385-390); conversion
+    must be identical to the clean file, for the reference pipeline and
+    for ours."""
+
+    @staticmethod
+    def _tag0(ts):
+        from synth_ek60 import dt64_to_nt, frame
+
+        low, high = dt64_to_nt(ts)
+        return frame(
+            struct.pack("<4sLL", b"TAG0", low, high) + b"survey mark alpha\x00"
+        )
+
+    @staticmethod
+    def _dep0(ts, n=2):
+        from synth_ek60 import dt64_to_nt, frame
+
+        low, high = dt64_to_nt(ts)
+        body = struct.pack("<4sLLL", b"DEP0", low, high, n)
+        for i in range(n):
+            body += struct.pack("<3f", 100.0 + i, -30.0, 0.0)
+        return frame(body)
+
+    @staticmethod
+    def _con1(ts):
+        from synth_ek60 import dt64_to_nt, frame
+
+        low, high = dt64_to_nt(ts)
+        return frame(struct.pack("<4sLL", b"CON1", low, high) + b"<me70/>\x00")
+
+    def test_conversion_unaffected(self, tmp_path):
+        clean = tmp_path / "CL-D20200101-T000000.raw"
+        write_ek60_raw(clean, n_pings=8, n_samples=30)
+        buf = clean.read_bytes()
+
+        first_end = _nth_dgram_offset(buf, 1)
+        mid = _nth_dgram_offset(buf, 6)
+        ts = np.datetime64("2020-01-01T00:00:03", "ns")
+        # TAG0 + DEP0 splice: reference log-and-ignores these
+        tagdep = buf[:mid] + self._tag0(ts) + self._dep0(ts) + buf[mid:]
+        dirty = tmp_path / "TD-D20200101-T000000.raw"
+        dirty.write_bytes(tagdep)
+
+        # the reference pipeline parses both files identically
+        ref_parse = load_ref("convert/parse_ek60")
+        outs = []
+        for p in (clean, dirty):
+            parser = ref_parse.ParseEK60(str(p), storage_options={}, sonar_model="EK60")
+            parser.parse_raw()
+            parser.rectangularize_data(use_swap=False)
+            outs.append(parser.ping_data_dict["power"])
+        for ch in outs[0]:
+            np.testing.assert_array_equal(outs[0][ch], outs[1][ch])
+
+        # ours: TAG0 + DEP0 + an ME70 CON1 right after CON0 all ignored,
+        # conversion identical to the clean file
+        spliced = (
+            buf[:first_end] + self._con1(ts) + buf[first_end:mid]
+            + self._tag0(ts) + self._dep0(ts) + buf[mid:]
+        )
+        dirty_all = tmp_path / "DI-D20200101-T000000.raw"
+        dirty_all.write_bytes(spliced)
+        ed_c = ep.open_raw(str(clean), sonar_model="EK60")
+        ed_d = ep.open_raw(str(dirty_all), sonar_model="EK60")
+        for var in ("backscatter_r", "frequency_nominal"):
+            np.testing.assert_array_equal(
+                np.asarray(ed_c["Sonar/Beam_group1"][var].values),
+                np.asarray(ed_d["Sonar/Beam_group1"][var].values),
+            )
+        np.testing.assert_array_equal(
+            np.asarray(ed_c["Sonar/Beam_group1"].coords["ping_time"].values),
+            np.asarray(ed_d["Sonar/Beam_group1"].coords["ping_time"].values),
+        )
+
+    def test_reference_con1_parser_crashes(self, tmp_path):
+        """The reference cannot actually read an ME70 CON1 datagram on
+        Python 3: its version-1 branch calls ``raw_string.strip("\\x00")``
+        on bytes (ek_raw_parsers.py:1499 TypeError).  Pinned here so the
+        deviation (we skip CON1 cleanly; nothing consumes it in the
+        reference either, parse_base.py:385-390) stays documented."""
+        clean = tmp_path / "C1-D20200101-T000000.raw"
+        write_ek60_raw(clean, n_pings=3, n_samples=20)
+        buf = clean.read_bytes()
+        first_end = _nth_dgram_offset(buf, 1)
+        ts = np.datetime64("2020-01-01T00:00:01", "ns")
+        dirty = tmp_path / "C2-D20200101-T000000.raw"
+        dirty.write_bytes(buf[:first_end] + self._con1(ts) + buf[first_end:])
+        ref_parse = load_ref("convert/parse_ek60")
+        parser = ref_parse.ParseEK60(str(dirty), storage_options={}, sonar_model="EK60")
+        with pytest.raises(TypeError):
+            parser.parse_raw()
+        # ours converts it fine (previous test asserts value parity)
+        ep.open_raw(str(dirty), sonar_model="EK60")
