@@ -59,6 +59,13 @@ def _interp1d(x_old, y_old, x_new, method: str, extrapolate: bool) -> np.ndarray
     """1-D interpolation matching xarray's scipy delegation (NaN-propagating,
     NaN fill outside the source range unless extrapolating)."""
     if method == "linear" and not extrapolate:
+        # scipy interp1d (the reference's delegate) sorts via
+        # assume_sorted=False; np.interp silently mis-interpolates on
+        # unsorted x (real NMEA time1 streams can be out of order)
+        x_old = np.asarray(x_old, dtype="f8")
+        y_old = np.asarray(y_old, dtype="f8")
+        order = np.argsort(x_old, kind="stable")
+        x_old, y_old = x_old[order], y_old[order]
         out = np.interp(x_new, x_old, y_old)
         out = np.where((x_new < x_old[0]) | (x_new > x_old[-1]), np.nan, out)
         return out

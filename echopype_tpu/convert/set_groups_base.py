@@ -206,9 +206,9 @@ class SetGroupsBase:
         if not missing:
             return time_data
         pt = getattr(self.parser_obj, "ping_time", None)
-        if isinstance(pt, dict) and pt:
+        if isinstance(pt, dict) and any(len(v) for v in pt.values()):
             first = min(np.asarray(v)[0] for v in pt.values() if len(v))
-        elif pt is not None and len(pt):
+        elif pt is not None and not isinstance(pt, dict) and len(pt):
             first = np.asarray(pt)[0]
         else:
             return np.array(["NaT"], dtype="datetime64[ns]")

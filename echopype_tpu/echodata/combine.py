@@ -148,8 +148,17 @@ def _check_echodata_channels(echodata_list, user_channel_selection=None):
     )
     for ed_group in first.group_paths:
         if "channel" in first[ed_group].dims:
-            all_chan_list = [list(ed[ed_group].coords["channel"].values) for ed in echodata_list]
-            for ed, chans in zip(echodata_list, all_chan_list):
+            # tolerate inputs lacking this group (the reference's EchoData
+            # returns None there and its combine crashes on it; our _combine
+            # deliberately supports differing-group inputs, so the check
+            # covers only the eds that carry the group)
+            pairs = [
+                (ed, list(ds.coords["channel"].values))
+                for ed, ds in ((ed, ed.get(ed_group)) for ed in echodata_list)
+                if ds is not None
+            ]
+            all_chan_list = [chans for _, chans in pairs]
+            for ed, chans in pairs:
                 if len(set(chans)) != len(chans):
                     src = ed["Provenance"]["source_filenames"].values
                     raise RuntimeError(

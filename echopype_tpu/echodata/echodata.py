@@ -281,8 +281,9 @@ class EchoData:
             if ext_name not in extra_platform_data:
                 continue
             ext = extra_platform_data[ext_name]
-            vals = np.asarray(ext.values, dtype="f8" if ext.dtype.kind in "fi" else ext.dtype)
-            if ext.dtype.kind in "fi" and np.isnan(np.asarray(vals, dtype="f8")).all():
+            if ext.dtype.kind in "fi" and np.isnan(
+                np.asarray(ext.values, dtype="f8")
+            ).all():
                 continue
             time_dim = ext.dims[0] if ext.dims else "scalar"
             mappings_expanded[plat_name] = dict(

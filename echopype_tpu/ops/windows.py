@@ -431,15 +431,23 @@ def grid_window_halo(grid, depth_bin) -> int:
     g2 = _np.atleast_2d(_np.asarray(grid, dtype="f8"))
     extent = 0
     for row in g2:
-        finite = row[_np.isfinite(row)]
+        raw_idx = _np.nonzero(_np.isfinite(row))[0]
+        finite = row[raw_idx]
         if finite.size < 2:
             continue
         if (_np.diff(finite) < 0).any():
             return 0  # not monotone: only the dense band is correct
         hi = _np.searchsorted(finite, finite + float(depth_bin), side="right")
         lo = _np.searchsorted(finite, finite - float(depth_bin), side="left")
-        idx = _np.arange(finite.size)
-        extent = max(extent, int((hi - 1 - idx).max()), int((idx - lo).max()))
+        # extents in RAW sample indices: interior NaN holes make raw
+        # distances exceed compacted ones, and the pooling kernels band
+        # over raw positions (an underestimated halo silently drops
+        # in-window members)
+        extent = max(
+            extent,
+            int((raw_idx[hi - 1] - raw_idx).max()),
+            int((raw_idx - raw_idx[lo]).max()),
+        )
     if extent == 0:
         return 0
     return int(2 ** _np.ceil(_np.log2(extent + 1)))

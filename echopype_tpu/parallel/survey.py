@@ -300,10 +300,29 @@ def _fd_mask_jit(fd):
     return _masked
 
 
-def _fd_masked_step(step, fd):
-    """Wrap a binning step so the fd mask applies on device before bins."""
-    masked = _fd_mask_jit(fd)
+def _fd_masked_step(step, fd, masked=None):
+    """Wrap a binning step so the fd mask applies on device before bins.
+
+    Pass an already-built ``masked`` fn to share one jit cache entry when
+    the caller also applies the mask elsewhere (e.g. the grid fast path)."""
+    if masked is None:
+        masked = _fd_mask_jit(fd)
     return lambda sv, er, re, xr: step(masked(sv), er, re, xr)
+
+
+def _uniform_grid_row(arr):
+    """Ping-invariant [C, P, R] range operand -> ([C, R] row, ok).
+
+    ok is False when some ping has a NaN hole where the row is finite
+    (per-ping holes the row cannot represent) — callers keep the full
+    per-ping path then."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", category=RuntimeWarning)
+        row = np.nanmax(arr, axis=1)  # [C, R]
+    ok = not np.any(np.isnan(arr) & ~np.isnan(row)[:, None, :])
+    return row, ok
 
 
 def run_survey_mvbs(
@@ -430,7 +449,7 @@ def run_survey_mvbs(
     fd = _resolve_freq_diff(freq_diff, chans, freq_nom)
     masked = _fd_mask_jit(fd) if fd is not None else None
     if fd is not None:
-        step = _fd_masked_step(step, fd)
+        step = _fd_masked_step(step, fd, masked=masked)
 
     def grid_step(sv, row, re, xr):
         # uniform-grid fast path: one [C, R] range row per file instead of a
@@ -455,14 +474,7 @@ def run_survey_mvbs(
             er_all = np.broadcast_to(er_all, sv_all.shape)
         use_grid = uniform
         if use_grid:
-            import warnings as _warnings
-
-            with _warnings.catch_warnings():
-                _warnings.simplefilter("ignore", category=RuntimeWarning)
-                er_row = np.nanmax(er_all, axis=1)  # [C, R]
-            # per-ping NaN holes the row can't represent: keep the full path
-            if np.any(np.isnan(er_all) & ~np.isnan(er_row)[:, None, :]):
-                use_grid = False
+            er_row, use_grid = _uniform_grid_row(er_all)
         n_ping = sv_all.shape[1]
         for lo in range(0, n_ping, chunk_pings):
             hi = min(lo + chunk_pings, n_ping)
@@ -664,16 +676,8 @@ def run_survey_nasc(
         # sharded twins in parallel/pipeline.py for the mesh path)
         use_grid = uniform
         if use_grid:
-            import warnings as _warnings
-
-            with _warnings.catch_warnings():
-                _warnings.simplefilter("ignore", category=RuntimeWarning)
-                depth_row = np.nanmax(depth_f4, axis=1)  # [C, R]
-            # a ping with NaN depth where the grid row has a value (per-ping
-            # holes) cannot be represented by the row — keep the full path
-            if np.any(np.isnan(depth_f4) & ~np.isnan(depth_row)[:, None, :]):
-                use_grid = False
-            else:
+            depth_row, use_grid = _uniform_grid_row(depth_f4)
+            if use_grid:
                 ddep_row = np.diff(depth_row, axis=1)
                 dep_lower_row = np.ascontiguousarray(depth_row[:, :-1])
         pt_i8 = np.asarray(

@@ -106,20 +106,28 @@ def _create_var(grp, name: str, arr: np.ndarray, attrs: dict, compress: bool):
     return ds
 
 
-def _write_group(grp, ds_obj, compress: bool):
-    """Write one Dataset into an open h5py group with netCDF4 dimensions."""
+def _write_group(grp, ds_obj, compress: bool, encoding: dict = None):
+    """Write one Dataset into an open h5py group with netCDF4 dimensions.
+
+    ``encoding`` is xarray's per-variable dict (``{var: {units, calendar,
+    dtype, ...}}``); it overrides each variable's own ``.encoding`` for CF
+    time fields (the zarr writer honors the same keys)."""
     _set_attrs(grp, ds_obj.attrs)
+    encoding = encoding or {}
+
+    def _enc_for(name, var):
+        return {**(getattr(var, "encoding", None) or {}), **encoding.get(name, {})}
 
     # encode all arrays up front so dim sizes reflect the stored shapes
     entries = {}  # name -> (encoded array, dims, attrs)
     coord_names = list(ds_obj.coords)
     for name, c in ds_obj.coords.items():
         arr = coding.sanitize_dtypes(np.asarray(c.values))
-        arr, extra = coding.encode_array(arr)
+        arr, extra = coding.encode_array_with(arr, _enc_for(name, c))
         entries[name] = (arr, tuple(c.dims), {**extra, **(c.attrs or {})})
     for name, v in ds_obj.data_vars.items():
         arr = coding.sanitize_dtypes(np.asarray(v.values))
-        arr, extra = coding.encode_array(arr)
+        arr, extra = coding.encode_array_with(arr, _enc_for(name, v))
         attrs = {**extra, **(v.attrs or {})}
         cstr = " ".join(
             cn for cn in coord_names if set(ds_obj.coords[cn].dims) <= set(v.dims)
@@ -162,7 +170,7 @@ def _write_group(grp, ds_obj, compress: bool):
 
 
 def write_tree(path, tree: dict, compress=True, overwrite=False, storage_options=None,
-               append=False):
+               append=False, encoding=None):
     """Write {group_path: Dataset} as one netCDF4 (HDF5) file.
 
     ``append=True`` opens an existing file and adds/updates the given groups
@@ -187,7 +195,8 @@ def write_tree(path, tree: dict, compress=True, overwrite=False, storage_options
         with tempfile.NamedTemporaryFile(suffix=".nc") as tmp:
             if append and exists:
                 fs.get_file(paths[0], tmp.name)
-            _write_tree_local(tmp.name, tree, compress, append=append and exists)
+            _write_tree_local(tmp.name, tree, compress, append=append and exists,
+                              encoding=encoding)
             if exists:
                 fs.rm(paths[0])
             fs.put_file(tmp.name, paths[0])
@@ -199,19 +208,19 @@ def write_tree(path, tree: dict, compress=True, overwrite=False, storage_options
             raise FileExistsError(f"{path} exists; pass overwrite=True")
         p.unlink()
     p.parent.mkdir(parents=True, exist_ok=True)
-    _write_tree_local(p, tree, compress, append=append and p.exists())
+    _write_tree_local(p, tree, compress, append=append and p.exists(), encoding=encoding)
     return str(p)
 
 
-def _write_tree_local(p, tree: dict, compress: bool, append: bool = False):
+def _write_tree_local(p, tree: dict, compress: bool, append: bool = False, encoding=None):
     with h5py.File(p, "a" if append else "w") as f:
         f.attrs["_NCProperties"] = np.bytes_("version=2,echopype_tpu=1")
         for gpath, ds_obj in tree.items():
             if gpath in ("Top-level", "/", ""):
-                _write_group(f, ds_obj, compress)
+                _write_group(f, ds_obj, compress, encoding=encoding)
                 continue
             grp = f.require_group(gpath)
-            _write_group(grp, ds_obj, compress)
+            _write_group(grp, ds_obj, compress, encoding=encoding)
 
 
 # ------------------------------------------------------------------- reading

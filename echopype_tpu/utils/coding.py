@@ -62,6 +62,22 @@ def encode_array(arr: np.ndarray):
     return arr, {}
 
 
+def encode_array_with(arr: np.ndarray, enc: dict):
+    """``encode_array`` honoring a CF time encoding (units/calendar/dtype)
+    when one is present — xarray's per-variable ``encoding=`` semantics for
+    to_zarr/to_netcdf.  Non-time variables and empty encodings fall through
+    to the default encoding rules."""
+    units = (enc or {}).get("units")
+    if units and np.issubdtype(np.asarray(arr).dtype, np.datetime64):
+        from ..xrlite.xarray_compat import _make_coding_module
+
+        times = _make_coding_module().times
+        num, units, calendar = times.encode_cf_datetime(arr, units, enc.get("calendar"))
+        dtype = (enc or {}).get("dtype", "int64")
+        return np.asarray(num, dtype=dtype), {"units": units, "calendar": calendar}
+    return encode_array(arr)
+
+
 def decode_array(arr: np.ndarray, attrs: dict):
     """Invert encode_array using CF-ish time attrs."""
     units = attrs.get("units", "")

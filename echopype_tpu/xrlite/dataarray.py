@@ -139,7 +139,7 @@ class DataArray:
     name : str, optional
     """
 
-    __slots__ = ("values", "dims", "_coords", "_attrs", "name", "_encoding")
+    __slots__ = ("values", "dims", "_coords", "_attrs", "name", "_encoding", "_writethrough")
 
     @property
     def attrs(self):
@@ -159,8 +159,13 @@ class DataArray:
         if cur is None:
             object.__setattr__(self, "_attrs", dict(value) if value else {})
         else:
+            # snapshot BEFORE clearing: value may alias cur (e.g.
+            # ``da.attrs = da.attrs`` or attrs copied between two wrappers
+            # sharing one stored dict) — clear-then-update from the alias
+            # would silently erase everything
+            value = dict(value or {})
             cur.clear()
-            cur.update(value or {})
+            cur.update(value)
 
     @property
     def coords(self):
@@ -267,6 +272,9 @@ class DataArray:
         # underlying Variable; the reference relies on this in
         # utils/coding.py:158)
         enc = self.encoding
+        # snapshot first: value may alias enc (self-assignment through a
+        # sharing wrapper) — clear-then-update would wipe it
+        value = dict(value or {})
         enc.clear()
         enc.update(value)
 
@@ -280,7 +288,8 @@ class DataArray:
     def data(self, v):
         v = np.asarray(v)
         if (
-            v.shape == self.values.shape
+            getattr(self, "_writethrough", False)
+            and v.shape == self.values.shape
             and v.dtype == self.values.dtype
             and self.values.flags.writeable
         ):
@@ -964,7 +973,11 @@ class DataArray:
         coord = self.coords[dim]
         picked = coord.values[idx]
         if all_nan.any():
-            picked = np.where(all_nan, np.nan, picked.astype("f8"))
+            if picked.dtype.kind in "mM":
+                # datetime/timedelta coords: xarray fills NaT, keeps dtype
+                picked = np.where(all_nan, np.array("NaT", dtype=picked.dtype), picked)
+            else:
+                picked = np.where(all_nan, np.nan, picked.astype("f8"))
         return DataArray(
             picked,
             tuple(d for d in self.dims if d != dim),

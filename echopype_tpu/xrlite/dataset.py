@@ -137,6 +137,10 @@ class Dataset:
             # semantics: ds["x"].attrs["k"] = v reaches the stored variable)
             object.__setattr__(out, "_attrs", da.attrs)
             object.__setattr__(out, "_encoding", da.encoding)
+            # the wrapper shares the stored ndarray: let `.data = x` write
+            # through (xarray Variable-sharing); plain DataArrays (e.g.
+            # .copy() results) rebind instead
+            object.__setattr__(out, "_writethrough", True)
             return out
         if name in self.coords:
             c = self.coords[name]
@@ -146,6 +150,7 @@ class Dataset:
             }
             object.__setattr__(out, "_attrs", c.attrs)
             object.__setattr__(out, "_encoding", c.encoding)
+            object.__setattr__(out, "_writethrough", True)
             return out
         raise KeyError(name)
 
@@ -651,7 +656,7 @@ class Dataset:
         netcdf4.write_tree(
             str(path), {key: self}, compress=compress,
             overwrite=mode in (None, "w", "a"), storage_options=storage_options,
-            append=mode == "a",
+            append=mode == "a", encoding=encoding,
         )
 
     def _reduce_all(self, method, dim=None, skipna=True):

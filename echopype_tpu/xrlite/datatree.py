@@ -243,9 +243,20 @@ class DataTree:
 def _unwrap_store(path):
     """Accept str/Path or an fsspec FSMap (the reference's sanitize_file_path
     hands FSMaps to xr.open_dataset, echodata/echodata.py:566).  Only a
-    mapping-like store is unwrapped — pathlib.Path also HAS a .root ("/")."""
+    mapping-like store is unwrapped — pathlib.Path also HAS a .root ("/").
+
+    Remote FSMaps keep their filesystem: map.root is a bare "bucket/path"
+    string, so returning it alone would silently retarget the IO at a local
+    path — wrap it as an FsspecPath over the map's own fs instead."""
     if hasattr(path, "fs") and hasattr(path, "root"):
-        return path.root
+        proto = getattr(path.fs, "protocol", "file")
+        if isinstance(proto, (tuple, list)):
+            proto = proto[0]
+        if proto in ("file", "local", ""):
+            return path.root
+        from ..storage.fsstore import FsspecPath
+
+        return FsspecPath(path.fs, path.root)
     return path
 
 
@@ -344,17 +355,7 @@ def _encode_with(values: np.ndarray, enc: dict):
     (encoded array, attrs-to-store)."""
     from ..utils import coding as our_coding
 
-    units = enc.get("units")
-    if units and np.issubdtype(values.dtype, np.datetime64):
-        from .xarray_compat import _make_coding_module
-
-        times = _make_coding_module().times
-        num, units, calendar = times.encode_cf_datetime(
-            values, units, enc.get("calendar")
-        )
-        dtype = enc.get("dtype", "int64")
-        return np.asarray(num, dtype=dtype), {"units": units, "calendar": calendar}
-    return our_coding.encode_array(values)
+    return our_coding.encode_array_with(values, enc)
 
 
 def dataset_to_zarr(
@@ -382,7 +383,10 @@ def dataset_to_zarr(
 
     encoding = encoding or {}
     mode = mode or "w-"
-    root = as_store_path(getattr(store, "root", store), storage_options)
+    # _unwrap_store, NOT getattr(store, "root", ...): pathlib.Path also has a
+    # .root attribute — "/" — which would retarget the write (and mode="w"'s
+    # rmtree!) at the filesystem root
+    root = as_store_path(_unwrap_store(store), storage_options)
     if mode == "w" and root.exists():
         rmtree_store(root)
     if mode == "w-" and root.exists() and any(root.iterdir()):

@@ -437,6 +437,26 @@ class TestGridWindowHalo:
         assert h1 == h2  # nearby spacings share one jit specialization
         assert h1 & (h1 - 1) == 0  # power of two
 
+    def test_interior_nan_grid_halo_counts_raw_samples(self):
+        # A grid with interior NaN holes: window members sit further apart in
+        # RAW sample indices than in the NaN-compacted array — the halo must
+        # cover raw distances or the banded path silently drops members.
+        import jax.numpy as jnp
+
+        from echopype_tpu.ops.windows import _pool_windows_grid, grid_window_halo
+
+        row = np.full(200, np.nan, dtype="f8")
+        row[::3] = np.arange(0, 200, 3) * (0.2 / 3)
+        halo = grid_window_halo(row[None, :], 0.45)
+        assert halo >= 6  # +-2 finite neighbors = +-6 raw samples
+        rng = np.random.default_rng(0)
+        sv = rng.normal(-70, 5, size=(1, 8, 200)).astype("f4")
+        g = jnp.asarray(row[None, :].astype("f4"))
+        s_h, c_h = _pool_windows_grid(jnp.asarray(sv), g, 0.45, 2, range_halo=halo)
+        s_d, c_d = _pool_windows_grid(jnp.asarray(sv), g, 0.45, 2, range_halo=0)
+        np.testing.assert_array_equal(np.asarray(c_h), np.asarray(c_d))
+        np.testing.assert_allclose(np.asarray(s_h), np.asarray(s_d), rtol=1e-5, atol=1e-5)
+
 
 class TestReopenPolicy:
     def test_user_callable_called_once_by_default(self, rng):

@@ -189,3 +189,33 @@ class TestCombineReviewRegressions:
         assert dict(ed1["Sonar"].attrs) == sonar_attrs_before
         assert dict(ed1["Top-level"].attrs) == top_attrs_before
         assert comb["Sonar/Beam_group1"].sizes["ping_time"] == 11
+
+    def test_channel_check_tolerates_missing_group(self):
+        """A later input lacking a channel-bearing group must not crash the
+        channel-consistency check (our _combine deliberately supports
+        differing-group inputs; the reference's own combine crashes here)."""
+        from echopype_tpu.echodata.combine import _check_echodata_channels
+        from echopype_tpu.xrlite import Dataset
+
+        beam = Dataset(coords={"channel": np.array(["c1", "c2"], dtype=object)})
+
+        class _StubED:
+            sonar_model = "EK60"
+
+            def __init__(self, groups):
+                self._g = groups
+
+            @property
+            def group_paths(self):
+                return list(self._g)
+
+            def __getitem__(self, k):
+                return self._g[k]
+
+            def get(self, k, default=None):
+                return self._g.get(k, default)
+
+        ed1 = _StubED({"Sonar/Beam_group1": beam, "Vendor_specific": beam})
+        ed2 = _StubED({"Sonar/Beam_group1": beam})  # no Vendor_specific
+        sel = _check_echodata_channels([ed1, ed2])
+        assert sel["Sonar/Beam_group1"] is None

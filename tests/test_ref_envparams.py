@@ -163,6 +163,36 @@ class TestMobileDifferential:
         our_out = EnvParams(env, **kw)._apply(_ed_mobile(out_of_range_ping=oor))
         _compare(ref_out, our_out)
 
+    def test_unsorted_time1_matches_reference(self):
+        # real NMEA streams can carry out-of-order time1 rows; the reference
+        # delegates to scipy interp1d (assume_sorted=False sorts) — our
+        # linear fast path must sort too, not trust np.interp on unsorted x
+        ref_mod = load_ref("calibrate/env_params_old")
+        env = _env_mobile(np.random.default_rng(7))
+        kw = dict(data_kind="mobile", interp_method="linear")
+        perm = np.array([2, 0, 4, 1, 3])
+
+        def shuffled_ed():
+            ed = _ed_mobile(out_of_range_ping=True)
+            plat = ed["Platform"]
+            return FakeEchoData(
+                {
+                    "Platform": Dataset(
+                        data_vars={
+                            "latitude": ("time1", np.asarray(plat["latitude"].values)[perm]),
+                            "longitude": ("time1", np.asarray(plat["longitude"].values)[perm]),
+                        },
+                        coords={"time1": np.asarray(plat["time1"].values)[perm]},
+                    ),
+                    "Sonar/Beam_group1": ed["Sonar/Beam_group1"],
+                },
+                "EK60",
+            )
+
+        ref_out = ref_mod.EnvParams(env, **kw)._apply(shuffled_ed())
+        our_out = EnvParams(env, **kw)._apply(shuffled_ed())
+        _compare(ref_out, our_out)
+
     def test_nearest_nan_track_raises_parity(self):
         """scipy's NearestNDInterpolator kd-tree rejects NaN query points;
         an out-of-track ping therefore raises identically in both."""

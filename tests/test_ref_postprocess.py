@@ -194,6 +194,40 @@ class TestConsolidateDifferential:
             rtol=1e-12, atol=0, equal_nan=True,
         )
 
+    @pytest.mark.parametrize(
+        "flag",
+        ["use_platform_vertical_offsets", "use_platform_angles", "use_beam_angles"],
+    )
+    def test_add_depth_group_branches(self, ek60_pair, flag):
+        """The three ek_depth_utils branches (reference
+        consolidate/ek_depth_utils.py:30-117) executed as oracles on our
+        converted groups: transducer depth from Platform vertical offsets,
+        echo-range scaling from pitch/roll ZYX rotation, and from
+        beam_direction_z normalization."""
+        ed, fake = ek60_pair
+        if flag == "use_beam_angles":
+            # synth EK60 carries NaN beam directions; fill a non-trivial
+            # (unnormalized + one zero) set so the branch is exercised
+            beam = ed["Sonar/Beam_group1"]
+            n_ch = len(np.atleast_1d(beam.coords["channel"].values))
+            bx = np.linspace(0.0, 0.3, n_ch)
+            by = np.linspace(0.1, 0.0, n_ch)
+            bz = np.full(n_ch, 2.0)
+            bz[-1] = 0.0 if n_ch > 1 else 2.0
+            bx[-1] = by[-1] = 0.0
+            for nm, v in (("beam_direction_x", bx), ("beam_direction_y", by),
+                          ("beam_direction_z", bz)):
+                beam[nm] = (("channel",), v)
+        ds = ep.calibrate.compute_Sv(ed)
+        ref_c = load_ref("consolidate/api")
+        want = ref_c.add_depth(ds.copy(), echodata=fake, **{flag: True})
+        got = ep.consolidate.add_depth(ds.copy(), echodata=ed, **{flag: True})
+        wv = np.asarray(want["depth"].values, dtype="f8")
+        gv = np.asarray(got["depth"].values, dtype="f8")
+        if flag == "use_beam_angles":
+            assert np.isfinite(wv).any()  # not a vacuous all-NaN comparison
+        np.testing.assert_allclose(gv, wv, rtol=1e-12, atol=0, equal_nan=True)
+
     def test_add_location_matches(self, ek60_pair):
         ed, fake = ek60_pair
         ds = ep.calibrate.compute_Sv(ed)

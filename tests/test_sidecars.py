@@ -223,3 +223,33 @@ class TestSidecarReferenceDifferential:
             np.asarray(gv.values, dtype="f8"),
             np.asarray(rv.values, dtype="f8")[remap],
         )
+
+
+class TestNanTimestampHandler:
+    def test_all_channels_empty_falls_to_nat(self):
+        # config present but zero pings anywhere: ping_time is a non-empty
+        # dict of empty lists — must yield the NaT row, not crash on min()
+        from echopype_tpu.convert.set_groups_base import SetGroupsBase
+
+        sg = SetGroupsBase.__new__(SetGroupsBase)
+
+        class _Stub:
+            ping_time = {"ch1": [], "ch2": []}
+
+        sg.parser_obj = _Stub()
+        out = sg._nan_timestamp_handler([np.nan])
+        assert out.dtype.kind == "M" and np.isnat(out[0])
+
+    def test_dict_with_pings_takes_earliest_first_ping(self):
+        from echopype_tpu.convert.set_groups_base import SetGroupsBase
+
+        sg = SetGroupsBase.__new__(SetGroupsBase)
+        t0 = np.datetime64("2020-01-01T00:00:05", "ns")
+        t1 = np.datetime64("2020-01-01T00:00:02", "ns")
+
+        class _Stub:
+            ping_time = {"ch1": [t0], "ch2": [t1], "ch3": []}
+
+        sg.parser_obj = _Stub()
+        out = sg._nan_timestamp_handler([np.nan])
+        assert out[0] == t1

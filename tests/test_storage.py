@@ -177,3 +177,68 @@ class TestGroupTargetedWrites:
         back = netcdf4.open_netcdf_tree(path)["G"]
         np.testing.assert_array_equal(back["x"].values, np.arange(4.0) + 10)
         assert back.attrs["v"] == 2
+
+
+class TestStoreArgumentForms:
+    """Round-4 self-review: store argument resolution hazards."""
+
+    def test_dataset_to_zarr_pathlib_path(self, tmp_path):
+        # pathlib.Path has a .root attribute ("/"); resolving the store via
+        # getattr(store, "root", ...) would retarget the write — and
+        # mode="w"'s rmtree — at the filesystem root
+        from pathlib import Path
+
+        from echopype_tpu.xrlite import Dataset
+        from echopype_tpu.xrlite.datatree import dataset_to_zarr, open_dataset
+
+        store = Path(str(tmp_path / "p.zarr"))
+        ds = Dataset({"x": (("n",), np.arange(3.0))}, attrs={"k": 7})
+        dataset_to_zarr(ds, store, mode="w", group="Provenance")
+        assert (store / "Provenance" / "x" / ".zarray").exists()
+        back = open_dataset(str(store), group="Provenance")
+        np.testing.assert_array_equal(back["x"].values, np.arange(3.0))
+        # overwrite again via mode="w" — must wipe only the store dir
+        sentinel = tmp_path / "sentinel.txt"
+        sentinel.write_text("keep me")
+        dataset_to_zarr(ds, store, mode="w", group="Provenance")
+        assert sentinel.exists()
+
+    def test_fsmap_store_keeps_remote_fs(self):
+        # an fsspec FSMap's .root is a bare path with no protocol; unwrapping
+        # must keep the map's own filesystem, not retarget to a local path
+        import fsspec
+
+        from echopype_tpu.xrlite import Dataset
+        from echopype_tpu.xrlite.datatree import dataset_to_zarr, open_dataset
+
+        mapper = fsspec.get_mapper("memory://fsmap_case/st.zarr")
+        ds = Dataset({"x": (("n",), np.arange(4.0))})
+        dataset_to_zarr(ds, mapper, mode="w")
+        back = open_dataset(mapper)
+        np.testing.assert_array_equal(back["x"].values, np.arange(4.0))
+
+    def test_to_netcdf_honors_encoding_argument(self, tmp_path):
+        from echopype_tpu.storage import netcdf4
+        from echopype_tpu.xrlite import Dataset
+
+        t = np.datetime64("2021-06-01T00:00:00", "ns") + (
+            np.arange(4) * np.timedelta64(250, "ms")
+        )
+        ds = Dataset(coords={"ping_time": t})
+        ds["v"] = (("ping_time",), np.arange(4.0))
+        path = str(tmp_path / "enc.nc")
+        units = "milliseconds since 2021-06-01T00:00:00"
+        ds.to_netcdf(path, encoding={"ping_time": {"units": units}})
+        import h5py
+
+        with h5py.File(path, "r") as f:
+            raw = f["ping_time"][()]
+            got_units = f["ping_time"].attrs["units"]
+            got_units = got_units.decode() if isinstance(got_units, bytes) else got_units
+        assert got_units == units
+        np.testing.assert_array_equal(raw, np.arange(4) * 250)
+        tree = netcdf4.open_netcdf_tree(path)
+        back = tree["Top-level"]
+        np.testing.assert_array_equal(
+            np.asarray(back.coords["ping_time"].values, dtype="datetime64[ns]"), t
+        )

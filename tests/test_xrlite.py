@@ -532,3 +532,63 @@ class TestRound3FacadeSurface:
         ds = Dataset({"v": (("x",), np.arange(3.0))})
         out = ds.expand_dims({"a": ["p"], "b": ["q"]})
         assert out["v"].dims == ("a", "b", "x")
+
+
+class TestRound4ReviewRegressions:
+    """Self-review fixes: attrs-setter aliasing, idxmin datetime coords."""
+
+    def test_attrs_self_assignment_not_erased(self):
+        import numpy as np
+
+        from echopype_tpu.xrlite import Dataset
+
+        ds = Dataset({"x": (("p",), np.arange(3.0))})
+        ds["x"].attrs["units"] = "m"
+        # the wrapper shares the stored attrs dict (xarray Variable
+        # semantics), so this aliases the target — must not wipe it
+        ds["x"].attrs = ds["x"].attrs
+        assert ds["x"].attrs == {"units": "m"}
+        ds["x"].attrs = dict(ds["x"].attrs, extra=1)
+        assert ds["x"].attrs == {"units": "m", "extra": 1}
+
+    def test_idxmin_datetime_coord_all_nan_slice(self):
+        import numpy as np
+
+        from echopype_tpu.xrlite import DataArray
+
+        t = np.datetime64("2020-01-01", "ns") + np.arange(3).astype(
+            "timedelta64[s]"
+        ).astype("timedelta64[ns]")
+        vals = np.array([[3.0, 1.0, 2.0], [np.nan, np.nan, np.nan]])
+        da = DataArray(vals, ("ch", "t"), coords={"t": t})
+        out = da.idxmin("t")
+        assert out.values.dtype.kind == "M"  # stays datetime64, not f8
+        assert out.values[0] == t[1]
+        assert np.isnat(out.values[1])  # xarray: NaT on the all-NaN slice
+
+    def test_data_setter_copy_rebinds_original_untouched(self):
+        import numpy as np
+
+        from echopype_tpu.xrlite import Dataset
+
+        ds = Dataset({"Sv": (("p",), np.arange(4.0))})
+        # write-through only for wrappers handed out by Dataset.__getitem__
+        w = ds["Sv"]
+        w.data = np.arange(4.0) + 1
+        np.testing.assert_array_equal(ds["Sv"].values, np.arange(4.0) + 1)
+        # a copy REBINDS (xarray semantics): the original must not mutate
+        b = ds["Sv"].copy()
+        b.data = np.full(4, -1.0)
+        np.testing.assert_array_equal(ds["Sv"].values, np.arange(4.0) + 1)
+        np.testing.assert_array_equal(b.values, np.full(4, -1.0))
+
+    def test_encoding_self_assignment_not_erased(self):
+        import numpy as np
+
+        from echopype_tpu.xrlite import Dataset
+
+        ds = Dataset(coords={"t": np.arange(3.0)})
+        ds.coords["t"].encoding.update({"units": "s", "dtype": "int64"})
+        w = ds["t"]
+        w.encoding = w.encoding
+        assert ds.coords["t"].encoding == {"units": "s", "dtype": "int64"}
