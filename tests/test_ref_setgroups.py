@@ -643,3 +643,68 @@ class TestAD2CPConfigSweepDifferential:
         # v2 records carry no nominal_correlation / ensemble_counter either
         assert _is_empty_var(our_v["nominal_correlation"])
         assert _is_empty_var(our_v["ensemble_counter"])
+
+
+class TestESFamilyAliasDifferential:
+    """ES70 / ES80 / EA640 model aliases (core.py SONAR_MODELS): the
+    reference routes them through the EK60/EK80 machinery with the alias
+    carried into Top-level keywords and the Sonar group
+    (set_groups_base.py:57-73, set_groups_ek60.py:153, set_groups_ek80.py:200).
+    Run the reference conversion under each alias on the same bytes our
+    open_raw converts and compare the model-stamped metadata + beam data,
+    then check the calibrate dispatch accepts the alias."""
+
+    def _ek60_family_pair(self, tmp_path, model):
+        raw = tmp_path / f"{model}-D20200101-T000000.raw"
+        write_ek60_raw(raw, n_pings=8, n_samples=40, with_nmea=True, with_angle=True)
+        ref_parse = load_ref("convert/parse_ek60")
+        parser = ref_parse.ParseEK60(str(raw), storage_options={}, sonar_model=model)
+        parser.parse_raw()
+        parser.rectangularize_data(use_swap=False)
+        ref_sg = load_ref("convert/set_groups_ek60")
+        sg = ref_sg.SetGroupsEK60(
+            parser, input_file=str(raw), xml_path=None, output_path=None,
+            sonar_model=model, params=dict(CONVERT_PARAMS),
+        )
+        ed = ep.open_raw(str(raw), sonar_model=model)
+        return sg, ed
+
+    def test_es70_alias(self, tmp_path):
+        sg, ed = self._ek60_family_pair(tmp_path, "ES70")
+        top = sg.set_toplevel("ES70", date_created=np.datetime64("2020-01-01T00:00:00"))
+        assert ed["Top-level"].attrs["keywords"] == top.attrs["keywords"] == "ES70"
+        sonar = sg.set_sonar()
+        for a in ("sonar_model", "sonar_manufacturer"):
+            assert ed["Sonar"].attrs.get(a) == sonar.attrs.get(a), a
+        beam = sg.set_beam()[0]
+        _cmp(beam, ed["Sonar/Beam_group1"], "backscatter_r", rtol=1e-6, atol=1e-7)
+        sv = ep.calibrate.compute_Sv(ed)  # CALIBRATOR maps ES70 -> EK60 path
+        assert np.isfinite(np.asarray(sv["Sv"].values)).any()
+
+    @pytest.mark.parametrize("model", ["ES80", "EA640"])
+    def test_ek80_family_alias(self, tmp_path, model):
+        from synth_ek80 import write_ek80_raw
+
+        raw = tmp_path / f"{model}-D20210201-T000000.raw"
+        write_ek80_raw(raw, n_pings=4, n_samples=48)
+        ref_parse = load_ref("convert/parse_ek80")
+        parser = ref_parse.ParseEK80(str(raw), storage_options={}, sonar_model=model)
+        parser.parse_raw()
+        parser.rectangularize_data(use_swap=False)
+        ref_sg = load_ref("convert/set_groups_ek80")
+        sg = ref_sg.SetGroupsEK80(
+            parser, input_file=str(raw), xml_path=None, output_path=None,
+            sonar_model=model, params=dict(CONVERT_PARAMS),
+        )
+        ed = ep.open_raw(str(raw), sonar_model=model)
+        top = sg.set_toplevel(model, date_created=np.datetime64("2021-02-01T00:00:00"))
+        assert ed["Top-level"].attrs["keywords"] == top.attrs["keywords"] == model
+        # the reference's SetGroupsEK80.set_sonar requires config fields the
+        # synthetic XML omits (serial_number); the observable contract is the
+        # alias stamped as the Sonar group's sonar_model
+        # (set_groups_ek80.py:200-236 sonar_values)
+        assert ed["Sonar"].attrs.get("sonar_model") == model
+        sv = ep.calibrate.compute_Sv(
+            ed, waveform_mode="BB", encode_mode="complex"
+        )  # CALIBRATOR maps ES80/EA640 -> EK80 path
+        assert np.isfinite(np.asarray(sv["Sv"].values)).any()
