@@ -19,6 +19,31 @@ import struct
 import numpy as np
 
 from .framing import DatagramIndex, nt_to_datetime64
+from ...utils.log import _init_logger
+
+logger = _init_logger(__name__)
+
+
+def _clamp_counts(counts, per_count_bytes, sizes, hdr_itemsize, what):
+    """Cap untrusted header sample counts to what the datagram body holds.
+
+    The framing trailer validates ``size``, but the in-body count field is
+    independent: a corrupt file can claim more samples than the body
+    carries, which would read past the datagram (and, in the fused C++
+    gathers, past the buffer).  Clamped rows keep their in-extent prefix
+    and NaN-pad the rest; the clamp is logged once per call."""
+    avail = np.maximum(sizes.astype("i8") - int(hdr_itemsize), 0)
+    per = np.asarray(per_count_bytes, dtype="i8")
+    cap = np.where(per > 0, avail // np.maximum(per, 1), 0)
+    used = per > 0
+    bad = used & (counts > cap)
+    if bad.any():
+        logger.warning(
+            f"{int(bad.sum())} {what} datagram(s) claim more samples than "
+            f"their body holds; extra samples treated as missing."
+        )
+        counts = np.minimum(counts, cap)
+    return counts
 
 # Manufacturer power scaling: raw int16 -> dB (parse_base.py:24)
 INDEX2POWER = 10.0 * np.log10(2.0) / 256.0
@@ -107,12 +132,19 @@ def decode_raw0_samples(index: DatagramIndex, rows: np.ndarray, hdr: np.ndarray)
     offs = index.body_offset[rows]
     counts = hdr["count"].astype("i8")
     mode = hdr["mode"].astype("i8")
-    max_count = int(counts.max()) if len(counts) else 0
     sample_start = offs + RAW0_HEADER.itemsize
 
     out = {"power": None, "angle": None}
     has_power = (mode & 1).astype(bool)
     has_angle = (mode & 2).astype(bool)
+    counts = _clamp_counts(
+        counts,
+        2 * (has_power.astype("i8") + has_angle.astype("i8")),
+        index.size[rows],
+        RAW0_HEADER.itemsize,
+        "RAW0",
+    )
+    max_count = int(counts.max()) if len(counts) else 0
 
     if has_power.any():
         pw_counts = np.where(has_power, counts, 0)
@@ -303,14 +335,24 @@ def decode_raw3_samples(index: DatagramIndex, rows: np.ndarray, hdr: np.ndarray)
     counts = hdr["count"].astype("i8")
     dt = hdr["data_type"].astype("i8")
     n_complex = int((dt >> 8).max()) if len(dt) else 0
-    max_count = int(counts.max()) if len(counts) else 0
     pos = offs + RAW3_HEADER.itemsize
-
-    out = {"power": None, "angle": None, "complex_r": None, "complex_i": None,
-           "n_complex": n_complex}
 
     has_power = (dt & 1).astype(bool)
     has_angle = (dt & 2).astype(bool)
+    cplx_bytes = np.where(
+        dt >> 8 > 0, (dt >> 8) * 2 * np.where((dt & 0b1000) > 0, 4, 2), 0
+    )
+    counts = _clamp_counts(
+        counts,
+        2 * (has_power.astype("i8") + has_angle.astype("i8")) + cplx_bytes,
+        index.size[rows],
+        RAW3_HEADER.itemsize,
+        "RAW3/RAW4",
+    )
+    max_count = int(counts.max()) if len(counts) else 0
+
+    out = {"power": None, "angle": None, "complex_r": None, "complex_i": None,
+           "n_complex": n_complex}
     if has_power.any():
         pw_counts = np.where(has_power, counts, 0)
         out["power"] = _power_f4(u8, pos, pw_counts, max_count)

@@ -337,3 +337,50 @@ class TestIgnoredDatagramTypes:
             parser.parse_raw()
         # ours converts it fine (previous test asserts value parity)
         ep.open_raw(str(dirty), sonar_model="EK60")
+
+
+class TestInflatedSampleCount:
+    """A RAW0 body-count field larger than the datagram body (framing still
+    valid): the decode layer must clamp to the body extent — the fused C++
+    gathers would otherwise read past the buffer, and max_count would
+    balloon the padded allocation."""
+
+    def _first_raw0(self, data):
+        pos = 0
+        while pos + 8 <= len(data):
+            (size,) = struct.unpack_from("<l", data, pos)
+            body = pos + 4
+            if data[body : body + 4] == b"RAW0":
+                return body, size
+            pos = body + size + 4
+        raise AssertionError("no RAW0 found")
+
+    def test_count_clamped_to_body(self, raw_bytes):
+        path, data = raw_bytes
+        clean = ep.open_raw(path, sonar_model="EK60")
+        ref_bs = np.asarray(
+            clean["Sonar/Beam_group1"]["backscatter_r"].values, dtype="f8"
+        )
+        body, _size = self._first_raw0(data)
+        # count field at body+80 (RAW0 layout: 16B type+date, 4B chan+mode,
+        # 13 f4 fields, 2B transmit_mode, 6B spare, 4B offset)
+        struct.pack_into("<l", data, body + 80, 10_000_000)
+        path.write_bytes(bytes(data))
+        # our loggers don't propagate (reference parity) — attach a handler
+        records = []
+        h = logging.Handler()
+        h.emit = lambda r: records.append(r.getMessage())
+        lg = logging.getLogger("echopype_tpu.convert.simrad.decode")
+        lg.addHandler(h)
+        try:
+            ed = ep.open_raw(path, sonar_model="EK60")
+        finally:
+            lg.removeHandler(h)
+        bs = np.asarray(ed["Sonar/Beam_group1"]["backscatter_r"].values, dtype="f8")
+        # the body holds exactly the original samples, so the clamped decode
+        # reproduces the untampered conversion (no OOB reads, no 10M-wide pad)
+        assert bs.shape == ref_bs.shape
+        np.testing.assert_array_equal(np.isnan(bs), np.isnan(ref_bs))
+        m = ~np.isnan(ref_bs)
+        np.testing.assert_allclose(bs[m], ref_bs[m], rtol=0, atol=0)
+        assert any("claim more samples" in m for m in records)
