@@ -339,9 +339,10 @@ def decode_raw3_samples(index: DatagramIndex, rows: np.ndarray, hdr: np.ndarray)
 
     has_power = (dt & 1).astype(bool)
     has_angle = (dt & 2).astype(bool)
-    cplx_bytes = np.where(
-        dt >> 8 > 0, (dt >> 8) * 2 * np.where((dt & 0b1000) > 0, 4, 2), 0
-    )
+    # mirror the gather's layout exactly: it uses the file-max n_complex for
+    # every row and picks f32 vs f16 width from the whole-file any() check
+    cplx_width = 4 if bool(((dt & 0b1000) > 0).any()) else 2
+    cplx_bytes = np.where(dt >> 8 > 0, n_complex * 2 * cplx_width, 0)
     counts = _clamp_counts(
         counts,
         2 * (has_power.astype("i8") + has_angle.astype("i8")) + cplx_bytes,
