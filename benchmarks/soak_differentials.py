@@ -1,0 +1,292 @@
+"""Randomized-config differential soak: the fuzz harness behind the fixed
+config-sweep tests.
+
+Each mode generates random instrument/bin/combine configurations and runs
+the REFERENCE implementation (executed on the xrlite facade, tests/ref_oracle)
+against ours on the same inputs, reporting any divergence beyond the
+documented budgets.  The fixed seeds in tests/ pin specific shapes forever;
+this harness explores the space open-endedly.
+
+Usage (CPU backend; serialize on shared-core rigs):
+    PYTHONPATH=. python benchmarks/soak_differentials.py ek60 40
+    PYTHONPATH=. python benchmarks/soak_differentials.py ek80 24
+    PYTHONPATH=. python benchmarks/soak_differentials.py mvbs 30
+    PYTHONPATH=. python benchmarks/soak_differentials.py combine 12
+
+Budgets: EK60/AZFP f64 Sv <1e-9 dB; EK80 BB f64 Sv <5e-6 dB (the
+reference's own c64 pulse-compression quantization); MVBS <1e-5 dB (f32
+device bin partials, docs/PERFORMANCE.md); combine = group-for-group
+equality incl. error parity.
+
+Round-4 session results: ek60 40/40, ek80 24/24, mvbs 30/30 clean;
+combine 12/12 after two real fixes it surfaced (facade concat outer-join +
+NaN fill for variables absent from some files — mixed angle-presence
+combines were silently inconsistent before).
+"""
+
+import sys
+import pathlib
+import tempfile
+import traceback
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent / "tests"))
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def _cpu():
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
+
+def soak_ek60(n, rng):
+    import numpy as np
+    import echopype_tpu as ep
+    from synth_ek60 import write_ek60_raw
+    from test_ref_pipeline import _fake, _sv_delta
+    from ref_oracle import load_ref
+
+    ref_ek = load_ref("calibrate/calibrate_ek")
+    tmp = pathlib.Path(tempfile.mkdtemp())
+    fails = 0
+    for i in range(n):
+        n_pings = int(rng.integers(2, 16))
+        n_samples = int(rng.integers(8, 70))
+        cfg = dict(n_pings=n_pings, n_samples=n_samples, seed=int(rng.integers(0, 10**6)))
+        r = rng.random()
+        if r < 0.3:
+            cfg["ragged"] = True
+        elif r < 0.5:
+            cfg["per_channel_samples"] = (
+                n_samples, max(4, int(rng.integers(4, n_samples + 1)))
+            )
+        if rng.random() < 0.4 and n_pings > 2:
+            ch = int(rng.integers(1, 3))
+            k = int(rng.integers(1, max(2, n_pings // 2)))
+            cfg["skip_pings"] = {
+                ch: set(int(x) for x in rng.choice(n_pings - 1, size=k, replace=False) + 1)
+            }
+        if rng.random() < 0.3:
+            cfg["with_angle"] = False
+        if rng.random() < 0.3:
+            cfg["with_nmea"] = False
+        raw = tmp / f"S{i}-D20200101-T000000.raw"
+        try:
+            write_ek60_raw(raw, **cfg)
+            ed = ep.open_raw(str(raw), sonar_model="EK60")
+            ref_sv = ref_ek.CalibrateEK60(_fake(ed), None, None, None).compute_Sv()
+            our_sv = ep.calibrate.compute_Sv(ed, precision="float64")
+            delta = _sv_delta(ref_sv, our_sv)
+            w = np.asarray(
+                ref_sv["Sv"].transpose("channel", "ping_time", "range_sample").values
+            )
+            g = np.asarray(our_sv["Sv"].values)
+            nm = int((np.isnan(g) != np.isnan(w)).sum())
+            if delta >= 1e-9 or nm:
+                fails += 1
+                print(f"FAIL cfg={cfg}: delta={delta} nan_mismatch={nm}", flush=True)
+        except Exception as e:
+            fails += 1
+            print(f"ERROR cfg={cfg}: {type(e).__name__}: {e}", flush=True)
+            traceback.print_exc()
+    return fails
+
+
+def soak_ek80(n, rng):
+    import numpy as np
+    import echopype_tpu as ep
+    from synth_ek80 import write_ek80_raw, CH_BB
+    from test_ref_pipeline import _fake, _sv_delta
+    from ref_oracle import load_ref
+
+    ref_ek = load_ref("calibrate/calibrate_ek")
+    tmp = pathlib.Path(tempfile.mkdtemp())
+    fails = 0
+    for i in range(n):
+        n_pings = int(rng.integers(2, 10))
+        cfg = dict(
+            n_pings=n_pings,
+            n_samples=int(rng.integers(16, 96)),
+            seed=int(rng.integers(0, 10**6)),
+            with_power_channel=bool(rng.random() < 0.4),
+            with_cw_complex=bool(rng.random() < 0.4),
+        )
+        if rng.random() < 0.3:
+            cfg["complex_f16"] = True
+        if rng.random() < 0.3:
+            cfg["extra_fm_channel"] = True
+        if rng.random() < 0.4 and n_pings > 2:
+            k = int(rng.integers(1, max(2, n_pings // 2)))
+            cfg["skip_pings"] = {
+                CH_BB: set(int(x) for x in rng.choice(range(1, n_pings), size=k, replace=False))
+            }
+        raw = tmp / f"K{i}-D20210201-T000000.raw"
+        try:
+            write_ek80_raw(raw, **cfg)
+            ed = ep.open_raw(str(raw), sonar_model="EK80")
+            ref_sv = ref_ek.CalibrateEK80(
+                _fake(ed), env_params=None, cal_params=None,
+                waveform_mode="BB", encode_mode="complex",
+            ).compute_Sv()
+            our_sv = ep.calibrate.compute_Sv(
+                ed, waveform_mode="BB", encode_mode="complex", precision="float64"
+            )
+            delta = _sv_delta(ref_sv, our_sv)
+            w = np.asarray(
+                ref_sv["Sv"].transpose("channel", "ping_time", "range_sample").values
+            )
+            g = np.asarray(our_sv["Sv"].values)
+            nm = int((np.isnan(g) != np.isnan(w)).sum())
+            if delta >= 5e-6 or nm:
+                fails += 1
+                print(f"FAIL cfg={cfg}: delta={delta} nan_mismatch={nm}", flush=True)
+        except Exception as e:
+            fails += 1
+            print(f"ERROR cfg={cfg}: {type(e).__name__}: {e}", flush=True)
+            traceback.print_exc()
+    return fails
+
+
+def soak_mvbs(n, rng):
+    import numpy as np
+    import echopype_tpu as ep
+    from test_ref_commongrid import _mvbs_oracle
+    from test_ref_postprocess import make_sv_ds
+
+    fails = 0
+    for i in range(n):
+        n_ch = int(rng.integers(1, 4))
+        n_ping = int(rng.integers(5, 60))
+        n_r = int(rng.integers(10, 80))
+        ds = make_sv_ds(
+            n_ch=n_ch, n_ping=n_ping, n_r=n_r, seed=int(rng.integers(0, 1 << 30))
+        )
+        sv = np.asarray(ds["Sv"].values)
+        sv[rng.random(sv.shape) < rng.uniform(0, 0.25)] = np.nan
+        if rng.random() < 0.3 and n_ping > 3:
+            sv[:, int(rng.integers(0, n_ping)), :] = np.nan
+        rb = float(rng.choice([1.0, 2.5, 3.0, 5.0, 7.5]))
+        tb = f"{int(rng.integers(2, 15))}s"
+        closed = str(rng.choice(["left", "right"]))
+        skipna = bool(rng.random() < 0.8)
+        fv = float(rng.choice([np.nan, -999.0, 1e-10]))
+        cfg = dict(rb=rb, tb=tb, closed=closed, skipna=skipna, fv=fv,
+                   shape=(n_ch, n_ping, n_r))
+        try:
+            raw = _mvbs_oracle(ds, rb, tb, closed=closed, skipna=skipna, fill_value=fv)
+            want = np.asarray(raw["Sv"].values, dtype="f8")
+            got = np.asarray(
+                ep.commongrid.compute_MVBS(
+                    ds, range_bin=f"{rb}m", ping_time_bin=tb, closed=closed,
+                    skipna=skipna, fill_value=fv,
+                )["Sv"].values,
+                dtype="f8",
+            )
+            assert got.shape == want.shape, (got.shape, want.shape)
+            nm = int((np.isnan(got) != np.isnan(want)).sum())
+            m = ~np.isnan(want)
+            d = float(np.max(np.abs(got[m] - want[m]))) if m.any() else 0.0
+            if nm or d > 1e-5:
+                fails += 1
+                print(f"FAIL cfg={cfg}: delta={d} nan_mismatch={nm}", flush=True)
+        except Exception as e:
+            fails += 1
+            print(f"ERROR cfg={cfg}: {type(e).__name__}: {e}", flush=True)
+            traceback.print_exc()
+    return fails
+
+
+def soak_combine(n, rng):
+    import numpy as np
+    import echopype_tpu as ep
+    from synth_ek60 import write_ek60_raw
+    from ref_oracle import load_ref_echodata, make_ref_echodata
+    from test_ref_echodata import _assert_ds_equal
+
+    layer = load_ref_echodata()
+    fails = 0
+    for i in range(n):
+        tmp = pathlib.Path(tempfile.mkdtemp())
+        n_files = int(rng.integers(2, 5))
+        t0 = np.datetime64("2020-01-01T00:00:00", "ns")
+        paths, cfgs, off = [], [], 0
+        for j in range(n_files):
+            cfg = dict(
+                n_pings=int(rng.integers(2, 14)),
+                n_samples=int(rng.integers(10, 50)),
+                seed=int(rng.integers(0, 1 << 30)),
+                with_nmea=bool(rng.random() < 0.8),
+                with_angle=bool(rng.random() < 0.8),
+            )
+            if rng.random() < 0.3:
+                cfg["ragged"] = True
+            raw = tmp / f"C{i}F{j}-D2020010{j + 1}-T000000.raw"
+            off += int(rng.integers(60, 2000))
+            write_ek60_raw(raw, t0=t0 + np.timedelta64(off, "s"), **cfg)
+            paths.append(str(raw))
+            cfgs.append(cfg)
+        sel = None
+        if rng.random() < 0.3:
+            sel = ["GPT  18 kHz 009072034d45 1-1 ES18-11"]
+        case = dict(i=i, n_files=n_files, sel=bool(sel), cfgs=cfgs)
+        try:
+            ours = [ep.open_raw(p, sonar_model="EK60") for p in paths]
+            theirs = [ep.open_raw(p, sonar_model="EK60") for p in paths]
+            ref_eds = [
+                make_ref_echodata(
+                    {g: ed[g] for g in ed.group_paths}, "EK60", source_file=p
+                )
+                for ed, p in zip(theirs, paths)
+            ]
+            ref_err = our_err = None
+            ref_comb = our_comb = None
+            try:
+                ref_comb = layer["combine"].combine_echodata(ref_eds, channel_selection=sel)
+            except Exception as e:
+                ref_err = f"{type(e).__name__}: {e}"
+            try:
+                our_comb = ep.combine_echodata(ours, channel_selection=sel)
+            except Exception as e:
+                our_err = f"{type(e).__name__}: {e}"
+            if ref_err or our_err:
+                if ref_err != our_err:
+                    fails += 1
+                    print(
+                        f"FAIL error-parity case={case}:\n  ref={ref_err}\n  our={our_err}",
+                        flush=True,
+                    )
+                continue
+            assert set(ref_comb.group_paths) == set(our_comb.group_paths)
+            for g in sorted(set(ref_comb.group_paths)):
+                _assert_ds_equal(
+                    ref_comb[g], our_comb[g], g, attrs=(g != "Provenance")
+                )
+        except Exception as e:
+            fails += 1
+            print(f"FAIL case={case}: {type(e).__name__}: {e}", flush=True)
+            traceback.print_exc()
+    return fails
+
+
+MODES = {"ek60": soak_ek60, "ek80": soak_ek80, "mvbs": soak_mvbs, "combine": soak_combine}
+
+
+def main():
+    import numpy as np
+
+    mode = sys.argv[1] if len(sys.argv) > 1 else "ek60"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else np.random.SeedSequence().entropy % (1 << 32)
+    _cpu()
+    rng = np.random.default_rng(seed)
+    print(f"soak mode={mode} n={n} seed={seed}", flush=True)
+    fails = MODES[mode](n, rng)
+    print(f"SOAK DONE: mode={mode} {n} configs, {fails} failures", flush=True)
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -287,11 +287,40 @@ def _concat_append_dims(ds_list, ds_append_dims):
             out.coords[k] = DataArray(vals, coord.dims, attrs=coord.attrs, name=k)
         else:
             out.coords[k] = coord
-    for name, var in first.data_vars.items():
+    # union of data_vars in first-seen order: a variable present in only
+    # some files still combines, with NaN fill for the files lacking it
+    # (xarray concat's fill_value semantics — e.g. angle vars when one file
+    # recorded power-only pings)
+    names = list(first.data_vars)
+    for ds in ds_list[1:]:
+        for name in ds.data_vars:
+            if name not in names:
+                names.append(name)
+    for name in names:
+        havers = [ds for ds in ds_list if name in ds.data_vars]
+        var = havers[0][name]
         vdims = [d for d in ds_append_dims if d in var.dims]
-        if vdims and all(name in ds.data_vars for ds in ds_list):
+        if vdims:
             ax = var.dims.index(vdims[0])
-            pieces = [np.asarray(ds.data_vars[name].values) for ds in ds_list]
+            pieces = []
+            filled = False
+            for ds in ds_list:
+                if name in ds.data_vars:
+                    pieces.append(np.asarray(ds.data_vars[name].values))
+                else:
+                    shape = tuple(
+                        ds.sizes.get(d, var.sizes[d]) for d in var.dims
+                    )
+                    dt = var.values.dtype
+                    if dt.kind in "mM":
+                        pieces.append(np.full(shape, np.array("NaT", dtype=dt), dtype=dt))
+                    else:
+                        pieces.append(
+                            np.full(shape, np.nan, dtype=dt if dt.kind in "fc" else "f8")
+                        )
+                    filled = True
+            if filled and var.values.dtype.kind in "iub":
+                pieces = [p.astype("f8") for p in pieces]  # xarray promotes
             # pad non-concat axes (e.g. range_sample) to the widest file
             tgt = [max(p.shape[i] for p in pieces) for i in range(pieces[0].ndim)]
             padded = []
@@ -312,7 +341,7 @@ def _concat_append_dims(ds_list, ds_append_dims):
         n_used = None
         for var in out.data_vars.values():
             if k in var.dims and k not in ds_append_dims:
-                n_used = var.sizes[k]
+                n_used = max(n_used or 0, var.sizes[k])
         if n_used is not None and coord.ndim == 1 and len(coord.values) < n_used:
             if np.issubdtype(coord.dtype, np.integer):
                 out.coords[k] = DataArray(np.arange(n_used), (k,), attrs=coord.attrs, name=k)

@@ -134,9 +134,73 @@ def concat(objs, dim, coords="minimal", data_vars="minimal"):
     objs = list(objs)
     if not objs:
         raise ValueError("need at least one object")
+    objs = _align_outer(objs, dim)
     if isinstance(objs[0], Dataset):
         return _concat_datasets(objs, dim)
     return _concat_dataarrays(objs, dim)
+
+
+def _align_outer(objs, concat_dim):
+    """xarray ``join="outer"`` alignment for the non-concat dims: when an
+    indexed dim's labels differ across objects (e.g. range_sample on ragged
+    multi-file combines), every object reindexes onto the sorted label
+    union with NaN fill — matching xr.concat's default join semantics
+    (the reference's combine concatenates files of differing range_sample
+    lengths this way, combine.py:804-817)."""
+    first = objs[0]
+    shared_dims = set(first.dims)
+    for o in objs[1:]:
+        shared_dims |= set(o.dims)
+    shared_dims.discard(concat_dim)
+    indexers = {}
+    for d in shared_dims:
+        cands = [o for o in objs if d in o.dims]
+        if not all(d in o.coords for o in cands):
+            continue  # no index coordinate: xarray requires equal sizes
+        labels = [np.asarray(o.coords[d].values) for o in cands]
+        if all(
+            len(lab) == len(labels[0]) and np.array_equal(lab, labels[0])
+            for lab in labels[1:]
+        ):
+            continue
+        union = labels[0]
+        for lab in labels[1:]:
+            union = np.union1d(union, lab)
+        indexers[d] = union
+    if not indexers:
+        return objs
+    out = []
+    for o in objs:
+        sub = {d: u for d, u in indexers.items() if d in o.dims}
+        out.append(o.reindex(sub) if sub else o)
+    return out
+
+
+def _nan_like(template, ds, dim):
+    """A fill DataArray standing in for ``template`` on a dataset missing it
+    (xarray concat fills absent variables with fill_value).  Dim sizes come
+    from ``ds`` where it has them (notably the concat dim); float dtypes fill
+    NaN, datetimes NaT, and ints promote to float64 like xarray."""
+    shape = tuple(
+        ds.sizes.get(d, template.sizes[d]) for d in template.dims
+    )
+    dt = template.values.dtype
+    if dt.kind in "mM":
+        vals = np.full(shape, np.array("NaT", dtype=dt), dtype=dt)
+    elif dt.kind in "fc":
+        vals = np.full(shape, np.nan, dtype=dt)
+    elif dt.kind in "iub":
+        vals = np.full(shape, np.nan, dtype="f8")
+    else:
+        vals = np.full(shape, np.nan, dtype=object)
+    out = DataArray(vals, template.dims, attrs=dict(template.attrs), name=template.name)
+    for k, v in template.coords.items():
+        if dim in v.dims:
+            if k in ds.coords:
+                out.coords[k] = ds.coords[k]
+        else:
+            out.coords[k] = v
+    return out
 
 
 def _concat_dataarrays(objs, dim):
@@ -168,11 +232,26 @@ def _concat_datasets(objs, dim):
 
     first = objs[0]
     out = Dataset(attrs=dict(first.attrs))
-    for name, var in first.data_vars.items():
-        if dim in var.dims and all(name in o.data_vars for o in objs):
-            out[name] = _concat_dataarrays([o[name] for o in objs], dim)
+    # union of data_vars in first-seen order (xarray keeps vars present in
+    # only some datasets, filling the others with fill_value)
+    names = list(first.data_vars)
+    for o in objs[1:]:
+        for name in o.data_vars:
+            if name not in names:
+                names.append(name)
+    for name in names:
+        havers = [o for o in objs if name in o.data_vars]
+        template = havers[0][name]
+        if dim in template.dims:
+            out[name] = _concat_dataarrays(
+                [
+                    o[name] if name in o.data_vars else _nan_like(template, o, dim)
+                    for o in objs
+                ],
+                dim,
+            )
         else:
-            out[name] = var
+            out[name] = template
     for k, v in first.coords.items():
         if dim in v.dims:
             cax = v.dims.index(dim)

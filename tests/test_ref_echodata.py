@@ -245,6 +245,64 @@ class TestCombineDifferential:
         _assert_ds_equal(rp, op, "Provenance", attrs=False)
 
 
+    def test_combine_ragged_range_sample_differential(self, tmp_path):
+        """Files with differing range_sample lengths combine via xr.concat's
+        outer join (shorter files NaN-pad to the union) — the reference does
+        this implicitly through xarray alignment (combine.py:804-817); the
+        facade concat implements the same join so the oracle covers it."""
+        layer = load_ref_echodata()
+        t0 = np.datetime64("2020-01-01T00:00:00", "ns")
+        p1 = tmp_path / "RG1-D20200101-T000000.raw"
+        p2 = tmp_path / "RG2-D20200102-T000000.raw"
+        write_ek60_raw(p1, n_pings=9, n_samples=23, seed=1, ragged=True)
+        write_ek60_raw(
+            p2, n_pings=8, n_samples=34, seed=2, t0=t0 + np.timedelta64(3600, "s")
+        )
+        paths = [str(p1), str(p2)]
+        ours = [ep.open_raw(p, sonar_model="EK60") for p in paths]
+        theirs = [ep.open_raw(p, sonar_model="EK60") for p in paths]
+        our_comb = ep.combine_echodata(ours)
+        ref_comb = layer["combine"].combine_echodata(_ref_eds(theirs, paths))
+        assert ref_comb["Sonar/Beam_group1"].sizes["range_sample"] == 34
+        for g in sorted(set(ref_comb.group_paths)):
+            if g == "Provenance":
+                _assert_ds_equal(ref_comb[g], our_comb[g], g, attrs=False)
+            else:
+                _assert_ds_equal(ref_comb[g], our_comb[g], g)
+
+
+    def test_combine_mixed_angle_presence_differential(self, tmp_path):
+        """One file carries angle variables, the other is power-only: the
+        missing variables NaN-fill for that file's pings (xarray concat
+        fill_value semantics the reference inherits), with and without
+        channel selection."""
+        layer = load_ref_echodata()
+        t0 = np.datetime64("2020-01-01T00:00:00", "ns")
+        p1 = tmp_path / "MA1-D20200101-T000000.raw"
+        p2 = tmp_path / "MA2-D20200102-T000000.raw"
+        write_ek60_raw(p1, n_pings=9, n_samples=18, seed=5)
+        write_ek60_raw(
+            p2, n_pings=7, n_samples=42, seed=6, ragged=True, with_angle=False,
+            t0=t0 + np.timedelta64(600, "s"),
+        )
+        paths = [str(p1), str(p2)]
+        for sel in (None, ["GPT  18 kHz 009072034d45 1-1 ES18-11"]):
+            ours = [ep.open_raw(p, sonar_model="EK60") for p in paths]
+            theirs = [ep.open_raw(p, sonar_model="EK60") for p in paths]
+            ref_comb = layer["combine"].combine_echodata(
+                _ref_eds(theirs, paths), channel_selection=sel
+            )
+            our_comb = ep.combine_echodata(ours, channel_selection=sel)
+            ang = np.asarray(
+                ref_comb["Sonar/Beam_group1"]["angle_athwartship"].values
+            )
+            assert np.isnan(ang[:, 9:, :]).all()  # power-only file's rows
+            for g in sorted(set(ref_comb.group_paths)):
+                _assert_ds_equal(
+                    ref_comb[g], our_comb[g], g, attrs=(g != "Provenance")
+                )
+
+
 class TestUpdatePlatformDifferential:
     def _external(self):
         import xarray as xr  # the facade
