@@ -97,9 +97,9 @@ def bench_clean(on_tpu):
     import jax.numpy as jnp
 
     from echopype_tpu.ops.windows import (
-        grid_window_halo,
+        grid_window_members,
         impulse_mask_grid_device,
-        transient_mask_grid_device,
+        transient_mask_grid_idx_device,
     )
 
     C, R = 1, 2000
@@ -114,11 +114,14 @@ def bench_clean(on_tpu):
     ).copy()
     n_iter = 50 if on_tpu else 3
 
-    halo = grid_window_halo(grid, 10.0)
+    # production path: f64-exact membership resolved on host once per
+    # file, integer bounds feed the MXU kernel
+    lo, hi, v_r, halo = grid_window_members(grid, 10.0, 5.0)
+    gmask = np.isfinite(grid).astype("f4")
 
     def one(sv, grid, bin_idx, salt):
-        t = transient_mask_grid_device(
-            sv + salt, grid, jnp.float32(10.0), 25, jnp.float32(5.0),
+        t = transient_mask_grid_idx_device(
+            sv + salt, gmask, lo, hi, v_r, 25,
             jnp.float32(12.0), range_halo=halo,
         )
         im = impulse_mask_grid_device(sv + salt, bin_idx, n_bins, 2, jnp.float32(10.0))

@@ -82,11 +82,34 @@ def mask_transient_noise(
         out.coords = dict(ds_Sv["Sv"].coords)
         return out
     grid = cu.uniform_grid(depth) if func == "nanmean" else None
+    members = None
     if grid is not None:
-        # fused device path: pooling + dB compare in one program; bit-packed
-        # readback (the tunnel's D2H leg is the bottleneck, ops/windows.py)
-        from ..ops.windows import grid_window_halo, transient_mask_grid_packed
+        from ..ops.windows import (
+            grid_window_halo,
+            grid_window_members,
+            transient_mask_grid_idx_packed,
+            transient_mask_grid_packed,
+        )
 
+        members = grid_window_members(grid, depth_bin_m, exclude_above_m)
+    if grid is not None and members is not None:
+        # fused device path with f64-exact host membership: pooling + dB
+        # compare in one program; bit-packed readback (the tunnel's D2H leg
+        # is the bottleneck, ops/windows.py)
+        lo, hi, v_r, halo = members
+        packed = np.asarray(
+            transient_mask_grid_idx_packed(
+                np.asarray(sv, dtype="f4"),
+                np.isfinite(np.asarray(grid, dtype="f8")).astype("f4"),
+                lo, hi, v_r,
+                int(num_side_pings),
+                float(thr),
+                range_halo=halo,
+            )
+        )
+        mask_vals = np.unpackbits(packed, axis=-1, count=sv.shape[2]).astype(bool)
+    elif grid is not None:
+        # non-monotone grid: order-free f32 value-band kernel
         packed = np.asarray(
             transient_mask_grid_packed(
                 np.asarray(sv, dtype="f4"),

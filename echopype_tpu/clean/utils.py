@@ -69,27 +69,43 @@ def pool_Sv_nanmean(
     """
     from ..ops.windows import (
         grid_window_halo,
-        pool_sv_nanmean_device,
+        grid_window_members,
         pool_sv_nanmean_grid_device,
+        pool_sv_nanmean_grid_idx_device,
+        pool_sv_nanmean_host_exact,
     )
 
     grid = uniform_grid(depth)
     if grid is not None:
-        out = pool_sv_nanmean_grid_device(
-            np.asarray(sv, dtype="f4"),
-            np.asarray(grid, dtype="f4"),
-            float(depth_bin),
-            int(num_side_pings),
-            float(exclude_above),
-            range_halo=grid_window_halo(grid, depth_bin),
-        )
+        members = grid_window_members(grid, depth_bin, exclude_above)
+        if members is not None:
+            # f64-exact membership/validity resolved on host (reference
+            # compares in float64; window edges on round-number grids land
+            # exactly on d±bin) — integer bounds feed the MXU kernel
+            lo, hi, v_r, halo = members
+            out = pool_sv_nanmean_grid_idx_device(
+                np.asarray(sv, dtype="f4"),
+                np.isfinite(np.asarray(grid, dtype="f8")).astype("f4"),
+                lo, hi, v_r,
+                int(num_side_pings),
+                range_halo=halo,
+            )
+        else:  # non-monotone grid: order-free f32 value-band kernel
+            out = pool_sv_nanmean_grid_device(
+                np.asarray(sv, dtype="f4"),
+                np.asarray(grid, dtype="f4"),
+                float(depth_bin),
+                int(num_side_pings),
+                float(exclude_above),
+                range_halo=grid_window_halo(grid, depth_bin),
+            )
     else:
-        out = pool_sv_nanmean_device(
-            np.asarray(sv, dtype="f4"),
-            np.asarray(depth, dtype="f4"),
-            float(depth_bin),
-            int(num_side_pings),
-            float(exclude_above),
+        # ping-varying depth: member sets aren't shared index runs and the
+        # reference's f64 edge rounding is not reproducible in f32 — host
+        # exact path (vectorized; still orders of magnitude above the
+        # reference's per-cell python loops)
+        out = pool_sv_nanmean_host_exact(
+            sv, depth, float(depth_bin), int(num_side_pings), float(exclude_above)
         )
     return np.asarray(out, dtype="f8")
 

@@ -17,11 +17,17 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "pool_sv_nanmean_device",
     "pool_sv_nanmean_grid_device",
+    "pool_sv_nanmean_grid_idx_device",
+    "pool_sv_nanmean_host_exact",
+    "grid_window_members",
     "transient_mask_grid_device",
+    "transient_mask_grid_idx_device",
+    "transient_mask_grid_idx_packed",
     "downsample_upsample_depth_device",
     "downsample_upsample_grid_device",
     "impulse_mask_grid_device",
@@ -30,6 +36,18 @@ __all__ = [
     "impulse_mask_grid_packed",
     "attenuated_ping_mask_grid_device",
 ]
+
+
+def _win_tol(center, depth_bin):
+    """Inclusive window-boundary tolerance for f32 depth comparisons.
+
+    The reference evaluates ``|d_j - d_i| <= depth_bin`` in float64; on
+    synthetic/round-number grids members land EXACTLY on the boundary, where
+    f32 rounding of ``d +- depth_bin`` flips membership by one ulp.  A
+    4-ulp-scaled inclusive margin makes the f32 kernels agree with the f64
+    truth whenever samples are either exactly on the boundary or separated
+    from it by more than ~4e-6 relative (any physical grid)."""
+    return 4.0 * jnp.float32(np.finfo(np.float32).eps) * (jnp.abs(center) + depth_bin)
 
 
 def _cumsum_band_diff(values, lo, hi, axis):
@@ -56,37 +74,167 @@ def pool_sv_nanmean_device(sv, depth, depth_bin, num_side_pings: int, exclude_ab
     cnt = (~jnp.isnan(sv)).astype(jnp.float32)
 
     d_search = jnp.where(jnp.isnan(depth), jnp.inf, depth)
+    W = int(num_side_pings)
 
-    def row_band(d_row):
-        lo = jnp.searchsorted(d_row, d_row - depth_bin, side="left")
-        hi = jnp.searchsorted(d_row, d_row + depth_bin, side="right")
-        return lo.astype(jnp.int32), hi.astype(jnp.int32)
+    # The reference selects window members by the CENTER ping's depth
+    # (clean/utils.py:88-91: ``current_depth - bin <= chan_depth <= ...``
+    # against every ping in the window), so with ping-varying depth each
+    # contributing ping's band must be searched against the center row's
+    # depths — a separable own-row band silently shifts the window edges by
+    # the inter-ping grid offset.  Scan over the (2W+1) ping shifts; each
+    # step is one vmapped searchsorted + cumsum band on the shifted rows.
+    lin_p = jnp.pad(lin_f, ((0, 0), (W, W), (0, 0)))
+    cnt_p = jnp.pad(cnt, ((0, 0), (W, W), (0, 0)))
+    d_p = jnp.pad(d_search, ((0, 0), (W, W), (0, 0)), constant_values=jnp.inf)
+    tol = _win_tol(d_search, depth_bin)
+    lo_q = d_search - depth_bin - tol
+    hi_q = d_search + depth_bin + tol
 
-    lo, hi = jax.vmap(jax.vmap(row_band))(d_search)  # [C, P, R] each
+    def step(carry, delta):
+        sw, nw = carry
+        lin_s = jax.lax.dynamic_slice_in_dim(lin_p, delta, P, axis=1)
+        cnt_s = jax.lax.dynamic_slice_in_dim(cnt_p, delta, P, axis=1)
+        d_s = jax.lax.dynamic_slice_in_dim(d_p, delta, P, axis=1)
 
-    s1 = _cumsum_band_diff(lin_f, lo, hi, axis=2)
-    n1 = _cumsum_band_diff(cnt, lo, hi, axis=2)
+        def row_band(d_row, lo_row, hi_row):
+            lo = jnp.searchsorted(d_row, lo_row, side="left")
+            hi = jnp.searchsorted(d_row, hi_row, side="right")
+            return lo.astype(jnp.int32), hi.astype(jnp.int32)
 
-    p_idx = jnp.arange(P)
-    p_lo = jnp.maximum(p_idx - num_side_pings, 0).astype(jnp.int32)
-    p_hi = (jnp.minimum(p_idx + num_side_pings, P - 1) + 1).astype(jnp.int32)
-    p_lo3 = jnp.broadcast_to(p_lo[None, :, None], (C, P, s1.shape[2]))
-    p_hi3 = jnp.broadcast_to(p_hi[None, :, None], (C, P, s1.shape[2]))
-    sw = _cumsum_band_diff(s1, p_lo3, p_hi3, axis=1)
-    nw = _cumsum_band_diff(n1, p_lo3, p_hi3, axis=1)
+        lo, hi = jax.vmap(jax.vmap(row_band))(d_s, lo_q, hi_q)
+        sw = sw + _cumsum_band_diff(lin_s, lo, hi, axis=2)
+        nw = nw + _cumsum_band_diff(cnt_s, lo, hi, axis=2)
+        return (sw, nw), None
+
+    zeros = jnp.zeros((C, P, R), dtype=jnp.float32)
+    (sw, nw), _ = jax.lax.scan(step, (zeros, zeros), jnp.arange(2 * W + 1))
 
     pooled = jnp.where(nw > 0, 10.0 * jnp.log10(sw / jnp.maximum(nw, 1.0)), jnp.nan)
 
-    d_min = jnp.nanmin(depth, axis=(1, 2), keepdims=True)
-    d_max = jnp.nanmax(depth, axis=(1, 2), keepdims=True)
+    # GLOBAL min/max — the reference's bounds span all channels
+    # (clean/utils.py:52-53: ds_Sv[range_var].min() with no dim argument)
+    d_min = jnp.nanmin(depth)
+    d_max = jnp.nanmax(depth)
+    vtol = _win_tol(depth, depth_bin)
+    p_idx = jnp.arange(P)
     valid = (
-        (depth - depth_bin >= d_min)
-        & (depth + depth_bin <= d_max)
-        & (depth - depth_bin >= exclude_above)
+        (depth - depth_bin >= d_min - vtol)
+        & (depth + depth_bin <= d_max + vtol)
+        & (depth - depth_bin >= exclude_above - vtol)
         & (p_idx[None, :, None] - num_side_pings >= 0)
         & (p_idx[None, :, None] + num_side_pings <= P)
     )
     return jnp.where(valid, pooled, jnp.nan)
+
+
+def grid_window_members(grid, depth_bin, exclude_above):
+    """Host-side f64-EXACT window membership for a ping-invariant grid.
+
+    The reference decides membership and validity with float64 comparisons
+    (clean/utils.py:79-91); on round-number grids members land exactly on
+    ``d +- depth_bin``, where any f32 evaluation flips by one ulp.  Since a
+    monotone grid's window is a contiguous index run, membership can be
+    resolved here ONCE in f64 and shipped to the device as integer bounds —
+    exact parity at full MXU speed.
+
+    Returns ``(lo, hi, v_r, halo)``:
+      lo/hi  i32 [C, R]  member index run [lo, hi) per center (0,0 at NaN
+             centers; runs may span interior-NaN positions, which the
+             kernels zero out separately)
+      v_r    bool [C, R] the reference's f64 validity (global min/max
+             across channels, exclude_above)
+      halo   power-of-two max run extent (jit-specialization bucketing)
+    or ``None`` when any finite row is non-monotone (callers fall back to
+    the f32 value-band kernel, which is order-free).
+    """
+    g2 = np.atleast_2d(np.asarray(grid, dtype="f8"))
+    C, R = g2.shape
+    lo = np.zeros((C, R), dtype="i4")
+    hi = np.zeros((C, R), dtype="i4")
+    extent = 0
+    for c in range(C):
+        row = g2[c]
+        raw = np.nonzero(np.isfinite(row))[0]
+        fin = row[raw]
+        if fin.size and (np.diff(fin) < 0).any():
+            return None
+        if not fin.size:
+            continue
+        l_f = np.searchsorted(fin, fin - float(depth_bin), side="left")
+        h_f = np.searchsorted(fin, fin + float(depth_bin), side="right")
+        lo[c, raw] = raw[l_f]
+        hi[c, raw] = raw[h_f - 1] + 1
+        extent = max(
+            extent,
+            int((raw[h_f - 1] - raw).max()),
+            int((raw - raw[l_f]).max()),
+        )
+    halo = int(2 ** np.ceil(np.log2(extent + 1))) if extent else 0
+    d_min = np.nanmin(g2) if np.isfinite(g2).any() else np.nan
+    d_max = np.nanmax(g2) if np.isfinite(g2).any() else np.nan
+    with np.errstate(invalid="ignore"):
+        v_r = (
+            (g2 - float(depth_bin) >= d_min)
+            & (g2 + float(depth_bin) <= d_max)
+            & (g2 - float(depth_bin) >= float(exclude_above))
+        )
+    return lo, hi, v_r, halo
+
+
+def pool_sv_nanmean_host_exact(sv, depth, depth_bin, num_side_pings: int, exclude_above):
+    """Reference-exact pooled nanmean for PING-VARYING depth (host, f64).
+
+    The reference windows every ping in the block by the CENTER ping's
+    depth in float64 (clean/utils.py:88-91); with per-ping grids the member
+    set is not expressible as shared index bounds, and f32 device
+    comparisons flip the reference's own f64 rounding at window edges
+    (e.g. 3.2 - 2.0 > 1.2 in f64).  This path trades device speed for
+    bit-exact membership; ping-invariant grids (the instrument norm) take
+    the MXU index-bounds path instead.
+    """
+    sv = np.asarray(sv, dtype="f8")
+    depth = np.asarray(depth, dtype="f8")
+    C, P, R = sv.shape
+    W = int(num_side_pings)
+    lin = np.where(np.isnan(sv), 0.0, 10.0 ** (sv / 10.0))
+    cnt = (~np.isnan(sv)).astype("f8")
+    lin_cs = np.concatenate([np.zeros((C, P, 1)), np.cumsum(lin, axis=2)], axis=2)
+    cnt_cs = np.concatenate([np.zeros((C, P, 1)), np.cumsum(cnt, axis=2)], axis=2)
+    out = np.full((C, P, R), np.nan)
+    d_min = np.nanmin(depth)
+    d_max = np.nanmax(depth)
+    bin_f = float(depth_bin)
+    for c in range(C):
+        rows_sorted = [
+            bool(np.all(np.diff(depth[c, p][np.isfinite(depth[c, p])]) >= 0))
+            for p in range(P)
+        ]
+        for p in range(W, P):
+            if p + W > P:  # reference validity: window must fit [0, P]
+                continue
+            d0 = depth[c, p]
+            lo_q = d0 - bin_f
+            hi_q = d0 + bin_f
+            with np.errstate(invalid="ignore"):
+                valid = (lo_q >= d_min) & (d0 + bin_f <= d_max) & (lo_q >= float(exclude_above))
+            sw = np.zeros(R)
+            nw = np.zeros(R)
+            for pp in range(max(0, p - W), min(P, p + W + 1)):
+                drow = depth[c, pp]
+                if rows_sorted[pp] and not np.isnan(drow).any():
+                    l = np.searchsorted(drow, lo_q, side="left")
+                    h = np.searchsorted(drow, hi_q, side="right")
+                    sw += lin_cs[c, pp][h] - lin_cs[c, pp][l]
+                    nw += cnt_cs[c, pp][h] - cnt_cs[c, pp][l]
+                else:
+                    with np.errstate(invalid="ignore"):
+                        m = (drow[None, :] >= lo_q[:, None]) & (drow[None, :] <= hi_q[:, None])
+                    sw += m @ lin[c, pp]
+                    nw += m @ cnt[c, pp]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                pooled = np.where(nw > 0, 10.0 * np.log10(sw / np.maximum(nw, 1.0)), np.nan)
+            out[c, p] = np.where(valid, pooled, np.nan)
+    return out
 
 
 def _expand_tiles(x, H: int, T: int, pad_value=0.0):
@@ -166,9 +314,10 @@ def _pool_windows_grid(sv, grid, depth_bin, num_side_pings: int, range_halo: int
         gc = jnp.pad(
             d, ((0, 0), (0, nT * T - R)), constant_values=jnp.inf
         ).reshape(C, nT, T)
+        btol = _win_tol(gc[..., None, :], depth_bin)
         band = (
-            (gb[..., :, None] >= gc[..., None, :] - depth_bin)
-            & (gb[..., :, None] <= gc[..., None, :] + depth_bin)
+            (gb[..., :, None] >= gc[..., None, :] - depth_bin - btol)
+            & (gb[..., :, None] <= gc[..., None, :] + depth_bin + btol)
         ).astype(jnp.float32)  # [C, nT, K, T]
         s_n = jnp.einsum(
             "cpnk,cnkt->cpnt", xb, band,
@@ -177,9 +326,10 @@ def _pool_windows_grid(sv, grid, depth_bin, num_side_pings: int, range_halo: int
         s_n = s_n.reshape(C, 2 * P, nT * T)[..., :R]
     else:
         # dense band matrix over the range axis: Wd[c, r_src, r_dst]
+        dtol = _win_tol(d[:, None, :], depth_bin)
         wd = (
-            (d[:, :, None] >= d[:, None, :] - depth_bin)
-            & (d[:, :, None] <= d[:, None, :] + depth_bin)
+            (d[:, :, None] >= d[:, None, :] - depth_bin - dtol)
+            & (d[:, :, None] <= d[:, None, :] + depth_bin + dtol)
         ).astype(jnp.float32)
         dn = (((2,), (1,)), ((0,), (0,)))
         s_n = jax.lax.dot_general(
@@ -196,14 +346,112 @@ def _pool_windows_grid(sv, grid, depth_bin, num_side_pings: int, range_halo: int
     return out[..., :R], out[..., R:]
 
 
+def _pool_windows_grid_idx(sv, gmask, lo, hi, num_side_pings: int, range_halo: int = 0,
+                           tile: int = 128):
+    """_pool_windows_grid with HOST-computed integer member bounds.
+
+    Membership is the f64-exact contiguous run [lo, hi) per center
+    (grid_window_members), built on device from integer iota comparisons —
+    no float boundary arithmetic at all.  ``gmask`` (f32 [C, R], 0 at
+    NaN-grid positions) zeroes contributions from interior-NaN positions
+    that fall inside a run, matching the reference's NaN comparisons.
+    """
+    C, P, R = sv.shape
+    lin = jnp.power(10.0, sv / 10.0)
+    lin_f = jnp.where(jnp.isnan(sv), 0.0, lin) * gmask[:, None, :]
+    cnt = (~jnp.isnan(sv)).astype(jnp.float32) * gmask[:, None, :]
+
+    stacked = jnp.concatenate([lin_f, cnt], axis=1)  # [C, 2P, R]
+    if range_halo and range_halo * 2 < R:
+        H = int(range_halo)
+        T = min(tile, R)
+        xb = _expand_tiles(stacked, H, T)  # [C, 2P, nT, K]
+        K = T + 2 * H
+        nT = xb.shape[-2]
+        # center bounds per tile: pad with an empty run (lo=hi=0)
+        lo_t = jnp.pad(lo, ((0, 0), (0, nT * T - R))).reshape(C, nT, T)
+        hi_t = jnp.pad(hi, ((0, 0), (0, nT * T - R))).reshape(C, nT, T)
+        # member global index for tile n, halo slot k: n*T - H + k
+        kg = (
+            jnp.arange(nT, dtype=jnp.int32)[:, None] * T
+            - H
+            + jnp.arange(K, dtype=jnp.int32)[None, :]
+        )  # [nT, K]
+        band = (
+            (kg[None, :, :, None] >= lo_t[:, :, None, :])
+            & (kg[None, :, :, None] < hi_t[:, :, None, :])
+        ).astype(jnp.float32)  # [C, nT, K, T]
+        s_n = jnp.einsum(
+            "cpnk,cnkt->cpnt", xb, band,
+            precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
+        )
+        s_n = s_n.reshape(C, 2 * P, nT * T)[..., :R]
+    else:
+        r_src = jnp.arange(R, dtype=jnp.int32)
+        wd = (
+            (r_src[None, :, None] >= lo[:, None, :])
+            & (r_src[None, :, None] < hi[:, None, :])
+        ).astype(jnp.float32)  # [C, R_src, R_dst]
+        dn = (((2,), (1,)), ((0,), (0,)))
+        s_n = jax.lax.dot_general(
+            stacked, wd, dn, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+
+    stacked2 = jnp.concatenate([s_n[:, :P], s_n[:, P:]], axis=2)  # [C, P, 2R]
+    out = _window_sum_ping_blocked(
+        jnp.moveaxis(stacked2, 1, 2), num_side_pings, tile=tile
+    )
+    out = jnp.moveaxis(out, 2, 1)
+    return out[..., :R], out[..., R:]
+
+
+@partial(jax.jit, static_argnames=("num_side_pings", "range_halo"))
+def pool_sv_nanmean_grid_idx_device(sv, gmask, lo, hi, v_r, num_side_pings: int,
+                                    range_halo: int = 0):
+    """MXU pooled nanmean with host-exact membership/validity
+    (grid_window_members) — the production grid path."""
+    C, P, R = sv.shape
+    sw, nw = _pool_windows_grid_idx(sv, gmask, lo, hi, num_side_pings, range_halo)
+    pooled = jnp.where(nw > 0, 10.0 * jnp.log10(sw / jnp.maximum(nw, 1.0)), jnp.nan)
+    p_idx = jnp.arange(P)
+    v_p = (p_idx - num_side_pings >= 0) & (p_idx + num_side_pings <= P)
+    valid = v_r[:, None, :] & v_p[None, :, None]
+    return jnp.where(valid, pooled, jnp.nan)
+
+
+@partial(jax.jit, static_argnames=("num_side_pings", "range_halo"))
+def transient_mask_grid_idx_device(sv, gmask, lo, hi, v_r, num_side_pings: int,
+                                   threshold, range_halo: int = 0):
+    """Fused transient mask on the host-exact index-bounds path."""
+    pooled = pool_sv_nanmean_grid_idx_device(
+        sv, gmask, lo, hi, v_r, num_side_pings, range_halo
+    )
+    return (sv - pooled) > threshold
+
+
+@partial(jax.jit, static_argnames=("num_side_pings", "range_halo"))
+def transient_mask_grid_idx_packed(sv, gmask, lo, hi, v_r, num_side_pings: int,
+                                   threshold, range_halo: int = 0):
+    """transient_mask_grid_idx_device with bit-packed readback."""
+    return pack_mask_device(
+        transient_mask_grid_idx_device(
+            sv, gmask, lo, hi, v_r, num_side_pings, threshold, range_halo
+        )
+    )
+
+
 def _pool_validity_grid(grid, depth_bin, num_side_pings: int, exclude_above, P: int):
-    """pool_Sv validity rules on a ping-invariant grid -> bool [C, P, R]."""
-    d_min = jnp.nanmin(grid, axis=1, keepdims=True)
-    d_max = jnp.nanmax(grid, axis=1, keepdims=True)
+    """pool_Sv validity rules on a ping-invariant grid -> bool [C, P, R].
+
+    min/max are GLOBAL across channels (reference clean/utils.py:52-53)."""
+    d_min = jnp.nanmin(grid)
+    d_max = jnp.nanmax(grid)
+    gtol = _win_tol(grid, depth_bin)
     v_r = (
-        (grid - depth_bin >= d_min)
-        & (grid + depth_bin <= d_max)
-        & (grid - depth_bin >= exclude_above)
+        (grid - depth_bin >= d_min - gtol)
+        & (grid + depth_bin <= d_max + gtol)
+        & (grid - depth_bin >= exclude_above - gtol)
     )  # [C, R]
     p_idx = jnp.arange(P)
     v_p = (p_idx - num_side_pings >= 0) & (p_idx + num_side_pings <= P)  # [P]
@@ -437,8 +685,11 @@ def grid_window_halo(grid, depth_bin) -> int:
             continue
         if (_np.diff(finite) < 0).any():
             return 0  # not monotone: only the dense band is correct
-        hi = _np.searchsorted(finite, finite + float(depth_bin), side="right")
-        lo = _np.searchsorted(finite, finite - float(depth_bin), side="left")
+        # mirror the kernels' inclusive f32 boundary tolerance so the halo
+        # always covers every sample the banded membership test can admit
+        tol = 4.0 * _np.finfo(_np.float32).eps * (_np.abs(finite) + float(depth_bin))
+        hi = _np.searchsorted(finite, finite + float(depth_bin) + tol, side="right")
+        lo = _np.searchsorted(finite, finite - float(depth_bin) - tol, side="left")
         # extents in RAW sample indices: interior NaN holes make raw
         # distances exceed compacted ones, and the pooling kernels band
         # over raw positions (an underestimated halo silently drops

@@ -228,3 +228,45 @@ class TestTransientDetectorsDifferential:
         np.testing.assert_array_equal(
             np.asarray(got.values, dtype=bool), np.asarray(want.values, dtype=bool)
         )
+
+
+class TestExactBoundaryMembershipDifferential:
+    """depth_bin equal to the grid spacing puts window members EXACTLY on
+    d +- bin, where the reference's float64 edge arithmetic decides
+    membership (e.g. 3.2 - 2.0 > 1.2 in f64).  The grid path resolves
+    membership on host in f64 (grid_window_members) and the ping-varying
+    path runs host-exact, so the masks must match the reference cell for
+    cell — this pinned the round-4 soak's 67-cell transient mismatches."""
+
+    @pytest.mark.parametrize("uniform", [True, False])
+    def test_transient_mask_exact_at_boundaries(self, uniform):
+        ds = make_clean_ds(n_ch=3, n_ping=26, n_r=27, seed=411046184, uniform=uniform)
+        sv = np.asarray(ds["Sv"].values)
+        rng = np.random.default_rng(99)
+        sv[rng.random(sv.shape) < 0.1] = np.nan
+        ref_api = load_ref("clean/api")
+        kw = dict(func="nanmean", depth_bin="2.0m", num_side_pings=1,
+                  exclude_above="3.0m", transient_noise_threshold="6.0dB",
+                  range_var="depth")
+        want = ref_api.mask_transient_noise(ds, **kw)
+        got = ep.clean.mask_transient_noise(ds, **kw)
+        np.testing.assert_array_equal(
+            np.asarray(got.values, dtype=bool), np.asarray(want.values, dtype=bool)
+        )
+
+    def test_pooled_values_match_reference_f64(self):
+        # the pooled mean itself (not just the mask) matches the reference
+        # to f64 precision on the ping-varying path
+        ds = make_clean_ds(n_ch=2, n_ping=10, n_r=14, seed=7, uniform=False)
+        ref_utils = load_ref("clean/utils")
+        want = ref_utils.pool_Sv(ds, np.nanmean, 2.0, 1, 3.0, "depth")
+        from echopype_tpu.clean.utils import pool_Sv_nanmean
+
+        got = pool_Sv_nanmean(
+            np.asarray(ds["Sv"].values, "f8"),
+            np.asarray(ds["depth"].values, "f8"), 2.0, 1, 3.0,
+        )
+        w = np.asarray(want.values, dtype="f8")
+        np.testing.assert_array_equal(np.isnan(got), np.isnan(w))
+        m = ~np.isnan(w)
+        np.testing.assert_allclose(got[m], w[m], rtol=0, atol=1e-12)
