@@ -371,12 +371,72 @@ def soak_clean(n, rng):
     return fails
 
 
+def soak_nasc(n, rng):
+    import numpy as np
+    import echopype_tpu as ep
+    from test_ref_commongrid import make_nasc_ds
+    from ref_oracle import load_ref
+
+    ref_u = load_ref("commongrid/utils")
+    from echopype_tpu.commongrid.utils import get_distance_from_latlon
+
+    fails = 0
+    for i in range(n):
+        n_ch = int(rng.integers(1, 4))
+        n_ping = int(rng.integers(8, 60))
+        n_r = int(rng.integers(10, 60))
+        ds = make_nasc_ds(
+            n_ch=n_ch, n_ping=n_ping, n_r=n_r, seed=int(rng.integers(0, 1 << 30))
+        )
+        sv = np.asarray(ds["Sv"].values)
+        sv[rng.random(sv.shape) < rng.uniform(0, 0.2)] = np.nan
+        dist_bin = float(rng.choice([0.02, 0.05, 0.1]))
+        range_bin = float(rng.choice([2.0, 4.0, 7.5]))
+        cfg = dict(shape=(n_ch, n_ping, n_r), dist_bin=dist_bin, range_bin=range_bin)
+        try:
+            dist_nmi = np.asarray(get_distance_from_latlon(ds), dtype="f8")
+            ds_ref = ds.assign_coords(
+                {"distance_nmi": ("ping_time", dist_nmi)}
+            ).swap_dims({"ping_time": "distance_nmi"})
+            range_edges = np.arange(
+                0, np.nanmax(np.asarray(ds["depth"].values)) + range_bin, range_bin
+            )
+            dist_edges = np.arange(0, np.nanmax(dist_nmi) + dist_bin, dist_bin)
+            raw = ref_u.compute_raw_NASC(
+                ds_ref,
+                ref_u._convert_bins_to_interval_index(range_edges),
+                ref_u._convert_bins_to_interval_index(dist_edges),
+            )
+            got = ep.commongrid.compute_NASC(
+                ds, range_bin=f"{range_bin}m", dist_bin=f"{dist_bin}nmi"
+            )
+            want = np.asarray(raw["sv"].values, dtype="f8")
+            g = np.asarray(got["NASC"].values, dtype="f8")
+            assert g.shape == want.shape, (g.shape, want.shape)
+            nm = int((np.isnan(g) != np.isnan(want)).sum())
+            both = ~np.isnan(want) & ~np.isnan(g)
+            rel = (
+                float(np.max(np.abs(g[both] - want[both]) / np.maximum(np.abs(want[both]), 1e-30)))
+                if both.any()
+                else 0.0
+            )
+            if nm or rel > 1e-5:
+                fails += 1
+                print(f"FAIL cfg={cfg}: rel={rel} nan_mismatch={nm}", flush=True)
+        except Exception as e:
+            fails += 1
+            print(f"ERROR cfg={cfg}: {type(e).__name__}: {e}", flush=True)
+            traceback.print_exc()
+    return fails
+
+
 MODES = {
     "ek60": soak_ek60,
     "ek80": soak_ek80,
     "mvbs": soak_mvbs,
     "combine": soak_combine,
     "clean": soak_clean,
+    "nasc": soak_nasc,
 }
 
 
