@@ -13,10 +13,11 @@ Usage (CPU backend; serialize on shared-core rigs):
     PYTHONPATH=. python benchmarks/soak_differentials.py mvbs 30
     PYTHONPATH=. python benchmarks/soak_differentials.py combine 12
 
-Budgets: EK60/AZFP f64 Sv <1e-9 dB; EK80 BB f64 Sv <5e-6 dB (the
-reference's own c64 pulse-compression quantization); MVBS <1e-5 dB (f32
-device bin partials, docs/PERFORMANCE.md); combine = group-for-group
-equality incl. error parity.
+Budgets: EK60/AZFP f64 Sv <1e-9 dB; EK80 BB f64 Sv <7.5e-5 dB (the
+reference's own c64 pulse-compression quantization, docs/PERFORMANCE.md);
+MVBS <1e-5 dB (f32 device bin partials); clean masks exact outside the
+~1e-4 dB threshold-quantization band; combine = group-for-group equality
+incl. error parity.
 
 Round-4 session results: ek60 40/40, ek80 24/24, mvbs 30/30 clean;
 combine 12/12 after two real fixes it surfaced (facade concat outer-join +
@@ -140,9 +141,16 @@ def soak_ek80(n, rng):
             )
             g = np.asarray(our_sv["Sv"].values)
             nm = int((np.isnan(g) != np.isnan(w)).sum())
-            if delta >= 5e-6 or nm:
+            # budget: the f64 BB residual is the REFERENCE's own complex64
+            # pulse-compression quantization (docs/PERFORMANCE.md: max
+            # 7.3e-5 dB on samples ~60 dB below peak; quantizing our pc
+            # identically collapses it to 4e-14)
+            if delta >= 7.5e-5 or nm:
                 fails += 1
                 print(f"FAIL cfg={cfg}: delta={delta} nan_mismatch={nm}", flush=True)
+            elif delta >= 5e-6:
+                print(f"NOTE cfg={cfg}: delta={delta} within the reference-c64 "
+                      f"budget", flush=True)
         except Exception as e:
             fails += 1
             print(f"ERROR cfg={cfg}: {type(e).__name__}: {e}", flush=True)
