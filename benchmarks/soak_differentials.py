@@ -321,6 +321,33 @@ def soak_clean(n, rng):
                 fails += 1
                 nm = int((np.asarray(got.values, bool) != np.asarray(want.values, bool)).sum())
                 print(f"FAIL transient cfg={cfg}: {nm} cells differ", flush=True)
+            up_sl = float(rng.choice([5.0, 15.0, 25.0]))
+            lo_sl = up_sl + float(rng.choice([10.0, 25.0]))
+            kw3 = dict(upper_limit_sl=f"{up_sl}m", lower_limit_sl=f"{lo_sl}m",
+                       num_side_pings=min(side, 4),
+                       attenuation_signal_threshold=f"{thr}dB", range_var="depth")
+            try:
+                want3 = ref_api.mask_attenuated_signal(ds, **kw3)
+            except ValueError as e:
+                # the reference compares upper/lower limit STRINGS before
+                # parsing (clean/api.py:320), so numerically valid pairs
+                # like "5.0m" < "15.0m" raise lexicographically; ours
+                # compares parsed meters (documented divergence)
+                if "shorter than maximum" in str(e) and f"{up_sl}m" > f"{lo_sl}m":
+                    ep.clean.mask_attenuated_signal(ds, **kw3)
+                    print("NOTE attenuated: reference string-compare quirk "
+                          f"raised on ({up_sl}m, {lo_sl}m); ours ok", flush=True)
+                    continue
+                raise
+            got3 = ep.clean.mask_attenuated_signal(ds, **kw3)
+            if tuple(want3.dims) != tuple(got3.dims):
+                want3 = want3.transpose(*got3.dims)
+            if not np.array_equal(
+                np.asarray(got3.values, dtype=bool), np.asarray(want3.values, dtype=bool)
+            ):
+                fails += 1
+                nm = int((np.asarray(got3.values, bool) != np.asarray(want3.values, bool)).sum())
+                print(f"FAIL attenuated cfg={cfg} sl=({up_sl},{lo_sl}): {nm} cells differ", flush=True)
             kw2 = dict(depth_bin=f"{max(2.0, db / 2)}m", num_side_pings=min(side, 3),
                        impulse_noise_threshold=f"{thr}dB", range_var="depth")
             try:
@@ -438,8 +465,60 @@ def soak_nasc(n, rng):
     return fails
 
 
+def soak_azfp(n, rng):
+    import numpy as np
+    import echopype_tpu as ep
+    from synth_azfp import write_azfp_raw, write_azfp_xml
+    from ref_oracle import FakeEchoData, load_ref
+
+    ref_mod = load_ref("calibrate/calibrate_azfp")
+    tmp = pathlib.Path(tempfile.mkdtemp())
+    fails = 0
+    for i in range(n):
+        cfg = dict(
+            n_pings=int(rng.integers(2, 20)),
+            seed=int(rng.integers(0, 10**6)),
+            averaged=bool(rng.random() < 0.4),
+            minute=int(rng.integers(0, 60)),
+        )
+        env = {
+            "salinity": float(rng.uniform(25, 36)),
+            "pressure": float(rng.uniform(5, 100)),
+            "temperature": float(rng.uniform(2, 20)),
+        }
+        raw = tmp / f"2301{i:02d}00.01A"
+        xml = tmp / f"cfg{i}.xml"
+        try:
+            write_azfp_raw(raw, **cfg)
+            write_azfp_xml(xml)
+            ed = ep.open_raw(raw, sonar_model="AZFP", xml_path=str(xml))
+            fake = FakeEchoData(
+                {p: ed[p] for p in ("Sonar/Beam_group1", "Environment", "Vendor_specific")},
+                ed.sonar_model,
+            )
+            want = ref_mod.CalibrateAZFP(fake, env_params=dict(env)).compute_Sv()
+            got = ep.calibrate.compute_Sv(ed, env_params=dict(env))
+            w_da = want["Sv"]
+            if tuple(w_da.dims) != tuple(got["Sv"].dims):
+                w_da = w_da.transpose(*got["Sv"].dims)
+            w = np.asarray(w_da.values, dtype="f8")
+            g = np.asarray(got["Sv"].values, dtype="f8")
+            nm = int((np.isnan(g) != np.isnan(w)).sum())
+            m = ~np.isnan(w)
+            d = float(np.max(np.abs(g[m] - w[m]))) if m.any() else 0.0
+            if nm or d > 1e-9:
+                fails += 1
+                print(f"FAIL cfg={cfg}: delta={d} nan_mismatch={nm}", flush=True)
+        except Exception as e:
+            fails += 1
+            print(f"ERROR cfg={cfg}: {type(e).__name__}: {e}", flush=True)
+            traceback.print_exc()
+    return fails
+
+
 MODES = {
     "ek60": soak_ek60,
+    "azfp": soak_azfp,
     "ek80": soak_ek80,
     "mvbs": soak_mvbs,
     "combine": soak_combine,

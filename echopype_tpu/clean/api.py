@@ -205,8 +205,11 @@ def mask_attenuated_signal(
         # device fast path: contiguous-slab medians, per-ping bool readback
         from ..ops.windows import attenuated_ping_mask_grid_device
 
-        up_idx = np.nanargmin(np.abs(grid - upper_m), axis=1).astype("i4")
-        lw_idx = np.nanargmin(np.abs(grid - lower_m), axis=1).astype("i4")
+        # plain argmin: NaN-holed rows resolve to the first NaN index on
+        # both bounds (empty slab, no masking) — the reference's own
+        # np.argmin quirk (clean/utils.py:349-350)
+        up_idx = np.argmin(np.abs(grid - upper_m), axis=1).astype("i4")
+        lw_idx = np.argmin(np.abs(grid - lower_m), axis=1).astype("i4")
         widths = np.maximum(lw_idx - up_idx, 0).astype("i4")
         s_max = max(int(widths.max()), 1)
         ping_mask = np.asarray(

@@ -214,8 +214,12 @@ def echopy_attenuated_signal_mask(
     lin = _log2lin(sv)
     import warnings
 
-    up_idx = np.nanargmin(np.abs(depth - upper_limit_sl), axis=1)
-    lw_idx = np.nanargmin(np.abs(depth - lower_limit_sl), axis=1)
+    # plain argmin, NOT nanargmin: the reference's np.argmin treats NaN as
+    # the minimum (clean/utils.py:349-350), so a NaN-holed depth row yields
+    # up == lw == first-NaN-index -> empty slab -> the ping is never masked.
+    # Faithful quirk included.
+    up_idx = np.argmin(np.abs(depth - upper_limit_sl), axis=1)
+    lw_idx = np.argmin(np.abs(depth - lower_limit_sl), axis=1)
     with warnings.catch_warnings():
         warnings.simplefilter("ignore", category=RuntimeWarning)
         for p in range(P):

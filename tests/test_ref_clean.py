@@ -270,3 +270,52 @@ class TestExactBoundaryMembershipDifferential:
         np.testing.assert_array_equal(np.isnan(got), np.isnan(w))
         m = ~np.isnan(w)
         np.testing.assert_allclose(got[m], w[m], rtol=0, atol=1e-12)
+
+
+class TestAttenuatedLimitStringCompareQuirk:
+    def test_reference_string_compare_raises_ours_accepts(self):
+        """Inverted finding: the reference compares the limit STRINGS before
+        parsing (clean/api.py:320), so numerically valid pairs whose string
+        order inverts ("5.0m" > "15.0m" lexicographically) raise; we compare
+        parsed meters and accept them."""
+        ds = make_clean_ds(n_ch=1, n_ping=12, n_r=30, seed=8)
+        ref_api = load_ref("clean/api")
+        kw = dict(upper_limit_sl="5.0m", lower_limit_sl="15.0m",
+                  num_side_pings=2, attenuation_signal_threshold="6.0dB",
+                  range_var="depth")
+        with pytest.raises(ValueError, match="shorter than maximum"):
+            ref_api.mask_attenuated_signal(ds, **kw)
+        got = ep.clean.mask_attenuated_signal(ds, **kw)  # numerically valid
+        assert np.asarray(got.values).dtype == bool
+
+    def test_numerically_invalid_pair_raises_like_reference(self):
+        ds = make_clean_ds(n_ch=1, n_ping=12, n_r=30, seed=8)
+        ref_api = load_ref("clean/api")
+        kw = dict(upper_limit_sl="50.0m", lower_limit_sl="40.0m",
+                  num_side_pings=2, attenuation_signal_threshold="6.0dB",
+                  range_var="depth")
+        with pytest.raises(ValueError, match="shorter than maximum"):
+            ref_api.mask_attenuated_signal(ds, **kw)
+        with pytest.raises(ValueError, match="shorter than maximum"):
+            ep.clean.mask_attenuated_signal(ds, **kw)
+
+
+class TestAttenuatedNaNHoleArgminQuirk:
+    def test_nan_holed_grid_no_masking_like_reference(self):
+        """The reference's np.argmin treats NaN as the minimum, so a
+        NaN-holed depth row resolves both scattering-layer bounds to the
+        first NaN index — empty slab, no masking ever (clean/utils.py:349).
+        Faithful quirk: our slab bounds use plain argmin too."""
+        ds = make_clean_ds(n_ch=2, n_ping=20, n_r=30, seed=4)
+        dep = np.asarray(ds["depth"].values)
+        dep[..., 5] = np.nan  # interior hole
+        ref_api = load_ref("clean/api")
+        kw = dict(upper_limit_sl="20.0m", lower_limit_sl="50.0m",
+                  num_side_pings=3, attenuation_signal_threshold="5.0dB",
+                  range_var="depth")
+        want = ref_api.mask_attenuated_signal(ds, **kw)
+        got = ep.clean.mask_attenuated_signal(ds, **kw)
+        assert not np.asarray(want.values).any()
+        np.testing.assert_array_equal(
+            np.asarray(got.values, dtype=bool), np.asarray(want.values, dtype=bool)
+        )
