@@ -516,9 +516,110 @@ def soak_azfp(n, rng):
     return fails
 
 
+def soak_detectors(n, rng):
+    import numpy as np
+    import echopype_tpu as ep
+    from test_ref_detectors import make_bottom_ds
+    from test_ref_postprocess import make_sv_ds
+    from ref_oracle import load_ref
+
+    def random_shoal_ds(n_ping, n_r, seed):
+        # Quiet background with a random number of dense blobs + specks,
+        # scaled to the sampled shape (the tests/ helper hardcodes blob
+        # positions that need n_ping>=36, n_r>=45).
+        ds = make_sv_ds(n_ch=2, n_ping=n_ping, n_r=n_r, seed=seed)
+        r2 = np.random.default_rng(seed ^ 0x5A5A)
+        sv = np.asarray(ds["Sv"].values)
+        sv[:] = r2.normal(-88.0, 2.0, sv.shape)
+        for _ in range(int(r2.integers(1, 4))):
+            h = int(r2.integers(2, max(3, n_ping // 3)))
+            w = int(r2.integers(2, max(3, n_r // 4)))
+            p0 = int(r2.integers(0, max(1, n_ping - h)))
+            s0 = int(r2.integers(0, max(1, n_r - w)))
+            sv[:, p0:p0 + h, s0:s0 + w] = r2.normal(-56.0, 2.0, (2, h, w))
+        for _ in range(int(r2.integers(0, 3))):
+            sv[:, int(r2.integers(0, n_ping)), int(r2.integers(0, n_r))] = -50.0
+        return ds
+
+    ref_basic = load_ref("mask/seafloor_detection/bottom_basic")
+    ref_bw = load_ref("mask/seafloor_detection/bottom_blackwell")
+    ref_w = load_ref("mask/shoal_detection/shoal_weill")
+    ref_e = load_ref("mask/shoal_detection/shoal_echoview")
+    fails = 0
+    for i in range(n):
+        seed = int(rng.integers(0, 1 << 30))
+        n_ping = int(rng.integers(10, 50))
+        n_r = int(rng.integers(30, 100))
+        bidx = int(rng.integers(n_r // 2, n_r - 8))
+        ds = make_bottom_ds(n_ch=2, n_ping=n_ping, n_r=n_r, bottom_idx=bidx, seed=seed)
+        cfg = dict(seed=seed, n_ping=n_ping, n_r=n_r, bidx=bidx)
+        try:
+            kw = dict(var_name="Sv", channel="ch0",
+                      threshold=(float(rng.uniform(-50, -35)), float(rng.uniform(-20, -5))),
+                      offset_m=float(rng.choice([0.0, 0.2, 0.5])),
+                      bin_skip_from_surface=int(rng.integers(1, 15)))
+            want = ref_basic.bottom_basic(ds, **kw)
+            got = ep.mask.detect_seafloor(ds, method="basic", params=kw)
+            w = np.asarray(want.values, dtype="f8"); g = np.asarray(got.values, dtype="f8")
+            if not (np.array_equal(np.isnan(w), np.isnan(g)) and np.allclose(
+                    np.nan_to_num(w), np.nan_to_num(g), rtol=0, atol=0)):
+                fails += 1
+                print(f"FAIL basic cfg={cfg} kw={kw}", flush=True)
+            rng2 = np.random.default_rng(seed + 1)
+            sv = np.asarray(ds["Sv"].values)
+            th = rng2.normal(0.0, 2.0, sv.shape); ph = rng2.normal(0.0, 2.0, sv.shape)
+            th[:, :, bidx:] += 14.0; ph[:, :, bidx:] += 14.0
+            ds["angle_alongship"] = (("channel", "ping_time", "range_sample"), th)
+            ds["angle_athwartship"] = (("channel", "ping_time", "range_sample"), ph)
+            kwb = dict(var_name="Sv", channel="ch0",
+                       threshold=(-60.0, 40.0, 40.0),
+                       offset=float(rng.choice([0.0, 0.3])),
+                       r0=2.0, r1=float(min(40.0, n_r * 0.5 - 2)),
+                       wtheta=int(rng.choice([3, 5])), wphi=int(rng.choice([5, 7])))
+            want = ref_bw.bottom_blackwell(ds, **kwb)
+            got = ep.mask.detect_seafloor(ds, method="blackwell", params=kwb)
+            w = np.asarray(want.values, dtype="f8"); g = np.asarray(got.values, dtype="f8")
+            if not (np.array_equal(np.isnan(w), np.isnan(g)) and np.allclose(
+                    np.nan_to_num(w), np.nan_to_num(g), rtol=0, atol=0)):
+                fails += 1
+                print(f"FAIL blackwell cfg={cfg} kw={kwb}", flush=True)
+            sh = random_shoal_ds(n_ping=max(n_ping, 12), n_r=max(n_r, 16), seed=seed)
+            kws = dict(var_name="Sv", channel="ch0", thr=float(rng.uniform(-75, -60)),
+                       maxvgap=int(rng.integers(0, 4)), maxhgap=int(rng.integers(0, 3)),
+                       minvlen=int(rng.integers(1, 5)), minhlen=int(rng.integers(1, 5)))
+            want = ref_w.shoal_weill(sh, **kws)
+            got = ep.mask.detect_shoal(sh, method="weill", params=kws)
+            if tuple(want.dims) != tuple(got.dims):
+                want = want.transpose(*got.dims)
+            if not np.array_equal(np.asarray(got.values, bool), np.asarray(want.values, bool)):
+                fails += 1
+                print(f"FAIL weill cfg={cfg} kw={kws}", flush=True)
+            # edge vectors: length n+1 (the reference indexes idim[max(idx)+1])
+            idim = np.arange(sh.sizes["range_sample"] + 1) * 0.5
+            jdim = np.arange(sh.sizes["ping_time"] + 1) * 1.0
+            kwe = dict(var_name="Sv", channel="ch0", idim=idim, jdim=jdim,
+                       thr=float(rng.uniform(-75, -60)),
+                       mincan=(float(rng.choice([0.5, 1.0])), float(rng.choice([1.0, 2.0]))),
+                       maxlink=(float(rng.choice([1.0, 2.0])), float(rng.choice([2.0, 3.0]))),
+                       minsho=(float(rng.choice([1.0, 2.0])), float(rng.choice([2.0, 3.0]))))
+            want = ref_e.shoal_echoview(sh, **kwe)
+            got = ep.mask.detect_shoal(sh, method="echoview", params=kwe)
+            if tuple(want.dims) != tuple(got.dims):
+                want = want.transpose(*got.dims)
+            if not np.array_equal(np.asarray(got.values, bool), np.asarray(want.values, bool)):
+                fails += 1
+                print(f"FAIL echoview cfg={cfg} kw={kwe}", flush=True)
+        except Exception as e:
+            fails += 1
+            print(f"ERROR cfg={cfg}: {type(e).__name__}: {e}", flush=True)
+            traceback.print_exc()
+    return fails
+
+
 MODES = {
     "ek60": soak_ek60,
     "azfp": soak_azfp,
+    "detectors": soak_detectors,
     "ek80": soak_ek80,
     "mvbs": soak_mvbs,
     "combine": soak_combine,
