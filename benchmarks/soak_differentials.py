@@ -616,8 +616,151 @@ def soak_detectors(n, rng):
     return fails
 
 
+def soak_consolidate(n, rng):
+    import numpy as np
+    import echopype_tpu as ep
+    from synth_ek60 import write_ek60_raw
+    from ref_oracle import FakeEchoData, load_ref
+
+    ref_c = load_ref("consolidate/api")
+    tmp = pathlib.Path(tempfile.mkdtemp())
+    fails = 0
+    for i in range(n):
+        seed = int(rng.integers(0, 1 << 30))
+        n_pings = int(rng.integers(3, 18))
+        n_samples = int(rng.integers(16, 90))
+        cfg = dict(seed=seed, n_pings=n_pings, n_samples=n_samples,
+                   ragged=bool(rng.random() < 0.3),
+                   with_nmea=bool(rng.random() < 0.9))
+        path = tmp / f"CONS{i}-D20200101-T000000.raw"
+        try:
+            write_ek60_raw(path, n_pings=n_pings, n_samples=n_samples, seed=seed,
+                           with_angle=True, with_nmea=cfg["with_nmea"],
+                           ragged=cfg["ragged"])
+            ed = ep.open_raw(path, sonar_model="EK60")
+            r2 = np.random.default_rng(seed ^ 0xC0)
+
+            # Randomize the Platform/Beam inputs the three add_depth group
+            # branches consume (vertical offsets, pitch/roll, beam directions),
+            # with NaN pings sprinkled in.
+            plat = ed["Platform"]
+            t2 = plat.coords["time2"].values if "time2" in plat.coords else None
+            if t2 is not None and len(np.atleast_1d(t2)):
+                m = len(np.atleast_1d(t2))
+                for nm, scale in (("pitch", 8.0), ("roll", 6.0),
+                                  ("vertical_offset", 1.5), ("water_level", 2.0)):
+                    v = r2.normal(0.0, scale, m)
+                    v[r2.random(m) < 0.15] = np.nan
+                    if nm in plat:
+                        plat[nm] = (plat[nm].dims, v.reshape(plat[nm].shape)
+                                    if plat[nm].ndim else np.float64(v[0]))
+            beam = ed["Sonar/Beam_group1"]
+            n_ch = len(np.atleast_1d(beam.coords["channel"].values))
+            bx = r2.normal(0.0, 0.3, n_ch)
+            by = r2.normal(0.0, 0.3, n_ch)
+            bz = np.abs(r2.normal(2.0, 0.5, n_ch))
+            if n_ch > 1 and r2.random() < 0.5:
+                bx[-1] = by[-1] = bz[-1] = 0.0  # zero-norm edge case
+            for nm, v in (("beam_direction_x", bx), ("beam_direction_y", by),
+                          ("beam_direction_z", bz)):
+                beam[nm] = (("channel",), v)
+
+            groups = {}
+            for g in ("Sonar", "Environment", "Vendor_specific", "Platform",
+                      "Platform/NMEA", "Sonar/Beam_group1"):
+                try:
+                    groups[g] = ed[g]
+                except KeyError:
+                    pass
+            fake = FakeEchoData(groups, "EK60")
+            ds = ep.calibrate.compute_Sv(ed)
+
+            def cmp(tag, want, got, vars_, rtol=1e-12, atol=1e-12):
+                nonlocal fails
+                for var in vars_:
+                    w = np.asarray(want[var].values, dtype="f8")
+                    g_ = np.asarray(got[var].values, dtype="f8")
+                    if not (w.shape == g_.shape and np.allclose(
+                            g_, w, rtol=rtol, atol=atol, equal_nan=True)):
+                        fails += 1
+                        bad = (~np.isclose(g_, w, rtol=rtol, atol=atol,
+                                           equal_nan=True)).sum()
+                        print(f"FAIL {tag} var={var} cfg={cfg} bad={bad} "
+                              f"shapes={g_.shape}/{w.shape}", flush=True)
+
+            def run_pair(tag, fn_kwargs, ours_kwargs=None):
+                nonlocal fails
+                ours_kwargs = fn_kwargs if ours_kwargs is None else ours_kwargs
+                werr = gerr = None
+                want = got = None
+                try:
+                    want = getattr(ref_c, tag)(ds.copy(), **fn_kwargs)
+                except Exception as e:
+                    werr = e
+                try:
+                    got = getattr(ep.consolidate, tag)(ds.copy(), **ours_kwargs)
+                except Exception as e:
+                    gerr = e
+                if (werr is None) != (gerr is None):
+                    fails += 1
+                    print(f"FAIL {tag} error-parity cfg={cfg} ref={werr!r} "
+                          f"ours={gerr!r}", flush=True)
+                    return None, None
+                if werr is not None:
+                    if type(werr) is not type(gerr):
+                        fails += 1
+                        print(f"FAIL {tag} error-type cfg={cfg} ref={werr!r} "
+                              f"ours={gerr!r}", flush=True)
+                    return None, None
+                return want, got
+
+            # add_depth: explicit offset/tilt and each group-branch flag
+            kw = dict(depth_offset=float(r2.uniform(-3, 8)),
+                      tilt=float(r2.uniform(0, 50)),
+                      downward=bool(r2.random() < 0.8))
+            want, got = run_pair("add_depth", kw)
+            if want is not None:
+                cmp(f"add_depth {kw}", want, got, ["depth"], atol=0)
+            for flag in ("use_platform_vertical_offsets", "use_platform_angles",
+                         "use_beam_angles"):
+                want, got = run_pair(
+                    "add_depth",
+                    dict(echodata=fake, **{flag: True}),
+                    dict(echodata=ed, **{flag: True}),
+                )
+                if want is not None:
+                    cmp(f"add_depth {flag}", want, got, ["depth"], atol=0)
+
+            # add_location (plain + GGA-filtered); files without NMEA must
+            # error identically
+            for loc_kw in (dict(), dict(nmea_sentence="GGA")):
+                want, got = run_pair(
+                    "add_location", dict(echodata=fake, **loc_kw),
+                    dict(echodata=ed, **loc_kw))
+                if want is not None:
+                    cmp(f"add_location {loc_kw}", want, got,
+                        ["latitude", "longitude"])
+
+            # split-beam angles (power path)
+            want, got = run_pair(
+                "add_splitbeam_angle",
+                dict(echodata=fake, waveform_mode="CW", encode_mode="power",
+                     to_disk=False),
+                dict(echodata=ed, waveform_mode="CW", encode_mode="power",
+                     to_disk=False))
+            if want is not None:
+                cmp("add_splitbeam_angle", want, got,
+                    ["angle_alongship", "angle_athwartship"], rtol=1e-10)
+        except Exception as e:
+            fails += 1
+            print(f"ERROR cfg={cfg}: {type(e).__name__}: {e}", flush=True)
+            traceback.print_exc()
+    return fails
+
+
 MODES = {
     "ek60": soak_ek60,
+    "consolidate": soak_consolidate,
     "azfp": soak_azfp,
     "detectors": soak_detectors,
     "ek80": soak_ek80,
