@@ -758,9 +758,177 @@ def soak_consolidate(n, rng):
     return fails
 
 
+def soak_survey(n, rng):
+    """Fused survey streamers vs the composed chain on random configs.
+
+    The composed side (per-file compute_Sv -> clean masks / freq_diff mask ->
+    run_survey_mvbs over datasets) is itself reference-verified; this fuzzes
+    the round-4 fusion work — raw->MVBS two-pass noise masks, fused
+    freq_diff, chunk boundaries, multi-file unions, NASC mask fusion and the
+    uniform/non-uniform grid kernel variants — against it on random shapes.
+    """
+    import numpy as np
+    import echopype_tpu as ep
+    from echopype_tpu.parallel.survey import (
+        run_survey_mvbs, run_survey_mvbs_from_raw, run_survey_nasc,
+    )
+    from synth_ek60 import write_ek60_raw
+    from test_ref_commongrid import make_nasc_ds
+    from test_survey_clean import _masked_copy
+
+    tmp = pathlib.Path(tempfile.mkdtemp())
+    fails = 0
+
+    def cmp(tag, got, want, cfg, var="Sv", atol=1e-5):
+        nonlocal fails
+        g = np.asarray(got[var].values, dtype="f8")
+        w = np.asarray(want[var].values, dtype="f8")
+        if g.shape != w.shape:
+            fails += 1
+            print(f"FAIL {tag} shape {g.shape} vs {w.shape} cfg={cfg}", flush=True)
+            return
+        if not np.array_equal(np.isnan(g), np.isnan(w)):
+            fails += 1
+            print(f"FAIL {tag} NaN-mask {np.sum(np.isnan(g) != np.isnan(w))} "
+                  f"cells cfg={cfg}", flush=True)
+            return
+        d = np.abs(np.nan_to_num(g) - np.nan_to_num(w))
+        if d.max() > atol:
+            fails += 1
+            print(f"FAIL {tag} max|d|={d.max():.3e} cfg={cfg}", flush=True)
+
+    def random_mask_spec(r2, range_var):
+        spec = {}
+        if r2.random() < 0.6:
+            spec["impulse"] = dict(
+                depth_bin=f"{float(r2.uniform(2, 6)):.1f}m",
+                num_side_pings=int(r2.integers(1, 4)),
+                impulse_noise_threshold=f"{float(r2.uniform(6, 14)):.1f}dB",
+                range_var=range_var)
+        if r2.random() < 0.6:
+            spec["attenuated"] = dict(
+                upper_limit_sl=f"{float(r2.uniform(4, 12)):.1f}m",
+                lower_limit_sl=f"{float(r2.uniform(18, 40)):.1f}m",
+                num_side_pings=int(r2.integers(2, 5)),
+                attenuation_signal_threshold=f"{float(r2.uniform(3, 8)):.1f}dB",
+                range_var=range_var)
+        if range_var == "depth" and r2.random() < 0.5:
+            spec["transient"] = dict(
+                func=str(r2.choice(["nanmean", "nanmedian"])),
+                depth_bin=f"{float(r2.uniform(4, 8)):.1f}m",
+                num_side_pings=int(r2.integers(2, 5)),
+                exclude_above=f"{float(r2.uniform(1, 4)):.1f}m",
+                transient_noise_threshold=f"{float(r2.uniform(5, 10)):.1f}dB",
+                range_var=range_var)
+        return spec
+
+    for i in range(n):
+        seed = int(rng.integers(0, 1 << 30))
+        r2 = np.random.default_rng(seed)
+        n_files = int(rng.integers(1, 4))
+        n_pings = int(rng.integers(8, 36))
+        n_samples = int(rng.integers(30, 130))
+        kw = dict(
+            range_bin_m=float(rng.uniform(3.5, 24.0)) + 0.137,
+            ping_time_bin=str(rng.choice(["3s", "5s", "10s"])),
+            chunk_pings=int(rng.integers(3, 18)),
+        )
+        cfg = dict(seed=seed, n_files=n_files, n_pings=n_pings,
+                   n_samples=n_samples, **kw)
+        try:
+            t0 = np.datetime64("2020-01-01T00:00:00", "ns")
+            files = []
+            for k in range(n_files):
+                raw = tmp / f"SV{i}_{k}-D20200101-T000000.raw"
+                fkw = {}
+                if r2.random() < 0.25:
+                    fkw["ragged"] = True
+                if r2.random() < 0.25 and n_pings > 4:
+                    m = int(r2.integers(1, max(2, n_pings // 3)))
+                    fkw["skip_pings"] = {1: set(
+                        int(x) for x in r2.choice(range(1, n_pings), size=m,
+                                                  replace=False))}
+                write_ek60_raw(raw, n_pings=n_pings, n_samples=n_samples,
+                               seed=seed + k, t0=t0 + np.timedelta64(
+                                   k * (n_pings + 5), "s"), **fkw)
+                files.append(str(raw))
+            sv_files = [
+                ep.calibrate.compute_Sv(ep.open_raw(f, sonar_model="EK60"),
+                                        precision="float32")
+                for f in files
+            ]
+
+            # 1: plain raw->MVBS vs composed datasets
+            got = run_survey_mvbs_from_raw(files, sonar_model="EK60", **kw)
+            want = run_survey_mvbs(sv_files, **kw)
+            cmp("plain", got, want, cfg)
+
+            # 2: fused noise masks vs per-file masked composition
+            spec = random_mask_spec(r2, "echo_range")
+            if spec:
+                got = run_survey_mvbs_from_raw(
+                    files, sonar_model="EK60", noise_masks=spec, **kw)
+                want = run_survey_mvbs([_masked_copy(d, spec) for d in sv_files],
+                                       **kw)
+                cmp(f"noise_masks {sorted(spec)}", got, want, cfg)
+
+            # 3: fused freq_diff vs masked composition
+            chans = [str(c) for c in
+                     sv_files[0].coords["channel"].values]
+            eq = (f'"{chans[0]}" - "{chans[1]}" '
+                  f'{r2.choice([">", "<", ">=", "<="])} '
+                  f"{float(r2.uniform(0, 4)):.2f}dB")  # grammar: dB >= 0 only
+            got = run_survey_mvbs_from_raw(
+                files, sonar_model="EK60", freq_diff=eq, **kw)
+            masked = []
+            for d in sv_files:
+                m = ep.mask.frequency_differencing(d, chanABEq=eq)
+                masked.append(ep.mask.apply_mask(d, m))
+            want = run_survey_mvbs(masked, **kw)
+            # fused in-kernel Sv and compute_Sv f32 are two roundings of the
+            # same math; with a mask the surviving sample sets shrink, so
+            # bin sums carry a bit more relative f32 noise than plain MVBS
+            cmp(f"freq_diff {eq!r}", got, want, cfg, atol=3e-5)
+
+            # 4: NASC mask fusion on random (possibly non-uniform) grids
+            nasc_files = []
+            for k in range(n_files):
+                d = make_nasc_ds(n_ch=2, n_ping=n_pings, n_r=max(16, n_samples // 3),
+                                 seed=seed + 7 * k)
+                pt = np.asarray(d.coords["ping_time"].values) + np.timedelta64(
+                    k * (n_pings + 5), "s")
+                d.coords["ping_time"].values = pt
+                if r2.random() < 0.4:
+                    # break grid uniformity so the dense/non-uniform kernel
+                    # variant runs instead of the uniform fast path
+                    dp = np.asarray(d["depth"].values)
+                    d["depth"] = (d["depth"].dims,
+                                  dp * (1.0 + 0.03 * np.sin(np.arange(dp.shape[-1]))))
+                sv = np.asarray(d["Sv"].values)
+                sv[0, int(r2.integers(0, n_pings)), :] += 30.0
+                sv[0, n_pings // 2:n_pings // 2 + 3, 5:15] -= 25.0
+                nasc_files.append(d)
+            nkw = dict(range_bin=f"{float(r2.uniform(2.5, 8.0)):.2f}m",
+                       dist_bin=f"{float(r2.uniform(0.01, 0.08)):.3f}nmi",
+                       chunk_pings=int(r2.integers(4, 20)))
+            nspec = random_mask_spec(r2, "depth")
+            if nspec:
+                got = run_survey_nasc(nasc_files, noise_masks=nspec, **nkw)
+                want = run_survey_nasc([_masked_copy(d, nspec) for d in nasc_files],
+                                       **nkw)
+                cmp(f"nasc {sorted(nspec)}", got, want, cfg, var="NASC",
+                    atol=1e-3)
+        except Exception as e:
+            fails += 1
+            print(f"ERROR cfg={cfg}: {type(e).__name__}: {e}", flush=True)
+            traceback.print_exc()
+    return fails
+
+
 MODES = {
     "ek60": soak_ek60,
     "consolidate": soak_consolidate,
+    "survey": soak_survey,
     "azfp": soak_azfp,
     "detectors": soak_detectors,
     "ek80": soak_ek80,

@@ -23,6 +23,11 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+# Data x 0/1-membership dots: keep the DATA operand at f32 (the TPU MXU's
+# DEFAULT bf16 pass quantizes it to ~1e-3 relative — measured on-chip), while
+# the 0/1 matrix is exact in one bf16 pass (see parallel/pipeline.py note).
+_P_DATA_MASK = (jax.lax.Precision.HIGHEST, jax.lax.Precision.DEFAULT)
 import numpy as np
 
 __all__ = [
@@ -147,7 +152,8 @@ def banded_x_reduce(blocks, x_rel, n_x_window: int):
     p_ids = jax.lax.broadcasted_iota(jnp.float32, (P, 1), 0)
     Mx = ((p_ids >= xb[None, :-1]) & (p_ids < xb[None, 1:])).astype(jnp.float32)
     dn = (((1,), (0,)), ((), ()))
-    out = jax.lax.dot_general(blocks, Mx, dn, preferred_element_type=jnp.float32)
+    out = jax.lax.dot_general(blocks, Mx, dn, preferred_element_type=jnp.float32,
+                              precision=_P_DATA_MASK)
     return jnp.moveaxis(out, 2, 1)
 
 
@@ -184,7 +190,8 @@ def _uniform_bin_matmul(vals3, er_grid, r_edges, closed: str):
         M = (eg >= r_edges[None, None, :-1]) & (eg < r_edges[None, None, 1:])
     M = M.astype(jnp.float32)
     dn = (((2,), (1,)), ((0,), (0,)))
-    return jax.lax.dot_general(vals3, M, dn, preferred_element_type=jnp.float32)
+    return jax.lax.dot_general(vals3, M, dn, preferred_element_type=jnp.float32,
+                               precision=_P_DATA_MASK)
 
 
 @partial(jax.jit, static_argnames=("n_x_window", "skipna", "closed", "uniform_er"))

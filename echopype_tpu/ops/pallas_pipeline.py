@@ -91,8 +91,8 @@ def _kernel_body(power_ref, dr_ref, tvg_ref, ab_ref, off_ref, m_ref, sv_ref, s1_
     # 10^(x/10) == exp(x * ln(10)/10)
     lin = jnp.where(ok, jnp.exp(sv * jnp.float32(0.23025850929940458)), 0.0)
     m = m_ref[0]
-    s1_ref[0] = jnp.dot(lin, m, preferred_element_type=jnp.float32)
-    n1_ref[0] = jnp.dot(ok.astype(jnp.float32), m, preferred_element_type=jnp.float32)
+    s1_ref[0] = jnp.dot(lin, m, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    n1_ref[0] = jnp.dot(ok.astype(jnp.float32), m, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
 
 
 def sv_mvbs_core_pallas(power, dr, tvg_shift, absorption, offset, x_idx, r_edges, n_x, n_r,
@@ -151,8 +151,8 @@ def _mvbs_kernel_body(power_ref, dr_ref, tvg_ref, ab_ref, off_ref, m_ref, s1_ref
     expo = jnp.float32(_LN10_10) * (power + 2.0 * ab_ref[0] * r_tvg + off_ref[0])
     lin = jnp.where(ok, jnp.exp(expo) * (r_tvg * r_tvg), 0.0)
     m = m_ref[0]
-    s1_ref[0] = jnp.dot(lin, m, preferred_element_type=jnp.float32)
-    n1_ref[0] = jnp.dot(ok.astype(jnp.float32), m, preferred_element_type=jnp.float32)
+    s1_ref[0] = jnp.dot(lin, m, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    n1_ref[0] = jnp.dot(ok.astype(jnp.float32), m, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
 
 
 def _pick_tile_p(P: int, target: int = 512) -> int:

@@ -73,7 +73,7 @@ def _body(power_ref, dr_ref, tvg_ref, ab_ref, off_ref, k0_ref, vl_ref,
     M = ((r_col >= bounds[0, :-1][None, :]) & (r_col < bounds[0, 1:][None, :])).astype(
         jnp.float32
     )
-    s1 = jnp.dot(lin, M, preferred_element_type=jnp.float32)  # [TP, n_r]
+    s1 = jnp.dot(lin, M, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)  # [TP, n_r]
 
     # closed-form counts: overlap of [k0, vl) with each bin's sample bounds
     clipped = jnp.clip(bounds, k0, vl)  # [TP, n_edges]
@@ -86,7 +86,7 @@ def _body(power_ref, dr_ref, tvg_ref, ab_ref, off_ref, k0_ref, vl_ref,
 
     both = jnp.concatenate([s1, n1], axis=1)  # [TP, 2*n_r]
     contrib = jax.lax.dot_general(
-        Mx, both, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        Mx, both, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
     )  # [W, 2*n_r]
 
     @pl.when(pt == 0)

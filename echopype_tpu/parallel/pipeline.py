@@ -29,6 +29,15 @@ except ImportError:  # older jax
 
 __all__ = ["sv_mvbs_core", "sharded_sv_mvbs_step", "sharded_mvbs_step_closed", "survey_pipeline_step"]
 
+# TPU MXU matmuls default to bf16 operand passes — fine for the 0/1
+# membership matrices (bf16 holds 0/1 exactly and the MXU accumulates f32,
+# so 0/1 x 0/1 count dots are exact at DEFAULT), but the DATA operand (linear
+# Sv sums) must not be quantized to 8 mantissa bits: ~1e-3 relative bin error
+# measured on-chip vs the <=1e-5 dB contract.  Per-operand precision keeps
+# the data operand at f32 (3 bf16 passes) while the exact 0/1 mask stays at
+# one pass — same accuracy as HIGHEST/HIGHEST at half the MXU passes.
+_P_DATA_MASK = (jax.lax.Precision.HIGHEST, jax.lax.Precision.DEFAULT)
+
 
 def _prefix_gather_diff(values, bounds, axis):
     cs = jnp.cumsum(values, axis=axis)
@@ -112,8 +121,10 @@ def sv_mvbs_core_mxu(power, dr, tvg_shift, absorption, offset, x_idx, r_edges, n
     ok = ~jnp.isnan(sv)
     lin = jnp.where(ok, jnp.power(10.0, sv / 10.0), 0.0)
     dn = (((2,), (1,)), ((0,), (0,)))  # contract R, batch C
-    s1 = jax.lax.dot_general(lin, M, dn, preferred_element_type=jnp.float32)
-    n1 = jax.lax.dot_general(ok.astype(jnp.float32), M, dn, preferred_element_type=jnp.float32)
+    s1 = jax.lax.dot_general(lin, M, dn, preferred_element_type=jnp.float32,
+                             precision=_P_DATA_MASK)
+    n1 = jax.lax.dot_general(ok.astype(jnp.float32), M, dn,
+                             preferred_element_type=jnp.float32)
 
     xb = jnp.searchsorted(x_idx, jnp.arange(n_x + 1, dtype=x_idx.dtype), side="left")
     xb = jnp.broadcast_to(xb.astype(jnp.int32)[None, :, None], (C, n_x + 1, n_r))
@@ -156,8 +167,10 @@ def sv_mvbs_core_ex60(power, dr, absorption, offset, x_idx, r_edges, n_x, n_r,
     # 10^(x/10) = exp(x * ln(10)/10): the single transcendental per element
     lin = jnp.where(ok, jnp.exp(sv * jnp.float32(0.23025850929940458)), 0.0)
     dn = (((2,), (1,)), ((0,), (0,)))
-    s1 = jax.lax.dot_general(lin, M, dn, preferred_element_type=jnp.float32)
-    n1 = jax.lax.dot_general(ok.astype(jnp.float32), M, dn, preferred_element_type=jnp.float32)
+    s1 = jax.lax.dot_general(lin, M, dn, preferred_element_type=jnp.float32,
+                             precision=_P_DATA_MASK)
+    n1 = jax.lax.dot_general(ok.astype(jnp.float32), M, dn,
+                             preferred_element_type=jnp.float32)
 
     xb = jnp.searchsorted(x_idx, jnp.arange(n_x + 1, dtype=x_idx.dtype), side="left")
     xb = jnp.broadcast_to(xb.astype(jnp.int32)[None, :, None], (C, n_x + 1, n_r))
@@ -236,7 +249,8 @@ def _closed_s1_n1(power, dr, tvg_shift, absorption, offset, valid_len, r_edges, 
     r_ids = jax.lax.broadcasted_iota(jnp.float32, (1, R, 1), 1)
     M = ((r_ids >= bounds[:, None, :-1]) & (r_ids < bounds[:, None, 1:])).astype(jnp.float32)
     dn = (((2,), (1,)), ((0,), (0,)))
-    s1 = jax.lax.dot_general(lin, M, dn, preferred_element_type=jnp.float32)
+    s1 = jax.lax.dot_general(lin, M, dn, preferred_element_type=jnp.float32,
+                             precision=_P_DATA_MASK)
 
     # first sample with r_tvg > 0: k > (tvg_shift - r0)/dr
     shift_eff = tvg_shift if r0 is None else tvg_shift - r0
@@ -365,7 +379,8 @@ def sv_mvbs_window_partials_freqdiff(
         jnp.float32
     )
     dn = (((2,), (1,)), ((0,), (0,)))
-    s1 = jax.lax.dot_general(lin, M, dn, preferred_element_type=jnp.float32)
+    s1 = jax.lax.dot_general(lin, M, dn, preferred_element_type=jnp.float32,
+                             precision=_P_DATA_MASK)
     n1 = jax.lax.dot_general(
         ok.astype(jnp.float32), M, dn, preferred_element_type=jnp.float32
     )
@@ -495,8 +510,10 @@ def sharded_sv_mvbs_step_3d(mesh: Mesh, n_x: int, n_r: int):
         ok = ~jnp.isnan(sv)
         lin = jnp.where(ok, jnp.power(10.0, sv / 10.0), 0.0)
         dn = (((2,), (1,)), ((0,), (0,)))
-        s1 = jax.lax.dot_general(lin, M, dn, preferred_element_type=jnp.float32)
-        n1 = jax.lax.dot_general(ok.astype(jnp.float32), M, dn, preferred_element_type=jnp.float32)
+        s1 = jax.lax.dot_general(lin, M, dn, preferred_element_type=jnp.float32,
+                             precision=_P_DATA_MASK)
+        n1 = jax.lax.dot_general(ok.astype(jnp.float32), M, dn,
+                             preferred_element_type=jnp.float32)
 
         xb = jnp.searchsorted(x_idx, jnp.arange(n_x + 1, dtype=x_idx.dtype), side="left")
         xb = jnp.broadcast_to(xb.astype(jnp.int32)[None, :, None], (C, n_x + 1, n_r))
@@ -596,7 +613,8 @@ def sv_mvbs_window_partials_uniform(
     r_ids = jax.lax.broadcasted_iota(jnp.float32, (1, R, 1), 1)
     M = ((r_ids >= bounds[:, None, :-1]) & (r_ids < bounds[:, None, 1:])).astype(jnp.float32)
     dn = (((2,), (1,)), ((0,), (0,)))
-    s1 = jax.lax.dot_general(lin, M, dn, preferred_element_type=jnp.float32)
+    s1 = jax.lax.dot_general(lin, M, dn, preferred_element_type=jnp.float32,
+                             precision=_P_DATA_MASK)
     L = valid_len.astype(jnp.float32)
     clipped = jnp.clip(bounds[:, None, :], k0[:, None, None], L[:, :, None])
     n1 = jnp.diff(clipped, axis=2)

@@ -813,6 +813,57 @@ def _make_power_cal(ed, sonar_model, env_params, cal_params):
     raise ValueError(f"unsupported power-mode sonar model {sonar_model!r}")
 
 
+def _sanitize_power_cal_inputs(power, *params):
+    """Make fused-kernel inputs NaN-safe with compute_Sv's exact semantics.
+
+    The composed path's Sv is NaN wherever ANY per-ping cal param (dr /
+    tvg_shift / alpha / offset / r0) is NaN — missing pings (a channel
+    absent at some union ping_times), and whole channels when the
+    reference's own cal-param chain yields NaN (e.g. a channel whose FIRST
+    ping is missing resolves an all-NaN gain offset; our compute_Sv matches
+    that reference behavior to 3e-14 dB).  The fused kernels cannot carry
+    the NaNs: per-channel bin bounds derive from ``dr[:, 0]`` and
+    closed-form counts from ``k0(dr, shift)``, so a NaN row poisons whole
+    chunks (NaN bounds -> empty membership) or whole window bins (NaN
+    counts through the banded matmul) — found by the `survey` soak mode.
+
+    Exclusion instead mirrors the composition exactly: every (channel,
+    ping) with a NaN param gets its POWER row forced to NaN (float path:
+    NaN Sv joins no bin; int path: valid_len == 0 -> zero closed-form
+    counts) and the param NaNs are then replaced by any finite per-channel
+    value (1.0 when a channel has none) purely to keep bounds/k0 finite —
+    the filled pings contribute nothing.
+    """
+    power = np.asarray(power)
+    params = [np.asarray(a) for a in params]
+    bad = None
+    for a in params:
+        nan = np.isnan(a)
+        if nan.any():
+            bad = nan if bad is None else (bad | nan)
+    if bad is None:
+        return (power, *params)
+    # rows where power is present but a param is NaN -> exclude like the
+    # composed path (power-all-NaN rows are already excluded)
+    with np.errstate(invalid="ignore"):
+        present = ~np.isnan(power).all(axis=-1)
+    kill = bad & present
+    if kill.any():
+        power = power.astype("f4", copy=True) if power.dtype.kind != "f" else power.copy()
+        power[kill] = np.nan
+    out = []
+    for a in params:
+        nan = np.isnan(a)
+        if nan.any():
+            a = a.copy()
+            for c in range(a.shape[0]):
+                if nan[c].any():
+                    finite = a[c][~nan[c]]
+                    a[c][nan[c]] = finite[0] if finite.size else 1.0
+        out.append(a)
+    return (power, *out)
+
+
 def _pool_decode_one(args):
     """Worker-process body: decode + resolve one raw file to kernel inputs.
 
@@ -832,6 +883,9 @@ def _pool_decode_one(args):
     else:
         power, dr, shift, alpha, offset, _ = vals
         r0 = np.zeros_like(dr)
+    power, dr, shift, alpha, offset, r0 = _sanitize_power_cal_inputs(
+        power, dr, shift, alpha, offset, r0
+    )
     return {
         "inputs": (power, dr, shift, alpha, offset, r0),
         "ping_time": np.asarray(
@@ -1050,6 +1104,9 @@ def run_survey_mvbs_from_raw(
             else:
                 power, dr, shift, alpha, offset, _ = vals
                 r0 = np.zeros_like(dr)
+            power, dr, shift, alpha, offset, r0 = _sanitize_power_cal_inputs(
+                power, dr, shift, alpha, offset, r0
+            )
             inputs.append((power, dr, shift, alpha, offset, r0))
 
     # global bin grids
@@ -1295,6 +1352,9 @@ def _run_survey_mvbs_streamed(
             )
             chans = list(cal.beam.coords["channel"].values)
             power, dr, shift, alpha, offset, _ = cal._power_cal_inputs("Sv")
+            power, dr, shift, alpha, offset = _sanitize_power_cal_inputs(
+                power, dr, shift, alpha, offset
+            )
             return power, dr, shift, alpha, offset, pt, chans
 
     acc = streamer = chans0 = None

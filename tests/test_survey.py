@@ -128,6 +128,92 @@ class TestRawSurveyStreamer:
         # echo_range) agree to ~0.02 dB; assert well inside survey tolerance
         np.testing.assert_allclose(got, expect, rtol=2e-3, atol=5e-2)
 
+    def test_per_channel_skipped_pings(self, tmp_path):
+        """Per-channel ping dropouts must not poison fused bins.
+
+        A channel absent at some union ping_times carries NaN rows in the
+        per-ping cal params; the fused kernels derive bin bounds from the
+        chunk's FIRST ping (dr[:, 0]) and closed-form counts from k0(dr) —
+        before the _sanitize_power_cal_inputs sanitation, a chunk starting
+        on a missing ping lost the channel's whole chunk (NaN bounds ->
+        empty membership) and NaN k0 NaN-poisoned every window bin's counts
+        (found by the `survey` soak mode: all-NaN channels on the plain
+        path, 1.5 dB errors on fused freq_diff).
+        """
+        import numpy as np
+
+        import echopype_tpu as ep
+        from echopype_tpu.parallel import run_survey_mvbs, run_survey_mvbs_from_raw
+        from synth_ek60 import write_ek60_raw
+
+        raw = tmp_path / "SKIP-D20200101-T000000.raw"
+        # skips hit chunk starts (pings 6 and 12 with chunk_pings=3)
+        write_ek60_raw(raw, n_pings=30, n_samples=79, seed=143667987,
+                       t0=np.datetime64("2020-01-01T00:00:00", "ns"),
+                       skip_pings={1: {1, 5, 6, 12, 17, 22, 25}})
+        kw = dict(range_bin_m=15.97, ping_time_bin="10s", chunk_pings=3)
+        sv = ep.calibrate.compute_Sv(
+            ep.open_raw(raw, sonar_model="EK60"), precision="float32")
+        want = run_survey_mvbs([sv], **kw)
+
+        def assert_close(got, wanted, atol=1e-5):
+            g = np.asarray(got["Sv"].values, "f8")
+            w = np.asarray(wanted["Sv"].values, "f8")
+            assert np.array_equal(np.isnan(g), np.isnan(w))
+            np.testing.assert_allclose(
+                np.nan_to_num(g), np.nan_to_num(w), atol=atol, rtol=0)
+
+        for prefetch in (False, True):
+            got = run_survey_mvbs_from_raw(
+                [raw], sonar_model="EK60", prefetch=prefetch, **kw)
+            assert_close(got, want)
+
+        chans = [str(c) for c in sv.coords["channel"].values]
+        eq = f'"{chans[0]}" - "{chans[1]}" > 1.94dB'
+        gotf = run_survey_mvbs_from_raw([raw], sonar_model="EK60",
+                                        freq_diff=eq, **kw)
+        m = ep.mask.frequency_differencing(sv, chanABEq=eq)
+        wantf = run_survey_mvbs([ep.mask.apply_mask(sv, m)], **kw)
+        # fused in-kernel Sv vs compute_Sv f32 round differently near the
+        # threshold; masks agree here, values within f32 bin-sum noise
+        assert_close(gotf, wantf, atol=3e-5)
+
+    def test_channel_missing_first_ping(self, tmp_path):
+        """A channel whose FIRST ping is missing must stream as all-NaN.
+
+        The reference's cal-param chain resolves an all-NaN gain offset for
+        such a channel, so compute_Sv (ours matches the reference to 3e-14
+        dB) yields NaN for every ping of it — including pings that carry
+        power.  The fused streamer must exclude those power-bearing pings
+        too (param-NaN rows NaN the power in _sanitize_power_cal_inputs),
+        not fabricate bins with filled params.
+        """
+        import numpy as np
+
+        import echopype_tpu as ep
+        from echopype_tpu.parallel import run_survey_mvbs, run_survey_mvbs_from_raw
+        from synth_ek60 import write_ek60_raw
+
+        raw = tmp_path / "SK0-D20200101-T000000.raw"
+        write_ek60_raw(raw, n_pings=24, n_samples=60, seed=7, ragged=True,
+                       t0=np.datetime64("2020-01-01T00:00:00", "ns"),
+                       skip_pings={1: {0, 6, 12}})
+        kw = dict(range_bin_m=4.0, ping_time_bin="10s", chunk_pings=5)
+        sv = ep.calibrate.compute_Sv(
+            ep.open_raw(raw, sonar_model="EK60"), precision="float32")
+        svv = np.asarray(sv["Sv"].values)
+        dead = [c for c in range(svv.shape[0]) if np.isnan(svv[c]).all()]
+        assert dead, "expected the first-ping-missing channel to be all-NaN"
+        want = run_survey_mvbs([sv], **kw)
+        w = np.asarray(want["Sv"].values, "f8")
+        for prefetch in (False, True):
+            got = run_survey_mvbs_from_raw(
+                [raw], sonar_model="EK60", prefetch=prefetch, **kw)
+            g = np.asarray(got["Sv"].values, "f8")
+            assert np.array_equal(np.isnan(g), np.isnan(w)), prefetch
+            np.testing.assert_allclose(
+                np.nan_to_num(g), np.nan_to_num(w), atol=1e-5, rtol=0)
+
     def test_rejects_other_models(self, tmp_path):
         import pytest
 
