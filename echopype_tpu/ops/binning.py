@@ -23,15 +23,17 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Data x 0/1-membership dots: keep the DATA operand at f32 (the TPU MXU's
 # DEFAULT bf16 pass quantizes it to ~1e-3 relative — measured on-chip), while
 # the 0/1 matrix is exact in one bf16 pass (see parallel/pipeline.py note).
 _P_DATA_MASK = (jax.lax.Precision.HIGHEST, jax.lax.Precision.DEFAULT)
-import numpy as np
 
 __all__ = [
     "er_is_uniform",
+    "choose_block_g",
+    "blocked_banded_segment_sum",
     "bin_index_np",
     "x_bounds_np",
     "row_bin_bounds",
@@ -70,6 +72,112 @@ def x_bounds_np(sorted_values: np.ndarray, edges: np.ndarray, closed: str = "lef
     """
     side = "left" if closed == "left" else "right"
     return np.searchsorted(sorted_values, edges, side=side).astype("i4")
+
+
+def choose_block_g(bounds: np.ndarray, n_valid: int, g_max: int = 64) -> int:
+    """Pick a static block size for :func:`blocked_banded_segment_sum`.
+
+    Valid G: no block of G samples may contain two distinct bin boundaries
+    (equivalently min over channels of min consecutive-bound spacing >= G;
+    boundary values clipped outside [0, n_valid] collapse and don't count).
+    Returns the largest power of two <= min spacing (capped at g_max), or 0
+    when none >= 8 exists — callers fall back to the plain banded matmul.
+    Host-side: ``bounds`` are the f64-exact per-channel bin bounds the
+    kernels reproduce on device (``_refine_bounds`` pins them to the grid).
+    """
+    b = np.clip(np.asarray(bounds, dtype="f8"), 0, n_valid)
+    d = np.diff(b, axis=-1)
+    d = d[d > 0]
+    if d.size == 0:
+        return 0
+    g = 1 << int(np.floor(np.log2(d.min())))
+    g = min(g, g_max)
+    return g if g >= 8 else 0
+
+
+def blocked_banded_segment_sum(vals, bounds, n_r: int, G: int):
+    """Exact-f32 contiguous-segment sums with ~1/G of the banded-matmul MACs.
+
+    vals   : f32 [C, P, N] (already masked: out-of-segment samples are 0)
+    bounds : f32 [C, n_r+1] integral segment boundaries in [0, N]
+    G      : static block size from :func:`choose_block_g` — no G-sample
+             block may contain two distinct boundaries.
+
+    Equivalent to ``dot(vals, M)`` with the 0/1 banded membership M, but the
+    range axis first reduces in exact f32 on the VPU over static G-blocks
+    (plus a sibling *left-partial* reduce at each block's single interior
+    boundary), so the MXU only reassembles [C,P,N/G] block sums through two
+    0/1 matrices: full-block membership, and the left/right-part selectors
+    of the two edge blocks.
+
+    MEASURED OUTCOME (v5e, bench workload, round 4): 8.7 ms/step vs 2.8 ms
+    for the plain exact dot — a documented NEGATIVE result.  XLA lowers the
+    [C,P,B,G] reshape + minor-axis (lane-local) reduces as materialized
+    passes instead of fusing them into the elementwise producer, so the
+    1/G MAC saving is swallowed by ~3x the HBM traffic.  Kept (with an
+    integer-exact property test) because the decomposition is correct and
+    the trade-off may invert on backends where segmented lane reduces fuse.
+
+    Decomposition per bin b = [lo, hi):
+      left  part: [lo, min(hi, ceil_G(lo)))   — inside block floor(lo/G)
+      full blocks: [ceil_G(lo), floor_G(hi))
+      right part: [max(ceil_G(lo), floor_G(hi)), hi)
+    With <=1 boundary per block, the left part of bin b is block jL's
+    RIGHT-partial at its single cut (= lo), and the right part is block jR's
+    LEFT-partial at its cut (= hi):
+      s1 = sB @ (Mfull + SelL) + sL @ (SelR - SelL)
+    where sL[c,p,j] sums vals below block j's cut (cut = block end when the
+    block has no boundary, making sL = sB there; those blocks never appear
+    in SelL/SelR).
+    """
+    C, P, N = vals.shape
+    B = -(-N // G)
+    pad = B * G - N
+    if pad:
+        vals = jnp.pad(vals, ((0, 0), (0, 0), (0, pad)))
+    vb = vals.reshape(C, P, B, G)
+
+    lo = bounds[:, :-1]  # [C, n_r]
+    hi = bounds[:, 1:]
+    blk_start = jax.lax.broadcasted_iota(jnp.float32, (1, B, 1), 1) * G
+
+    # the single interior boundary per block -> per-block cut (else block end)
+    # boundary e is interior to block floor(e/G) iff e mod G != 0
+    eG = jnp.float32(G)
+    b_all = bounds  # [C, n_r+1]
+    interior = jnp.mod(b_all, eG) != 0
+    e_blk = jnp.floor(b_all / eG)  # [C, n_r+1]
+    j_ids = jax.lax.broadcasted_iota(jnp.float32, (1, B, 1), 1)  # [1,B,1]
+    has_e = (j_ids == e_blk[:, None, :]) & interior[:, None, :]  # [C,B,n_e]
+    cut = jnp.max(jnp.where(has_e, b_all[:, None, :], 0.0), axis=2)  # [C,B]
+    cut = jnp.where(jnp.any(has_e, axis=2), cut, (jnp.arange(B) + 1.0) * eG)
+
+    gpos = (
+        jax.lax.broadcasted_iota(jnp.float32, (1, 1, B, G), 2) * G
+        + jax.lax.broadcasted_iota(jnp.float32, (1, 1, B, G), 3)
+    )
+    mL = gpos < cut[:, None, :, None]
+    sB = vb.sum(-1)  # [C,P,B] exact f32 block sums
+    sL = jnp.where(mL, vb, 0.0).sum(-1)  # sibling reduce, same producer pass
+
+    ceil_lo = jnp.ceil(lo / eG) * eG
+    floor_hi = jnp.floor(hi / eG) * eG
+    Mfull = (blk_start >= ceil_lo[:, None, :]) & (blk_start + G <= floor_hi[:, None, :])
+    jL = jnp.floor(lo / eG)
+    jR = jnp.floor(hi / eG)
+    nonempty = (hi > lo)[:, None, :]  # empty bins select nothing
+    SelL = (j_ids == jL[:, None, :]) & (jnp.mod(lo, eG) != 0)[:, None, :] & nonempty
+    SelR = (j_ids == jR[:, None, :]) & (jnp.mod(hi, eG) != 0)[:, None, :] & nonempty
+    M1 = Mfull.astype(jnp.float32) + SelL.astype(jnp.float32)
+    M2 = SelR.astype(jnp.float32) - SelL.astype(jnp.float32)
+
+    dn = (((2,), (1,)), ((0,), (0,)))
+    return (
+        jax.lax.dot_general(sB, M1, dn, preferred_element_type=jnp.float32,
+                            precision=_P_DATA_MASK)
+        + jax.lax.dot_general(sL, M2, dn, preferred_element_type=jnp.float32,
+                              precision=_P_DATA_MASK)
+    )
 
 
 # ---------------------------------------------------------------- device side

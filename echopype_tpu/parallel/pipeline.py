@@ -569,7 +569,7 @@ def sharded_mvbs_step_closed(mesh: Mesh, n_x: int, n_r: int):
 
 def sv_mvbs_window_partials_uniform(
     power, dr, tvg_shift, absorption, offset, valid_len, x_rel, r_edges,
-    n_x_window: int, n_r: int,
+    n_x_window: int, n_r: int, block_g: int = 0,
 ):
     """Window partials fast path for per-channel-uniform dr and tvg_shift.
 
@@ -580,8 +580,14 @@ def sv_mvbs_window_partials_uniform(
     (measured: 1.48 ms/step on the bench workload, 13.5M pings/s/chip).
     Same contract as sv_mvbs_window_partials with r0 = 0; callers must check
     uniformity (the survey runner does).
+
+    block_g > 0 (static; from ops.binning.choose_block_g on the host's f64
+    bin bounds) replaces the range-bin matmul with the exact-f32 blocked
+    segment sum — ~1/block_g of the MXU passes at full data precision,
+    recovering the pre-precision-fix rate (docs/PERFORMANCE.md round-4
+    precision correction).
     """
-    from ..ops.binning import banded_x_reduce
+    from ..ops.binning import banded_x_reduce, blocked_banded_segment_sum
 
     C, Pn, R = power.shape
     dr0, sh0 = dr[:, 0], tvg_shift[:, 0]
@@ -610,16 +616,95 @@ def sv_mvbs_window_partials_uniform(
     )
     edges = r_edges[None, :]
     bounds = jnp.clip(_refine_bounds(jnp.ceil(edges / dr0[:, None]), dr0, edges), 0, R)
-    r_ids = jax.lax.broadcasted_iota(jnp.float32, (1, R, 1), 1)
-    M = ((r_ids >= bounds[:, None, :-1]) & (r_ids < bounds[:, None, 1:])).astype(jnp.float32)
-    dn = (((2,), (1,)), ((0,), (0,)))
-    s1 = jax.lax.dot_general(lin, M, dn, preferred_element_type=jnp.float32,
-                             precision=_P_DATA_MASK)
+    if block_g:
+        s1 = blocked_banded_segment_sum(lin, bounds, n_r, block_g)
+    else:
+        r_ids = jax.lax.broadcasted_iota(jnp.float32, (1, R, 1), 1)
+        M = ((r_ids >= bounds[:, None, :-1]) & (r_ids < bounds[:, None, 1:])).astype(jnp.float32)
+        dn = (((2,), (1,)), ((0,), (0,)))
+        s1 = jax.lax.dot_general(lin, M, dn, preferred_element_type=jnp.float32,
+                                 precision=_P_DATA_MASK)
     L = valid_len.astype(jnp.float32)
     clipped = jnp.clip(bounds[:, None, :], k0[:, None, None], L[:, :, None])
     n1 = jnp.diff(clipped, axis=2)
     both = banded_x_reduce(jnp.concatenate([s1, n1], axis=2), x_rel, n_x_window)
     return both[:, :, :n_r], both[:, :, n_r:]
+
+
+def sv_mvbs_window_partials_uniform_t(
+    powerT, dr, tvg_shift, absorption, offset, valid_len, x_rel, r_edges,
+    n_x_window: int, n_r: int,
+):
+    """Ping-minor (transposed) exact-precision twin of the uniform kernel.
+
+    powerT: [C, R, P] — the PING axis on the minor (lane) dimension.
+    Rationale: the standard layout's range-bin dot has N = n_r ≈ 50 output
+    lanes (≤40% of the MXU's 128-lane width), and isolated-dot measurements
+    showed the transposed layout streaming the data operand at the HBM
+    floor.  MEASURED OUTCOME in the fused kernel (v5e, bench workload,
+    round 4): 2.83 ms/step — EQUAL to the normal-layout exact path, a
+    documented NEGATIVE result: with the elementwise chain fused into the
+    dot the operand comes from registers, not HBM, so the layout's
+    bandwidth advantage vanishes and the pass count is unchanged.  Kept
+    (with a parity test) as the record of that exploration; it also needs
+    the host to ship chunks transposed, so it is NOT wired into the
+    streamers.
+
+    Same math and contract as sv_mvbs_window_partials_uniform (r0 = 0,
+    per-channel-constant dr/shift); returns (sums, counts)
+    [C, n_x_window, n_r].
+    """
+    C, R, Pn = powerT.shape
+    dr0, sh0 = dr[:, 0], tvg_shift[:, 0]
+    k_col = jax.lax.broadcasted_iota(jnp.float32, (1, R, 1), 1)
+    r_tvg_col = k_col * dr0[:, None, None] - sh0[:, None, None]  # [C, R, 1]
+    sprd_col = 20.0 * jnp.log10(jnp.maximum(r_tvg_col, jnp.float32(1e-20)))
+    if jnp.issubdtype(powerT.dtype, jnp.integer):
+        index2power = jnp.float32(10.0 * jnp.log10(jnp.float32(2.0)) / 256.0)
+        powerT = powerT.astype(jnp.float32) * index2power
+    lin = jnp.exp(
+        (
+            powerT
+            + sprd_col
+            + 2.0 * absorption[:, None, :] * r_tvg_col
+            + offset[:, None, :]
+        )
+        * jnp.float32(0.23025850929940458)
+    )
+    k0 = _refine_k0(jnp.floor(sh0 / dr0) + 1.0, dr0, sh0)  # [C]
+    lin = jnp.where(
+        (k_col >= k0[:, None, None])
+        & (k_col < valid_len[:, None, :].astype(jnp.float32)),
+        lin,
+        0.0,
+    )
+    edges = r_edges[None, :]
+    bounds = jnp.clip(_refine_bounds(jnp.ceil(edges / dr0[:, None]), dr0, edges), 0, R)
+    r_ids = jax.lax.broadcasted_iota(jnp.float32, (1, 1, R), 2)
+    Mt = (
+        (r_ids >= bounds[:, :-1, None]) & (r_ids < bounds[:, 1:, None])
+    ).astype(jnp.float32)  # [C, n_r, R]
+    dn = (((2,), (1,)), ((0,), (0,)))
+    # data operand on the rhs at full lane width; XLA promotes mixed operand
+    # precision to the pair's max, so HIGHEST here == (DEFAULT, HIGHEST)
+    s1t = jax.lax.dot_general(Mt, lin, dn, preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)  # [C, n_r, P]
+    L = valid_len.astype(jnp.float32)
+    clipped = jnp.clip(bounds[:, :, None], k0[:, None, None], L[:, None, :])
+    n1t = jnp.diff(clipped, axis=1)  # [C, n_r, P]
+    # ping-window reduction on the transposed layout: one dot over P
+    xb = jnp.searchsorted(
+        x_rel, jnp.arange(n_x_window + 1, dtype=x_rel.dtype), side="left"
+    ).astype(jnp.float32)
+    p_ids = jax.lax.broadcasted_iota(jnp.float32, (Pn, 1), 0)
+    Mx = ((p_ids >= xb[None, :-1]) & (p_ids < xb[None, 1:])).astype(jnp.float32)
+    both = jnp.concatenate([s1t, n1t], axis=1)  # [C, 2*n_r, P]
+    out = jax.lax.dot_general(
+        both, Mx, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_P_DATA_MASK,
+    )  # [C, 2*n_r, W]
+    out = jnp.moveaxis(out, 2, 1)  # [C, W, 2*n_r]
+    return out[:, :, :n_r], out[:, :, n_r:]
 
 
 def sharded_mvbs_partials_closed(mesh: Mesh, n_x_window: int, n_r: int,

@@ -315,3 +315,128 @@ class TestRefineK0:
             prev_ok = (got - 1.0) * dr <= shift
             assert np.all(prev_ok | (got == 0.0)), "k0 must be minimal"
             assert np.all(got >= 0.0)
+
+
+class TestBlockedBandedSegmentSum:
+    """Exact-f32 blocked segment sum (ops/binning.py — kept as a documented
+    negative result on TPU; the decomposition itself must stay correct)."""
+
+    def test_integer_exact_property(self):
+        from echopype_tpu.ops.binning import (
+            blocked_banded_segment_sum, choose_block_g)
+
+        rng = np.random.default_rng(1)
+        ran = 0
+        for trial in range(60):
+            C = int(rng.integers(1, 4)); P = int(rng.integers(1, 7))
+            N = int(rng.integers(20, 300)); n_r = int(rng.integers(1, 10))
+            vals = rng.integers(0, 64, (C, P, N)).astype("f4")  # exact in f32
+            b = np.sort(rng.integers(0, N + 1, (C, n_r + 1)), axis=1).astype("f8")
+            if trial % 4 == 0:
+                b[:, 0] = 0.0
+                b[:, -1] = N  # aligned ends + clipped tails
+            G = choose_block_g(b, N)
+            if G == 0:
+                continue
+            ran += 1
+            got = np.asarray(blocked_banded_segment_sum(
+                jnp.asarray(vals), jnp.asarray(b.astype("f4")), n_r, G))
+            want = np.zeros((C, P, n_r))
+            for c in range(C):
+                for bb in range(n_r):
+                    want[c, :, bb] = vals[
+                        c, :, int(b[c, bb]):int(b[c, bb + 1])].sum(axis=-1)
+            np.testing.assert_array_equal(got, want)
+        assert ran >= 15  # the guard must admit a healthy fraction
+
+    def test_choose_block_g_guard(self):
+        from echopype_tpu.ops.binning import choose_block_g
+
+        # spacing 80 -> largest power of two <= 80 is 64
+        b = np.arange(0, 400, 80, dtype="f8")[None]
+        assert choose_block_g(b, 400) == 64
+        # a 3-sample bin forbids any G >= 8
+        assert choose_block_g(np.array([[0.0, 3.0, 300.0]]), 300) == 0
+        # duplicate bounds (empty bins) don't count as spacing
+        assert choose_block_g(np.array([[0.0, 64.0, 64.0, 300.0]]), 300) == 64
+
+    def test_blocked_uniform_kernel_matches_plain(self):
+        """sv_mvbs_window_partials_uniform(block_g=...) == plain path."""
+        from echopype_tpu.parallel.pipeline import sv_mvbs_window_partials_uniform
+
+        rng = np.random.default_rng(5)
+        C, Pn, R, n_r, W = 3, 48, 260, 6, 4
+        power = rng.integers(-12000, -2000, (C, Pn, R)).astype(np.int16)
+        dr = np.tile(rng.uniform(0.15, 0.25, (C, 1)).astype("f4"), (1, Pn))
+        tvg = 2 * dr
+        ab = np.full((C, Pn), 0.01, "f4")
+        off = rng.normal(-30, 2, (C, Pn)).astype("f4")
+        vl = rng.integers(R - 10, R + 1, (C, Pn)).astype("i4")
+        x_rel = np.sort(rng.integers(0, W, Pn)).astype("i4")
+        r_edges = np.linspace(0, 0.25 * R, n_r + 1).astype("f4")
+        args = [jnp.asarray(a) for a in
+                (power, dr, tvg, ab, off, vl, x_rel, r_edges)]
+        s0, c0 = sv_mvbs_window_partials_uniform(*args, W, n_r)
+        s1, c1 = sv_mvbs_window_partials_uniform(*args, W, n_r, block_g=8)
+        np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s0),
+                                   rtol=3e-6, atol=1e-30)
+
+
+class TestUniformKernelVariants:
+    """Transposed and Pallas bf16x3 twins of the uniform survey kernel —
+    both documented negative results on this chip, kept with parity pins."""
+
+    def _inputs(self):
+        rng = np.random.default_rng(3)
+        C, Pn, R, n_r, W = 2, 256, 300, 7, 4
+        power = rng.integers(-12000, -2000, (C, Pn, R)).astype(np.int16)
+        dr = np.tile(rng.uniform(0.15, 0.25, (C, 1)).astype("f4"), (1, Pn))
+        tvg = 2 * dr
+        ab = np.full((C, Pn), 0.01, "f4")
+        off = rng.normal(-30, 2, (C, Pn)).astype("f4")
+        vl = (np.full((C, Pn), R) - rng.integers(0, 5, (C, Pn))).astype("i4")
+        x_rel = np.sort(rng.integers(0, W, Pn)).astype("i4")
+        r_edges = np.linspace(0, 0.25 * R, n_r + 1).astype("f4")
+        return power, dr, tvg, ab, off, vl, x_rel, r_edges, W, n_r
+
+    def test_transposed_kernel_parity(self):
+        from echopype_tpu.parallel.pipeline import (
+            sv_mvbs_window_partials_uniform, sv_mvbs_window_partials_uniform_t)
+
+        power, dr, tvg, ab, off, vl, x_rel, r_edges, W, n_r = self._inputs()
+        args = [jnp.asarray(a) for a in (power, dr, tvg, ab, off, vl, x_rel, r_edges)]
+        s0, c0 = sv_mvbs_window_partials_uniform(*args, W, n_r)
+        pT = jnp.asarray(np.ascontiguousarray(power.transpose(0, 2, 1)))
+        st, ct = sv_mvbs_window_partials_uniform_t(pT, *args[1:], W, n_r)
+        np.testing.assert_array_equal(np.asarray(c0), np.asarray(ct))
+        np.testing.assert_allclose(np.asarray(st), np.asarray(s0),
+                                   rtol=2e-6, atol=1e-30)
+
+    def test_pallas_uniform_interpret_parity(self):
+        from echopype_tpu.ops.pallas_window import window_partials_pallas_uniform
+        from echopype_tpu.parallel.pipeline import (
+            _refine_bounds, _refine_k0, sv_mvbs_window_partials_uniform)
+
+        power, dr, tvg, ab, off, vl, x_rel, r_edges, W, n_r = self._inputs()
+        C, Pn, R = power.shape
+        args = [jnp.asarray(a) for a in (power, dr, tvg, ab, off, vl, x_rel, r_edges)]
+        s0, c0 = sv_mvbs_window_partials_uniform(*args, W, n_r)
+        # host rows: spreading log (k0 folded via -inf), 2*r_tvg, clipped bounds
+        dr0, sh0 = jnp.asarray(dr[:, 0]), jnp.asarray(tvg[:, 0])
+        k = jnp.arange(R, dtype=jnp.float32)[None, :]
+        rt = k * dr0[:, None] - sh0[:, None]
+        sprd = 20.0 * jnp.log10(jnp.maximum(rt, 1e-20))
+        k0 = _refine_k0(jnp.floor(sh0 / dr0) + 1.0, dr0, sh0)
+        sprd = jnp.where(k >= k0[:, None], sprd, -jnp.inf)
+        edges = jnp.asarray(r_edges)[None, :]
+        bounds = jnp.clip(
+            _refine_bounds(jnp.ceil(edges / dr0[:, None]), dr0, edges),
+            k0[:, None], R)
+        s1, c1 = window_partials_pallas_uniform(
+            jnp.asarray(power), sprd, 2.0 * rt, jnp.asarray(ab),
+            jnp.asarray(off), jnp.asarray(vl.astype("f4")),
+            jnp.asarray(x_rel), bounds, W, n_r, tile_p=128, interpret=True)
+        np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s0),
+                                   rtol=3e-6, atol=1e-30)
