@@ -922,6 +922,58 @@ def soak_survey(n, rng):
             fails += 1
             print(f"ERROR cfg={cfg}: {type(e).__name__}: {e}", flush=True)
             traceback.print_exc()
+
+        # 5: other-instrument from_raw legs (AZFP affine echo_range with the
+        # r0 intercept; EK80 CW/power) on a rotating schedule
+        try:
+            if i % 3 == 1:
+                from synth_azfp import write_azfp_raw, write_azfp_xml
+
+                xml = tmp / f"inst{i}.XML"
+                write_azfp_xml(xml)
+                afiles = []
+                for k in range(int(r2.integers(1, 3))):
+                    f = tmp / f"AZ{i}_{k}.01A"
+                    write_azfp_raw(f, n_pings=int(r2.integers(4, 12)),
+                                   seed=seed + k, minute=10 + 2 * k)
+                    afiles.append(str(f))
+                env = {"salinity": float(r2.uniform(28, 35)),
+                       "pressure": float(r2.uniform(10, 120))}
+                akw = dict(range_bin_m=float(r2.uniform(1.5, 6.0)) + 0.07,
+                           ping_time_bin=str(r2.choice(["2s", "5s"])),
+                           chunk_pings=int(r2.integers(2, 7)))
+                got = run_survey_mvbs_from_raw(
+                    afiles, sonar_model="AZFP", xml_path=str(xml),
+                    env_params=env, **akw)
+                asv = [ep.calibrate.compute_Sv(
+                    ep.open_raw(f, sonar_model="AZFP", xml_path=str(xml)),
+                    env_params=env, precision="float32") for f in afiles]
+                want = run_survey_mvbs(asv, **akw)
+                cmp(f"azfp {akw['ping_time_bin']}", got, want,
+                    dict(cfg, leg="azfp"))
+            if i % 3 == 2:
+                from synth_ek80 import write_ek80_raw
+
+                f = tmp / f"E80{i}-D20210201-T000000.raw"
+                write_ek80_raw(f, n_pings=int(r2.integers(6, 20)),
+                               n_samples=int(r2.integers(40, 120)), seed=seed,
+                               with_cw_complex=bool(r2.random() < 0.5))
+                ekw = dict(range_bin_m=float(r2.uniform(3.0, 12.0)) + 0.11,
+                           ping_time_bin=str(r2.choice(["3s", "5s"])),
+                           chunk_pings=int(r2.integers(3, 9)))
+                got = run_survey_mvbs_from_raw([str(f)], sonar_model="EK80", **ekw)
+                esv = ep.calibrate.compute_Sv(
+                    ep.open_raw(str(f), sonar_model="EK80"),
+                    waveform_mode="CW", encode_mode="power",
+                    precision="float32")
+                want = run_survey_mvbs([esv], **ekw)
+                cmp(f"ek80-power {ekw['ping_time_bin']}", got, want,
+                    dict(cfg, leg="ek80"))
+        except Exception as e:
+            fails += 1
+            print(f"ERROR other-instrument leg cfg={cfg}: {type(e).__name__}: {e}",
+                  flush=True)
+            traceback.print_exc()
     return fails
 
 
