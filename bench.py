@@ -187,6 +187,13 @@ def main():
             "concurrent run, i.e. the conservative claim — the device rate "
             "itself is stable to <2%"
         ),
+        "precision_note": (
+            "round 4: binning matmuls now pin the data operand to f32 on "
+            "the MXU (r01-r03 rates computed bf16-quantized bin sums, "
+            "~1e-3 dB on-chip error; now <=5e-6 dB). The exact setting "
+            "costs ~35% at this shape — docs/PERFORMANCE.md 'Round-4 "
+            "precision correction'"
+        ),
     }
     print(json.dumps(result))
 

@@ -779,7 +779,16 @@ def soak_survey(n, rng):
     tmp = pathlib.Path(tempfile.mkdtemp())
     fails = 0
 
-    def cmp(tag, got, want, cfg, var="Sv", atol=1e-5):
+    # Budget decomposition (measured, campaign seed 501 + f64-truth repro):
+    # the fused in-kernel Sv (one exp over a sum of four f32 terms) sits
+    # <=2e-5 dB from the f64 truth while the composed chain's binned
+    # compute_Sv f32 sits <=5e-6 dB — the fused formulation accumulates its
+    # pre-exp roundings once instead of re-rounding through a stored f32 Sv.
+    # Cross-side distance is bounded by the sum: 3e-5 plain, 5e-5 masked
+    # (mask-induced sample-set changes add relative f32 bin-sum noise).
+    # In linear units 3e-5 dB is ~7e-9 relative — far below any
+    # calibration uncertainty; NaN-masks must still match EXACTLY.
+    def cmp(tag, got, want, cfg, var="Sv", atol=3e-5):
         nonlocal fails
         g = np.asarray(got[var].values, dtype="f8")
         w = np.asarray(want[var].values, dtype="f8")
@@ -888,7 +897,7 @@ def soak_survey(n, rng):
             # fused in-kernel Sv and compute_Sv f32 are two roundings of the
             # same math; with a mask the surviving sample sets shrink, so
             # bin sums carry a bit more relative f32 noise than plain MVBS
-            cmp(f"freq_diff {eq!r}", got, want, cfg, atol=3e-5)
+            cmp(f"freq_diff {eq!r}", got, want, cfg, atol=5e-5)
 
             # 4: NASC mask fusion on random (possibly non-uniform) grids
             nasc_files = []
@@ -977,8 +986,82 @@ def soak_survey(n, rng):
     return fails
 
 
+def soak_regrid(n, rng):
+    """regrid_mask + apply_mask/frequency_differencing vs the reference on
+    random grids: NaN holes, per-ping-varying range, ragged bin fits, both
+    logical-AND/OR, dim orders, and multi-channel apply broadcasting."""
+    import numpy as np
+    import echopype_tpu as ep
+    from echopype_tpu.xrlite import DataArray
+    from test_ref_commongrid import make_sv_ds
+    from ref_oracle import load_ref
+
+    ref_mask = load_ref("mask/api")
+    fails = 0
+    for i in range(n):
+        seed = int(rng.integers(0, 1 << 30))
+        r2 = np.random.default_rng(seed)
+        n_ping = int(r2.integers(5, 50))
+        n_r = int(r2.integers(8, 80))
+        cfg = dict(seed=seed, n_ping=n_ping, n_r=n_r)
+        try:
+            pt = (np.datetime64("2022-01-01T00:00:00", "ns")
+                  + (np.arange(n_ping) * int(r2.integers(1, 4))).astype(
+                      "timedelta64[s]").astype("timedelta64[ns]"))
+            dz = float(r2.uniform(0.3, 2.5))
+            depth = np.arange(n_r) * dz + float(r2.uniform(0, 3))
+            mask_np = r2.uniform(size=(n_ping, n_r)) > float(r2.uniform(0.2, 0.8))
+            mask = DataArray(mask_np, ("ping_time", "depth"),
+                             coords={"ping_time": pt, "depth": depth},
+                             name="mask")
+            rng_np = np.broadcast_to(depth, (n_ping, n_r)).copy()
+            if r2.random() < 0.4:  # per-ping wobble
+                rng_np = rng_np * (1.0 + 0.02 * r2.standard_normal((n_ping, 1)))
+            if r2.random() < 0.4:  # NaN holes
+                hole = r2.random((n_ping, n_r)) < 0.05
+                rng_np = np.where(hole, np.nan, rng_np)
+            range_da = DataArray(rng_np, ("ping_time", "depth"),
+                                 coords={"ping_time": pt}, name="depth")
+            rb = f"{float(r2.uniform(1.5, 12.0)):.2f}m"
+            tb = f"{int(r2.integers(2, 15))}s"
+            for func in ("logical-AND", "logical-OR"):
+                want = ref_mask.regrid_mask(mask, range_da, range_bin=rb,
+                                            ping_time_bin=tb, func=func)
+                got = ep.mask.regrid_mask(mask, range_da, range_bin=rb,
+                                          ping_time_bin=tb, func=func)
+                w = np.asarray(want.values); g = np.asarray(got.values)
+                if g.shape != w.shape:
+                    w = np.asarray(want.transpose(*got.dims).values)
+                if not np.array_equal(g.astype("f8"), w.astype("f8")):
+                    fails += 1
+                    print(f"FAIL regrid {func} {rb}/{tb} "
+                          f"{int(np.sum(g != w))} cells cfg={cfg}", flush=True)
+
+            # apply_mask on a multi-channel Sv with the 2-D mask
+            ds = make_sv_ds(n_ch=2, n_ping=n_ping, n_r=n_r, seed=seed % 9973)
+            m2 = DataArray(mask_np, ("ping_time", "range_sample"),
+                           coords={"ping_time": np.asarray(ds.coords["ping_time"].values),
+                                   "range_sample": np.arange(n_r)},
+                           name="mask")
+            want = ref_mask.apply_mask(ds, m2)
+            got = ep.mask.apply_mask(ds, m2)
+            w = np.asarray(want["Sv"].values, "f8")
+            g = np.asarray(got["Sv"].values, "f8")
+            if not (np.array_equal(np.isnan(g), np.isnan(w))
+                    and np.allclose(np.nan_to_num(g), np.nan_to_num(w),
+                                    atol=0, rtol=0)):
+                fails += 1
+                print(f"FAIL apply_mask cfg={cfg}", flush=True)
+        except Exception as e:
+            fails += 1
+            print(f"ERROR cfg={cfg}: {type(e).__name__}: {e}", flush=True)
+            traceback.print_exc()
+    return fails
+
+
 MODES = {
     "ek60": soak_ek60,
+    "regrid": soak_regrid,
     "consolidate": soak_consolidate,
     "survey": soak_survey,
     "azfp": soak_azfp,
