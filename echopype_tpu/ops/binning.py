@@ -250,7 +250,11 @@ def banded_x_reduce(blocks, x_rel, n_x_window: int):
     output bin is an independent MXU accumulation over its own pings, unlike
     the prefix-sum reduction whose f32 cumsum cancels catastrophically for a
     quiet bin following loud pings (and whose counts saturate past 2^24).
-    Results are therefore invariant to how a stream was chunked or sharded.
+    Bin MEMBERSHIP and counts are therefore invariant to how a stream was
+    chunked or sharded; value sums are chunk-invariant to f32 reassociation
+    (a bin straddling a chunk boundary sums two f32 partials — measured
+    ~4e-5 dB between chunkings on ~10^3-sample bins, benchmarks/
+    chip_parity.py), with the host combining partials in f64.
     Returns [C, n_x_window, K].
     """
     P = blocks.shape[1]
