@@ -1059,9 +1059,114 @@ def soak_regrid(n, rng):
     return fails
 
 
+def soak_survey_bb(n, rng):
+    """EK80 complex/BB fused streamers vs the composed chain on random
+    configs: chunked and device_fused, per-channel ping dropouts, f16
+    complex payloads, an extra FM channel, CW-complex coexistence, and the
+    fused BB freq_diff leg.  Budgets: the device_fused path is f32 end to
+    end (documented ~1e-3 dB class vs the chunked f32 path on faint tails;
+    PERFORMANCE.md error budget), the chunked path shares compute_Sv's
+    f32 kernels exactly."""
+    import numpy as np
+    import echopype_tpu as ep
+    from echopype_tpu.parallel.survey import (
+        run_survey_mvbs, run_survey_mvbs_from_raw,
+    )
+    from synth_ek80 import write_ek80_raw
+
+    tmp = pathlib.Path(tempfile.mkdtemp())
+    fails = 0
+
+    def cmp(tag, got, want, cfg, atol):
+        nonlocal fails
+        g = np.asarray(got["Sv"].values, dtype="f8")
+        w = np.asarray(want["Sv"].values, dtype="f8")
+        if g.shape != w.shape:
+            fails += 1
+            print(f"FAIL {tag} shape {g.shape} vs {w.shape} cfg={cfg}", flush=True)
+            return
+        if not np.array_equal(np.isnan(g), np.isnan(w)):
+            fails += 1
+            print(f"FAIL {tag} NaN-mask {np.sum(np.isnan(g) != np.isnan(w))} "
+                  f"cells cfg={cfg}", flush=True)
+            return
+        d = np.abs(np.nan_to_num(g) - np.nan_to_num(w))
+        if d.max() > atol:
+            fails += 1
+            print(f"FAIL {tag} max|d|={d.max():.3e} cfg={cfg}", flush=True)
+
+    for i in range(n):
+        seed = int(rng.integers(0, 1 << 30))
+        r2 = np.random.default_rng(seed)
+        n_files = int(r2.integers(1, 3))
+        n_pings = int(r2.integers(6, 18))
+        n_samples = int(r2.integers(48, 140))
+        fkw = dict(
+            with_power_channel=False,
+            with_cw_complex=bool(r2.random() < 0.5),
+            complex_f16=bool(r2.random() < 0.3),
+            extra_fm_channel=bool(r2.random() < 0.3),
+        )
+        if r2.random() < 0.35 and n_pings > 4:
+            m = int(r2.integers(1, max(2, n_pings // 4)))
+            fkw["skip_pings"] = {0: set(
+                int(x) for x in r2.choice(range(1, n_pings), size=m,
+                                          replace=False))}
+        kw = dict(
+            range_bin_m=float(r2.uniform(3.0, 12.0)) + 0.13,
+            ping_time_bin=str(r2.choice(["3s", "5s"])),
+            chunk_pings=int(r2.integers(3, 9)),
+        )
+        cfg = dict(seed=seed, n_files=n_files, n_pings=n_pings,
+                   n_samples=n_samples,
+                   **{k: v for k, v in fkw.items() if k != "skip_pings"},
+                   skips=len(fkw.get("skip_pings", {}).get(0, ())), **kw)
+        try:
+            t0 = np.datetime64("2021-02-01T00:00:00", "ns")
+            files = []
+            for k in range(n_files):
+                raw = tmp / f"BB{i}_{k}-D20210201-T000000.raw"
+                write_ek80_raw(raw, n_pings=n_pings, n_samples=n_samples,
+                               seed=seed + k,
+                               t0=t0 + np.timedelta64(k * (n_pings + 4), "s"),
+                               **fkw)
+                files.append(str(raw))
+            svs = [ep.calibrate.compute_Sv(
+                ep.open_raw(f, sonar_model="EK80"), waveform_mode="BB",
+                encode_mode="complex", precision="float32") for f in files]
+            want = run_survey_mvbs(svs, **kw)
+            got = run_survey_mvbs_from_raw(
+                files, sonar_model="EK80", waveform_mode="BB",
+                encode_mode="complex", **kw)
+            cmp("bb chunked", got, want, cfg, atol=3e-5)
+            gotf = run_survey_mvbs_from_raw(
+                files, sonar_model="EK80", waveform_mode="BB",
+                encode_mode="complex", device_fused=True, **kw)
+            cmp("bb device_fused", gotf, want, cfg, atol=5e-3)
+
+            chans = [str(c) for c in svs[0].coords["channel"].values]
+            if len(chans) >= 2:
+                eq = (f'"{chans[0]}" - "{chans[1]}" '
+                      f'{r2.choice([">", "<="])} {float(r2.uniform(0, 3)):.2f}dB')
+                gotq = run_survey_mvbs_from_raw(
+                    files, sonar_model="EK80", waveform_mode="BB",
+                    encode_mode="complex", freq_diff=eq, **kw)
+                masked = [ep.mask.apply_mask(
+                    d, ep.mask.frequency_differencing(d, chanABEq=eq))
+                    for d in svs]
+                cmp(f"bb freq_diff {eq!r}", gotq, run_survey_mvbs(masked, **kw),
+                    cfg, atol=5e-5)
+        except Exception as e:
+            fails += 1
+            print(f"ERROR cfg={cfg}: {type(e).__name__}: {e}", flush=True)
+            traceback.print_exc()
+    return fails
+
+
 MODES = {
     "ek60": soak_ek60,
     "regrid": soak_regrid,
+    "survey_bb": soak_survey_bb,
     "consolidate": soak_consolidate,
     "survey": soak_survey,
     "azfp": soak_azfp,
