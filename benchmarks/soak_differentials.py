@@ -1163,10 +1163,101 @@ def soak_survey_bb(n, rng):
     return fails
 
 
+def soak_metrics(n, rng):
+    """Urmy summary statistics + QC time repair vs the reference on random
+    shapes, NaN layouts, nonuniform echo_range, and reversed-time pings."""
+    import numpy as np
+    import echopype_tpu as ep
+    from test_ref_postprocess import make_sv_ds
+    from ref_oracle import load_ref
+
+    ref_m = load_ref("metrics/summary_statistics")
+    ref_qc = load_ref("qc/api")
+    fails = 0
+    names = ("abundance", "center_of_mass", "dispersion", "evenness",
+             "aggregation")
+    for i in range(n):
+        seed = int(rng.integers(0, 1 << 30))
+        r2 = np.random.default_rng(seed)
+        n_ch = int(r2.integers(1, 4))
+        n_ping = int(r2.integers(3, 40))
+        n_r = int(r2.integers(5, 60))
+        cfg = dict(seed=seed, n_ch=n_ch, n_ping=n_ping, n_r=n_r)
+        try:
+            ds = make_sv_ds(n_ch=n_ch, n_ping=n_ping, n_r=n_r)
+            sv = np.asarray(ds["Sv"].values).copy()
+            sv += r2.normal(0, 6, sv.shape)
+            if r2.random() < 0.5:  # NaN holes incl. whole pings
+                sv[r2.random(sv.shape) < 0.08] = np.nan
+                if n_ping > 3:
+                    sv[:, int(r2.integers(0, n_ping)), :] = np.nan
+            ds["Sv"].values[...] = sv
+            if r2.random() < 0.4:  # nonuniform range spacing
+                er = np.asarray(ds["echo_range"].values).copy()
+                er *= (1.0 + 0.1 * np.sin(np.arange(er.shape[-1])))
+                ds["echo_range"].values[...] = er
+            for fname in names:
+                want = getattr(ref_m, fname)(ds)
+                got = getattr(ep.metrics, fname)(ds)
+                wv = np.asarray(getattr(want, "values", want), dtype="f8").squeeze()
+                gv = np.asarray(getattr(got, "values", got), dtype="f8").squeeze()
+                if not (np.array_equal(np.isnan(gv), np.isnan(wv))
+                        and np.allclose(np.nan_to_num(gv), np.nan_to_num(wv),
+                                        rtol=1e-10, atol=1e-12)):
+                    fails += 1
+                    print(f"FAIL metric {fname} cfg={cfg}", flush=True)
+
+            # QC: random reversed-time pings -> exist + coerce parity
+            if n_ping > 5:
+                pt = np.asarray(ds.coords["ping_time"].values).copy()
+                for _ in range(int(r2.integers(1, 4))):
+                    j = int(r2.integers(1, n_ping))
+                    pt[j] = pt[max(0, j - 2)] - np.timedelta64(
+                        int(r2.integers(1, 9)), "s")
+                ds.coords["ping_time"].values[...] = pt
+                w_ex = bool(ref_qc.exist_reversed_time(ds, "ping_time"))
+                g_ex = bool(ep.qc.exist_reversed_time(ds, "ping_time"))
+                if w_ex != g_ex:
+                    fails += 1
+                    print(f"FAIL qc exist_reversed_time cfg={cfg}", flush=True)
+                w2 = ds.copy(deep=True); g2 = ds.copy(deep=True)
+                try:
+                    ref_qc.coerce_increasing_time(w2, "ping_time")
+                except IndexError:
+                    # inverted finding: the reference's _clean_reversed
+                    # (qc/api.py:23) crashes when a local window has no
+                    # "first valid" element (reversals crossing window
+                    # starts).  Ours must still repair to nondecreasing.
+                    ep.qc.coerce_increasing_time(g2, "ping_time")
+                    gt = np.asarray(g2.coords["ping_time"].values,
+                                    "datetime64[ns]")
+                    if np.any(np.diff(gt) < np.timedelta64(0, "ns")):
+                        fails += 1
+                        print(f"FAIL qc coerce (ref crashed; ours not "
+                              f"monotone) cfg={cfg}", flush=True)
+                    else:
+                        print(f"INFO classified: reference coerce_"
+                              f"increasing_time IndexError, ours monotone "
+                              f"cfg={cfg}", flush=True)
+                    continue
+                ep.qc.coerce_increasing_time(g2, "ping_time")
+                if not np.array_equal(
+                        np.asarray(w2.coords["ping_time"].values, "datetime64[ns]"),
+                        np.asarray(g2.coords["ping_time"].values, "datetime64[ns]")):
+                    fails += 1
+                    print(f"FAIL qc coerce_increasing_time cfg={cfg}", flush=True)
+        except Exception as e:
+            fails += 1
+            print(f"ERROR cfg={cfg}: {type(e).__name__}: {e}", flush=True)
+            traceback.print_exc()
+    return fails
+
+
 MODES = {
     "ek60": soak_ek60,
     "regrid": soak_regrid,
     "survey_bb": soak_survey_bb,
+    "metrics": soak_metrics,
     "consolidate": soak_consolidate,
     "survey": soak_survey,
     "azfp": soak_azfp,

@@ -26,9 +26,21 @@ def _clean_reversed(time_old: np.ndarray, win_len: int) -> np.ndarray:
     new_diff = []
     for ni in neg_idx:
         local = ni + np.arange(-win_len, 0)
-        if local[0] < 0:
-            first_valid = np.argwhere(local == 0).flatten()[0]
-            local = local[first_valid:]
+        local = local[local >= 0]
+        if local.size == 0:
+            # a reversal at the VERY FIRST interval has no prior window —
+            # the reference's _clean_reversed (qc/api.py:23) raises
+            # IndexError here.  Repair from the pinging cadence that IS
+            # observable: the nonnegative diffs ahead of it (whole array
+            # fallback), or 0 if every interval is reversed.
+            fwd = diffs[ni + 1 : ni + 1 + win_len]
+            ok = fwd[fwd >= np.timedelta64(0, "ns")]
+            if ok.size == 0:
+                allpos = diffs[diffs >= np.timedelta64(0, "ns")]
+                ok = allpos
+            med = (np.median(ok.astype("i8")) if ok.size else 0.0)
+            new_diff.append(np.timedelta64(int(med), "ns"))
+            continue
         new_diff.append(np.median(diffs[local].astype("i8")).astype("timedelta64[ns]"))
     diffs[neg_idx] = new_diff
     c_diff = np.cumsum(diffs[neg_idx[0] :])

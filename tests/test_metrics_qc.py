@@ -108,6 +108,25 @@ class TestQC:
         orig_deltas = np.diff(t)[21:]
         np.testing.assert_array_equal(np.diff(fixed)[21:], orig_deltas)
 
+    def test_reversal_at_first_interval(self):
+        """A reversal at the VERY FIRST interval has no prior window — the
+        reference's _clean_reversed raises IndexError there (qc/api.py:23,
+        found by the metrics soak).  Ours repairs from the forward cadence
+        instead: the first interval becomes the median of the following
+        nonnegative diffs and the result flows forward."""
+        t = np.datetime64("2020-01-01", "ns") + np.arange(12) * np.timedelta64(2, "s")
+        t[1] = t[0] - np.timedelta64(7, "s")
+        # keep later deltas intact: only diff[0] (and diff[1], which the
+        # reversal made large) differ from the 2 s cadence
+        ds = Dataset(coords={"ping_time": t.copy()})
+        ep.qc.coerce_increasing_time(ds, win_len=5)
+        fixed = ds.coords["ping_time"].values
+        assert not (np.diff(fixed) < np.timedelta64(0, "ns")).any()
+        assert fixed[0] == t[0]
+        # repaired first interval = median of the following window's
+        # nonnegative diffs (9 s, 2 s, 2 s, 2 s, 2 s -> 2 s)
+        assert fixed[1] - fixed[0] == np.timedelta64(2, "s")
+
 
 class TestQCOrchestrate:
     def test_orchestrate_repairs_and_stores(self, tmp_path):
