@@ -1253,11 +1253,155 @@ def soak_metrics(n, rng):
     return fails
 
 
+def soak_ecs(n, rng):
+    """Randomized EK60 ECS files through the full precedence chain
+    (fileset < sourcecal < localcal) vs the reference CalibrateEK60 on the
+    facade: random param subsets per channel, LocalCal overrides, comment
+    and whitespace noise, and missing-channel sections."""
+    import numpy as np
+    import echopype_tpu as ep
+    from synth_ek60 import write_ek60_raw
+    from test_ref_pipeline import _fake
+    from ref_oracle import load_ref
+
+    ref_ek = load_ref("calibrate/calibrate_ek")
+    tmp = pathlib.Path(tempfile.mkdtemp())
+    fails = 0
+    # EK60-scope EV names only (calibrate/ecs.py _PARAM_TABLE).  Alias
+    # pairs (TransducerGain/Ek60TransducerGain, SaCorrectionFactor/
+    # EK60SaCorrection) are picked ONE per block: with duplicates in one
+    # file the reference's winner follows PYTHONHASHSEED (set iteration in
+    # its ecs_ev2ep) — the comparison target is undefined.  Ours pins
+    # last-in-file-wins (tests/test_ecs.py::
+    # test_duplicate_alias_last_in_file_wins).
+    PARAMS = [
+        ("AbsorptionCoefficient", lambda r: f"{r.uniform(0.001, 0.02):.6f}",
+         "# (decibels per meter)"),
+        (("TransducerGain", "Ek60TransducerGain"),
+         lambda r: f"{r.uniform(18, 28):.2f}", "# (decibels)"),
+        (("SaCorrectionFactor", "EK60SaCorrection"),
+         lambda r: f"{r.uniform(-1.0, 0.5):.2f}", "# (decibels)"),
+        ("TwoWayBeamAngle", lambda r: f"{r.uniform(-22, -15):.2f}",
+         "# (decibels re 1 steradian)"),
+        ("TransmittedPower", lambda r: f"{r.uniform(500, 2000):.1f}",
+         "# (watts)"),
+        ("MajorAxis3dbBeamAngle", lambda r: f"{r.uniform(6, 12):.2f}", ""),
+        ("MinorAxisAngleOffset", lambda r: f"{r.uniform(-0.3, 0.3):.3f}", ""),
+    ]
+    H = "#" + "=" * 88 + "#"
+
+    def header(title):
+        return ["", H, f"#{title.center(88)}#", H, ""]
+
+    freqs = (18.0, 38.0)
+    for i in range(n):
+        seed = int(rng.integers(0, 1 << 30))
+        r2 = np.random.default_rng(seed)
+        cfg = dict(seed=seed)
+        try:
+            # the reference REQUIRES the full canonical 11-line Echoview
+            # banner: type header (data_type read from it), timestamp,
+            # separator, EXACTLY six decorative lines, separator
+            # (_parse_header hard-codes the layout; ours is lenient)
+            deco = "#" + " " * 88 + "#"
+            lines = [
+                H,
+                "#" + "ECHOVIEW CALIBRATION SUPPLEMENT (.ECS) FILE "
+                "(SimradEK60Raw)".center(88) + "#",
+                "#" + "12/20/2022 08:30:15.0000".center(88) + "#",
+                H,
+            ] + [deco] * 6 + [
+                H,
+                "",
+                "Version 1.00",
+            ]
+            lines += header("FILESET SETTINGS")
+            if r2.random() < 0.7:
+                lines.append(f"SoundSpeed = {r2.uniform(1440, 1540):.1f} "
+                             "# (meters per second)")
+            lines += header("SOURCECAL SETTINGS")
+            # alias choice is PER FILE: split aliases across channels (or
+            # duplicates within one) make the reference's winner hash-order
+            # dependent — parity there is undefined (see PARAMS note)
+            params_resolved = [
+                (str(r2.choice(name)) if isinstance(name, tuple) else name,
+                 gen, unit)
+                for name, gen, unit in PARAMS
+            ]
+            for t, f in enumerate(freqs, start=1):
+                if r2.random() < 0.15 and t == 2:
+                    continue  # missing channel section
+                lines += ["", f"SourceCal T{t}"]
+                lines.append(f"    Frequency = {f:.2f} # (kilohertz)")
+                for name, gen, unit in params_resolved:
+                    if r2.random() < 0.5:
+                        pad = " " * int(r2.integers(1, 6))
+                        lines.append(f"    {name}{pad}={pad}{gen(r2)} {unit}")
+                if r2.random() < 0.3:
+                    # commented-out assignment: the reference's block
+                    # grammar accepts ONLY lines containing '=' (a bare
+                    # comment raises "Unexpected line"; ours is lenient),
+                    # and the skip group must ignore the value
+                    lines.append("    # PulseDuration = 1.024 # ignored")
+            lines += header("LOCALCAL SETTINGS")
+            if r2.random() < 0.4:
+                gain_name = params_resolved[1][0]  # the file's gain alias
+                lines += ["", "LocalCal T1",
+                          f"    {gain_name} = {r2.uniform(18, 28):.2f}"]
+            ecs = tmp / f"c{i}.ecs"
+            ecs.write_text("\n".join(lines) + "\n")
+            raw = tmp / f"ECS{i}-D20200101-T000000.raw"
+            write_ek60_raw(raw, n_pings=int(r2.integers(3, 10)),
+                           n_samples=int(r2.integers(20, 70)), seed=seed)
+            ed = ep.open_raw(str(raw), sonar_model="EK60")
+            try:
+                want = (ref_ek.CalibrateEK60(_fake(ed), None, None, str(ecs))
+                        .compute_Sv()["Sv"]
+                        .transpose("channel", "ping_time", "range_sample"))
+                ref_err = None
+            except Exception as e:  # noqa: BLE001
+                want, ref_err = None, e
+            try:
+                got = ep.calibrate.compute_Sv(ed, ecs_file=str(ecs),
+                                              precision="float64")["Sv"]
+                our_err = None
+            except Exception as e:  # noqa: BLE001
+                got, our_err = None, e
+            if (ref_err is None) != (our_err is None):
+                fails += 1
+                print(f"FAIL ecs error-parity ref={ref_err!r} ours={our_err!r} "
+                      f"cfg={cfg}", flush=True)
+                continue
+            if ref_err is not None:
+                if type(ref_err).__name__ != type(our_err).__name__:
+                    fails += 1
+                    print(f"FAIL ecs error-type ref={ref_err!r} "
+                          f"ours={our_err!r} cfg={cfg}", flush=True)
+                continue
+            w = np.asarray(want.values, dtype="f8")
+            g = np.asarray(got.values, dtype="f8")
+            if not np.array_equal(np.isnan(g), np.isnan(w)):
+                fails += 1
+                print(f"FAIL ecs NaN-mask cfg={cfg}", flush=True)
+                continue
+            m = ~np.isnan(w)
+            d = np.abs(g[m] - w[m]).max() if m.any() else 0.0
+            if d > 1e-11:
+                fails += 1
+                print(f"FAIL ecs max|d|={d:.3e} cfg={cfg}", flush=True)
+        except Exception as e:
+            fails += 1
+            print(f"ERROR cfg={cfg}: {type(e).__name__}: {e}", flush=True)
+            traceback.print_exc()
+    return fails
+
+
 MODES = {
     "ek60": soak_ek60,
     "regrid": soak_regrid,
     "survey_bb": soak_survey_bb,
     "metrics": soak_metrics,
+    "ecs": soak_ecs,
     "consolidate": soak_consolidate,
     "survey": soak_survey,
     "azfp": soak_azfp,

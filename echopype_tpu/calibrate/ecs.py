@@ -274,17 +274,35 @@ def ecs_ev2ep(ev_dict, sonar_type):
         PARAM_MAP.update(EV_EP_MAP["EK80"])
     cal_names = set(PARAM_MAP) - set(ENV_PARAMS) - set(CAL_PARAMS_BB)
 
-    def get_param_ds(param_type):
-        ds = Dataset(coords={"channel": np.arange(len(ev_dict))})
-        for p_name in param_type:
-            vals = [src.get(p_name, np.nan) for src in ev_dict.values()]
-            if any(not (np.isscalar(v) and np.isnan(v)) for v in vals):
-                try:
-                    arr = np.asarray(vals, dtype="f8")
-                except (TypeError, ValueError):
+    def get_param_ds(param_names):
+        # EV alias resolution: several EV names map to one echopype param
+        # (TransducerGain/Ek60TransducerGain -> gain_correction, ...).  We
+        # resolve PER CHANNEL to the LAST assignment in the file — the same
+        # downstream-overrides-upstream rule ECS uses everywhere else.  The
+        # reference instead iterates a Python SET of EV names here
+        # (ecs.py ecs_ev2ep), so with duplicate aliases its winner follows
+        # PYTHONHASHSEED: the same ECS file can calibrate to different Sv
+        # between processes (verified across hash seeds; pinned in
+        # tests/test_ecs.py::test_duplicate_alias_last_in_file_wins).
+        wanted = {n: PARAM_MAP[n] for n in param_names if n in PARAM_MAP}
+        per_ep, ep_order = {}, []
+        for ch_i, src in enumerate(ev_dict.values()):
+            for p_name, v in src.items():
+                ep_name = wanted.get(p_name)
+                if ep_name is None:
                     continue
-                if not np.isnan(arr).all():
-                    ds[PARAM_MAP[p_name]] = (("channel",), arr)
+                if ep_name not in per_ep:
+                    per_ep[ep_name] = [np.nan] * len(ev_dict)
+                    ep_order.append(ep_name)
+                per_ep[ep_name][ch_i] = v  # later file entries overwrite
+        ds = Dataset(coords={"channel": np.arange(len(ev_dict))})
+        for ep_name in ep_order:
+            try:
+                arr = np.asarray(per_ep[ep_name], dtype="f8")
+            except (TypeError, ValueError):
+                continue
+            if not np.isnan(arr).all():
+                ds[ep_name] = (("channel",), arr)
         return ds
 
     ds_env = get_param_ds(ENV_PARAMS)

@@ -157,6 +157,35 @@ LocalCal MyPatch
 class TestECSEdgeCases:
     """LocalCal overrides, commented params, BB vectors, typed values."""
 
+    def test_duplicate_alias_last_in_file_wins(self):
+        """EV aliases mapping to one echopype param resolve deterministically
+        to the LAST assignment in the file, per channel.
+
+        The reference iterates a Python SET of EV names in its ecs_ev2ep, so
+        with duplicate aliases (TransducerGain vs Ek60TransducerGain,
+        SaCorrectionFactor vs EK60SaCorrection) its winner follows
+        PYTHONHASHSEED — verified empirically: the same ECS file calibrates
+        to different Sv across processes (hash seeds 6/7/10 pick
+        TransducerGain+SaCorrectionFactor; 4/5/8 the EK60 variants).  Found
+        by the `ecs` soak mode; ours pins the user-predictable rule."""
+        ev_dict = {
+            # T1: plain then EK60-prefixed -> the later EK60 names win
+            "T1": {"Frequency": 18.0, "TransducerGain": 21.0,
+                   "Ek60TransducerGain": 23.0, "SaCorrectionFactor": -0.2,
+                   "EK60SaCorrection": -0.7},
+            # T2: reversed order -> the plain names win
+            "T2": {"Frequency": 38.0, "EK60SaCorrection": -0.9,
+                   "SaCorrectionFactor": -0.1, "Ek60TransducerGain": 25.0,
+                   "TransducerGain": 27.0},
+            # T3: single alias per channel merges across channels
+            "T3": {"Frequency": 120.0, "Ek60TransducerGain": 24.5},
+        }
+        _, ds_cal, _ = ecs_ev2ep(ev_dict, "EK60")
+        np.testing.assert_array_equal(
+            np.asarray(ds_cal["gain_correction"].values), [23.0, 27.0, 24.5])
+        np.testing.assert_array_equal(
+            np.asarray(ds_cal["sa_correction"].values), [-0.7, -0.1, np.nan])
+
     @pytest.fixture()
     def ek80_ecs_file(self, tmp_path):
         p = tmp_path / "bb.ecs"
