@@ -137,18 +137,34 @@ class EcsDocument:
     localcal: dict = field(default_factory=dict)  # name -> {param: value}
 
     def consolidated(self, localcal_name: Optional[str] = None) -> dict:
-        """Per-source params with LocalCal > SourceCal > Fileset precedence."""
+        """Per-source params with LocalCal > SourceCal > Fileset precedence.
+
+        Overrides REINSERT the key (pop + set) instead of dict.update: plain
+        update keeps the overridden key's original insertion position, which
+        would make a LocalCal override of a SourceCal param sit EARLIER in
+        the dict than a SourceCal alias of the same echopype param — and
+        ecs_ev2ep's alias resolution is by-position (last assignment wins).
+        With reinsertion, dict order == precedence order == file order
+        within each layer (review finding, pinned in tests/test_ecs.py::
+        test_localcal_alias_precedence).
+        """
+        def layered(dst, src):
+            for k, v in src.items():
+                dst.pop(k, None)
+                dst[k] = v
+
         out = {}
         for src, params in self.sourcecal.items():
-            merged = dict(self.fileset)
-            merged.update(params)
+            merged = {}
+            layered(merged, self.fileset)
+            layered(merged, params)
             out[src] = merged
         if self.localcal:
             if localcal_name is None:
                 localcal_name = next(iter(self.localcal))
             overrides = self.localcal[localcal_name]
             for merged in out.values():
-                merged.update(overrides)
+                layered(merged, overrides)
         return out
 
 
@@ -297,10 +313,17 @@ def ecs_ev2ep(ev_dict, sonar_type):
                 per_ep[ep_name][ch_i] = v  # later file entries overwrite
         ds = Dataset(coords={"channel": np.arange(len(ev_dict))})
         for ep_name in ep_order:
-            try:
-                arr = np.asarray(per_ep[ep_name], dtype="f8")
-            except (TypeError, ValueError):
-                continue
+            # per-ELEMENT coercion: one channel's malformed (non-numeric)
+            # value becomes NaN for that channel only — converting the whole
+            # merged list at once would drop the param for every channel
+            # (review finding; the reference crashes on np.isnan(list-with-
+            # str) here, so this region's semantics are ours to define)
+            arr = np.full(len(ev_dict), np.nan)
+            for k, v in enumerate(per_ep[ep_name]):
+                try:
+                    arr[k] = float(v)
+                except (TypeError, ValueError):
+                    pass
             if not np.isnan(arr).all():
                 ds[ep_name] = (("channel",), arr)
         return ds

@@ -25,9 +25,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Data x 0/1-membership dots: keep the DATA operand at f32 (the TPU MXU's
-# DEFAULT bf16 pass quantizes it to ~1e-3 relative — measured on-chip), while
-# the 0/1 matrix is exact in one bf16 pass (see parallel/pipeline.py note).
+# Data x 0/1-membership dot precision (shared policy; parallel/pipeline.py
+# imports this).  The TPU MXU's DEFAULT bf16 pass quantizes the DATA operand
+# to ~1e-3 relative (measured on-chip) vs the <=1e-5 dB bin contract, so the
+# data side must be exact.  Per-operand tuples ARE honored numerically on
+# this chip — measured error floors: DEFAULT 9e-4, (HIGH,DEFAULT) 2.4e-6,
+# (HIGHEST,DEFAULT) 4.3e-7, HIGHEST 3.0e-7 relative — but the tuple gave NO
+# measured time advantage over plain HIGHEST in the fused kernels (2.83 ms
+# either way at the bench shape).  (HIGHEST, DEFAULT) is kept as the
+# statement of intent: the 0/1 matrix needs only one exact bf16 pass.
 _P_DATA_MASK = (jax.lax.Precision.HIGHEST, jax.lax.Precision.DEFAULT)
 
 __all__ = [
@@ -88,11 +94,10 @@ def choose_block_g(bounds: np.ndarray, n_valid: int, g_max: int = 64) -> int:
     b = np.clip(np.asarray(bounds, dtype="f8"), 0, n_valid)
     d = np.diff(b, axis=-1)
     d = d[d > 0]
-    if d.size == 0:
+    if d.size == 0 or d.min() < 8:  # sub-8 spacing: 1 << log2(<1) would raise
         return 0
     g = 1 << int(np.floor(np.log2(d.min())))
-    g = min(g, g_max)
-    return g if g >= 8 else 0
+    return min(g, g_max)
 
 
 def blocked_banded_segment_sum(vals, bounds, n_r: int, G: int):

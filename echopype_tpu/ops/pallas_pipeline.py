@@ -92,7 +92,7 @@ def _kernel_body(power_ref, dr_ref, tvg_ref, ab_ref, off_ref, m_ref, sv_ref, s1_
     lin = jnp.where(ok, jnp.exp(sv * jnp.float32(0.23025850929940458)), 0.0)
     m = m_ref[0]
     s1_ref[0] = jnp.dot(lin, m, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-    n1_ref[0] = jnp.dot(ok.astype(jnp.float32), m, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    n1_ref[0] = jnp.dot(ok.astype(jnp.float32), m, preferred_element_type=jnp.float32)  # 0/1 x 0/1: exact at DEFAULT
 
 
 def sv_mvbs_core_pallas(power, dr, tvg_shift, absorption, offset, x_idx, r_edges, n_x, n_r,
@@ -152,7 +152,7 @@ def _mvbs_kernel_body(power_ref, dr_ref, tvg_ref, ab_ref, off_ref, m_ref, s1_ref
     lin = jnp.where(ok, jnp.exp(expo) * (r_tvg * r_tvg), 0.0)
     m = m_ref[0]
     s1_ref[0] = jnp.dot(lin, m, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-    n1_ref[0] = jnp.dot(ok.astype(jnp.float32), m, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    n1_ref[0] = jnp.dot(ok.astype(jnp.float32), m, preferred_element_type=jnp.float32)  # 0/1 x 0/1: exact at DEFAULT
 
 
 def _pick_tile_p(P: int, target: int = 512) -> int:

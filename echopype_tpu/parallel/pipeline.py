@@ -29,14 +29,9 @@ except ImportError:  # older jax
 
 __all__ = ["sv_mvbs_core", "sharded_sv_mvbs_step", "sharded_mvbs_step_closed", "survey_pipeline_step"]
 
-# TPU MXU matmuls default to bf16 operand passes — fine for the 0/1
-# membership matrices (bf16 holds 0/1 exactly and the MXU accumulates f32,
-# so 0/1 x 0/1 count dots are exact at DEFAULT), but the DATA operand (linear
-# Sv sums) must not be quantized to 8 mantissa bits: ~1e-3 relative bin error
-# measured on-chip vs the <=1e-5 dB contract.  Per-operand precision keeps
-# the data operand at f32 (3 bf16 passes) while the exact 0/1 mask stays at
-# one pass — same accuracy as HIGHEST/HIGHEST at half the MXU passes.
-_P_DATA_MASK = (jax.lax.Precision.HIGHEST, jax.lax.Precision.DEFAULT)
+# Data x 0/1-membership dot precision: shared policy, defined once in
+# ops/binning.py (see the note there).
+from ..ops.binning import _P_DATA_MASK  # noqa: E402
 
 
 def _prefix_gather_diff(values, bounds, axis):
@@ -685,8 +680,10 @@ def sv_mvbs_window_partials_uniform_t(
         (r_ids >= bounds[:, :-1, None]) & (r_ids < bounds[:, 1:, None])
     ).astype(jnp.float32)  # [C, n_r, R]
     dn = (((2,), (1,)), ((0,), (0,)))
-    # data operand on the rhs at full lane width; XLA promotes mixed operand
-    # precision to the pair's max, so HIGHEST here == (DEFAULT, HIGHEST)
+    # data operand on the rhs at full lane width; HIGHEST here measured
+    # time-equal to (DEFAULT, HIGHEST) on this chip (see the ops/binning.py
+    # precision note — per-operand tuples are honored numerically but gave
+    # no time advantage)
     s1t = jax.lax.dot_general(Mt, lin, dn, preferred_element_type=jnp.float32,
                               precision=jax.lax.Precision.HIGHEST)  # [C, n_r, P]
     L = valid_len.astype(jnp.float32)

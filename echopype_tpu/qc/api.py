@@ -23,25 +23,36 @@ def _clean_reversed(time_old: np.ndarray, win_len: int) -> np.ndarray:
     neg_idx = np.argwhere(diffs < np.timedelta64(0, "ns")).flatten()
     if len(neg_idx) == 0:
         return time_old
+    # A reversal at the VERY FIRST interval has no prior window — the
+    # reference's _clean_reversed (qc/api.py:23) raises IndexError there, so
+    # that whole regime's semantics are ours to define.  In it we use a
+    # ROBUST repair: each reversed interval takes the median of the
+    # NONNEGATIVE diffs around it (prior window, then forward window, then
+    # whole array, else 0) — every replacement is nonnegative, so the
+    # repaired axis is guaranteed monotone (the plain prior-window median
+    # can itself be negative when reversals dominate the window, silently
+    # re-corrupting the axis — review finding).  Outside the crash regime
+    # the reference's exact algorithm runs, quirks included, for parity.
+    robust = neg_idx[0] == 0
+    zero = np.timedelta64(0, "ns")
     new_diff = []
     for ni in neg_idx:
         local = ni + np.arange(-win_len, 0)
         local = local[local >= 0]
-        if local.size == 0:
-            # a reversal at the VERY FIRST interval has no prior window —
-            # the reference's _clean_reversed (qc/api.py:23) raises
-            # IndexError here.  Repair from the pinging cadence that IS
-            # observable: the nonnegative diffs ahead of it (whole array
-            # fallback), or 0 if every interval is reversed.
-            fwd = diffs[ni + 1 : ni + 1 + win_len]
-            ok = fwd[fwd >= np.timedelta64(0, "ns")]
-            if ok.size == 0:
-                allpos = diffs[diffs >= np.timedelta64(0, "ns")]
-                ok = allpos
-            med = (np.median(ok.astype("i8")) if ok.size else 0.0)
-            new_diff.append(np.timedelta64(int(med), "ns"))
+        if not robust:
+            new_diff.append(
+                np.median(diffs[local].astype("i8")).astype("timedelta64[ns]")
+            )
             continue
-        new_diff.append(np.median(diffs[local].astype("i8")).astype("timedelta64[ns]"))
+        ok = diffs[local]
+        ok = ok[ok >= zero]
+        if ok.size == 0:
+            fwd = diffs[ni + 1 : ni + 1 + win_len]
+            ok = fwd[fwd >= zero]
+        if ok.size == 0:
+            ok = diffs[diffs >= zero]
+        med = np.median(ok.astype("i8")) if ok.size else 0.0
+        new_diff.append(np.timedelta64(int(med), "ns"))
     diffs[neg_idx] = new_diff
     c_diff = np.cumsum(diffs[neg_idx[0] :])
     new_time = time_old.copy()

@@ -186,6 +186,42 @@ class TestECSEdgeCases:
         np.testing.assert_array_equal(
             np.asarray(ds_cal["sa_correction"].values), [-0.7, -0.1, np.nan])
 
+    def test_localcal_alias_precedence(self, tmp_path):
+        """A LocalCal override must beat a SourceCal ALIAS of the same
+        echopype param through the full parse + consolidate + ev2ep chain.
+
+        dict.update keeps an overridden key's original insertion position,
+        so a naive merge left the LocalCal TransducerGain EARLIER in the
+        consolidated dict than SourceCal's Ek60TransducerGain and the
+        by-position alias resolution silently discarded the
+        highest-precedence value (review finding; consolidated() now
+        reinserts on override)."""
+        ecs = tmp_path / "lc.ecs"
+        ecs.write_text(ECS_CONTENT.replace(
+            "SourceCal T1\n",
+            "SourceCal T1\n    Ek60TransducerGain = 23.00\n",
+        ) + "\nLocalCal T1\n    TransducerGain = 25.00\n")
+        parser = ECSParser(str(ecs))
+        parser.parse()
+        _, ds_cal, _ = ecs_ev2ep(parser.get_cal_params(), "EK60")
+        g = np.asarray(ds_cal["gain_correction"].values)
+        # T1: LocalCal 25.0 wins over SourceCal's 22.95 AND the alias 23.0;
+        # T2: LocalCal applies to all sources like the reference -> 25.0
+        np.testing.assert_array_equal(g, [25.0, 25.0])
+
+    def test_malformed_value_poisons_one_channel_only(self):
+        """A non-numeric value for one channel's alias becomes NaN for that
+        channel; the merged echopype param keeps other channels' values
+        (review finding: whole-list float conversion dropped the param for
+        every channel)."""
+        ev_dict = {
+            "T1": {"Frequency": 18.0, "TransducerGain": "notanumber"},
+            "T2": {"Frequency": 38.0, "Ek60TransducerGain": 26.0},
+        }
+        _, ds_cal, _ = ecs_ev2ep(ev_dict, "EK60")
+        np.testing.assert_array_equal(
+            np.asarray(ds_cal["gain_correction"].values), [np.nan, 26.0])
+
     @pytest.fixture()
     def ek80_ecs_file(self, tmp_path):
         p = tmp_path / "bb.ecs"

@@ -127,6 +127,26 @@ class TestQC:
         # nonnegative diffs (9 s, 2 s, 2 s, 2 s, 2 s -> 2 s)
         assert fixed[1] - fixed[0] == np.timedelta64(2, "s")
 
+    def test_adjacent_reversals_at_start_stay_monotone(self):
+        """Multiple reversals whose local windows are dominated by OTHER
+        reversed diffs must still repair to a monotone axis in the
+        first-interval (reference-crash) regime — the plain prior-window
+        median there is itself negative and silently re-corrupted the axis
+        (review finding: robust nonnegative-median repair)."""
+        t = np.datetime64("2020-01-01", "ns") + np.arange(10) * np.timedelta64(2, "s")
+        t[1] = t[0] - np.timedelta64(7, "s")
+        t[2] = t[1] - np.timedelta64(2, "s")
+        ds = Dataset(coords={"ping_time": t.copy()})
+        ep.qc.coerce_increasing_time(ds, win_len=3)
+        fixed = ds.coords["ping_time"].values
+        assert not (np.diff(fixed) < np.timedelta64(0, "ns")).any()
+        # fully reversed input also repairs (0-interval fallback)
+        t2 = np.datetime64("2020-01-01", "ns") - np.arange(6) * np.timedelta64(1, "s")
+        ds2 = Dataset(coords={"ping_time": t2.copy()})
+        ep.qc.coerce_increasing_time(ds2, win_len=3)
+        f2 = ds2.coords["ping_time"].values
+        assert not (np.diff(f2) < np.timedelta64(0, "ns")).any()
+
 
 class TestQCOrchestrate:
     def test_orchestrate_repairs_and_stores(self, tmp_path):
