@@ -1396,12 +1396,118 @@ def soak_ecs(n, rng):
     return fails
 
 
+def soak_store(n, rng):
+    """Store-format interop on random trees, BOTH directions per config:
+    the reference's own EchoData.to_zarr chain writes (facade bridge + its
+    encodings) and our open_converted reads bit-exact; our to_zarr/to_netcdf
+    writes and the reference's EchoData.from_file reads back identically.
+    Random shapes/raggedness/dropouts/NMEA/instrument mix."""
+    import numpy as np
+    import echopype_tpu as ep
+    from synth_ek60 import write_ek60_raw
+    from synth_ek80 import write_ek80_raw
+    from ref_oracle import (
+        load_ref_convert_api, load_ref_echodata, make_ref_echodata,
+    )
+    from test_ref_store import _assert_ds_equal
+
+    load_ref_convert_api()
+    layer = load_ref_echodata()
+    tmp = pathlib.Path(tempfile.mkdtemp())
+    fails = 0
+    for i in range(n):
+        seed = int(rng.integers(0, 1 << 30))
+        r2 = np.random.default_rng(seed)
+        model = str(r2.choice(["EK60", "EK80"]))
+        cfg = dict(seed=seed, model=model)
+        try:
+            if model == "EK60":
+                raw = tmp / f"S{i}-D20200101-T000000.raw"
+                kw = {}
+                if r2.random() < 0.3:
+                    kw["ragged"] = True
+                if r2.random() < 0.3:
+                    kw["skip_pings"] = {1: {1, 3}}
+                write_ek60_raw(raw, n_pings=int(r2.integers(3, 14)),
+                               n_samples=int(r2.integers(15, 80)),
+                               seed=seed, with_nmea=bool(r2.random() < 0.7),
+                               **kw)
+            else:
+                raw = tmp / f"S{i}-D20210201-T000000.raw"
+                write_ek80_raw(raw, n_pings=int(r2.integers(3, 10)),
+                               n_samples=int(r2.integers(24, 80)), seed=seed,
+                               with_power_channel=bool(r2.random() < 0.7),
+                               with_cw_complex=bool(r2.random() < 0.5),
+                               complex_f16=bool(r2.random() < 0.3))
+            ed = ep.open_raw(str(raw), sonar_model=model)
+
+            # A: reference writes zarr through its own save chain; we read
+            ref_ed = make_ref_echodata(
+                {g: ed[g] for g in ed.group_paths}, model, source_file=str(raw))
+            store_a = str(tmp / f"ref{i}.zarr")
+            ref_ed.to_zarr(save_path=store_a, overwrite=True)
+            ours = ep.open_converted(store_a)
+            # inverted finding: the reference's to_file saves ONLY
+            # Beam_group1/Beam_group2 for non-AD2CP models
+            # (convert/api.py:185-204), so an EK80 file with power +
+            # CW-complex + BB channels — a 3-way split the reference's own
+            # SetGroupsEK80 produces — silently LOSES Beam_group3 on save.
+            # Ours saves every group (direction B pins the full round trip).
+            expect = {g for g in ed.group_paths
+                      if not (g.startswith("Sonar/Beam_group")
+                              and int(g.rsplit("group", 1)[1]) > 2)}
+            dropped = set(ed.group_paths) - expect
+            if dropped:
+                print(f"INFO classified: reference to_file drops "
+                      f"{sorted(dropped)} cfg={cfg}", flush=True)
+            if set(ours.group_paths) != expect:
+                fails += 1
+                print(f"FAIL store A group set {sorted(ours.group_paths)} "
+                      f"vs {sorted(expect)} cfg={cfg}", flush=True)
+            else:
+                for g in sorted(expect):
+                    try:
+                        _assert_ds_equal(ed[g], ours[g], g)
+                    except AssertionError as e:
+                        fails += 1
+                        print(f"FAIL store A group {g} cfg={cfg}: {e}",
+                              flush=True)
+                        break
+
+            # B: we write (zarr or netcdf); the reference reads
+            if r2.random() < 0.5:
+                store_b = str(tmp / f"our{i}.zarr")
+                ed.to_zarr(store_b)
+            else:
+                store_b = str(tmp / f"our{i}.nc")
+                ed.to_netcdf(store_b)
+            ref_read = layer["EchoData"].from_file(store_b)
+            for g in ed.group_paths:
+                ref_ds = ref_read[g]
+                if ref_ds is None:
+                    fails += 1
+                    print(f"FAIL store B missing group {g} cfg={cfg}", flush=True)
+                    break
+                try:
+                    _assert_ds_equal(ed[g], ref_ds, g)
+                except AssertionError as e:
+                    fails += 1
+                    print(f"FAIL store B group {g} cfg={cfg}: {e}", flush=True)
+                    break
+        except Exception as e:
+            fails += 1
+            print(f"ERROR cfg={cfg}: {type(e).__name__}: {e}", flush=True)
+            traceback.print_exc()
+    return fails
+
+
 MODES = {
     "ek60": soak_ek60,
     "regrid": soak_regrid,
     "survey_bb": soak_survey_bb,
     "metrics": soak_metrics,
     "ecs": soak_ecs,
+    "store": soak_store,
     "consolidate": soak_consolidate,
     "survey": soak_survey,
     "azfp": soak_azfp,

@@ -183,3 +183,32 @@ class TestLegacyStoreRead:
             np.asarray(ours["Platform/NMEA"].coords["nmea_time"].values),
             np.asarray(ref_nmea.coords["nmea_time"].values),
         )
+
+
+class TestThreeBeamGroupRoundTrip:
+    def test_ek80_three_groups_survive_our_store(self, tmp_path):
+        """EK80 power + CW-complex + BB channels -> THREE beam groups.
+
+        Inverted finding (store soak): the reference's own to_file saves
+        only Beam_group1/Beam_group2 for non-AD2CP models
+        (convert/api.py:185-204), silently LOSING the Beam_group3 its own
+        SetGroupsEK80 3-way split produces.  Our to_zarr saves every group
+        and the reference's from_file reads them all back."""
+        from synth_ek80 import write_ek80_raw
+
+        raw = tmp_path / "BG3-D20210201-T000000.raw"
+        write_ek80_raw(raw, n_pings=4, n_samples=32, seed=5,
+                       with_power_channel=True, with_cw_complex=True)
+        ed = ep.open_raw(str(raw), sonar_model="EK80")
+        assert "Sonar/Beam_group3" in ed.group_paths
+
+        layer = load_ref_echodata()
+        store = str(tmp_path / "ours.zarr")
+        ed.to_zarr(store)
+        ref_read = layer["EchoData"].from_file(store)
+        for g in ed.group_paths:
+            assert ref_read[g] is not None, g
+            _assert_ds_equal(ed[g], ref_read[g], g)
+
+        ours = ep.open_converted(store)
+        assert set(ours.group_paths) == set(ed.group_paths)
