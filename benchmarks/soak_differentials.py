@@ -1501,6 +1501,90 @@ def soak_store(n, rng):
     return fails
 
 
+def soak_ad2cp(n, rng):
+    """Randomized AD2CP files through the reference's full conversion
+    (ParseAd2cp -> SetGroupsAd2cp, full variable/coord-set compare per
+    group) vs our open_raw: burst vs average ids, 3/4-beam layouts, cell
+    counts, optional AHRS/percentage-good/altimeter(+raw)/AST/std-dev
+    blocks, status bitfields, echosounder(+raw) presence and packet order,
+    bottom track.  AST-bearing files classify the reference's own
+    set_vendor crash (known inverted finding)."""
+    import numpy as np
+    from test_ad2cp import write_ad2cp
+    from test_ref_setgroups import _cmp_full_group, _run_ref_ad2cp
+
+    import echopype_tpu as ep
+
+    tmp = pathlib.Path(tempfile.mkdtemp())
+    fails = 0
+    for i in range(n):
+        seed = int(rng.integers(0, 1 << 30))
+        r2 = np.random.default_rng(seed)
+        record_kw = dict(
+            num_beams=int(r2.choice([3, 4])),
+            num_cells=int(r2.integers(5, 24)),
+            include_corr=bool(r2.random() < 0.8),
+            with_ahrs=bool(r2.random() < 0.3),
+            with_percentage_good=bool(r2.random() < 0.3),
+            with_altimeter=bool(r2.random() < 0.3),
+            with_altimeter_raw=bool(r2.random() < 0.2),
+            with_ast=bool(r2.random() < 0.2),
+            with_std_dev=bool(r2.random() < 0.2),
+            status=int(r2.integers(0, 1 << 31)),
+            status0=int(r2.integers(0, 1 << 16)),
+        )
+        kw = dict(
+            n_pings=int(r2.integers(2, 7)),
+            average_id=int(r2.choice([0x15, 0x16])),
+            with_echosounder=bool(r2.random() < 0.6),
+            echosounder_first=bool(r2.random() < 0.3),
+            # the synthetic BT record carries a fixed 4-beam description;
+            # the per-file beam coord is the longest beams list across
+            # packets, so BT next to 3-beam data would make the file
+            # self-inconsistent (both implementations reject it)
+            with_bottom_track=bool(r2.random() < 0.3
+                                   and record_kw["num_beams"] == 4),
+            with_echosounder_raw=bool(r2.random() < 0.2),
+            record_kw=record_kw,
+        )
+        cfg = dict(seed=seed, **{k: v for k, v in kw.items() if k != "record_kw"},
+                   **record_kw)
+        try:
+            raw = tmp / f"A{i}.ad2cp"
+            write_ad2cp(str(raw), **kw)
+            sg = _run_ref_ad2cp(raw)
+            ref_beams = sg.set_beam()
+            ed = ep.open_raw(str(raw), sonar_model="AD2CP")
+            for bi, ref_b in enumerate(ref_beams):
+                _cmp_full_group(ref_b, ed[f"Sonar/Beam_group{bi + 1}"],
+                                f"beam{bi}")
+            _cmp_full_group(sg.set_env(), ed["Environment"], "env")
+            _cmp_full_group(sg.set_platform(), ed["Platform"], "platform")
+            if record_kw["with_ast"]:
+                # the reference's set_vendor cannot represent the 8-byte
+                # altimeter_spare on one time1 dim and crashes; ours emits
+                # ("time1", "spare") — documented deviation
+                try:
+                    sg.set_vendor()
+                    print(f"INFO reference set_vendor no longer crashes on "
+                          f"AST cfg={cfg}", flush=True)
+                except Exception:
+                    pass
+                assert ed["Vendor_specific"]["altimeter_spare"].dims == (
+                    "time1", "spare")
+            else:
+                _cmp_full_group(sg.set_vendor(), ed["Vendor_specific"],
+                                "vendor", skip_vars=("altimeter_spare",))
+        except AssertionError as e:
+            fails += 1
+            print(f"FAIL ad2cp {e} cfg={cfg}", flush=True)
+        except Exception as e:
+            fails += 1
+            print(f"ERROR cfg={cfg}: {type(e).__name__}: {e}", flush=True)
+            traceback.print_exc()
+    return fails
+
+
 MODES = {
     "ek60": soak_ek60,
     "regrid": soak_regrid,
@@ -1508,6 +1592,7 @@ MODES = {
     "metrics": soak_metrics,
     "ecs": soak_ecs,
     "store": soak_store,
+    "ad2cp": soak_ad2cp,
     "consolidate": soak_consolidate,
     "survey": soak_survey,
     "azfp": soak_azfp,

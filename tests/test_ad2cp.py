@@ -214,7 +214,14 @@ def write_ad2cp(path, n_pings=4, with_bottom_track=False, with_echosounder_raw=F
                 _raw_packet(0x23, _raw_record(p, rng.integers(-(2**30), 2**30, (16, 2))))
             )
         if with_echosounder:
-            rec, truth = _v3_record(0x1C, minute=minute, second=p, echosounder=True, seed=100 + p)
+            # keep the echosounder record's dataset_description beam count
+            # consistent with the burst/average records: the per-file beam
+            # coord is the longest `beams` list across packets (reference
+            # semantics), so a 4-beam description next to 3-beam data makes
+            # the file self-inconsistent and BOTH implementations reject it
+            rec, truth = _v3_record(0x1C, minute=minute, second=p,
+                                    echosounder=True, seed=100 + p,
+                                    num_beams=record_kw.get("num_beams", 4))
             es = _packet(0x1C, rec)
             if echosounder_first:
                 ping_chunks.insert(0, es)
