@@ -511,6 +511,21 @@ def ecs_to_params(ecs_file, sonar_type, frequency_nominal, freq_center=None):
     """
     doc = parse_ecs(ecs_file)
     ds_env, ds_cal, ds_cal_BB = ecs_ev2ep(doc.consolidated(), sonar_type)
+    if "frequency_nominal" not in ds_cal and (
+        len(ds_cal.data_vars) or len(ds_env.data_vars) or ds_cal_BB is not None
+    ):
+        # Channel mapping needs a Frequency line (a commented one counts —
+        # Echoview templates keep it commented and both parsers special-case
+        # it) in at least one SourceCal block.  The reference crashes with a
+        # bare KeyError('frequency_nominal') here (reference ecs.py:355);
+        # silently dropping the file's parameters would be worse, so raise
+        # the condition explicitly (pinned in tests/test_ecs.py::
+        # test_missing_frequency_raises).
+        raise ValueError(
+            "ECS file defines calibration/environment parameters but no "
+            "'Frequency' line in any SourceCal block; frequencies are "
+            "required to map ECS transducer blocks onto data channels."
+        )
     env = ecs_ds2dict(conform_channel_order(ds_env, frequency_nominal))
     cal = ecs_ds2dict(conform_channel_order(ds_cal, frequency_nominal))
     # strip params that are not calibration inputs

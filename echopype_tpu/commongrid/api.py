@@ -88,7 +88,7 @@ def compute_MVBS(
     x_idx = binning.bin_index_np(ping_time.astype("i8"), ping_edges.astype("i8"), closed)
 
     sums_w, counts_w, nan_w = binning.windowed_partials_np(
-        sv, er_b.astype("f4"), np.asarray(range_edges, dtype="f4"), x_bounds,
+        sv, er_b, np.asarray(range_edges, dtype="f8"), x_bounds,
         skipna=bool(skipna), closed=closed,
     )
     mvbs = _binned_mean_to_db(sums_w, counts_w, nan_w, fill_value)
@@ -278,10 +278,9 @@ def compute_NASC(
     x_bounds = binning.x_bounds_np(dist_nmi, dist_edges, closed)
     x_idx = binning.bin_index_np(dist_nmi, dist_edges, closed)
 
-    depth_f4 = depth_b.astype("f4")
-    edges_f4 = np.asarray(depth_edges, dtype="f4")
+    edges_f8 = np.asarray(depth_edges, dtype="f8")
     sums, counts, nan_counts = binning.windowed_partials_np(
-        sv, depth_f4, edges_f4, x_bounds, skipna=bool(skipna), closed=closed
+        sv, depth_b, edges_f8, x_bounds, skipna=bool(skipna), closed=closed
     )
     with np.errstate(invalid="ignore", divide="ignore"):
         good = (counts > 0) & (nan_counts == 0)
@@ -290,9 +289,9 @@ def compute_NASC(
     # mean height per (channel, dist, depth) bin: sum of depth first-differences
     # over the 2D bin / number of pings in the dist bin (utils.py:160-201)
     ddepth = np.diff(depth_b, axis=2).astype("f4")  # label=lower -> leading bins
-    depth_lower = depth_f4[:, :, :-1]
+    depth_lower = depth_b[:, :, :-1]
     h_num = binning.windowed_sum_raw_np(
-        ddepth, depth_lower, edges_f4, x_bounds, closed=closed
+        ddepth, depth_lower, edges_f8, x_bounds, closed=closed
     )
     denom = np.bincount(x_idx[x_idx >= 0], minlength=n_x).astype("f8")
     with np.errstate(invalid="ignore", divide="ignore"):

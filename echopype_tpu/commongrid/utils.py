@@ -250,7 +250,7 @@ def compute_raw_MVBS(
         er = np.broadcast_to(er, sv.shape)
     x_bounds = binning.x_bounds_np(ping_time.astype("i8"), ping_edges.astype("i8"), closed_p)
     sums, counts, nan_w = binning.windowed_partials_np(
-        sv.astype("f4"), er.astype("f4"), range_edges.astype("f4"), x_bounds,
+        sv.astype("f4"), er, range_edges, x_bounds,
         skipna=bool(skipna), closed=closed_r,
     )
     mvbs = _binned_mean_to_db(sums, counts, nan_w, fill_value)
@@ -297,7 +297,7 @@ def compute_raw_NASC(
     x_bounds = binning.x_bounds_np(dist, dist_edges, closed_x)
     x_idx = binning.bin_index_np(dist, dist_edges, closed_x)
     sums, counts, nan_w = binning.windowed_partials_np(
-        sv.astype("f4"), depth.astype("f4"), depth_edges.astype("f4"), x_bounds,
+        sv.astype("f4"), depth, depth_edges, x_bounds,
         skipna=bool(skipna), closed=closed_r,
     )
     with np.errstate(invalid="ignore", divide="ignore"):
@@ -305,7 +305,7 @@ def compute_raw_NASC(
         sv_mean = np.where(good, sums / np.where(counts > 0, counts, 1), np.nan)
     ddepth = np.diff(depth, axis=2).astype("f4")
     h_num = binning.windowed_sum_raw_np(
-        ddepth, depth.astype("f4")[:, :, :-1], depth_edges.astype("f4"), x_bounds,
+        ddepth, depth[:, :, :-1], depth_edges, x_bounds,
         closed=closed_r,
     )
     denom = np.bincount(x_idx[x_idx >= 0], minlength=n_x).astype("f8")

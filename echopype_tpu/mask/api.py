@@ -11,7 +11,6 @@ from datetime import datetime, timezone
 import numpy as np
 
 from ..commongrid.utils import _parse_x_bin, parse_time_bin_to_value_unit, ping_time_bin_edges
-from ..ops import binning
 from ..utils.prov import add_processing_level, echopype_prov_attrs, insert_input_processing_level
 from ..xrlite import DataArray, Dataset, broadcast_arrays
 from .freq_diff import _parse_freq_diff_eq
@@ -202,7 +201,30 @@ def regrid_mask(
     **kwargs,
 ) -> DataArray:
     """Downsample a boolean mask onto a (ping_time, range) grid
-    (mask/api.py:678-866): bin-mean then AND (==1) or OR (!=0)."""
+    (mask/api.py:678-866): bin-mean then AND (==1) or OR (!=0).
+
+    The binning core is host-exact f64 elementwise digitize + bincount —
+    the reference's flox path digitizes each sample independently in f64,
+    so samples whose range value is NaN fall into NO bin and empty bins
+    fill 0.  (Round 4: the previous in-kernel searchsorted path assumed
+    monotone range rows — interior NaN holes broke the binary search —
+    and resolved membership in f32, flipping samples within one ulp of a
+    bin edge; both found by the regrid soak on wobbled, holed grids.)
+    """
+    if method != "map-reduce" and reindex is not None:
+        raise ValueError(
+            f"Passing in reindex={reindex} is only allowed when method='map_reduce'."
+        )
+    if not isinstance(ping_time_bin, str):
+        raise TypeError("ping_time_bin must be a string")
+    if third_dim is None and len(mask_da.dims) != 2:
+        raise ValueError("Mask must have only 2 dimensions unless 'third_dim' is specified.")
+    if third_dim is not None and third_dim not in mask_da.dims:
+        raise ValueError(f"Mask must contain the specified '{third_dim}' as a dimension.")
+    if third_dim is not None and len(mask_da.dims) != 3:
+        raise ValueError("Mask must have 3 dimensions when 'third_dim' is specified.")
+    if not np.isin(np.asarray(mask_da.values), [1, 0]).all():
+        raise ValueError("Mask must be binary True/False or 1/0.")
     if func not in ("logical-AND", "logical-OR"):
         raise ValueError("'func' must be 'logical-AND' or 'logical-OR'.")
     range_bin_m = _parse_x_bin(range_bin)
@@ -218,31 +240,40 @@ def regrid_mask(
     ping_edges = ping_time_bin_edges(pt, ping_time_bin)
 
     # normalize to [C?, P, R]
-    mvals = mask_da.values.astype("f4")
     if third_dim is not None:
-        m3 = mask_da.transpose(third_dim, "ping_time", mask_da.dims[-1]).values.astype("f4")
-        r3 = np.broadcast_to(rvals, m3.shape).astype("f4")
+        m3 = mask_da.transpose(third_dim, "ping_time", mask_da.dims[-1]).values.astype("f8")
     else:
-        m3 = mvals[None, ...]
-        r3 = np.broadcast_to(rvals, m3.shape[1:])[None, ...].astype("f4")
+        m3 = mask_da.values.astype("f8")[None, ...]
+    n_x, n_r = len(ping_edges) - 1, len(range_edges) - 1
 
-    x_bounds = binning.x_bounds_np(pt.astype("i8"), ping_edges.astype("i8"), closed)
-    # raw sums + member counts (mean with skipna=False, fill 0) via the
-    # chunk-windowed matmul reduction (no f32 count saturation on big masks)
-    sums = binning.windowed_sum_raw_np(
-        m3, r3, range_edges.astype("f4"), x_bounds, closed=closed
-    )
-    ones = np.ones_like(m3)
-    counts = binning.windowed_sum_raw_np(
-        ones, r3, range_edges.astype("f4"), x_bounds, closed=closed
-    )
-    with np.errstate(invalid="ignore", divide="ignore"):
-        mean = np.where(counts > 0, sums / np.maximum(counts, 1), 0.0)
+    # elementwise bin membership, exact in f64 (closed='left': [a, b);
+    # closed='right': (a, b]); NaN range values land in no bin
+    if rvals.ndim == 1:
+        rvals = np.broadcast_to(rvals, (len(pt), rvals.shape[0]))
+    side = "right" if closed == "left" else "left"
+    ri = np.searchsorted(range_edges, rvals, side=side) - 1  # [P, R]
+    in_r = (ri >= 0) & (ri < n_r) & ~np.isnan(rvals)
+    xi = np.searchsorted(ping_edges.astype("i8"), pt.astype("i8"), side=side) - 1
+    in_x = (xi >= 0) & (xi < n_x)
+    valid = in_r & in_x[:, None]
+    labels = (xi[:, None] * n_r + np.where(in_r, ri, 0))[valid]
 
+    C = m3.shape[0]
+    sums = np.empty((C, n_x * n_r), dtype="f8")
+    counts = np.bincount(labels, minlength=n_x * n_r).astype("f8")
+    for c in range(C):
+        sums[c] = np.bincount(labels, weights=m3[c][valid], minlength=n_x * n_r)
+    sums = sums.reshape(C, n_x, n_r)
+    counts = np.broadcast_to(counts.reshape(1, n_x, n_r), sums.shape)
+
+    # bin-mean then threshold, in exact integer form: mean == 1.0 iff every
+    # member is 1 (AND); mean != 0.0 iff any member is 1 (OR); empty bins
+    # take the reference's fill_value=0.0 (False on both)
     if func == "logical-AND":
-        out_vals = (mean == 1.0).astype(mask_da.dtype)
+        out_vals = (counts > 0) & (sums == counts)
     else:
-        out_vals = (mean != 0.0).astype(mask_da.dtype)
+        out_vals = sums > 0
+    out_vals = out_vals.astype(mask_da.dtype)
 
     range_name = range_da.name or "depth"
     if third_dim is not None:

@@ -189,8 +189,13 @@ def blocked_banded_segment_sum(vals, bounds, n_r: int, G: int):
 def row_bin_bounds(er, edges, closed: str = "left"):
     """Per-row bin-boundary positions via vmapped binary search.
 
-    er: [C, P, R] monotone-increasing along R (NaNs allowed anywhere — they
-    are pushed past the last edge).  Returns int32 [C, P, n_edges].
+    er: [C, P, R] monotone-increasing along R.  NaNs are mapped to +inf, so
+    they are excluded ONLY when they form a suffix of the row (the ragged-
+    padding layout) or fill whole rows; an interior NaN breaks the row's
+    monotonicity and the binary search with it.  The device streamers
+    satisfy this by construction (trailing pad / sanitized whole-ping NaN);
+    the public host entries digitize elementwise instead
+    (exact_bin_encode_np).  Returns int32 [C, P, n_edges].
     """
     side = "left" if closed == "left" else "right"
     er_clean = jnp.where(jnp.isnan(er), jnp.inf, er)
@@ -462,6 +467,70 @@ def _windowed_accumulate(
     return outs
 
 
+def exact_bin_encode_np(er, r_edges, closed="left"):
+    """Resolve bin membership on host in f64 and re-encode for f32 kernels.
+
+    The kernels consume ``er`` solely to resolve bin membership; binning the
+    values on host in float64 (elementwise — the reference's flox digitize
+    semantics) and shipping ``idx + 0.5`` against integer edges makes the
+    in-kernel f32 comparisons exact on ANY grid: a sample within one f32 ulp
+    of a bin edge can otherwise land on the wrong side of the reference's
+    f64 digitize.  NaN and out-of-bin samples encode as NaN (no bin).
+
+    Returns (er_enc f4, edges_enc f4, idx i8, ok bool) — idx/ok are the raw
+    elementwise membership for exact host-side accumulation.
+    """
+    er64 = np.asarray(er, dtype="f8")
+    edges64 = np.asarray(r_edges, dtype="f8")
+    n_r = len(edges64) - 1
+    side = "right" if closed == "left" else "left"
+    idx = np.searchsorted(edges64, er64, side=side) - 1
+    ok = (idx >= 0) & (idx < n_r) & ~np.isnan(er64)
+    er_enc = np.where(ok, idx + 0.5, np.nan).astype("f4")
+    return er_enc, np.arange(n_r + 1, dtype="f4"), idx, ok
+
+
+def _x_index_from_bounds_np(x_bounds, P):
+    """Per-ping x-bin index from boundary positions; -1 = outside all bins."""
+    b = np.clip(np.asarray(x_bounds, dtype="i8"), 0, P)
+    xi = np.searchsorted(b, np.arange(P), side="right") - 1
+    xi[(xi < 0) | (xi >= len(b) - 1)] = -1
+    return xi
+
+
+def _host_exact_partials_np(sv, ridx, ok_r, n_r, x_bounds, skipna, lin_domain):
+    """Exact f64 host bincount accumulation for ping-varying range grids.
+
+    The in-kernel prefix-gather reduction loses quiet bins to f32 prefix
+    cancellation when the range grid varies per ping (the cancellation-free
+    banded-matmul path only exists for ping-invariant grids — see
+    banded_x_reduce); the public host entries take this exact path instead,
+    matching the reference's f64 flox accumulation.  Found by the round-4
+    mvbs soak's wobbled-grid fuzz (1.8e-3 dB on quiet bins).
+    """
+    sv = np.asarray(sv, dtype="f8")
+    C, P, R = sv.shape
+    n_x = len(x_bounds) - 1
+    xi = _x_index_from_bounds_np(x_bounds, P)
+    valid = ok_r & (xi >= 0)[None, :, None]
+    lab = xi[None, :, None] * n_r + np.where(ok_r, ridx, 0)
+    vals = np.power(10.0, sv / 10.0) if lin_domain else sv
+    nan_sv = np.isnan(sv)
+    okv = valid & ~nan_sv
+    sums = np.empty((C, n_x, n_r), dtype="f8")
+    counts = np.empty_like(sums)
+    nans = np.zeros_like(sums)
+    for c in range(C):
+        sel = okv[c]
+        lc = lab[c][sel]
+        sums[c] = np.bincount(lc, weights=vals[c][sel], minlength=n_x * n_r).reshape(n_x, n_r)
+        counts[c] = np.bincount(lc, minlength=n_x * n_r).reshape(n_x, n_r)
+        if not skipna:
+            ln = lab[c][valid[c] & nan_sv[c]]
+            nans[c] = np.bincount(ln, minlength=n_x * n_r).reshape(n_x, n_r)
+    return sums, counts, nans
+
+
 def windowed_partials_np(
     sv, er, r_edges, x_bounds, skipna=True, closed="left", chunk_pings=8192
 ):
@@ -471,9 +540,18 @@ def windowed_partials_np(
     independently on the MXU — no prefix-sum cancellation for a quiet bin
     after loud pings (see banded_x_reduce), bounded mask size via chunking.
     The range axis likewise takes the cancellation-free matmul path whenever
-    the range grid is ping-invariant (er_is_uniform).
+    the range grid is ping-invariant (er_is_uniform); a ping-varying grid
+    falls back to the exact f64 host accumulation (_host_exact_partials_np).
+    Pass ``er`` and ``r_edges`` at full (f64) precision: membership resolves
+    on host via :func:`exact_bin_encode_np` before anything is cast for the
+    device.
     """
+    er, r_edges, ridx, ok_r = exact_bin_encode_np(er, r_edges, closed)
     uniform = er_is_uniform(er)
+    if not uniform:
+        return _host_exact_partials_np(
+            sv, ridx, ok_r, len(r_edges) - 1, x_bounds, skipna, lin_domain=True
+        )
 
     def kernel(lo, hi, x_rel, window):
         return binned_window_partials(
@@ -492,8 +570,18 @@ def windowed_partials_np(
 
 
 def windowed_sum_raw_np(values, er, r_edges, x_bounds, closed="left", chunk_pings=8192):
-    """NaN-skipping raw bin sums (f8) via the chunk-windowed matmul reduction."""
+    """NaN-skipping raw bin sums (f8) via the chunk-windowed matmul reduction.
+
+    Membership resolves on host in f64 (exact_bin_encode_np) — pass ``er``
+    and ``r_edges`` at full precision; ping-varying grids take the exact
+    f64 host accumulation."""
+    er, r_edges, ridx, ok_r = exact_bin_encode_np(er, r_edges, closed)
     uniform = er_is_uniform(er)
+    if not uniform:
+        return _host_exact_partials_np(
+            values, ridx, ok_r, len(r_edges) - 1, x_bounds, skipna=True,
+            lin_domain=False,
+        )[0]
 
     def kernel(lo, hi, x_rel, window):
         return (

@@ -268,7 +268,15 @@ def write_ek80_raw(
 ):
     rng = np.random.default_rng(seed)
     channels = default_channels()
+    if not with_cw_complex:
+        channels = [channels[0], channels[2]]
+    if not with_power_channel:
+        channels = [c for c in channels if c["tcvr_type"] != "GPT"]
     if extra_fm_channel:
+        # insert AFTER the cw/power filtering: the old positional filter
+        # ([channels[0], channels[2]] post-insert) silently dropped the
+        # extra FM channel whenever with_cw_complex=False (found by the
+        # ecs80 soak, which maps ECS T2 onto this channel)
         import copy
 
         fm2 = copy.deepcopy(channels[0])
@@ -277,10 +285,6 @@ def write_ek80_raw(
         fm2["fmin"], fm2["fmax"] = 160000.0, 260000.0
         fm2["cal_freqs"] = np.linspace(160000, 260000, 10)
         channels.insert(1, fm2)
-    if not with_cw_complex:
-        channels = [channels[0], channels[2]]
-    if not with_power_channel:
-        channels = [c for c in channels if c["tcvr_type"] != "GPT"]
 
     chunks = [make_xml0(t0, config_xml(channels)), make_xml0(t0, environment_xml())]
     # filter datagrams: simple averaging filters

@@ -157,6 +157,57 @@ LocalCal MyPatch
 class TestECSEdgeCases:
     """LocalCal overrides, commented params, BB vectors, typed values."""
 
+    def test_missing_frequency_raises(self, tmp_path):
+        """An ECS file whose SourceCal blocks carry parameters but no
+        'Frequency' line (commented counts — both parsers special-case it)
+        cannot be mapped onto data channels.  The reference crashes with a
+        bare KeyError('frequency_nominal') (reference ecs.py:355 indexes
+        ds_cal unconditionally); we raise a descriptive ValueError instead
+        of silently dropping the user's calibration parameters.  Found by
+        the `ecs80` soak mode."""
+        from echopype_tpu.calibrate.ecs import ecs_to_params
+        from echopype_tpu.xrlite import DataArray
+
+        content = ECS_CONTENT
+        assert "Frequency =" in content
+        # strip every Frequency assignment (commented or not)
+        lines = [
+            ln for ln in content.splitlines()
+            if "Frequency =" not in ln or "Table" in ln
+        ]
+        ecs = tmp_path / "nofreq.ecs"
+        ecs.write_text("\n".join(lines) + "\n")
+        freq = DataArray(
+            np.array([18000.0, 38000.0]), ("channel",),
+            coords={"channel": np.array(["c1", "c2"], dtype=object)},
+            name="frequency_nominal",
+        )
+        with pytest.raises(ValueError, match="no 'Frequency' line"):
+            ecs_to_params(str(ecs), "EK60", freq)
+
+    def test_zero_overlap_ecs_is_inert(self, tmp_path):
+        """An ECS file whose frequencies overlap NONE of the data channels
+        applies nothing: compute_Sv(ecs_file=) equals plain compute_Sv.
+        Inverted finding (ecs80 soak): the reference CRASHES here —
+        conform_channel_order returns None on zero overlap and
+        calibrate_ek.py:350 feeds it to ecs_ds2dict, AttributeError.  Ours
+        keeps the reference's documented semantics (None -> drop) without
+        the crash."""
+        content = ECS_CONTENT.replace("Frequency = 18.00", "Frequency = 333.00")
+        content = content.replace("Frequency = 38.00", "Frequency = 555.00")
+        ecs = tmp_path / "nooverlap.ecs"
+        ecs.write_text(content)
+        raw = tmp_path / "ZO-D20200101-T000000.raw"
+        write_ek60_raw(raw, n_pings=4, n_samples=30, seed=3)
+        ed = ep.open_raw(str(raw), sonar_model="EK60")
+        plain = ep.calibrate.compute_Sv(ed, precision="float64")["Sv"]
+        with_ecs = ep.calibrate.compute_Sv(
+            ed, ecs_file=str(ecs), precision="float64"
+        )["Sv"]
+        np.testing.assert_array_equal(
+            np.asarray(with_ecs.values), np.asarray(plain.values)
+        )
+
     def test_duplicate_alias_last_in_file_wins(self):
         """EV aliases mapping to one echopype param resolve deterministically
         to the LAST assignment in the file, per channel.

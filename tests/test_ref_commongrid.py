@@ -355,6 +355,82 @@ class TestRegridMaskDifferential:
                 w = np.asarray(want_t.values)
             np.testing.assert_array_equal(g.astype("f8"), w.astype("f8"), err_msg=func)
 
+    @pytest.mark.parametrize("closed", ["left", "right"])
+    def test_regrid_mask_wobbled_holed_grid(self, closed):
+        """Round-4 regrid-soak regression: a per-ping wobbled range grid with
+        interior NaN holes.  The old in-kernel path binary-searched rows that
+        interior NaNs made non-monotone (garbage membership) and resolved
+        edges in f32; the rewrite digitizes each sample on host in f64 — the
+        reference's flox semantics — so the compare is exact."""
+        rng = np.random.default_rng(332873462)
+        n_ping, n_r = 27, 53
+        pt = np.datetime64("2022-01-01T00:00:00", "ns") + (
+            np.arange(n_ping) * 2
+        ).astype("timedelta64[s]").astype("timedelta64[ns]")
+        from echopype_tpu.xrlite import DataArray
+
+        depth = np.arange(n_r) * 1.8055816400015732 + 1.3
+        mask = DataArray(
+            rng.uniform(size=(n_ping, n_r)) > 0.5,
+            ("ping_time", "depth"),
+            coords={"ping_time": pt, "depth": depth},
+            name="mask",
+        )
+        rng_np = np.broadcast_to(depth, (n_ping, n_r)).copy()
+        rng_np = rng_np * (1.0 + 0.02 * rng.standard_normal((n_ping, 1)))
+        rng_np[rng.random((n_ping, n_r)) < 0.08] = np.nan  # interior holes
+        range_da = DataArray(
+            rng_np, ("ping_time", "depth"), coords={"ping_time": pt}, name="depth"
+        )
+        ref_mask = load_ref("mask/api")
+        for func in ("logical-AND", "logical-OR"):
+            want = ref_mask.regrid_mask(
+                mask, range_da, range_bin="5.77m", ping_time_bin="5s",
+                func=func, closed=closed,
+            )
+            got = ep.mask.regrid_mask(
+                mask, range_da, range_bin="5.77m", ping_time_bin="5s",
+                func=func, closed=closed,
+            )
+            w = np.asarray(want.values)
+            g = np.asarray(got.values)
+            if g.shape != w.shape:
+                w = np.asarray(want.transpose(*got.dims).values)
+            np.testing.assert_array_equal(
+                g.astype("f8"), w.astype("f8"), err_msg=f"{func}/{closed}"
+            )
+
+
+class TestMVBSVaryingGridExact:
+    """Round-4 mvbs-soak regression: ping-varying (wobbled) echo_range with
+    interior NaN holes takes the exact f64 host accumulation — the in-kernel
+    prefix-gather reduction lost quiet bins to f32 prefix cancellation
+    (1.8e-3 dB observed), and interior NaNs broke its row binary search."""
+
+    def test_compute_mvbs_wobbled_holed_grid(self):
+        ds = make_sv_ds(n_ch=2, n_ping=48, n_r=41, seed=13)
+        rng = np.random.default_rng(13)
+        er = np.asarray(ds["echo_range"].values, dtype="f8").copy()
+        er = er * (1.0 + 0.01 * rng.standard_normal(er.shape[:2])[..., None])
+        er[rng.random(er.shape) < 0.06] = np.nan
+        ds["echo_range"] = (("channel", "ping_time", "range_sample"), er)
+        sv = np.asarray(ds["Sv"].values)
+        sv[rng.random(sv.shape) < 0.1] = np.nan
+        raw = _mvbs_oracle(ds, 1.0, "9s", closed="right", skipna=True, fill_value=np.nan)
+        want = np.asarray(raw["Sv"].values, dtype="f8")
+        got = np.asarray(
+            ep.commongrid.compute_MVBS(
+                ds, range_bin="1.0m", ping_time_bin="9s", closed="right",
+                skipna=True, fill_value=np.nan,
+            )["Sv"].values,
+            dtype="f8",
+        )
+        assert got.shape == want.shape
+        np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
+        m = ~np.isnan(want)
+        # exact path: only the f32 quantization of the input Sv remains
+        np.testing.assert_allclose(got[m], want[m], rtol=0, atol=1e-5)
+
 
 class TestApiLevelNASCDifferential:
     """The reference's FULL compute_NASC api — lat/lon distance walk
