@@ -250,21 +250,45 @@ def regrid_mask(
     # closed='right': (a, b]); NaN range values land in no bin
     if rvals.ndim == 1:
         rvals = np.broadcast_to(rvals, (len(pt), rvals.shape[0]))
+    elif rvals.ndim == 3:
+        # per-channel range grid (e.g. echo_range [channel, ping_time,
+        # range_sample]): align its dim order with the transposed mask so
+        # rvals[c] pairs with m3[c] (flox broadcasts the by-variable;
+        # membership and counts must stay per-channel)
+        if third_dim is None:
+            raise ValueError(
+                "range_da has 3 dimensions but 'third_dim' was not specified."
+            )
+        rest = [d for d in range_da.dims if d not in (third_dim, "ping_time")]
+        rvals = np.asarray(
+            range_da.transpose(third_dim, "ping_time", rest[-1]).values, dtype="f8"
+        )
     side = "right" if closed == "left" else "left"
-    ri = np.searchsorted(range_edges, rvals, side=side) - 1  # [P, R]
-    in_r = (ri >= 0) & (ri < n_r) & ~np.isnan(rvals)
     xi = np.searchsorted(ping_edges.astype("i8"), pt.astype("i8"), side=side) - 1
     in_x = (xi >= 0) & (xi < n_x)
-    valid = in_r & in_x[:, None]
-    labels = (xi[:, None] * n_r + np.where(in_r, ri, 0))[valid]
+
+    def _labels_valid(rv2d):
+        ri = np.searchsorted(range_edges, rv2d, side=side) - 1  # [P, R]
+        in_r = (ri >= 0) & (ri < n_r) & ~np.isnan(rv2d)
+        valid = in_r & in_x[:, None]
+        return (xi[:, None] * n_r + np.where(in_r, ri, 0))[valid], valid
 
     C = m3.shape[0]
     sums = np.empty((C, n_x * n_r), dtype="f8")
-    counts = np.bincount(labels, minlength=n_x * n_r).astype("f8")
-    for c in range(C):
-        sums[c] = np.bincount(labels, weights=m3[c][valid], minlength=n_x * n_r)
+    if rvals.ndim == 3:
+        counts = np.empty((C, n_x * n_r), dtype="f8")
+        for c in range(C):
+            labels, valid = _labels_valid(rvals[c])
+            counts[c] = np.bincount(labels, minlength=n_x * n_r)
+            sums[c] = np.bincount(labels, weights=m3[c][valid], minlength=n_x * n_r)
+        counts = counts.reshape(C, n_x, n_r)
+    else:
+        labels, valid = _labels_valid(rvals)
+        shared = np.bincount(labels, minlength=n_x * n_r).astype("f8")
+        for c in range(C):
+            sums[c] = np.bincount(labels, weights=m3[c][valid], minlength=n_x * n_r)
+        counts = np.broadcast_to(shared.reshape(1, n_x, n_r), (C, n_x, n_r))
     sums = sums.reshape(C, n_x, n_r)
-    counts = np.broadcast_to(counts.reshape(1, n_x, n_r), sums.shape)
 
     # bin-mean then threshold, in exact integer form: mean == 1.0 iff every
     # member is 1 (AND); mean != 0.0 iff any member is 1 (OR); empty bins

@@ -498,7 +498,9 @@ def _x_index_from_bounds_np(x_bounds, P):
     return xi
 
 
-def _host_exact_partials_np(sv, ridx, ok_r, n_r, x_bounds, skipna, lin_domain):
+def _host_exact_partials_np(
+    sv, ridx, ok_r, n_r, x_bounds, skipna, lin_domain, chunk_pings=8192
+):
     """Exact f64 host bincount accumulation for ping-varying range grids.
 
     The in-kernel prefix-gather reduction loses quiet bins to f32 prefix
@@ -507,27 +509,36 @@ def _host_exact_partials_np(sv, ridx, ok_r, n_r, x_bounds, skipna, lin_domain):
     banded_x_reduce); the public host entries take this exact path instead,
     matching the reference's f64 flox accumulation.  Found by the round-4
     mvbs soak's wobbled-grid fuzz (1.8e-3 dB on quiet bins).
+
+    Accumulates over ping chunks so the f8 temporaries (cast Sv, 10**(sv/10),
+    labels, masks) stay bounded on large surveys.
     """
-    sv = np.asarray(sv, dtype="f8")
+    sv = np.asarray(sv)
     C, P, R = sv.shape
     n_x = len(x_bounds) - 1
     xi = _x_index_from_bounds_np(x_bounds, P)
-    valid = ok_r & (xi >= 0)[None, :, None]
-    lab = xi[None, :, None] * n_r + np.where(ok_r, ridx, 0)
-    vals = np.power(10.0, sv / 10.0) if lin_domain else sv
-    nan_sv = np.isnan(sv)
-    okv = valid & ~nan_sv
-    sums = np.empty((C, n_x, n_r), dtype="f8")
-    counts = np.empty_like(sums)
+    sums = np.zeros((C, n_x, n_r), dtype="f8")
+    counts = np.zeros_like(sums)
     nans = np.zeros_like(sums)
-    for c in range(C):
-        sel = okv[c]
-        lc = lab[c][sel]
-        sums[c] = np.bincount(lc, weights=vals[c][sel], minlength=n_x * n_r).reshape(n_x, n_r)
-        counts[c] = np.bincount(lc, minlength=n_x * n_r).reshape(n_x, n_r)
-        if not skipna:
-            ln = lab[c][valid[c] & nan_sv[c]]
-            nans[c] = np.bincount(ln, minlength=n_x * n_r).reshape(n_x, n_r)
+    for lo in range(0, P, chunk_pings):
+        hi = min(lo + chunk_pings, P)
+        svc = np.asarray(sv[:, lo:hi], dtype="f8")
+        okr_c = ok_r[:, lo:hi]
+        valid = okr_c & (xi[lo:hi] >= 0)[None, :, None]
+        lab = xi[None, lo:hi, None] * n_r + np.where(okr_c, ridx[:, lo:hi], 0)
+        vals = np.power(10.0, svc / 10.0) if lin_domain else svc
+        nan_sv = np.isnan(svc)
+        okv = valid & ~nan_sv
+        for c in range(C):
+            sel = okv[c]
+            lc = lab[c][sel]
+            sums[c] += np.bincount(
+                lc, weights=vals[c][sel], minlength=n_x * n_r
+            ).reshape(n_x, n_r)
+            counts[c] += np.bincount(lc, minlength=n_x * n_r).reshape(n_x, n_r)
+            if not skipna:
+                ln = lab[c][valid[c] & nan_sv[c]]
+                nans[c] += np.bincount(ln, minlength=n_x * n_r).reshape(n_x, n_r)
     return sums, counts, nans
 
 

@@ -460,7 +460,11 @@ def run_survey_mvbs(
         return _grid_fn(sv, row, re, xr)
 
     acc = _PartialAccumulator(len(chans), n_x, n_r, window, timer)
-    r_edges_f4 = range_edges.astype("f4")
+    # membership resolves on host in f64 and ships as idx+0.5 vs integer
+    # edges (binning.exact_bin_encode_np), so the in-kernel f32 comparisons
+    # are exact on every path — the streamers previously kept the raw-f32
+    # one-ulp edge behavior the host entries were fixed for (round-4 advice)
+    enc_edges = np.arange(n_r + 1, dtype="f4")
     for i, x_idx_all in enumerate(x_ids):
         ds = datasets[i]
         if ds is None:  # reopen=True: pass-2 re-acquire, one file in memory
@@ -469,12 +473,14 @@ def run_survey_mvbs(
         sv_all = np.asarray(ds["Sv"].values, dtype="f4")
         if noise_masks:
             sv_all = _apply_noise_masks(ds, sv_all, noise_masks, timer)
-        er_all = np.asarray(ds[range_var].values, dtype="f4")
+        er_all = np.asarray(ds[range_var].values, dtype="f8")
         if er_all.shape != sv_all.shape:
             er_all = np.broadcast_to(er_all, sv_all.shape)
         use_grid = uniform
         if use_grid:
             er_row, use_grid = _uniform_grid_row(er_all)
+            if use_grid:
+                er_row = binning.exact_bin_encode_np(er_row, range_edges)[0]
         n_ping = sv_all.shape[1]
         for lo in range(0, n_ping, chunk_pings):
             hi = min(lo + chunk_pings, n_ping)
@@ -490,14 +496,16 @@ def run_survey_mvbs(
                     )
                     x_rel = np.pad(x_rel, (0, pad), constant_values=window)
                 if use_grid:
-                    s, c, _ = grid_step(sv_chunk, er_row, r_edges_f4, x_rel.astype("i4"))
+                    s, c, _ = grid_step(sv_chunk, er_row, enc_edges, x_rel.astype("i4"))
                 else:
-                    er_chunk = er_all[:, lo:hi]
+                    er_chunk = binning.exact_bin_encode_np(
+                        er_all[:, lo:hi], range_edges
+                    )[0]
                     if pad:
                         er_chunk = np.pad(
                             er_chunk, ((0, 0), (0, pad), (0, 0)), constant_values=np.nan
                         )
-                    s, c, _ = step(sv_chunk, er_chunk, r_edges_f4, x_rel.astype("i4"))
+                    s, c, _ = step(sv_chunk, er_chunk, enc_edges, x_rel.astype("i4"))
             acc.push(s, c, x_base)
     sums, counts = acc.finish()
 
@@ -657,7 +665,11 @@ def run_survey_nasc(
     pos_sum = np.zeros((2, n_x), dtype="f8")
     pos_cnt = np.zeros((2, n_x), dtype="f8")
 
-    d_edges_f4 = depth_edges.astype("f4")
+    # membership (depth vs depth_edges) resolves on host in f64 and ships
+    # encoded (idx+0.5 vs integer edges, binning.exact_bin_encode_np) so the
+    # in-kernel f32 comparisons are edge-exact; ddep stays PHYSICAL depth
+    # differences (it is the height integrand, not a membership operand)
+    enc_d_edges = np.arange(n_r + 1, dtype="f4")
     for ds, depth, x_idx_all in zip(datasets, depth_all, x_ids):
         sv_all = np.asarray(ds["Sv"].values, dtype="f4")
         if noise_masks:
@@ -668,7 +680,6 @@ def run_survey_nasc(
             _conform_range(depth, ds, "depth", sv_all.shape), sv_all.shape
         )
         sv_all, depth_b = _orient_range_axis(sv_all, depth_b)
-        depth_f4 = np.ascontiguousarray(depth_b, dtype="f4")
         # uniform grids (the instrument norm): ship ONE [C, R] depth row per
         # file instead of [C, P, R] depth + ddep + dep_lower per chunk — 4x
         # less transfer/HBM traffic, and the height sums collapse to a row
@@ -676,10 +687,15 @@ def run_survey_nasc(
         # sharded twins in parallel/pipeline.py for the mesh path)
         use_grid = uniform
         if use_grid:
-            depth_row, use_grid = _uniform_grid_row(depth_f4)
+            depth_row, use_grid = _uniform_grid_row(depth_b)
             if use_grid:
-                ddep_row = np.diff(depth_row, axis=1)
-                dep_lower_row = np.ascontiguousarray(depth_row[:, :-1])
+                ddep_row = np.diff(depth_row, axis=1).astype("f4")
+                dep_lower_row = binning.exact_bin_encode_np(
+                    depth_row[:, :-1], depth_edges, closed
+                )[0]
+                depth_row = binning.exact_bin_encode_np(
+                    depth_row, depth_edges, closed
+                )[0]
         pt_i8 = np.asarray(
             ds.coords["ping_time"].values, dtype="datetime64[ns]"
         ).astype("i8")
@@ -697,8 +713,11 @@ def run_survey_nasc(
                     )
                     x_rel = np.pad(x_rel, (0, pad), constant_values=window)
                 if not use_grid:
-                    dep_chunk = depth_f4[:, lo:hi]
-                    ddep = np.diff(dep_chunk, axis=2)
+                    dep_phys = depth_b[:, lo:hi]
+                    ddep = np.diff(dep_phys, axis=2).astype("f4")
+                    dep_chunk = binning.exact_bin_encode_np(
+                        dep_phys, depth_edges, closed
+                    )[0]
                     dep_lower = dep_chunk[:, :, :-1]
                     if pad:
                         dep_chunk = np.pad(
@@ -712,11 +731,11 @@ def run_survey_nasc(
                         )
                 x_rel = x_rel.astype("i4")
                 if use_grid:
-                    s, c, nc = grid_sv_fn(sv_chunk, depth_row, d_edges_f4, x_rel)
-                    h = grid_h_fn(ddep_row, dep_lower_row, d_edges_f4, x_rel)
+                    s, c, nc = grid_sv_fn(sv_chunk, depth_row, enc_d_edges, x_rel)
+                    h = grid_h_fn(ddep_row, dep_lower_row, enc_d_edges, x_rel)
                 else:
-                    s, c, nc = step_sv(sv_chunk, dep_chunk, d_edges_f4, x_rel)
-                    h = step_h(ddep, dep_lower, d_edges_f4, x_rel)
+                    s, c, nc = step_sv(sv_chunk, dep_chunk, enc_d_edges, x_rel)
+                    h = step_h(ddep, dep_lower, enc_d_edges, x_rel)
             with timer.stage("accumulate"):
                 w_eff = min(window, n_x - x_base)
                 sums[:, x_base : x_base + w_eff] += np.asarray(s, dtype="f8")[:, :w_eff]
@@ -1591,14 +1610,17 @@ def _run_survey_mvbs_complex(
 
     acc = _PartialAccumulator(len(chans), n_x, n_r, window, timer)
     ch_pos = {str(c): i for i, c in enumerate(chans)}
-    r_edges_f4 = range_edges.astype("f4")
+    enc_edges = np.arange(n_r + 1, dtype="f4")
 
     def _bin_chunk(sv_chunk, er_chunk, x_rel, pad):
+        # er_chunk arrives as PHYSICAL echo_range (f8); membership resolves
+        # on host in f64 and ships encoded so the f32 kernel is edge-exact
+        er_chunk = binning.exact_bin_encode_np(er_chunk, range_edges)[0]
         if pad:
             sv_chunk = np.pad(sv_chunk, ((0, 0), (0, pad), (0, 0)), constant_values=np.nan)
             er_chunk = np.pad(er_chunk, ((0, 0), (0, pad), (0, 0)), constant_values=np.nan)
             x_rel = np.pad(x_rel, (0, pad), constant_values=window)
-        return step(sv_chunk, er_chunk, r_edges_f4, x_rel.astype("i4"))
+        return step(sv_chunk, er_chunk, enc_edges, x_rel.astype("i4"))
 
     for ed, bp, x_idx_all, plan in zip(eds, beam_paths, x_ids, epoch_plans):
         if plan is not None:
@@ -1617,7 +1639,7 @@ def _run_survey_mvbs_complex(
             with timer.stage("chunk_calibrate"):
                 ds_full = compute_Sv(ed, **sv_kw)
                 sv_full = np.asarray(ds_full["Sv"].values, dtype="f4")
-                er_full = np.asarray(ds_full["echo_range"].values, dtype="f4")
+                er_full = np.asarray(ds_full["echo_range"].values, dtype="f8")
                 if er_full.shape != sv_full.shape:
                     er_full = np.broadcast_to(er_full, sv_full.shape)
         n_ping = len(x_idx_all)
@@ -1632,7 +1654,7 @@ def _run_survey_mvbs_complex(
                 else:
                     ds = compute_Sv(_slice_echodata_pings(ed, bp, slice(lo, hi)), **sv_kw)
                     sv_chunk = np.asarray(ds["Sv"].values, dtype="f4")
-                    er_chunk = np.asarray(ds["echo_range"].values, dtype="f4")
+                    er_chunk = np.asarray(ds["echo_range"].values, dtype="f8")
                     if er_chunk.shape != sv_chunk.shape:
                         er_chunk = np.broadcast_to(er_chunk, sv_chunk.shape)
             with timer.stage("device_binning"):
@@ -1692,7 +1714,7 @@ def _stream_complex_epochs(
                 )
                 ds = cal.compute_Sv()
                 sv_chunk = np.asarray(ds["Sv"].values, dtype="f4")
-                er_chunk = np.asarray(ds["echo_range"].values, dtype="f4")
+                er_chunk = np.asarray(ds["echo_range"].values, dtype="f8")
                 if er_chunk.shape != sv_chunk.shape:
                     er_chunk = np.broadcast_to(er_chunk, sv_chunk.shape)
             with timer.stage("device_binning"):

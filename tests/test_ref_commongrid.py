@@ -401,6 +401,62 @@ class TestRegridMaskDifferential:
             )
 
 
+    def test_regrid_mask_3d_per_channel_range(self):
+        """Round-5 advisor regression: third_dim='channel' with a PER-CHANNEL
+        3-D range grid (echo_range [channel, ping_time, range_sample]).  The
+        round-4 elementwise rewrite only handled 1-D/2-D range_da — 3-D raised
+        IndexError at m3[c][valid], and a broadcast fix alone would have pooled
+        bin counts across channels.  The reference broadcasts the by-variable
+        per channel (flox), so membership and counts must stay per-channel."""
+        rng = np.random.default_rng(90215)
+        n_ch, n_ping, n_r = 3, 25, 41
+        pt = np.datetime64("2022-01-01T00:00:00", "ns") + np.arange(n_ping).astype(
+            "timedelta64[s]"
+        ).astype("timedelta64[ns]")
+        from echopype_tpu.xrlite import DataArray
+
+        chans = np.array([f"ch{i}" for i in range(n_ch)], dtype=object)
+        mask = DataArray(
+            rng.uniform(size=(n_ch, n_ping, n_r)) > 0.5,
+            ("channel", "ping_time", "depth"),
+            coords={
+                "channel": chans,
+                "ping_time": pt,
+                "depth": np.arange(n_r) * 1.0,
+            },
+            name="mask",
+        )
+        # per-channel sample spacing -> genuinely 3-D, channel-varying grid
+        er = np.stack(
+            [
+                np.broadcast_to(np.arange(n_r) * (1.0 + 0.3 * c), (n_ping, n_r))
+                for c in range(n_ch)
+            ]
+        ).astype("f8")
+        er[rng.random(er.shape) < 0.05] = np.nan
+        range_da = DataArray(
+            er,
+            ("channel", "ping_time", "depth"),
+            coords={"channel": chans, "ping_time": pt},
+            name="echo_range",
+        )
+        ref_mask = load_ref("mask/api")
+        for func in ("logical-AND", "logical-OR"):
+            want = ref_mask.regrid_mask(
+                mask, range_da, range_bin="7m", ping_time_bin="5s",
+                func=func, third_dim="channel",
+            )
+            got = ep.mask.regrid_mask(
+                mask, range_da, range_bin="7m", ping_time_bin="5s",
+                func=func, third_dim="channel",
+            )
+            w = np.asarray(want.values)
+            g = np.asarray(got.values)
+            if g.shape != w.shape:
+                w = np.asarray(want.transpose(*got.dims).values)
+            np.testing.assert_array_equal(g.astype("f8"), w.astype("f8"), err_msg=func)
+
+
 class TestMVBSVaryingGridExact:
     """Round-4 mvbs-soak regression: ping-varying (wobbled) echo_range with
     interior NaN holes takes the exact f64 host accumulation — the in-kernel
