@@ -120,12 +120,19 @@ class EchoData:
         return "".join(rows)
 
     # ----------------------------------------------------------------- io
-    def to_zarr(self, save_path, overwrite=False, compress=True, storage_options=None, **kw):
-        """Serialize the group tree to a zarr store (local path or fsspec URL)."""
+    def to_zarr(self, save_path, overwrite=False, compress=True, storage_options=None,
+                zarr_format: int = 2, **kw):
+        """Serialize the group tree to a zarr store (local path or fsspec URL).
+
+        ``zarr_format=3`` writes the Zarr v3 on-disk layout the real echopype
+        (zarr>=3, reference requirements.txt:20) produces; both formats are
+        read back transparently by ``open_converted``/``from_file``.
+        """
         storage.write_tree(
             save_path, self._tree, compress=compress, overwrite=overwrite,
             storage_options=storage_options,
             chunk_spec=getattr(self, "_chunk_spec", None),
+            zarr_format=zarr_format,
         )
         self.converted_raw_path = str(save_path)
         return str(save_path)

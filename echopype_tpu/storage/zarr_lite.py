@@ -169,7 +169,7 @@ def write_array_encoded(group_dir: Path, name: str, arr: np.ndarray, dims, attrs
 
 
 def write_array(group_dir: Path, name: str, arr: np.ndarray, dims, attrs, compress=True,
-                chunk_spec=None):
+                chunk_spec=None, zarr_format: int = 2):
     arr = coding.sanitize_dtypes(np.asarray(arr))
     arr, extra_attrs = coding.encode_array(arr)
     chunks = coding.auto_chunks(arr.shape, arr.dtype)
@@ -181,54 +181,79 @@ def write_array(group_dir: Path, name: str, arr: np.ndarray, dims, attrs, compre
         )
     comp_meta = coding.zarr_compressor_meta(arr.dtype) if compress else None
     all_attrs = {**extra_attrs, **_sanitize_attrs(attrs or {})}
-    write_array_encoded(group_dir, name, arr, dims, all_attrs, comp_meta, chunks)
+    if zarr_format == 3:
+        from . import zarr_v3
+
+        zarr_v3.write_array_encoded(group_dir, name, arr, dims, all_attrs, comp_meta, chunks)
+    else:
+        write_array_encoded(group_dir, name, arr, dims, all_attrs, comp_meta, chunks)
+
+
+def _write_group_marker(gdir: Path, attrs: dict, zarr_format: int):
+    if zarr_format == 3:
+        from . import zarr_v3
+
+        zarr_v3.write_group_meta(gdir, _sanitize_attrs(attrs or {}))
+    else:
+        _write_json(gdir / ".zgroup", {"zarr_format": ZARR_FORMAT})
+        _write_json(gdir / ".zattrs", _sanitize_attrs(attrs or {}))
 
 
 def write_group(store_dir, ds: Dataset, group: str = "", compress=True, storage_options=None,
-                chunk_spec=None):
+                chunk_spec=None, zarr_format: int = 2):
     """Write one Dataset as a zarr group under ``store_dir/group``."""
     root = as_store_path(store_dir, storage_options)
     gdir = root / group if group else root
     gdir.mkdir(parents=True, exist_ok=True)
-    _write_json(gdir / ".zgroup", {"zarr_format": ZARR_FORMAT})
-    _write_json(gdir / ".zattrs", _sanitize_attrs(ds.attrs))
+    _write_group_marker(gdir, ds.attrs, zarr_format)
     coord_names = list(ds.coords)
     for name, c in ds.coords.items():
-        write_array(gdir, name, c.values, c.dims, c.attrs, compress, chunk_spec=chunk_spec)
+        write_array(gdir, name, c.values, c.dims, c.attrs, compress, chunk_spec=chunk_spec,
+                    zarr_format=zarr_format)
     for name, v in ds.data_vars.items():
         attrs = dict(v.attrs)
         attrs["coordinates"] = " ".join(cn for cn in coord_names if set(ds.coords[cn].dims) <= set(v.dims))
-        write_array(gdir, name, v.values, v.dims, attrs, compress, chunk_spec=chunk_spec)
+        write_array(gdir, name, v.values, v.dims, attrs, compress, chunk_spec=chunk_spec,
+                    zarr_format=zarr_format)
 
 
 def write_tree(store_dir, tree: dict, compress=True, overwrite=False, storage_options=None,
-               chunk_spec=None):
-    """Write {group_path: Dataset} as a nested zarr store (local or fsspec URL)."""
+               chunk_spec=None, zarr_format: int = 2):
+    """Write {group_path: Dataset} as a nested zarr store (local or fsspec URL).
+
+    ``zarr_format=3`` writes a Zarr v3 tree (one ``zarr.json`` per node,
+    ``c/``-keyed chunks — storage/zarr_v3.py), matching what the real
+    echopype (zarr>=3) produces; default stays the v2 layout.
+    """
+    if zarr_format not in (2, 3):
+        raise ValueError(f"zarr_format must be 2 or 3, got {zarr_format!r}")
     root = as_store_path(store_dir, storage_options)
     if root.exists():
         if not overwrite and any(root.iterdir()):
             raise FileExistsError(f"{store_dir} exists; pass overwrite=True")
         rmtree_store(root)
     root.mkdir(parents=True, exist_ok=True)
-    _write_json(root / ".zgroup", {"zarr_format": ZARR_FORMAT})
+    top = tree.get("Top-level")
+    _write_group_marker(root, top.attrs if top is not None else {}, zarr_format)
     for path, ds in tree.items():
         if path in ("Top-level", "/", ""):
-            # top-level attrs live on the root group
-            _write_json(root / ".zattrs", _sanitize_attrs(ds.attrs))
+            # top-level attrs live on the root group (already written above)
             for name, c in ds.coords.items():
-                write_array(root, name, c.values, c.dims, c.attrs, compress, chunk_spec=chunk_spec)
+                write_array(root, name, c.values, c.dims, c.attrs, compress,
+                            chunk_spec=chunk_spec, zarr_format=zarr_format)
             for name, v in ds.data_vars.items():
-                write_array(root, name, v.values, v.dims, v.attrs, compress, chunk_spec=chunk_spec)
+                write_array(root, name, v.values, v.dims, v.attrs, compress,
+                            chunk_spec=chunk_spec, zarr_format=zarr_format)
             continue
-        # intermediate groups need .zgroup markers
+        # intermediate groups need group markers
         parts = path.split("/")
         for i in range(1, len(parts)):
             inter = root / "/".join(parts[:i])
             inter.mkdir(parents=True, exist_ok=True)
-            if not (inter / ".zgroup").exists():
-                _write_json(inter / ".zgroup", {"zarr_format": ZARR_FORMAT})
-                _write_json(inter / ".zattrs", {})
-        write_group(root, ds, path, compress, chunk_spec=chunk_spec)
+            marker = inter / ("zarr.json" if zarr_format == 3 else ".zgroup")
+            if not marker.exists():
+                _write_group_marker(inter, {}, zarr_format)
+        write_group(root, ds, path, compress, chunk_spec=chunk_spec, zarr_format=zarr_format)
 
 
 # --------------------------------------------------------------------- reading
@@ -309,6 +334,10 @@ def assemble_dataset(arrays: dict, attrs: dict) -> Dataset:
 def read_group(store_dir, group: str = "", storage_options=None) -> Dataset:
     root = as_store_path(store_dir, storage_options)
     gdir = root / group if group else root
+    if (gdir / "zarr.json").exists() and not (gdir / ".zgroup").exists():
+        from . import zarr_v3
+
+        return zarr_v3.read_group(store_dir, group, storage_options=storage_options)
     attrs = _read_json(gdir / ".zattrs") if (gdir / ".zattrs").exists() else {}
     arrays = {}
     for child in sorted(gdir.iterdir()):
@@ -318,7 +347,8 @@ def read_group(store_dir, group: str = "", storage_options=None) -> Dataset:
     return assemble_dataset(arrays, attrs)
 
 
-def write_dataset(store_dir, ds: Dataset, compress=True, overwrite=False, storage_options=None):
+def write_dataset(store_dir, ds: Dataset, compress=True, overwrite=False, storage_options=None,
+                  zarr_format: int = 2):
     """Write a single Dataset as a one-group zarr store (e.g. an Sv store)."""
     root = as_store_path(store_dir, storage_options)
     if root.exists():
@@ -326,7 +356,7 @@ def write_dataset(store_dir, ds: Dataset, compress=True, overwrite=False, storag
             raise FileExistsError(f"{store_dir} exists; pass overwrite=True")
         rmtree_store(root)
     root.mkdir(parents=True, exist_ok=True)
-    write_group(root, ds, "", compress)
+    write_group(root, ds, "", compress, zarr_format=zarr_format)
     return str(root)
 
 
@@ -338,6 +368,10 @@ def open_dataset(store_dir, storage_options=None) -> Dataset:
 def list_groups(store_dir, storage_options=None) -> list:
     """All group paths (relative) in a store, root first."""
     root = as_store_path(store_dir, storage_options)
+    if (root / "zarr.json").exists() and not (root / ".zgroup").exists():
+        from . import zarr_v3
+
+        return zarr_v3.list_groups(store_dir, storage_options=storage_options)
     out = []
     for zg in sorted(root.rglob(".zgroup")):
         rel = zg.parent.relative_to(root)

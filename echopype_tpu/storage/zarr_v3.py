@@ -1,0 +1,499 @@
+"""Zarr format v3 directory-store reader/writer.
+
+The real echopype requires zarr>=3 (reference requirements.txt:20) and
+encodes with the v3 API (``zarr.codecs.BloscCodec`` under a ``compressors``
+key — reference utils/coding.py:9-29), so stores written by echopype in the
+wild are Zarr **v3** trees: one ``zarr.json`` per node instead of
+``.zgroup``/``.zarray``/``.zattrs``.  This module implements that on-disk
+format directly (no zarr-python in this environment):
+
+- group: ``zarr.json`` with ``node_type: "group"`` + ``attributes``
+- array: ``zarr.json`` with ``node_type: "array"`` carrying shape /
+  ``data_type`` / ``chunk_grid`` (regular) / ``chunk_key_encoding`` /
+  ``fill_value`` / ``codecs`` / ``dimension_names`` / ``attributes``;
+  C-order chunk files under ``c/i/j`` (default key encoding) or ``i.j``
+  (v2 key encoding)
+- codecs: ``bytes`` (endian) -> bytes->bytes chain of ``blosc`` (via the
+  system libblosc — the reference's explicit setting), ``zstd`` (zarr-python
+  3's default compressor, via the zstandard module), ``gzip``, and a
+  trailing ``crc32c`` checksum (stripped on read); variable-length strings
+  via ``vlen-utf8`` (zarr-python 3's ``string`` data type).
+
+Reading is format-complete for everything echopype/xarray/zarr-python 3
+write by default; writing (``zarr_format=3``) produces spec-conformant trees
+round-tripped by this reader and by zarr-python 3 readers.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import zlib
+from pathlib import Path
+
+import numpy as np
+
+from ..utils import coding
+from . import blosc
+from .fsstore import as_store_path
+
+META = "zarr.json"
+
+# ------------------------------------------------------------------ dtypes
+_NP_FROM_V3 = {
+    "bool": "b1",
+    "int8": "i1", "int16": "i2", "int32": "i4", "int64": "i8",
+    "uint8": "u1", "uint16": "u2", "uint32": "u4", "uint64": "u8",
+    "float16": "f2", "float32": "f4", "float64": "f8",
+    "complex64": "c8", "complex128": "c16",
+}
+_V3_FROM_KIND = {
+    ("b", 1): "bool",
+    ("i", 1): "int8", ("i", 2): "int16", ("i", 4): "int32", ("i", 8): "int64",
+    ("u", 1): "uint8", ("u", 2): "uint16", ("u", 4): "uint32", ("u", 8): "uint64",
+    ("f", 2): "float16", ("f", 4): "float32", ("f", 8): "float64",
+    ("c", 8): "complex64", ("c", 16): "complex128",
+}
+
+
+def _np_dtype(data_type, endian="little"):
+    """v3 data_type name -> numpy dtype ('string' handled by callers)."""
+    if isinstance(data_type, dict):  # extension form {"name": ..., ...}
+        data_type = data_type.get("name")
+    if data_type in ("string", "vlen-utf8"):
+        return np.dtype(object)
+    base = _NP_FROM_V3.get(str(data_type))
+    if base is None:
+        raise ValueError(f"Unsupported zarr v3 data_type {data_type!r}")
+    dt = np.dtype(base)
+    if dt.itemsize > 1:
+        dt = dt.newbyteorder("<" if endian == "little" else ">")
+    return dt
+
+
+def _v3_data_type(dt: np.dtype) -> str:
+    dt = np.dtype(dt)
+    if dt.kind in ("U", "O", "S", "T"):
+        return "string"
+    name = _V3_FROM_KIND.get((dt.kind, dt.itemsize))
+    if name is None:
+        raise ValueError(f"No zarr v3 data_type for numpy dtype {dt}")
+    return name
+
+
+# -------------------------------------------------------------- fill values
+def _fill_from_json(v, dtype: np.dtype):
+    if v is None:
+        return None
+    dt = np.dtype(dtype) if dtype is not None else None
+    if isinstance(v, str):
+        if v == "NaN":
+            return np.nan
+        if v == "Infinity":
+            return np.inf
+        if v == "-Infinity":
+            return -np.inf
+        if v.startswith("0x") and dt is not None and dt.kind in ("f", "c"):
+            # raw bit pattern (spec permits hex strings for float fills)
+            bits = int(v, 16)
+            width = dt.itemsize if dt.kind == "f" else dt.itemsize // 2
+            fdt = np.dtype(f"f{width}")
+            return np.frombuffer(
+                bits.to_bytes(width, "little"), dtype=fdt.newbyteorder("<")
+            )[0]
+        return v  # string fill for string arrays
+    if isinstance(v, (list, tuple)) and dt is not None and dt.kind == "c":
+        return complex(_fill_from_json(v[0], np.dtype("f8")),
+                       _fill_from_json(v[1], np.dtype("f8")))
+    return v
+
+
+def _fill_to_json(v, dtype: np.dtype):
+    dt = np.dtype(dtype)
+    if dt.kind in ("U", "O", "S", "T"):
+        return v if isinstance(v, str) else ""
+    if v is None:
+        return 0
+    if dt.kind == "c":
+        return [_fill_to_json(np.real(v), np.dtype("f8")),
+                _fill_to_json(np.imag(v), np.dtype("f8"))]
+    if dt.kind == "f" or isinstance(v, float):
+        f = float(v)
+        if np.isnan(f):
+            return "NaN"
+        if np.isinf(f):
+            return "Infinity" if f > 0 else "-Infinity"
+        return f
+    if dt.kind == "b":
+        return bool(v)
+    return int(v)
+
+
+# ------------------------------------------------------------------- codecs
+_SHUFFLE_NAME = {blosc.NOSHUFFLE: "noshuffle", blosc.SHUFFLE: "shuffle",
+                 blosc.BITSHUFFLE: "bitshuffle"}
+_SHUFFLE_CODE = {v: k for k, v in _SHUFFLE_NAME.items()}
+
+
+def _split_codecs(codecs):
+    """(array->array list, array->bytes codec, bytes->bytes list)."""
+    aa, ab, bb = [], None, []
+    for c in codecs or []:
+        name = c.get("name") if isinstance(c, dict) else str(c)
+        if name == "transpose":
+            aa.append(c)
+        elif name in ("bytes", "endian", "vlen-utf8"):
+            ab = c
+        else:
+            bb.append(c)
+    if ab is None:
+        ab = {"name": "bytes", "configuration": {"endian": "little"}}
+    return aa, ab, bb
+
+
+def _decode_bytes_chain(raw: bytes, bb_codecs) -> bytes:
+    """Invert the bytes->bytes codec chain (applied last-to-first)."""
+    for c in reversed(bb_codecs):
+        name = c.get("name")
+        cfg = c.get("configuration") or {}
+        if name == "crc32c":
+            raw = raw[:-4]  # checksum suffix; no crc32c impl here — strip
+        elif name == "blosc":
+            raw = blosc.decompress(raw)
+        elif name == "zstd":
+            import zstandard
+
+            raw = zstandard.ZstdDecompressor().decompress(
+                raw, max_output_size=1 << 31
+            )
+        elif name == "gzip":
+            raw = zlib.decompress(raw, wbits=31)
+        elif name == "zlib":
+            raw = zlib.decompress(raw)
+        else:
+            raise ValueError(
+                f"Unsupported zarr v3 bytes codec {name!r}; supported: "
+                "blosc, zstd, gzip, zlib, crc32c (stripped)"
+            )
+        del cfg
+    return raw
+
+
+def _encode_bytes_chain(raw: bytes, bb_codecs) -> bytes:
+    for c in bb_codecs:
+        name = c.get("name")
+        cfg = c.get("configuration") or {}
+        if name == "blosc":
+            raw = blosc.compress(
+                raw, int(cfg.get("typesize", 8)), str(cfg.get("cname", "zstd")),
+                int(cfg.get("clevel", 3)),
+                _SHUFFLE_CODE.get(str(cfg.get("shuffle", "shuffle")), blosc.SHUFFLE),
+            )
+        elif name == "zstd":
+            import zstandard
+
+            raw = zstandard.ZstdCompressor(level=int(cfg.get("level", 0))).compress(raw)
+        elif name == "gzip":
+            co = zlib.compressobj(int(cfg.get("level", 5)), zlib.DEFLATED, 31)
+            raw = co.compress(raw) + co.flush()
+        else:
+            raise ValueError(f"Cannot encode zarr v3 bytes codec {name!r}")
+    return raw
+
+
+def _vlen_utf8_decode(raw: bytes, n_items: int):
+    """numcodecs VLenUTF8 frame: u32le item count, then (u32le len, utf8)*."""
+    (count,) = struct.unpack_from("<I", raw, 0)
+    off = 4
+    items = []
+    for _ in range(count):
+        (ln,) = struct.unpack_from("<I", raw, off)
+        off += 4
+        items.append(raw[off : off + ln].decode("utf-8"))
+        off += ln
+    # a short frame fills the remainder with ''
+    while len(items) < n_items:
+        items.append("")
+    return items
+
+
+def _vlen_utf8_encode(items) -> bytes:
+    out = [struct.pack("<I", len(items))]
+    for s in items:
+        b = str(s).encode("utf-8")
+        out.append(struct.pack("<I", len(b)))
+        out.append(b)
+    return b"".join(out)
+
+
+# ---------------------------------------------------------------- chunk keys
+def _chunk_key(idx, key_enc) -> str:
+    name = (key_enc or {}).get("name", "default")
+    sep = ((key_enc or {}).get("configuration") or {}).get("separator")
+    if name == "v2":
+        sep = sep or "."
+        return sep.join(map(str, idx)) if idx else "0"
+    sep = sep or "/"
+    return "c" if not idx else "c" + sep + sep.join(map(str, idx))
+
+
+# ------------------------------------------------------------------- reading
+def _read_json(path: Path):
+    return json.loads(path.read_text())
+
+
+def node_meta(ndir: Path):
+    f = ndir / META
+    return _read_json(f) if f.exists() else None
+
+
+def read_array(adir: Path, meta=None):
+    """One v3 array -> (values, dims, attrs) with CF time decoding applied."""
+    meta = meta if meta is not None else _read_json(adir / META)
+    attrs = dict(meta.get("attributes") or {})
+    shape = tuple(meta["shape"])
+    grid_cfg = (meta.get("chunk_grid") or {}).get("configuration") or {}
+    chunks = tuple(grid_cfg.get("chunk_shape") or shape or ())
+    key_enc = meta.get("chunk_key_encoding") or {}
+    aa, ab, bb = _split_codecs(meta.get("codecs"))
+    for c in aa:
+        raise ValueError(f"Unsupported zarr v3 array codec {c.get('name')!r}")
+    is_vlen = ab.get("name") == "vlen-utf8" or (
+        (meta.get("data_type") if not isinstance(meta.get("data_type"), dict)
+         else meta["data_type"].get("name")) in ("string", "vlen-utf8")
+    )
+    dims = tuple(meta.get("dimension_names") or attrs.pop("_ARRAY_DIMENSIONS", ()) or ())
+    dims = tuple(d if d is not None else f"dim_{i}" for i, d in enumerate(dims))
+    if is_vlen:
+        out = np.full(shape, "", dtype=object)
+        fill = _fill_from_json(meta.get("fill_value"), None)
+        if isinstance(fill, str) and fill:
+            out[...] = fill
+        n_in_chunk = int(np.prod(chunks)) if chunks else 1
+        if 0 not in shape:
+            # np.ndindex() over an empty grid yields one () index, so the
+            # 0-d case (single chunk keyed "c") rides the same loop
+            for idx in np.ndindex(*[max(1, -(-s // c)) for s, c in zip(shape, chunks)]):
+                cf = adir / _chunk_key(idx, key_enc)
+                if not cf.exists():
+                    continue
+                raw = _decode_bytes_chain(cf.read_bytes(), bb)
+                items = _vlen_utf8_decode(raw, n_in_chunk)
+                block = np.asarray(items, dtype=object).reshape(chunks if shape else ())
+                slices = tuple(
+                    slice(i * c, min((i + 1) * c, s))
+                    for i, c, s in zip(idx, chunks, shape)
+                )
+                trim = tuple(slice(0, sl.stop - sl.start) for sl in slices)
+                out[slices] = block[trim]
+        return out.astype(str), dims, attrs
+    endian = (ab.get("configuration") or {}).get("endian", "little")
+    dtype = _np_dtype(meta["data_type"], endian)
+    fill = _fill_from_json(meta.get("fill_value"), dtype)
+    if fill is None:
+        fill = 0
+    if shape == ():
+        out = np.zeros((), dtype=dtype)
+        cf = adir / _chunk_key((), key_enc)
+        if cf.exists():
+            raw = _decode_bytes_chain(cf.read_bytes(), bb)
+            out = np.frombuffer(raw, dtype=dtype)[0].reshape(())
+        else:
+            out[()] = fill
+    else:
+        out = np.full(shape, fill, dtype=dtype)
+        if 0 not in shape:
+            for idx in np.ndindex(*[max(1, -(-s // c)) for s, c in zip(shape, chunks)]):
+                cf = adir / _chunk_key(idx, key_enc)
+                if not cf.exists():
+                    continue
+                raw = _decode_bytes_chain(cf.read_bytes(), bb)
+                block = np.frombuffer(raw, dtype=dtype).reshape(chunks)
+                slices = tuple(
+                    slice(i * c, min((i + 1) * c, s))
+                    for i, c, s in zip(idx, chunks, shape)
+                )
+                trim = tuple(slice(0, sl.stop - sl.start) for sl in slices)
+                out[slices] = block[trim]
+    if out.dtype.byteorder not in ("=", "|"):
+        # big-endian payload (or non-normalized order) -> native
+        out = out.astype(out.dtype.newbyteorder("="))
+    vals = coding.decode_array(out, attrs)
+    if isinstance(vals, np.ndarray) and vals is not out:
+        attrs = {k: v for k, v in attrs.items() if k not in ("units", "calendar", "dtype")}
+    return vals, dims, attrs
+
+
+def read_group(store_dir, group: str = "", storage_options=None):
+    from .zarr_lite import assemble_dataset
+
+    root = as_store_path(store_dir, storage_options)
+    gdir = root / group if group else root
+    meta = node_meta(gdir) or {}
+    attrs = dict(meta.get("attributes") or {})
+    arrays = {}
+    for child in sorted(gdir.iterdir()):
+        if not child.is_dir():
+            continue
+        cm = node_meta(child)
+        if cm and cm.get("node_type") == "array":
+            vals, dims, a_attrs = read_array(child, cm)
+            arrays[child.name] = (vals, dims, a_attrs)
+    return assemble_dataset(arrays, attrs)
+
+
+def list_groups(store_dir, storage_options=None) -> list:
+    root = as_store_path(store_dir, storage_options)
+    out = []
+    for zj in sorted(root.rglob(META)):
+        m = _read_json(zj)
+        if m.get("node_type") == "group":
+            rel = zj.parent.relative_to(root)
+            out.append("" if str(rel) == "." else str(rel))
+    return out
+
+
+def is_v3_store(store_dir, storage_options=None) -> bool:
+    root = as_store_path(store_dir, storage_options)
+    return (root / META).exists()
+
+
+# ------------------------------------------------------------------- writing
+def _comp_meta_to_codec(comp_meta, typesize: int):
+    """v2-style compressor meta dict -> v3 bytes->bytes codec list."""
+    if comp_meta is None:
+        return []
+    cid = comp_meta.get("id")
+    if cid == "blosc":
+        return [{
+            "name": "blosc",
+            "configuration": {
+                "cname": comp_meta.get("cname", "zstd"),
+                "clevel": int(comp_meta.get("clevel", 3)),
+                "shuffle": _SHUFFLE_NAME.get(
+                    int(comp_meta.get("shuffle", blosc.SHUFFLE)), "shuffle"
+                ),
+                "typesize": int(typesize),
+                "blocksize": int(comp_meta.get("blocksize", 0)),
+            },
+        }]
+    if cid == "zstd":
+        return [{"name": "zstd",
+                 "configuration": {"level": int(comp_meta.get("level", 0)),
+                                   "checksum": False}}]
+    if cid in ("zlib", "gzip"):
+        return [{"name": "gzip",
+                 "configuration": {"level": int(comp_meta.get("level", 5))}}]
+    raise ValueError(f"Cannot express compressor {cid!r} as a zarr v3 codec")
+
+
+def _write_json(path: Path, obj):
+    from .zarr_lite import _json_default
+
+    path.write_text(json.dumps(obj, indent=2, default=_json_default, allow_nan=False))
+
+
+def write_group_meta(gdir: Path, attrs: dict):
+    gdir.mkdir(parents=True, exist_ok=True)
+    _write_json(gdir / META, {
+        "zarr_format": 3,
+        "node_type": "group",
+        "attributes": attrs or {},
+    })
+
+
+def write_array_encoded(group_dir: Path, name: str, arr: np.ndarray, dims, attrs,
+                        comp_meta, chunks=None, clean: bool = False):
+    """Write one ALREADY-ENCODED array as a v3 array node.
+
+    Mirror of zarr_lite.write_array_encoded for format 3: same encode
+    conventions (times already int64, objects stringified by the caller's
+    coding.encode_array), v3 metadata + ``c/``-keyed chunk files.
+    """
+    from .zarr_lite import _sanitize_attrs
+
+    arr = np.asarray(arr)
+    if arr.dtype == object:
+        flat = arr.ravel()
+        if all(v is None or (isinstance(v, float) and np.isnan(v)) for v in flat):
+            arr = np.full(arr.shape, np.nan, dtype="f8")
+        else:
+            arr = arr.astype(str)
+    adir = group_dir / name
+    adir.mkdir(parents=True, exist_ok=True)
+    if clean:
+        import shutil
+
+        for old in adir.iterdir():
+            if old.name == META:
+                continue
+            if old.is_dir():
+                shutil.rmtree(old)
+            else:
+                old.unlink()
+    if chunks is None:
+        chunks = coding.auto_chunks(arr.shape, arr.dtype)
+    chunks = tuple(max(1, int(c)) for c in chunks) if chunks else ()
+    is_str = arr.dtype.kind == "U"
+    data_type = _v3_data_type(arr.dtype)
+    if is_str:
+        fill = ""
+        ab = {"name": "vlen-utf8"}
+        bb = _comp_meta_to_codec(comp_meta, 4)
+    else:
+        fill = {"f": np.nan, "c": np.nan}.get(arr.dtype.kind)
+        ab = {"name": "bytes", "configuration": {"endian": "little"}}
+        bb = _comp_meta_to_codec(comp_meta, arr.dtype.itemsize)
+    meta = {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": list(arr.shape),
+        "data_type": data_type,
+        "chunk_grid": {
+            "name": "regular",
+            "configuration": {"chunk_shape": list(chunks) if arr.ndim else []},
+        },
+        "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        "fill_value": _fill_to_json(fill, arr.dtype),
+        "codecs": [ab] + bb,
+        "attributes": _sanitize_attrs(attrs or {}),
+        "dimension_names": list(dims),
+    }
+    if arr.ndim == 0:
+        meta["dimension_names"] = []
+    _write_json(adir / META, meta)
+
+    if 0 in arr.shape:
+        return
+    key_enc = meta["chunk_key_encoding"]
+
+    def _emit(idx, block):
+        if is_str:
+            raw = _vlen_utf8_encode(list(block.ravel()))
+        else:
+            if not block.flags.c_contiguous:
+                block = np.ascontiguousarray(block)
+            if block.dtype.byteorder == ">":
+                block = block.astype(block.dtype.newbyteorder("<"))
+            raw = block.tobytes()
+        raw = _encode_bytes_chain(raw, bb)
+        cf = adir / _chunk_key(idx, key_enc)
+        cf.parent.mkdir(parents=True, exist_ok=True)
+        cf.write_bytes(raw)
+
+    if arr.ndim == 0:
+        _emit((), arr.reshape(()))
+        return
+    for idx in np.ndindex(*[max(1, -(-s // c)) for s, c in zip(arr.shape, chunks)]):
+        slices = tuple(
+            slice(i * c, min((i + 1) * c, s)) for i, c, s in zip(idx, chunks, arr.shape)
+        )
+        block = arr[slices]
+        if list(block.shape) != list(chunks):
+            pad = [(0, c - bs) for bs, c in zip(block.shape, chunks)]
+            if is_str:
+                block = np.pad(block, pad, constant_values="")
+            else:
+                fv = fill if fill is not None else 0
+                block = np.pad(block, pad, constant_values=fv)
+        _emit(idx, block)

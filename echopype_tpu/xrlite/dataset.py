@@ -620,7 +620,7 @@ class Dataset:
 
     def to_zarr(self, store_path=None, compress=True, overwrite=False, mode=None,
                 store=None, group=None, encoding=None, consolidated=True,
-                storage_options=None, **kw):
+                storage_options=None, zarr_format=None, **kw):
         """Persist this Dataset as zarr.
 
         Two call styles:
@@ -637,13 +637,13 @@ class Dataset:
             return dataset_to_zarr(
                 self, target, mode=mode, group=group, encoding=encoding,
                 consolidated=consolidated, storage_options=storage_options,
-                compress=compress,
+                compress=compress, zarr_format=zarr_format,
             )
         from .. import storage
 
         return storage.write_dataset(
             target, self, compress=compress, overwrite=overwrite or mode in ("w", "a"),
-            storage_options=storage_options,
+            storage_options=storage_options, zarr_format=zarr_format or 2,
         )
 
     def to_netcdf(self, path=None, mode=None, group=None, encoding=None,

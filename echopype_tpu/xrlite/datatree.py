@@ -34,6 +34,12 @@ __all__ = [
     "dataset_to_zarr",
 ]
 
+# On-disk zarr format for NEW stores when the caller does not choose one
+# (xarray-style writes pass zarr_format=None).  Appends to an existing store
+# always follow the store's own format; flip to 3 to default to Zarr v3
+# trees like the real echopype's zarr>=3 chain.
+DEFAULT_ZARR_FORMAT = 2
+
 
 def _norm_parts(path) -> list:
     """'/Sonar/Beam_group1' | 'Sonar/Beam_group1' -> ['Sonar', 'Beam_group1']."""
@@ -367,6 +373,7 @@ def dataset_to_zarr(
     consolidated=True,
     storage_options=None,
     compress=True,
+    zarr_format=None,
     **kw,
 ):
     """Group-targeted Dataset→zarr write (facade for xr.Dataset.to_zarr).
@@ -377,8 +384,12 @@ def dataset_to_zarr(
       - "w-"/None: like "w" but refuse to clobber an existing store
       - "a": create/extend the group — add or replace arrays, merge attrs
       - "r+": only overwrite the values of arrays that already exist
+
+    zarr_format: 2 (default for new stores), 3 (Zarr v3 layout, what real
+    echopype's zarr>=3 chain produces), or None — None detects the format of
+    an EXISTING store so group-by-group append chains stay consistent.
     """
-    from ..storage import zarr_lite
+    from ..storage import zarr_lite, zarr_v3
     from ..storage.fsstore import as_store_path, rmtree_store
 
     encoding = encoding or {}
@@ -391,34 +402,57 @@ def dataset_to_zarr(
         rmtree_store(root)
     if mode == "w-" and root.exists() and any(root.iterdir()):
         raise FileExistsError(f"{store} exists; use mode='w' or 'a'")
+    if zarr_format is None:
+        if (root / zarr_v3.META).exists():
+            zarr_format = 3
+        elif (root / ".zgroup").exists():
+            zarr_format = 2
+        else:
+            zarr_format = DEFAULT_ZARR_FORMAT
+    v3 = zarr_format == 3
+
+    def _has_group_marker(d):
+        m = zarr_v3.node_meta(d) if v3 else None
+        return (m is not None and m.get("node_type") == "group") if v3 \
+            else (d / ".zgroup").exists()
+
+    def _group_attrs(d):
+        if v3:
+            m = zarr_v3.node_meta(d) or {}
+            return dict(m.get("attributes") or {})
+        f = d / ".zattrs"
+        return zarr_lite._read_json(f) if f.exists() else {}
+
+    def _put_group(d, attrs):
+        if v3:
+            zarr_v3.write_group_meta(d, attrs)
+        else:
+            zarr_lite._write_json(d / ".zgroup", {"zarr_format": zarr_lite.ZARR_FORMAT})
+            zarr_lite._write_json(d / ".zattrs", attrs)
 
     gparts = _norm_parts(group or "")
     # ensure root + intermediate group markers
     root.mkdir(parents=True, exist_ok=True)
-    if not (root / ".zgroup").exists():
-        zarr_lite._write_json(root / ".zgroup", {"zarr_format": zarr_lite.ZARR_FORMAT})
-        if gparts:
-            zarr_lite._write_json(root / ".zattrs", {})
+    if not _has_group_marker(root):
+        _put_group(root, _group_attrs(root) if v3 else {})
     gdir = root
     for part in gparts:
         gdir = gdir / part
         gdir.mkdir(parents=True, exist_ok=True)
-        if not (gdir / ".zgroup").exists():
-            zarr_lite._write_json(gdir / ".zgroup", {"zarr_format": zarr_lite.ZARR_FORMAT})
-            zarr_lite._write_json(gdir / ".zattrs", {})
+        if not _has_group_marker(gdir):
+            _put_group(gdir, {})
 
     # group attrs: "a"/"w" merge (new values win); "r+" leaves attrs alone
-    if mode != "r+" or not (gdir / ".zattrs").exists():
-        existing = {}
-        if (gdir / ".zattrs").exists():
-            existing = zarr_lite._read_json(gdir / ".zattrs")
+    if mode != "r+":
+        existing = _group_attrs(gdir)
         existing.update(zarr_lite._sanitize_attrs(ds.attrs))
-        zarr_lite._write_json(gdir / ".zattrs", existing)
+        _put_group(gdir, existing)
 
     coord_names = list(ds.coords)
     for name, da in list(ds.coords.items()) + list(ds.data_vars.items()):
         adir = gdir / name
-        if mode == "r+" and not (adir / ".zarray").exists():
+        amarker = (adir / zarr_v3.META) if v3 else (adir / ".zarray")
+        if mode == "r+" and not amarker.exists():
             raise KeyError(
                 f"mode='r+' cannot create new array {name!r} in group {group!r}"
             )
@@ -437,14 +471,16 @@ def dataset_to_zarr(
         chunks = enc.get("chunks")
         if chunks:
             chunk_spec = dict(zip(da.dims, chunks))
-        _write_zarr_array(gdir, name, values, da.dims, attrs, comp, chunk_spec)
+        _write_zarr_array(gdir, name, values, da.dims, attrs, comp, chunk_spec,
+                          zarr_format=zarr_format)
     return str(root)
 
 
-def _write_zarr_array(gdir, name, values, dims, attrs, comp_meta, chunk_spec):
-    """Write one encoding-driven array via the shared zarr_lite encoded-level
-    writer (one chunk-format implementation for both store writers)."""
-    from ..storage import zarr_lite
+def _write_zarr_array(gdir, name, values, dims, attrs, comp_meta, chunk_spec,
+                      zarr_format: int = 2):
+    """Write one encoding-driven array via the shared encoded-level writers
+    (one chunk-format implementation per zarr format)."""
+    from ..storage import zarr_lite, zarr_v3
     from ..utils import coding as our_coding
 
     arr = our_coding.sanitize_dtypes(np.asarray(values))
@@ -454,6 +490,6 @@ def _write_zarr_array(gdir, name, values, dims, attrs, comp_meta, chunk_spec):
             min(int(chunk_spec.get(d, c) or c), s)
             for d, c, s in zip(dims, chunks, arr.shape)
         )
-    zarr_lite.write_array_encoded(
-        gdir, name, arr, dims, attrs, comp_meta, chunks, clean=True
-    )
+    writer = zarr_v3.write_array_encoded if zarr_format == 3 \
+        else zarr_lite.write_array_encoded
+    writer(gdir, name, arr, dims, attrs, comp_meta, chunks, clean=True)

@@ -89,6 +89,37 @@ class TestReferenceWritesOurReader:
         for g in ("Sonar/Beam_group1", "Environment", "Platform", "Vendor_specific"):
             _assert_ds_equal(ed[g], ours[g], g)
 
+    def test_zarr_v3(self, converted, tmp_path, monkeypatch):
+        """The reference's save chain writing a Zarr v3 store (what zarr>=3
+        produces in the wild, reference requirements.txt:20) read back by our
+        open_converted bit-exact."""
+        import json
+
+        from echopype_tpu.xrlite import datatree
+
+        raw, ed = converted
+        load_ref_echodata()
+        ref_ed = make_ref_echodata({g: ed[g] for g in ed.group_paths}, "EK60", source_file=raw)
+        store = tmp_path / "refwritten_v3.zarr"
+        monkeypatch.setattr(datatree, "DEFAULT_ZARR_FORMAT", 3)
+        ref_ed.to_zarr(save_path=str(store), overwrite=True)
+
+        # the store really is a v3 tree: zarr.json nodes, no v2 markers
+        assert (store / "zarr.json").exists()
+        assert not list(store.rglob(".zgroup")) and not list(store.rglob(".zarray"))
+        meta = json.loads(
+            (store / "Sonar/Beam_group1/backscatter_r/zarr.json").read_text()
+        )
+        assert meta["node_type"] == "array"
+        blosc_cfg = [c for c in meta["codecs"] if c.get("name") == "blosc"]
+        assert blosc_cfg and blosc_cfg[0]["configuration"]["cname"] == "zstd"
+        assert blosc_cfg[0]["configuration"]["shuffle"] == "bitshuffle"
+
+        ours = ep.open_converted(str(store))
+        assert set(ours.group_paths) == set(ed.group_paths)
+        for g in ed.group_paths:
+            _assert_ds_equal(ed[g], ours[g], g)
+
 
 class TestOurWriterReferenceReads:
     """Direction B: our to_zarr/to_netcdf -> reference EchoData.from_file."""
@@ -114,6 +145,17 @@ class TestOurWriterReferenceReads:
         path = str(tmp_path / "ourwritten.nc")
         ed.to_netcdf(path)
         ref_read = layer["EchoData"].from_file(path)
+        self._assert_ref_read_matches(ref_read, ed)
+
+    def test_zarr_v3(self, converted, tmp_path):
+        """Direction B on the v3 layout: OUR zarr_format=3 store read through
+        the reference's from_file chain (open_datatree + legacy checks)."""
+        raw, ed = converted
+        layer = load_ref_echodata()
+        store = str(tmp_path / "ourwritten_v3.zarr")
+        ed.to_zarr(store, zarr_format=3)
+        ref_read = layer["EchoData"].from_file(store)
+        assert ref_read.sonar_model == "EK60"
         self._assert_ref_read_matches(ref_read, ed)
 
     def test_open_converted_parity(self, converted, tmp_path):

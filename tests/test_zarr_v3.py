@@ -1,0 +1,327 @@
+"""Zarr format v3 interop (storage/zarr_v3.py).
+
+The real echopype requires zarr>=3 and writes v3-format stores (one
+``zarr.json`` per node; reference requirements.txt:20, utils/coding.py:9-29
+``compressors=[BloscCodec(...)]``), so ``open_converted`` must read v3 trees
+it did not write itself.  These tests read HAND-CRAFTED spec-conformant v3
+stores (standing in for zarr-python-3-written ones: blosc and zstd codec
+chains, vlen-utf8 strings, NaN fills, partial edge chunks, both chunk-key
+encodings) and round-trip our own opt-in ``zarr_format=3`` writer.
+"""
+
+import json
+import struct
+
+import numpy as np
+import pytest
+
+import echopype_tpu as ep
+from echopype_tpu.storage import blosc, zarr_lite, zarr_v3
+from echopype_tpu.xrlite import DataArray, Dataset
+
+zstandard = pytest.importorskip("zstandard")
+
+
+# ------------------------------------------------------------------ fixtures
+def _v3_array_meta(shape, chunks, data_type, codecs, fill, dims, attrs=None,
+                   key_enc=None):
+    return {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": list(shape),
+        "data_type": data_type,
+        "chunk_grid": {"name": "regular",
+                       "configuration": {"chunk_shape": list(chunks)}},
+        "chunk_key_encoding": key_enc
+        or {"name": "default", "configuration": {"separator": "/"}},
+        "fill_value": fill,
+        "codecs": codecs,
+        "attributes": attrs or {},
+        "dimension_names": list(dims),
+    }
+
+
+def _write(p, obj):
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(json.dumps(obj))
+
+
+def _vlen(items):
+    out = [struct.pack("<I", len(items))]
+    for s in items:
+        b = s.encode("utf-8")
+        out += [struct.pack("<I", len(b)), b]
+    return b"".join(out)
+
+
+def make_external_v3_store(root):
+    """A v3 store as zarr-python 3 / echopype would lay it out."""
+    root.mkdir(parents=True)
+    _write(root / "zarr.json", {
+        "zarr_format": 3, "node_type": "group",
+        "attributes": {"title": "fixture", "n": 3},
+    })
+    g = root / "Environment"
+    _write(g / "zarr.json", {"zarr_format": 3, "node_type": "group",
+                             "attributes": {"desc": "env"}})
+
+    # float64 [5, 7], chunks [3, 4] (partial edge chunks), blosc zstd-3
+    # bitshuffle — echopype's float default — fill NaN, default "/" keys
+    rng = np.random.default_rng(5)
+    temp = rng.normal(10, 2, (5, 7))
+    a = g / "temperature"
+    _write(a / "zarr.json", _v3_array_meta(
+        (5, 7), (3, 4), "float64",
+        [{"name": "bytes", "configuration": {"endian": "little"}},
+         {"name": "blosc", "configuration": {
+             "cname": "zstd", "clevel": 3, "shuffle": "bitshuffle",
+             "typesize": 8, "blocksize": 0}}],
+        "NaN", ["time", "depth"], attrs={"units": "degC"},
+    ))
+    for i in range(2):
+        for j in range(2):
+            block = np.full((3, 4), np.nan)
+            sl = temp[i * 3:(i + 1) * 3, j * 4:(j + 1) * 4]
+            block[:sl.shape[0], :sl.shape[1]] = sl
+            raw = blosc.compress(block.tobytes(), 8, "zstd", 3, blosc.BITSHUFFLE)
+            _write_bytes(a / "c" / str(i) / str(j), raw)
+
+    # int64 time coordinate, zstd codec (zarr-python 3 default), CF units
+    t = g / "time"
+    tvals = (np.arange(5) * 1_000_000_000).astype("i8")
+    _write(t / "zarr.json", _v3_array_meta(
+        (5,), (5,), "int64",
+        [{"name": "bytes", "configuration": {"endian": "little"}},
+         {"name": "zstd", "configuration": {"level": 0, "checksum": False}}],
+        0, ["time"],
+        attrs={"units": "nanoseconds since 1970-01-01T00:00:00Z",
+               "calendar": "proleptic_gregorian"},
+    ))
+    _write_bytes(t / "c" / "0",
+                 zstandard.ZstdCompressor().compress(tvals.tobytes()))
+
+    # depth coordinate: gzip codec, "." separator in the default encoding
+    d = g / "depth"
+    dvals = np.arange(7, dtype="f4") * 2.5
+    import zlib
+
+    co = zlib.compressobj(5, zlib.DEFLATED, 31)
+    _write(d / "zarr.json", _v3_array_meta(
+        (7,), (7,), "float32",
+        [{"name": "bytes", "configuration": {"endian": "little"}},
+         {"name": "gzip", "configuration": {"level": 5}}],
+        "NaN", ["depth"],
+        key_enc={"name": "default", "configuration": {"separator": "."}},
+    ))
+    _write_bytes(d / "c.0", co.compress(dvals.tobytes()) + co.flush())
+
+    # vlen-utf8 string array (zarr-python 3 "string" data type), v2 keys
+    s = g / "channel"
+    _write(s / "zarr.json", _v3_array_meta(
+        (3,), (2,), "string",
+        [{"name": "vlen-utf8"}],
+        "", ["channel"],
+        key_enc={"name": "v2", "configuration": {"separator": "."}},
+    ))
+    _write_bytes(s / "0", _vlen(["GPT 38kHz", "GPT 120kHz"]))
+    _write_bytes(s / "1", _vlen(["GPT 200kHz"]))
+
+    # 0-d uncompressed scalar
+    z = g / "offset"
+    _write(z / "zarr.json", _v3_array_meta(
+        (), [], "float64",
+        [{"name": "bytes", "configuration": {"endian": "little"}}],
+        "NaN", [],
+    ))
+    _write_bytes(z / "c", np.float64(6.25).tobytes())
+
+    # array with a missing chunk -> fill_value block
+    h = g / "holey"
+    _write(h / "zarr.json", _v3_array_meta(
+        (4,), (2,), "float64",
+        [{"name": "bytes", "configuration": {"endian": "little"}}],
+        "NaN", ["holey"],
+    ))
+    _write_bytes(h / "c" / "0", np.array([1.0, 2.0]).tobytes())
+    # chunk 1 intentionally absent
+
+    return {
+        "temperature": temp, "time": tvals, "depth": dvals,
+        "channel": np.array(["GPT 38kHz", "GPT 120kHz", "GPT 200kHz"]),
+        "offset": 6.25, "holey": np.array([1.0, 2.0, np.nan, np.nan]),
+    }
+
+
+def _write_bytes(p, b):
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_bytes(b)
+
+
+# -------------------------------------------------------------------- reading
+class TestReadExternalV3:
+    def test_read_hand_crafted_store(self, tmp_path):
+        root = tmp_path / "ext.zarr"
+        want = make_external_v3_store(root)
+        ds = zarr_lite.read_group(str(root), "Environment")
+        np.testing.assert_array_equal(
+            np.asarray(ds["temperature"].values), want["temperature"]
+        )
+        assert ds["temperature"].dims == ("time", "depth")
+        assert ds["temperature"].attrs["units"] == "degC"
+        # CF time decoding applied on read (int64 ns -> datetime64)
+        got_t = np.asarray(ds.coords["time"].values)
+        assert got_t.dtype.kind == "M"
+        np.testing.assert_array_equal(
+            got_t.astype("datetime64[ns]").astype("i8"), want["time"]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ds.coords["depth"].values, dtype="f4"), want["depth"]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ds.coords["channel"].values).astype(str), want["channel"]
+        )
+        assert float(np.asarray(ds["offset"].values)) == want["offset"]
+        np.testing.assert_array_equal(np.asarray(ds["holey"].values), want["holey"])
+        assert ds.attrs == {"desc": "env"}
+
+    def test_list_groups_and_tree(self, tmp_path):
+        root = tmp_path / "ext.zarr"
+        make_external_v3_store(root)
+        groups = zarr_lite.list_groups(str(root))
+        assert "" in groups and "Environment" in groups
+        tree = zarr_lite.open_zarr_tree(str(root))
+        assert tree["Top-level"].attrs["title"] == "fixture"
+        assert "temperature" in tree["Environment"]
+
+    def test_crc32c_suffix_stripped(self, tmp_path):
+        root = tmp_path / "crc.zarr"
+        root.mkdir()
+        _write(root / "zarr.json",
+               {"zarr_format": 3, "node_type": "group", "attributes": {}})
+        a = root / "x"
+        vals = np.arange(6, dtype="f8")
+        _write(a / "zarr.json", _v3_array_meta(
+            (6,), (6,), "float64",
+            [{"name": "bytes", "configuration": {"endian": "little"}},
+             {"name": "crc32c"}],
+            0, ["x"],
+        ))
+        _write_bytes(a / "c" / "0", vals.tobytes() + b"\x00\x01\x02\x03")
+        ds = zarr_lite.read_group(str(root))
+        np.testing.assert_array_equal(np.asarray(ds["x"].values), vals)
+
+
+# ----------------------------------------------------------------- writing
+class TestWriteV3RoundTrip:
+    def _sample_dataset(self):
+        rng = np.random.default_rng(9)
+        pt = np.datetime64("2021-06-01T00:00:00", "ns") + np.arange(11).astype(
+            "timedelta64[s]"
+        ).astype("timedelta64[ns]")
+        ds = Dataset(attrs={"survey": "v3-roundtrip", "level": 2})
+        ds.coords["channel"] = DataArray(
+            np.array(["ch-A", "ch-B"], dtype=object), ("channel",), name="channel"
+        )
+        ds.coords["ping_time"] = DataArray(pt, ("ping_time",), name="ping_time")
+        ds["Sv"] = DataArray(
+            rng.normal(-60, 5, (2, 11, 13)).astype("f4"),
+            ("channel", "ping_time", "range_sample"),
+            attrs={"long_name": "volume backscatter"},
+            name="Sv",
+        )
+        ds["echo_range"] = DataArray(
+            np.broadcast_to(np.arange(13) * 0.5, (2, 11, 13)).copy(),
+            ("channel", "ping_time", "range_sample"),
+            name="echo_range",
+        )
+        ds["count"] = DataArray(np.arange(11, dtype="i8"), ("ping_time",), name="count")
+        return ds
+
+    def test_dataset_roundtrip(self, tmp_path):
+        ds = self._sample_dataset()
+        p = tmp_path / "sv3.zarr"
+        ds.to_zarr(str(p), zarr_format=3)
+        assert (p / "zarr.json").exists() and not (p / ".zgroup").exists()
+        back = zarr_lite.open_dataset(str(p))
+        assert back.attrs == ds.attrs
+        for name in ("Sv", "echo_range", "count"):
+            np.testing.assert_array_equal(
+                np.asarray(back[name].values), np.asarray(ds[name].values),
+                err_msg=name,
+            )
+            assert back[name].dims == ds[name].dims
+        np.testing.assert_array_equal(
+            np.asarray(back.coords["ping_time"].values, dtype="datetime64[ns]"),
+            np.asarray(ds.coords["ping_time"].values, dtype="datetime64[ns]"),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(back.coords["channel"].values).astype(str),
+            np.asarray(ds.coords["channel"].values).astype(str),
+        )
+        assert back["Sv"].attrs["long_name"] == "volume backscatter"
+
+    def test_v3_write_matches_v2_read(self, tmp_path):
+        """The same dataset through both formats reads back identically."""
+        ds = self._sample_dataset()
+        p2, p3 = tmp_path / "v2.zarr", tmp_path / "v3.zarr"
+        ds.to_zarr(str(p2))
+        ds.to_zarr(str(p3), zarr_format=3)
+        b2 = zarr_lite.open_dataset(str(p2))
+        b3 = zarr_lite.open_dataset(str(p3))
+        assert sorted(b2.data_vars) == sorted(b3.data_vars)
+        for name in b2.data_vars:
+            np.testing.assert_array_equal(
+                np.asarray(b2[name].values), np.asarray(b3[name].values),
+                err_msg=name,
+            )
+
+    def test_echodata_tree_roundtrip(self, tmp_path):
+        """Full converted-tree round-trip through zarr_format=3."""
+        from synth_ek60 import write_ek60_raw
+
+        raw = tmp_path / "t.raw"
+        write_ek60_raw(str(raw), n_pings=6, n_samples=40)
+        ed = ep.open_raw(str(raw), sonar_model="EK60")
+        p3 = tmp_path / "ed3.zarr"
+        ed.to_zarr(str(p3), zarr_format=3)
+        assert (p3 / "zarr.json").exists()
+        assert not list(p3.rglob(".zgroup"))
+        back = ep.open_converted(str(p3))
+        p2 = tmp_path / "ed2.zarr"
+        ed.to_zarr(str(p2))
+        back2 = ep.open_converted(str(p2))
+        assert sorted(back.group_paths) == sorted(back2.group_paths)
+        for g in back.group_paths:
+            a, b = back[g], back2[g]
+            if a is None and b is None:
+                continue
+            assert sorted(a.data_vars) == sorted(b.data_vars), g
+            for name in a.data_vars:
+                va = np.asarray(a[name].values)
+                vb = np.asarray(b[name].values)
+                if va.dtype.kind in ("U", "O"):
+                    np.testing.assert_array_equal(
+                        va.astype(str), vb.astype(str), err_msg=f"{g}/{name}"
+                    )
+                else:
+                    np.testing.assert_array_equal(va, vb, err_msg=f"{g}/{name}")
+            assert a.attrs == b.attrs, g
+
+    def test_processed_store_roundtrip_compute(self, tmp_path):
+        """Sv written as v3 feeds compute_MVBS identically to v2."""
+        from synth_ek60 import write_ek60_raw
+
+        raw = tmp_path / "t.raw"
+        write_ek60_raw(str(raw), n_pings=8, n_samples=64)
+        ed = ep.open_raw(str(raw), sonar_model="EK60")
+        sv = ep.calibrate.compute_Sv(ed)
+        p3 = tmp_path / "sv3.zarr"
+        sv.to_zarr(str(p3), zarr_format=3)
+        back = zarr_lite.open_dataset(str(p3))
+        m1 = ep.commongrid.compute_MVBS(sv, range_bin="5m", ping_time_bin="2s")
+        m2 = ep.commongrid.compute_MVBS(back, range_bin="5m", ping_time_bin="2s")
+        np.testing.assert_allclose(
+            np.asarray(m1["Sv"].values, dtype="f8"),
+            np.asarray(m2["Sv"].values, dtype="f8"),
+            rtol=0, atol=1e-12, equal_nan=True,
+        )
