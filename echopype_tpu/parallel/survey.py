@@ -325,9 +325,22 @@ def _uniform_grid_row(arr):
     return row, ok
 
 
+def _resolve_bin_m(range_bin, range_bin_m, name="range_bin") -> float:
+    """Reference-style bin strings ('20m') are the primary survey-runner
+    spelling, like compute_MVBS (commongrid/api.py); bare floats-in-meters
+    and the legacy ``range_bin_m=`` kwarg stay as deprecated aliases."""
+    if range_bin_m is not None:
+        return float(range_bin_m)
+    if isinstance(range_bin, str):
+        from ..commongrid.utils import _parse_x_bin
+
+        return _parse_x_bin(range_bin, name)
+    return float(range_bin)
+
+
 def run_survey_mvbs(
     sv_sources,
-    range_bin_m: float = 20.0,
+    range_bin="20m",
     ping_time_bin: str = "20s",
     range_var: str = "echo_range",
     chunk_pings: int = 5000,
@@ -336,9 +349,12 @@ def run_survey_mvbs(
     freq_diff=None,
     noise_masks=None,
     reopen=None,
+    range_bin_m: float = None,
 ):
     """Stream Sv stores/datasets into survey-global MVBS bins.
 
+    range_bin : reference-style bin string ('20m', like compute_MVBS) or a
+        bare float in meters; ``range_bin_m=`` is the deprecated alias.
     sv_sources : iterable of Dataset, store paths, or zero-argument callables
         returning a Dataset (calibrated Sv datasets, chronologically
         ordered).  Callables let a caller stream per-file Sv lazily (the
@@ -369,6 +385,7 @@ def run_survey_mvbs(
     from ..utils.io import open_source
 
     timer = timer or StageTimer()
+    range_bin_m = _resolve_bin_m(range_bin, range_bin_m)
 
     # sources normalize to zero-arg providers so the scan can drop each
     # dataset after measuring it (reopen=True) or keep it (default)
@@ -920,7 +937,7 @@ def _pool_decode_one(args):
 def run_survey_mvbs_from_raw(
     raw_files,
     sonar_model: str = "EK60",
-    range_bin_m: float = 20.0,
+    range_bin="20m",
     ping_time_bin: str = "20s",
     chunk_pings: int = 5000,
     env_params=None,
@@ -936,8 +953,12 @@ def run_survey_mvbs_from_raw(
     freq_diff=None,
     workers: int = 0,
     noise_masks=None,
+    range_bin_m: float = None,
 ):
     """Stream RAW instrument files straight into survey-global MVBS bins.
+
+    range_bin : reference-style bin string ('20m', like compute_MVBS) or a
+        bare float in meters; ``range_bin_m=`` is the deprecated alias.
 
     The TPU-native fast path: per file, calibration parameters resolve on
     host (user dict > vendor tables > defaults, as in compute_Sv) and each
@@ -1002,6 +1023,7 @@ def run_survey_mvbs_from_raw(
     from ..commongrid.utils import ping_time_bin_edges
     from ..convert.api import open_raw
 
+    range_bin_m = _resolve_bin_m(range_bin, range_bin_m)
     if noise_masks is not None:
         # the clean windowed detectors need full-FILE Sv context, which the
         # chunked streamers never materialize.  Stream two-pass internally:

@@ -50,6 +50,27 @@ class TestSurveyRunner:
         report = timer.report(log=False)
         assert "device_binning" in report and report["device_binning"]["count"] >= 9
 
+    def test_reference_style_bin_strings(self, tmp_path):
+        """Round-5 API unification: the survey runners accept reference-style
+        bin strings (range_bin='5m', like compute_MVBS) as the primary
+        spelling; bare floats and range_bin_m= stay as deprecated aliases."""
+        from echopype_tpu.parallel.survey import run_survey_mvbs_from_raw
+
+        raw = tmp_path / "B-D20200101-T000000.raw"
+        write_ek60_raw(raw, n_pings=10, n_samples=60)
+        ed = ep.open_raw(raw, sonar_model="EK60")
+        sv = ep.calibrate.compute_Sv(ed)
+        a = run_survey_mvbs([sv], range_bin="5m", ping_time_bin="2s")
+        b = run_survey_mvbs([sv], range_bin_m=5.0, ping_time_bin="2s")
+        c = run_survey_mvbs([sv], range_bin=5.0, ping_time_bin="2s")
+        np.testing.assert_array_equal(a["Sv"].values, b["Sv"].values)
+        np.testing.assert_array_equal(a["Sv"].values, c["Sv"].values)
+        d = run_survey_mvbs_from_raw([str(raw)], sonar_model="EK60",
+                                     range_bin="5m", ping_time_bin="2s")
+        e = run_survey_mvbs_from_raw([str(raw)], sonar_model="EK60",
+                                     range_bin_m=5.0, ping_time_bin="2s")
+        np.testing.assert_array_equal(d["Sv"].values, e["Sv"].values)
+
     def test_reversed_ping_time_rejected(self, tmp_path):
         """The window kernels need non-decreasing bin ids; reversed times must
         fail loudly, pointing at qc.coerce_increasing_time."""
