@@ -197,6 +197,8 @@ class ParseAZFP:
 
         num_freq = int(self.parameters["num_freq"])
         pos = 0
+        layout = None  # slicing fields established by the first profile
+        n_rec = 0
         while pos + self.HEADER_SIZE <= len(buf):
             header = struct.unpack(
                 self.HEADER_FORMAT, buf[pos : pos + self.HEADER_SIZE]
@@ -218,6 +220,52 @@ class ParseAZFP:
                     else:
                         rec[name] = header[i]
                     i += width
+
+            # --- ingest hardening: num_chan/num_bins/data_type come from the
+            # untrusted header and drive the payload slicing — a corrupt field
+            # would mis-slice every later profile (or balloon the read).  The
+            # instrument writes ONE layout per deployment (the reference
+            # enforces this, parse_azfp.py:484 uniqueness checks), so the
+            # first profile establishes it and later deviations are repaired
+            # from it with a logged warning; payload reads are then clamped
+            # to the file extent (mirrors the RAW0/RAW3 count clamps,
+            # convert/simrad/decode.py:_clamp_counts).
+            cur = (
+                int(rec["num_chan"]),
+                tuple(int(b) for b in rec["num_bins"]),
+                tuple(int(t) for t in rec["data_type"]),
+            )
+            if layout is not None and cur != layout:
+                logger.warning(
+                    f"AZFP profile {n_rec}: header layout fields "
+                    f"(num_chan/num_bins/data_type) differ from the "
+                    f"established layout; repairing from profile 0."
+                )
+                rec["num_chan"], rec["num_bins"], rec["data_type"] = layout
+            elif layout is None and not (1 <= cur[0] <= max(num_freq, 1)):
+                logger.warning(
+                    f"AZFP profile 0 claims {cur[0]} channels; clamping to "
+                    f"the XML-declared {num_freq}."
+                )
+                rec["num_chan"] = num_freq
+            need = sum(
+                (5 if rec["data_type"][c] else 2) * int(rec["num_bins"][c])
+                for c in range(int(rec["num_chan"]))
+            )
+            if need < 0 or pos + need > len(buf):
+                logger.warning(
+                    f"AZFP profile {n_rec} claims a {need}-byte payload but "
+                    f"only {len(buf) - pos} bytes remain; dropping the "
+                    f"truncated tail."
+                )
+                break
+            if layout is None:
+                layout = (
+                    int(rec["num_chan"]),
+                    tuple(int(b) for b in rec["num_bins"]),
+                    tuple(int(t) for t in rec["data_type"]),
+                )
+            n_rec += 1
             for name, _ in HEADER_FIELDS:
                 self.unpacked_data[name].append(rec[name])
 

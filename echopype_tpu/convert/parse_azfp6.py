@@ -165,21 +165,99 @@ class ParseAZFP6(ParseAZFP):
         tx_ok = _valid(["X_a", "X_b", "X_c"])
         ty_ok = _valid(["Y_a", "Y_b", "Y_c"])
 
+        # --- ingest hardening: every record is framed by a start flag +
+        # byte count and a matching end flag + byte count, which gives an
+        # INDEPENDENT record extent (like the Simrad framing trailer).  A
+        # record whose untrusted header/count fields disagree with that
+        # extent is rolled back and the stream resyncs at the next start
+        # flag — a single corrupt record costs one ping, never the tail of
+        # the file (mirrors convert/simrad/framing.py resync semantics).
+        start_magic = struct.pack("<I", self.DATA_START_FLAG)
+        layout = None  # slicing fields established by the first clean record
+        n_rec = 0
         while True:
+            rec_start = raw.tell()
             head = raw.read(8)
             if len(head) < 8:
                 break
             header_flag, num_data_bytes = struct.unpack("<II", head)
             if header_flag != self.DATA_START_FLAG:
+                nxt = buf.find(start_magic, rec_start + 1)
+                if nxt < 0:
+                    break
+                logger.warning(
+                    f"AZFP6 stream desynced at byte {rec_start}; resyncing "
+                    f"to the next record flag at byte {nxt}."
+                )
+                raw.seek(nxt)
+                continue
+            body_start = rec_start + 8
+            body_end = body_start + int(num_data_bytes)
+            snapshot = {k: len(v) for k, v in self.unpacked_data.items()}
+
+            def _rollback():
+                for k in list(self.unpacked_data):
+                    if k in snapshot:
+                        del self.unpacked_data[k][snapshot[k]:]
+                    else:
+                        del self.unpacked_data[k]
+
+            def _resync(reason):
+                _rollback()
+                nxt = buf.find(start_magic, body_start)
+                logger.warning(
+                    f"AZFP6 record {n_rec} at byte {rec_start} dropped "
+                    f"({reason}); "
+                    + (f"resyncing at byte {nxt}." if nxt >= 0 else "end of stream.")
+                )
+                if nxt < 0:
+                    return False
+                raw.seek(nxt)
+                return True
+
+            if body_end + 8 > len(buf):
+                _rollback()
+                logger.warning(
+                    f"AZFP6 record {n_rec} claims {num_data_bytes} data bytes "
+                    f"but only {len(buf) - body_start} remain; dropping the "
+                    f"truncated tail."
+                )
                 break
-            if not self._split_header6(raw):
+            if not self._split_header6(raw, body_end):
+                if _resync("unreadable header"):
+                    continue
                 break
             rec = {k: self.unpacked_data[k][-1] for k in ("num_chan", "num_bins",
                                                           "data_type", "avg_pings",
                                                           "ping_per_profile",
                                                           "range_samples_per_bin",
                                                           "ancillary")}
-            self._add_counts6(raw, rec)
+            cur = (
+                int(rec["num_chan"]),
+                tuple(int(b) for b in np.atleast_1d(rec["num_bins"])),
+                tuple(int(t) for t in np.atleast_1d(rec["data_type"])),
+            )
+            if layout is not None and cur != layout:
+                logger.warning(
+                    f"AZFP6 record {n_rec}: header layout fields "
+                    f"(num_chan/num_bins/data_type) differ from the "
+                    f"established layout; repairing from record 0."
+                )
+                rec["num_chan"] = layout[0]
+                rec["num_bins"] = layout[1]
+                rec["data_type"] = layout[2]
+                for k in ("num_chan", "num_bins", "data_type"):
+                    self.unpacked_data[k][-1] = rec[k]
+            if not self._add_counts6(raw, rec, body_end):
+                if _resync("counts exceed the framed record extent"):
+                    continue
+                break
+            if raw.tell() != body_end:
+                if _resync(
+                    f"header+counts end at byte {raw.tell()}, framing says {body_end}"
+                ):
+                    continue
+                break
             anc = rec["ancillary"]
             self.unpacked_data["temperature"].append(
                 self._compute_temperature(anc[4], temp_ok)
@@ -200,7 +278,12 @@ class ParseAZFP6(ParseAZFP):
             end_flag, end_bytes = struct.unpack("<II", tail)
             if end_flag != self.DATA_END_FLAG or end_bytes != num_data_bytes:
                 logger.error("Invalid end-of-data flag; possibly corrupted file.")
+                if _resync("end-of-data framing mismatch"):
+                    continue
                 break
+            if layout is None:
+                layout = cur
+            n_rec += 1
 
         # per-channel gain placeholder (removed from ULS6 hardware)
         n_pings = len(self.unpacked_data["temperature"])
@@ -229,7 +312,10 @@ class ParseAZFP6(ParseAZFP):
             self.Sv_offset[ind] = self._calc_Sv_offset(self.freq_sorted[ind], pulse_len[ich])
         return self
 
-    def _split_header6(self, raw) -> bool:
+    def _split_header6(self, raw, body_end=None) -> bool:
+        """Decode one typed-record header block; every read is bounded by the
+        framed record extent (``body_end``) so corrupt type codes or array
+        sizes cannot read past the record or crash struct.unpack."""
         header_byte_cnt = 4
         rc_val = raw.read(4)
         if len(rc_val) < 4:
@@ -241,17 +327,37 @@ class ParseAZFP6(ParseAZFP):
         self.unpacked_data[camelcase2snakecase(HEADER_FIELDS[0])].append(val)
         for field in HEADER_FIELDS[1:]:
             field_sc = camelcase2snakecase(field)
-            (rc,) = struct.unpack("<H", raw.read(2))
-            code, size, n = self._masked(rc)
-            vals = struct.unpack("<" + code * n, raw.read(size * n))
+            rc_b = raw.read(2)
+            if len(rc_b) < 2:
+                return False
+            (rc,) = struct.unpack("<H", rc_b)
+            spec = _TYPE_CODES.get(rc & self.RECORD_DATA_TYPE_MASK)
+            if spec is None:
+                logger.error("AZFP6 header record with unknown type code 0x%04x", rc)
+                return False
+            code, size = spec
+            n = (rc & self.ARRAY_BITS_MASK) + 1
+            if body_end is not None and raw.tell() + size * n > body_end:
+                logger.error(
+                    "AZFP6 header record %r overruns the framed record extent",
+                    field_sc,
+                )
+                return False
+            payload = raw.read(size * n)
+            if len(payload) < size * n:
+                return False
+            vals = struct.unpack("<" + code * n, payload)
             header_byte_cnt += 2 + size * n
             if vals[0] == self.HEADER_END_FLAG:
                 self.unpacked_data[camelcase2snakecase(HEADER_FIELDS[-1])].append(vals[0])
                 break
             self.unpacked_data[field_sc].append(vals[0] if len(vals) == 1 else tuple(vals))
-        expected = self.unpacked_data["header_bytes"][0]
-        if header_byte_cnt != expected:
-            logger.error("Error reading header: %d != %d", header_byte_cnt, expected)
+        hb = self.unpacked_data.get("header_bytes")
+        if not hb:
+            return False
+        expected = hb[-1]
+        if not isinstance(expected, (int, np.integer)) or header_byte_cnt != expected:
+            logger.error("Error reading header: %d != %r", header_byte_cnt, expected)
             return False
         return True
 
@@ -260,12 +366,26 @@ class ParseAZFP6(ParseAZFP):
         n = (rc & self.ARRAY_BITS_MASK) + 1
         return code, size, n
 
-    def _add_counts6(self, raw, rec):
-        vv = []
+    def _add_counts6(self, raw, rec, body_end=None) -> bool:
+        """Read the per-channel count payloads; with ``body_end`` the total
+        is validated against the framed record extent FIRST, so an inflated
+        header count is rejected (caller resyncs) instead of mis-slicing."""
         num_chan = int(rec["num_chan"])
         num_bins = np.atleast_1d(rec["num_bins"])
         data_type = np.atleast_1d(rec["data_type"])
         rspb = np.atleast_1d(rec["range_samples_per_bin"])
+        if num_chan > len(num_bins):
+            logger.error(
+                "AZFP6 record claims %d channels but carries %d num_bins entries",
+                num_chan, len(num_bins),
+            )
+            return False
+        need = sum(
+            (5 if data_type[c] else 2) * int(num_bins[c]) for c in range(num_chan)
+        )
+        if body_end is not None and (need < 0 or raw.tell() + need > body_end):
+            return False
+        vv = []
         for chf in range(num_chan):
             n_bins = int(num_bins[chf])
             if data_type[chf]:
@@ -286,6 +406,7 @@ class ParseAZFP6(ParseAZFP):
                 v = np.frombuffer(raw.read(n_bins * 2), dtype="<u2")
                 vv.append(v.astype("f8"))
         self.unpacked_data["counts"].append(vv)
+        return True
 
     def _check_uniqueness6(self):
         field_w_freq = (
