@@ -1836,8 +1836,233 @@ def soak_ad2cp(n, rng):
     return fails
 
 
+def soak_azfp6(n, rng):
+    """Randomized AZFP6 (ULS6 .azfp) files through the reference's
+    ParseAZFP6 + SetGroupsAZFP6 (beam + Environment; set_vendor is not
+    executable on synthetic files — the reference's own _check_uniqueness
+    leaves profile_flag an empty list its xr.Dataset build rejects) and
+    through the reference CalibrateAZFP Sv chain, vs our full conversion +
+    compute_Sv.  Fuzz axes: ping count, bin count, raw vs averaged
+    (data_type=1 u32+overflow) payloads, start minute, env params."""
+    import numpy as np
+    import echopype_tpu as ep
+    from test_azfp6 import write_azfp6_raw
+    from ref_oracle import FakeEchoData, load_ref
+
+    ref_parse_mod = load_ref("convert/parse_azfp6")
+    ref_sg_mod = load_ref("convert/set_groups_azfp6")
+    ref_cal_mod = load_ref("calibrate/calibrate_azfp")
+    convert_params = {
+        "survey_name": "", "platform_name": "", "platform_type": "",
+        "platform_code_ICES": "", "water_level": np.nan,
+        "nmea_gps_sentence": "GGA",
+    }
+    tmp = pathlib.Path(tempfile.mkdtemp())
+    fails = 0
+    for i in range(n):
+        cfg = dict(
+            n_pings=int(rng.integers(2, 20)),
+            num_bins=int(rng.integers(5, 80)),
+            averaged=bool(rng.random() < 0.4),
+            minute=int(rng.integers(0, 50)),
+            seed=int(rng.integers(0, 10**6)),
+        )
+        env = {
+            "salinity": float(rng.uniform(25, 36)),
+            "pressure": float(rng.uniform(5, 100)),
+            "temperature": float(rng.uniform(2, 20)),
+        }
+        raw = tmp / f"2207{i:02d}00.azfp"
+        try:
+            write_azfp6_raw(str(raw), **cfg)
+            parser = ref_parse_mod.ParseAZFP6(
+                str(raw), file_meta=None, storage_options={}, sonar_model="AZFP6"
+            )
+            parser.parse_raw()
+            sg = ref_sg_mod.SetGroupsAZFP6(
+                parser, input_file=str(raw), xml_path=None, output_path=None,
+                sonar_model="AZFP6", params=dict(convert_params),
+            )
+            ref_beam = sg.set_beam()[0]
+            ref_env = sg.set_env()
+            ed = ep.open_raw(str(raw), sonar_model="AZFP6")
+            our_beam = ed["Sonar/Beam_group1"]
+            for var in ("backscatter_r", "frequency_nominal"):
+                w_da = ref_beam[var]
+                if tuple(w_da.dims) != tuple(our_beam[var].dims):
+                    w_da = w_da.transpose(*our_beam[var].dims)
+                w = np.asarray(w_da.values, dtype="f8")
+                g = np.asarray(our_beam[var].values, dtype="f8")
+                assert g.shape == w.shape, f"{var} shape {g.shape} != {w.shape}"
+                np.testing.assert_allclose(g, w, rtol=1e-12, err_msg=var)
+            np.testing.assert_array_equal(
+                np.asarray(our_beam.coords["ping_time"].values, dtype="datetime64[ns]"),
+                np.asarray(ref_beam.coords["ping_time"].values, dtype="datetime64[ns]"),
+            )
+            for var in ("temperature", "pressure"):
+                if var in ref_env.data_vars and var in ed["Environment"].data_vars:
+                    np.testing.assert_allclose(
+                        np.asarray(ed["Environment"][var].values, dtype="f8"),
+                        np.asarray(ref_env[var].values, dtype="f8"),
+                        rtol=1e-9, err_msg=var, equal_nan=True,
+                    )
+            # calibration leg: reference CalibrateAZFP on the facade
+            fake = FakeEchoData(
+                {p: ed[p] for p in ("Sonar/Beam_group1", "Environment",
+                                    "Vendor_specific")},
+                ed.sonar_model,
+            )
+            want = ref_cal_mod.CalibrateAZFP(fake, env_params=dict(env)).compute_Sv()
+            got = ep.calibrate.compute_Sv(ed, env_params=dict(env))
+            w_da = want["Sv"]
+            if tuple(w_da.dims) != tuple(got["Sv"].dims):
+                w_da = w_da.transpose(*got["Sv"].dims)
+            w = np.asarray(w_da.values, dtype="f8")
+            g = np.asarray(got["Sv"].values, dtype="f8")
+            nm = int((np.isnan(g) != np.isnan(w)).sum())
+            m = ~np.isnan(w)
+            d = float(np.max(np.abs(g[m] - w[m]))) if m.any() else 0.0
+            if nm or d > 1e-9:
+                raise AssertionError(f"Sv delta={d} nan_mismatch={nm}")
+        except AssertionError as e:
+            fails += 1
+            print(f"FAIL azfp6 cfg={cfg}: {e}", flush=True)
+        except Exception as e:
+            fails += 1
+            print(f"ERROR cfg={cfg}: {type(e).__name__}: {e}", flush=True)
+            traceback.print_exc()
+    return fails
+
+
+def soak_sidecars(n, rng):
+    """Randomized EK60 .idx/.bot sidecar ingestion vs the reference's
+    ParseEK60(bot_file=, idx_file=) -> SetGroupsEK60 chain
+    (set_groups_base.py:371-522): random ping/sidecar-entry counts (incl.
+    mismatched), random values, and a corrupt-byte leg where a random byte
+    of one sidecar is flipped (framing resync must recover identically on
+    both implementations; a reference-side crash with a clean conversion on
+    ours classifies as an inverted finding, not a failure)."""
+    import numpy as np
+    import echopype_tpu as ep
+    from synth_ek60 import dt64_to_nt, frame, make_con0, write_ek60_raw
+    from test_sidecars import make_bot0, make_idx0
+    from ref_oracle import load_ref
+
+    ref_parse_mod = load_ref("convert/parse_ek60")
+    ref_sg_mod = load_ref("convert/set_groups_ek60")
+    convert_params = {
+        "survey_name": "", "platform_name": "", "platform_type": "",
+        "platform_code_ICES": "", "water_level": np.nan,
+        "nmea_gps_sentence": "GGA",
+    }
+    tmp = pathlib.Path(tempfile.mkdtemp())
+    fails = 0
+    for i in range(n):
+        seed = int(rng.integers(0, 10**6))
+        r2 = np.random.default_rng(seed)
+        n_pings = int(r2.integers(2, 14))
+        n_side = int(np.clip(n_pings + r2.integers(-2, 3), 1, None))
+        n_chan = 2
+        corrupt = bool(r2.random() < 0.35)
+        cfg = dict(seed=seed, n_pings=n_pings, n_side=n_side, corrupt=corrupt)
+        t0 = np.datetime64("2020-01-01T00:00:00", "ns")
+        raw = tmp / f"SC{i}-D20200101-T000000.raw"
+        try:
+            write_ek60_raw(raw, n_pings=n_pings, n_samples=int(r2.integers(8, 40)),
+                           t0=t0, seed=seed)
+            con = make_con0(t0, [{"channel_id": f"CH{k}", "frequency": 38000.0}
+                                 for k in range(n_chan)])
+            depths = r2.uniform(10, 900, (n_side, n_chan))
+            bot = con + b"".join(
+                make_bot0(t0 + np.timedelta64(p + 1, "s"), depths[p])
+                for p in range(n_side)
+            )
+            idx = con + b"".join(
+                make_idx0(
+                    t0 + np.timedelta64(p + 1, "s"), p + 1,
+                    float(r2.uniform(0, 5)), float(r2.uniform(-80, 80)),
+                    float(r2.uniform(-179, 179)), int(r2.integers(0, 1 << 20)),
+                )
+                for p in range(n_side)
+            )
+            if corrupt:
+                which = "bot" if r2.random() < 0.5 else "idx"
+                blob = bytearray(bot if which == "bot" else idx)
+                # flip one byte past the CON0 so the config still parses
+                j = int(r2.integers(len(con), len(blob)))
+                blob[j] ^= 0xFF
+                if which == "bot":
+                    bot = bytes(blob)
+                else:
+                    idx = bytes(blob)
+            raw.with_suffix(".bot").write_bytes(bot)
+            raw.with_suffix(".idx").write_bytes(idx)
+
+            ref_err = None
+            try:
+                parser = ref_parse_mod.ParseEK60(
+                    str(raw), bot_file=str(raw.with_suffix(".bot")),
+                    idx_file=str(raw.with_suffix(".idx")),
+                    storage_options={}, sonar_model="EK60",
+                )
+                parser.parse_raw()
+                parser.rectangularize_data(use_swap=False)
+                sg = ref_sg_mod.SetGroupsEK60(
+                    parser, input_file=str(raw), xml_path=None, output_path=None,
+                    sonar_model="EK60", params=dict(convert_params),
+                )
+                ref_platform = sg.set_platform()
+                ref_vendor = sg.set_vendor()
+            except Exception as e:  # noqa: BLE001
+                ref_err = e
+            ed = ep.open_raw(str(raw), sonar_model="EK60",
+                             include_bot=True, include_idx=True)
+            if ref_err is not None:
+                print(f"INFO sidecars inverted finding cfg={cfg}: reference "
+                      f"raised {type(ref_err).__name__}: {ref_err}; ours "
+                      f"converted", flush=True)
+                continue
+            our_platform = ed["Platform"]
+            our_vendor = ed["Vendor_specific"]
+            for var in ("ping_number_idx", "file_offset_idx",
+                        "vessel_distance_idx", "latitude_idx", "longitude_idx"):
+                if var not in ref_platform.data_vars:
+                    assert var not in our_platform.data_vars, var
+                    continue
+                np.testing.assert_allclose(
+                    np.asarray(our_platform[var].values, dtype="f8"),
+                    np.asarray(ref_platform[var].values, dtype="f8"),
+                    rtol=0, atol=0, err_msg=var, equal_nan=True,
+                )
+            if "time4" in ref_platform.coords:
+                np.testing.assert_array_equal(
+                    np.asarray(our_platform.coords["time4"].values,
+                               dtype="datetime64[ns]"),
+                    np.asarray(ref_platform.coords["time4"].values,
+                               dtype="datetime64[ns]"),
+                )
+            if "detected_seafloor_depth" in ref_vendor.data_vars:
+                rv = ref_vendor["detected_seafloor_depth"]
+                gv = our_vendor["detected_seafloor_depth"]
+                assert tuple(gv.dims) == tuple(rv.dims)
+                np.testing.assert_allclose(
+                    np.asarray(gv.values, dtype="f8"),
+                    np.asarray(rv.values, dtype="f8"), equal_nan=True,
+                )
+        except AssertionError as e:
+            fails += 1
+            print(f"FAIL sidecars cfg={cfg}: {e}", flush=True)
+        except Exception as e:
+            fails += 1
+            print(f"ERROR cfg={cfg}: {type(e).__name__}: {e}", flush=True)
+            traceback.print_exc()
+    return fails
+
+
 MODES = {
     "ek60": soak_ek60,
+    "azfp6": soak_azfp6,
+    "sidecars": soak_sidecars,
     "regrid": soak_regrid,
     "survey_bb": soak_survey_bb,
     "metrics": soak_metrics,

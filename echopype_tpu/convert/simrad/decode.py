@@ -432,17 +432,33 @@ def decode_idx(index: DatagramIndex, rows: np.ndarray):
 
 def decode_bot(index: DatagramIndex, rows: np.ndarray):
     """BOT0 seafloor-depth datagrams: 16-byte header (type/dates/count) then
-    one f8 depth per transceiver (ek_raw_parsers.py:212-268)."""
+    one f8 depth per transceiver (ek_raw_parsers.py:212-268).
+
+    The transceiver count is untrusted: it is clamped to what the framed
+    datagram body actually holds (same policy as the RAW0/RAW3 sample-count
+    clamps) so one corrupt BOT0 cannot balloon a read or drop the file."""
     import struct as _s
 
     depths, times = [], []
     for r in rows:
         start = int(index.body_offset[r])
         (_t, _lo, _hi, cnt) = _s.unpack_from("<4sLLL", index.buf, start)
+        fit = max(0, (int(index.size[r]) - 16) // 8)
+        if cnt > fit:
+            logger.warning(
+                f"BOT0 datagram claims {cnt} transceiver depths but its body "
+                f"holds {fit}; clamping."
+            )
+            cnt = fit
         depths.append(np.frombuffer(index.buf, dtype="<f8", count=cnt, offset=start + 16))
         times.append(index.timestamp[r])
     out = {}
     if depths:
+        n = max(len(d) for d in depths)
+        if any(len(d) != n for d in depths):
+            depths = [
+                np.concatenate([d, np.full(n - len(d), np.nan)]) for d in depths
+            ]
         out["depth"] = np.stack(depths)
         out["timestamp"] = np.asarray(times, dtype="datetime64[ns]")
     return out

@@ -34,12 +34,18 @@ class CorruptDatagramError(ValueError):
 
 
 def nt_to_datetime64(low: np.ndarray, high: np.ndarray) -> np.ndarray:
-    """Vectorized NT (100ns since 1601) -> numpy datetime64[ns]."""
+    """Vectorized NT (100ns since 1601) -> numpy datetime64[ns].
+
+    Truncated to whole microseconds: the reference's conversion routes every
+    timestamp through datetime (ek_date_conversion.nt_to_unix), whose
+    resolution is 1 us, so sub-us tick digits must quantize identically or
+    ping/sidecar times drift by up to 900 ns from the reference's (found by
+    the sidecars soak on fuzzed timestamp bytes)."""
     ticks = (np.asarray(high, dtype="u8") << np.uint64(32)) + np.asarray(low, dtype="u8")
     # subtract the 1601->1970 epoch delta in ticks first so nothing overflows
     delta_ticks = np.int64(_NT_UNIX_DELTA_S) * np.int64(10_000_000)
-    ns = (ticks.astype("i8") - delta_ticks) * np.int64(100)
-    return ns.astype("datetime64[ns]")
+    us = (ticks.astype("i8") - delta_ticks) // np.int64(10)
+    return (us * np.int64(1000)).astype("datetime64[ns]")
 
 
 @dataclass
@@ -90,12 +96,15 @@ def scan_datagrams(buf: bytes, resync: bool = True, use_native: bool = True) -> 
         if result is not None:
             offsets, sizes, type_codes, ts_ns = result
             dgram_type = type_codes.view("S4").astype("U4")
+            # whole-microsecond quantization, same as nt_to_datetime64 (the
+            # reference routes timestamps through us-resolution datetime)
+            ts_us = np.floor_divide(ts_ns.astype("i8"), 1000) * np.int64(1000)
             return DatagramIndex(
                 buf=buf,
                 body_offset=offsets,
                 size=sizes,
                 dgram_type=dgram_type,
-                timestamp=ts_ns.astype("datetime64[ns]"),
+                timestamp=ts_us.astype("datetime64[ns]"),
             )
     n = len(buf)
     offsets, sizes = [], []

@@ -116,7 +116,13 @@ def _rec_u32(vals):
     return struct.pack("<H", rc) + struct.pack("<" + "I" * n, *vals)
 
 
-def write_azfp6_raw(path, n_pings=4, seed=0):
+def write_azfp6_raw(path, n_pings=4, seed=0, num_bins=NUM_BINS, averaged=False,
+                    minute=0):
+    """Synthesize a ULS6 .azfp file.
+
+    averaged=True exercises the data_type=1 payload branch (per-bin u32
+    linear sums + u8 overflow counters averaged over ping_per_profile x
+    range_samples_per_bin, reference parse_azfp6.py count decode)."""
     rng = np.random.default_rng(seed)
     chunks = [struct.pack("<I", XML_FILE_TYPE)]
     xml_bytes = XML.encode()
@@ -125,6 +131,9 @@ def write_azfp6_raw(path, n_pings=4, seed=0):
     chunks.append(struct.pack("<I", XML_END_FLAG))
     chunks.append(struct.pack("<I", len(xml_bytes)))
     truth = {"counts": [], "time": []}
+    ping_per_profile = 4 if averaged else 1
+    avg_pings = 1 if averaged else 0
+    dtype_flag = 1 if averaged else 0
 
     for p in range(n_pings):
         hdr = [struct.pack("<HH", 0x20, HEADER_START_FLAG)]
@@ -133,14 +142,14 @@ def write_azfp6_raw(path, n_pings=4, seed=0):
             ("header_num_records", _rec_u16, [30]),
             ("profile_number", _rec_u32, [p + 1]),
             ("serial_number", _rec_u16, [60001]),
-            ("date", _rec_u16, [2022, 7, 1, 12, 0, p, 0]),
+            ("date", _rec_u16, [2022, 7, 1, 12, minute + p // 60, p % 60, 0]),
             ("acq_status", _rec_u16, [1]),
             ("burst_int", _rec_u32, [60]),
             ("base_time", _rec_u32, [0]),
             ("ping_period", _rec_u16, [1]),
             ("ping_period_counts", _rec_u32, [100]),
-            ("ping_per_profile", _rec_u16, [1]),
-            ("avg_pings", _rec_u16, [0]),
+            ("ping_per_profile", _rec_u16, [ping_per_profile]),
+            ("avg_pings", _rec_u16, [avg_pings]),
             ("num_acq_pings", _rec_u16, [1]),
             ("first_ping", _rec_u16, [1]),
             ("last_ping", _rec_u16, [1]),
@@ -150,9 +159,9 @@ def write_azfp6_raw(path, n_pings=4, seed=0):
             ("num_chan", _rec_u16, [2]),
             ("dig_rate", _rec_u16, [64000, 64000]),
             ("lock_out_index", _rec_u16, [8, 8]),
-            ("num_bins", _rec_u16, [NUM_BINS, NUM_BINS]),
+            ("num_bins", _rec_u16, [num_bins, num_bins]),
             ("range_samples_per_bin", _rec_u16, [4, 4]),
-            ("data_type", _rec_u16, [0, 0]),
+            ("data_type", _rec_u16, [dtype_flag, dtype_flag]),
             ("pulse_len", _rec_u16, list(PULSE_LEN_US)),
             ("board_num", _rec_u16, [1, 2]),
             ("frequency", _rec_u16, list(FREQS_KHZ)),
@@ -171,15 +180,23 @@ def write_azfp6_raw(path, n_pings=4, seed=0):
 
         counts_blobs, ping_counts = [], []
         for ch in range(2):
-            c = rng.integers(0, 60000, NUM_BINS).astype("<u2")
-            counts_blobs.append(c.tobytes())
-            ping_counts.append(c.astype("f8"))
+            if averaged:
+                ls = rng.integers(1, 2**31, num_bins).astype("<u4")
+                lso = rng.integers(0, 3, num_bins).astype("<u1")
+                counts_blobs.append(ls.tobytes() + lso.tobytes())
+                ping_counts.append((ls.astype("f8"), lso.astype("f8")))
+            else:
+                c = rng.integers(0, 60000, num_bins).astype("<u2")
+                counts_blobs.append(c.tobytes())
+                ping_counts.append(c.astype("f8"))
         payload = header_blob + b"".join(counts_blobs)
         chunks.append(struct.pack("<II", DATA_START_FLAG, len(payload)))
         chunks.append(payload)
         chunks.append(struct.pack("<II", DATA_END_FLAG, len(payload)))
         truth["counts"].append(ping_counts)
-        truth["time"].append(np.datetime64(f"2022-07-01T12:00:{p:02d}", "ns"))
+        truth["time"].append(
+            np.datetime64(f"2022-07-01T12:{minute + p // 60:02d}:{p % 60:02d}", "ns")
+        )
     with open(path, "wb") as f:
         f.write(b"".join(chunks))
     return truth
