@@ -170,14 +170,25 @@ def main():
             break
     baseline_pings_per_sec = Pb / min(times)
 
+    # the defensible cross-session bound: stable device rate over the BEST
+    # numpy rate ever observed on this host (925 pings/s, docs/PERFORMANCE.md
+    # "headline ratio") — round-over-round comparisons should use this and
+    # device_rate_stable, not the session-noisy vs_baseline denominator
+    BEST_HOST_NUMPY_EVER = 925.0
     result = {
         "metric": "EK60 raw->MVBS survey throughput (5ch x 4000 samples)",
         "value": round(pings_per_sec, 1),
         "unit": "pings/sec/chip",
+        # the stable number: device throughput (<2% spread across sessions);
+        # compare THIS across rounds
+        "device_rate_stable": round(pings_per_sec, 1),
         # conservative speedup over single-threaded numpy (fastest concurrent
         # run); divide by baseline_cpu_cores for an ideal-scaling multi-core
         # lower bound.  The denominator is noisy (see baseline_note).
         "vs_baseline": round(pings_per_sec / baseline_pings_per_sec, 2),
+        # lower bound immune to this session's CPU steal: device rate over
+        # the fastest numpy rate EVER measured on this host class
+        "vs_baseline_floor": round(pings_per_sec / BEST_HOST_NUMPY_EVER, 2),
         "baseline_pings_per_sec": round(baseline_pings_per_sec, 1),
         "baseline_runs_pings_per_sec": [round(Pb / t, 1) for t in times],
         "baseline_cpu_cores": os.cpu_count(),
@@ -185,7 +196,9 @@ def main():
             "host numpy rate varies ~20x between sessions (44-925 pings/s "
             "observed; shared-VM CPU steal); vs_baseline uses the fastest "
             "concurrent run, i.e. the conservative claim — the device rate "
-            "itself is stable to <2%"
+            "itself is stable to <2%. vs_baseline_floor divides by the best "
+            "numpy rate ever observed on this host (925 pings/s), so it IS "
+            "cross-round comparable"
         ),
         "precision_note": (
             "round 4: binning matmuls now pin the data operand to f32 on "

@@ -20,10 +20,17 @@ from synth_ek80 import (
 )
 
 
-def write_two_epoch_ek80(path, n_pings_per_epoch=3, n_samples=64, seed=0):
-    """Two filter epochs: coefficients change halfway through the file."""
+def write_two_epoch_ek80(path, n_pings_per_epoch=3, n_samples=64, seed=0,
+                         waveform="CW"):
+    """Two filter epochs: coefficients change halfway through the file.
+
+    waveform="BB" emits FM (pulse_form=1, FrequencyStart/End) pings on the
+    broadband channel instead, so the multi-epoch partition exercises the
+    pulse-compressed calibration path."""
     rng = np.random.default_rng(seed)
-    channels = [c for c in default_channels() if c["id"] == CH_CW]
+    bb = waveform in ("BB", "FM")
+    ch_id = CH_BB if bb else CH_CW
+    channels = [c for c in default_channels() if c["id"] == ch_id]
     t0 = np.datetime64("2021-02-01T00:00:00", "ns")
     chunks = [make_xml0(t0, config_xml(channels)), make_xml0(t0, environment_xml())]
 
@@ -42,13 +49,17 @@ def write_two_epoch_ek80(path, n_pings_per_epoch=3, n_samples=64, seed=0):
             n += 1
             ts = t0 + np.timedelta64(epoch * 200 + p + 1, "s")
             cid = channels[0]["id"]
-            chunks.append(
-                make_xml0(
-                    ts,
-                    parameter_xml(cid, 0, frequency=120000.0, sample_interval=32e-6,
-                                  transmit_power=150.0),
+            if bb:
+                pxml = parameter_xml(
+                    cid, 1, freq_start=50000.0, freq_end=90000.0,
+                    sample_interval=32e-6, transmit_power=150.0,
                 )
-            )
+            else:
+                pxml = parameter_xml(
+                    cid, 0, frequency=120000.0, sample_interval=32e-6,
+                    transmit_power=150.0,
+                )
+            chunks.append(make_xml0(ts, pxml))
             cs = (
                 rng.normal(0, 1e-3, (n_samples, 4)) + 1j * rng.normal(0, 1e-3, (n_samples, 4))
             ).astype("c8")
