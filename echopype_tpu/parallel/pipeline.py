@@ -20,6 +20,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 try:
@@ -562,9 +563,70 @@ def sharded_mvbs_step_closed(mesh: Mesh, n_x: int, n_r: int):
     return jax.jit(mapped)
 
 
+def closed_bounds_k0_np(dr0, sh0, r_edges, R):
+    """Host f32 replication of the closed-counts bin bounds and k0.
+
+    Bit-identical to the device refinement (_refine_bounds/_refine_k0): the
+    refinement corrects the division start point against exact f32
+    multiplications, and IEEE f32 multiply/compare agree between numpy and
+    the TPU, so the resulting integer boundaries are the device's own.
+    Enables host-side closed-form counts (closed_window_counts_np) so the
+    uniform survey streamers read back SUMS only — the counts half of the
+    [C, window, n_r] readback (the dominant cost on ~1 MB/s tunnel D2H,
+    docs/PERFORMANCE.md transfer-path facts) never leaves the device."""
+    dr0 = np.asarray(dr0, dtype="f4")
+    sh0 = np.asarray(sh0, dtype="f4")
+    edges = np.asarray(r_edges, dtype="f4")[None, :]
+    q = np.ceil(edges / dr0[:, None]).astype("f4")
+    q = np.where(((q - np.float32(1.0)) * dr0[:, None]) >= edges, q - 1.0, q).astype("f4")
+    q = np.where((q * dr0[:, None]) < edges, q + 1.0, q).astype("f4")
+    bounds = np.clip(q, np.float32(0.0), np.float32(R))
+    k0 = (np.floor(sh0 / dr0) + np.float32(1.0)).astype("f4")
+    k0 = np.where(((k0 - np.float32(1.0)) * dr0) > sh0, k0 - 1.0, k0).astype("f4")
+    k0 = np.where((k0 * dr0) <= sh0, k0 + 1.0, k0).astype("f4")
+    k0 = np.maximum(k0, np.float32(0.0))
+    return bounds, k0
+
+
+def closed_window_counts_np(bounds, k0, valid_len, x_rel, n_x_window):
+    """Exact closed-form per-window-bin counts on host: f8 [C, W, n_r].
+
+    Mirrors the device count math (diff of clip(bounds, k0, valid_len)
+    reduced over window bins) without materializing [C, P, n_r]: per channel
+    a histogram of valid lengths per window bin gives
+    S(v) = sum_p min(v, L_p) = v * #{L >= v} + sum_{L < v} L in O(W * R),
+    and counts = diff(S at the clamped bounds)."""
+    valid_len = np.asarray(valid_len)
+    C, P = valid_len.shape
+    n_r = bounds.shape[1] - 1
+    bl = np.maximum(bounds, k0[:, None])  # [C, n_r+1], integral floats
+    ids = np.asarray(x_rel, dtype="i8")
+    inb = (ids >= 0) & (ids < n_x_window)
+    idc = ids[inb]
+    counts = np.zeros((C, n_x_window, n_r), dtype="f8")
+    if idc.size == 0:
+        return counts
+    R = int(valid_len.max(initial=0))
+    nv = R + 2
+    v_ids = np.arange(nv, dtype="f8")
+    for c in range(C):
+        Lc = np.clip(valid_len[c, inb].astype("i8"), 0, nv - 1)
+        H = np.zeros((n_x_window, nv), dtype="f8")
+        np.add.at(H, (idc, Lc), 1.0)
+        cnt_ge = np.cumsum(H[:, ::-1], axis=1)[:, ::-1]  # #{L >= v}
+        sum_lt = np.concatenate(
+            [np.zeros((n_x_window, 1)), np.cumsum(H * v_ids, axis=1)[:, :-1]],
+            axis=1,
+        )  # sum_{L < v} L
+        b = np.clip(bl[c].astype("i8"), 0, nv - 1)  # [n_r+1]
+        S = b.astype("f8") * cnt_ge[:, b] + sum_lt[:, b]
+        counts[c] = np.diff(S, axis=1)
+    return counts
+
+
 def sv_mvbs_window_partials_uniform(
     power, dr, tvg_shift, absorption, offset, valid_len, x_rel, r_edges,
-    n_x_window: int, n_r: int, block_g: int = 0,
+    n_x_window: int, n_r: int, block_g: int = 0, with_counts: bool = True,
 ):
     """Window partials fast path for per-channel-uniform dr and tvg_shift.
 
@@ -619,6 +681,13 @@ def sv_mvbs_window_partials_uniform(
         dn = (((2,), (1,)), ((0,), (0,)))
         s1 = jax.lax.dot_general(lin, M, dn, preferred_element_type=jnp.float32,
                                  precision=_P_DATA_MASK)
+    if not with_counts:
+        # counts resolve closed-form on HOST (closed_window_counts_np from
+        # closed_bounds_k0_np's identical bounds/k0): halves both the window
+        # matmul and the D2H readback — the readback is the survey
+        # accumulate-stage wall on tunnel-attached chips (round-5 VERDICT
+        # item 4)
+        return banded_x_reduce(s1, x_rel, n_x_window)
     L = valid_len.astype(jnp.float32)
     clipped = jnp.clip(bounds[:, None, :], k0[:, None, None], L[:, :, None])
     n1 = jnp.diff(clipped, axis=2)

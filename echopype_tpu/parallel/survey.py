@@ -51,9 +51,12 @@ class _PartialAccumulator:
     def _drain(self, item):
         s, c, x_base, ch = item
         with self.timer.stage("accumulate"):
-            # s/c may be device arrays or lists of per-channel device arrays
-            s = np.asarray([np.asarray(p, dtype="f8") for p in s]) if isinstance(s, list) else np.asarray(s, dtype="f8")
-            c = np.asarray([np.asarray(p, dtype="f8") for p in c]) if isinstance(c, list) else np.asarray(c, dtype="f8")
+            # s/c may be device arrays or lists of per-channel device arrays;
+            # read back in the on-device dtype (f4) and upcast DURING the
+            # in-place add — the explicit f8 conversion materialized a
+            # full-size temporary per chunk on the single shared core
+            s = np.asarray([np.asarray(p) for p in s]) if isinstance(s, list) else np.asarray(s)
+            c = np.asarray([np.asarray(p) for p in c]) if isinstance(c, list) else np.asarray(c)
             w_eff = min(self.window, self.n_x - x_base)
             if ch is not None:
                 # single-channel partial (per-epoch fused streaming)
@@ -185,7 +188,11 @@ class _PowerChunkStreamer:
             ]
 
     def stream_file(self, chunk_partials, power, dr, shift, alpha, offset, r0,
-                    x_idx_all):
+                    x_idx_all, host_counts=None):
+        """host_counts: optional (bounds, k0) from pipeline.closed_bounds_k0_np
+        — counts then resolve closed-form on HOST per chunk and the kernel
+        returns sums only, halving the [C, window, n_r] D2H readback (the
+        accumulate-stage wall on ~1 MB/s tunnel D2H)."""
         import jax.numpy as jnp
 
         timer, acc, chunk_pings, window = (
@@ -240,11 +247,20 @@ class _PowerChunkStreamer:
                 vl_chunk = valid_len[:, sl]
                 if pad:  # padded pings contribute no samples
                     vl_chunk = np.pad(vl_chunk, ((0, 0), (0, pad)))
-                s, c = chunk_partials(
+                kargs = (
                     p_chunk, _pad2(dr, 1.0), _pad2(shift), _pad2(alpha), _pad2(offset),
                     jnp.asarray(vl_chunk), jnp.asarray(x_rel.astype("i4")),
                     jnp.asarray(self.r_edges_f4), _pad2(r0),
                 )
+                if host_counts is None:
+                    s, c = chunk_partials(*kargs)
+                else:
+                    from .pipeline import closed_window_counts_np
+
+                    s = chunk_partials(*kargs)
+                    c = closed_window_counts_np(
+                        host_counts[0], host_counts[1], vl_chunk, x_rel, window
+                    )
             acc.push(s, c, x_base)
 
 
@@ -1221,9 +1237,11 @@ def run_survey_mvbs_from_raw(
 
         @jax.jit
         def _chunk_partials(power, dr, shift, alpha, offset, valid_len, x_rel, r_edges, r0):
+            # counts resolve closed-form on host (closed_bounds_k0_np below):
+            # sums-only readback
             return sv_mvbs_window_partials_uniform(
                 power, dr, shift, alpha, offset, valid_len, x_rel, r_edges,
-                window, n_r,
+                window, n_r, with_counts=False,
             )
     else:
         from .pipeline import sv_mvbs_window_partials
@@ -1244,9 +1262,17 @@ def run_survey_mvbs_from_raw(
     R_max = max(p.shape[2] for p, *_ in inputs)
     streamer = _PowerChunkStreamer(len(chans), chunk_pings, R_max, window, n_r,
                                    range_edges, ship_i16, acc, timer)
+    host_counts_on = uniform and fd is None and mesh is None
+    if host_counts_on:
+        from .pipeline import closed_bounds_k0_np
     for (power, dr, shift, alpha, offset, r0), x_idx_all in zip(inputs, x_ids):
+        hc = (
+            closed_bounds_k0_np(dr[:, 0], shift[:, 0], range_edges, power.shape[2])
+            if host_counts_on else None
+        )
         streamer.stream_file(
-            _chunk_partials, power, dr, shift, alpha, offset, r0, x_idx_all
+            _chunk_partials, power, dr, shift, alpha, offset, r0, x_idx_all,
+            host_counts=hc,
         )
     sums, counts = acc.finish()
 
@@ -1359,9 +1385,10 @@ def _run_survey_mvbs_streamed(
 
                 @jax.jit
                 def _k(power, dr, shift, alpha, offset, valid_len, x_rel, r_edges, r0):
+                    # counts resolve closed-form on host: sums-only readback
                     return sv_mvbs_window_partials_uniform(
                         power, dr, shift, alpha, offset, valid_len, x_rel,
-                        r_edges, window, n_r,
+                        r_edges, window, n_r, with_counts=False,
                     )
 
                 kernels[uniform] = _k
@@ -1398,14 +1425,32 @@ def _run_survey_mvbs_streamed(
             )
             return power, dr, shift, alpha, offset, pt, chans
 
+    def warm(f):
+        # pull file f's raw bytes into the OS page cache so the decode
+        # thread's read is warm: the read waits on disk DMA with the GIL
+        # released, so it overlaps decode CPU on this single-core host
+        # (cold reads were serial inside the decode thread before — round-5
+        # VERDICT item 4b)
+        try:
+            with open(f, "rb", buffering=0) as fh:
+                while fh.read(8 << 20):
+                    pass
+        except OSError:
+            pass
+
     acc = streamer = chans0 = None
     r_max_true = 0.0
-    with ThreadPoolExecutor(max_workers=1) as ex:
+    with ThreadPoolExecutor(max_workers=1) as ex, \
+            ThreadPoolExecutor(max_workers=1) as warm_ex:
         fut = ex.submit(load, raw_files[0])
+        if len(raw_files) > 1:
+            warm_ex.submit(warm, raw_files[1])
         for i in range(len(raw_files)):
             power, dr, shift, alpha, offset, pt, chans = fut.result()
             if i + 1 < len(raw_files):
                 fut = ex.submit(load, raw_files[i + 1])
+            if i + 2 < len(raw_files):
+                warm_ex.submit(warm, raw_files[i + 2])
             if not np.array_equal(pt, scans[i].times):
                 raise RuntimeError(
                     f"{raw_files[i]}: decoded ping_time disagrees with the "
@@ -1430,9 +1475,16 @@ def _run_survey_mvbs_streamed(
             uniform = bool(
                 np.all(dr == dr[:, :1]) and np.all(shift == shift[:, :1])
             )
+            hc = None
+            if uniform and mesh is None:
+                from .pipeline import closed_bounds_k0_np
+
+                hc = closed_bounds_k0_np(
+                    dr[:, 0], shift[:, 0], range_edges, power.shape[2]
+                )
             streamer.stream_file(
                 get_kernel(uniform), power, dr, shift, alpha, offset,
-                np.zeros_like(dr), x_ids[i],
+                np.zeros_like(dr), x_ids[i], host_counts=hc,
             )
     sums, counts = acc.finish()
 
