@@ -27,7 +27,7 @@ __all__ = ["bb_chunk_window_partials", "bb_chunk_sv"]
 
 def _bb_chunk_sv_impl(
     bs_r, bs_i, hr, hi, inv_norm, z_coef, dr, shift, alpha, offset, k0,
-    valid_len, do_pc, precision,
+    valid_len, do_pc, precision, block_t=0,
 ):
     """Shared complex->Sv body: pulse compression, prx, TVG'd Sv; returns
     (sv, er) f32 [P, R]."""
@@ -41,7 +41,8 @@ def _bb_chunk_sv_impl(
         lanes_r = jnp.moveaxis(xr, 2, 1).reshape(P * B, R)
         lanes_i = jnp.moveaxis(xi, 2, 1).reshape(P * B, R)
         L = hr.shape[0]
-        re, im = _mxu_conv_real(lanes_r, lanes_i, hr, hi, L - 1, R, precision=precision)
+        re, im = _mxu_conv_real(lanes_r, lanes_i, hr, hi, L - 1, R,
+                                precision=precision, block_t=block_t)
         xr = jnp.moveaxis(re.reshape(P, B, R), 1, 2) * inv_norm
         xi = jnp.moveaxis(im.reshape(P, B, R), 1, 2) * inv_norm
 
@@ -82,7 +83,8 @@ def bb_chunk_sv(
     )
 
 
-@partial(jax.jit, static_argnames=("n_x_window", "do_pc", "precision", "uniform_er"))
+@partial(jax.jit, static_argnames=("n_x_window", "do_pc", "precision", "uniform_er",
+                                   "block_t"))
 def bb_chunk_window_partials(
     bs_r, bs_i,          # f4 [P, R, B] one channel's chunk (suffix NaN-padded)
     hr, hi,              # f4 [L] flipped-conjugated transmit replica
@@ -99,11 +101,12 @@ def bb_chunk_window_partials(
     do_pc: bool,
     precision=None,
     uniform_er: bool = False,  # ping-invariant dr: cancellation-free binning
+    block_t: int = 0,          # matched-filter Toeplitz block override
 ):
     """Returns (sums, counts) f32 [n_x_window, n_r] for one channel chunk."""
     sv, er = _bb_chunk_sv_impl(
         bs_r, bs_i, hr, hi, inv_norm, z_coef, dr, shift, alpha, offset, k0,
-        valid_len, do_pc, precision,
+        valid_len, do_pc, precision, block_t=block_t,
     )
     sums, counts, _ = binned_window_partials(
         sv[None], er[None], r_edges, x_rel, n_x_window, uniform_er=uniform_er

@@ -42,8 +42,9 @@ def set_conv_precision(precision) -> None:
     _CONV_PRECISION = precision
 
 
-@partial(jax.jit, static_argnames=("out_start", "out_len", "precision"))
-def _mxu_conv_real(xr, xi, hr, hi, out_start: int, out_len: int, precision=None):
+@partial(jax.jit, static_argnames=("out_start", "out_len", "precision", "block_t"))
+def _mxu_conv_real(xr, xi, hr, hi, out_start: int, out_len: int, precision=None,
+                   block_t: int = 0):
     """Linear complex convolution on the MXU — the fallback when the runtime
     lacks FFT/complex support entirely (the axon backend returns UNIMPLEMENTED
     even for device_put of complex64, so inputs and outputs here are split
@@ -80,8 +81,9 @@ def _mxu_conv_real(xr, xi, hr, hi, out_start: int, out_len: int, precision=None)
     W = xr.shape[-1]
     lanes = xr.shape[0]
     hr_f, hi_f = hr[::-1], hi[::-1]
-    # T ~ L/2, rounded to the MXU lane width, floor 128
-    T = max(128, 128 * int(round(L / 256.0))) if L > 192 else 128
+    # T ~ L/2, rounded to the MXU lane width, floor 128; block_t overrides
+    # (benchmarks/exp_bb_roofline.py sweeps it per shape)
+    T = block_t or (max(128, 128 * int(round(L / 256.0))) if L > 192 else 128)
     K = T + L - 1
     nblk = -(-out_len // T)
     n_shift = -(-K // T)
