@@ -561,7 +561,8 @@ def windowed_partials_np(
     uniform = er_is_uniform(er)
     if not uniform:
         return _host_exact_partials_np(
-            sv, ridx, ok_r, len(r_edges) - 1, x_bounds, skipna, lin_domain=True
+            sv, ridx, ok_r, len(r_edges) - 1, x_bounds, skipna, lin_domain=True,
+            chunk_pings=chunk_pings,
         )
 
     def kernel(lo, hi, x_rel, window):
@@ -591,7 +592,7 @@ def windowed_sum_raw_np(values, er, r_edges, x_bounds, closed="left", chunk_ping
     if not uniform:
         return _host_exact_partials_np(
             values, ridx, ok_r, len(r_edges) - 1, x_bounds, skipna=True,
-            lin_domain=False,
+            lin_domain=False, chunk_pings=chunk_pings,
         )[0]
 
     def kernel(lo, hi, x_rel, window):

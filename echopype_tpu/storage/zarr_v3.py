@@ -388,9 +388,12 @@ def _comp_meta_to_codec(comp_meta, typesize: int):
 
 
 def _write_json(path: Path, obj):
+    # allow_nan=True like the v2 writer: attrs can legitimately carry NaN
+    # (e.g. water_level); Python's json reader accepts the NaN literal, and
+    # crashing the write would be strictly worse than non-strict JSON
     from .zarr_lite import _json_default
 
-    path.write_text(json.dumps(obj, indent=2, default=_json_default, allow_nan=False))
+    path.write_text(json.dumps(obj, indent=2, default=_json_default, allow_nan=True))
 
 
 def write_group_meta(gdir: Path, attrs: dict):
