@@ -1178,38 +1178,50 @@ class DataArray:
             else:
                 out.coords[dim] = DataArray(newc_1d, (dim,), name=dim)
             return out
-        for i in range(flat.shape[0]):
-            yo = flat[i][order]
-            good = ~np.isnan(yo)
-            if good.sum() == 0:
-                out_flat[i] = np.nan
-                continue
-            xg, yg = xo[good], yo[good]
-            if method == "nearest":
-                pos = np.clip(np.searchsorted(xg, x_new), 1, len(xg) - 1) if len(xg) > 1 else (
-                    np.zeros(x_new.shape, dtype=int)
-                )
-                if len(xg) > 1:
-                    left_closer = (x_new - xg[pos - 1]) <= (xg[pos] - x_new)
-                    pos = np.where(left_closer, pos - 1, pos)
-                out_flat[i] = yg[pos]
-                if fill != "extrapolate":
-                    out_flat[i][x_new < xg[0]] = np.nan
-                    out_flat[i][x_new > xg[-1]] = np.nan
-                continue
-            out_flat[i] = np.interp(x_new, xg, yg)
-            if fill != "extrapolate":
-                out_flat[i][x_new < xg[0]] = np.nan
-                out_flat[i][x_new > xg[-1]] = np.nan
+        # NaN PROPAGATION (round-5 facade review): real xarray's interp is
+        # scipy-backed — a NaN sample poisons every interval it bounds (even
+        # an exact hit on the finite endpoint: y0 + slope*0 with slope NaN).
+        # The previous per-row NaN-dropping silently interpolated over gaps,
+        # diverging from what real echopype produces on partial-NaN inputs
+        # (e.g. add_location on NaN-holed NMEA positions, where the
+        # reference only WARNS, consolidate/loc_utils.py "some_nan").
+        n_xo = len(xo)
+        if method == "nearest":
+            if n_xo > 1:
+                pos = np.clip(np.searchsorted(xo, x_new), 1, n_xo - 1)
+                left_closer = (x_new - xo[pos - 1]) <= (xo[pos] - x_new)
+                pos = np.where(left_closer, pos - 1, pos)
             else:
-                # linear extrapolation at both ends
-                if len(xg) >= 2:
-                    lo = x_new < xg[0]
-                    hi = x_new > xg[-1]
-                    slope0 = (yg[1] - yg[0]) / (xg[1] - xg[0])
-                    slope1 = (yg[-1] - yg[-2]) / (xg[-1] - xg[-2])
-                    out_flat[i][lo] = yg[0] + slope0 * (x_new[lo] - xg[0])
-                    out_flat[i][hi] = yg[-1] + slope1 * (x_new[hi] - xg[-1])
+                pos = np.zeros(x_new.shape, dtype=int)
+            oob = None
+            if fill != "extrapolate":
+                oob = (x_new < xo[0]) | (x_new > xo[-1])
+            for i in range(flat.shape[0]):
+                out_flat[i] = flat[i][order][pos]
+                if oob is not None:
+                    out_flat[i][oob] = np.nan
+        else:
+            if n_xo == 1:
+                for i in range(flat.shape[0]):
+                    out_flat[i] = np.where(x_new == xo[0], flat[i][order][0], np.nan)
+            else:
+                # scipy interp1d(kind="linear") index rule: side='left'
+                # searchsorted clipped to [1, n-1], so exact hits evaluate
+                # in their LEFT interval and end intervals extrapolate
+                idx = np.clip(np.searchsorted(xo, x_new), 1, n_xo - 1)
+                x0, x1 = xo[idx - 1], xo[idx]
+                oob = None
+                if fill != "extrapolate":
+                    oob = (x_new < xo[0]) | (x_new > xo[-1])
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    w = (x_new - x0) / (x1 - x0)
+                for i in range(flat.shape[0]):
+                    yo = flat[i][order]
+                    y0, y1 = yo[idx - 1], yo[idx]
+                    with np.errstate(invalid="ignore"):
+                        out_flat[i] = y0 + (y1 - y0) * w
+                    if oob is not None:
+                        out_flat[i][oob] = np.nan
         new_shape = moved.shape[:-1] + (x_new.size,)
         vals = np.moveaxis(out_flat.reshape(new_shape), -1, ax)
         # name of the output dim: a DataArray indexer on a different dim

@@ -135,6 +135,25 @@ class TestDataArray:
         out = da.interp(x=np.array([-1.0, 0.5]))
         assert np.isnan(out.values[0]) and out.values[1] == 5.0
 
+    def test_interp_nan_propagates(self):
+        """Round-5 facade review: real xarray's interp is scipy-backed — a
+        NaN sample poisons every interval it bounds; it is NOT dropped.  The
+        previous facade interpolated over NaN gaps, silently diverging from
+        real echopype on partial-NaN inputs (add_location on NaN-holed NMEA
+        positions, reference consolidate/loc_utils.py 'some_nan' warning)."""
+        x = np.arange(5.0)
+        y = np.array([0.0, 10.0, np.nan, 30.0, 40.0])
+        da = DataArray(y, ("x",), coords={"x": x})
+        out = da.interp(x=np.array([0.5, 1.5, 2.5, 3.5, 2.0]))
+        np.testing.assert_allclose(out.values[0], 5.0)
+        assert np.isnan(out.values[1]) and np.isnan(out.values[2])
+        np.testing.assert_allclose(out.values[3], 35.0)
+        # exact hit on the NaN sample is NaN too
+        assert np.isnan(out.values[4])
+        # nearest: the nearest sample may BE NaN
+        near = da.interp(x=np.array([2.2]), method="nearest")
+        assert np.isnan(near.values[0])
+
     def test_idxmin(self):
         da = DataArray(
             np.array([[3.0, 1.0, 2.0], [0.5, 2.0, 9.0]]),
