@@ -19,21 +19,26 @@ Run: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/exp_bb_roofline.py
 """
 
 import json
+import pathlib
+import sys
 import time
 
 import numpy as np
 
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 
 def _measure_ms(chained, args, n_iter, n_reps=3):
-    import jax
-
-    chained(*args)  # compile + warm
+    """Scalar float() readback forces completion — block_until_ready is not
+    a reliable sync on the experimental axon platform (the established
+    methodology of chip_kernels_bench._measure)."""
+    float(np.asarray(chained(*args)).ravel()[0])  # compile + warm
     best = float("inf")
     for _ in range(n_reps):
         t0 = time.perf_counter()
-        out = chained(*args)
-        jax.block_until_ready(out)
+        checksum = float(np.asarray(chained(*args)).ravel()[0])
         best = min(best, (time.perf_counter() - t0) / n_iter)
+        assert checksum == checksum or True
     return best * 1e3
 
 
@@ -53,7 +58,8 @@ def envelope(n=4096, n_iter=8):
             def body(i, acc):
                 return jnp.dot(acc * (1.0 + 1e-12), b, precision=prec)
 
-            return jax.lax.fori_loop(0, n_iter, body, a)
+            out = jax.lax.fori_loop(0, n_iter, body, a)
+            return jnp.sum(out[::173, ::211])
 
         ms = _measure_ms(chained, (a, b), n_iter)
         tf = 2 * n**3 / (ms * 1e-3) / 1e12
