@@ -1692,11 +1692,24 @@ def soak_store(n, rng):
                                complex_f16=bool(r2.random() < 0.3))
             ed = ep.open_raw(str(raw), sonar_model=model)
 
-            # A: reference writes zarr through its own save chain; we read
+            # A: reference writes zarr through its own save chain; we read.
+            # ~half the configs route the chain onto the Zarr V3 layout
+            # (what the real echopype's zarr>=3 chain produces in the wild)
             ref_ed = make_ref_echodata(
                 {g: ed[g] for g in ed.group_paths}, model, source_file=str(raw))
             store_a = str(tmp / f"ref{i}.zarr")
-            ref_ed.to_zarr(save_path=store_a, overwrite=True)
+            v3 = bool(r2.random() < 0.5)
+            cfg["v3"] = v3
+            from echopype_tpu.xrlite import datatree as _dt
+
+            old_fmt = _dt.DEFAULT_ZARR_FORMAT
+            try:
+                _dt.DEFAULT_ZARR_FORMAT = 3 if v3 else 2
+                ref_ed.to_zarr(save_path=store_a, overwrite=True)
+            finally:
+                _dt.DEFAULT_ZARR_FORMAT = old_fmt
+            if v3:
+                assert (pathlib.Path(store_a) / "zarr.json").exists(), "not a v3 store"
             ours = ep.open_converted(store_a)
             # inverted finding: the reference's to_file saves ONLY
             # Beam_group1/Beam_group2 for non-AD2CP models
@@ -1725,10 +1738,11 @@ def soak_store(n, rng):
                               flush=True)
                         break
 
-            # B: we write (zarr or netcdf); the reference reads
-            if r2.random() < 0.5:
+            # B: we write (zarr v2/v3 or netcdf); the reference reads
+            rb = r2.random()
+            if rb < 0.5:
                 store_b = str(tmp / f"our{i}.zarr")
-                ed.to_zarr(store_b)
+                ed.to_zarr(store_b, zarr_format=3 if rb < 0.25 else 2)
             else:
                 store_b = str(tmp / f"our{i}.nc")
                 ed.to_netcdf(store_b)
