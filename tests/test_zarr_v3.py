@@ -325,3 +325,66 @@ class TestWriteV3RoundTrip:
             np.asarray(m2["Sv"].values, dtype="f8"),
             rtol=0, atol=1e-12, equal_nan=True,
         )
+
+
+class TestV3Integration:
+    def test_combine_over_v3_stores(self, tmp_path):
+        """combine_echodata over stores saved in the v3 layout."""
+        from synth_ek60 import write_ek60_raw
+
+        eds = []
+        for i in range(2):
+            raw = tmp_path / f"C{i}-D2020010{i+1}-T000000.raw"
+            write_ek60_raw(
+                str(raw), n_pings=5, n_samples=30,
+                t0=np.datetime64("2020-01-01T00:00:00", "ns")
+                + np.timedelta64(i * 10, "s"),
+                seed=i,
+            )
+            ed = ep.open_raw(str(raw), sonar_model="EK60")
+            store = tmp_path / f"C{i}.zarr"
+            ed.to_zarr(str(store), zarr_format=3)
+            eds.append(ep.open_converted(str(store)))
+        combined = ep.combine_echodata(eds)
+        assert combined["Sonar/Beam_group1"].sizes["ping_time"] == 10
+
+    def test_chunk_spec_v3(self, tmp_path):
+        """EchoData.chunk() chunking is honored by the v3 writer."""
+        from synth_ek60 import write_ek60_raw
+
+        raw = tmp_path / "K-D20200101-T000000.raw"
+        write_ek60_raw(str(raw), n_pings=9, n_samples=33)
+        ed = ep.open_raw(str(raw), sonar_model="EK60")
+        ed = ed.chunk({"ping_time": 4})
+        p = tmp_path / "k3.zarr"
+        ed.to_zarr(str(p), zarr_format=3)
+        meta = json.loads(
+            (p / "Sonar/Beam_group1/backscatter_r/zarr.json").read_text()
+        )
+        dims = meta["dimension_names"]
+        chunks = meta["chunk_grid"]["configuration"]["chunk_shape"]
+        assert chunks[dims.index("ping_time")] == 4
+        back = ep.open_converted(str(p))
+        np.testing.assert_array_equal(
+            np.asarray(back["Sonar/Beam_group1"]["backscatter_r"].values),
+            np.asarray(ed["Sonar/Beam_group1"]["backscatter_r"].values),
+        )
+
+    def test_v3_sv_store_via_open_source(self, tmp_path):
+        """A v3 Sv store feeds the survey streamer through open_source."""
+        from synth_ek60 import write_ek60_raw
+
+        from echopype_tpu.parallel.survey import run_survey_mvbs
+
+        raw = tmp_path / "S-D20200101-T000000.raw"
+        write_ek60_raw(str(raw), n_pings=8, n_samples=40)
+        ed = ep.open_raw(str(raw), sonar_model="EK60")
+        sv = ep.calibrate.compute_Sv(ed)
+        p2, p3 = tmp_path / "sv2.zarr", tmp_path / "sv3.zarr"
+        sv.to_zarr(str(p2))
+        sv.to_zarr(str(p3), zarr_format=3)
+        a = run_survey_mvbs([str(p2)], range_bin="5m", ping_time_bin="2s")
+        b = run_survey_mvbs([str(p3)], range_bin="5m", ping_time_bin="2s")
+        np.testing.assert_array_equal(
+            np.asarray(a["Sv"].values), np.asarray(b["Sv"].values)
+        )
