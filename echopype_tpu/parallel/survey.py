@@ -1174,8 +1174,12 @@ def run_survey_mvbs_from_raw(
     )
     r_max = 0.0
     for power, dr, shift, alpha, offset, r0 in inputs:
+        # last SAMPLE is at r0 + (R-1)*dr — *R overcounted a sample and
+        # could add a trailing empty bin vs compute_MVBS's grid (round-5
+        # survey soak, bin-edge-straddling seed)
         r_max = max(
-            r_max, float(np.nanmax(r0)) + float(np.nanmax(dr)) * power.shape[2]
+            r_max,
+            float(np.nanmax(r0)) + float(np.nanmax(dr)) * (power.shape[2] - 1),
         )
     range_edges = np.arange(0, r_max + range_bin_m, range_bin_m)
     n_x, n_r = len(ping_edges) - 1, len(range_edges) - 1
@@ -1469,7 +1473,12 @@ def _run_survey_mvbs_streamed(
                 )
             elif chans != chans0:
                 raise ValueError("all raw files must share the same channels")
-            r_max_true = max(r_max_true, float(np.nanmax(dr)) * power.shape[2])
+            # last SAMPLE is at (R-1)*dr — dr*R overcounted one sample and
+            # could add a trailing empty bin vs compute_MVBS's grid (found
+            # by the round-5 survey soak at a bin-edge-straddling seed)
+            r_max_true = max(
+                r_max_true, float(np.nanmax(dr)) * (power.shape[2] - 1)
+            )
             if r_max_true > range_edges[-1]:
                 raise RuntimeError(
                     f"{raw_files[i]}: resolved echo range {r_max_true:.1f} m "
@@ -1857,7 +1866,10 @@ def _run_complex_fused(
                 cals.append(cal)
                 scals.append(scal)
                 R = cal.beam.sizes["range_sample"]
-                r_max = max(r_max, float(np.nanmax(scal["dr"])) * R)
+                # last sample sits at (R-1)*dr (same off-by-one as the power
+                # paths — the extra trailing empty bin the dryrun used to
+                # tolerate came from here)
+                r_max = max(r_max, float(np.nanmax(scal["dr"])) * (R - 1))
     range_edges = np.arange(0, r_max + range_bin_m, range_bin_m)
     n_r = len(range_edges) - 1
     r_edges_f4 = range_edges.astype("f4")

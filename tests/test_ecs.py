@@ -208,6 +208,35 @@ class TestECSEdgeCases:
             np.asarray(with_ecs.values), np.asarray(plain.values)
         )
 
+    def test_tableless_ecs_bb_applies_scalars(self, tmp_path):
+        """A BB calibration with an ECS carrying NO wideband tables (scalar
+        TransducerGain only) must apply the scalar params.  Inverted finding
+        (round-5 ecs80 soak, seed 332342250): the reference CRASHES here —
+        ecs_ev2ep returns ds_cal_BB=None when no channel carries tables and
+        calibrate_ek.py:353 feeds it to conform_channel_order (ecs.py:442
+        AttributeError 'coords').  Ours applies the scalars."""
+        from synth_ek80 import write_ek80_raw
+
+        lines = [
+            "Version 1.00",
+            "SourceCal T1",
+            "    # Frequency = 70.00 # (kilohertz)",
+            "    TransducerGain = 26.30 # (decibels)",
+        ]
+        ecs = tmp_path / "tableless.ecs"
+        ecs.write_text("\n".join(lines) + "\n")
+        raw = tmp_path / "TL-D20210201-T000000.raw"
+        write_ek80_raw(raw, n_pings=3, n_samples=64,
+                       with_power_channel=False, with_cw_complex=False)
+        ed = ep.open_raw(str(raw), sonar_model="EK80")
+        out = ep.calibrate.compute_Sv(
+            ed, ecs_file=str(ecs), waveform_mode="BB", encode_mode="complex",
+            precision="float64",
+        )
+        assert np.isfinite(np.asarray(out["Sv"].values)).any()
+        g = np.asarray(out["gain_correction"].values, dtype="f8")
+        assert np.allclose(g[np.isfinite(g)], 26.30)
+
     def test_duplicate_alias_last_in_file_wins(self):
         """EV aliases mapping to one echopype param resolve deterministically
         to the LAST assignment in the file, per channel.
