@@ -388,3 +388,37 @@ class TestV3Integration:
         np.testing.assert_array_equal(
             np.asarray(a["Sv"].values), np.asarray(b["Sv"].values)
         )
+
+
+class TestV3EK80Tree:
+    def test_ek80_tree_roundtrip(self, tmp_path):
+        """EK80 trees carry the richer payloads (3-way beam split, vendor
+        filter coefficients, f16-sourced complex, per-channel strings):
+        v3 round-trip must be byte-faithful like v2."""
+        from synth_ek80 import write_ek80_raw
+
+        raw = tmp_path / "E-D20210201-T000000.raw"
+        write_ek80_raw(str(raw), n_pings=4, n_samples=48,
+                       with_power_channel=True, with_cw_complex=True,
+                       extra_fm_channel=True)
+        ed = ep.open_raw(str(raw), sonar_model="EK80")
+        p3, p2 = tmp_path / "e3.zarr", tmp_path / "e2.zarr"
+        ed.to_zarr(str(p3), zarr_format=3)
+        ed.to_zarr(str(p2))
+        b3 = ep.open_converted(str(p3))
+        b2 = ep.open_converted(str(p2))
+        assert sorted(b3.group_paths) == sorted(b2.group_paths)
+        n_beam_groups = sum(
+            1 for g in b3.group_paths if g.startswith("Sonar/Beam_group")
+        )
+        assert n_beam_groups == 3  # power + CW-complex + FM split survived
+        for g in b3.group_paths:
+            a, b = b3[g], b2[g]
+            assert sorted(a.data_vars) == sorted(b.data_vars), g
+            for name in a.data_vars:
+                va, vb = np.asarray(a[name].values), np.asarray(b[name].values)
+                if va.dtype.kind in ("U", "O"):
+                    np.testing.assert_array_equal(va.astype(str), vb.astype(str),
+                                                  err_msg=f"{g}/{name}")
+                else:
+                    np.testing.assert_array_equal(va, vb, err_msg=f"{g}/{name}")
