@@ -1465,16 +1465,26 @@ def soak_ecs80(n, rng):
                 continue
             if ref_err is not None:
                 same_type = type(ref_err).__name__ == type(our_err).__name__
-                # classified: the reference raises a bare KeyError(param)
-                # where a BB table param has no narrowband fallback
-                # (calibrate_ek.py:396 indexes ds_cal_NB unconditionally);
-                # ours raises the descriptive ValueError for the same
-                # condition, naming the same parameter
+                # classified: the reference raises a bare KeyError where a
+                # BB table param has no narrowband fallback — either
+                # KeyError(param) (calibrate_ek.py:396 indexes ds_cal_NB
+                # unconditionally) or KeyError(channel-label) when the
+                # narrowband alternative exists but MISSES the BB channel
+                # (cal_params.py:234 .sel(channel=...) — round-5 seed
+                # 333168947); ours raises the descriptive ValueError for
+                # the same condition ("should exist for all channels")
                 key_vs_msg = (
                     isinstance(ref_err, KeyError)
                     and isinstance(our_err, ValueError)
-                    and str(ref_err).strip("'\"") in str(our_err)
+                    and (
+                        str(ref_err).strip("'\"") in str(our_err)
+                        or ("channel" in str(ref_err)
+                            and "should exist for all channels" in str(our_err))
+                    )
                 )
+                if key_vs_msg and not same_type:
+                    print(f"INFO classified: descriptive-error-vs-raw-KeyError "
+                          f"({ref_err!r} vs {our_err!r}) cfg={cfg}", flush=True)
                 if not (same_type or key_vs_msg):
                     fails += 1
                     print(f"FAIL ecs80 error-type ref={ref_err!r} "
