@@ -609,8 +609,20 @@ def closed_window_counts_np(bounds, k0, valid_len, x_rel, n_x_window):
     R = int(valid_len.max(initial=0))
     nv = R + 2
     v_ids = np.arange(nv, dtype="f8")
+    nb = None
     for c in range(C):
-        Lc = np.clip(valid_len[c, inb].astype("i8"), 0, nv - 1)
+        Lc_all = valid_len[c, inb]
+        u = np.unique(Lc_all)
+        if u.size == 1:
+            # constant valid length (the instrument norm): counts factor as
+            # per-ping bin sizes x pings-per-window-bin — O(n_r + P), no
+            # [W, R] histogram at all
+            per_ping = np.diff(np.minimum(bl[c], float(u[0])))  # [n_r]
+            if nb is None:
+                nb = np.bincount(idc, minlength=n_x_window).astype("f8")
+            counts[c] = nb[:, None] * per_ping[None, :]
+            continue
+        Lc = np.clip(Lc_all.astype("i8"), 0, nv - 1)
         H = np.zeros((n_x_window, nv), dtype="f8")
         np.add.at(H, (idc, Lc), 1.0)
         cnt_ge = np.cumsum(H[:, ::-1], axis=1)[:, ::-1]  # #{L >= v}
