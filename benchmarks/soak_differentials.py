@@ -1436,6 +1436,25 @@ def soak_ecs80(n, rng):
                 got, our_err = got_ds["Sv"], None
             except Exception as e:  # noqa: BLE001
                 got, our_err = None, e
+            both_refuse = (
+                ref_err is not None
+                and isinstance(our_err, ValueError)
+                and ("should exist for all channels" in str(our_err)
+                     or "coverage of every channel" in str(our_err))
+                and isinstance(ref_err, (KeyError, AttributeError))
+            )
+            if both_refuse:
+                # classified family: inputs the reference CRASHES on at one
+                # of its raw sites (ds_cal_BB=None conform/ds2dict
+                # AttributeError; param-fallback KeyError at
+                # calibrate_ek.py:396 — which param it names first follows
+                # its iteration order; channel-label .sel KeyError at
+                # cal_params.py:234) where ours raises ONE descriptive
+                # ValueError for the same condition (no narrowband fallback /
+                # partial-coverage ECS in the EK80 complex chain)
+                print(f"INFO classified: both refuse ({ref_err!r} vs "
+                      f"{our_err!r}) cfg={cfg}", flush=True)
+                continue
             if ref_err is not None and our_err is None:
                 if isinstance(ref_err, AttributeError) and (
                     "data_vars" in str(ref_err) or "coords" in str(ref_err)

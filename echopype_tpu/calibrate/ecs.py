@@ -469,16 +469,23 @@ def assimilate_bb_cal_params(ds_cal_BB, cal, frequency_nominal, freq_center):
             continue
         nb = cal.get(name)
         nb_chans = (
-            {str(c) for c in nb.coords.get("channel", nb).values}
+            [str(c) for c in nb.coords.get("channel", nb).values]
             if nb is not None
-            else set()
+            else []
         )
-        if nb is None or not all(ch in nb_chans for ch in row_of):
+        # channels WITHOUT a table keep the narrowband value — so it must
+        # exist for every data channel we materialize, not just the table
+        # ones (a partial-coverage ECS previously mis-indexed positionally,
+        # IndexError — round-5 ecs80 soak; the reference crashes on the
+        # same inputs with a raw KeyError at its .sel)
+        need = set(row_of) | {ch for ch in chan_names if ch not in row_of}
+        if nb is None or not need <= set(nb_chans):
             raise ValueError(
                 f"Narrowband (CW mode) parameter {name} should exist "
                 "for all channels with frequency-dependent parameter values."
             )
         nb_vals = np.asarray(nb.values, dtype="f8")
+        nb_pos = {ch: k for k, ch in enumerate(nb_chans)}
         out = np.empty((len(chan_names), n_ping))
         for i, ch in enumerate(chan_names):
             if ch in row_of:
@@ -486,7 +493,7 @@ def assimilate_bb_cal_params(ds_cal_BB, cal, frequency_nominal, freq_center):
                     grid, np.asarray(table.values)[row_of[ch]], fc_vals[i]
                 )
             else:
-                out[i] = nb_vals[i]
+                out[i] = nb_vals[nb_pos[ch]]
         cal[name] = DataArray(
             out,
             ("channel", "ping_time"),
@@ -526,8 +533,31 @@ def ecs_to_params(ecs_file, sonar_type, frequency_nominal, freq_center=None):
             "'Frequency' line in any SourceCal block; frequencies are "
             "required to map ECS transducer blocks onto data channels."
         )
-    env = ecs_ds2dict(conform_channel_order(ds_env, frequency_nominal))
-    cal = ecs_ds2dict(conform_channel_order(ds_cal, frequency_nominal))
+    env_conf = conform_channel_order(ds_env, frequency_nominal)
+    cal_conf = conform_channel_order(ds_cal, frequency_nominal)
+    if freq_center is not None:
+        # EK80 complex chain: its per-channel scalar assembly requires ECS
+        # coverage of EVERY data channel — a partial-coverage file crashed
+        # the chain downstream with raw shape errors (and crashes the
+        # reference at several distinct sites: conform(None) AttributeError,
+        # .sel KeyError — round-5 ecs80 soak).  Refuse descriptively.
+        n_data = len(np.atleast_1d(np.asarray(frequency_nominal.values)))
+        for label, conf in (("environment", env_conf), ("calibration", cal_conf)):
+            if (
+                conf is not None
+                and len(conf.data_vars)
+                and len(np.atleast_1d(conf.coords["channel"].values)) < n_data
+            ):
+                n_cov = len(np.atleast_1d(conf.coords["channel"].values))
+                raise ValueError(
+                    f"ECS file provides {label} parameters for {n_cov} of "
+                    f"{n_data} data channels; the EK80 complex calibration "
+                    "chain requires ECS coverage of every channel — add "
+                    "SourceCal blocks for the missing channels or drop the "
+                    "ECS file."
+                )
+    env = ecs_ds2dict(env_conf)
+    cal = ecs_ds2dict(cal_conf)
     # strip params that are not calibration inputs
     cal.pop("transmit_duration_nominal", None)
     cal.pop("transmit_power", None)

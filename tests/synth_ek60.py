@@ -178,7 +178,9 @@ def write_ek60_raw(
             if skip_pings and p in skip_pings.get(i, ()):
                 continue
             base_ns = per_channel_samples[i - 1] if per_channel_samples else n_samples
-            ns = base_ns if not ragged else base_ns - (p % 3) * 5
+            # ragged shortening clamps at 1 sample (tiny base counts drove
+            # the count negative — round-5 soak, n_samples=9)
+            ns = base_ns if not ragged else max(base_ns - (p % 3) * 5, 1)
             pw = rng.integers(-20000, 0, ns).astype("<i2")
             ang = rng.integers(-50, 50, (ns, 2)).astype("i1") if with_angle else None
             chunks.append(
