@@ -440,3 +440,51 @@ class TestUniformKernelVariants:
         np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s0),
                                    rtol=3e-6, atol=1e-30)
+
+
+class TestHostClosedCounts:
+    """Round-5: the survey streamers compute window-bin counts closed-form
+    on HOST (pipeline.closed_bounds_k0_np + closed_window_counts_np) so the
+    device kernel returns sums only.  The host counts must equal the device
+    kernel's own closed-form counts EXACTLY (integers from the identical
+    f32-refined bounds) on random shapes, ragged valid lengths, and
+    bin-edge-straddling grids."""
+
+    def test_host_counts_equal_device_counts(self):
+        from echopype_tpu.parallel.pipeline import (
+            closed_bounds_k0_np,
+            closed_window_counts_np,
+            sv_mvbs_window_partials_uniform,
+        )
+
+        rng = np.random.default_rng(1234)
+        for trial in range(8):
+            C = int(rng.integers(1, 5))
+            P = int(rng.integers(4, 40))
+            R = int(rng.integers(10, 200))
+            n_x = int(rng.integers(1, 6))
+            n_r = int(rng.integers(2, 30))
+            dr0 = rng.uniform(0.05, 0.4, C).astype("f4")
+            dr = np.broadcast_to(dr0[:, None], (C, P)).astype("f4")
+            shift = (dr * rng.integers(0, 4)).astype("f4")
+            power = rng.normal(-80, 10, (C, P, R)).astype("f4")
+            # ragged: random per-ping valid lengths incl. zero-length pings
+            valid_len = rng.integers(0, R + 1, (C, P)).astype("i4")
+            if trial % 2 == 0:
+                valid_len[:] = R  # the constant fast path
+            x_rel = np.sort(rng.integers(0, n_x + 1, P)).astype("i4")  # incl. parked
+            r_edges = (
+                np.arange(n_r + 1) * float(rng.uniform(1.0, 8.0))
+            ).astype("f4")
+            ab = np.full((C, P), 0.01, dtype="f4")
+            off = np.full((C, P), -30.0, dtype="f4")
+            _, dev_counts = sv_mvbs_window_partials_uniform(
+                power, dr, shift, ab, off, valid_len, x_rel, r_edges, n_x, n_r
+            )
+            bounds, k0 = closed_bounds_k0_np(dr0, shift[:, 0], r_edges, R)
+            host_counts = closed_window_counts_np(bounds, k0, valid_len, x_rel, n_x)
+            np.testing.assert_array_equal(
+                host_counts,
+                np.asarray(dev_counts, dtype="f8"),
+                err_msg=f"trial {trial} C={C} P={P} R={R} n_r={n_r}",
+            )
