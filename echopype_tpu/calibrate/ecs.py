@@ -478,7 +478,7 @@ def assimilate_bb_cal_params(ds_cal_BB, cal, frequency_nominal, freq_center):
         # ones (a partial-coverage ECS previously mis-indexed positionally,
         # IndexError — round-5 ecs80 soak; the reference crashes on the
         # same inputs with a raw KeyError at its .sel)
-        need = set(row_of) | {ch for ch in chan_names if ch not in row_of}
+        need = set(row_of) | set(chan_names)
         if nb is None or not need <= set(nb_chans):
             raise ValueError(
                 f"Narrowband (CW mode) parameter {name} should exist "

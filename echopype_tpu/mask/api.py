@@ -260,9 +260,25 @@ def regrid_mask(
                 "range_da has 3 dimensions but 'third_dim' was not specified."
             )
         rest = [d for d in range_da.dims if d not in (third_dim, "ping_time")]
-        rvals = np.asarray(
-            range_da.transpose(third_dim, "ping_time", rest[-1]).values, dtype="f8"
-        )
+        rda = range_da.transpose(third_dim, "ping_time", rest[-1])
+        rvals = np.asarray(rda.values, dtype="f8")
+        # pair by coordinate LABEL, not position (xarray/flox align the
+        # by-variable on coords; a channel-sorted mask with unsorted
+        # echo_range must not bin against the wrong channel's range grid)
+        if third_dim in mask_da.coords and third_dim in rda.coords:
+            mc = np.asarray(mask_da.coords[third_dim].values)
+            rc = np.asarray(rda.coords[third_dim].values)
+            if not np.array_equal(mc, rc):
+                order = []
+                for v in mc:
+                    hit = np.nonzero(rc == v)[0]
+                    if hit.size == 0:
+                        raise ValueError(
+                            f"range_da is missing {third_dim}={v!r} present "
+                            "in mask_da; cannot regrid."
+                        )
+                    order.append(int(hit[0]))
+                rvals = rvals[order]
     side = "right" if closed == "left" else "left"
     xi = np.searchsorted(ping_edges.astype("i8"), pt.astype("i8"), side=side) - 1
     in_x = (xi >= 0) & (xi < n_x)

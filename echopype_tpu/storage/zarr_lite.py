@@ -233,7 +233,7 @@ def write_tree(store_dir, tree: dict, compress=True, overwrite=False, storage_op
             raise FileExistsError(f"{store_dir} exists; pass overwrite=True")
         rmtree_store(root)
     root.mkdir(parents=True, exist_ok=True)
-    top = tree.get("Top-level")
+    top = next((tree[k] for k in ("Top-level", "/", "") if k in tree), None)
     _write_group_marker(root, top.attrs if top is not None else {}, zarr_format)
     for path, ds in tree.items():
         if path in ("Top-level", "/", ""):

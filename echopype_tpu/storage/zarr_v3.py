@@ -67,7 +67,10 @@ def _np_dtype(data_type, endian="little"):
         raise ValueError(f"Unsupported zarr v3 data_type {data_type!r}")
     dt = np.dtype(base)
     if dt.itemsize > 1:
-        dt = dt.newbyteorder("<" if endian == "little" else ">")
+        # string form so native-order little-endian normalizes to '=' (a
+        # newbyteorder('<') dtype keeps byteorder '<' and would force a
+        # redundant whole-array astype copy in read_array on every read)
+        dt = np.dtype(("<" if endian == "little" else ">") + base)
     return dt
 
 
@@ -94,13 +97,12 @@ def _fill_from_json(v, dtype: np.dtype):
         if v == "-Infinity":
             return -np.inf
         if v.startswith("0x") and dt is not None and dt.kind in ("f", "c"):
-            # raw bit pattern (spec permits hex strings for float fills)
-            bits = int(v, 16)
-            width = dt.itemsize if dt.kind == "f" else dt.itemsize // 2
-            fdt = np.dtype(f"f{width}")
-            return np.frombuffer(
-                bits.to_bytes(width, "little"), dtype=fdt.newbyteorder("<")
-            )[0]
+            # raw bit pattern: the spec's hex form gives the value's bytes in
+            # big-endian order; for complex the layout is real-then-imag
+            bits = int(v[2:] or "0", 16)
+            raw = bits.to_bytes(dt.itemsize, "big")
+            base = "f" if dt.kind == "f" else "c"
+            return np.frombuffer(raw, dtype=np.dtype(f">{base}{dt.itemsize}"))[0]
         return v  # string fill for string arrays
     if isinstance(v, (list, tuple)) and dt is not None and dt.kind == "c":
         return complex(_fill_from_json(v[0], np.dtype("f8")),
@@ -112,6 +114,8 @@ def _fill_to_json(v, dtype: np.dtype):
     dt = np.dtype(dtype)
     if dt.kind in ("U", "O", "S", "T"):
         return v if isinstance(v, str) else ""
+    if dt.kind == "b":
+        return bool(v) if v is not None else False
     if v is None:
         return 0
     if dt.kind == "c":
@@ -124,8 +128,6 @@ def _fill_to_json(v, dtype: np.dtype):
         if np.isinf(f):
             return "Infinity" if f > 0 else "-Infinity"
         return f
-    if dt.kind == "b":
-        return bool(v)
     return int(v)
 
 
@@ -422,6 +424,11 @@ def write_array_encoded(group_dir: Path, name: str, arr: np.ndarray, dims, attrs
             arr = np.full(arr.shape, np.nan, dtype="f8")
         else:
             arr = arr.astype(str)
+    if arr.dtype.kind in ("S", "T"):
+        # fixed-width bytes / numpy-2 vlen strings: write as v3 'string'
+        # (vlen-utf8 chunks) — a raw-bytes payload under data_type 'string'
+        # would be unreadable by this reader and by zarr-python 3
+        arr = arr.astype(str)
     adir = group_dir / name
     adir.mkdir(parents=True, exist_ok=True)
     if clean:

@@ -213,7 +213,8 @@ class DataTree:
         return "\n".join(lines)
 
     # ----------------------------------------------------------------- save
-    def to_zarr(self, store, mode="w-", consolidated=True, storage_options=None, **kw):
+    def to_zarr(self, store, mode="w-", consolidated=True, storage_options=None,
+                zarr_format=None, **kw):
         from ..storage import zarr_lite
 
         if mode == "a":
@@ -223,7 +224,7 @@ class DataTree:
                 dataset_to_zarr(
                     node.to_dataset(), store, mode="a",
                     group=None if node.path == "/" else node.path.lstrip("/"),
-                    storage_options=storage_options,
+                    storage_options=storage_options, zarr_format=zarr_format,
                 )
             return
         tree = {}
@@ -231,7 +232,8 @@ class DataTree:
             key = "Top-level" if node.path == "/" else node.path.lstrip("/")
             tree[key] = node.to_dataset()
         zarr_lite.write_tree(
-            store, tree, overwrite=mode == "w", storage_options=storage_options
+            store, tree, overwrite=mode == "w", storage_options=storage_options,
+            zarr_format=2 if zarr_format is None else zarr_format,
         )
 
     def identical(self, other) -> bool:

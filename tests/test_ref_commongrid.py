@@ -457,6 +457,67 @@ class TestRegridMaskDifferential:
             np.testing.assert_array_equal(g.astype("f8"), w.astype("f8"), err_msg=func)
 
 
+    def test_regrid_mask_3d_channel_order_by_label(self):
+        """Round-5 review regression: when range_da's channel COORD order
+        differs from mask_da's, pairing must go by label, not position —
+        xarray/flox align the by-variable on coords before broadcasting."""
+        rng = np.random.default_rng(55128)
+        n_ch, n_ping, n_r = 3, 20, 31
+        pt = np.datetime64("2022-01-01T00:00:00", "ns") + np.arange(n_ping).astype(
+            "timedelta64[s]"
+        ).astype("timedelta64[ns]")
+        from echopype_tpu.xrlite import DataArray
+
+        chans = np.array([f"ch{i}" for i in range(n_ch)], dtype=object)
+        mask = DataArray(
+            rng.uniform(size=(n_ch, n_ping, n_r)) > 0.5,
+            ("channel", "ping_time", "depth"),
+            coords={"channel": chans, "ping_time": pt,
+                    "depth": np.arange(n_r) * 1.0},
+            name="mask",
+        )
+        er = np.stack(
+            [np.broadcast_to(np.arange(n_r) * (1.0 + 0.4 * c), (n_ping, n_r))
+             for c in range(n_ch)]
+        ).astype("f8")
+        aligned = DataArray(
+            er, ("channel", "ping_time", "depth"),
+            coords={"channel": chans, "ping_time": pt}, name="echo_range",
+        )
+        perm = [2, 0, 1]
+        shuffled = DataArray(
+            er[perm], ("channel", "ping_time", "depth"),
+            coords={"channel": chans[perm], "ping_time": pt}, name="echo_range",
+        )
+        for func in ("logical-AND", "logical-OR"):
+            want = ep.mask.regrid_mask(
+                mask, aligned, range_bin="6m", ping_time_bin="4s",
+                func=func, third_dim="channel",
+            )
+            got = ep.mask.regrid_mask(
+                mask, shuffled, range_bin="6m", ping_time_bin="4s",
+                func=func, third_dim="channel",
+            )
+            np.testing.assert_array_equal(
+                np.asarray(got.values).astype("f8"),
+                np.asarray(want.values).astype("f8"), err_msg=func,
+            )
+        # a channel missing from range_da must refuse descriptively
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="missing"):
+            ep.mask.regrid_mask(
+                mask,
+                DataArray(
+                    er[:2], ("channel", "ping_time", "depth"),
+                    coords={"channel": np.array(["ch0", "chX"], dtype=object),
+                            "ping_time": pt},
+                    name="echo_range",
+                ),
+                range_bin="6m", ping_time_bin="4s",
+                func="logical-AND", third_dim="channel",
+            )
+
+
 class TestMVBSVaryingGridExact:
     """Round-4 mvbs-soak regression: ping-varying (wobbled) echo_range with
     interior NaN holes takes the exact f64 host accumulation — the in-kernel

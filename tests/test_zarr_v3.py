@@ -422,3 +422,64 @@ class TestV3EK80Tree:
                                                   err_msg=f"{g}/{name}")
                 else:
                     np.testing.assert_array_equal(va, vb, err_msg=f"{g}/{name}")
+
+
+class TestV3ReviewRegressions:
+    """Round-5 end-of-round review findings, pinned."""
+
+    def test_native_dtype_no_copy(self):
+        # little-endian metadata must resolve to NATIVE byteorder so
+        # read_array's big-endian normalization never copies the common case
+        assert zarr_v3._np_dtype("float32").byteorder in ("=", "|")
+        assert zarr_v3._np_dtype("int64").byteorder in ("=", "|")
+        assert zarr_v3._np_dtype("float64", "big").byteorder == ">"
+
+    def test_bool_fill_value_is_json_false(self, tmp_path):
+        ds = Dataset()
+        ds["flag"] = DataArray(np.array([True, False, True]), ("x",), name="flag")
+        p = tmp_path / "b.zarr"
+        ds.to_zarr(str(p), zarr_format=3)
+        meta = json.loads((p / "flag" / "zarr.json").read_text())
+        assert meta["fill_value"] is False  # spec: boolean fills are true/false
+        back = zarr_lite.open_dataset(str(p))
+        np.testing.assert_array_equal(np.asarray(back["flag"].values),
+                                      np.array([True, False, True]))
+
+    def test_bytes_dtype_written_as_string(self, tmp_path):
+        ds = Dataset()
+        ds["tag"] = DataArray(np.array([b"ab", b"cd"], dtype="S2"), ("x",), name="tag")
+        p = tmp_path / "s.zarr"
+        ds.to_zarr(str(p), zarr_format=3)
+        meta = json.loads((p / "tag" / "zarr.json").read_text())
+        assert meta["data_type"] == "string"
+        back = zarr_lite.open_dataset(str(p))
+        np.testing.assert_array_equal(
+            np.asarray(back["tag"].values).astype(str), np.array(["ab", "cd"])
+        )
+
+    def test_complex_hex_fill(self):
+        # spec hex form: value bytes big-endian; complex = real then imag
+        f = zarr_v3._fill_from_json("0x7fc000007fc00000", np.dtype("c8"))
+        assert np.isnan(np.real(f)) and np.isnan(np.imag(f))
+        f2 = zarr_v3._fill_from_json("0x7fc00000", np.dtype("f4"))
+        assert np.isnan(f2)
+
+    def test_datatree_to_zarr_honors_zarr_format(self, tmp_path):
+        from echopype_tpu.xrlite.datatree import DataTree
+
+        ds = Dataset(attrs={"root_attr": "kept"})
+        ds["a"] = DataArray(np.arange(4.0), ("x",), name="a")
+        dt = DataTree.from_dict({"/": ds, "Sonar": ds})
+        p = tmp_path / "t3.zarr"
+        dt.to_zarr(str(p), zarr_format=3)
+        assert (p / "zarr.json").exists() and not (p / ".zgroup").exists()
+        root_meta = json.loads((p / "zarr.json").read_text())
+        assert root_meta["attributes"]["root_attr"] == "kept"
+
+    def test_write_tree_slash_key_root_attrs(self, tmp_path):
+        ds = Dataset(attrs={"title": "root attrs survive '/' spelling"})
+        ds["a"] = DataArray(np.arange(3.0), ("x",), name="a")
+        p = tmp_path / "slash.zarr"
+        zarr_lite.write_tree(str(p), {"/": ds, "Sonar": ds})
+        back = zarr_lite.open_dataset(str(p))
+        assert back.attrs.get("title") == "root attrs survive '/' spelling"
