@@ -17,7 +17,11 @@ format directly (no zarr-python in this environment):
   system libblosc — the reference's explicit setting), ``zstd`` (zarr-python
   3's default compressor, via the zstandard module), ``gzip``, and a
   trailing ``crc32c`` checksum (stripped on read); variable-length strings
-  via ``vlen-utf8`` (zarr-python 3's ``string`` data type).
+  via ``vlen-utf8`` (zarr-python 3's ``string`` data type); on READ also
+  the ``transpose`` array codec and ``sharding_indexed`` shards (uint64
+  offset/nbytes index at either end, nested codec chains, missing inner
+  chunks as 2**64-1 sentinels — what zarr-python 3 writes for large arrays
+  when shards are enabled).
 
 Reading is format-complete for everything echopype/xarray/zarr-python 3
 write by default; writing (``zarr_format=3``) produces spec-conformant trees
@@ -144,7 +148,7 @@ def _split_codecs(codecs):
         name = c.get("name") if isinstance(c, dict) else str(c)
         if name == "transpose":
             aa.append(c)
-        elif name in ("bytes", "endian", "vlen-utf8"):
+        elif name in ("bytes", "endian", "vlen-utf8", "sharding_indexed"):
             ab = c
         else:
             bb.append(c)
@@ -228,6 +232,101 @@ def _vlen_utf8_encode(items) -> bytes:
     return b"".join(out)
 
 
+# ------------------------------------------------------- full chunk decoding
+def _decode_chunk_to_array(raw: bytes, aa, ab, bb, chunk_shape, dtype, fill):
+    """Invert the FULL codec chain for one chunk: stored bytes -> ndarray of
+    ``chunk_shape``.  Handles transpose (array->array), sharding_indexed
+    (array->bytes, recursively), vlen-utf8 strings, and the plain bytes
+    codec; ``dtype=None``/object means a string chunk."""
+    raw = _decode_bytes_chain(raw, bb)
+    name = ab.get("name")
+    # transpose codecs permute the stored axis order (applied encode-time in
+    # chain order, BEFORE the array->bytes codec — so a shard grid covers the
+    # transposed array); compose the effective permutation, decode in stored
+    # orientation, then invert
+    eff = list(range(len(chunk_shape)))
+    for c in aa:
+        if c.get("name") != "transpose":
+            raise ValueError(f"Unsupported zarr v3 array codec {c.get('name')!r}")
+        order = (c.get("configuration") or {}).get("order")
+        if order is not None:
+            eff = [eff[i] for i in order]
+    stored_shape = tuple(chunk_shape[e] for e in eff)
+    if name == "sharding_indexed":
+        block = _decode_shard(raw, ab.get("configuration") or {}, stored_shape,
+                              dtype, fill)
+    elif name == "vlen-utf8" or dtype is None or np.dtype(dtype) == object:
+        n = int(np.prod(stored_shape)) if stored_shape else 1
+        block = np.asarray(_vlen_utf8_decode(raw, n), dtype=object)
+    else:
+        dt = np.dtype(dtype)
+        endian = (ab.get("configuration") or {}).get("endian", "little")
+        if dt.itemsize > 1 and endian == "big":
+            dt = dt.newbyteorder(">")
+        block = np.frombuffer(raw, dtype=dt)
+    block = np.asarray(block).reshape(stored_shape)
+    if eff != list(range(len(chunk_shape))):
+        block = block.transpose(np.argsort(eff))
+    return block
+
+
+_SHARD_MISSING = (1 << 64) - 1
+
+
+def _decode_shard(raw: bytes, cfg, outer_shape, dtype, fill):
+    """sharding_indexed shard bytes -> full outer-chunk ndarray.
+
+    Layout (zarr v3 sharding spec / what zarr-python 3 writes): each inner
+    chunk encoded with ``codecs`` and concatenated, plus a uint64
+    [grid..., 2] (offset, nbytes) index — offsets absolute within the shard,
+    missing inner chunks marked 2**64-1 — encoded with ``index_codecs``
+    (bytes + optional crc32c) at ``index_location`` start or end."""
+    inner = tuple(cfg.get("chunk_shape") or outer_shape)
+    i_aa, i_ab, i_bb = _split_codecs(
+        cfg.get("codecs") or [{"name": "bytes", "configuration": {"endian": "little"}}]
+    )
+    ix_codecs = cfg.get("index_codecs") or [
+        {"name": "bytes", "configuration": {"endian": "little"}},
+        {"name": "crc32c"},
+    ]
+    ix_bb = []
+    ix_endian = "little"
+    for c in ix_codecs:
+        nm = c.get("name") if isinstance(c, dict) else str(c)
+        if nm in ("bytes", "endian"):
+            ix_endian = ((c.get("configuration") or {}).get("endian", "little")
+                         if isinstance(c, dict) else "little")
+        elif nm == "crc32c":
+            ix_bb.append({"name": "crc32c"})
+        else:
+            raise ValueError(f"Unsupported shard index codec {nm!r}")
+    grid = tuple(-(-o // i) for o, i in zip(outer_shape, inner))
+    n = int(np.prod(grid)) if grid else 1
+    ix_size = n * 16 + 4 * len(ix_bb)
+    ix_raw = raw[:ix_size] if cfg.get("index_location") == "start" else raw[-ix_size:]
+    ix_raw = _decode_bytes_chain(ix_raw, ix_bb)
+    idx = np.frombuffer(
+        ix_raw, dtype="<u8" if ix_endian == "little" else ">u8"
+    ).reshape(grid + (2,))
+    if dtype is None or np.dtype(dtype) == object:
+        out = np.full(outer_shape, fill if isinstance(fill, str) else "",
+                      dtype=object)
+    else:
+        out = np.full(outer_shape, 0 if fill is None else fill, dtype=dtype)
+    for gidx in np.ndindex(*grid):
+        off, nb = int(idx[gidx][0]), int(idx[gidx][1])
+        if off == _SHARD_MISSING and nb == _SHARD_MISSING:
+            continue
+        block = _decode_chunk_to_array(raw[off:off + nb], i_aa, i_ab, i_bb,
+                                       inner, dtype, fill)
+        slices = tuple(
+            slice(g * i, min((g + 1) * i, o))
+            for g, i, o in zip(gidx, inner, outer_shape)
+        )
+        out[slices] = block[tuple(slice(0, sl.stop - sl.start) for sl in slices)]
+    return out
+
+
 # ---------------------------------------------------------------- chunk keys
 def _chunk_key(idx, key_enc) -> str:
     name = (key_enc or {}).get("name", "default")
@@ -258,8 +357,6 @@ def read_array(adir: Path, meta=None):
     chunks = tuple(grid_cfg.get("chunk_shape") or shape or ())
     key_enc = meta.get("chunk_key_encoding") or {}
     aa, ab, bb = _split_codecs(meta.get("codecs"))
-    for c in aa:
-        raise ValueError(f"Unsupported zarr v3 array codec {c.get('name')!r}")
     is_vlen = ab.get("name") == "vlen-utf8" or (
         (meta.get("data_type") if not isinstance(meta.get("data_type"), dict)
          else meta["data_type"].get("name")) in ("string", "vlen-utf8")
@@ -271,7 +368,6 @@ def read_array(adir: Path, meta=None):
         fill = _fill_from_json(meta.get("fill_value"), None)
         if isinstance(fill, str) and fill:
             out[...] = fill
-        n_in_chunk = int(np.prod(chunks)) if chunks else 1
         if 0 not in shape:
             # np.ndindex() over an empty grid yields one () index, so the
             # 0-d case (single chunk keyed "c") rides the same loop
@@ -279,9 +375,10 @@ def read_array(adir: Path, meta=None):
                 cf = adir / _chunk_key(idx, key_enc)
                 if not cf.exists():
                     continue
-                raw = _decode_bytes_chain(cf.read_bytes(), bb)
-                items = _vlen_utf8_decode(raw, n_in_chunk)
-                block = np.asarray(items, dtype=object).reshape(chunks if shape else ())
+                block = _decode_chunk_to_array(
+                    cf.read_bytes(), aa, ab, bb, chunks if shape else (),
+                    None, fill,
+                )
                 slices = tuple(
                     slice(i * c, min((i + 1) * c, s))
                     for i, c, s in zip(idx, chunks, shape)
@@ -298,8 +395,9 @@ def read_array(adir: Path, meta=None):
         out = np.zeros((), dtype=dtype)
         cf = adir / _chunk_key((), key_enc)
         if cf.exists():
-            raw = _decode_bytes_chain(cf.read_bytes(), bb)
-            out = np.frombuffer(raw, dtype=dtype)[0].reshape(())
+            out = _decode_chunk_to_array(
+                cf.read_bytes(), aa, ab, bb, (), dtype, fill
+            ).astype(dtype).reshape(())
         else:
             out[()] = fill
     else:
@@ -309,8 +407,9 @@ def read_array(adir: Path, meta=None):
                 cf = adir / _chunk_key(idx, key_enc)
                 if not cf.exists():
                     continue
-                raw = _decode_bytes_chain(cf.read_bytes(), bb)
-                block = np.frombuffer(raw, dtype=dtype).reshape(chunks)
+                block = _decode_chunk_to_array(
+                    cf.read_bytes(), aa, ab, bb, chunks, dtype, fill
+                )
                 slices = tuple(
                     slice(i * c, min((i + 1) * c, s))
                     for i, c, s in zip(idx, chunks, shape)
