@@ -611,3 +611,56 @@ class TestRound4ReviewRegressions:
         w = ds["t"]
         w.encoding = w.encoding
         assert ds.coords["t"].encoding == {"units": "s", "dtype": "int64"}
+
+
+class TestRound5AlignmentAudit:
+    """Facade pass 2 (round 5): xarray semantics pinned from the live probe —
+    binary-op label alignment, broadcasting, and the rare-method surface the
+    reference actually uses."""
+
+    def test_binary_op_inner_join_alignment(self):
+        a = DataArray(np.array([1.0, 2.0, 3.0]), ("x",),
+                      coords={"x": np.array([0, 1, 2])}, name="a")
+        b = DataArray(np.array([10.0, 20.0, 30.0]), ("x",),
+                      coords={"x": np.array([1, 2, 3])}, name="b")
+        c = a + b
+        np.testing.assert_array_equal(np.asarray(c.coords["x"].values), [1, 2])
+        np.testing.assert_array_equal(np.asarray(c.values), [12.0, 23.0])
+
+    def test_binary_op_transposed_operand_aligns_by_name(self):
+        h1 = DataArray(np.ones((2, 3)), ("p", "r"), name="h1")
+        h3 = DataArray(np.arange(6.0).reshape(3, 2), ("r", "p"), name="h3")
+        s = h1 + h3
+        assert s.dims == ("p", "r")
+        np.testing.assert_array_equal(
+            np.asarray(s.values), 1.0 + np.arange(6.0).reshape(3, 2).T
+        )
+
+    def test_where_broadcasts_condition(self):
+        e = DataArray(np.arange(6.0).reshape(2, 3), ("p", "r"), name="e")
+        cond = DataArray(np.array([True, False]), ("p",), name="c")
+        out = np.asarray(e.where(cond).values)
+        assert np.isfinite(out[0]).all() and np.isnan(out[1]).all()
+
+    def test_concat_keeps_first_attrs(self):
+        from echopype_tpu.xrlite import concat
+
+        g1 = DataArray(np.array([1.0]), ("x",), attrs={"u": "dB"}, name="g")
+        g2 = DataArray(np.array([2.0]), ("x",), attrs={"u": "other"}, name="g")
+        assert concat([g1, g2], dim="x").attrs == {"u": "dB"}
+
+    def test_reference_used_rare_methods(self):
+        # the ONLY drop= forms the reference uses (set_groups_ek80 FM/CW
+        # split; cal_params.py:311) — must stay supported
+        ds = Dataset()
+        ds["v"] = DataArray(np.arange(4.0), ("t",), name="v")
+        ds["transmit_type"] = DataArray(
+            np.array(["LFM", "CW", "LFM", "CW"], dtype=object), ("t",),
+            name="transmit_type",
+        )
+        w = ds.where(ds["transmit_type"] == "LFM", drop=True)
+        np.testing.assert_array_equal(np.asarray(w["v"].values), [0.0, 2.0])
+        a = DataArray(np.arange(3.0), ("pulse_length_bin",),
+                      coords={"pulse_length_bin": np.array([0, 1, 2])}, name="a")
+        s = a.sel(pulse_length_bin=1, drop=True)
+        assert float(s.values) == 1.0 and "pulse_length_bin" not in s.coords
