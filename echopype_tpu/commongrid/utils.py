@@ -190,6 +190,11 @@ def _binned_mean_to_db(sums, counts, nan_counts, fill_value):
     commongrid/utils.py:76-92): a non-positive fill therefore comes out NaN
     in dB, NaN-poisoned bins (skipna=False) are never filled, and
     ``fill_value=None`` means NaN (flox's default).
+
+    A bin whose members are ALL NaN-valued (at valid range coords,
+    skipna=False) has counts==0 but WAS aggregated — flox leaves it NaN;
+    only bins with nothing aggregated at all (counts==0 AND nan_counts==0)
+    take the fill (round-5 soak campaign 7, skipna=False + whole-ping NaN).
     """
     from ..utils.compute import _lin2log
 
@@ -197,7 +202,7 @@ def _binned_mean_to_db(sums, counts, nan_counts, fill_value):
         good = (counts > 0) & (nan_counts == 0)
         linear = np.where(good, sums / np.where(counts > 0, counts, 1), np.nan)
         if fill_value is not None and not np.isnan(fill_value):
-            linear = np.where(counts == 0, fill_value, linear)
+            linear = np.where((counts == 0) & (nan_counts == 0), fill_value, linear)
         return _lin2log(linear)
 
 

@@ -574,3 +574,39 @@ class TestApiLevelNASCDifferential:
                   "geospatial_lon_min", "geospatial_lon_max",
                   "Conventions", "time_coverage_start", "time_coverage_end"):
             assert got.attrs.get(k) == want.attrs.get(k), k
+
+
+class TestSkipnaFalseAllNaNBinFill:
+    """Round-5 soak-campaign-7 regression: with skipna=False and a
+    fill_value, a bin whose members are ALL NaN-valued Sv (at valid range
+    coords) has zero non-NaN count but WAS aggregated — flox leaves it NaN;
+    the fill applies only to bins with nothing aggregated at all.  Our
+    combiner previously filled any counts==0 bin (-100 dB where the
+    reference had NaN, for a whole-NaN ping row)."""
+
+    def test_all_nan_ping_row_stays_nan(self):
+        ds = make_sv_ds(n_ch=2, n_ping=8, n_r=30, seed=77)
+        sv = np.asarray(ds["Sv"].values)
+        sv[:, 2:4, :] = np.nan  # one whole 2-ping time bin NaN-valued
+        want = _mvbs_oracle(ds, 5.0, "2s", closed="left", skipna=False,
+                            fill_value=1e-10)
+        got = ep.commongrid.compute_MVBS(
+            ds, range_bin="5m", ping_time_bin="2s", closed="left",
+            skipna=False, fill_value=1e-10,
+        )
+        w = np.asarray(want["Sv"].values, dtype="f8")
+        g = np.asarray(got["Sv"].values, dtype="f8")
+        assert np.isnan(w[:, 1, :]).all()  # oracle: aggregated-NaN, not filled
+        np.testing.assert_array_equal(np.isnan(g), np.isnan(w))
+        m = ~np.isnan(w)
+        assert float(np.max(np.abs(g[m] - w[m]))) < 1e-5 if m.any() else True
+
+    def test_truly_empty_bins_still_fill(self):
+        ds = make_sv_ds(n_ch=1, n_ping=6, n_r=20, seed=78)
+        # force a deep range bin with no samples: range_var_max beyond data
+        got = ep.commongrid.compute_MVBS(
+            ds, range_bin="5m", ping_time_bin="2s", skipna=False,
+            fill_value=1e-10, range_var_max="60m",
+        )
+        g = np.asarray(got["Sv"].values, dtype="f8")
+        assert np.isclose(g[..., -1], -100.0).all()  # 10*log10(1e-10)
