@@ -201,6 +201,10 @@ def soak_mvbs(n, rng):
         tb = f"{int(rng.integers(2, 15))}s"
         closed = str(rng.choice(["left", "right"]))
         skipna = bool(rng.random() < 0.8)
+        if not skipna and n_ping > 3:
+            # the campaign-7 regression corner: aggregated-all-NaN bins vs
+            # truly-empty bins under a fill_value (whole-NaN ping rows)
+            sv[:, int(rng.integers(0, n_ping)), :] = np.nan
         fv = float(rng.choice([np.nan, -999.0, 1e-10]))
         cfg = dict(rb=rb, tb=tb, closed=closed, skipna=skipna, fv=fv,
                    shape=(n_ch, n_ping, n_r), er=er_kind)
@@ -462,8 +466,11 @@ def soak_nasc(n, rng):
             ds["depth"] = (("channel", "ping_time", "range_sample"), dep)
         dist_bin = float(rng.choice([0.02, 0.05, 0.1]))
         range_bin = float(rng.choice([2.0, 4.0, 7.5]))
+        skipna = bool(rng.random() < 0.7)
+        if not skipna and n_ping > 3:
+            sv[:, int(rng.integers(0, n_ping)), :] = np.nan
         cfg = dict(shape=(n_ch, n_ping, n_r), dist_bin=dist_bin, range_bin=range_bin,
-                   depth=dep_kind)
+                   depth=dep_kind, skipna=skipna)
         try:
             dist_nmi = np.asarray(get_distance_from_latlon(ds), dtype="f8")
             ds_ref = ds.assign_coords(
@@ -477,9 +484,11 @@ def soak_nasc(n, rng):
                 ds_ref,
                 ref_u._convert_bins_to_interval_index(range_edges),
                 ref_u._convert_bins_to_interval_index(dist_edges),
+                skipna=skipna,
             )
             got = ep.commongrid.compute_NASC(
-                ds, range_bin=f"{range_bin}m", dist_bin=f"{dist_bin}nmi"
+                ds, range_bin=f"{range_bin}m", dist_bin=f"{dist_bin}nmi",
+                skipna=skipna,
             )
             want = np.asarray(raw["sv"].values, dtype="f8")
             g = np.asarray(got["NASC"].values, dtype="f8")
