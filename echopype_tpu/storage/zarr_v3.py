@@ -233,6 +233,17 @@ def _vlen_utf8_encode(items) -> bytes:
 
 
 # ------------------------------------------------------- full chunk decoding
+def _paste_block(out, block, idx, chunk_shape):
+    """Paste one decoded chunk at grid position ``idx``, trimming the block
+    to the destination's edge-clamped extent."""
+    slices = tuple(
+        slice(i * c, min((i + 1) * c, s))
+        for i, c, s in zip(idx, chunk_shape, out.shape)
+    )
+    out[slices] = block[tuple(slice(0, sl.stop - sl.start) for sl in slices)]
+
+
+
 def _decode_chunk_to_array(raw: bytes, aa, ab, bb, chunk_shape, dtype, fill):
     """Invert the FULL codec chain for one chunk: stored bytes -> ndarray of
     ``chunk_shape``.  Handles transpose (array->array), sharding_indexed
@@ -319,11 +330,7 @@ def _decode_shard(raw: bytes, cfg, outer_shape, dtype, fill):
             continue
         block = _decode_chunk_to_array(raw[off:off + nb], i_aa, i_ab, i_bb,
                                        inner, dtype, fill)
-        slices = tuple(
-            slice(g * i, min((g + 1) * i, o))
-            for g, i, o in zip(gidx, inner, outer_shape)
-        )
-        out[slices] = block[tuple(slice(0, sl.stop - sl.start) for sl in slices)]
+        _paste_block(out, block, gidx, inner)
     return out
 
 
@@ -379,12 +386,7 @@ def read_array(adir: Path, meta=None):
                     cf.read_bytes(), aa, ab, bb, chunks if shape else (),
                     None, fill,
                 )
-                slices = tuple(
-                    slice(i * c, min((i + 1) * c, s))
-                    for i, c, s in zip(idx, chunks, shape)
-                )
-                trim = tuple(slice(0, sl.stop - sl.start) for sl in slices)
-                out[slices] = block[trim]
+                _paste_block(out, block, idx, chunks)
         return out.astype(str), dims, attrs
     endian = (ab.get("configuration") or {}).get("endian", "little")
     dtype = _np_dtype(meta["data_type"], endian)
@@ -410,12 +412,7 @@ def read_array(adir: Path, meta=None):
                 block = _decode_chunk_to_array(
                     cf.read_bytes(), aa, ab, bb, chunks, dtype, fill
                 )
-                slices = tuple(
-                    slice(i * c, min((i + 1) * c, s))
-                    for i, c, s in zip(idx, chunks, shape)
-                )
-                trim = tuple(slice(0, sl.stop - sl.start) for sl in slices)
-                out[slices] = block[trim]
+                _paste_block(out, block, idx, chunks)
     if out.dtype.byteorder not in ("=", "|"):
         # big-endian payload (or non-normalized order) -> native
         out = out.astype(out.dtype.newbyteorder("="))
