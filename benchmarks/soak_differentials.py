@@ -2121,6 +2121,89 @@ def soak_sidecars(n, rng):
     return fails
 
 
+def soak_platform(n, rng):
+    """Randomized EchoData.update_platform differential: random external
+    datasets (var subsets incl. the lat/lon pairing rule, time ranges offset
+    before/within/after the converted range, NaN holes) through the
+    reference's update_platform (echodata.py:349-517) vs ours on identical
+    converted trees, with refusal parity on invalid var subsets."""
+    import numpy as np
+    import tempfile
+    import echopype_tpu as ep  # noqa: F401 (facade registration)
+    from test_ref_echodata import load_ref_echodata, _convert, _ref_eds
+
+    load_ref_echodata()
+    import xarray as xr  # the facade shim
+
+    EXTRA = [("pitch", "P"), ("roll", "R"), ("vertical_offset", "H"),
+             ("water_level", "WL")]
+    fails = 0
+    for i in range(n):
+        tmp = pathlib.Path(tempfile.mkdtemp())
+        paths, ours, theirs = _convert(tmp, n_files=1)
+        n_t = int(rng.integers(3, 25))
+        t0 = np.datetime64("2020-01-01T00:00:00", "ns") + np.timedelta64(
+            int(rng.integers(-300, 300)), "s")
+        t = t0 + np.cumsum(rng.integers(1, 9, n_t)).astype(
+            "timedelta64[s]").astype("timedelta64[ns]")
+        chosen = []
+        r = rng.random()
+        if r < 0.7:
+            chosen += [("latitude", "lat"), ("longitude", "lon")]
+        elif r < 0.8:
+            chosen += [("latitude", "lat")]  # invalid: both must refuse
+        k = int(rng.integers(0, len(EXTRA) + 1))
+        chosen += [EXTRA[j] for j in rng.choice(len(EXTRA), size=k, replace=False)]
+        if not chosen:
+            chosen = [("pitch", "P")]
+        data = {}
+        for dst, src in chosen:
+            v = rng.normal(0, 1, n_t)
+            v[rng.random(n_t) < 0.15] = np.nan
+            data[src] = (("time",), v)
+        ext = xr.Dataset(data, coords={"time": t})
+        mappings = {dst: src for dst, src in chosen}
+        cfg = dict(i=i, n_t=n_t, vars=[d for d, _ in chosen])
+        ref_err = our_err = None
+        ref_ed = _ref_eds(theirs, paths)[0]
+        try:
+            ref_ed.update_platform(ext, variable_mappings=mappings)
+        except Exception as e:
+            ref_err = type(e).__name__
+        try:
+            ours[0].update_platform(ext, variable_mappings=mappings)
+        except Exception as e:
+            our_err = type(e).__name__
+        if (ref_err is None) != (our_err is None):
+            fails += 1
+            print(f"FAIL err-parity cfg={cfg}: ref={ref_err} ours={our_err}",
+                  flush=True)
+            continue
+        if ref_err is not None:
+            continue
+        try:
+            rp, op = ref_ed["Platform"], ours[0]["Platform"]
+            assert set(rp.data_vars) == set(op.data_vars), \
+                (set(rp.data_vars) ^ set(op.data_vars))
+            for name in mappings:
+                r_, o_ = rp[name], op[name]
+                assert tuple(r_.dims) == tuple(o_.dims), (name, r_.dims, o_.dims)
+                rv = np.asarray(r_.values, dtype="f8")
+                ov = np.asarray(o_.values, dtype="f8")
+                same = (rv == ov) | (np.isnan(rv) & np.isnan(ov))
+                assert same.all(), name
+            assert set(rp.dims) == set(op.dims), (set(rp.dims) ^ set(op.dims))
+            for d in rp.dims:
+                if str(d).startswith("time"):
+                    np.testing.assert_array_equal(
+                        np.asarray(op.coords[d].values),
+                        np.asarray(rp.coords[d].values), err_msg=d)
+        except Exception as e:
+            fails += 1
+            print(f"FAIL cfg={cfg}: {type(e).__name__}: {e}", flush=True)
+    return fails
+
+
 MODES = {
     "ek60": soak_ek60,
     "azfp6": soak_azfp6,
@@ -2141,6 +2224,7 @@ MODES = {
     "combine": soak_combine,
     "clean": soak_clean,
     "nasc": soak_nasc,
+    "platform": soak_platform,
 }
 
 
