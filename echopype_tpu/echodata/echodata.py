@@ -179,18 +179,23 @@ class EchoData:
 
     # ----------------------------------------------------------------- io
     def to_zarr(self, save_path, overwrite=False, compress=True, storage_options=None,
-                zarr_format: int = 2, **kw):
+                zarr_format: int = 2, shard_spec=None, **kw):
         """Serialize the group tree to a zarr store (local path or fsspec URL).
 
         ``zarr_format=3`` writes the Zarr v3 on-disk layout the real echopype
         (zarr>=3, reference requirements.txt:20) produces; both formats are
         read back transparently by ``open_converted``/``from_file``.
+
+        ``shard_spec`` (v3 only): per-dim shard sizes, e.g.
+        ``{"ping_time": 512}`` — arrays with those dims are written as
+        ``sharding_indexed`` shards of inner chunks (zarr-python 3's
+        ``shards=`` layout), cutting file count on object stores.
         """
         storage.write_tree(
             save_path, self._tree, compress=compress, overwrite=overwrite,
             storage_options=storage_options,
             chunk_spec=getattr(self, "_chunk_spec", None),
-            zarr_format=zarr_format,
+            zarr_format=zarr_format, shard_spec=shard_spec,
         )
         self.converted_raw_path = str(save_path)
         return str(save_path)

@@ -169,7 +169,7 @@ def write_array_encoded(group_dir: Path, name: str, arr: np.ndarray, dims, attrs
 
 
 def write_array(group_dir: Path, name: str, arr: np.ndarray, dims, attrs, compress=True,
-                chunk_spec=None, zarr_format: int = 2):
+                chunk_spec=None, zarr_format: int = 2, shard_spec=None):
     arr = coding.sanitize_dtypes(np.asarray(arr))
     arr, extra_attrs = coding.encode_array(arr)
     chunks = coding.auto_chunks(arr.shape, arr.dtype)
@@ -184,8 +184,18 @@ def write_array(group_dir: Path, name: str, arr: np.ndarray, dims, attrs, compre
     if zarr_format == 3:
         from . import zarr_v3
 
-        zarr_v3.write_array_encoded(group_dir, name, arr, dims, all_attrs, comp_meta, chunks)
+        shards = None
+        if shard_spec and arr.ndim and any(d in shard_spec for d in dims):
+            # per-dim shard sizes (zarr v3 sharding_indexed); dims not named
+            # get one inner chunk per shard
+            shards = tuple(
+                int(shard_spec.get(d) or c) for d, c in zip(dims, chunks)
+            )
+        zarr_v3.write_array_encoded(group_dir, name, arr, dims, all_attrs, comp_meta,
+                                    chunks, shards=shards)
     else:
+        if shard_spec:
+            raise ValueError("shard_spec requires zarr_format=3 (sharding_indexed)")
         write_array_encoded(group_dir, name, arr, dims, all_attrs, comp_meta, chunks)
 
 
@@ -200,7 +210,7 @@ def _write_group_marker(gdir: Path, attrs: dict, zarr_format: int):
 
 
 def write_group(store_dir, ds: Dataset, group: str = "", compress=True, storage_options=None,
-                chunk_spec=None, zarr_format: int = 2):
+                chunk_spec=None, zarr_format: int = 2, shard_spec=None):
     """Write one Dataset as a zarr group under ``store_dir/group``."""
     root = as_store_path(store_dir, storage_options)
     gdir = root / group if group else root
@@ -209,16 +219,16 @@ def write_group(store_dir, ds: Dataset, group: str = "", compress=True, storage_
     coord_names = list(ds.coords)
     for name, c in ds.coords.items():
         write_array(gdir, name, c.values, c.dims, c.attrs, compress, chunk_spec=chunk_spec,
-                    zarr_format=zarr_format)
+                    zarr_format=zarr_format, shard_spec=shard_spec)
     for name, v in ds.data_vars.items():
         attrs = dict(v.attrs)
         attrs["coordinates"] = " ".join(cn for cn in coord_names if set(ds.coords[cn].dims) <= set(v.dims))
         write_array(gdir, name, v.values, v.dims, attrs, compress, chunk_spec=chunk_spec,
-                    zarr_format=zarr_format)
+                    zarr_format=zarr_format, shard_spec=shard_spec)
 
 
 def write_tree(store_dir, tree: dict, compress=True, overwrite=False, storage_options=None,
-               chunk_spec=None, zarr_format: int = 2):
+               chunk_spec=None, zarr_format: int = 2, shard_spec=None):
     """Write {group_path: Dataset} as a nested zarr store (local or fsspec URL).
 
     ``zarr_format=3`` writes a Zarr v3 tree (one ``zarr.json`` per node,
@@ -240,10 +250,12 @@ def write_tree(store_dir, tree: dict, compress=True, overwrite=False, storage_op
             # top-level attrs live on the root group (already written above)
             for name, c in ds.coords.items():
                 write_array(root, name, c.values, c.dims, c.attrs, compress,
-                            chunk_spec=chunk_spec, zarr_format=zarr_format)
+                            chunk_spec=chunk_spec, zarr_format=zarr_format,
+                            shard_spec=shard_spec)
             for name, v in ds.data_vars.items():
                 write_array(root, name, v.values, v.dims, v.attrs, compress,
-                            chunk_spec=chunk_spec, zarr_format=zarr_format)
+                            chunk_spec=chunk_spec, zarr_format=zarr_format,
+                            shard_spec=shard_spec)
             continue
         # intermediate groups need group markers
         parts = path.split("/")
@@ -253,7 +265,8 @@ def write_tree(store_dir, tree: dict, compress=True, overwrite=False, storage_op
             marker = inter / ("zarr.json" if zarr_format == 3 else ".zgroup")
             if not marker.exists():
                 _write_group_marker(inter, {}, zarr_format)
-        write_group(root, ds, path, compress, chunk_spec=chunk_spec, zarr_format=zarr_format)
+        write_group(root, ds, path, compress, chunk_spec=chunk_spec, zarr_format=zarr_format,
+                    shard_spec=shard_spec)
 
 
 # --------------------------------------------------------------------- reading
@@ -348,7 +361,7 @@ def read_group(store_dir, group: str = "", storage_options=None) -> Dataset:
 
 
 def write_dataset(store_dir, ds: Dataset, compress=True, overwrite=False, storage_options=None,
-                  zarr_format: int = 2):
+                  zarr_format: int = 2, shard_spec=None):
     """Write a single Dataset as a one-group zarr store (e.g. an Sv store)."""
     root = as_store_path(store_dir, storage_options)
     if root.exists():
@@ -356,7 +369,7 @@ def write_dataset(store_dir, ds: Dataset, compress=True, overwrite=False, storag
             raise FileExistsError(f"{store_dir} exists; pass overwrite=True")
         rmtree_store(root)
     root.mkdir(parents=True, exist_ok=True)
-    write_group(root, ds, "", compress, zarr_format=zarr_format)
+    write_group(root, ds, "", compress, zarr_format=zarr_format, shard_spec=shard_spec)
     return str(root)
 
 

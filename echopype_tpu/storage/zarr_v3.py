@@ -283,6 +283,27 @@ def _decode_chunk_to_array(raw: bytes, aa, ab, bb, chunk_shape, dtype, fill):
 
 _SHARD_MISSING = (1 << 64) - 1
 
+_CRC32C_TABLE = None
+
+
+def _crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli, reflected poly 0x82F63B78) — the checksum the
+    zarr v3 ``crc32c`` codec appends (little-endian u32 suffix)."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        tab = np.empty(256, dtype=np.uint32)
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+            tab[i] = c
+        _CRC32C_TABLE = tab
+    crc = 0xFFFFFFFF
+    tab = _CRC32C_TABLE
+    for b in data:
+        crc = int(tab[(crc ^ b) & 0xFF]) ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
 
 def _decode_shard(raw: bytes, cfg, outer_shape, dtype, fill):
     """sharding_indexed shard bytes -> full outer-chunk ndarray.
@@ -504,12 +525,20 @@ def write_group_meta(gdir: Path, attrs: dict):
 
 
 def write_array_encoded(group_dir: Path, name: str, arr: np.ndarray, dims, attrs,
-                        comp_meta, chunks=None, clean: bool = False):
+                        comp_meta, chunks=None, clean: bool = False, shards=None):
     """Write one ALREADY-ENCODED array as a v3 array node.
 
     Mirror of zarr_lite.write_array_encoded for format 3: same encode
     conventions (times already int64, objects stringified by the caller's
     coding.encode_array), v3 metadata + ``c/``-keyed chunk files.
+
+    ``shards``: optional outer shard shape (rounded up to a multiple of the
+    inner chunk shape, per the sharding spec).  When given, chunk files are
+    ``sharding_indexed`` shards of inner chunks — the layout zarr-python 3
+    writes with ``shards=`` enabled: inner chunks encoded with the regular
+    codec chain and concatenated, all-fill inner chunks omitted (marked
+    2**64-1, matching ``write_empty_chunks=False``), and a little-endian
+    uint64 (offset, nbytes) index + crc32c at the END of the shard.
     """
     from .zarr_lite import _sanitize_attrs
 
@@ -550,6 +579,27 @@ def write_array_encoded(group_dir: Path, name: str, arr: np.ndarray, dims, attrs
         fill = {"f": np.nan, "c": np.nan}.get(arr.dtype.kind)
         ab = {"name": "bytes", "configuration": {"endian": "little"}}
         bb = _comp_meta_to_codec(comp_meta, arr.dtype.itemsize)
+    if shards is not None and arr.ndim:
+        # spec: the shard (outer chunk) shape must be a multiple of the inner
+        # chunk shape — round the request up
+        shards = tuple(
+            max(c, -(-max(1, int(s)) // c) * c) for s, c in zip(shards, chunks)
+        )
+        grid_shape, codecs = shards, [{
+            "name": "sharding_indexed",
+            "configuration": {
+                "chunk_shape": list(chunks),
+                "codecs": [ab] + bb,
+                "index_codecs": [
+                    {"name": "bytes", "configuration": {"endian": "little"}},
+                    {"name": "crc32c"},
+                ],
+                "index_location": "end",
+            },
+        }]
+    else:
+        shards = None
+        grid_shape, codecs = chunks, [ab] + bb
     meta = {
         "zarr_format": 3,
         "node_type": "array",
@@ -557,11 +607,11 @@ def write_array_encoded(group_dir: Path, name: str, arr: np.ndarray, dims, attrs
         "data_type": data_type,
         "chunk_grid": {
             "name": "regular",
-            "configuration": {"chunk_shape": list(chunks) if arr.ndim else []},
+            "configuration": {"chunk_shape": list(grid_shape) if arr.ndim else []},
         },
         "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
         "fill_value": _fill_to_json(fill, arr.dtype),
-        "codecs": [ab] + bb,
+        "codecs": codecs,
         "attributes": _sanitize_attrs(attrs or {}),
         "dimension_names": list(dims),
     }
@@ -573,7 +623,7 @@ def write_array_encoded(group_dir: Path, name: str, arr: np.ndarray, dims, attrs
         return
     key_enc = meta["chunk_key_encoding"]
 
-    def _emit(idx, block):
+    def _encode_inner(block) -> bytes:
         if is_str:
             raw = _vlen_utf8_encode(list(block.ravel()))
         else:
@@ -582,24 +632,60 @@ def write_array_encoded(group_dir: Path, name: str, arr: np.ndarray, dims, attrs
             if block.dtype.byteorder == ">":
                 block = block.astype(block.dtype.newbyteorder("<"))
             raw = block.tobytes()
-        raw = _encode_bytes_chain(raw, bb)
+        return _encode_bytes_chain(raw, bb)
+
+    def _emit(idx, raw: bytes):
         cf = adir / _chunk_key(idx, key_enc)
         cf.parent.mkdir(parents=True, exist_ok=True)
         cf.write_bytes(raw)
 
+    def _pad_to(block, target):
+        if list(block.shape) == list(target):
+            return block
+        pad = [(0, t - bs) for bs, t in zip(block.shape, target)]
+        if is_str:
+            return np.pad(block, pad, constant_values="")
+        return np.pad(block, pad, constant_values=fill if fill is not None else 0)
+
+    def _all_fill(block) -> bool:
+        # write_empty_chunks=False semantics: omit inner chunks equal to fill
+        if is_str:
+            return all(s == fill for s in block.ravel())
+        if fill is None:
+            return False
+        if block.dtype.kind == "f":
+            return bool(np.isnan(block).all())
+        if block.dtype.kind == "c":  # fill is nan+0j
+            return bool((np.isnan(block.real) & (block.imag == 0)).all())
+        return bool((block == fill).all())
+
+    def _encode_shard(outer_block) -> bytes:
+        grid = tuple(-(-s // c) for s, c in zip(shards, chunks))
+        index = np.full(grid + (2,), _SHARD_MISSING, dtype="<u8")
+        payload = bytearray()
+        for gidx in np.ndindex(*grid):
+            sl = tuple(slice(g * c, (g + 1) * c) for g, c in zip(gidx, chunks))
+            ib = outer_block[sl]
+            if _all_fill(ib):
+                continue
+            raw = _encode_inner(ib)
+            index[gidx] = (len(payload), len(raw))
+            payload += raw
+        if not payload:
+            return None  # wholly-fill shard: omit the file entirely
+        ix = index.tobytes()
+        ix += _crc32c(ix).to_bytes(4, "little")
+        return bytes(payload) + ix
+
     if arr.ndim == 0:
-        _emit((), arr.reshape(()))
+        _emit((), _encode_inner(arr.reshape(())))
         return
-    for idx in np.ndindex(*[max(1, -(-s // c)) for s, c in zip(arr.shape, chunks)]):
+    outer = shards if shards is not None else chunks
+    for idx in np.ndindex(*[max(1, -(-s // c)) for s, c in zip(arr.shape, outer)]):
         slices = tuple(
-            slice(i * c, min((i + 1) * c, s)) for i, c, s in zip(idx, chunks, arr.shape)
+            slice(i * c, min((i + 1) * c, s)) for i, c, s in zip(idx, outer, arr.shape)
         )
-        block = arr[slices]
-        if list(block.shape) != list(chunks):
-            pad = [(0, c - bs) for bs, c in zip(block.shape, chunks)]
-            if is_str:
-                block = np.pad(block, pad, constant_values="")
-            else:
-                fv = fill if fill is not None else 0
-                block = np.pad(block, pad, constant_values=fv)
-        _emit(idx, block)
+        block = _pad_to(arr[slices], outer)
+        raw = _encode_shard(block) if shards is not None else _encode_inner(block)
+        if raw is not None:
+            _emit(idx, raw)

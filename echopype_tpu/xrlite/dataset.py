@@ -620,7 +620,7 @@ class Dataset:
 
     def to_zarr(self, store_path=None, compress=True, overwrite=False, mode=None,
                 store=None, group=None, encoding=None, consolidated=True,
-                storage_options=None, zarr_format=None, **kw):
+                storage_options=None, zarr_format=None, shard_spec=None, **kw):
         """Persist this Dataset as zarr.
 
         Two call styles:
@@ -644,6 +644,7 @@ class Dataset:
         return storage.write_dataset(
             target, self, compress=compress, overwrite=overwrite or mode in ("w", "a"),
             storage_options=storage_options, zarr_format=zarr_format or 2,
+            shard_spec=shard_spec,
         )
 
     def to_netcdf(self, path=None, mode=None, group=None, encoding=None,

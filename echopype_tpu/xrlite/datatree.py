@@ -473,13 +473,14 @@ def dataset_to_zarr(
         chunks = enc.get("chunks")
         if chunks:
             chunk_spec = dict(zip(da.dims, chunks))
+        shards = enc.get("shards")  # zarr-python 3 / xarray encoding key
         _write_zarr_array(gdir, name, values, da.dims, attrs, comp, chunk_spec,
-                          zarr_format=zarr_format)
+                          zarr_format=zarr_format, shards=shards)
     return str(root)
 
 
 def _write_zarr_array(gdir, name, values, dims, attrs, comp_meta, chunk_spec,
-                      zarr_format: int = 2):
+                      zarr_format: int = 2, shards=None):
     """Write one encoding-driven array via the shared encoded-level writers
     (one chunk-format implementation per zarr format)."""
     from ..storage import zarr_lite, zarr_v3
@@ -492,6 +493,12 @@ def _write_zarr_array(gdir, name, values, dims, attrs, comp_meta, chunk_spec,
             min(int(chunk_spec.get(d, c) or c), s)
             for d, c, s in zip(dims, chunks, arr.shape)
         )
-    writer = zarr_v3.write_array_encoded if zarr_format == 3 \
-        else zarr_lite.write_array_encoded
-    writer(gdir, name, arr, dims, attrs, comp_meta, chunks, clean=True)
+    if zarr_format == 3:
+        zarr_v3.write_array_encoded(gdir, name, arr, dims, attrs, comp_meta,
+                                    chunks, clean=True,
+                                    shards=tuple(shards) if shards else None)
+    else:
+        if shards:
+            raise ValueError("encoding 'shards' requires zarr_format=3")
+        zarr_lite.write_array_encoded(gdir, name, arr, dims, attrs, comp_meta,
+                                      chunks, clean=True)

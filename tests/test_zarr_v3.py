@@ -681,3 +681,101 @@ class TestV3ShardingAndTranspose:
         np.testing.assert_array_equal(
             np.asarray(ds["names"].values).astype(str), items.astype(str)
         )
+
+
+class TestV3ShardWrite:
+    """Writing sharding_indexed shards (EchoData.to_zarr(shard_spec=...) /
+    encoding={"var": {"shards": ...}} — the layout zarr-python 3 writes with
+    shards enabled; read back by our own sharding reader)."""
+
+    def test_roundtrip_and_layout(self, tmp_path):
+        root = tmp_path / "s.zarr"
+        a = np.random.default_rng(0).normal(size=(37, 23)).astype("f4")
+        a[5:13] = np.nan
+        zarr_v3.write_group_meta(root, {})
+        zarr_v3.write_array_encoded(
+            root, "x", a, ("p", "r"), {"u": "dB"},
+            {"id": "blosc", "cname": "zstd", "clevel": 3},
+            chunks=(5, 4), shards=(10, 12),
+        )
+        meta = zarr_v3.node_meta(root / "x")
+        assert meta["codecs"][0]["name"] == "sharding_indexed"
+        cfg = meta["codecs"][0]["configuration"]
+        assert cfg["chunk_shape"] == [5, 4]
+        assert cfg["index_location"] == "end"
+        assert meta["chunk_grid"]["configuration"]["chunk_shape"] == [10, 12]
+        vals, dims, attrs = zarr_v3.read_array(root / "x")
+        assert dims == ("p", "r") and attrs["u"] == "dB"
+        np.testing.assert_array_equal(vals, a)
+        # 4x2 outer grid -> at most 8 shard files, keyed c/i/j
+        files = [p for p in (root / "x" / "c").rglob("*") if p.is_file()]
+        assert 0 < len(files) <= 8
+
+    def test_all_fill_shard_omitted_and_index_crc(self, tmp_path):
+        root = tmp_path / "s.zarr"
+        a = np.full((8, 8), np.nan, dtype="f8")
+        a[0, 0] = 1.5  # only shard (0,0) has data
+        zarr_v3.write_group_meta(root, {})
+        zarr_v3.write_array_encoded(root, "x", a, ("p", "r"), {}, None,
+                                    chunks=(2, 2), shards=(4, 4))
+        files = sorted(str(p.relative_to(root / "x"))
+                       for p in (root / "x" / "c").rglob("*") if p.is_file())
+        assert files == ["c/0/0"]
+        raw = (root / "x" / "c" / "0" / "0").read_bytes()
+        # index: 2x2 inner grid -> 64 bytes + 4-byte crc32c at the end
+        ix, crc = raw[-68:-4], raw[-4:]
+        assert zarr_v3._crc32c(ix).to_bytes(4, "little") == crc
+        idx = np.frombuffer(ix, dtype="<u8").reshape(2, 2, 2)
+        missing = idx == zarr_v3._SHARD_MISSING
+        assert missing.all(axis=-1).sum() == 3  # 3 of 4 inner chunks omitted
+        vals, _, _ = zarr_v3.read_array(root / "x")
+        np.testing.assert_array_equal(vals, a)
+
+    def test_crc32c_known_answer(self):
+        assert zarr_v3._crc32c(b"123456789") == 0xE3069283
+        assert zarr_v3._crc32c(b"") == 0
+
+    def test_echodata_shard_spec(self, tmp_path):
+        from synth_ek60 import write_ek60_raw
+
+        raw = tmp_path / "S-D20200101-T000000.raw"
+        write_ek60_raw(str(raw), n_pings=7, n_samples=40, seed=3)
+        ed = ep.open_raw(str(raw), sonar_model="EK60")
+        store = tmp_path / "sharded.zarr"
+        ed.to_zarr(str(store), zarr_format=3,
+                   shard_spec={"ping_time": 4, "range_sample": 16})
+        bs = store / "Sonar" / "Beam_group1" / "backscatter_r"
+        meta = zarr_v3.node_meta(bs)
+        assert meta["codecs"][0]["name"] == "sharding_indexed"
+        back = ep.open_converted(str(store))
+        want = ed["Sonar/Beam_group1"]["backscatter_r"].values
+        got = back["Sonar/Beam_group1"]["backscatter_r"].values
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        # full-tree equality on the Environment group too
+        np.testing.assert_array_equal(
+            np.asarray(back["Environment"]["sound_speed_indicative"].values),
+            np.asarray(ed["Environment"]["sound_speed_indicative"].values),
+        )
+
+    def test_encoding_shards_group_write(self, tmp_path):
+        store = tmp_path / "enc.zarr"
+        ds = Dataset(
+            {"Sv": (("ping_time", "range_sample"),
+                    np.arange(60, dtype="f4").reshape(6, 10))},
+            coords={"ping_time": np.arange(6.0)},
+        )
+        ds.to_zarr(str(store), group="g", mode="w", zarr_format=3,
+                   encoding={"Sv": {"chunks": (2, 5), "shards": (4, 10)}})
+        meta = zarr_v3.node_meta(store / "g" / "Sv")
+        assert meta["codecs"][0]["name"] == "sharding_indexed"
+        assert meta["chunk_grid"]["configuration"]["chunk_shape"] == [4, 10]
+        from echopype_tpu.xrlite.datatree import open_dataset
+        back = open_dataset(str(store), group="g")
+        np.testing.assert_array_equal(
+            np.asarray(back["Sv"].values), np.asarray(ds["Sv"].values))
+
+    def test_shards_require_v3(self, tmp_path):
+        ds = Dataset({"x": (("t",), np.arange(4.0))})
+        with pytest.raises(ValueError, match="zarr_format=3"):
+            ds.to_zarr(str(tmp_path / "v2.zarr"), zarr_format=2,
+                       shard_spec={"t": 2})
