@@ -1996,6 +1996,48 @@ def soak_azfp6(n, rng):
     return fails
 
 
+def _sidecar_ref_subset_of_ours(ref_platform, our_platform, ref_vendor, our_vendor):
+    """True iff every sidecar row the reference recovered exists in ours with
+    identical values (time-aligned), i.e. ours is a superset recovery."""
+    import numpy as np
+
+    def _rows_subset(ref_ds, our_ds, tdim, variables):
+        if tdim not in ref_ds.coords:
+            return True
+        if tdim not in our_ds.coords:
+            return False
+        rt = np.asarray(ref_ds.coords[tdim].values, dtype="datetime64[ns]")
+        ot = np.asarray(our_ds.coords[tdim].values, dtype="datetime64[ns]")
+        pos = {t: i for i, t in enumerate(ot)}
+        try:
+            sel = np.asarray([pos[t] for t in rt], dtype="i8")
+        except KeyError:
+            return False
+        for var in variables:
+            if var not in ref_ds.data_vars:
+                continue
+            if var not in our_ds.data_vars:
+                return False
+            rv = np.asarray(ref_ds[var].values, dtype="f8")
+            axis = list(ref_ds[var].dims).index(tdim)
+            ov = np.take(np.asarray(our_ds[var].values, dtype="f8"), sel, axis=axis)
+            if not ((rv == ov) | (np.isnan(rv) & np.isnan(ov))).all():
+                return False
+        return True
+
+    idx_vars = ("ping_number_idx", "file_offset_idx", "vessel_distance_idx",
+                "latitude_idx", "longitude_idx")
+    if not _rows_subset(ref_platform, our_platform, "time4", idx_vars):
+        return False
+    if "detected_seafloor_depth" in ref_vendor.data_vars:
+        tdims = [d for d in ref_vendor["detected_seafloor_depth"].dims
+                 if str(d).startswith("time") or str(d) == "ping_time"]
+        if not tdims or not _rows_subset(ref_vendor, our_vendor, tdims[0],
+                                         ("detected_seafloor_depth",)):
+            return False
+    return True
+
+
 def soak_sidecars(n, rng):
     """Randomized EK60 .idx/.bot sidecar ingestion vs the reference's
     ParseEK60(bot_file=, idx_file=) -> SetGroupsEK60 chain
@@ -2086,31 +2128,49 @@ def soak_sidecars(n, rng):
                 continue
             our_platform = ed["Platform"]
             our_vendor = ed["Vendor_specific"]
-            for var in ("ping_number_idx", "file_offset_idx",
-                        "vessel_distance_idx", "latitude_idx", "longitude_idx"):
-                if var not in ref_platform.data_vars:
-                    assert var not in our_platform.data_vars, var
-                    continue
-                np.testing.assert_allclose(
-                    np.asarray(our_platform[var].values, dtype="f8"),
-                    np.asarray(ref_platform[var].values, dtype="f8"),
-                    rtol=0, atol=0, err_msg=var, equal_nan=True,
-                )
-            if "time4" in ref_platform.coords:
-                np.testing.assert_array_equal(
-                    np.asarray(our_platform.coords["time4"].values,
-                               dtype="datetime64[ns]"),
-                    np.asarray(ref_platform.coords["time4"].values,
-                               dtype="datetime64[ns]"),
-                )
-            if "detected_seafloor_depth" in ref_vendor.data_vars:
-                rv = ref_vendor["detected_seafloor_depth"]
-                gv = our_vendor["detected_seafloor_depth"]
-                assert tuple(gv.dims) == tuple(rv.dims)
-                np.testing.assert_allclose(
-                    np.asarray(gv.values, dtype="f8"),
-                    np.asarray(rv.values, dtype="f8"), equal_nan=True,
-                )
+            try:
+                for var in ("ping_number_idx", "file_offset_idx",
+                            "vessel_distance_idx", "latitude_idx", "longitude_idx"):
+                    if var not in ref_platform.data_vars:
+                        assert var not in our_platform.data_vars, var
+                        continue
+                    np.testing.assert_allclose(
+                        np.asarray(our_platform[var].values, dtype="f8"),
+                        np.asarray(ref_platform[var].values, dtype="f8"),
+                        rtol=0, atol=0, err_msg=var, equal_nan=True,
+                    )
+                if "time4" in ref_platform.coords:
+                    np.testing.assert_array_equal(
+                        np.asarray(our_platform.coords["time4"].values,
+                                   dtype="datetime64[ns]"),
+                        np.asarray(ref_platform.coords["time4"].values,
+                                   dtype="datetime64[ns]"),
+                    )
+                if "detected_seafloor_depth" in ref_vendor.data_vars:
+                    rv = ref_vendor["detected_seafloor_depth"]
+                    gv = our_vendor["detected_seafloor_depth"]
+                    assert tuple(gv.dims) == tuple(rv.dims)
+                    np.testing.assert_allclose(
+                        np.asarray(gv.values, dtype="f8"),
+                        np.asarray(rv.values, dtype="f8"), equal_nan=True,
+                    )
+            except AssertionError:
+                # A corrupt size field that claims bytes past EOF makes the
+                # reference consume the rest of the file and drop every
+                # later datagram (ek_raw_io.py:307-314 scans from EOF); our
+                # scanner resyncs within the remaining bytes and recovers
+                # them — a pinned deliberate divergence
+                # (tests/test_fault_injection.py::test_corrupt_huge_size_prefix).
+                # Classify: reference's recovery is a strict subset of ours
+                # with agreeing overlap -> inverted finding, not a failure.
+                if corrupt and _sidecar_ref_subset_of_ours(
+                        ref_platform, our_platform, ref_vendor, our_vendor):
+                    print(f"INFO sidecars inverted finding cfg={cfg}: "
+                          f"reference dropped the post-corruption tail; ours "
+                          f"recovered a superset (overlap identical)",
+                          flush=True)
+                else:
+                    raise
         except AssertionError as e:
             fails += 1
             print(f"FAIL sidecars cfg={cfg}: {e}", flush=True)

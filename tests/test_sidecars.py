@@ -253,3 +253,71 @@ class TestNanTimestampHandler:
         sg.parser_obj = _Stub()
         out = sg._nan_timestamp_handler([np.nan])
         assert out[0] == t1
+
+
+class TestOversizedSidecarDatagram:
+    def test_idx_size_overruns_eof_superset_recovery(self, tmp_path):
+        """A corrupt .idx size field claiming bytes past EOF: the reference
+        consumes the rest of the file and drops every later IDX entry
+        (ek_raw_io.py:307-314 resyncs from EOF); our scanner resyncs within
+        the remaining bytes and recovers the tail — the pinned deliberate
+        divergence of test_fault_injection.py::test_corrupt_huge_size_prefix,
+        here exercised end-to-end through the sidecar chain.  Ours must be a
+        strict SUPERSET of the reference's recovery with identical overlap
+        (soak classification: benchmarks/soak_differentials.py
+        _sidecar_ref_subset_of_ours)."""
+        import struct
+
+        from ref_oracle import load_ref
+
+        raw = tmp_path / "OV-D20200101-T000000.raw"
+        t0 = np.datetime64("2020-01-01T00:00:00", "ns")
+        write_ek60_raw(raw, n_pings=9, n_samples=20, t0=t0)
+        write_sidecars(raw, t0, n=9, n_chan=2)
+        idx = bytearray(raw.with_suffix(".idx").read_bytes())
+        # corrupt the size field of the third-from-last IDX datagram so the
+        # declared extent overruns EOF (flip the second size byte high)
+        from echopype_tpu.convert.simrad.framing import scan_datagrams
+
+        index = scan_datagrams(bytes(idx))
+        starts = [int(o) - 4 for o, t in zip(index.body_offset, index.dgram_type)
+                  if t == "IDX0"]
+        off = starts[-3]
+        idx[off + 1] ^= 0xFF
+        assert struct.unpack_from("<l", bytes(idx), off)[0] > len(idx) - off
+        raw.with_suffix(".idx").write_bytes(bytes(idx))
+
+        ref_parse = load_ref("convert/parse_ek60")
+        ref_sg = load_ref("convert/set_groups_ek60")
+        parser = ref_parse.ParseEK60(
+            str(raw), bot_file=str(raw.with_suffix(".bot")),
+            idx_file=str(raw.with_suffix(".idx")), storage_options={},
+            sonar_model="EK60")
+        parser.parse_raw()
+        parser.rectangularize_data(use_swap=False)
+        sg = ref_sg.SetGroupsEK60(
+            parser, input_file=str(raw), xml_path=None, output_path=None,
+            sonar_model="EK60",
+            params={"survey_name": "", "platform_name": "", "platform_type": "",
+                    "platform_code_ICES": "", "water_level": np.nan,
+                    "nmea_gps_sentence": "GGA"})
+        ref_platform = sg.set_platform()
+
+        ed = ep.open_raw(str(raw), sonar_model="EK60",
+                         include_bot=True, include_idx=True)
+        ours = np.asarray(ed["Platform"]["ping_number_idx"].values, dtype="f8")
+        ref = np.asarray(ref_platform["ping_number_idx"].values, dtype="f8")
+        # the reference loses the corrupted entry AND the tail; we lose only
+        # the corrupted entry
+        assert len(ref) < len(ours)
+        assert set(ref).issubset(set(ours))
+        assert 7.0 not in ours  # the corrupted entry itself is unrecoverable
+        assert {8.0, 9.0} <= set(ours)  # the tail the reference dropped
+        # overlap identical, time-aligned
+        rt = np.asarray(ref_platform.coords["time4"].values,
+                        dtype="datetime64[ns]")
+        ot = np.asarray(ed["Platform"].coords["time4"].values,
+                        dtype="datetime64[ns]")
+        pos = {t: i for i, t in enumerate(ot)}
+        sel = [pos[t] for t in rt]
+        np.testing.assert_array_equal(ours[sel], ref)
