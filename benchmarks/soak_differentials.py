@@ -1786,11 +1786,19 @@ def soak_store(n, rng):
                               flush=True)
                         break
 
-            # B: we write (zarr v2/v3 or netcdf); the reference reads
+            # B: we write (zarr v2/v3 [optionally sharded] or netcdf); the
+            # reference reads
             rb = r2.random()
             if rb < 0.5:
                 store_b = str(tmp / f"our{i}.zarr")
-                ed.to_zarr(store_b, zarr_format=3 if rb < 0.25 else 2)
+                kw_b = {}
+                if rb < 0.125:
+                    # sharded v3 (sharding_indexed) with random shard sizes
+                    kw_b["shard_spec"] = {
+                        "ping_time": int(r2.integers(2, 9)),
+                        "range_sample": int(r2.integers(8, 40)),
+                    }
+                ed.to_zarr(store_b, zarr_format=3 if rb < 0.25 else 2, **kw_b)
             else:
                 store_b = str(tmp / f"our{i}.nc")
                 ed.to_netcdf(store_b)
