@@ -119,6 +119,8 @@ def soak_ek80(n, rng):
             cfg["complex_f16"] = True
         if rng.random() < 0.3:
             cfg["extra_fm_channel"] = True
+        if rng.random() < 0.3:
+            cfg["with_raw4"] = True
         if rng.random() < 0.4 and n_pings > 2:
             k = int(rng.integers(1, max(2, n_pings // 2)))
             cfg["skip_pings"] = {
@@ -1737,7 +1739,8 @@ def soak_store(n, rng):
                                n_samples=int(r2.integers(24, 80)), seed=seed,
                                with_power_channel=bool(r2.random() < 0.7),
                                with_cw_complex=bool(r2.random() < 0.5),
-                               complex_f16=bool(r2.random() < 0.3))
+                               complex_f16=bool(r2.random() < 0.3),
+                               with_raw4=bool(r2.random() < 0.35))
             ed = ep.open_raw(str(raw), sonar_model=model)
 
             # A: reference writes zarr through its own save chain; we read.

@@ -265,6 +265,7 @@ def write_ek80_raw(
     skip_pings=None,
     extra_fm_channel=False,
     complex_f16=False,
+    with_raw4=False,
 ):
     rng = np.random.default_rng(seed)
     channels = default_channels()
@@ -328,6 +329,12 @@ def write_ek80_raw(
                         transmit_power=150.0,
                     )
                 chunks.append(make_xml0(ts, xml))
+                if with_raw4:
+                    txp = (
+                        rng.normal(0, 1, (max(4, n_samples // 4), 1))
+                        + 1j * rng.normal(0, 1, (max(4, n_samples // 4), 1))
+                    ).astype("c8")
+                    chunks.append(make_raw4(ts, cid, txp))
                 cs = (
                     rng.normal(0, 1e-3, (n_samples, n_sectors))
                     + 1j * rng.normal(0, 1e-3, (n_samples, n_sectors))
