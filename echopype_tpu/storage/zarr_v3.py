@@ -580,10 +580,17 @@ def write_array_encoded(group_dir: Path, name: str, arr: np.ndarray, dims, attrs
         ab = {"name": "bytes", "configuration": {"endian": "little"}}
         bb = _comp_meta_to_codec(comp_meta, arr.dtype.itemsize)
     if shards is not None and arr.ndim:
+        if len(shards) != arr.ndim:
+            raise ValueError(
+                f"shards {tuple(shards)} must have one entry per dimension "
+                f"of {name!r} (ndim={arr.ndim})"
+            )
         # spec: the shard (outer chunk) shape must be a multiple of the inner
-        # chunk shape — round the request up
+        # chunk shape — round the request up; a None entry means one inner
+        # chunk per shard in that dim
         shards = tuple(
-            max(c, -(-max(1, int(s)) // c) * c) for s, c in zip(shards, chunks)
+            max(c, -(-max(1, int(s)) // c) * c) if s else c
+            for s, c in zip(shards, chunks)
         )
         grid_shape, codecs = shards, [{
             "name": "sharding_indexed",

@@ -638,6 +638,7 @@ class Dataset:
                 self, target, mode=mode, group=group, encoding=encoding,
                 consolidated=consolidated, storage_options=storage_options,
                 compress=compress, zarr_format=zarr_format,
+                shard_spec=shard_spec,
             )
         from .. import storage
 

@@ -376,6 +376,7 @@ def dataset_to_zarr(
     storage_options=None,
     compress=True,
     zarr_format=None,
+    shard_spec=None,
     **kw,
 ):
     """Group-targeted Dataset→zarr write (facade for xr.Dataset.to_zarr).
@@ -474,6 +475,10 @@ def dataset_to_zarr(
         if chunks:
             chunk_spec = dict(zip(da.dims, chunks))
         shards = enc.get("shards")  # zarr-python 3 / xarray encoding key
+        if shards is None and shard_spec and any(d in shard_spec for d in da.dims):
+            # per-dim shard_spec (our to_zarr convention); None entries mean
+            # one inner chunk per shard in that dim (resolved downstream)
+            shards = tuple(shard_spec.get(d) for d in da.dims)
         _write_zarr_array(gdir, name, values, da.dims, attrs, comp, chunk_spec,
                           zarr_format=zarr_format, shards=shards)
     return str(root)

@@ -779,3 +779,30 @@ class TestV3ShardWrite:
         with pytest.raises(ValueError, match="zarr_format=3"):
             ds.to_zarr(str(tmp_path / "v2.zarr"), zarr_format=2,
                        shard_spec={"t": 2})
+
+    def test_shard_spec_group_write(self, tmp_path):
+        """Per-dim shard_spec on the xarray-style group write path."""
+        store = tmp_path / "gss.zarr"
+        ds = Dataset(
+            {"Sv": (("ping_time", "range_sample"),
+                    np.arange(120, dtype="f4").reshape(12, 10))},
+            coords={"ping_time": np.arange(12.0)},
+        )
+        ds.to_zarr(str(store), group="g", mode="w", zarr_format=3,
+                   shard_spec={"ping_time": 6},
+                   encoding={"Sv": {"chunks": (3, 10)}})
+        meta = zarr_v3.node_meta(store / "g" / "Sv")
+        assert meta["codecs"][0]["name"] == "sharding_indexed"
+        # ping_time sharded at 6 (multiple of 3); range_sample one chunk/shard
+        assert meta["chunk_grid"]["configuration"]["chunk_shape"] == [6, 10]
+        from echopype_tpu.xrlite.datatree import open_dataset
+        back = open_dataset(str(store), group="g")
+        np.testing.assert_array_equal(
+            np.asarray(back["Sv"].values), np.asarray(ds["Sv"].values))
+
+    def test_wrong_length_shards_raise(self, tmp_path):
+        root = tmp_path / "w.zarr"
+        zarr_v3.write_group_meta(root, {})
+        with pytest.raises(ValueError, match="one entry per dimension"):
+            zarr_v3.write_array_encoded(root, "x", np.zeros((4, 4)), ("a", "b"),
+                                        {}, None, chunks=(2, 2), shards=(2,))
