@@ -1158,8 +1158,11 @@ def soak_survey_bb(n, rng):
             extra_fm_channel=bool(r2.random() < 0.3),
         )
         if r2.random() < 0.35 and n_pings > 4:
+            from synth_ek80 import CH_BB
             m = int(r2.integers(1, max(2, n_pings // 4)))
-            fkw["skip_pings"] = {0: set(
+            # keyed by channel-id string (a previous `{0: ...}` form silently
+            # no-opped: write_ek80_raw looks up skip_pings by channel id)
+            fkw["skip_pings"] = {CH_BB: set(
                 int(x) for x in r2.choice(range(1, n_pings), size=m,
                                           replace=False))}
         kw = dict(
@@ -1170,7 +1173,8 @@ def soak_survey_bb(n, rng):
         cfg = dict(seed=seed, n_files=n_files, n_pings=n_pings,
                    n_samples=n_samples,
                    **{k: v for k, v in fkw.items() if k != "skip_pings"},
-                   skips=len(fkw.get("skip_pings", {}).get(0, ())), **kw)
+                   skips=sum(len(v) for v in fkw.get("skip_pings", {}).values()),
+                   **kw)
         try:
             t0 = np.datetime64("2021-02-01T00:00:00", "ns")
             files = []
@@ -2275,8 +2279,242 @@ def soak_platform(n, rng):
     return fails
 
 
+def soak_ek80sg(n, rng):
+    """Randomized reference ParseEK80 + SetGroupsEK80 full conversion
+    differential (L1+L2 group assembly): random channel mixes, RAW4, f16
+    complex payloads, skipped pings, and DUPLICATED RAW3 datagrams in
+    CW-complex/power channels (the reference dedups those via
+    check_unique_ping_time_duplicates + drop_duplicates, set_groups_ek80.py:
+    1155-1162, running here ON the facade).  FM-channel duplicates crash the
+    reference in _add_freq_start_stop_ds (undeduped freq arrays vs deduped
+    ping_time coord) — classified inverted finding; that leg instead checks
+    OUR conversion reproduces the duplicate-free conversion exactly."""
+    import numpy as np
+    import echopype_tpu as ep
+    from synth_ek80 import write_ek80_raw, CH_BB, CH_CW, CH_PW
+    from ref_oracle import load_ref
+
+    ref_parse_mod = load_ref("convert/parse_ek80")
+    ref_sg_mod = load_ref("convert/set_groups_ek80")
+    params = {
+        "survey_name": "", "platform_name": "", "platform_type": "",
+        "platform_code_ICES": "", "water_level": np.nan,
+        "nmea_gps_sentence": "GGA",
+    }
+    tmp = pathlib.Path(tempfile.mkdtemp())
+    fails = 0
+
+    BEAM_VARS = (
+        "backscatter_r", "backscatter_i", "frequency_nominal",
+        "transmit_duration_nominal", "sample_interval",
+        "angle_alongship", "angle_athwartship",
+        "transmit_frequency_start", "transmit_frequency_stop",
+        "transmit_power", "beamwidth_twoway_alongship",
+    )
+
+    def _vals(ds, var):
+        da = ds[var]
+        # squeeze singleton dims one side lacks (reference drops the channel
+        # dim on per-channel subsets)
+        return np.asarray(da.values, dtype="f8").squeeze()
+
+    def _cmp_groups(ref_b, our_b, tag, cfg):
+        nonlocal fails
+        rt = np.asarray(ref_b.coords["ping_time"].values,
+                        dtype="datetime64[ns]")
+        ot = np.asarray(our_b.coords["ping_time"].values,
+                        dtype="datetime64[ns]")
+        if not np.array_equal(rt, ot):
+            fails += 1
+            print(f"FAIL {tag} ping_time cfg={cfg}", flush=True)
+            return
+        for var in BEAM_VARS:
+            has_ref = var in ref_b.data_vars
+            has_our = var in our_b.data_vars
+            if has_ref != has_our:
+                fails += 1
+                print(f"FAIL {tag} presence {var} ref={has_ref} cfg={cfg}",
+                      flush=True)
+                return
+            if not has_ref:
+                continue
+            w, g = _vals(ref_b, var), _vals(our_b, var)
+            if w.shape != g.shape:
+                fails += 1
+                print(f"FAIL {tag} {var} shape {g.shape} vs {w.shape} "
+                      f"cfg={cfg}", flush=True)
+                return
+            with np.errstate(invalid="ignore"):
+                bad = ~(np.isclose(g, w, rtol=3e-7, atol=0.0)
+                        | (np.isnan(g) & np.isnan(w)))
+            if bad.any():
+                fails += 1
+                print(f"FAIL {tag} {var} {bad.sum()} cells cfg={cfg}",
+                      flush=True)
+                return
+
+    for i in range(n):
+        seed = int(rng.integers(0, 1 << 30))
+        r2 = np.random.default_rng(seed)
+        n_pings = int(r2.integers(3, 10))
+        fkw = dict(
+            n_pings=n_pings,
+            n_samples=int(r2.integers(16, 80)),
+            seed=seed,
+            with_power_channel=bool(r2.random() < 0.6),
+            with_cw_complex=bool(r2.random() < 0.6),
+            complex_f16=bool(r2.random() < 0.25),
+            extra_fm_channel=bool(r2.random() < 0.3),
+            with_raw4=bool(r2.random() < 0.3),
+        )
+        if r2.random() < 0.3 and n_pings > 2:
+            k = int(r2.integers(1, max(2, n_pings // 2)))
+            fkw["skip_pings"] = {CH_BB: set(
+                int(x) for x in r2.choice(range(1, n_pings), size=k,
+                                          replace=False))}
+        # duplicates in the channels whose dedup path the reference survives
+        dup = {}
+        if r2.random() < 0.6:
+            if fkw["with_cw_complex"] and r2.random() < 0.7:
+                dup[CH_CW] = set(int(x) for x in r2.choice(
+                    n_pings, size=int(r2.integers(1, max(2, n_pings // 2))),
+                    replace=False))
+            if fkw["with_power_channel"] and r2.random() < 0.7:
+                dup[CH_PW] = set(int(x) for x in r2.choice(
+                    n_pings, size=int(r2.integers(1, max(2, n_pings // 2))),
+                    replace=False))
+        if dup:
+            fkw["duplicate_pings"] = dup
+        fm_dup_leg = bool(r2.random() < 0.3)
+        cfg = dict(dups={k.split()[-1]: sorted(v) for k, v in dup.items()},
+                   fm_dup=fm_dup_leg,
+                   **{k: v for k, v in fkw.items()
+                      if k not in ("skip_pings", "duplicate_pings")})
+        try:
+            raw = tmp / f"SG{i}-D20210201-T000000.raw"
+            write_ek80_raw(raw, **fkw)
+            if fkw["complex_f16"]:
+                # INVERTED FINDING (classified): the reference's RAW3
+                # float16-complex branch is broken — type_bytes=2 reads HALF
+                # the payload and bit-reinterprets f16 pairs as complex64
+                # (ek_raw_parsers.py:1746-1765), yielding garbage shapes/
+                # values, and CRASHES outright (reshape ValueError) whenever
+                # count*n_complex % 4 != 0.  Skip the reference leg; instead
+                # self-differential our f16 read against the same samples
+                # written f32 (f16 round-trip tolerance).
+                print(f"INFO classified: reference f16-complex parse broken; "
+                      f"running f16-vs-f32 self-differential cfg={cfg}",
+                      flush=True)
+                fkw32 = dict(fkw)
+                fkw32["complex_f16"] = False
+                raw32 = tmp / f"SG32_{i}-D20210201-T000000.raw"
+                write_ek80_raw(raw32, **fkw32)
+                ed16 = ep.open_raw(str(raw), sonar_model="EK80")
+                ed32 = ep.open_raw(str(raw32), sonar_model="EK80")
+                for gi in range(1, 4):
+                    b16 = ed16.get(f"Sonar/Beam_group{gi}")
+                    b32 = ed32.get(f"Sonar/Beam_group{gi}")
+                    if (b16 is None) != (b32 is None):
+                        fails += 1
+                        print(f"FAIL f16 group{gi} presence cfg={cfg}",
+                              flush=True)
+                        continue
+                    if b16 is None:
+                        continue
+                    for var in ("backscatter_r", "backscatter_i"):
+                        if var not in b32.data_vars:
+                            continue
+                        w, g = _vals(b32, var), _vals(b16, var)
+                        if w.shape != g.shape:
+                            fails += 1
+                            print(f"FAIL f16 group{gi} {var} shape "
+                                  f"{g.shape} vs {w.shape} cfg={cfg}",
+                                  flush=True)
+                            continue
+                        with np.errstate(invalid="ignore"):
+                            bad = ~(np.isclose(g, w, rtol=1e-3, atol=1e-4)
+                                    | (np.isnan(g) & np.isnan(w)))
+                        if bad.any():
+                            fails += 1
+                            print(f"FAIL f16 group{gi} {var} {bad.sum()} "
+                                  f"cells cfg={cfg}", flush=True)
+                print(f"ok {i} (f16 self-diff) cfg={cfg}", flush=True)
+                continue
+            fails_before = fails
+            parser = ref_parse_mod.ParseEK80(
+                str(raw), storage_options={}, sonar_model="EK80")
+            parser.parse_raw()
+            parser.rectangularize_data(use_swap=False)
+            sg = ref_sg_mod.SetGroupsEK80(
+                parser, input_file=str(raw), xml_path=None, output_path=None,
+                sonar_model="EK80", params=dict(params),
+            )
+            beams = sg.set_beam()
+            ref_env = sg.set_env()
+            ed = ep.open_raw(str(raw), sonar_model="EK80")
+            for gi, ref_b in enumerate(beams):
+                our_b = ed.get(f"Sonar/Beam_group{gi + 1}")
+                if (ref_b is None) != (our_b is None):
+                    fails += 1
+                    print(f"FAIL group{gi + 1} presence cfg={cfg}", flush=True)
+                    continue
+                if ref_b is None:
+                    continue
+                rt = np.asarray(ref_b.coords["ping_time"].values)
+                if len(rt) != len(np.unique(rt)):
+                    fails += 1
+                    print(f"FAIL reference kept duplicates g{gi + 1} "
+                          f"cfg={cfg}", flush=True)
+                    continue
+                _cmp_groups(ref_b, our_b, f"group{gi + 1}", cfg)
+            our_env = ed["Environment"]
+            for var in ("sound_speed_indicative", "temperature", "salinity",
+                        "acidity", "depth"):
+                if var in ref_env.data_vars and var in our_env.data_vars:
+                    w, g = _vals(ref_env, var), _vals(our_env, var)
+                    with np.errstate(invalid="ignore"):
+                        bad = ~(np.isclose(g, w, rtol=1e-12)
+                                | (np.isnan(g) & np.isnan(w)))
+                    if bad.any():
+                        fails += 1
+                        print(f"FAIL env {var} cfg={cfg}", flush=True)
+
+            if fm_dup_leg and n_pings > 2:
+                # FM-duplicate leg: reference crashes (inverted finding,
+                # tests/test_ref_setgroups.py::test_duplicate_ping_fm_inverted)
+                # — OUR conversion must equal the duplicate-free conversion.
+                fkw2 = dict(fkw)
+                fkw2.pop("duplicate_pings", None)
+                raw_clean = tmp / f"SGc{i}-D20210201-T000000.raw"
+                raw_dup = tmp / f"SGd{i}-D20210201-T000000.raw"
+                write_ek80_raw(raw_clean, **fkw2)
+                dd = {CH_BB: {int(r2.integers(0, n_pings))}}
+                write_ek80_raw(raw_dup, duplicate_pings=dd, **fkw2)
+                ed_c = ep.open_raw(str(raw_clean), sonar_model="EK80")
+                ed_d = ep.open_raw(str(raw_dup), sonar_model="EK80")
+                for gi in range(1, 4):
+                    bc = ed_c.get(f"Sonar/Beam_group{gi}")
+                    bd = ed_d.get(f"Sonar/Beam_group{gi}")
+                    if (bc is None) != (bd is None):
+                        fails += 1
+                        print(f"FAIL fm-dup group{gi} presence cfg={cfg}",
+                              flush=True)
+                        continue
+                    if bc is None:
+                        continue
+                    _cmp_groups(bc, bd, f"fm-dup group{gi}", cfg)
+            if fails == fails_before:
+                print(f"ok {i} cfg={cfg}", flush=True)
+        except Exception:
+            fails += 1
+            print(f"ERROR cfg={cfg}", flush=True)
+            traceback.print_exc()
+    return fails
+
+
 MODES = {
     "ek60": soak_ek60,
+    "ek80sg": soak_ek80sg,
     "azfp6": soak_azfp6,
     "sidecars": soak_sidecars,
     "regrid": soak_regrid,

@@ -558,7 +558,10 @@ class SetGroupsEK80(SetGroupsBase):
         for ci, ch in enumerate(chans_used):
             rows_src = sel_rows[ch]
             rows_dst = time_map[ch]
-            pw = p.ping_data_dict["power"][ch]
+            # index by the dedup-kept rows: with duplicate ping_times dropped,
+            # rows_src is a strict subset and the raw arrays are longer than
+            # the destination (keep-first, utils/ek_duplicates.py semantics)
+            pw = p.ping_data_dict["power"][ch][rows_src]
             covered = np.zeros(n_t, dtype=bool)
             covered[rows_dst] = True
             missing = ~covered if not covered.all() else None
@@ -568,6 +571,8 @@ class SetGroupsEK80(SetGroupsBase):
             if missing is not None:
                 bs[ci, missing] = np.nan
             ang = p.ping_data_dict["angle"].get(ch)
+            if ang is not None:
+                ang = ang[rows_src]
             if has_angle and ang is None:
                 ang_at[ci] = np.nan
                 ang_al[ci] = np.nan

@@ -372,6 +372,21 @@ class DataArray:
     def chunk(self, *args, **kwargs):
         return self
 
+    def groupby(self, name):
+        """Minimal xarray groupby: (key, subset) pairs grouped by a 1-D
+        coordinate, keys sorted (reference: calibrate/api.py:143)."""
+        return _groupby(self, name)
+
+    def drop_duplicates(self, dim, keep="first"):
+        """xarray semantics: drop entries whose ``dim`` coordinate value
+        repeats, keeping the first (or last) occurrence, order preserved."""
+        import pandas as pd
+
+        if dim not in self.coords:
+            raise ValueError(f"dimension {dim!r} has no coordinate to dedup on")
+        mask = ~pd.Index(np.asarray(self.coords[dim].values)).duplicated(keep=keep)
+        return self.isel({dim: np.nonzero(mask)[0]})
+
     def sortby(self, key, ascending=True):
         """Sort along the dim of a 1-D coord/key DataArray (or coord name)."""
         if isinstance(key, str):
@@ -961,7 +976,13 @@ class DataArray:
             idx = fn(vals, axis=ax)
         return idx, all_nan
 
-    def argmin(self, dim):
+    def argmin(self, dim=None, axis=None):
+        if dim is None and axis is not None:
+            dim = self.dims[axis]
+        if dim is None:
+            # xarray: dim-less argmin flattens (NaN-skipping)
+            return DataArray(np.int64(np.nanargmin(np.asarray(self.values))),
+                             (), name=self.name)
         idx, _ = self._nanarg(dim, np.nanargmin)
         new_dims = tuple(d for d in self.dims if d != dim)
         out = DataArray(idx, new_dims, name=self.name)
@@ -984,7 +1005,12 @@ class DataArray:
             name=self.name,
         )
 
-    def argmax(self, dim):
+    def argmax(self, dim=None, axis=None):
+        if dim is None and axis is not None:
+            dim = self.dims[axis]
+        if dim is None:
+            return DataArray(np.int64(np.nanargmax(np.asarray(self.values))),
+                             (), name=self.name)
         idx, _ = self._nanarg(dim, np.nanargmax)
         new_dims = tuple(d for d in self.dims if d != dim)
         out = DataArray(idx, new_dims, name=self.name)
@@ -1581,3 +1607,17 @@ class _Resample:
             # pandas Resampler.mean has no skipna; NaN must poison its bin
             res = df.resample(self.freq).apply(lambda s: s.mean(skipna=False))
         return self._finish(res, shape, ax)
+
+
+def _groupby(obj, name):
+    """Shared Dataset/DataArray groupby: group along a 1-D coordinate's dim,
+    yielding (key, subset) with keys in sorted order (xarray iterates groups
+    sorted by unique key — pandas factorize-sort semantics)."""
+    coord = obj.coords[name]
+    if len(coord.dims) != 1:
+        raise ValueError(f"groupby coordinate {name!r} must be 1-D")
+    (dim,) = coord.dims
+    vals = np.asarray(coord.values)
+    uniq, inv = np.unique(vals, return_inverse=True)
+    return [(uniq[k], obj.isel({dim: np.nonzero(inv == k)[0]}))
+            for k in range(len(uniq))]

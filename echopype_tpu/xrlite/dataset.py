@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .dataarray import DataArray
+from .dataarray import DataArray, _groupby
 
 __all__ = ["Dataset"]
 
@@ -297,7 +297,7 @@ class Dataset:
     def assign(self, variables=None, **kw):
         out = self.copy()
         for k, v in {**(variables or {}), **kw}.items():
-            out[k] = v
+            out[k] = v(out) if callable(v) else v
         return out
 
     def assign_coords(self, coords=None, **kw):
@@ -740,6 +740,25 @@ class Dataset:
             elif new_dims:
                 out.coords[k] = DataArray(vals, new_dims, attrs=dict(da.attrs), name=k)
         return out
+
+    def groupby(self, name):
+        """Minimal xarray groupby: iterate (key, subset) pairs grouped by a
+        1-D coordinate, keys in sorted order (what the reference's duplicate
+        checker iterates, convert/utils/ek_duplicates.py:18)."""
+        return _groupby(self, name)
+
+    def drop_duplicates(self, dim, keep="first"):
+        """xarray semantics: drop entries whose ``dim`` index value repeats,
+        keeping the first (or last) occurrence, original order preserved
+        (the reference dedups duplicate ping_time rows this way,
+        set_groups_ek80.py:1161)."""
+        import pandas as pd
+
+        vals = self.coords[dim].values if dim in self.coords else None
+        if vals is None:
+            raise ValueError(f"dimension {dim!r} has no coordinate to dedup on")
+        mask = ~pd.Index(np.asarray(vals)).duplicated(keep=keep)
+        return self.isel({dim: np.nonzero(mask)[0]})
 
     def sortby(self, name, ascending=True):
         key = self.coords[name] if name in self.coords else self[name]

@@ -136,7 +136,7 @@ def concat(objs, dim, coords="minimal", data_vars="minimal"):
         raise ValueError("need at least one object")
     objs = _align_outer(objs, dim)
     if isinstance(objs[0], Dataset):
-        return _concat_datasets(objs, dim)
+        return _concat_datasets(objs, dim, data_vars=data_vars)
     return _concat_dataarrays(objs, dim)
 
 
@@ -227,7 +227,7 @@ def _concat_dataarrays(objs, dim):
     return out
 
 
-def _concat_datasets(objs, dim):
+def _concat_datasets(objs, dim, data_vars="minimal"):
     from .dataset import Dataset
 
     first = objs[0]
@@ -250,6 +250,22 @@ def _concat_datasets(objs, dim):
                 ],
                 dim,
             )
+        elif data_vars == "all":
+            # xarray data_vars="all": variables lacking the concat dim are
+            # expanded along it (one slot per object, or the object's size of
+            # that dim) and concatenated — the reference's merge_save relies
+            # on this for the per-ping transmit_frequency_start/stop vars
+            # added AFTER the channel dim (set_groups_ek80.py:1071-1084)
+            parts = []
+            for o in objs:
+                v = o[name] if name in o.data_vars else _nan_like(template, o, dim)
+                n = int(o.sizes.get(dim, 1))
+                vals = np.broadcast_to(
+                    np.asarray(v.values), (n,) + np.asarray(v.values).shape
+                ).copy()
+                parts.append(DataArray(vals, (dim,) + v.dims,
+                                       attrs=dict(template.attrs), name=name))
+            out[name] = _concat_dataarrays(parts, dim)
         else:
             out[name] = template
     for k, v in first.coords.items():

@@ -266,6 +266,7 @@ def write_ek80_raw(
     extra_fm_channel=False,
     complex_f16=False,
     with_raw4=False,
+    duplicate_pings=None,
 ):
     rng = np.random.default_rng(seed)
     channels = default_channels()
@@ -315,12 +316,21 @@ def write_ek80_raw(
                 pw = rng.integers(-20000, 0, n_samples).astype("<i2")
                 ang = rng.integers(-50, 50, (n_samples, 2)).astype("i1")
                 chunks.append(make_raw3(ts, cid, power_idx=pw, angle=ang))
+                if duplicate_pings and p in duplicate_pings.get(cid, ()):
+                    # duplicated datagram: same ping_time, same payload (the
+                    # real-world duplicate class ek_duplicates dedups)
+                    chunks.append(make_raw3(ts, cid, power_idx=pw, angle=ang))
                 truth["power"].setdefault(cid, []).append(pw)
             else:
                 is_bb = ch["cal_freqs"] is not None
                 if is_bb:
+                    # FM sweep inside the channel's own band (fmin+5k .. fmax)
+                    # — identical to the historical 50k..90k for the default
+                    # BB channel, per-channel for extra FM channels (so
+                    # cross-channel frequency mixups are detectable)
                     xml = parameter_xml(
-                        cid, 1, freq_start=50000.0, freq_end=90000.0,
+                        cid, 1, freq_start=ch["fmin"] + 5000.0,
+                        freq_end=ch["fmax"],
                         sample_interval=16e-6, transmit_power=150.0,
                     )
                 else:
@@ -341,6 +351,9 @@ def write_ek80_raw(
                 ).astype("c8")
                 chunks.append(make_raw3(ts, cid, complex_samples=cs,
                                         complex_f16=complex_f16))
+                if duplicate_pings and p in duplicate_pings.get(cid, ()):
+                    chunks.append(make_raw3(ts, cid, complex_samples=cs,
+                                            complex_f16=complex_f16))
                 if complex_f16:
                     import numpy as _np
                     pairs = _np.stack([cs.real, cs.imag], axis=-1).astype("<f2")

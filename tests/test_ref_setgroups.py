@@ -205,6 +205,124 @@ class TestSetGroupsEK80Differential:
             if var in ref_env.data_vars and var in our_env.data_vars:
                 _cmp(ref_env, our_env, var, rtol=1e-12)
 
+    def test_duplicate_ping_dedup_differential(self, tmp_path):
+        """Duplicated RAW3 datagrams (same ping_time): the reference dedups
+        via check_unique_ping_time_duplicates + Dataset.drop_duplicates
+        (set_groups_ek80.py:1155-1162, running here ON the facade), ours via
+        set_groups_ek80._dedup_rows — ping_time coords and values must
+        match keep-first on every beam group."""
+        from synth_ek80 import write_ek80_raw, CH_CW, CH_PW
+
+        raw = tmp_path / "DUP80-D20210201-T000000.raw"
+        # duplicates in CW-complex and power channels only: the reference's
+        # dedup path only survives those (FM channels crash in
+        # _add_freq_start_stop_ds — see the inverted-finding test below)
+        write_ek80_raw(raw, n_pings=5, n_samples=32,
+                       duplicate_pings={CH_CW: {0, 3}, CH_PW: {1}})
+
+        ref_parse = load_ref("convert/parse_ek80")
+        parser = ref_parse.ParseEK80(str(raw), storage_options={},
+                                     sonar_model="EK80")
+        parser.parse_raw()
+        parser.rectangularize_data(use_swap=False)
+        ref_sg = load_ref("convert/set_groups_ek80")
+        sg = ref_sg.SetGroupsEK80(
+            parser, input_file=str(raw), xml_path=None, output_path=None,
+            sonar_model="EK80", params=dict(CONVERT_PARAMS),
+        )
+        beams = sg.set_beam()
+        ed = ep.open_raw(str(raw), sonar_model="EK80")
+        compared = 0
+        for gi, ref_b in enumerate(beams):
+            our_b = ed.get(f"Sonar/Beam_group{gi + 1}")
+            assert (ref_b is None) == (our_b is None), gi
+            if ref_b is None:
+                continue
+            rt = np.asarray(ref_b.coords["ping_time"].values,
+                            dtype="datetime64[ns]")
+            assert len(rt) == len(np.unique(rt)), "reference kept duplicates?"
+            np.testing.assert_array_equal(
+                np.asarray(our_b.coords["ping_time"].values,
+                           dtype="datetime64[ns]"), rt)
+            for var in ("backscatter_r", "backscatter_i"):
+                if var in ref_b.data_vars:
+                    _cmp(ref_b, our_b, var, rtol=3e-7)
+                    compared += 1
+        assert compared >= 3
+
+    def test_duplicate_ping_fm_inverted(self, tmp_path):
+        """INVERTED FINDING: duplicated RAW3 datagrams on a broadband (FM)
+        channel crash the reference.  _remove_duplicates runs BEFORE
+        _add_freq_start_stop_ds (set_groups_ek80.py:1168,1174), which then
+        builds a Dataset from the raw *undeduped* frequency_start/end arrays
+        against the deduped ping_time coord — a dim-size conflict xarray
+        rejects.  Our conversion dedups consistently (rows_src indexing) and
+        must reproduce the duplicate-free conversion exactly."""
+        from synth_ek80 import write_ek80_raw, CH_BB
+
+        raw_dup = tmp_path / "DUPFM-D20210201-T000000.raw"
+        raw_clean = tmp_path / "CLNFM-D20210201-T000000.raw"
+        write_ek80_raw(raw_dup, n_pings=5, n_samples=32,
+                       duplicate_pings={CH_BB: {2}})
+        write_ek80_raw(raw_clean, n_pings=5, n_samples=32)
+
+        ref_parse = load_ref("convert/parse_ek80")
+        parser = ref_parse.ParseEK80(str(raw_dup), storage_options={},
+                                     sonar_model="EK80")
+        parser.parse_raw()
+        parser.rectangularize_data(use_swap=False)
+        ref_sg = load_ref("convert/set_groups_ek80")
+        sg = ref_sg.SetGroupsEK80(
+            parser, input_file=str(raw_dup), xml_path=None, output_path=None,
+            sonar_model="EK80", params=dict(CONVERT_PARAMS),
+        )
+        with pytest.raises(ValueError):
+            sg.set_beam()
+
+        ed_dup = ep.open_raw(str(raw_dup), sonar_model="EK80")
+        ed_clean = ep.open_raw(str(raw_clean), sonar_model="EK80")
+        compared = 0
+        for gi in range(1, 4):
+            b_dup = ed_dup.get(f"Sonar/Beam_group{gi}")
+            b_clean = ed_clean.get(f"Sonar/Beam_group{gi}")
+            assert (b_dup is None) == (b_clean is None), gi
+            if b_dup is None:
+                continue
+            np.testing.assert_array_equal(
+                np.asarray(b_dup.coords["ping_time"].values),
+                np.asarray(b_clean.coords["ping_time"].values))
+            for var in ("backscatter_r", "backscatter_i",
+                        "transmit_frequency_start", "transmit_frequency_stop"):
+                if var in b_clean.data_vars:
+                    _cmp(b_clean, b_dup, var, rtol=0.0)
+                    compared += 1
+        assert compared >= 4
+
+    def test_f16_complex_inverted(self, tmp_path):
+        """INVERTED FINDING: the reference's RAW3 float16-complex branch is
+        broken — type_bytes=2 reads HALF the payload then bit-reinterprets
+        the f16 buffer as complex64 (ek_raw_parsers.py:1746-1765), and when
+        count*n_complex % 4 != 0 the reshape crashes outright.  Ours decodes
+        2x f16 per complex value correctly (decode.py::_gather_f16_as_f32;
+        truth-matched in test_convert_ek80).  Pin the crash class: count=21,
+        4 sectors -> 84 f16 values read as 21 c8 -> reshape(-1, 4) fails."""
+        from synth_ek80 import write_ek80_raw
+
+        raw = tmp_path / "F16-D20210201-T000000.raw"
+        write_ek80_raw(raw, n_pings=3, n_samples=21, complex_f16=True,
+                       with_power_channel=False, with_cw_complex=False)
+
+        ref_parse = load_ref("convert/parse_ek80")
+        parser = ref_parse.ParseEK80(str(raw), storage_options={},
+                                     sonar_model="EK80")
+        with pytest.raises(ValueError, match="reshape"):
+            parser.parse_raw()
+
+        ed = ep.open_raw(str(raw), sonar_model="EK80")
+        bs = ed["Sonar/Beam_group1"]["backscatter_r"]
+        assert bs.sizes["range_sample"] == 21
+        assert np.isfinite(np.asarray(bs.values, dtype="f8")).all()
+
 
 class TestSetGroupsAZFPDifferential:
     """Reference ParseAZFP + SetGroupsAZFP vs our AZFP conversion

@@ -664,3 +664,95 @@ class TestRound5AlignmentAudit:
                       coords={"pulse_length_bin": np.array([0, 1, 2])}, name="a")
         s = a.sel(pulse_length_bin=1, drop=True)
         assert float(s.values) == 1.0 and "pulse_length_bin" not in s.coords
+
+
+class TestGroupbyDropDuplicates:
+    """Facade methods added for the reference's duplicate-ping checker
+    (ek_duplicates.py: Dataset.groupby + drop_duplicates) — xarray parity."""
+
+    def _ds(self):
+        ds = Dataset()
+        t = np.array(["2021-01-01T00:00:00", "2021-01-01T00:00:02",
+                      "2021-01-01T00:00:00", "2021-01-01T00:00:01"],
+                     dtype="datetime64[ns]")
+        ds.coords["ping_time"] = DataArray(t, ("ping_time",), name="ping_time")
+        ds["v"] = DataArray(np.array([10.0, 20.0, 30.0, 40.0]),
+                            ("ping_time",), name="v")
+        return ds
+
+    def test_groupby_sorted_keys_and_subsets(self):
+        ds = self._ds()
+        groups = ds.groupby("ping_time")
+        keys = [k for k, _ in groups]
+        assert keys == sorted(keys)
+        assert len(groups) == 3
+        # the duplicated key's subset has both rows, file order preserved
+        dup = dict((np.datetime64(k, "s").astype(str), g) for k, g in groups)
+        g0 = dup["2021-01-01T00:00:00"]
+        np.testing.assert_array_equal(np.asarray(g0["v"].values), [10.0, 30.0])
+
+    def test_groupby_dataarray(self):
+        da = self._ds()["v"]
+        groups = da.groupby("ping_time")
+        assert [len(np.atleast_1d(g.values)) for _, g in groups] == [2, 1, 1]
+
+    def test_drop_duplicates_keep_first_order_preserved(self):
+        ds = self._ds()
+        out = ds.drop_duplicates(dim="ping_time")
+        # xarray keeps first occurrence in ORIGINAL order (no sort)
+        np.testing.assert_array_equal(np.asarray(out["v"].values),
+                                      [10.0, 20.0, 40.0])
+        assert len(np.unique(np.asarray(out.coords["ping_time"].values))) == 3
+
+    def test_drop_duplicates_keep_last(self):
+        out = self._ds().drop_duplicates(dim="ping_time", keep="last")
+        np.testing.assert_array_equal(np.asarray(out["v"].values),
+                                      [20.0, 30.0, 40.0])
+
+    def test_drop_duplicates_dataarray(self):
+        da = self._ds()["v"]
+        out = da.drop_duplicates(dim="ping_time")
+        np.testing.assert_array_equal(np.asarray(out.values), [10.0, 20.0, 40.0])
+
+    def test_argmin_argmax_dimless_and_axis(self):
+        da = DataArray(np.array([[3.0, np.nan], [1.0, 5.0]]), ("a", "b"),
+                       name="x")
+        assert int(da.argmin().values) == 2  # flattened, NaN-skipping
+        assert int(da.argmax().values) == 3
+        np.testing.assert_array_equal(
+            np.asarray(da.argmin(axis=0).values), [1, 1])
+
+    def test_assign_callable(self):
+        ds = Dataset()
+        ds["v"] = DataArray(np.arange(3.0), ("t",), name="v")
+        out = ds.assign(w=lambda d: d["v"] * 2)
+        np.testing.assert_array_equal(np.asarray(out["w"].values),
+                                      [0.0, 2.0, 4.0])
+
+    def test_concat_data_vars_all_expands_dimless(self):
+        # xarray concat(data_vars="all"): variables LACKING the concat dim
+        # are expanded along it, one slot per object (the reference's
+        # merge_save relies on this for transmit_frequency_start/stop,
+        # set_groups_ek80.py:1071-1084)
+        from echopype_tpu.xrlite.ops import concat
+
+        dss = []
+        for k in range(2):
+            ds = Dataset()
+            ds.coords["ping_time"] = DataArray(
+                np.arange(3), ("ping_time",), name="ping_time")
+            ds.coords["channel"] = DataArray(
+                np.array([f"ch{k}"], dtype=object), ("channel",), name="channel")
+            ds["v"] = DataArray(np.full((1, 3), float(k)),
+                                ("channel", "ping_time"), name="v")
+            ds["tfs"] = DataArray(np.full(3, 10.0 * (k + 1)),
+                                  ("ping_time",), name="tfs")
+            dss.append(ds)
+        out = concat(dss, dim="channel", data_vars="all")
+        assert out["tfs"].dims == ("channel", "ping_time")
+        np.testing.assert_array_equal(
+            np.asarray(out["tfs"].values),
+            [[10.0] * 3, [20.0] * 3])
+        # default ("minimal") keeps the first object's variable un-expanded
+        out2 = concat(dss, dim="channel")
+        assert out2["tfs"].dims == ("ping_time",)
