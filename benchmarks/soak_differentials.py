@@ -2310,6 +2310,9 @@ def soak_ek80sg(n, rng):
         "angle_alongship", "angle_athwartship",
         "transmit_frequency_start", "transmit_frequency_stop",
         "transmit_power", "beamwidth_twoway_alongship",
+        "beamwidth_twoway_athwartship", "angle_offset_alongship",
+        "angle_offset_athwartship", "angle_sensitivity_alongship",
+        "angle_sensitivity_athwartship", "equivalent_beam_angle",
     )
 
     def _vals(ds, var):
@@ -2366,7 +2369,12 @@ def soak_ek80sg(n, rng):
             complex_f16=bool(r2.random() < 0.25),
             extra_fm_channel=bool(r2.random() < 0.3),
             with_raw4=bool(r2.random() < 0.3),
+            with_mru=str(r2.choice(["mru0", "mru1", "both", "none"],
+                                   p=[0.25, 0.25, 0.25, 0.25])),
+            jitter_config=bool(r2.random() < 0.5),
         )
+        if fkw["with_mru"] == "none":
+            fkw["with_mru"] = None
         if r2.random() < 0.3 and n_pings > 2:
             k = int(r2.integers(1, max(2, n_pings // 2)))
             fkw["skip_pings"] = {CH_BB: set(
@@ -2478,6 +2486,112 @@ def soak_ek80sg(n, rng):
                     if bad.any():
                         fails += 1
                         print(f"FAIL env {var} cfg={cfg}", flush=True)
+
+            # Platform leg: NMEA lat/lon (time1), MRU0 attitude (time2),
+            # MRU1 KMB position (time3), per-channel transducer offsets
+            ref_plat = sg.set_platform()
+            our_plat = ed["Platform"]
+            for var in ("latitude", "longitude", "pitch", "roll",
+                        "vertical_offset", "heading", "latitude_mru1",
+                        "longitude_mru1", "water_level", "drop_keel_offset",
+                        "transducer_offset_x", "transducer_offset_y",
+                        "transducer_offset_z", "frequency_nominal"):
+                has_ref = var in ref_plat.data_vars
+                has_our = var in our_plat.data_vars
+                if has_ref != has_our:
+                    fails += 1
+                    print(f"FAIL platform presence {var} ref={has_ref} "
+                          f"cfg={cfg}", flush=True)
+                    continue
+                if not has_ref:
+                    continue
+                w, g = _vals(ref_plat, var), _vals(our_plat, var)
+                if w.shape != g.shape:
+                    fails += 1
+                    print(f"FAIL platform {var} shape {g.shape} vs {w.shape} "
+                          f"cfg={cfg}", flush=True)
+                    continue
+                with np.errstate(invalid="ignore"):
+                    bad = ~(np.isclose(g, w, rtol=1e-9, atol=0.0)
+                            | (np.isnan(g) & np.isnan(w)))
+                if bad.any():
+                    fails += 1
+                    print(f"FAIL platform {var} {bad.sum()} cells cfg={cfg}",
+                          flush=True)
+            for tc in ("time2", "time3"):
+                rt = (np.asarray(ref_plat.coords[tc].values,
+                                 dtype="datetime64[ns]")
+                      if tc in ref_plat.coords else None)
+                ot = (np.asarray(our_plat.coords[tc].values,
+                                 dtype="datetime64[ns]")
+                      if tc in our_plat.coords else None)
+                if (rt is None) != (ot is None):
+                    fails += 1
+                    print(f"FAIL platform coord {tc} presence cfg={cfg}",
+                          flush=True)
+                elif rt is not None and not np.array_equal(rt, ot):
+                    fails += 1
+                    print(f"FAIL platform coord {tc} values cfg={cfg}",
+                          flush=True)
+
+            # Vendor leg: calibration tables + transceiver metadata.
+            # INVERTED FINDING (classified): the reference's set_vendor does
+            # np.array(list-of-per-channel-tables) (set_groups_ek80.py:1266),
+            # which raises on modern numpy whenever channels carry DIFFERENT
+            # pulse_duration/gain/sa table lengths (inhomogeneous sequence);
+            # ours NaN-pads to the longest table.  The synth's BB channel has
+            # 5 table entries vs 3 on CW/GPT, so any mixed-channel config
+            # hits it.
+            try:
+                ref_vend = sg.set_vendor()
+            except ValueError as e:
+                if "inhomogeneous" not in str(e):
+                    raise
+                lens = {len(parser.config_datagram["configuration"][ch]
+                            .get("pulse_duration", ()))
+                        for ch in parser.config_datagram["configuration"]}
+                if len(lens) <= 1:
+                    raise  # homogeneous tables should never crash
+                pl = _vals(ed["Vendor_specific"], "pulse_length")
+                if pl.ndim == 1:
+                    pl = pl[None, :]
+                if pl.shape[-1] != max(lens) or not np.isnan(
+                        np.asarray(pl, dtype="f8")).any():
+                    fails += 1
+                    print(f"FAIL vendor nan-pad recovery cfg={cfg}",
+                          flush=True)
+                else:
+                    print(f"INFO classified: reference set_vendor crashes on "
+                          f"mixed table lengths {sorted(lens)}; ours NaN-pads "
+                          f"cfg={cfg}", flush=True)
+                ref_vend = None
+            our_vend = ed["Vendor_specific"]
+            for var in () if ref_vend is None else (
+                        "gain_correction", "sa_correction", "pulse_length",
+                        "impedance_transceiver",
+                        "receiver_sampling_frequency"):
+                has_ref = var in ref_vend.data_vars
+                has_our = var in our_vend.data_vars
+                if has_ref != has_our:
+                    fails += 1
+                    print(f"FAIL vendor presence {var} ref={has_ref} "
+                          f"cfg={cfg}", flush=True)
+                    continue
+                if not has_ref:
+                    continue
+                w, g = _vals(ref_vend, var), _vals(our_vend, var)
+                if w.shape != g.shape:
+                    fails += 1
+                    print(f"FAIL vendor {var} shape {g.shape} vs {w.shape} "
+                          f"cfg={cfg}", flush=True)
+                    continue
+                with np.errstate(invalid="ignore"):
+                    bad = ~(np.isclose(g, w, rtol=1e-12)
+                            | (np.isnan(g) & np.isnan(w)))
+                if bad.any():
+                    fails += 1
+                    print(f"FAIL vendor {var} {bad.sum()} cells cfg={cfg}",
+                          flush=True)
 
             if fm_dup_leg and n_pings > 2:
                 # FM-duplicate leg: reference crashes (inverted finding,

@@ -36,15 +36,30 @@ class CorruptDatagramError(ValueError):
 def nt_to_datetime64(low: np.ndarray, high: np.ndarray) -> np.ndarray:
     """Vectorized NT (100ns since 1601) -> numpy datetime64[ns].
 
-    Truncated to whole microseconds: the reference's conversion routes every
-    timestamp through datetime (ek_date_conversion.nt_to_unix), whose
-    resolution is 1 us, so sub-us tick digits must quantize identically or
-    ping/sidecar times drift by up to 900 ns from the reference's (found by
-    the sidecars soak on fuzzed timestamp bytes)."""
+    Reproduces the reference's conversion BIT-EXACTLY: nt_to_unix computes
+    ``ticks * 1.0e-7`` in float64 then builds a datetime via
+    ``timedelta(seconds=...)`` (ek_date_conversion.py:50-53), which (a)
+    quantizes to whole microseconds and (b) carries the float64 rounding of
+    that multiply — up to ~2 us at 2020-era dates (f64 ulp at 1.3e10 s is
+    3.8e-6 s).  Sub-us tick digits must quantize identically or ping/sidecar
+    times drift from the reference's (found by the sidecars soak on fuzzed
+    timestamp bytes; the f64 wobble inside the us digit was found by the
+    ek80sg platform leg on MRU datagrams at +100 ms offsets)."""
     ticks = (np.asarray(high, dtype="u8") << np.uint64(32)) + np.asarray(low, dtype="u8")
-    # subtract the 1601->1970 epoch delta in ticks first so nothing overflows
-    delta_ticks = np.int64(_NT_UNIX_DELTA_S) * np.int64(10_000_000)
-    us = (ticks.astype("i8") - delta_ticks) // np.int64(10)
+    return _ticks_to_datetime64(ticks)
+
+
+def _ticks_to_datetime64(ticks: np.ndarray) -> np.ndarray:
+    """NT ticks (u8/i8 100ns units) -> datetime64[ns] via the reference's
+    lossy float64 seconds path (see nt_to_datetime64).  Validated exact
+    against ek_date_conversion.nt_to_unix on 4000 random 1990-2040 ticks."""
+    sec = ticks.astype("f8") * 1.0e-7  # the reference's f64 multiply
+    isec = np.floor(sec)
+    # exact: the f64 fractional part carries <= ~18 significant bits here
+    frac = sec - isec
+    # timedelta(seconds=...) rounds the leftover to nearest us (ties even)
+    us = (isec.astype("i8") - np.int64(_NT_UNIX_DELTA_S)) * np.int64(1_000_000)
+    us += np.rint(frac * 1e6).astype("i8")
     return (us * np.int64(1000)).astype("datetime64[ns]")
 
 
@@ -96,15 +111,16 @@ def scan_datagrams(buf: bytes, resync: bool = True, use_native: bool = True) -> 
         if result is not None:
             offsets, sizes, type_codes, ts_ns = result
             dgram_type = type_codes.view("S4").astype("U4")
-            # whole-microsecond quantization, same as nt_to_datetime64 (the
-            # reference routes timestamps through us-resolution datetime)
-            ts_us = np.floor_divide(ts_ns.astype("i8"), 1000) * np.int64(1000)
+            # the native scanner returns exact tick-resolution ns; route them
+            # through the same reference-exact f64 us path as nt_to_datetime64
+            delta_ticks = np.int64(_NT_UNIX_DELTA_S) * np.int64(10_000_000)
+            ticks = ts_ns.astype("i8") // np.int64(100) + delta_ticks
             return DatagramIndex(
                 buf=buf,
                 body_offset=offsets,
                 size=sizes,
                 dgram_type=dgram_type,
-                timestamp=ts_us.astype("datetime64[ns]"),
+                timestamp=_ticks_to_datetime64(ticks),
             )
     n = len(buf)
     offsets, sizes = [], []

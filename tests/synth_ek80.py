@@ -53,10 +53,16 @@ def config_xml(channels, mounts=False):
                  BeamType="{ch.get('beam_type', 1)}"
                  Gain="{';'.join(str(g) for g in ch['gains'])}"
                  SaCorrection="{';'.join(str(s) for s in ch['sas'])}"
-                 EquivalentBeamAngle="-20.7" BeamWidthAlongship="7.0" BeamWidthAthwartship="7.0"
-                 AngleSensitivityAlongship="23.0" AngleSensitivityAthwartship="23.0"
-                 AngleOffsetAlongship="0.0" AngleOffsetAthwartship="0.0"
-                 TransducerOffsetX="0.0" TransducerOffsetY="0.0" TransducerOffsetZ="0.0">
+                 EquivalentBeamAngle="{ch.get('eba', -20.7)}"
+                 BeamWidthAlongship="{ch.get('bw_along', 7.0)}"
+                 BeamWidthAthwartship="{ch.get('bw_athwart', 7.0)}"
+                 AngleSensitivityAlongship="{ch.get('angle_sens_along', 23.0)}"
+                 AngleSensitivityAthwartship="{ch.get('angle_sens_athwart', 23.0)}"
+                 AngleOffsetAlongship="{ch.get('angle_offset_along', 0.0)}"
+                 AngleOffsetAthwartship="{ch.get('angle_offset_athwart', 0.0)}"
+                 TransducerOffsetX="{ch.get('offset_x', 0.0)}"
+                 TransducerOffsetY="{ch.get('offset_y', 0.0)}"
+                 TransducerOffsetZ="{ch.get('offset_z', 0.0)}">
                  {cal_block}
               </Transducer>
             </Channel>
@@ -267,7 +273,17 @@ def write_ek80_raw(
     complex_f16=False,
     with_raw4=False,
     duplicate_pings=None,
+    with_mru=None,
+    jitter_config=False,
 ):
+    """with_mru: None | "mru0" | "mru1" | "both" — interleave motion
+    datagrams (MRU0 heave/roll/pitch/heading; MRU1 KMB lat/lon + attitude)
+    between pings, randomized from ``seed``.
+
+    jitter_config=True randomizes the per-channel installation fields in the
+    configuration XML (beam widths, angle offsets/sensitivities, equivalent
+    beam angle, transducer mounting offsets) so cross-channel mixups in the
+    ping-invariant beam vars and Platform offsets are detectable."""
     rng = np.random.default_rng(seed)
     channels = default_channels()
     if not with_cw_complex:
@@ -287,6 +303,18 @@ def write_ek80_raw(
         fm2["fmin"], fm2["fmax"] = 160000.0, 260000.0
         fm2["cal_freqs"] = np.linspace(160000, 260000, 10)
         channels.insert(1, fm2)
+    if jitter_config:
+        for ch in channels:
+            ch["eba"] = round(float(rng.uniform(-21.5, -19.5)), 2)
+            ch["bw_along"] = round(float(rng.uniform(5.5, 9.0)), 2)
+            ch["bw_athwart"] = round(float(rng.uniform(5.5, 9.0)), 2)
+            ch["angle_sens_along"] = round(float(rng.uniform(18.0, 28.0)), 2)
+            ch["angle_sens_athwart"] = round(float(rng.uniform(18.0, 28.0)), 2)
+            ch["angle_offset_along"] = round(float(rng.uniform(-0.5, 0.5)), 3)
+            ch["angle_offset_athwart"] = round(float(rng.uniform(-0.5, 0.5)), 3)
+            ch["offset_x"] = round(float(rng.uniform(-2.0, 2.0)), 3)
+            ch["offset_y"] = round(float(rng.uniform(-2.0, 2.0)), 3)
+            ch["offset_z"] = round(float(rng.uniform(0.0, 6.0)), 3)
 
     chunks = [make_xml0(t0, config_xml(channels)), make_xml0(t0, environment_xml())]
     # filter datagrams: simple averaging filters
@@ -362,6 +390,16 @@ def write_ek80_raw(
             truth["ping_time"].setdefault(cid, []).append(ts)
         if p % 2 == 0:
             chunks.append(make_nme0(ts, f"$GPGGA,120000,{44:02d}{p:02d}.5000,N,{125:03d}{p:02d}.2500,W,1,08,0.9,5.0,M,,M,,"))
+        if with_mru in ("mru0", "both"):
+            chunks.append(make_mru0(
+                ts + np.timedelta64(100, "ms"),
+                float(rng.normal(0, 0.5)), float(rng.normal(0, 2.0)),
+                float(rng.normal(0, 2.0)), float(rng.uniform(0, 360))))
+        if with_mru in ("mru1", "both"):
+            chunks.append(make_mru1(
+                ts + np.timedelta64(200, "ms"),
+                float(rng.uniform(-60, 60)), float(rng.uniform(-179, 179)),
+                [float(v) for v in rng.normal(0, 1.0, 21)]))
     with open(path, "wb") as f:
         f.write(b"".join(chunks))
     return truth

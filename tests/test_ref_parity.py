@@ -23,20 +23,30 @@ from echopype_tpu.convert.simrad.decode import INDEX2POWER
 # NT time conversion
 # ---------------------------------------------------------------------------
 def test_nt_time_parity():
+    """nt_to_datetime64 reproduces the reference's nt_to_unix datetime
+    BIT-EXACTLY, including the float64 rounding of ``ticks * 1.0e-7`` and
+    timedelta's round-to-nearest-us (ek_date_conversion.py:50-53) — up to
+    ~2 us from the true tick value at 2020-era dates, carried on purpose so
+    ping/MRU/sidecar time coords equal the reference's with array_equal."""
+    import datetime
+
     ref = load_ref("convert/utils/ek_date_conversion")
     rng = np.random.default_rng(7)
     # NT ticks spanning 1990..2040
-    secs_1601 = rng.integers(12_280_000_000, 13_860_000_000, 32)
-    ticks = secs_1601 * 10_000_000 + rng.integers(0, 10_000_000, 32)
+    secs_1601 = rng.integers(12_280_000_000, 13_860_000_000, 512)
+    ticks = secs_1601 * 10_000_000 + rng.integers(0, 10_000_000, 512)
     low = (ticks & 0xFFFFFFFF).astype("u4")
     high = (ticks >> 32).astype("u4")
     ours = framing.nt_to_datetime64(low, high)
+    epoch = None
     for i in range(len(ticks)):
-        ref_unix = ref.nt_to_unix((int(low[i]), int(high[i])), return_datetime=False)
-        ours_unix = ours[i].astype("i8") / 1e9
-        # the reference computes ticks*1e-7 in float64 (~1us quantization at
-        # 2e9 s); our integer path is exact, so compare at the ref's precision
-        assert abs(ours_unix - ref_unix) < 4e-6, (ours[i], ref_unix)
+        dt = ref.nt_to_unix((int(low[i]), int(high[i])))
+        if epoch is None:
+            epoch = datetime.datetime(1970, 1, 1, tzinfo=dt.tzinfo)
+        d = dt - epoch
+        ref_us = (d.days * 86_400_000_000 + d.seconds * 1_000_000
+                  + d.microseconds)
+        assert ours[i].astype("i8") == ref_us * 1000, (ours[i], dt)
 
 
 # ---------------------------------------------------------------------------

@@ -323,6 +323,69 @@ class TestSetGroupsEK80Differential:
         assert bs.sizes["range_sample"] == 21
         assert np.isfinite(np.asarray(bs.values, dtype="f8")).all()
 
+    def test_mru_platform_differential(self, tmp_path):
+        """MRU0 (pitch/roll/heave/heading on time2) and MRU1 (KMB lat/lon on
+        time3) through the reference's set_platform vs our Platform group —
+        values AND time coords must be array_equal.  The time coords pin our
+        reference-exact f64 timestamp path (framing._ticks_to_datetime64):
+        the reference's tick->seconds multiply wobbles up to ~2 us inside the
+        microsecond digit (e.g. +100 ms offsets land on .099998)."""
+        from synth_ek80 import write_ek80_raw
+
+        raw = tmp_path / "MRU-D20210201-T000000.raw"
+        write_ek80_raw(raw, n_pings=4, n_samples=24, with_mru="both", seed=9)
+
+        ref_parse = load_ref("convert/parse_ek80")
+        parser = ref_parse.ParseEK80(str(raw), storage_options={},
+                                     sonar_model="EK80")
+        parser.parse_raw()
+        parser.rectangularize_data(use_swap=False)
+        ref_sg = load_ref("convert/set_groups_ek80")
+        sg = ref_sg.SetGroupsEK80(
+            parser, input_file=str(raw), xml_path=None, output_path=None,
+            sonar_model="EK80", params=dict(CONVERT_PARAMS),
+        )
+        ref_p = sg.set_platform()
+        our_p = ep.open_raw(str(raw), sonar_model="EK80")["Platform"]
+        for tc in ("time2", "time3"):
+            np.testing.assert_array_equal(
+                np.asarray(our_p.coords[tc].values, dtype="datetime64[ns]"),
+                np.asarray(ref_p.coords[tc].values, dtype="datetime64[ns]"))
+        for var in ("pitch", "roll", "vertical_offset", "heading",
+                    "latitude_mru1", "longitude_mru1"):
+            np.testing.assert_array_equal(
+                np.asarray(our_p[var].values, dtype="f8"),
+                np.asarray(ref_p[var].values, dtype="f8"))
+
+    def test_vendor_mixed_table_lengths_inverted(self, tmp_path):
+        """INVERTED FINDING: the reference's set_vendor crashes when channels
+        carry different pulse_duration table lengths —
+        np.array(list-of-unequal-tables) raises on modern numpy
+        (set_groups_ek80.py:1266).  The synth's BB channel has 5 entries vs
+        3 on CW/GPT.  Ours NaN-pads every table to the longest."""
+        from synth_ek80 import write_ek80_raw
+
+        raw = tmp_path / "VND-D20210201-T000000.raw"
+        write_ek80_raw(raw, n_pings=3, n_samples=24)
+
+        ref_parse = load_ref("convert/parse_ek80")
+        parser = ref_parse.ParseEK80(str(raw), storage_options={},
+                                     sonar_model="EK80")
+        parser.parse_raw()
+        parser.rectangularize_data(use_swap=False)
+        ref_sg = load_ref("convert/set_groups_ek80")
+        sg = ref_sg.SetGroupsEK80(
+            parser, input_file=str(raw), xml_path=None, output_path=None,
+            sonar_model="EK80", params=dict(CONVERT_PARAMS),
+        )
+        with pytest.raises(ValueError, match="inhomogeneous"):
+            sg.set_vendor()
+
+        vend = ep.open_raw(str(raw), sonar_model="EK80")["Vendor_specific"]
+        pl = np.asarray(vend["pulse_length"].values, dtype="f8")
+        assert pl.shape[-1] == 5  # padded to the BB channel's 5-entry table
+        assert np.isnan(pl).any() and np.isfinite(pl[:, :3]).all()
+
 
 class TestSetGroupsAZFPDifferential:
     """Reference ParseAZFP + SetGroupsAZFP vs our AZFP conversion
