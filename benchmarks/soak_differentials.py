@@ -2375,6 +2375,12 @@ def soak_ek80sg(n, rng):
         )
         if fkw["with_mru"] == "none":
             fkw["with_mru"] = None
+        if r2.random() < 0.5:
+            # random GGA/GLL/RMC mix (the reference accepts all three,
+            # NMEA_SENTENCE_DEFAULT, set_groups_base.py:13)
+            k = int(r2.integers(1, 4))
+            fkw["nmea_types"] = [str(t) for t in r2.choice(
+                ["GGA", "GLL", "RMC"], size=k, replace=False)]
         if r2.random() < 0.3 and n_pings > 2:
             k = int(r2.integers(1, max(2, n_pings // 2)))
             fkw["skip_pings"] = {CH_BB: set(
@@ -2518,7 +2524,13 @@ def soak_ek80sg(n, rng):
                     fails += 1
                     print(f"FAIL platform {var} {bad.sum()} cells cfg={cfg}",
                           flush=True)
-            for tc in ("time2", "time3"):
+            if "sentence_type" in ref_plat.data_vars:
+                rs = np.asarray(ref_plat["sentence_type"].values).astype(str)
+                os_ = np.asarray(our_plat["sentence_type"].values).astype(str)
+                if not np.array_equal(rs, os_):
+                    fails += 1
+                    print(f"FAIL platform sentence_type cfg={cfg}", flush=True)
+            for tc in ("time1", "time2", "time3"):
                 rt = (np.asarray(ref_plat.coords[tc].values,
                                  dtype="datetime64[ns]")
                       if tc in ref_plat.coords else None)

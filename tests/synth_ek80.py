@@ -275,6 +275,7 @@ def write_ek80_raw(
     duplicate_pings=None,
     with_mru=None,
     jitter_config=False,
+    nmea_types=None,
 ):
     """with_mru: None | "mru0" | "mru1" | "both" — interleave motion
     datagrams (MRU0 heave/roll/pitch/heading; MRU1 KMB lat/lon + attitude)
@@ -389,7 +390,28 @@ def write_ek80_raw(
                 truth["complex"].setdefault(cid, []).append(cs)
             truth["ping_time"].setdefault(cid, []).append(ts)
         if p % 2 == 0:
-            chunks.append(make_nme0(ts, f"$GPGGA,120000,{44:02d}{p:02d}.5000,N,{125:03d}{p:02d}.2500,W,1,08,0.9,5.0,M,,M,,"))
+            if nmea_types:
+                # randomized sentence mix (GGA/GLL/RMC) with fuzzed lat/lon
+                typ = str(nmea_types[int(rng.integers(0, len(nmea_types)))])
+                latd = int(rng.integers(0, 80))
+                latm = rng.uniform(0, 59.9999)
+                lond = int(rng.integers(0, 170))
+                lonm = rng.uniform(0, 59.9999)
+                ns = "S" if rng.random() < 0.5 else "N"
+                ew = "W" if rng.random() < 0.5 else "E"
+                lat_s = f"{latd:02d}{latm:07.4f}"
+                lon_s = f"{lond:03d}{lonm:07.4f}"
+                if typ == "GGA":
+                    sent = (f"$GPGGA,120000,{lat_s},{ns},{lon_s},{ew},"
+                            f"1,08,0.9,5.0,M,,M,,")
+                elif typ == "GLL":
+                    sent = f"$GPGLL,{lat_s},{ns},{lon_s},{ew},120000,A"
+                else:  # RMC
+                    sent = (f"$GPRMC,120000,A,{lat_s},{ns},{lon_s},{ew},"
+                            f"022.4,084.4,230394,003.1,W")
+                chunks.append(make_nme0(ts, sent))
+            else:
+                chunks.append(make_nme0(ts, f"$GPGGA,120000,{44:02d}{p:02d}.5000,N,{125:03d}{p:02d}.2500,W,1,08,0.9,5.0,M,,M,,"))
         if with_mru in ("mru0", "both"):
             chunks.append(make_mru0(
                 ts + np.timedelta64(100, "ms"),
