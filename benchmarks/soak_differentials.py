@@ -2279,6 +2279,194 @@ def soak_platform(n, rng):
     return fails
 
 
+def soak_ek60sg(n, rng):
+    """Randomized reference ParseEK60 + SetGroupsEK60 full conversion
+    differential (L1+L2): jittered CON0 installation fields (beam widths,
+    angle offsets/sensitivities, mounts, pulse/gain/sa tables), jittered
+    per-datagram RAW0 environment/motion fields, random GGA/GLL/RMC NMEA
+    mixes, raggedness, per-channel sample counts, skipped pings, angle
+    on/off.  Every group the reference emits is compared value-for-value."""
+    import numpy as np
+    import echopype_tpu as ep
+    from synth_ek60 import write_ek60_raw
+    from ref_oracle import load_ref
+
+    ref_parse_mod = load_ref("convert/parse_ek60")
+    ref_sg_mod = load_ref("convert/set_groups_ek60")
+    params = {
+        "survey_name": "", "platform_name": "", "platform_type": "",
+        "platform_code_ICES": "", "water_level": np.nan,
+        "nmea_gps_sentence": "GGA",
+    }
+    tmp = pathlib.Path(tempfile.mkdtemp())
+    fails = 0
+
+    GROUP_VARS = {
+        "beam": (
+            "backscatter_r", "angle_athwartship", "angle_alongship",
+            "frequency_nominal", "transmit_duration_nominal",
+            "sample_interval", "transmit_power",
+            "beamwidth_twoway_alongship", "beamwidth_twoway_athwartship",
+            "angle_offset_alongship", "angle_offset_athwartship",
+            "angle_sensitivity_alongship", "angle_sensitivity_athwartship",
+            "equivalent_beam_angle", "gain_correction",
+            "transducer_offset_x", "transducer_offset_y",
+            "transducer_offset_z", "data_type", "transmit_frequency_start",
+            "transmit_frequency_stop",
+        ),
+        "env": ("absorption_indicative", "sound_speed_indicative",
+                "temperature"),
+        "platform": ("latitude", "longitude", "pitch", "roll",
+                     "vertical_offset", "water_level"),
+        "vendor": ("sa_correction", "gain_correction", "pulse_length"),
+    }
+
+    def _cmp_var(ref_ds, our_ds, var, tag, cfg, rtol):
+        nonlocal fails
+        has_ref = var in ref_ds.data_vars
+        has_our = var in our_ds.data_vars
+        if has_ref != has_our:
+            fails += 1
+            print(f"FAIL {tag} presence {var} ref={has_ref} cfg={cfg}",
+                  flush=True)
+            return
+        if not has_ref:
+            return
+        w = np.asarray(ref_ds[var].values)
+        g = np.asarray(our_ds[var].values)
+        if w.shape != g.shape:
+            fails += 1
+            print(f"FAIL {tag} {var} shape {g.shape} vs {w.shape} cfg={cfg}",
+                  flush=True)
+            return
+        str_w = w.dtype.kind in ("U", "S", "O")
+        str_g = g.dtype.kind in ("U", "S", "O")
+        if str_w != str_g:
+            fails += 1
+            print(f"FAIL {tag} {var} dtype kind {g.dtype} vs {w.dtype} "
+                  f"cfg={cfg}", flush=True)
+            return
+        if str_w:
+            if not np.array_equal(w.astype(str), g.astype(str)):
+                fails += 1
+                print(f"FAIL {tag} {var} strings cfg={cfg}", flush=True)
+            return
+        w = w.astype("f8")
+        g = np.asarray(g, dtype="f8")
+        with np.errstate(invalid="ignore"):
+            bad = ~(np.isclose(g, w, rtol=rtol, atol=0.0)
+                    | (np.isnan(g) & np.isnan(w)))
+        if bad.any():
+            fails += 1
+            print(f"FAIL {tag} {var} {bad.sum()} cells cfg={cfg}", flush=True)
+
+    for i in range(n):
+        seed = int(rng.integers(0, 1 << 30))
+        r2 = np.random.default_rng(seed)
+        n_pings = int(r2.integers(2, 14))
+        fkw = dict(
+            n_pings=n_pings,
+            n_samples=int(r2.integers(12, 80)),
+            seed=seed,
+            with_angle=bool(r2.random() < 0.7),
+            with_nmea=bool(r2.random() < 0.8),
+            jitter_config=bool(r2.random() < 0.6),
+            jitter_raw0=bool(r2.random() < 0.6),
+            ragged=bool(r2.random() < 0.25),
+        )
+        if r2.random() < 0.5:
+            k = int(r2.integers(1, 4))
+            fkw["nmea_types"] = [str(t) for t in r2.choice(
+                ["GGA", "GLL", "RMC"], size=k, replace=False)]
+        if r2.random() < 0.3 and n_pings > 2:
+            ch = int(r2.integers(1, 3))
+            k = int(r2.integers(1, max(2, n_pings // 2)))
+            fkw["skip_pings"] = {ch: set(
+                int(x) for x in r2.choice(range(1, n_pings), size=k,
+                                          replace=False))}
+        elif r2.random() < 0.3:
+            fkw["per_channel_samples"] = (
+                fkw["n_samples"], max(4, int(r2.integers(4, fkw["n_samples"] + 1))))
+        cfg = dict(**{k: v for k, v in fkw.items() if k != "skip_pings"},
+                   skips=sum(len(v) for v in fkw.get("skip_pings", {}).values()))
+        try:
+            raw = tmp / f"SG60_{i}-D20200101-T000000.raw"
+            write_ek60_raw(raw, **fkw)
+            parser = ref_parse_mod.ParseEK60(
+                str(raw), storage_options={}, sonar_model="EK60")
+            parser.parse_raw()
+            parser.rectangularize_data(use_swap=False)
+            sg = ref_sg_mod.SetGroupsEK60(
+                parser, input_file=str(raw), xml_path=None, output_path=None,
+                sonar_model="EK60", params=dict(params),
+            )
+            ed = ep.open_raw(str(raw), sonar_model="EK60")
+            fails_before = fails
+
+            ref_b = sg.set_beam()[0]
+            our_b = ed["Sonar/Beam_group1"]
+            for var in GROUP_VARS["beam"]:
+                _cmp_var(ref_b, our_b, var, "beam", cfg, rtol=3e-7)
+            for c in ("ping_time", "channel"):
+                rv = np.asarray(ref_b.coords[c].values)
+                ov = np.asarray(our_b.coords[c].values)
+                if not np.array_equal(rv.astype(str) if rv.dtype.kind in
+                                      ("U", "O") else rv, ov.astype(str)
+                                      if ov.dtype.kind in ("U", "O") else ov):
+                    fails += 1
+                    print(f"FAIL beam coord {c} cfg={cfg}", flush=True)
+
+            ref_env = sg.set_env()
+            our_env = ed["Environment"]
+            for var in GROUP_VARS["env"]:
+                _cmp_var(ref_env, our_env, var, "env", cfg, rtol=1e-12)
+
+            ref_plat = sg.set_platform()
+            our_plat = ed["Platform"]
+            for var in GROUP_VARS["platform"]:
+                _cmp_var(ref_plat, our_plat, var, "platform", cfg, rtol=1e-9)
+            if "sentence_type" in ref_plat.data_vars:
+                _cmp_var(ref_plat, our_plat, "sentence_type", "platform",
+                         cfg, rtol=0.0)
+            for tc in ("time1", "time2", "time3"):
+                rt = (np.asarray(ref_plat.coords[tc].values,
+                                 dtype="datetime64[ns]")
+                      if tc in ref_plat.coords else None)
+                ot = (np.asarray(our_plat.coords[tc].values,
+                                 dtype="datetime64[ns]")
+                      if tc in our_plat.coords else None)
+                if (rt is None) != (ot is None):
+                    fails += 1
+                    print(f"FAIL platform coord {tc} presence cfg={cfg}",
+                          flush=True)
+                elif rt is not None and not np.array_equal(rt, ot):
+                    fails += 1
+                    print(f"FAIL platform coord {tc} values cfg={cfg}",
+                          flush=True)
+
+            if fkw["with_nmea"]:
+                ref_n = sg.set_nmea()
+                our_n = ed["Platform/NMEA"]
+                if not np.array_equal(
+                        np.asarray(ref_n["NMEA_datagram"].values).astype(str),
+                        np.asarray(our_n["NMEA_datagram"].values).astype(str)):
+                    fails += 1
+                    print(f"FAIL NMEA_datagram cfg={cfg}", flush=True)
+
+            ref_v = sg.set_vendor()
+            our_v = ed["Vendor_specific"]
+            for var in GROUP_VARS["vendor"]:
+                _cmp_var(ref_v, our_v, var, "vendor", cfg, rtol=1e-12)
+
+            if fails == fails_before:
+                print(f"ok {i} cfg={cfg}", flush=True)
+        except Exception:
+            fails += 1
+            print(f"ERROR cfg={cfg}", flush=True)
+            traceback.print_exc()
+    return fails
+
+
 def soak_ek80sg(n, rng):
     """Randomized reference ParseEK80 + SetGroupsEK80 full conversion
     differential (L1+L2 group assembly): random channel mixes, RAW4, f16
@@ -2381,6 +2569,14 @@ def soak_ek80sg(n, rng):
             k = int(r2.integers(1, 4))
             fkw["nmea_types"] = [str(t) for t in r2.choice(
                 ["GGA", "GLL", "RMC"], size=k, replace=False)]
+        if r2.random() < 0.5:
+            fkw["env_fields"] = dict(
+                depth=round(float(r2.uniform(5, 500)), 1),
+                acidity=round(float(r2.uniform(7.5, 8.5)), 2),
+                salinity=round(float(r2.uniform(5, 38)), 1),
+                sound_speed=round(float(r2.uniform(1440, 1540)), 1),
+                temperature=round(float(r2.uniform(-1, 25)), 1),
+            )
         if r2.random() < 0.3 and n_pings > 2:
             k = int(r2.integers(1, max(2, n_pings // 2)))
             fkw["skip_pings"] = {CH_BB: set(
@@ -2640,6 +2836,7 @@ def soak_ek80sg(n, rng):
 
 MODES = {
     "ek60": soak_ek60,
+    "ek60sg": soak_ek60sg,
     "ek80sg": soak_ek80sg,
     "azfp6": soak_azfp6,
     "sidecars": soak_sidecars,

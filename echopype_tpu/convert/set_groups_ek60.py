@@ -139,16 +139,18 @@ class SetGroupsEK60(SetGroupsBase):
         if len(lat) == 0:
             lat = np.array([np.nan])
             lon = np.array([np.nan])
-            msg_type = np.array([""], dtype=object)
+            # the reference emits a float NaN sentence_type when the file has
+            # no NMEA messages ([np.nan] msg_type, set_groups_base.py:218-222)
+            msg_type = np.array([np.nan])
 
+        # motion vars ride the FIRST channel's own ping times, raw rows — the
+        # reference indexes ping_data_dict[...][ch] for one channel and sets
+        # time2 = ping_time[ch] (set_groups_ek60.py:211-224,256-266), NOT the
+        # union ping grid (found by the ek60sg soak on per-channel dropouts)
         ch0 = next(iter(self.sorted_channel))
-        rows0 = self.time_map[ch0]
-        n_t = len(self.union_time)
 
         def on_time2(field):
-            return self.scatter_to_union(
-                np.asarray(self.parser_obj.ping_data_dict[field][ch0], dtype="f8"), rows0, n_t
-            )
+            return np.asarray(self.parser_obj.ping_data_dict[field][ch0], dtype="f8")
 
         pv = self._varattrs["platform_var_default"]
         cfg = self.parser_obj.config_datagram
@@ -229,7 +231,8 @@ class SetGroupsEK60(SetGroupsBase):
                 ),
                 "time2": (
                     ("time2",),
-                    self.union_time,
+                    np.asarray(self.parser_obj.ping_time[ch0],
+                               dtype="datetime64[ns]"),
                     self._varattrs["platform_coord_default"]["time2"],
                 ),
             },
@@ -271,6 +274,7 @@ class SetGroupsEK60(SetGroupsBase):
         }
         data_type = np.zeros((n_ch, n_t), dtype="i1")
         channel_mode = np.full((n_ch, n_t), -1, dtype="i1")
+        any_missing = False
 
         src_names = {
             "sample_interval": "sample_interval",
@@ -310,6 +314,18 @@ class SetGroupsEK60(SetGroupsBase):
             )
             data_type[i, rows] = np.asarray(pd["mode"][ch], dtype="i1")
             channel_mode[i, rows] = np.asarray(pd["transmit_mode"][ch], dtype="i1")
+            any_missing = any_missing or missing is not None
+
+        if any_missing:
+            # xarray parity: the reference assembles data_type/channel_mode
+            # per channel as np.byte on that channel's own ping rows
+            # (set_groups_ek60.py:615-641); the outer-join merge across
+            # channels promotes them to float64 with NaN at uncovered pings
+            covered_all = np.zeros((n_ch, n_t), dtype=bool)
+            for i, ch in enumerate(self.sorted_channel):
+                covered_all[i, self.time_map[ch]] = True
+            data_type = np.where(covered_all, data_type.astype("f8"), np.nan)
+            channel_mode = np.where(covered_all, channel_mode.astype("f8"), np.nan)
 
         def ch_param(name, default=np.nan):
             return np.asarray(

@@ -146,6 +146,9 @@ def write_ek60_raw(
     ragged=False,
     skip_pings=None,
     per_channel_samples=None,
+    jitter_config=False,
+    jitter_raw0=False,
+    nmea_types=None,
 ):
     """Write a synthetic multi-channel EK60 file; returns ground-truth dict.
 
@@ -154,12 +157,41 @@ def write_ek60_raw(
         union-grid missing-row case).
     per_channel_samples : optional per-channel sample counts (unequal range
         lengths across channels).
+    jitter_config : randomize the per-transceiver CON0 installation fields
+        (beam widths, angle offsets/sensitivities, mount position/direction,
+        EBA, pulse/gain/sa tables) so cross-channel mixups are detectable.
+    jitter_raw0 : randomize the per-datagram RAW0 environment/motion fields
+        (sound_velocity, absorption, temperature, transducer_depth,
+        heave/roll/pitch/heading) per channel per ping.
+    nmea_types : optional list of sentence types (subset of GGA/GLL/RMC) to
+        randomize the NMEA stream over (default: fixed GGA).
     """
     rng = np.random.default_rng(seed)
     txs = [
         {"channel_id": cid, "frequency": f, "gain": 25.0 + i}
         for i, (cid, f) in enumerate(zip(channels, frequencies))
     ]
+    if jitter_config:
+        for tx in txs:
+            tx["equivalent_beam_angle"] = round(float(rng.uniform(-21.5, -19.5)), 2)
+            tx["beamwidth_alongship"] = round(float(rng.uniform(5.5, 11.0)), 2)
+            tx["beamwidth_athwartship"] = round(float(rng.uniform(5.5, 11.0)), 2)
+            tx["angle_sensitivity_alongship"] = round(float(rng.uniform(15.0, 28.0)), 2)
+            tx["angle_sensitivity_athwartship"] = round(float(rng.uniform(15.0, 28.0)), 2)
+            tx["angle_offset_alongship"] = round(float(rng.uniform(-0.5, 0.5)), 3)
+            tx["angle_offset_athwartship"] = round(float(rng.uniform(-0.5, 0.5)), 3)
+            tx["pos_x"] = round(float(rng.uniform(-2.0, 2.0)), 3)
+            tx["pos_y"] = round(float(rng.uniform(-2.0, 2.0)), 3)
+            tx["pos_z"] = round(float(rng.uniform(0.0, 6.0)), 3)
+            tx["dir_x"] = round(float(rng.uniform(-1.0, 1.0)), 3)
+            tx["dir_y"] = round(float(rng.uniform(-1.0, 1.0)), 3)
+            tx["dir_z"] = round(float(rng.uniform(-1.0, 1.0)), 3)
+            tx["pulse_length_table"] = sorted(
+                round(float(v), 6) for v in rng.uniform(64e-6, 8192e-6, 5))
+            tx["gain_table"] = [round(float(v), 2)
+                                for v in rng.uniform(20.0, 28.0, 5)]
+            tx["sa_correction_table"] = [round(float(v), 3)
+                                         for v in rng.uniform(-0.5, 0.0, 5)]
     chunks = [make_con0(t0, txs)]
     truth = {
         "power_idx": {},
@@ -183,6 +215,18 @@ def write_ek60_raw(
             ns = base_ns if not ragged else max(base_ns - (p % 3) * 5, 1)
             pw = rng.integers(-20000, 0, ns).astype("<i2")
             ang = rng.integers(-50, 50, (ns, 2)).astype("i1") if with_angle else None
+            raw0_kw = {}
+            if jitter_raw0:
+                raw0_kw = dict(
+                    sound_velocity=round(float(rng.uniform(1440, 1540)), 1),
+                    absorption_coefficient=round(float(rng.uniform(0.001, 0.05)), 5),
+                    temperature=round(float(rng.uniform(-1, 25)), 2),
+                    transducer_depth=round(float(rng.uniform(0, 12)), 2),
+                    heave=round(float(rng.normal(0, 0.5)), 3),
+                    roll_=round(float(rng.normal(0, 2.0)), 3),
+                    pitch=round(float(rng.normal(0, 2.0)), 3),
+                    heading=round(float(rng.uniform(0, 360)), 2),
+                )
             chunks.append(
                 make_raw0(
                     ts,
@@ -192,16 +236,32 @@ def write_ek60_raw(
                     frequency=f,
                     pulse_length=1024e-6,
                     transmit_power=2000.0 - i * 100,
+                    **raw0_kw,
                 )
             )
             truth["power_idx"][i].append(pw)
             truth["angle"][i].append(ang)
             truth["ping_time"][i].append(ts)
         if with_nmea and p % 2 == 0:
-            lat_min = 30 * 60 + p  # 30 deg + p minutes
-            sent = f"$GPGGA,120000,{30:02d}{p:02d}.5000,N,{122:03d}{p:02d}.2500,W,1,08,0.9,5.0,M,,M,,"
+            if nmea_types:
+                typ = str(nmea_types[int(rng.integers(0, len(nmea_types)))])
+                lat_s = (f"{int(rng.integers(0, 80)):02d}"
+                         f"{rng.uniform(0, 59.9999):07.4f}")
+                lon_s = (f"{int(rng.integers(0, 170)):03d}"
+                         f"{rng.uniform(0, 59.9999):07.4f}")
+                ns_h = "S" if rng.random() < 0.5 else "N"
+                ew_h = "W" if rng.random() < 0.5 else "E"
+                if typ == "GGA":
+                    sent = (f"$GPGGA,120000,{lat_s},{ns_h},{lon_s},{ew_h},"
+                            f"1,08,0.9,5.0,M,,M,,")
+                elif typ == "GLL":
+                    sent = f"$GPGLL,{lat_s},{ns_h},{lon_s},{ew_h},120000,A"
+                else:  # RMC
+                    sent = (f"$GPRMC,120000,A,{lat_s},{ns_h},{lon_s},{ew_h},"
+                            f"022.4,084.4,230394,003.1,W")
+            else:
+                sent = f"$GPGGA,120000,{30:02d}{p:02d}.5000,N,{122:03d}{p:02d}.2500,W,1,08,0.9,5.0,M,,M,,"
             chunks.append(make_nme0(ts, sent))
-            del lat_min
     data = b"".join(chunks)
     with open(path, "wb") as f:
         f.write(data)

@@ -276,6 +276,7 @@ def write_ek80_raw(
     with_mru=None,
     jitter_config=False,
     nmea_types=None,
+    env_fields=None,
 ):
     """with_mru: None | "mru0" | "mru1" | "both" — interleave motion
     datagrams (MRU0 heave/roll/pitch/heading; MRU1 KMB lat/lon + attitude)
@@ -317,7 +318,8 @@ def write_ek80_raw(
             ch["offset_y"] = round(float(rng.uniform(-2.0, 2.0)), 3)
             ch["offset_z"] = round(float(rng.uniform(0.0, 6.0)), 3)
 
-    chunks = [make_xml0(t0, config_xml(channels)), make_xml0(t0, environment_xml())]
+    chunks = [make_xml0(t0, config_xml(channels)),
+              make_xml0(t0, environment_xml(**(env_fields or {})))]
     # filter datagrams: simple averaging filters
     wbt_coeff = np.full(4, 0.25, dtype="c8")
     pc_coeff = np.full(2, 0.5, dtype="c8")

@@ -889,3 +889,62 @@ class TestESFamilyAliasDifferential:
             ed, waveform_mode="BB", encode_mode="complex"
         )  # CALIBRATOR maps ES80/EA640 -> EK80 path
         assert np.isfinite(np.asarray(sv["Sv"].values)).any()
+
+
+class TestEK60DropoutParity:
+    """Per-channel ping dropouts through the reference chain: motion vars
+    ride the FIRST channel's own rows (time2 = ping_time[ch0], raw values,
+    reference set_groups_ek60.py:211-224,256-266), data_type/channel_mode
+    promote to float64-with-NaN at uncovered pings (outer-join semantics),
+    and a no-NMEA file yields a float-NaN sentence_type
+    (set_groups_base.py:218-222).  Found by the ek60sg soak."""
+
+    @pytest.fixture(scope="class")
+    def dropout_pair(self, tmp_path_factory):
+        tmp = tmp_path_factory.mktemp("ek60_dropout")
+        raw = tmp / "DO-D20200101-T000000.raw"
+        write_ek60_raw(raw, n_pings=9, n_samples=30, with_nmea=False,
+                       jitter_raw0=True, jitter_config=True,
+                       skip_pings={1: {2, 5}})
+        ref_parse = load_ref("convert/parse_ek60")
+        parser = ref_parse.ParseEK60(str(raw), storage_options={},
+                                     sonar_model="EK60")
+        parser.parse_raw()
+        parser.rectangularize_data(use_swap=False)
+        ref_sg = load_ref("convert/set_groups_ek60")
+        sg = ref_sg.SetGroupsEK60(
+            parser, input_file=str(raw), xml_path=None, output_path=None,
+            sonar_model="EK60", params=dict(CONVERT_PARAMS),
+        )
+        ed = ep.open_raw(str(raw), sonar_model="EK60")
+        return sg, ed
+
+    def test_platform_motion_first_channel_rows(self, dropout_pair):
+        sg, ed = dropout_pair
+        ref_p = sg.set_platform()
+        our_p = ed["Platform"]
+        # channel 1 skipped 2 pings -> 7 rows, NOT the 9-ping union grid
+        assert our_p.sizes["time2"] == 7
+        np.testing.assert_array_equal(
+            np.asarray(our_p.coords["time2"].values, dtype="datetime64[ns]"),
+            np.asarray(ref_p.coords["time2"].values, dtype="datetime64[ns]"))
+        for var in ("pitch", "roll", "vertical_offset"):
+            np.testing.assert_array_equal(
+                np.asarray(our_p[var].values, dtype="f8"),
+                np.asarray(ref_p[var].values, dtype="f8"))
+
+    def test_empty_nmea_sentence_type_nan(self, dropout_pair):
+        _, ed = dropout_pair
+        st = np.asarray(ed["Platform"]["sentence_type"].values)
+        assert st.dtype.kind == "f" and np.isnan(st).all()
+
+    def test_data_type_nan_promotion(self, dropout_pair):
+        sg, ed = dropout_pair
+        ref_b = sg.set_beam()[0]
+        our_b = ed["Sonar/Beam_group1"]
+        for var in ("data_type", "channel_mode"):
+            w = np.asarray(ref_b[var].values, dtype="f8")
+            g = np.asarray(our_b[var].values, dtype="f8")
+            assert np.isnan(g).sum() == 2 * 1  # ch1's two skipped pings
+            np.testing.assert_array_equal(np.isnan(w), np.isnan(g))
+            np.testing.assert_array_equal(np.nan_to_num(w), np.nan_to_num(g))
